@@ -1,0 +1,164 @@
+"""Behavioral tests for the core DataFrame operators: merge-key hashes,
+W1/W2 dedup windows, field filtering and the three MERGE dialects."""
+
+import hashlib
+import base64
+
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.functions.merge_key import (
+    blob_merge_key,
+    mssql_merge_key,
+    synapse_merge_key,
+)
+from arcane_framework_scala_spark.operators.dedup_window import (
+    backfill_commit_dedup,
+    latest_version_per_key,
+)
+from arcane_framework_scala_spark.operators.field_filter import (
+    FieldSelectionRule,
+    apply_field_selection,
+)
+from arcane_framework_scala_spark.operators.merge_apply import merge_apply
+from arcane_framework_scala_spark.queries.merge import (
+    SQL_SERVER_CHANGE_TRACKING,
+    SYNAPSE_LINK,
+    UPSERT_BLOB,
+)
+
+
+def test_mssql_merge_key_parity(spark):
+    # lower-hex SHA-256 over '#'-joined keys (get_select_delta_query.sql:4)
+    df = spark.createDataFrame([(12, 34)], "a int, b int")
+    got = df.select(mssql_merge_key("a", "b").alias("k")).first()["k"]
+    assert got == hashlib.sha256(b"12#34").hexdigest()
+
+
+def test_blob_merge_key_parity(spark):
+    # Base64(SHA-256(lowercase(concat(keys)))) (BlobBatchCommons.scala:21-36)
+    df = spark.createDataFrame([("AbC", 7)], "a string, b int")
+    got = df.select(blob_merge_key("a", "b").alias("k")).first()["k"]
+    expected = base64.b64encode(hashlib.sha256(b"abc7").digest()).decode()
+    assert got == expected
+
+
+def test_synapse_merge_key_is_raw_id(spark):
+    df = spark.createDataFrame([("guid-1",)], "Id string")
+    assert df.select(synapse_merge_key().alias("k")).first()["k"] == "guid-1"
+
+
+def _staged(spark):
+    # key k1: versions 1..3 incl. a tie at v3 (delete marker + data row)
+    rows = [
+        ("k1", 1, "old", False),
+        ("k1", 3, "newest", False),
+        ("k1", 3, "tombstone", True),
+        ("k2", 2, "only", False),
+    ]
+    return spark.createDataFrame(
+        rows, "ARCANE_MERGE_KEY string, versionnumber long, payload string, IsDelete boolean"
+    )
+
+
+def test_with_ties_keeps_delete_markers(spark):
+    out = latest_version_per_key(_staged(spark), "versionnumber").collect()
+    got = {(r.ARCANE_MERGE_KEY, r.payload) for r in out}
+    # rank()==1 keeps BOTH rows tied at v3 — row_number would drop the marker
+    assert got == {("k1", "newest"), ("k1", "tombstone"), ("k2", "only")}
+
+
+def test_backfill_commit_dedup_drops_tombstones(spark):
+    out = backfill_commit_dedup(
+        _staged(spark), "versionnumber", drop_synapse_deletes=True
+    ).collect()
+    assert {(r.ARCANE_MERGE_KEY, r.payload) for r in out} == {
+        ("k1", "newest"),
+        ("k2", "only"),
+    }
+
+
+def test_field_selection_include_exclude(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "a", "b")], "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, x string, y string"
+    )
+    inc = apply_field_selection(df, FieldSelectionRule("include", frozenset({"x"})))
+    # essential fields always survive (FieldsFilteringService essential validation)
+    assert set(inc.columns) == {"ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "x"}
+    exc = apply_field_selection(
+        df, FieldSelectionRule("exclude", frozenset({"y", "arcane_merge_key"}))
+    )
+    assert set(exc.columns) == {"ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "x"}
+    with pytest.raises(ValueError):
+        FieldSelectionRule("bogus")
+
+
+def _target(spark):
+    rows = [("k1", 1, "t1"), ("k2", 5, "t2"), ("k3", 1, "t3")]
+    return spark.createDataFrame(
+        rows, "ARCANE_MERGE_KEY string, versionnumber long, payload string"
+    )
+
+
+def test_merge_apply_synapse_dialect(spark):
+    target = _target(spark)
+    changes = spark.createDataFrame(
+        [
+            ("k1", 7, "updated", False),   # newer → update
+            ("k2", 2, "stale", False),     # older than target v5 → ignored (T9)
+            ("k3", 9, None, True),         # delete marker → row removed
+            ("k4", 1, "inserted", False),  # new key → insert
+            ("k5", 1, None, True),         # delete for absent key → no-op
+        ],
+        "ARCANE_MERGE_KEY string, versionnumber long, payload string, IsDelete boolean",
+    )
+    out = merge_apply(target, changes, SYNAPSE_LINK)
+    got = {(r.ARCANE_MERGE_KEY, r.versionnumber, r.payload) for r in out.collect()}
+    assert got == {("k1", 7, "updated"), ("k2", 5, "t2"), ("k4", 1, "inserted")}
+    assert out.columns == target.columns
+
+
+def test_merge_apply_delete_wins_on_tie(spark):
+    target = _target(spark)
+    changes = spark.createDataFrame(
+        [("k1", 9, "phoenix", False), ("k1", 9, None, True)],
+        "ARCANE_MERGE_KEY string, versionnumber long, payload string, IsDelete boolean",
+    )
+    out = merge_apply(target, changes, SYNAPSE_LINK)
+    keys = {r.ARCANE_MERGE_KEY for r in out.collect()}
+    assert "k1" not in keys  # tombstone carried by WITH TIES applied last
+    assert keys == {"k2", "k3"}
+
+
+def test_merge_apply_mssql_dialect(spark):
+    target = spark.createDataFrame(
+        [("k1", 1, "a"), ("k2", 1, "b")],
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, v string",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("k1", 2, "a2", "U"),
+            ("k2", 2, None, "D"),
+            ("k3", 2, "c", "I"),
+        ],
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, v string, SYS_CHANGE_OPERATION string",
+    )
+    out = merge_apply(target, changes, SQL_SERVER_CHANGE_TRACKING)
+    got = {(r.ARCANE_MERGE_KEY, r.v) for r in out.collect()}
+    assert got == {("k1", "a2"), ("k3", "c")}
+    # replay the same batch → idempotent (version guard)
+    out2 = merge_apply(out, changes, SQL_SERVER_CHANGE_TRACKING)
+    assert {(r.ARCANE_MERGE_KEY, r.v) for r in out2.collect()} == got
+
+
+def test_merge_apply_upsert_blob(spark):
+    target = spark.createDataFrame(
+        [("k1", 100, "old")], "ARCANE_MERGE_KEY string, createdon long, v string"
+    )
+    changes = spark.createDataFrame(
+        [("k1", 200, "new"), ("k2", 50, "fresh")],
+        "ARCANE_MERGE_KEY string, createdon long, v string",
+    )
+    out = merge_apply(target, changes, UPSERT_BLOB)
+    got = {(r.ARCANE_MERGE_KEY, r.v) for r in out.collect()}
+    assert got == {("k1", "new"), ("k2", "fresh")}
