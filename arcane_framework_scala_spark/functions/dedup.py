@@ -1,0 +1,348 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all pure DataFrame transforms (no Python UDFs, no driver
+materialization):
+
+- **Exact**: hash-groupBy on a content digest — one shuffle, map-side
+  partial aggregation.
+- **MinHash + LSH**: shingle → per-seed min-hash signature → band buckets →
+  bucket self-join for candidate pairs. Hashes are md5 strings (identical on
+  every engine), min() is the lexicographic minimum — a legitimate MinHash
+  family and exactly reproducible in SQL oracles.
+- **SimHash**: 16-bit signature from per-token md5 bits; near-dup = equal
+  signature (or Hamming ≤ d via band splits).
+- **n-gram Jaccard**: exact set similarity for candidate pairs via exploded
+  distinct-shingle joins — pure relational algebra.
+
+Scale notes: every step is shuffle-on-key with uniform hash-derived keys.
+LSH band join deliberately avoids the O(n²) cross join; the bucket join's
+fan-out is bounded by bucket size, and AQE splits skewed buckets. For 100 TB
+inputs raise ``num_hashes``/``bands`` rather than widening buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row (the min id) per exact content hash.
+
+    Returns (digest, keep_id, dup_count). groupBy on md5 → uniform
+    partitioning, map-side combine; survivors join back by id if full rows
+    are needed."""
+    digest = F.md5(F.col(content_col)).alias("digest")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str, content_col: str = "text", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT md5({content_col}) AS digest, min({id_col}) AS keep_id, "
+        f"count(*) AS dup_count FROM {table} GROUP BY md5({content_col})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-grams of normalized text, as an array column."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def _char_shingles_sql(col: str, k: int) -> str:
+    norm = f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length({norm}) - {k} + 1, 1)"
+        f" + 1), i -> substr({norm}, i, {k})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, h0..h{n-1}) — per-seed minimum of md5(seed || shingle).
+
+    The min of a uniform hash over the shingle set is a classic MinHash;
+    using the md5 hex string keeps it engine-portable. Computed entirely
+    with array expressions — one narrow projection, no shuffle."""
+    shingles = char_shingles(text_col, shingle_k)
+
+    def seeded_min(seed: int):
+        prefix = f"{seed}|"
+        # NB: single-arg lambda — a two-arg lambda would receive the array
+        # index as its second parameter and corrupt the seed
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    sig_cols = [seeded_min(i).alias(f"h{i}") for i in range(num_hashes)]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band, bucket): md5 of each band's concatenated signature rows.
+    Docs sharing any (band, bucket) are LSH candidate duplicates."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")
+            )
+        )
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing an LSH bucket.
+
+    Self-join on (band, bucket): shuffle key is a hash → uniform; candidate
+    fan-out bounded by bucket sizes, AQE handles stragglers."""
+    b = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signature_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> str:
+    sh = _char_shingles_sql(text_col, shingle_k)
+    sigs = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5(concat('{i}|', s)))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"SELECT {id_col}, {sigs} FROM {table}"
+
+
+def minhash_candidate_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_sql(table, text_col, id_col, num_hashes, shingle_k)
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH sig AS ({sig}), bands AS ({band_rows}) "
+        f"SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b "
+        f"FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket "
+        f"AND l.{id_col} < r.{id_col}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): per-token md5 → first-4-hex-digit integer → bit votes.
+
+    bit b of the signature = majority sign of ((token_hash >> b) & 1).
+    Token multiset from whitespace split of normalized text. All built-in
+    expressions; one narrow projection."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tokens = F.split(norm, " ")
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    def bit_vote(b: int):
+        # sum over tokens of (2*bit - 1); >0 → signature bit set.
+        # closure keeps the merge lambda at arity 2 (aggregate contract)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_votes = []
+    for b in range(bits):
+        votes = bit_vote(b)
+        bit_votes.append(F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bit_votes[0]
+    for v in bit_votes[1:]:
+        sig = sig + v
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    hashes = (
+        f"list_transform(string_split({norm}, ' '), "
+        f"t -> CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER))"
+    )
+    bit_terms = []
+    for b in range(bits):
+        votes = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> ((h // {1 << b}) % 2) * 2 - 1))"
+        )
+        bit_terms.append(f"(CASE WHEN {votes} > 0 THEN {1 << b} ELSE 0 END)")
+    sig = " + ".join(bit_terms)
+    return f"SELECT {id_col}, CAST({sig} AS INT) AS simhash FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct char-k-gram sets for candidate pairs.
+
+    Without ``candidates`` this verifies all pairs sharing ≥1 shingle (the
+    shingle join IS the candidate generator — pairs with zero overlap have
+    Jaccard 0 and never materialize). (id_a, id_b, jaccard) with
+    jaccard ≥ threshold, rounded to 6 decimals.
+
+    Plan shape: explode → groupBy(shingle) join → pair-count aggregation.
+    Three shuffles, all on uniform keys; no cross join anywhere."""
+    exploded = (
+        df.select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    sh = _char_shingles_sql(text_col, k)
+    return f"""
+WITH exploded AS (
+  SELECT DISTINCT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+), sizes AS (
+  SELECT id, count(*) AS set_size FROM exploded GROUP BY id
+), inter AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS i
+  FROM exploded l JOIN exploded r ON l.sh = r.sh AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT id_a, id_b,
+       round(i / CAST(sa.set_size + sb.set_size - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(i / CAST(sa.set_size + sb.set_size - i AS DOUBLE), 6) >= {threshold}
+"""

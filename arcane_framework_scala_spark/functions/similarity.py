@@ -1,0 +1,228 @@
+"""Embedding similarity search: brute-force cosine top-k + sign-LSH scale path.
+
+The baseline is exact brute-force cosine against a small query set — the
+query side broadcasts, so the big side never shuffles; ranking is a window
+per query. The scale path is random-hyperplane (sign) LSH: signatures come
+from deterministic ±1 hyperplanes derived from md5 (seeded, reproducible on
+any engine — no runtime RNG), bucket join replaces the O(n²) cross join.
+
+Numeric note: dot products fold left-to-right in double on both Spark
+(`aggregate`) and DuckDB (`list_sum(list_transform(...))`) — verified
+bit-identical — so similarity values and rank orders match the oracle
+exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    return f"({dot} / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    (query_id, vec_id, sim, rk): rank by sim desc with vec_id tiebreak —
+    fully deterministic. The query side is tiny → broadcast hash join; the
+    corpus streams through one stage, then one shuffle for the per-query
+    window."""
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    pairs = embeddings.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = pairs.select(
+        "query_id",
+        id_col,
+        F.round(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "sim", "rk")
+    )
+
+
+def brute_force_topk_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    sim = cosine_similarity_sql("q.qvec", f"e.{vec_col}")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+  WHERE {id_col} IN ({ids})
+), ranked AS (
+  SELECT q.query_id, e.{id_col}, round({sim}, 6) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({sim}, 6) DESC, e.{id_col}) AS rk
+  FROM q JOIN {table} e ON e.{id_col} != q.query_id
+)
+SELECT query_id, {id_col}, sim, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """±1 hyperplanes derived from md5 — reproducible everywhere, no RNG."""
+    planes = []
+    for b in range(bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{b}|{i}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign bits of projections onto the seeded hyperplanes.
+    Planes are literals folded by Catalyst — per-row cost is `bits` dot
+    products, no shuffle."""
+    planes = hyperplanes(dim, bits, seed)
+    bit_cols = []
+    for b, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
+        bit_cols.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bit_cols[0]
+    for c in bit_cols[1:]:
+        bucket = bucket + c
+    return embeddings.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_signature_sql(
+    table: str,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    planes = hyperplanes(dim, bits, seed)
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        proj = _DOT_SQL.format(a=vec_col, b=arr)
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return f"SELECT {id_col}, CAST({' + '.join(terms)} AS INT) AS bucket FROM {table}"
+
+
+def lsh_bucket_neighbors(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Approximate all-pairs similarity: exact cosine within LSH buckets.
+
+    (id_a, id_b, sim) for same-bucket pairs with sim ≥ threshold. The
+    bucket join bounds candidate fan-out (expected n²/2^bits per bucket);
+    raise ``bits`` as the corpus grows — 100 TB guidance: keep expected
+    bucket size ≤ ~1k rows so intra-bucket pairing stays cheap."""
+    sig = lsh_signature(embeddings, dim, bits, seed, id_col, vec_col)
+    e = embeddings.join(sig, id_col)
+    l = e.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    r = e.select(
+        F.col("bucket").alias("bucket_r"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = l.join(
+        r, (F.col("bucket") == F.col("bucket_r")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
+def lsh_bucket_neighbors_sql(
+    table: str,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+) -> str:
+    sig = lsh_signature_sql(table, dim, bits, seed, id_col, vec_col)
+    sim = cosine_similarity_sql("a.embedding", "b.embedding")
+    return f"""
+WITH sig AS ({sig}),
+e AS (SELECT t.{id_col}, t.{vec_col}, sig.bucket FROM {table} t
+      JOIN sig ON sig.{id_col} = t.{id_col})
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, round({sim}, 6) AS sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+WHERE round({sim}, 6) >= {threshold}
+"""

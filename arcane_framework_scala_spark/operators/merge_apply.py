@@ -38,16 +38,23 @@ from arcane_framework_scala_spark.schema.schema import MERGE_KEY_COLUMN
 
 
 def _collapse_ties(source: DataFrame, dialect: MergeDialect, merge_key: str) -> DataFrame:
-    """One row per key: delete markers take precedence, then a deterministic
-    hash tiebreak (plain SQL MERGE would error on multi-match)."""
+    """One row per key: delete markers take precedence, then version desc,
+    then every remaining column ascending-nulls-first — a portable total
+    order any SQL oracle reproduces (plain SQL MERGE would error on
+    multi-match)."""
     s = source.alias(SOURCE_ALIAS)
     delete_flag = (
         F.expr(dialect.delete_condition) if dialect.delete_condition else F.lit(False)
     )
+    special = {merge_key.lower(), dialect.version_column.lower()}
     order_cols = [
         F.desc(F.coalesce(delete_flag.cast("int"), F.lit(0))),
         F.desc(dialect.version_column),
-        F.asc(F.xxhash64(*[F.col(c).cast("string") for c in source.columns])),
+        *[
+            F.asc_nulls_first(c)
+            for c in source.columns
+            if c.lower() not in special
+        ],
     ]
     w = Window.partitionBy(merge_key).orderBy(*order_cols)
     return (

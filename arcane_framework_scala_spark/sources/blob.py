@@ -1,0 +1,177 @@
+"""Blob listing sources (S8 parquet / S9 JSON / S10 CSV).
+
+Reference behavior (``services/blobsource/readers/listing/
+BlobListingStreamingSource.scala:110-119`` and
+``BlobListingParquetStreamingSource.scala:90-112``): list the bucket,
+filter blobs with ``createdOn >= watermark``, stream rows, enrich each row
+with ``ARCANE_MERGE_KEY`` (base64 SHA-256 of lower-cased concatenated PKs,
+``models/batches/BlobBatchCommons.scala:21-51``) and a ``createdon``
+version column (blob creation epoch).
+
+Spark-first design: the listing runs on the driver through Hadoop's
+FileSystem API (works for s3a/abfss/local URIs alike), but rows never touch
+the driver — files are handed to ``spark.read`` in watermark-ascending
+groups, and the per-file creation time comes from the executor-side
+``_metadata.file_modification_time`` hidden column, so enrichment is a
+narrow projection. ``maxFilesPerTrigger``-style batching caps batch size
+(T3 static throughput shaping).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.merge_key import blob_merge_key
+from arcane_framework_scala_spark.schema.schema import (
+    BLOB_VERSION_COLUMN,
+    MERGE_KEY_COLUMN,
+)
+from arcane_framework_scala_spark.sources.base import MicroBatch
+
+
+def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(uri, modification_epoch_seconds) for every file under ``path``,
+    via the JVM Hadoop FileSystem so s3a/abfss/file URIs all work."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.isFile():
+            out.append((st.getPath().toString(), st.getModificationTime() // 1000))
+    return out
+
+
+@dataclass
+class BlobListingSource:
+    """Common listing/watermark logic for the three blob formats."""
+
+    spark: SparkSession
+    path: str
+    primary_keys: list[str]
+    max_files_per_batch: int = 10_000
+    #: exclude files whose names start with any of these (commit markers etc.)
+    exclude_prefixes: tuple[str, ...] = ("_", ".")
+
+    def _eligible(self, since_epoch: int | None) -> list[tuple[str, int]]:
+        files = [
+            (p, ts)
+            for p, ts in _list_files(self.spark, self.path)
+            if not p.rsplit("/", 1)[-1].startswith(self.exclude_prefixes)
+        ]
+        if since_epoch is not None:
+            # reference filters createdOn >= watermark and relies on the
+            # version-guarded merge for replay idempotency
+            files = [(p, ts) for p, ts in files if ts >= since_epoch]
+        return sorted(files, key=lambda x: (x[1], x[0]))
+
+    def current_version(self) -> dict:
+        """A2: max createdOn over the listing (driver-side fold)."""
+        files = self._eligible(None)
+        return {"version": max((ts for _, ts in files), default=0)}
+
+    def _read(self, paths: list[str]) -> DataFrame:  # format-specific
+        raise NotImplementedError
+
+    def _enrich(self, df: DataFrame) -> DataFrame:
+        version = F.col("_metadata.file_modification_time").cast("long")
+        return df.select(
+            "*",
+            blob_merge_key(*self.primary_keys).alias(MERGE_KEY_COLUMN),
+            version.alias(BLOB_VERSION_COLUMN),
+        )
+
+    def changes(self, since: dict | None) -> Iterator[MicroBatch]:
+        since_epoch = (since or {}).get("version")
+        files = self._eligible(int(since_epoch) if since_epoch is not None else None)
+        for i in range(0, len(files), self.max_files_per_batch):
+            chunk = files[i : i + self.max_files_per_batch]
+            df = self._enrich(self._read([p for p, _ in chunk]))
+            yield MicroBatch(
+                df=df,
+                watermark={"version": max(ts for _, ts in chunk)},
+                units=len(chunk),
+            )
+
+
+@dataclass
+class BlobParquetSource(BlobListingSource):
+    """S8: parquet blobs; schema from footers (or ``schema`` override —
+    the reference's Base64-preconfigured schema path)."""
+
+    schema: str | None = None
+    merge_schema: bool = False
+
+    def _read(self, paths: list[str]) -> DataFrame:
+        reader = self.spark.read
+        if self.schema:
+            reader = reader.schema(self.schema)
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+
+@dataclass
+class BlobJsonSource(BlobListingSource):
+    """S9: JSONL blobs with an explicit schema (the reference decodes via a
+    user-supplied Avro schema — here a Spark DDL/StructType), optional
+    root pointer relocation and array explode with column renaming
+    (``services/iceberg/interop/JsonScanner.scala:20-163``)."""
+
+    schema: str | None = None
+    #: dotted path to relocate the record root, e.g. "payload.after"
+    root_pointer: str | None = None
+    #: (array_column, prefix): explode and rename exploded struct fields
+    array_pointer: tuple[str, str] | None = None
+
+    def _read(self, paths: list[str]) -> DataFrame:
+        reader = self.spark.read
+        if self.schema:
+            reader = reader.schema(self.schema)
+        df = reader.json(list(paths))
+        if self.root_pointer:
+            meta = df["_metadata"]
+            df = df.select(F.col(self.root_pointer + ".*"), meta)
+        if self.array_pointer:
+            col, prefix = self.array_pointer
+            others = [c for c in df.columns if c != col]
+            df = df.select(*others, F.explode(F.col(col)).alias("__x"))
+            exploded_fields = [
+                f.name for f in df.schema["__x"].dataType.fields  # type: ignore[union-attr]
+            ]
+            df = df.select(
+                *others,
+                *[F.col(f"__x.{f}").alias(f"{prefix}{f}") for f in exploded_fields],
+            )
+        return df
+
+
+@dataclass
+class BlobCsvSource(BlobListingSource):
+    """S10 (unimplemented ``???`` in the reference — trivially supported
+    here): CSV blobs with header or explicit schema."""
+
+    schema: str | None = None
+    header: bool = True
+    delimiter: str = ","
+
+    def _read(self, paths: list[str]) -> DataFrame:
+        reader = (
+            self.spark.read.option("header", str(self.header).lower())
+            .option("sep", self.delimiter)
+            .option("multiLine", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+        )
+        if self.schema:
+            reader = reader.schema(self.schema)
+        return reader.csv(list(paths))

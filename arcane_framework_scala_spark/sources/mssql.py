@@ -1,0 +1,208 @@
+"""SQL Server Change Tracking source (S1-S5): T-SQL builders + JDBC wiring.
+
+The delta/backfill/probe SQL runs **on SQL Server** (exactly as in the
+reference — pushdown is the whole point): the generated text goes into
+``spark.read.format("jdbc").option("query", ...)``. Reference semantics:
+
+- delta query (S1): base table RIGHT JOIN ``CHANGETABLE(CHANGES t, lastId)``
+  emitting PKs, ``SYS_CHANGE_VERSION``/``SYS_CHANGE_OPERATION``, non-PK
+  columns and the server-computed ``ARCANE_MERGE_KEY`` = lower-hex SHA-256
+  of '#'-joined PKs (template ``src/main/resources/get_select_delta_query.
+  sql``; builders ``services/mssql/QueryProvider.scala:215-295``);
+- backfill query (S2): ``SELECT *`` + synthetic version 0 / operation 'I'
+  (``get_select_all_query.sql``);
+- PK/schema discovery (S3): INFORMATION_SCHEMA join
+  (``get_column_summaries.sql``);
+- version probes (S4): ``CHANGE_TRACKING_CURRENT_VERSION()`` and
+  ``sys.dm_tran_commit_table`` min-commit lookups
+  (``QueryProvider.scala:195-213``);
+- sharding (S5): the reference builds server-side shard tables filled by
+  ``ABS(CHECKSUM(pk)) % N = i``; Spark reads sharded JDBC natively via
+  ``predicates`` — same modulo split, no server-side staging tables
+  (SURVEY §2.1 S5 mapping).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arcane_framework_scala_spark.schema.schema import MERGE_KEY_COLUMN
+from arcane_framework_scala_spark.sources.base import MicroBatch
+
+#: (column_name, is_primary_key) — reference ColumnSummary
+ColumnSummary = tuple[str, bool]
+
+
+@dataclass(frozen=True)
+class MsSqlQueryBuilder:
+    database: str
+    schema: str
+    table: str
+
+    # -- expression helpers (QueryProvider.scala:215-268) ------------------
+    @staticmethod
+    def merge_expression(columns: list[ColumnSummary], alias: str) -> str:
+        return " + '#' + ".join(
+            f"cast({alias}.[{name}] as nvarchar(128))"
+            for name, is_pk in columns
+            if is_pk
+        )
+
+    @staticmethod
+    def match_statement(columns: list[ColumnSummary], src: str, tgt: str) -> str:
+        return " and ".join(
+            f"{tgt}.[{name}] = {src}.[{name}]" for name, is_pk in columns if is_pk
+        )
+
+    @staticmethod
+    def delta_columns(columns: list[ColumnSummary], ct: str, tq: str) -> str:
+        pk = [f"{ct}.[{n}]" for n, is_pk in columns if is_pk]
+        extra = [f"{ct}.SYS_CHANGE_VERSION", f"{ct}.SYS_CHANGE_OPERATION"]
+        non_pk = [
+            f"{tq}.[{n}]"
+            for n, is_pk in columns
+            if not is_pk and n not in ("SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+        ]
+        return ",\n".join(pk + extra + non_pk)
+
+    @staticmethod
+    def backfill_columns(columns: list[ColumnSummary], tq: str) -> str:
+        pk = [f"{tq}.[{n}]" for n, is_pk in columns if is_pk]
+        extra = ["CAST(0 as BIGINT) as SYS_CHANGE_VERSION", "'I' as SYS_CHANGE_OPERATION"]
+        non_pk = [
+            f"{tq}.[{n}]"
+            for n, is_pk in columns
+            if not is_pk and n not in ("SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+        ]
+        return ",\n".join(pk + extra + non_pk)
+
+    # -- query builders ----------------------------------------------------
+    def changes_query(self, columns: list[ColumnSummary], last_id: int) -> str:
+        """S1 delta query — runs on SQL Server, exactly the reference shape."""
+        fqn = f"[{self.database}].[{self.schema}].[{self.table}]"
+        return (
+            "SELECT\n"
+            f"{self.delta_columns(columns, 'ct', 'tq')},\n"
+            f"cast({last_id} as bigint) AS 'ChangeTrackingVersion',\n"
+            f"lower(convert(nvarchar(128), HashBytes('SHA2_256', "
+            f"{self.merge_expression(columns, 'ct')}),2)) as [{MERGE_KEY_COLUMN}]\n"
+            f"FROM {fqn} tq\n"
+            f"RIGHT JOIN (SELECT ct.* FROM CHANGETABLE (CHANGES {fqn}, {last_id}) ct ) ct "
+            f"ON {self.match_statement(columns, 'ct', 'tq')}"
+        )
+
+    def backfill_query(self, columns: list[ColumnSummary]) -> str:
+        """S2 full-scan query with synthetic version/operation."""
+        fqn = f"[{self.database}].[{self.schema}].[{self.table}]"
+        return (
+            "SELECT\n"
+            f"{self.backfill_columns(columns, 'tq')},\n"
+            "CHANGE_TRACKING_CURRENT_VERSION() AS 'ChangeTrackingVersion',\n"
+            f"lower(convert(nvarchar(128), HashBytes('SHA2_256', "
+            f"{self.merge_expression(columns, 'tq')}),2)) as [{MERGE_KEY_COLUMN}]\n"
+            f"FROM {fqn} tq"
+        )
+
+    def column_summaries_query(self) -> str:
+        """S3: (COLUMN_NAME, IsPrimaryKey) discovery."""
+        return f"""select
+    c.COLUMN_NAME,
+    case when kcu.CONSTRAINT_NAME is not null then 1 else 0 end as IsPrimaryKey
+from
+    [{self.database}].INFORMATION_SCHEMA.COLUMNS c
+    left join [{self.database}].INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc on c.TABLE_SCHEMA = tc.TABLE_SCHEMA and c.TABLE_NAME = tc.TABLE_NAME
+    left join [{self.database}].INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu on tc.CONSTRAINT_NAME = kcu.CONSTRAINT_NAME and c.COLUMN_NAME = kcu.COLUMN_NAME
+where
+    tc.CONSTRAINT_TYPE = N'PRIMARY KEY'
+    and tc.TABLE_NAME = N'{self.table}'
+    and tc.TABLE_SCHEMA = N'{self.schema}'
+order by c.ORDINAL_POSITION"""
+
+    # S4 probes
+    @staticmethod
+    def current_version_query() -> str:
+        return "SELECT CHANGE_TRACKING_CURRENT_VERSION()"
+
+    @staticmethod
+    def version_from_timestamp_query(iso_timestamp: str) -> str:
+        return (
+            "SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table "
+            f"WHERE commit_time >= '{iso_timestamp}'"
+        )
+
+    @staticmethod
+    def version_commit_time_query(version: int) -> str:
+        return (
+            "SELECT MIN(commit_time) FROM sys.dm_tran_commit_table "
+            f"WHERE commit_ts = {version}"
+        )
+
+    def has_changes_query(self, last_id: int) -> str:
+        """O2: TOP 1 emptiness probe."""
+        fqn = f"[{self.database}].[{self.schema}].[{self.table}]"
+        return (
+            f"SELECT TOP 1 1 FROM CHANGETABLE (CHANGES {fqn}, {last_id}) ct"
+        )
+
+    # S5: Spark-native sharding — predicate list instead of server-side
+    # shard tables (reference MsSqlStreamingSource.scala:375-458)
+    @staticmethod
+    def shard_predicates(pk_columns: list[str], num_shards: int) -> list[str]:
+        checksum = ", ".join(f"[{c}]" for c in pk_columns)
+        return [
+            f"ABS(CHECKSUM({checksum})) % {num_shards} = {i}"
+            for i in range(num_shards)
+        ]
+
+
+@dataclass
+class MsSqlSource:
+    """JDBC-backed change source. Needs a reachable SQL Server; builders
+    above are unit-tested without one."""
+
+    spark: SparkSession
+    jdbc_url: str
+    builder: MsSqlQueryBuilder
+    columns: list[ColumnSummary]
+    options: dict | None = None
+    fetch_size: int = 1000  # reference default, MsSqlStreamingSource.scala:94
+
+    def _jdbc(self, query: str) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.jdbc_url)
+            .option("query", query)
+            .option("fetchsize", str(self.fetch_size))
+        )
+        for k, v in (self.options or {}).items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def current_version(self) -> dict:
+        v = self._jdbc(self.builder.current_version_query()).first()[0]
+        return {"version": int(v) if v is not None else 0}
+
+    def changes(self, since: dict | None) -> Iterator[MicroBatch]:
+        last_id = int((since or {}).get("version", 0))
+        upper = self.current_version()
+        df = self._jdbc(self.builder.changes_query(self.columns, last_id))
+        yield MicroBatch(df=df, watermark=upper, units=1)
+
+    def backfill(self, num_shards: int = 1) -> DataFrame:
+        """S2/S5: sharded full read via JDBC predicates — Spark parallelizes
+        one partition per predicate; no server-side shard tables."""
+        query = self.builder.backfill_query(self.columns)
+        if num_shards <= 1:
+            return self._jdbc(query)
+        pks = [n for n, is_pk in self.columns if is_pk]
+        predicates = self.builder.shard_predicates(pks, num_shards)
+        props = {"fetchsize": str(self.fetch_size), **(self.options or {})}
+        return self.spark.read.jdbc(
+            self.jdbc_url,
+            table=f"({query}) shard_src",
+            predicates=predicates,
+            properties=props,
+        )

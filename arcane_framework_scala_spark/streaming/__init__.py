@@ -1,0 +1,20 @@
+from arcane_framework_scala_spark.streaming.watermark import (
+    Watermark,
+    FileWatermarkStore,
+    TablePropertyWatermarkStore,
+)
+from arcane_framework_scala_spark.streaming.runner import StreamRunner, StreamSettings
+from arcane_framework_scala_spark.streaming.throughput import (
+    StaticShaper,
+    MemoryAwareShaper,
+)
+
+__all__ = [
+    "Watermark",
+    "FileWatermarkStore",
+    "TablePropertyWatermarkStore",
+    "StreamRunner",
+    "StreamSettings",
+    "StaticShaper",
+    "MemoryAwareShaper",
+]

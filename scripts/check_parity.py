@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, sorted column names and canonicalized sorted values. Usage:
+
+    python scripts/check_parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def canonicalize(rows: list[tuple], columns: list[str]) -> tuple[str, list[str]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    canon_rows = sorted(
+        "|".join(_canon_cell(r[i]) for i in order) for r in rows
+    )
+    digest = hashlib.md5("\n".join(canon_rows).encode()).hexdigest()
+    return digest, canon_rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from arcane_framework_scala_spark import get_session
+
+    spark = get_session(
+        "parity", master="local[8]", extra_conf={"spark.ui.enabled": "false"}
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            failures.append(name)
+            continue
+        sh, scanon = canonicalize(srows, scols)
+        oh, ocanon = canonicalize(orows, ocols)
+        if sh != oh:
+            diffs = [
+                (a, b) for a, b in zip(scanon, ocanon) if a != b
+            ][:3]
+            print(f"FAIL {name}: value hash mismatch ({len(diffs)}+ diffs)")
+            for a, b in diffs:
+                print(f"   spark:  {a[:160]}")
+                print(f"   oracle: {b[:160]}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: rows={len(srows)} hash={sh[:12]} ({dt:.1f}s)")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
