@@ -543,7 +543,10 @@ _LANG_ID_SQL = f"SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred FROM
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    from arcane_framework_scala_spark.functions._parallel import spread_for_compute
+
+    # md5-per-window is the costliest text op — spread the 1-file scan
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -586,8 +589,11 @@ def q_lsh_buckets(spark, sf_dir):
 
 
 def q_lsh_neighbors(spark, sf_dir):
+    # 8 bits / threshold 0 so the check returns real rows at every SF
+    # (12 bits over random vectors yields zero bucket collisions at sf≤0.01,
+    # which would make this a vacuous correctness gate)
     return sim.lsh_bucket_neighbors(
-        _read(spark, sf_dir, "embeddings"), dim=64, bits=12, threshold=0.7
+        _read(spark, sf_dir, "embeddings"), dim=64, bits=8, threshold=0.0
     )
 
 
@@ -668,6 +674,6 @@ WHERE rk = 1
         ),
         "sim_lsh_buckets": sim.lsh_signature_sql("embeddings", dim=64, bits=16),
         "sim_lsh_neighbors": sim.lsh_bucket_neighbors_sql(
-            "embeddings", dim=64, bits=12, threshold=0.7
+            "embeddings", dim=64, bits=8, threshold=0.0
         ),
     }

@@ -5,10 +5,10 @@ materialization):
 
 - **Exact**: hash-groupBy on a content digest — one shuffle, map-side
   partial aggregation.
-- **MinHash + LSH**: shingle → per-seed min-hash signature → band buckets →
-  bucket self-join for candidate pairs. Hashes are md5 strings (identical on
-  every engine), min() is the lexicographic minimum — a legitimate MinHash
-  family and exactly reproducible in SQL oracles.
+- **MinHash + LSH**: shingle → md5 base hash (once per shingle) → affine
+  universal-hash signature → band buckets → bucket self-join for candidate
+  pairs. Pure int64 arithmetic after the single md5, identical on every
+  engine and exactly reproducible in SQL oracles.
 - **SimHash**: 16-bit signature from per-token md5 bits; near-dup = equal
   signature (or Hamming ≤ d via band splits).
 - **n-gram Jaccard**: exact set similarity for candidate pairs via exploded
@@ -24,6 +24,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions._parallel import spread_for_compute as _spread
+
+#: affine MinHash family modulus — prime < 2^31 so (a*h + b) stays in int64
+_MH_PRIME = 2_147_483_647
+
+
+def _mh_coeffs(seed: int) -> tuple[int, int]:
+    """Deterministic large multiplier/offset for hash i. The multiplier must
+    be big enough that h·a wraps mod p many times — tiny multipliers leave
+    the 16 mins correlated (all landing on the smallest h), which collapses
+    band buckets and floods the LSH join with false candidates."""
+    a = (2_654_435_761 * (seed + 1)) % _MH_PRIME
+    b = (40_503 * (seed + 7) ** 2 + 17) % _MH_PRIME
+    return (a or 1), b
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -91,23 +107,45 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — per-seed minimum of md5(seed || shingle).
+    """(id, h0..h{n-1}) — affine MinHash family over one md5 per shingle.
 
-    The min of a uniform hash over the shingle set is a classic MinHash;
-    using the md5 hex string keeps it engine-portable. Computed entirely
-    with array expressions — one narrow projection, no shuffle."""
-    shingles = char_shingles(text_col, shingle_k)
+    Each shingle is hashed **once** (md5 → first 15 hex digits → int64);
+    hash i is ``min over shingles of (a_i·h + b_i) mod p`` with p = 2^31-1
+    and deterministic large a_i/b_i — the classic universal-hash MinHash
+    family, exactly reproducible in portable SQL (pure int64 arithmetic).
+
+    Plan shape: explode windows → hash projection → groupBy(id) with 16
+    ``min`` aggregates. Spark's higher-order array functions are
+    *interpreted* per element, so the equivalent array-lambda formulation
+    runs ~10× slower; explode + aggregate stays inside whole-stage codegen
+    with map-side partial mins, and dedupe-before-min is unnecessary
+    because ``min`` is idempotent over duplicate shingles. One shuffle of
+    (id, 16×int64) partial aggregates — tiny relative to the text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    normed = _spread(df.select(F.col(id_col), norm.alias("__norm")))
+    nm = F.col("__norm")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(nm) - shingle_k + 1, F.lit(1))
+    )
+    exploded = normed.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: nm.substr(i, F.lit(shingle_k)))
+        ).alias("__sh"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("long")
+        % F.lit(_MH_PRIME)
+    ).alias("__h")
+    hashed = exploded.select(F.col(id_col), h)
 
     def seeded_min(seed: int):
-        prefix = f"{seed}|"
-        # NB: single-arg lambda — a two-arg lambda would receive the array
-        # index as its second parameter and corrupt the seed
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
+        a, b = _mh_coeffs(seed)
+        return F.min(
+            (F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+        ).alias(f"h{seed}")
 
-    sig_cols = [seeded_min(i).alias(f"h{i}") for i in range(num_hashes)]
-    return df.select(F.col(id_col), *sig_cols)
+    return hashed.groupBy(id_col).agg(*[seeded_min(i) for i in range(num_hashes)])
 
 
 def minhash_bands(
@@ -175,11 +213,20 @@ def minhash_signature_sql(
     shingle_k: int = 5,
 ) -> str:
     sh = _char_shingles_sql(text_col, shingle_k)
+    base = (
+        f"list_transform({sh}, s -> CAST(concat('0x', substr(md5(s), 1, 15)) "
+        f"AS BIGINT) % {_MH_PRIME})"
+    )
     sigs = ", ".join(
-        f"list_min(list_transform({sh}, s -> md5(concat('{i}|', s)))) AS h{i}"
+        "list_min(list_transform(base_h, h -> (h * {a} + {b}) % {p})) AS h{i}".format(
+            a=_mh_coeffs(i)[0], b=_mh_coeffs(i)[1], p=_MH_PRIME, i=i
+        )
         for i in range(num_hashes)
     )
-    return f"SELECT {id_col}, {sigs} FROM {table}"
+    return (
+        f"SELECT {id_col}, {sigs} FROM "
+        f"(SELECT {id_col}, {base} AS base_h FROM {table})"
+    )
 
 
 def minhash_candidate_pairs_sql(
@@ -243,7 +290,9 @@ def simhash(
     sig = bit_votes[0]
     for v in bit_votes[1:]:
         sig = sig + v
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sig.alias("simhash")
+    )
 
 
 def simhash_sql(
@@ -291,7 +340,8 @@ def ngram_jaccard_pairs(
     Plan shape: explode → groupBy(shingle) join → pair-count aggregation.
     Three shuffles, all on uniform keys; no cross join anywhere."""
     exploded = (
-        df.select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("sh"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("sh"))
         .distinct()
     )
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))

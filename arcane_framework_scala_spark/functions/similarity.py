@@ -19,6 +19,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from arcane_framework_scala_spark.functions._parallel import spread_for_compute as _spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -73,7 +75,7 @@ def brute_force_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    pairs = embeddings.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    pairs = _spread(embeddings).join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     sim = pairs.select(
         "query_id",
         id_col,
@@ -146,7 +148,7 @@ def lsh_signature(
     bucket = bit_cols[0]
     for c in bit_cols[1:]:
         bucket = bucket + c
-    return embeddings.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return _spread(embeddings).select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
 def lsh_signature_sql(

@@ -102,6 +102,43 @@ class BlobListingSource:
                 units=len(chunk),
             )
 
+    def backfill_shards(
+        self,
+        max_shard_bytes: int = 10 * 1024**3,
+        max_shard_files: int = 10_000,
+    ):
+        """S5 for blobs: file groups ≤10 GiB and ≤10 000 files each
+        (``BlobListingStreamingSource.scala:74-96``; the reference sizes
+        groups from a ≤1000-file average — with the full listing in hand we
+        use exact sizes). Each shard is one restartable staging unit for
+        :class:`backfill.graph.BackfillOverwriteRunner`."""
+        from arcane_framework_scala_spark.backfill.graph import Shard
+
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        sized = []
+        for p, ts in self._eligible(None):
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            sized.append((p, hp.getFileSystem(conf).getFileStatus(hp).getLen()))
+        shards, group, group_bytes = [], [], 0
+        for p, size in sized:
+            if group and (
+                group_bytes + size > max_shard_bytes or len(group) >= max_shard_files
+            ):
+                shards.append(group)
+                group, group_bytes = [], 0
+            group.append(p)
+            group_bytes += size
+        if group:
+            shards.append(group)
+        return [
+            Shard(
+                name=f"{i:05d}",
+                load=(lambda paths=tuple(g): self._enrich(self._read(list(paths)))),
+            )
+            for i, g in enumerate(shards)
+        ]
+
 
 @dataclass
 class BlobParquetSource(BlobListingSource):
