@@ -575,6 +575,59 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _media_docs(spark, sf_dir):
+    """documents.text encoded to binary = the opaque media column (the
+    container ships no image bytes; the operator under test is the Arrow/
+    mapInPandas plumbing, which only sees bytes)."""
+    from arcane_framework_scala_spark.multimodal import attach_media
+
+    docs = _read(spark, sf_dir, "documents")
+    return attach_media(docs, F.encode(F.col("text"), "UTF-8"), mime="image/fake")
+
+
+def q_mm_image_features(spark, sf_dir):
+    from arcane_framework_scala_spark.multimodal import image_features
+
+    return image_features(_media_docs(spark, sf_dir), id_col="doc_id", decoder="fake")
+
+
+_MM_IMAGE_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1024 AS INT)
+           AS width,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 1024 AS INT)
+           AS height
+FROM documents
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    from arcane_framework_scala_spark.multimodal import frame_sample
+
+    return frame_sample(
+        _media_docs(spark, sf_dir), every_n_bytes=1024, max_frames=8, id_col="doc_id"
+    )
+
+
+# DuckDB cannot slice BLOBs; documents.text is verified pure-ASCII at every
+# SF, so char-substr over the text equals the Python byte slice exactly
+_MM_FRAME_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(least(8, greatest(octet_length(encode(text)) // 1024, 1))))
+             AS fi
+  FROM documents
+)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_index,
+       CAST(fi * 1024 AS BIGINT) AS frame_offset,
+       md5(substr(text, CAST(fi * 1024 + 1 AS BIGINT), 16)) AS frame_digest
+FROM f
+"""
+
+
 _COSINE_QUERY_IDS = [1, 7, 42, 99, 123]
 
 
@@ -635,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
+        "mm_image_features": q_mm_image_features,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -676,4 +731,6 @@ WHERE rk = 1
         "sim_lsh_neighbors": sim.lsh_bucket_neighbors_sql(
             "embeddings", dim=64, bits=8, threshold=0.0
         ),
+        "mm_image_features": _MM_IMAGE_FEATURES_SQL,
+        "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
     }

@@ -1,0 +1,15 @@
+from arcane_framework_scala_spark.multimodal.media import (
+    MEDIA_META_SCHEMA,
+    attach_media,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_media",
+    "frame_sample",
+    "image_features",
+    "resize_images",
+]

@@ -1,0 +1,230 @@
+"""Multimodal columns: opaque binary media + typed metadata at 100 TB scale.
+
+Design (beyond-reference surface, BASELINE.json north star):
+
+- media travels as an opaque ``binary`` column plus a typed metadata struct
+  (``MEDIA_META_SCHEMA``) — Spark never interprets the bytes, so parquet
+  stores them as-is and column pruning keeps them out of every query that
+  doesn't touch them;
+- decode / feature-extract / resize / frame-sample run as **Arrow-batched
+  ``mapInPandas``** transforms: bytes stream executor-side in columnar
+  batches, nothing ever collects to the driver, and per-batch Python cost
+  amortizes over ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows;
+- partitioning guidance: media rows are wide (MBs per cell) — size
+  ``maxRecordsPerBatch`` down (e.g. 64) and ``files.maxPartitionBytes`` up
+  so a task holds a bounded number of cells in flight.
+
+Codec reality: this container has no image/audio libraries, so the pixel
+decoders are **stubbed** — ``_decode_image`` raises ``NotImplementedError``
+unless a real decoder (PIL) is importable, and every transform accepts
+``decoder="fake"`` to run a deterministic byte-derived fake (md5-seeded
+dimensions) so the Spark-side plumbing — schema, batch shape, UDF
+signature, explode semantics — is fully real and fully tested. Swapping in
+a real codec changes one function, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: typed metadata carried alongside every media cell
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame,
+    bytes_col,
+    mime: str = "application/octet-stream",
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Wrap a binary column into the (media, media_meta) convention.
+    Metadata fields unknown at ingest stay null; decoders fill them."""
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    return df.withColumn(media_col, b.cast(BinaryType())).withColumn(
+        meta_col,
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast(IntegerType()).alias("width"),
+            F.lit(None).cast(IntegerType()).alias("height"),
+            F.lit(None).cast(LongType()).alias("duration_ms"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoders: real behind import-guard, deterministic fake for plumbing tests
+# ---------------------------------------------------------------------------
+
+
+def _fake_dims(content: bytes) -> tuple[int, int]:
+    """Deterministic pseudo-dimensions from the content digest — the fake
+    'decode'. Reproducible in any SQL engine: width = 1 + (first 8 md5 hex
+    digits as int) % 1024, height = 1 + (next 8) % 1024."""
+    d = hashlib.md5(content).hexdigest()
+    return 1 + int(d[:8], 16) % 1024, 1 + int(d[8:16], 16) % 1024
+
+
+def _decode_image(content: bytes, decoder: str):
+    if decoder == "fake":
+        w, h = _fake_dims(content)
+        return {"width": w, "height": h}
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+        import io
+    except ImportError as e:  # pragma: no cover — PIL absent in container
+        raise NotImplementedError(
+            "real image decoding needs PIL; pass decoder='fake' for the "
+            "deterministic stub"
+        ) from e
+    img = Image.open(io.BytesIO(content))  # pragma: no cover
+    return {"width": img.width, "height": img.height}  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (mapInPandas)
+# ---------------------------------------------------------------------------
+
+_FEATURES_SCHEMA_SUFFIX = [
+    StructField("n_bytes", LongType()),
+    StructField("digest", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+]
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    decoder: str = "fake",
+) -> DataFrame:
+    """(id, n_bytes, digest, width, height) via Arrow-batched mapInPandas.
+
+    The UDF sees pandas batches of raw bytes — exactly the shape a real
+    decoder needs; per-cell Python cost is the decode itself, batch
+    transfer is Arrow (no per-row pickling)."""
+    out_schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType), *_FEATURES_SCHEMA_SUFFIX]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_image(c, decoder) for c in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(c) for c in pdf[media_col]],
+                    "digest": [hashlib.md5(c).hexdigest() for c in pdf[media_col]],
+                    "width": [d["width"] for d in dims],
+                    "height": [d["height"] for d in dims],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 256,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    decoder: str = "fake",
+) -> DataFrame:
+    """(id, media, width, height) with dimensions clamped so the longer
+    side ≤ ``max_side`` (aspect preserved, integer floor). The fake decoder
+    passes bytes through unchanged; a real decoder would re-encode."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(media_col, BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for c in pdf[media_col]:
+                d = _decode_image(c, decoder)
+                w, h = d["width"], d["height"]
+                scale = max_side / max(w, h)
+                if scale < 1:
+                    w, h = int(w * scale), int(h * scale)
+                rows.append((w, h))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    media_col: pdf[media_col],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(resize, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Video-style frame sampling: one output row per sampled frame.
+
+    (id, frame_index, frame_offset, frame_digest) — the fake 'frame' is the
+    16-byte window at each offset; a real implementation would hand offsets
+    to a container demuxer. Demonstrates the 1→N mapInPandas explode shape
+    (output batches need not align with input rows)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("frame_index", IntegerType()),
+            StructField("frame_offset", LongType()),
+            StructField("frame_digest", StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, digs = [], [], [], []
+            for mid, c in zip(pdf[id_col], pdf[media_col]):
+                n = min(max_frames, max(len(c) // every_n_bytes, 1))
+                for i in range(n):
+                    off = i * every_n_bytes
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    digs.append(hashlib.md5(c[off : off + 16]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_digest": digs,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(sample, out_schema)

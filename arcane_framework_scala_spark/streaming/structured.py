@@ -1,0 +1,112 @@
+"""Structured Streaming front-end: readStream → foreachBatch → merge.
+
+The reference's CDC loop is a single-process poll-sleep-fetch cycle
+(``DefaultStreamDataProvider.scala:91-113``). On Spark the same pipeline
+runs as a real Structured Streaming query:
+
+    spark.readStream (file source, maxFilesPerTrigger from the shaper)
+      → enrich (merge key P4 + version from file modification time)
+      → foreachBatch: field filter (P1) → version-guarded MERGE (M1-M3)
+                      → maintenance every-N (X1-X4) → watermark commit (T2)
+
+Exactly-once composition: Spark's checkpoint makes each micro-batch
+replayable; the version-guarded merge makes replays no-ops (T9); the
+watermark property commit happens inside foreachBatch *after* the merge,
+preserving the reference's ordering contract. The trigger cadence maps the
+poll interval (T1); ``maxFilesPerTrigger`` maps throughput shaping (T3/T5).
+
+Scale: the file source lists incrementally, batches cap at
+``max_files_per_batch``, and the merge itself is the only shuffle. At
+100 TB the same topology runs with an Iceberg ``CatalogTarget`` — only the
+target object changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.merge_key import blob_merge_key
+from arcane_framework_scala_spark.operators.field_filter import (
+    FieldSelectionRule,
+    apply_field_selection,
+)
+from arcane_framework_scala_spark.queries.maintenance import MaintenanceSchedule
+from arcane_framework_scala_spark.schema.schema import (
+    BLOB_VERSION_COLUMN,
+    MERGE_KEY_COLUMN,
+)
+from arcane_framework_scala_spark.sinks.merge_sink import MergeSink
+from arcane_framework_scala_spark.streaming.watermark import Watermark, WatermarkStore
+
+
+@dataclass
+class StructuredBlobStream:
+    """S8 as a Structured Streaming source + the full merge pipeline."""
+
+    spark: SparkSession
+    path: str
+    schema: str  # file sources require an explicit schema when streaming
+    primary_keys: list[str]
+    sink: MergeSink
+    watermark_store: WatermarkStore
+    checkpoint_dir: str
+    format: str = "parquet"
+    max_files_per_batch: int = 10_000
+    field_rule: FieldSelectionRule | None = None
+    maintenance: MaintenanceSchedule = field(default_factory=MaintenanceSchedule)
+    #: callable(op_name) executing the maintenance op against the target
+    maintenance_fn: object | None = None
+
+    def _source(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.format(self.format)
+            .schema(self.schema)
+            .option("maxFilesPerTrigger", str(self.max_files_per_batch))
+            # blob layouts nest files under arrival folders; match the
+            # batch source's recursive listing
+            .option("recursiveFileLookup", "true")
+        )
+        df = reader.load(self.path)
+        version = F.col("_metadata.file_modification_time").cast("long")
+        return df.select(
+            "*",
+            blob_merge_key(*self.primary_keys).alias(MERGE_KEY_COLUMN),
+            version.alias(BLOB_VERSION_COLUMN),
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        df = batch_df
+        if self.field_rule is not None:
+            df = apply_field_selection(df, self.field_rule)
+        # the version column is data now (foreachBatch df is a static frame)
+        max_version = df.agg(F.max(BLOB_VERSION_COLUMN)).first()[0]
+        self.sink.apply(df)
+        for op in self.maintenance.due(batch_id):
+            if self.maintenance_fn is not None:
+                self.maintenance_fn(op)
+        # ordering contract: watermark only after a successful merge
+        self.watermark_store.commit(Watermark.now(version=str(max_version or "")))
+
+    def start(self, trigger: dict | None = None):
+        """Launch the query. ``trigger`` kwargs pass through — e.g.
+        ``{"processingTime": "15 seconds"}`` (T1 cadence) or
+        ``{"availableNow": True}`` (bounded catch-up / tests)."""
+        writer = (
+            self._source()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    def run_available(self) -> None:
+        """Process everything currently listable, then stop (backfill-merge
+        §3.2 shape on the streaming engine)."""
+        q = self.start(trigger={"availableNow": True})
+        q.awaitTermination()

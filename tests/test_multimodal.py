@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: schema, Arrow batch shapes, stub gating."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.multimodal import (
+    MEDIA_META_SCHEMA,
+    attach_media,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+from arcane_framework_scala_spark.multimodal.media import _decode_image, _fake_dims
+
+
+@pytest.fixture()
+def media_df(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    return attach_media(docs, F.encode(F.col("text"), "UTF-8"), mime="image/fake")
+
+
+def test_attach_media_schema(media_df):
+    assert media_df.schema["media"].dataType.typeName() == "binary"
+    meta = media_df.schema["media_meta"].dataType
+    assert [f.name for f in meta.fields] == [f.name for f in MEDIA_META_SCHEMA.fields]
+    row = media_df.select("media_meta").first()
+    assert row["media_meta"]["mime"] == "image/fake"
+    assert row["media_meta"]["width"] is None
+
+
+def test_image_features_matches_python_reference(media_df):
+    rows = image_features(media_df, decoder="fake").collect()
+    assert len(rows) == 50
+    src = {r["doc_id"]: r["text"] for r in media_df.select("doc_id", "text").collect()}
+    for r in rows:
+        content = src[r["doc_id"]].encode()
+        assert r["n_bytes"] == len(content)
+        assert r["digest"] == hashlib.md5(content).hexdigest()
+        assert (r["width"], r["height"]) == _fake_dims(content)
+
+
+def test_resize_clamps_long_side(media_df):
+    out = resize_images(media_df, max_side=64, decoder="fake").collect()
+    for r in out:
+        assert max(r["width"], r["height"]) <= 64
+        assert r["media"] is not None  # bytes pass through the stub
+
+
+def test_frame_sample_explodes_per_frame(media_df):
+    out = frame_sample(media_df, every_n_bytes=100, max_frames=4)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    lens = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in media_df.select("doc_id", "text").collect()
+    }
+    for doc_id, frames in per_doc.items():
+        expected = min(4, max(lens[doc_id] // 100, 1))
+        assert len(frames) == expected
+        assert sorted(f["frame_index"] for f in frames) == list(range(expected))
+        for f in frames:
+            assert f["frame_offset"] == f["frame_index"] * 100
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"not-an-image", decoder="real")

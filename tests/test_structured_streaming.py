@@ -1,0 +1,68 @@
+"""Structured Streaming pipeline test: readStream → foreachBatch merge →
+watermark commit, exactly-once across restarts (checkpoint + version guard)."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+from arcane_framework_scala_spark.sinks.merge_sink import (
+    MergeSink,
+    SnapshotParquetTarget,
+)
+from arcane_framework_scala_spark.streaming.structured import StructuredBlobStream
+from arcane_framework_scala_spark.streaming.watermark import FileWatermarkStore
+
+
+def _stream(spark, tmp_path, src_dir):
+    target = SnapshotParquetTarget(spark, str(tmp_path / "target"))
+    return (
+        StructuredBlobStream(
+            spark=spark,
+            path=src_dir,
+            schema=(
+                "l_orderkey bigint, l_linenumber bigint, l_quantity double"
+            ),
+            primary_keys=["l_orderkey", "l_linenumber"],
+            sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+            watermark_store=FileWatermarkStore(path=str(tmp_path / "wm.json")),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ),
+        target,
+    )
+
+
+def test_streaming_merge_and_watermark(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "incoming")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(2000)
+        .cache()
+    )
+    li.filter(F.col("l_orderkey") % 2 == 0).write.parquet(
+        f"{src_dir}/b1", mode="overwrite"
+    )
+
+    stream, target = _stream(spark, tmp_path, src_dir)
+    stream.run_available()
+    first = target.read().count()
+    assert first > 0
+    wm = stream.watermark_store.read()
+    assert wm is not None and wm.version != ""
+
+    # second wave of files → incremental listing picks up only the delta
+    li.filter(F.col("l_orderkey") % 2 == 1).write.parquet(
+        f"{src_dir}/b2", mode="overwrite"
+    )
+    stream2, target2 = _stream(spark, tmp_path, src_dir)
+    stream2.run_available()
+    second = target2.read().count()
+    assert second > first
+
+    # replay with a fresh checkpoint: all files re-merge, version guard
+    # makes it a no-op (T9 exactly-once)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    stream3, target3 = _stream(spark, tmp_path, src_dir)
+    stream3.run_available()
+    assert target3.read().count() == second
