@@ -641,6 +641,40 @@ def q_lsh_buckets(spark, sf_dir):
     return sim.lsh_signature(_read(spark, sf_dir, "embeddings"), dim=64, bits=16)
 
 
+def q_ivf_topk(spark, sf_dir):
+    return sim.ivf_topk(
+        _read(spark, sf_dir, "embeddings"), _COSINE_QUERY_IDS, k=10,
+        n_centroids=8, n_probe=2,
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    # threshold/bits calibrated to the synthetic corpus (max pairwise
+    # cosine ≈ 0.51) so the gate exercises non-empty output; production
+    # defaults are threshold 0.9 with more bits
+    return dd.embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, bits=4
+    )
+
+
+def q_window_agg(spark, sf_dir):
+    from arcane_framework_scala_spark.operators.event_windows import (
+        windowed_event_stats,
+    )
+
+    return windowed_event_stats(_read(spark, sf_dir, "events"), window_seconds=86_400)
+
+
+_WINDOW_AGG_SQL = """
+SELECT epoch_ns(ts) // 1000000000 // 86400 * 86400 AS window_start,
+       event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS users,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_lsh_neighbors(spark, sf_dir):
     # 8 bits / threshold 0 so the check returns real rows at every SF
     # (12 bits over random vectors yields zero bucket collisions at sf≤0.01,
@@ -690,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_neighbors": q_lsh_neighbors,
         "mm_image_features": q_mm_image_features,
         "mm_frame_sample": q_mm_frame_sample,
+        "sim_ivf_topk": q_ivf_topk,
+        "dedup_embedding_cosine": q_embedding_near_dup,
+        "t_window_agg": q_window_agg,
     }
 
 
@@ -733,4 +770,11 @@ WHERE rk = 1
         ),
         "mm_image_features": _MM_IMAGE_FEATURES_SQL,
         "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
+        "sim_ivf_topk": sim.ivf_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+        ),
+        "dedup_embedding_cosine": dd.embedding_near_dup_sql(
+            "embeddings", threshold=0.35, bits=4
+        ),
+        "t_window_agg": _WINDOW_AGG_SQL,
     }

@@ -396,3 +396,55 @@ JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(i / CAST(sa.set_size + sb.set_size - i AS DOUBLE), 6) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(keep_id, dup_id, sim): near-duplicate vector pairs above
+    ``threshold``, found via sign-LSH buckets (approximate by design — the
+    bucket join replaces the O(n²) cross join; recall rises with fewer
+    bits, cost with more). keep_id is the smaller id, the survivor under
+    min-id dedup policy."""
+    from arcane_framework_scala_spark.functions.similarity import (
+        lsh_bucket_neighbors,
+    )
+
+    pairs = lsh_bucket_neighbors(
+        embeddings, dim=dim, bits=bits, id_col=id_col, vec_col=vec_col,
+        threshold=threshold,
+    )
+    return pairs.select(
+        F.col("id_a").alias("keep_id"), F.col("id_b").alias("dup_id"), "sim"
+    )
+
+
+def embedding_near_dup_sql(
+    table: str,
+    threshold: float = 0.9,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    from arcane_framework_scala_spark.functions.similarity import (
+        lsh_bucket_neighbors_sql,
+    )
+
+    inner = lsh_bucket_neighbors_sql(
+        table, dim=dim, bits=bits, id_col=id_col, vec_col=vec_col,
+        threshold=threshold,
+    )
+    return (
+        f"SELECT id_a AS keep_id, id_b AS dup_id, sim FROM ({inner})"
+    )

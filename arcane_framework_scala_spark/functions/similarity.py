@@ -168,6 +168,103 @@ def lsh_signature_sql(
     return f"SELECT {id_col}, CAST({' + '.join(terms)} AS INT) AS bucket FROM {table}"
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_centroids`` cells, probe the ``n_probe`` nearest cells per
+    query, exact cosine only within probed cells.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
+    stand-in for a k-means codebook (trainable offline at scale; swapping
+    in trained centroids changes no plan shape). Plan: centroids broadcast
+    to both assignment joins (corpus never shuffles for assignment), then
+    one shuffle joins query probes to inverted lists on ``centroid_id`` —
+    candidate volume is corpus × n_probe / n_centroids, the IVF contract.
+    Fully deterministic: rank ties break on id."""
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    )
+
+    def assign(df: DataFrame, take: int, out_id: str) -> DataFrame:
+        sims = df.join(F.broadcast(cent)).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"__{out_id}_vec"),
+            "centroid_id",
+            F.round(cosine_similarity(F.col(vec_col), F.col("__cvec")), 6).alias(
+                "__csim"
+            ),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+        return (
+            sims.withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= take)
+            .drop("__csim", "__crk")
+        )
+
+    lists = assign(_spread(embeddings), 1, "corpus_id")
+    probes = assign(embeddings.filter(F.col(id_col).isin(query_ids)), n_probe, "query_id")
+    cand = lists.join(probes, "centroid_id").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("corpus_id").alias(id_col),
+        F.round(
+            cosine_similarity(F.col("__query_id_vec"), F.col("__corpus_id_vec")), 6
+        ).alias("sim"),
+    ).distinct()  # a corpus vector reachable via 2 probes scores once
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "sim", "rk")
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    csim = cosine_similarity_sql(f"e.{vec_col}", f"c.{vec_col}")
+    qsim = cosine_similarity_sql("q.qvec", f"l.vec")
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS centroid_id, {vec_col} FROM {table} WHERE {id_col} < {n_centroids}
+), assigned AS (
+  SELECT e.{id_col} AS vid, e.{vec_col} AS vec, c.centroid_id,
+         row_number() OVER (PARTITION BY e.{id_col}
+                            ORDER BY round({csim}, 6) DESC, c.centroid_id) AS crk
+  FROM {table} e JOIN cent c ON true
+), lists AS (
+  SELECT vid, vec, centroid_id FROM assigned WHERE crk <= 1
+), probes AS (
+  SELECT vid AS query_id, vec AS qvec, centroid_id FROM assigned
+  WHERE crk <= {n_probe} AND vid IN ({ids})
+), scored AS (
+  SELECT DISTINCT q.query_id, l.vid AS {id_col}, round({qsim}, 6) AS sim
+  FROM probes q JOIN lists l ON l.centroid_id = q.centroid_id
+  WHERE l.vid != q.query_id
+)
+SELECT query_id, {id_col}, sim, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, {id_col}) AS rk FROM scored)
+WHERE rk <= {k}
+"""
+
+
 def lsh_bucket_neighbors(
     embeddings: DataFrame,
     dim: int,

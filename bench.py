@@ -29,6 +29,10 @@ HEADLINE = [
     "doc_fingerprint",
     "sim_cosine_topk",
     "sim_lsh_neighbors",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine",
+    "t_window_agg",
+    "mm_image_features",
 ]
 
 
