@@ -41,6 +41,11 @@ from arcane_framework_scala_spark.operators.field_filter import (
     FieldSelectionRule,
     apply_field_selection,
 )
+from arcane_framework_scala_spark.operators.event_windows import (
+    sessionize,
+    sessionize_sql,
+    windowed_event_stats,
+)
 from arcane_framework_scala_spark.operators.merge_apply import merge_apply
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
@@ -658,10 +663,6 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_window_agg(spark, sf_dir):
-    from arcane_framework_scala_spark.operators.event_windows import (
-        windowed_event_stats,
-    )
-
     return windowed_event_stats(_read(spark, sf_dir, "events"), window_seconds=86_400)
 
 
@@ -673,6 +674,10 @@ SELECT epoch_ns(ts) // 1000000000 // 86400 * 86400 AS window_start,
        sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli_sum
 FROM events GROUP BY 1, 2
 """
+
+
+def q_sessionize(spark, sf_dir):
+    return sessionize(_read(spark, sf_dir, "events"), gap_seconds=1800)
 
 
 def q_lsh_neighbors(spark, sf_dir):
@@ -727,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_ivf_topk,
         "dedup_embedding_cosine": q_embedding_near_dup,
         "t_window_agg": q_window_agg,
+        "t_sessionize": q_sessionize,
     }
 
 
@@ -777,4 +783,5 @@ WHERE rk = 1
             "embeddings", threshold=0.35, bits=4
         ),
         "t_window_agg": _WINDOW_AGG_SQL,
+        "t_sessionize": sessionize_sql("events", gap_seconds=1800),
     }

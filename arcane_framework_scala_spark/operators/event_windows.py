@@ -61,3 +61,121 @@ def windowed_event_stats(
             ),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_seconds``.
+
+    (user_id, session_id, session_start, session_end, n_events) where
+    session_id = the session's first event second. Classic lag → boundary
+    flag → running sum, all built-in window functions: two stages over one
+    user-keyed shuffle (lag and cumsum share the partition), then the
+    session groupBy reuses the same key — Catalyst keeps it to a single
+    exchange. User keys are naturally high-cardinality → uniform."""
+    from pyspark.sql import Window
+
+    sec = tumbling_window(ts_col, 1)  # exact epoch-seconds from nanos
+    with_gap = df.select(F.col(user_col), sec.alias("__sec")).withColumn(
+        "__new",
+        F.when(
+            F.col("__sec") - F.lag("__sec").over(
+                Window.partitionBy(user_col).orderBy("__sec")
+            )
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0),
+    )
+    sessions = with_gap.withColumn(
+        "__sess_n",
+        F.sum("__new").over(
+            Window.partitionBy(user_col)
+            .orderBy("__sec")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessions.groupBy(user_col, "__sess_n")
+        .agg(
+            F.min("__sec").alias("session_start"),
+            F.max("__sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_start").alias("session_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+def sessionize_sql(
+    table: str,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> str:
+    sec = f"epoch_ns({ts_col}) // 1000000000"
+    return f"""
+WITH secs AS (
+  SELECT {user_col}, {sec} AS sec FROM {table}
+), flagged AS (
+  SELECT {user_col}, sec,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY {user_col} ORDER BY sec)
+                   > {gap_seconds} THEN 1 ELSE 0 END AS new_sess
+  FROM secs
+), numbered AS (
+  SELECT {user_col}, sec,
+         sum(new_sess) OVER (PARTITION BY {user_col} ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS sess_n
+  FROM flagged
+)
+SELECT {user_col}, min(sec) AS session_id, min(sec) AS session_start,
+       max(sec) AS session_end, count(*) AS n_events
+FROM numbered GROUP BY {user_col}, sess_n
+"""
+
+
+def windowed_stream_stats(
+    stream_df: DataFrame,
+    window_seconds: int = 300,
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Streaming flavor of :func:`windowed_event_stats`: event-time tumbling
+    window + watermark so state for closed windows is dropped (bounded
+    memory on unbounded streams — the Structured Streaming late-data
+    contract). ``ts_col`` must be timestamp-typed on the stream (convert
+    int64 nanos upstream with ``timestamp_micros(nanos div 1000)``).
+
+    Note ``approx_count_distinct`` rather than exact distinct: exact
+    distinct over streaming state is unbounded; HLL keeps per-window state
+    constant — the right trade at 100 TB."""
+    win = F.window(F.col(ts_col), f"{window_seconds} seconds")
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win.alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "value_milli_sum"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            group_col,
+            "n",
+            "approx_users",
+            "value_milli_sum",
+        )
+    )

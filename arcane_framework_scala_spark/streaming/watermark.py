@@ -98,6 +98,19 @@ class TablePropertyWatermarkStore:
     table: str
 
     def read(self) -> Watermark | None:
+        # `comment` is a *reserved* property in Spark's catalog API: SET
+        # TBLPROPERTIES('comment'=…) updates the table comment, and SHOW
+        # TBLPROPERTIES hides it — read it from catalog metadata, falling
+        # back to the property map for catalogs (e.g. Iceberg REST) that
+        # surface it as a plain property
+        try:
+            desc = self.spark.catalog.getTable(self.table).description
+            if desc:
+                wm = Watermark.from_json(desc)
+                if wm is not None:
+                    return wm
+        except Exception:  # noqa: BLE001 — table may be catalog-external
+            pass
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
         props = {r["key"]: r["value"] for r in rows}
         return Watermark.from_json(props.get(WATERMARK_PROPERTY))
