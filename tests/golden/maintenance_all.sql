@@ -1,0 +1,7 @@
+CALL iceberg.system.rewrite_data_files(table => 'test.target', options => map('target-file-size-bytes', '268435456'))
+---
+CALL iceberg.system.expire_snapshots(table => 'test.target', older_than => TIMESTAMP (now() - INTERVAL 72 HOURS))
+---
+CALL iceberg.system.remove_orphan_files(table => 'test.target', older_than => TIMESTAMP (now() - INTERVAL 72 HOURS))
+---
+ANALYZE TABLE iceberg.test.target COMPUTE STATISTICS FOR COLUMNS ARCANE_MERGE_KEY, x

@@ -1,0 +1,111 @@
+"""Verbatim golden-file tests for every SQL generator.
+
+Exactly the reference's layer-1 test strategy (SURVEY §5:
+``src/test/resources/generate_a_valid_merge_query*.sql`` + ~20 siblings
+compared string-equal against the builders) — fixtures live in
+``tests/golden/*.sql`` in our Spark-SQL dialect. Regenerate after an
+intentional generator change with:
+
+    python tests/test_golden_sql.py --regen
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arcane_framework_scala_spark.queries.maintenance import (
+    analyze_sql,
+    expire_snapshots_sql,
+    optimize_sql,
+    remove_orphan_files_sql,
+)
+from arcane_framework_scala_spark.queries.merge import (
+    SQL_SERVER_CHANGE_TRACKING,
+    SYNAPSE_LINK,
+    UPSERT_BLOB,
+    build_merge_query,
+)
+from arcane_framework_scala_spark.queries.overwrite import (
+    TableProperties,
+    build_backfill_source_query,
+    build_overwrite_query,
+    build_shard_commit_query,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+CT_COLS = ["ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION", "x", "y"]
+SYN_COLS = ["ARCANE_MERGE_KEY", "Id", "versionnumber", "IsDelete", "name"]
+BLOB_COLS = ["ARCANE_MERGE_KEY", "createdon", "a", "b"]
+
+CASES = {
+    "merge_sqlserver_ct": lambda: build_merge_query(
+        SQL_SERVER_CHANGE_TRACKING, "iceberg.test.target", "staged", CT_COLS
+    ),
+    "merge_sqlserver_ct_with_partitions": lambda: build_merge_query(
+        SQL_SERVER_CHANGE_TRACKING,
+        "iceberg.test.target",
+        "staged",
+        CT_COLS,
+        partition_values={"x": ["1", "2"]},
+    ),
+    "merge_sqlserver_ct_extra_match_keys": lambda: build_merge_query(
+        SQL_SERVER_CHANGE_TRACKING,
+        "iceberg.test.target",
+        "staged",
+        CT_COLS,
+        extra_match_keys=["y"],
+    ),
+    "merge_synapse_link": lambda: build_merge_query(
+        SYNAPSE_LINK, "iceberg.test.target", "staged", SYN_COLS
+    ),
+    "merge_upsert_blob": lambda: build_merge_query(
+        UPSERT_BLOB, "iceberg.test.target", "staged", BLOB_COLS
+    ),
+    "merge_no_dedup": lambda: build_merge_query(
+        UPSERT_BLOB, "iceberg.test.target", "staged", BLOB_COLS, deduplicate=False
+    ),
+    "overwrite_with_properties": lambda: build_overwrite_query(
+        "iceberg.test.target",
+        build_backfill_source_query(SYNAPSE_LINK, "iceberg.test.combined"),
+        TableProperties(
+            partition_expressions=("days(createdon)",),
+            sorted_by=("ARCANE_MERGE_KEY",),
+            bloom_filter_columns=("ARCANE_MERGE_KEY",),
+        ),
+    ),
+    "backfill_source_blob": lambda: build_backfill_source_query(
+        UPSERT_BLOB, "iceberg.test.combined"
+    ),
+    "shard_commit": lambda: build_shard_commit_query(
+        "iceberg.test.combined", "iceberg.test.shard_00001"
+    ),
+    "maintenance_all": lambda: "\n---\n".join(
+        [
+            optimize_sql("iceberg", "test.target", file_size_threshold_mb=256),
+            expire_snapshots_sql("iceberg", "test.target", retention_hours=72),
+            remove_orphan_files_sql("iceberg", "test.target", retention_hours=72),
+            analyze_sql("iceberg.test.target", ["ARCANE_MERGE_KEY", "x"]),
+        ]
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.sql")
+    assert os.path.exists(path), f"golden fixture missing: {path} (run --regen)"
+    with open(path) as f:
+        expected = f.read()
+    assert CASES[name]() == expected, f"generator output drifted from {path}"
+
+
+if __name__ == "__main__" and "--regen" in sys.argv:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, fn in CASES.items():
+        with open(os.path.join(GOLDEN_DIR, f"{name}.sql"), "w") as f:
+            f.write(fn())
+    print(f"regenerated {len(CASES)} fixtures in {GOLDEN_DIR}")

@@ -1,0 +1,67 @@
+"""applyInPandasWithState: cross-batch first-seen dedup on a real stream."""
+
+import pyspark.sql.functions as F
+
+
+from arcane_framework_scala_spark.streaming.stateful import stateful_first_seen
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: keys a,b — batch 2 (separate file): b again + c
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    ).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("b", 99), ("c", 3)], "k string, v int"
+    ).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema("k string, v int")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = stateful_first_seen(stream, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("firstseen")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["k"]: r["v"] for r in spark.table("firstseen").collect()}
+    # each key exactly once; b kept its first-batch value when batches were
+    # processed in file order, but either way exactly one b survives
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"] == 1 and rows["c"] == 3
+    assert rows["b"] in (2, 99)
+
+
+def test_first_seen_within_single_batch_deterministic(spark, tmp_path):
+    src = str(tmp_path / "src1")
+    ckpt = str(tmp_path / "ckpt1")
+    spark.createDataFrame(
+        [("x", 5), ("x", 2), ("x", 9)], "k string, v int"
+    ).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema("k string, v int")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stateful_first_seen(stream, "k")
+        .writeStream.format("memory")
+        .queryName("firstseen1")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("firstseen1").collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == 2  # lowest by string sort: "2" < "5" < "9"
