@@ -109,3 +109,15 @@ if __name__ == "__main__" and "--regen" in sys.argv:
         with open(os.path.join(GOLDEN_DIR, f"{name}.sql"), "w") as f:
             f.write(fn())
     print(f"regenerated {len(CASES)} fixtures in {GOLDEN_DIR}")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(CASES) if n.startswith(("merge_", "overwrite", "shard"))],
+)
+def test_generated_sql_parses_in_spark_dialect(spark, name):
+    """The generated statements must be valid Spark SQL — parse each with
+    Spark's own parser (no catalog needed; analysis is a separate concern)."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for stmt in CASES[name]().split("\n---\n"):
+        parser.parsePlan(stmt)  # raises ParseException on bad syntax
