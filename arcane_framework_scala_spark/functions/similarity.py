@@ -281,16 +281,24 @@ def lsh_bucket_neighbors(
     raise ``bits`` as the corpus grows — 100 TB guidance: keep expected
     bucket size ≤ ~1k rows so intra-bucket pairing stays cheap."""
     sig = lsh_signature(embeddings, dim, bits, seed, id_col, vec_col)
-    e = embeddings.join(sig, id_col)
+    # normalize once per vector BEFORE the self-join: cosine then reduces to
+    # a single dot per candidate pair instead of dot + two norms — at n²/2^bits
+    # candidates the norms dominate otherwise. (sim = dot(a/|a|, b/|b|); the
+    # oracle uses the identical formula so float rounding matches.)
+    normed = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n"))
+    e = normed.select(F.col(id_col), unit.alias("__unit")).join(sig, id_col)
     l = e.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+        F.col("__unit").alias("va"),
     )
     r = e.select(
         F.col("bucket").alias("bucket_r"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+        F.col("__unit").alias("vb"),
     )
     pairs = l.join(
         r, (F.col("bucket") == F.col("bucket_r")) & (F.col("id_a") < F.col("id_b"))
@@ -299,7 +307,7 @@ def lsh_bucket_neighbors(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .distinct()
@@ -316,11 +324,14 @@ def lsh_bucket_neighbors_sql(
     threshold: float = 0.7,
 ) -> str:
     sig = lsh_signature_sql(table, dim, bits, seed, id_col, vec_col)
-    sim = cosine_similarity_sql("a.embedding", "b.embedding")
+    norm = _NORM_SQL.format(a=f"t.{vec_col}")
+    sim = _DOT_SQL.format(a="a.unit", b="b.unit")
     return f"""
 WITH sig AS ({sig}),
-e AS (SELECT t.{id_col}, t.{vec_col}, sig.bucket FROM {table} t
-      JOIN sig ON sig.{id_col} = t.{id_col})
+e AS (SELECT t.{id_col},
+             list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE) / {norm}) AS unit,
+             sig.bucket
+      FROM {table} t JOIN sig ON sig.{id_col} = t.{id_col})
 SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, round({sim}, 6) AS sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
 WHERE round({sim}, 6) >= {threshold}

@@ -162,3 +162,25 @@ def test_merge_apply_upsert_blob(spark):
     out = merge_apply(target, changes, UPSERT_BLOB)
     got = {(r.ARCANE_MERGE_KEY, r.v) for r in out.collect()}
     assert got == {("k1", "new"), ("k2", "fresh")}
+
+
+def test_in_band_watermark_rows_roundtrip(spark):
+    from arcane_framework_scala_spark.operators.watermark_rows import (
+        attach_watermark_row,
+        split_watermark_rows,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    df = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v long")
+    wm = Watermark.now(version="77", prefix="p/")
+    banded = attach_watermark_row(df, wm)
+    assert banded.count() == 3
+
+    data, wms = split_watermark_rows(banded)
+    assert data.count() == 2
+    assert "__watermark" not in data.columns
+    assert len(wms) == 1 and wms[0].version == "77" and wms[0].prefix == "p/"
+
+    # a frame without the marker column passes through untouched
+    same, none = split_watermark_rows(df)
+    assert none == [] and same is df
