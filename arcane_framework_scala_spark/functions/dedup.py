@@ -329,30 +329,63 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_shingle_df: int = 50,
 ) -> DataFrame:
     """Exact Jaccard over distinct char-k-gram sets for candidate pairs.
 
-    Without ``candidates`` this verifies all pairs sharing ≥1 shingle (the
-    shingle join IS the candidate generator — pairs with zero overlap have
-    Jaccard 0 and never materialize). (id_a, id_b, jaccard) with
-    jaccard ≥ threshold, rounded to 6 decimals.
+    Candidates come from shingles with document frequency ≤
+    ``max_shingle_df`` (or from the caller's ``candidates`` frame, e.g.
+    MinHash-LSH output). This is the prefix-filtering idea from the
+    similarity-join literature, and it is what keeps the operator alive at
+    scale: a shingle shared by d documents contributes d²/2 pairs to a
+    naive self-join — stopwordish k-grams shared by the whole corpus turn
+    that into corpus²/2 (billions of rows at 5k docs, observed as an
+    executor OOM at sf0.1). Rare shingles bound per-shingle fan-out at
+    max_df²/2 while losing only pairs whose *entire* overlap is
+    ultra-common k-grams — which at meaningful thresholds are not
+    near-duplicates. The Jaccard itself is exact: intersections count ALL
+    shingles, restricted to candidate pairs.
 
-    Plan shape: explode → groupBy(shingle) join → pair-count aggregation.
-    Three shuffles, all on uniform keys; no cross join anywhere."""
+    Output (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6
+    decimals. Shuffles: explode+distinct, df-count, candidate join,
+    pair-intersection count — all on uniform hash-like keys."""
     exploded = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("sh"))
         .distinct()
     )
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    l, r = exploded.alias("l"), exploded.alias("r")
+    if candidates is None:
+        rare = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("sh")
+        )
+        rare_ex = exploded.join(rare, "sh")
+        l, r = rare_ex.alias("l"), rare_ex.alias("r")
+        candidates = (
+            l.join(
+                r,
+                (F.col("l.sh") == F.col("r.sh"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    # exact intersection, candidate pairs only: expand side A's shingles,
+    # then hash-join side B on the composite (id, shingle) key
+    ea = exploded.select(F.col(id_col).alias("id_a"), "sh")
+    eb = exploded.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        candidates.join(ea, "id_a")
+        .join(eb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (
@@ -377,6 +410,7 @@ def ngram_jaccard_pairs_sql(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: int = 50,
 ) -> str:
     sh = _char_shingles_sql(text_col, k)
     return f"""
@@ -384,10 +418,19 @@ WITH exploded AS (
   SELECT DISTINCT {id_col} AS id, unnest({sh}) AS sh FROM {table}
 ), sizes AS (
   SELECT id, count(*) AS set_size FROM exploded GROUP BY id
+), rare AS (
+  SELECT sh FROM exploded GROUP BY sh HAVING count(*) <= {max_shingle_df}
+), rare_ex AS (
+  SELECT e.id, e.sh FROM exploded e JOIN rare USING (sh)
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM rare_ex l JOIN rare_ex r ON l.sh = r.sh AND l.id < r.id
 ), inter AS (
-  SELECT l.id AS id_a, r.id AS id_b, count(*) AS i
-  FROM exploded l JOIN exploded r ON l.sh = r.sh AND l.id < r.id
-  GROUP BY l.id, r.id
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN exploded a ON a.id = c.id_a
+  JOIN exploded b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b,
        round(i / CAST(sa.set_size + sb.set_size - i AS DOUBLE), 6) AS jaccard

@@ -4,6 +4,8 @@ from arcane_framework_scala_spark.streaming.watermark import (
     TablePropertyWatermarkStore,
 )
 from arcane_framework_scala_spark.streaming.runner import StreamRunner, StreamSettings
+from arcane_framework_scala_spark.streaming.stateful import stateful_first_seen
+from arcane_framework_scala_spark.streaming.structured import StructuredBlobStream
 from arcane_framework_scala_spark.streaming.throughput import (
     StaticShaper,
     MemoryAwareShaper,
@@ -15,6 +17,8 @@ __all__ = [
     "TablePropertyWatermarkStore",
     "StreamRunner",
     "StreamSettings",
+    "stateful_first_seen",
+    "StructuredBlobStream",
     "StaticShaper",
     "MemoryAwareShaper",
 ]

@@ -64,7 +64,14 @@ def main() -> int:
     from arcane_framework_scala_spark import get_session
 
     spark = get_session(
-        "parity", master="local[8]", extra_conf={"spark.ui.enabled": "false"}
+        "parity",
+        master="local[8]",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # local mode hosts executors in the driver JVM; the 1g default
+            # dies on the sf0.1 join-heavy queries
+            "spark.driver.memory": "16g",
+        },
     )
     con = duckdb.connect()
     for t in TABLES:
