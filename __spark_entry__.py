@@ -507,6 +507,71 @@ LIMIT 10
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """S9-adjacent: JSON property extraction + typed aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.count(F.when(k > 50, 1)).alias("k_over_50"),
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                  THEN 1 END) AS k_over_50
+FROM events GROUP BY event_type
+"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Q5-shaped join tree: region→nation→customer→orders→lineitem revenue
+    per nation. Dims broadcast explicitly; the lineitem↔orders join is the
+    only real shuffle."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000
+                ).cast("long")
+            ).alias("revenue_milli"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_TPCH_Q5ISH_SQL = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
+           AS revenue_milli,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline queries (beyond-reference surface)
 # ---------------------------------------------------------------------------
@@ -714,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_agg_version_stats": q_agg_version_stats,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "p7_json_extract": q_json_extract,
         # LLM-data-pipeline surface
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -758,6 +825,8 @@ WHERE rk = 1
         "a2_agg_version_stats": _AGG_VERSION_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5ish": _TPCH_Q5ISH_SQL,
+        "p7_json_extract": _JSON_EXTRACT_SQL,
         "text_quality": _text_quality_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
         "lang_id": _LANG_ID_SQL,

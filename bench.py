@@ -22,6 +22,7 @@ HEADLINE = [
     "m4_overwrite_backfill",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5ish",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
