@@ -300,6 +300,10 @@ def _li_thresholds(spark, sf_dir):
 def q_m3_merge_upsert(spark, sf_dir):
     """Flagship: blob-parquet CDC upsert (S8 → P4 → W1 → M3 vertical)."""
     t4, t2 = _li_thresholds(spark, sf_dir)
+    # note: persisting `enriched` was measured and rejected — the two
+    # branches re-scan, but cold-run cache materialization costs more than
+    # the duplicated sha256 projection it saves (2.3s steady-state vs 7.5s
+    # first-run; the un-persisted plan holds ~6.6s every run)
     enriched = _lineitem_enriched(spark, sf_dir)
     # bootstrapped target: one row per key (min-aggregate the duplicates)
     target = (
