@@ -1,0 +1,93 @@
+"""SQL type-string parsing (SqlUtils parity) and skew-salting operators."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from arcane_framework_scala_spark.operators.salting import salted_join, two_phase_agg
+from arcane_framework_scala_spark.schema.sql_types import (
+    jdbc_type_to_spark,
+    parse_trino_type,
+)
+
+
+def test_jdbc_codes():
+    assert jdbc_type_to_spark(-5) == T.LongType()
+    assert jdbc_type_to_spark(2, 30, 6) == T.DecimalType(30, 6)
+    assert jdbc_type_to_spark(3, 10, 2) == T.DecimalType(10, 2)
+    assert jdbc_type_to_spark(93) == T.TimestampNTZType()
+    assert jdbc_type_to_spark(2014) == T.TimestampType()
+    assert jdbc_type_to_spark(92) == T.StringType()  # TIME → lossless string
+    assert jdbc_type_to_spark(-3) == T.BinaryType()
+    with pytest.raises(ValueError):
+        jdbc_type_to_spark(99999)
+
+
+def test_trino_scalars_and_params():
+    assert parse_trino_type("bigint") == T.LongType()
+    assert parse_trino_type("varchar(128)") == T.StringType()
+    assert parse_trino_type("decimal(30, 6)") == T.DecimalType(30, 6)
+    assert parse_trino_type("timestamp(6)") == T.TimestampNTZType()
+    assert parse_trino_type("timestamp(6) with time zone") == T.TimestampType()
+
+
+def test_trino_row_recursive():
+    t = parse_trino_type(
+        "row(id bigint, tags array(varchar), nested row(a integer, b decimal(10,2)))"
+    )
+    assert isinstance(t, T.StructType)
+    assert t["id"].dataType == T.LongType()
+    assert t["tags"].dataType == T.ArrayType(T.StringType(), True)
+    nested = t["nested"].dataType
+    assert isinstance(nested, T.StructType)
+    assert nested["b"].dataType == T.DecimalType(10, 2)
+
+
+def test_trino_map_and_errors():
+    assert parse_trino_type("map(varchar, bigint)") == T.MapType(
+        T.StringType(), T.LongType(), True
+    )
+    with pytest.raises(ValueError):
+        parse_trino_type("hyperloglog")
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, m int")
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    salted = salted_join(big, small, "k", salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", i % 7) for i in range(1000)] + [("cold", 3)],
+        "k string, v int",
+    )
+    plain = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"), F.max("v").alias("mx"))
+        .collect()
+    }
+    two = {
+        tuple(r)
+        for r in two_phase_agg(
+            df,
+            "k",
+            {
+                "s": F.sum("v"),
+                "c": F.count(F.lit(1)),
+                "mx": F.max("v"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert plain == two
