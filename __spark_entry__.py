@@ -446,6 +446,151 @@ FROM events GROUP BY event_type
 """
 
 
+def q_s2_backfill_scan(spark, sf_dir):
+    """S2: full backfill scan with synthetic version 0 / operation 'I' and
+    the computed merge key (``get_select_all_query.sql:1-8``,
+    ``QueryProvider.scala:76-93``)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.lit(0).cast("long").alias("SYS_CHANGE_VERSION"),
+        F.lit("I").alias("SYS_CHANGE_OPERATION"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_S2_SQL = f"""
+SELECT {mssql_merge_key_sql('user_id')} AS "ARCANE_MERGE_KEY",
+       CAST(0 AS BIGINT) AS "SYS_CHANGE_VERSION",
+       'I' AS "SYS_CHANGE_OPERATION",
+       event_id, user_id, event_type, value
+FROM events
+"""
+
+
+#: S5/M5 shard function — Knuth multiplicative hash of the PK, computable
+#: identically in Spark and DuckDB (stands in for SQL Server's
+#: ``ABS(CHECKSUM(pk)) % N``, ``QueryProvider.scala:146-150``).
+_N_SHARDS = 8
+_SHARD_EXPR = f"(l_orderkey * 2654435761) % 2147483647 % {_N_SHARDS}"
+
+
+def q_m5_shard_combine(spark, sf_dir):
+    """S5+M5: read the table as N disjoint shard predicates, combine with
+    UNION ALL (the ``INSERT INTO combined SELECT * FROM shard`` step,
+    ``DefaultShardCommitQuery.scala:7-8``), and prove the shards are
+    disjoint and covering via per-shard stats that must sum to the whole
+    table. At scale each filter is a separate JDBC partition predicate
+    (``spark.read.jdbc(predicates=...)``); on parquet Spark collapses the
+    union of disjoint filters into parallel scans of the same files."""
+    li = _read(spark, sf_dir, "lineitem")
+    from functools import reduce
+
+    shards = [
+        li.filter(F.expr(_SHARD_EXPR) == i).withColumn(
+            "shard", F.lit(i).cast("long")
+        )
+        for i in range(_N_SHARDS)
+    ]
+    combined = reduce(DataFrame.unionAll, shards)
+    return combined.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") * 1000).cast("long")).alias(
+            "qty_milli_sum"
+        ),
+    )
+
+
+_M5_SQL = f"""
+SELECT {_SHARD_EXPR} AS shard, count(*) AS n_rows,
+       sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS qty_milli_sum
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_t9_replay_idempotent(spark, sf_dir):
+    """T9: applying the same change batch twice equals applying it once —
+    the version guards in the MERGE conditions (M1) make replays no-ops
+    (``SqlServerChangeTracking.scala:17-58``; exactly-once story §4). The
+    oracle is the *single*-merge SQL: parity passing IS the idempotency
+    proof."""
+    thr = _events_threshold(spark, sf_dir)
+    target = _mssql_target(spark, sf_dir, thr)
+    source = _mssql_changes(spark, sf_dir, lower=thr)
+    once = merge_apply(target, source, SQL_SERVER_CHANGE_TRACKING)
+    return merge_apply(once, source, SQL_SERVER_CHANGE_TRACKING)
+
+
+def q_s9_json_explode(spark, sf_dir):
+    """S9: JSON root-pointer relocation + array explode with field renaming
+    (``JsonScanner.scala:20-163`` ``jsonRootPointer``/``jsonArrayPointers``).
+    Synthesizes a nested doc ``{"payload":{"items":[{v},{v+1}]}}`` from the
+    events props, then runs the same select-root → explode → prefix-rename
+    chain ``BlobJsonSource._read`` applies to JSONL files."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    doc = F.concat(
+        F.lit('{"payload":{"items":[{"v":'),
+        k.cast("string"),
+        F.lit('},{"v":'),
+        (k + 1).cast("string"),
+        F.lit("}]}}"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_json(
+            doc, "struct<payload:struct<items:array<struct<v:bigint>>>>"
+        ).alias("j"),
+    )
+    root = parsed.select("event_id", F.col("j.payload.*"))
+    exploded = root.select("event_id", F.explode("items").alias("__x"))
+    return exploded.select("event_id", F.col("__x.v").alias("item_v"))
+
+
+_S9_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_v
+FROM events
+UNION ALL
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) + 1
+FROM events
+"""
+
+
+def q_s7_cdm_csv_parse(spark, sf_dir):
+    """S7: quote-aware CSV round-trip (``CdmParser.scala:9-117``). Each doc
+    row is serialized to a CSV line whose quoted middle field contains a
+    comma (and doubled quotes would be escaped), then parsed back with the
+    CDM reader options (``quote='"', escape='"'``). The oracle selects the
+    original columns — parity passing proves the parse inverts the
+    serialization exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    snippet = F.concat(F.substring("text", 1, 20), F.lit(", "), F.col("lang"))
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(',"'),
+        F.regexp_replace(snippet, '"', '""'),
+        F.lit('",'),
+        F.col("source"),
+    )
+    parsed = docs.select(
+        F.from_csv(
+            line,
+            "doc_id bigint, snippet string, source string",
+            {"quote": '"', "escape": '"'},
+        ).alias("r")
+    )
+    return parsed.select("r.doc_id", "r.snippet", "r.source")
+
+
+_S7_SQL = """
+SELECT doc_id, substring(text, 1, 20) || ', ' || lang AS snippet, source
+FROM documents
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary (sums as milli-unit bigints)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -778,6 +923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_merge_synapse": q_m2_merge_synapse,
         "m3_merge_upsert": q_m3_merge_upsert,
         "m4_overwrite_backfill": q_m4_overwrite_backfill,
+        "s2_backfill_scan": q_s2_backfill_scan,
+        "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
+        "s9_json_explode": q_s9_json_explode,
+        "m5_shard_combine": q_m5_shard_combine,
+        "t9_replay_idempotent": q_t9_replay_idempotent,
         "p1_field_filter": q_field_filter,
         "p6_name_normalize": q_name_normalize,
         "a2_agg_version_stats": q_agg_version_stats,
@@ -824,6 +974,11 @@ WHERE rk = 1
         "m2_merge_synapse": _M2_SQL,
         "m3_merge_upsert": _M3_SQL,
         "m4_overwrite_backfill": _M4_SQL,
+        "s2_backfill_scan": _S2_SQL,
+        "s7_cdm_csv_parse": _S7_SQL,
+        "s9_json_explode": _S9_SQL,
+        "m5_shard_combine": _M5_SQL,
+        "t9_replay_idempotent": _M1_SQL,
         "p1_field_filter": _FIELD_FILTER_SQL,
         "p6_name_normalize": _NAME_NORMALIZE_SQL,
         "a2_agg_version_stats": _AGG_VERSION_SQL,
