@@ -1,0 +1,83 @@
+"""Plan-quality regression tests: pin the physical-plan properties the
+scale design depends on (docs/SCALE.md "Plan audit"). These fail when a
+refactor silently degrades a broadcast to a shuffle join, drops parquet
+filter pushdown, or adds a Python eval node to a JVM-only pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from arcane_framework_scala_spark.plans import audit_plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_dimension_joins_broadcast(spark, queries):
+    """Every dim join in the TPC-H-shaped queries must be a broadcast
+    hash join; a sort-merge join on a dimension means the explicit
+    broadcast() hints regressed."""
+    for name, min_bhj in (("tpch_q3", 2), ("tpch_q5ish", 4)):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.broadcast_joins >= min_bhj, (name, a.plan)
+        assert a.sort_merge_joins == 0, (name, a.plan)
+        assert a.nested_loop_joins == 0, (name, a.plan)
+
+
+def test_filters_reach_parquet_scans(spark, queries):
+    """Date/key predicates must be pushed into the scan, not evaluated
+    post-scan (PushedFilters non-empty on every filtered scan)."""
+    a = audit_plan(queries["tpch_q3"](spark, SF_DIR))
+    assert a.pushed_filter_scans >= 3, a.plan
+    a = audit_plan(queries["m5_shard_combine"](spark, SF_DIR))
+    assert a.pushed_filter_scans == 8, a.plan
+
+
+def test_merge_apply_shape(spark, queries):
+    """The CDC merge is one full-outer SMJ (cannot broadcast) plus the
+    simulated target build; no nested-loop fallback, no Python nodes,
+    and no more than 3 exchanges (W1 window shares the join's merge-key
+    partitioning)."""
+    a = audit_plan(queries["m3_merge_upsert"](spark, SF_DIR))
+    assert a.nested_loop_joins == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    assert a.exchanges <= 3, a.plan
+
+
+def test_reference_surface_stays_jvm_side(spark, queries):
+    """No Python eval nodes in any reference-surface or text/dedup query —
+    pandas UDFs are reserved for multimodal decode, where they are the
+    design."""
+    for name in (
+        "w1_dedup_latest",
+        "tpch_q1",
+        "dedup_exact",
+        "text_quality",
+        "doc_fingerprint",
+        "dedup_minhash_signature",
+        "s9_json_explode",
+    ):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.python_nodes == 0, (name, a.plan)
+
+
+def test_single_agg_queries_have_one_exchange(spark, queries):
+    """Plain groupBy aggregations need exactly one shuffle (partial agg
+    map-side, final agg post-exchange)."""
+    for name in ("tpch_q1", "dedup_exact", "a2_agg_version_stats"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.exchanges == 1, (name, a.plan)
+
+
+def test_brute_force_topk_nested_loop_is_intentional(spark, queries):
+    """sim_cosine_topk joins on a non-equi condition (id != query_id)
+    against a broadcast query side — the nested-loop is the design (query
+    side is tiny and bounded); pin it so the exception stays visible."""
+    a = audit_plan(queries["sim_cosine_topk"](spark, SF_DIR))
+    assert a.nested_loop_joins <= 1, a.plan
+    assert a.sort_merge_joins == 0, a.plan
