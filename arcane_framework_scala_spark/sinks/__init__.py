@@ -3,5 +3,23 @@ from arcane_framework_scala_spark.sinks.merge_sink import (
     SnapshotParquetTarget,
     CatalogTarget,
 )
+from arcane_framework_scala_spark.sinks.table_stats import (
+    TableStats,
+    table_stats,
+    table_size_sql,
+    column_sizes_sql,
+    partition_count,
+    partition_count_sql,
+)
 
-__all__ = ["MergeSink", "SnapshotParquetTarget", "CatalogTarget"]
+__all__ = [
+    "MergeSink",
+    "SnapshotParquetTarget",
+    "CatalogTarget",
+    "TableStats",
+    "table_stats",
+    "table_size_sql",
+    "column_sizes_sql",
+    "partition_count",
+    "partition_count_sql",
+]

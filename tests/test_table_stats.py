@@ -1,0 +1,59 @@
+"""Table statistics (K4/A3-A5): parquet-footer stats vs ground truth, and
+the Iceberg metadata-table SQL builders."""
+
+from __future__ import annotations
+
+import duckdb
+
+from arcane_framework_scala_spark.sinks.table_stats import (
+    avg_row_bytes,
+    column_sizes_sql,
+    partition_count,
+    partition_count_sql,
+    table_size_sql,
+    table_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_record_count_matches_duckdb():
+    path = f"{SF_DIR}/lineitem.parquet"
+    st = table_stats(path)
+    expected = duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    assert st.records == expected
+    assert st.files >= 1
+    assert st.bytes > 0
+    assert avg_row_bytes(st) > 0
+
+
+def test_column_bytes_cover_all_columns():
+    path = f"{SF_DIR}/lineitem.parquet"
+    st = table_stats(path)
+    cols = {
+        r[0]
+        for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
+    }
+    assert set(st.column_bytes) == cols
+    # compressed column chunks must account for most of the file
+    # (footer/metadata overhead is the remainder)
+    assert 0 < sum(st.column_bytes.values()) <= st.bytes
+
+
+def test_partition_count_unpartitioned():
+    assert partition_count(f"{SF_DIR}/lineitem.parquet") == 1
+
+
+def test_empty_dir(tmp_path):
+    st = table_stats(str(tmp_path))
+    assert (st.records, st.bytes, st.files) == (0, 0, 0)
+    assert avg_row_bytes(st) == 0.0
+
+
+def test_metadata_sql_builders():
+    assert table_size_sql("cat.db.t") == (
+        "SELECT sum(record_count) AS records, "
+        "sum(file_size_in_bytes) AS bytes FROM cat.db.t.files"
+    )
+    assert "cat.db.t.partitions" in partition_count_sql("cat.db.t")
+    assert "explode(column_sizes)" in column_sizes_sql("cat.db.t")
