@@ -129,6 +129,20 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _bucket_expr(vec_col: str, dim: int, bits: int, seed: int) -> Column:
+    """Sign-LSH bucket id as a single expression: `bits` dot products
+    against literal planes (Catalyst folds them), summed as bit weights."""
+    planes = hyperplanes(dim, bits, seed)
+    bit_cols = []
+    for b, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
+        bit_cols.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bit_cols[0]
+    for c in bit_cols[1:]:
+        bucket = bucket + c
+    return bucket.cast("int")
+
+
 def lsh_signature(
     embeddings: DataFrame,
     dim: int,
@@ -140,15 +154,19 @@ def lsh_signature(
     """(id, bucket): sign bits of projections onto the seeded hyperplanes.
     Planes are literals folded by Catalyst — per-row cost is `bits` dot
     products, no shuffle."""
+    return _spread(embeddings).select(
+        F.col(id_col), _bucket_expr(vec_col, dim, bits, seed).alias("bucket")
+    )
+
+
+def _bucket_sql(vec_col: str, dim: int, bits: int, seed: int) -> str:
     planes = hyperplanes(dim, bits, seed)
-    bit_cols = []
+    terms = []
     for b, plane in enumerate(planes):
-        proj = _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
-        bit_cols.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    bucket = bit_cols[0]
-    for c in bit_cols[1:]:
-        bucket = bucket + c
-    return _spread(embeddings).select(F.col(id_col), bucket.cast("int").alias("bucket"))
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        proj = _DOT_SQL.format(a=vec_col, b=arr)
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return f"CAST({' + '.join(terms)} AS INT)"
 
 
 def lsh_signature_sql(
@@ -159,13 +177,8 @@ def lsh_signature_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    planes = hyperplanes(dim, bits, seed)
-    terms = []
-    for b, plane in enumerate(planes):
-        arr = "[" + ", ".join(str(v) for v in plane) + "]"
-        proj = _DOT_SQL.format(a=vec_col, b=arr)
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
-    return f"SELECT {id_col}, CAST({' + '.join(terms)} AS INT) AS bucket FROM {table}"
+    bucket = _bucket_sql(vec_col, dim, bits, seed)
+    return f"SELECT {id_col}, {bucket} AS bucket FROM {table}"
 
 
 def ivf_topk(
@@ -279,36 +292,40 @@ def lsh_bucket_neighbors(
     (id_a, id_b, sim) for same-bucket pairs with sim ≥ threshold. The
     bucket join bounds candidate fan-out (expected n²/2^bits per bucket);
     raise ``bits`` as the corpus grows — 100 TB guidance: keep expected
-    bucket size ≤ ~1k rows so intra-bucket pairing stays cheap."""
-    sig = lsh_signature(embeddings, dim, bits, seed, id_col, vec_col)
-    # normalize once per vector BEFORE the self-join: cosine then reduces to
-    # a single dot per candidate pair instead of dot + two norms — at n²/2^bits
-    # candidates the norms dominate otherwise. (sim = dot(a/|a|, b/|b|); the
-    # oracle uses the identical formula so float rounding matches.)
-    normed = embeddings.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
+    bucket size ≤ ~1k rows so intra-bucket pairing stays cheap.
+
+    One pass over the input computes (id, vec, norm, bucket) — norm and
+    bucket are plain projections, so there is no join back to a signature
+    table (an id-keyed self-join would shuffle the corpus twice for no
+    reason). Per candidate pair the cost is a single dot product plus one
+    multiply+divide: sim = dot(a, b) / (|a|·|b|) — the oracle uses the
+    identical formula so float rounding matches."""
+    e = _spread(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
+        _bucket_expr(vec_col, dim, bits, seed).alias("bucket"),
     )
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n"))
-    e = normed.select(F.col(id_col), unit.alias("__unit")).join(sig, id_col)
     l = e.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
-        F.col("__unit").alias("va"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
     )
     r = e.select(
         F.col("bucket").alias("bucket_r"),
         F.col(id_col).alias("id_b"),
-        F.col("__unit").alias("vb"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
     )
     pairs = l.join(
         r, (F.col("bucket") == F.col("bucket_r")) & (F.col("id_a") < F.col("id_b"))
     )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
+        pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
@@ -323,16 +340,14 @@ def lsh_bucket_neighbors_sql(
     vec_col: str = "embedding",
     threshold: float = 0.7,
 ) -> str:
-    sig = lsh_signature_sql(table, dim, bits, seed, id_col, vec_col)
-    norm = _NORM_SQL.format(a=f"t.{vec_col}")
-    sim = _DOT_SQL.format(a="a.unit", b="b.unit")
+    norm = _NORM_SQL.format(a=vec_col)
+    bucket = _bucket_sql(vec_col, dim, bits, seed)
+    dot = _DOT_SQL.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    sim = f"round({dot} / (a.n * b.n), 6)"
     return f"""
-WITH sig AS ({sig}),
-e AS (SELECT t.{id_col},
-             list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE) / {norm}) AS unit,
-             sig.bucket
-      FROM {table} t JOIN sig ON sig.{id_col} = t.{id_col})
-SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, round({sim}, 6) AS sim
+WITH e AS (SELECT {id_col}, {vec_col}, {norm} AS n, {bucket} AS bucket
+           FROM {table})
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, {sim} AS sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
-WHERE round({sim}, 6) >= {threshold}
+WHERE {sim} >= {threshold}
 """
