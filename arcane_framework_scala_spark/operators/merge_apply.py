@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
-from arcane_framework_scala_spark.operators.dedup_window import latest_version_per_key
 from arcane_framework_scala_spark.queries.merge import (
     MergeDialect,
     SOURCE_ALIAS,
@@ -37,19 +36,35 @@ from arcane_framework_scala_spark.queries.merge import (
 from arcane_framework_scala_spark.schema.schema import MERGE_KEY_COLUMN
 
 
-def _collapse_ties(source: DataFrame, dialect: MergeDialect, merge_key: str) -> DataFrame:
+def _collapse_ties(
+    source: DataFrame,
+    dialect: MergeDialect,
+    merge_key: str,
+    version_first: bool = False,
+) -> DataFrame:
     """One row per key: delete markers take precedence, then version desc,
     then every remaining column ascending-nulls-first — a portable total
     order any SQL oracle reproduces (plain SQL MERGE would error on
-    multi-match)."""
+    multi-match).
+
+    With ``version_first`` the ordering is (version desc, delete desc, …),
+    which fuses W1 latest-version dedup into this same window pass: the
+    surviving row is identical to rank()==1-then-collapse (within the max
+    version group the two orderings coincide), but Spark runs ONE
+    partition sort instead of two over the same key."""
     s = source.alias(SOURCE_ALIAS)
     delete_flag = (
         F.expr(dialect.delete_condition) if dialect.delete_condition else F.lit(False)
     )
     special = {merge_key.lower(), dialect.version_column.lower()}
-    order_cols = [
+    primary = [
         F.desc(F.coalesce(delete_flag.cast("int"), F.lit(0))),
         F.desc(dialect.version_column),
+    ]
+    if version_first:
+        primary.reverse()
+    order_cols = [
+        *primary,
         *[
             F.asc_nulls_first(c)
             for c in source.columns
@@ -81,9 +96,10 @@ def merge_apply(
     unmatched target → kept.
     """
     out_fields = target.schema.fields
-    if deduplicate:
-        source = latest_version_per_key(source, dialect.version_column, merge_key)
-    source = _collapse_ties(source, dialect, merge_key)
+    # W1 dedup + tie collapse fuse into one window pass (version-first
+    # ordering); see _collapse_ties. latest_version_per_key stays the
+    # standalone W1 operator for pipelines that want WITH-TIES semantics.
+    source = _collapse_ties(source, dialect, merge_key, version_first=deduplicate)
 
     t = target.alias(TARGET_ALIAS)
     s = source.alias(SOURCE_ALIAS)
