@@ -81,3 +81,14 @@ def test_brute_force_topk_nested_loop_is_intentional(spark, queries):
     a = audit_plan(queries["sim_cosine_topk"](spark, SF_DIR))
     assert a.nested_loop_joins <= 1, a.plan
     assert a.sort_merge_joins == 0, a.plan
+
+
+def test_lsh_neighbors_single_pass(spark, queries):
+    """lsh_bucket_neighbors computes (norm, bucket) in the same projection
+    as the scan: exactly the 2 scans of the bucket self-join, no third scan
+    or id-keyed join back to a signature table, everything JVM-side."""
+    for name in ("sim_lsh_neighbors", "dedup_embedding_cosine"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.scans <= 2, (name, a.plan)
+        assert a.python_nodes == 0, (name, a.plan)
+        assert a.exchanges <= 3, (name, a.plan)
