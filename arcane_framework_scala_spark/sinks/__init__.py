@@ -2,6 +2,7 @@ from arcane_framework_scala_spark.sinks.merge_sink import (
     MergeSink,
     SnapshotParquetTarget,
     CatalogTarget,
+    REFERENCE_MAX_ROWS_PER_FILE,
 )
 from arcane_framework_scala_spark.sinks.table_stats import (
     TableStats,
@@ -16,6 +17,7 @@ __all__ = [
     "MergeSink",
     "SnapshotParquetTarget",
     "CatalogTarget",
+    "REFERENCE_MAX_ROWS_PER_FILE",
     "TableStats",
     "table_stats",
     "table_size_sql",

@@ -65,13 +65,31 @@ def with_retry(policy: RetryPolicy, fn):
             delay *= policy.scale_factor
 
 
+#: K1 parity: the reference chunks staged parquet at 10 000 rows per file
+#: (``IcebergS3CatalogWriter.scala:34``). Spark-native file sizing
+#: (``write.target-file-size-bytes`` / split planning) is the better default
+#: at scale — tiny files are a 100 TB anti-pattern — so the knob is opt-in.
+REFERENCE_MAX_ROWS_PER_FILE = 10_000
+
+
 class SnapshotParquetTarget:
     """Versioned-parquet table: ``<path>/v=N`` snapshot dirs + ``_CURRENT``
-    pointer (atomic rename commit). Readers always see a complete snapshot."""
+    pointer (atomic rename commit). Readers always see a complete snapshot.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``max_rows_per_file`` maps the reference's ``maxRowsPerFile`` staging
+    knob onto Spark's ``maxRecordsPerFile`` write option (file writes are
+    parallel per partition either way, matching the reference's
+    ``ZIO.collectAllPar`` file fan-out)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        max_rows_per_file: int | None = None,
+    ):
         self.spark = spark
         self.path = path
+        self.max_rows_per_file = max_rows_per_file
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
@@ -95,7 +113,10 @@ class SnapshotParquetTarget:
     def _commit(self, df: DataFrame) -> None:
         v = (self.current_version() or 0) + 1
         out = os.path.join(self.path, f"v={v}")
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        if self.max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_rows_per_file)
+        writer.parquet(out)
         tmp = self._pointer() + ".tmp"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
