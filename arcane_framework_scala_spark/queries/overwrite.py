@@ -92,3 +92,23 @@ def build_backfill_source_query(
 def build_shard_commit_query(combined: str, shard: str) -> str:
     """M5: append one staged shard into the combined backfill table."""
     return f"INSERT INTO {combined} SELECT * FROM {shard}"
+
+
+def build_shard_merge_query(
+    combined: str, shard: str, columns: list[str]
+) -> str:
+    """M6: reconcile a shard whose combine crashed mid-INSERT — the full
+    3-clause change-tracking MERGE of the shard into the combined table
+    (reference ``MsSqlShardFactory.scala:17-32``; version guards make the
+    partially-inserted rows no-ops). The DataFrame backfill runner doesn't
+    need this — shard staging is overwrite-idempotent and the combine is a
+    single atomic snapshot commit — but catalog deployments resuming an
+    INSERT-per-shard combine use this query."""
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+        build_merge_query,
+    )
+
+    return build_merge_query(
+        SQL_SERVER_CHANGE_TRACKING, combined, shard, columns
+    )

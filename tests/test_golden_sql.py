@@ -33,6 +33,7 @@ from arcane_framework_scala_spark.queries.overwrite import (
     build_backfill_source_query,
     build_overwrite_query,
     build_shard_commit_query,
+    build_shard_merge_query,
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
@@ -82,6 +83,9 @@ CASES = {
     ),
     "shard_commit": lambda: build_shard_commit_query(
         "iceberg.test.combined", "iceberg.test.shard_00001"
+    ),
+    "shard_merge_resume": lambda: build_shard_merge_query(
+        "iceberg.test.combined", "iceberg.test.shard_00001", CT_COLS
     ),
     "maintenance_all": lambda: "\n---\n".join(
         [
