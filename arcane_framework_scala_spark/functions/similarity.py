@@ -196,23 +196,47 @@ def ivf_topk(
 
     Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
     stand-in for a k-means codebook (trainable offline at scale; swapping
-    in trained centroids changes no plan shape). Plan: centroids broadcast
-    to both assignment joins (corpus never shuffles for assignment), then
-    one shuffle joins query probes to inverted lists on ``centroid_id`` —
-    candidate volume is corpus × n_probe / n_centroids, the IVF contract.
-    Fully deterministic: rank ties break on id."""
+    in trained centroids changes no plan shape).
+
+    Plan shape: the codebook broadcasts to the assignment join with norms
+    precomputed, so every cosine is a single dot-product fold over carried
+    norm columns (not dot + two norm folds). The corpus never shuffles for
+    candidates either: probe rows (|queries| × n_probe) broadcast to the
+    inverted lists, and only scored (query_id, id, sim) triples — never
+    vectors — reach a shuffle. Candidate volume is corpus × n_probe /
+    n_centroids per query, the IVF contract. Fully deterministic: rank
+    ties break on id.
+
+    A literal-codebook variant (collect centroids, assign via a sorted
+    array of per-cell structs — zero assignment join/window) was measured
+    2× SLOWER at sf0.1: the literal-heavy interpreted expression tree
+    loses to the codegen-friendly join + Tungsten window sort, the same
+    lesson as the rejected dot-product unrolling (docs/SCALE.md)."""
     cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
 
     def assign(df: DataFrame, take: int, out_id: str) -> DataFrame:
-        sims = df.join(F.broadcast(cent)).select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"__{out_id}_vec"),
-            "centroid_id",
-            F.round(cosine_similarity(F.col(vec_col), F.col("__cvec")), 6).alias(
-                "__csim"
-            ),
+        sims = (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(f"__{out_id}_vec"),
+                _norm(F.col(vec_col)).alias(f"__{out_id}_n"),
+            )
+            .join(F.broadcast(cent))
+            .select(
+                out_id,
+                f"__{out_id}_vec",
+                f"__{out_id}_n",
+                "centroid_id",
+                F.round(
+                    _dot(F.col(f"__{out_id}_vec"), F.col("__cvec"))
+                    / (F.col(f"__{out_id}_n") * F.col("__cn")),
+                    6,
+                ).alias("__csim"),
+            )
         )
         w = Window.partitionBy(out_id).orderBy(F.desc("__csim"), F.asc("centroid_id"))
         return (
@@ -223,14 +247,16 @@ def ivf_topk(
 
     lists = assign(_spread(embeddings), 1, "corpus_id")
     probes = assign(embeddings.filter(F.col(id_col).isin(query_ids)), n_probe, "query_id")
-    cand = lists.join(probes, "centroid_id").filter(
+    cand = lists.join(F.broadcast(probes), "centroid_id").filter(
         F.col("corpus_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
         F.col("corpus_id").alias(id_col),
         F.round(
-            cosine_similarity(F.col("__query_id_vec"), F.col("__corpus_id_vec")), 6
+            _dot(F.col("__query_id_vec"), F.col("__corpus_id_vec"))
+            / (F.col("__query_id_n") * F.col("__corpus_id_n")),
+            6,
         ).alias("sim"),
     ).distinct()  # a corpus vector reachable via 2 probes scores once
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
