@@ -56,6 +56,11 @@ from arcane_framework_scala_spark.schema.normalize import normalize_columns
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver runs these queries in a bare SparkSession it builds itself,
+    # without the configs from arcane_framework_scala_spark.session.get_session.
+    # events.parquet is TIMESTAMP(NANOS) which Spark rejects unless this
+    # (runtime-settable) conf is on, so set it here defensively.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -441,7 +446,7 @@ def q_agg_version_stats(spark, sf_dir):
 
 _AGG_VERSION_SQL = """
 SELECT event_type, count(*) AS n, max(event_id) AS max_version,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli_sum
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
 FROM events GROUP BY event_type
 """
 
@@ -506,7 +511,7 @@ def q_m5_shard_combine(spark, sf_dir):
 
 _M5_SQL = f"""
 SELECT {_SHARD_EXPR} AS shard, count(*) AS n_rows,
-       sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS qty_milli_sum
+       CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS qty_milli_sum
 FROM lineitem GROUP BY 1
 """
 
@@ -611,10 +616,11 @@ def q_tpch_q1(spark, sf_dir):
 
 _TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS sum_qty_milli,
-       sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)) AS sum_base_price_milli,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
-           AS sum_disc_price_milli,
+       CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS sum_qty_milli,
+       CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_milli,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
+            AS BIGINT) AS sum_disc_price_milli,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -644,8 +650,8 @@ def q_tpch_q3(spark, sf_dir):
 
 _TPCH_Q3_SQL = """
 SELECT o_orderkey, o_orderpriority,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
-           AS revenue_milli
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
+            AS BIGINT) AS revenue_milli
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -669,7 +675,8 @@ def q_json_extract(spark, sf_dir):
 
 _JSON_EXTRACT_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
        count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                   THEN 1 END) AS k_over_50
@@ -708,8 +715,8 @@ def q_tpch_q5ish(spark, sf_dir):
 
 _TPCH_Q5ISH_SQL = """
 SELECT n_name,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
-           AS revenue_milli,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT))
+            AS BIGINT) AS revenue_milli,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -885,7 +892,7 @@ SELECT epoch_ns(ts) // 1000000000 // 86400 * 86400 AS window_start,
        event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS users,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli_sum
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
 FROM events GROUP BY 1, 2
 """
 

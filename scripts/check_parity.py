@@ -47,6 +47,17 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+def _to_py(v):
+    """numpy scalar/array → plain Python, so canonicalization matches."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_to_py(x) for x in v.tolist()]
+    return v
+
+
 def canonicalize(rows: list[tuple], columns: list[str]) -> tuple[str, list[str]]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     canon_rows = sorted(
@@ -61,17 +72,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from arcane_framework_scala_spark import get_session
+    from pyspark.sql import SparkSession
 
-    spark = get_session(
-        "parity",
-        master="local[8]",
-        extra_conf={
-            "spark.ui.enabled": "false",
-            # local mode hosts executors in the driver JVM; the 1g default
-            # dies on the sf0.1 join-heavy queries
-            "spark.driver.memory": "16g",
-        },
+    # Deliberately a BARE session — the driver's harness does not go through
+    # get_session, so any conf a query needs must be set by the query itself
+    # (see __spark_entry__._read). Only resource knobs here.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("parity")
+        .config("spark.ui.enabled", "false")
+        # local mode hosts executors in the driver JVM; the 1g default
+        # dies on the sf0.1 join-heavy queries
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
     )
     con = duckdb.connect()
     for t in TABLES:
@@ -98,9 +112,15 @@ def main() -> int:
             print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch through pandas/Arrow exactly like the driver does:
+            # fetchall() would hand HUGEINT back as exact Python ints and
+            # mask the HUGEINT→float64 divergence that fails the real gate.
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [
+                tuple(_to_py(v) for v in row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
