@@ -6,8 +6,13 @@ the reference must be resumable by this engine (SURVEY §7.3 risk register).
 - **MSSQL** (computed on SQL Server in the reference,
   ``get_select_delta_query.sql:4`` / ``QueryProvider.scala:215-218``):
   ``lower(convert(nvarchar(128), HashBytes('SHA2_256', pk1+'#'+pk2…), 2))``
-  = lower-case hex of SHA-256 over ``'#'``-joined PK strings
-  → Spark ``lower(sha2(concat_ws('#', pks), 256))``.
+  = lower-case hex of SHA-256 over the ``'#'``-joined PK strings **as
+  nvarchar, i.e. UTF-16LE bytes** (the casts at ``QueryProvider.scala:217``
+  make the ``+`` operands nvarchar, so HashBytes sees UTF-16LE)
+  → Spark ``lower(sha2(encode(concat_ws('#', pks), 'UTF-16LE'), 256))``.
+  Hashing UTF-8 here would produce different digests for identical keys and
+  silently turn resumed updates/deletes into duplicate inserts when mixed
+  with server-computed keys.
 
 - **Blob** (computed in-process,
   ``models/batches/BlobBatchCommons.scala:21-36``):
@@ -30,8 +35,10 @@ def _as_str(c: Column | str) -> Column:
 
 
 def mssql_merge_key(*key_columns: Column | str) -> Column:
-    """Lower-hex SHA-256 of '#'-joined primary-key strings."""
-    return F.lower(F.sha2(F.concat_ws("#", *[_as_str(c) for c in key_columns]), 256))
+    """Lower-hex SHA-256 of the '#'-joined primary-key strings in UTF-16LE
+    (byte-parity with SQL Server's ``HashBytes`` over nvarchar)."""
+    joined = F.concat_ws("#", *[_as_str(c) for c in key_columns])
+    return F.lower(F.sha2(F.encode(joined, "UTF-16LE"), 256))
 
 
 def blob_merge_key(*key_columns: Column | str) -> Column:
@@ -52,8 +59,14 @@ def synapse_merge_key(id_column: Column | str = "Id") -> Column:
 # ---------------------------------------------------------------------------
 
 def mssql_merge_key_sql(*key_columns: str) -> str:
+    # DuckDB has no UTF-16 encoder; interleaving a NUL after every
+    # codepoint reproduces UTF-16LE for ASCII/Latin-1 key material (all
+    # driver keys are numeric strings — exactly SQL Server's common case).
     cols = ", ".join(f"CAST({c} AS VARCHAR)" for c in key_columns)
-    return f"lower(sha256(concat_ws('#', {cols})))"
+    return (
+        "lower(sha256(regexp_replace("
+        f"concat_ws('#', {cols}), '(.)', '\\1' || chr(0), 'g')))"
+    )
 
 
 def blob_merge_key_sql(*key_columns: str) -> str:

@@ -23,6 +23,17 @@ from arcane_framework_scala_spark.streaming.watermark import Watermark
 WATERMARK_ROW_COLUMN = "__watermark"
 
 
+def version_sort_key(v: str) -> tuple:
+    """Total order over version strings that ranks numeric versions by
+    value: plain lexicographic order would put '9' above '10', and a caller
+    committing the last element as furthest progress would regress the
+    watermark. Numeric strings compare by (length, value) ≡ integer order;
+    non-numerics sort lexicographically after all numerics."""
+    if v.isdigit():
+        return (0, len(v), v)
+    return (1, 0, v)
+
+
 def split_watermark_rows(df: DataFrame) -> tuple[DataFrame, list[Watermark]]:
     """(data_rows, watermarks): drop marker rows from the data and decode
     their payloads. Marker payloads are tiny (one row per source batch) —
@@ -36,7 +47,7 @@ def split_watermark_rows(df: DataFrame) -> tuple[DataFrame, list[Watermark]]:
     ]
     wms = [w for w in (Watermark.from_json(p) for p in payloads) if w is not None]
     # order by version so the caller commits the furthest progress last
-    wms.sort(key=lambda w: w.version)
+    wms.sort(key=lambda w: version_sort_key(w.version))
     return df.filter(~marker).drop(WATERMARK_ROW_COLUMN), wms
 
 

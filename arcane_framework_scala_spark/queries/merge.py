@@ -157,10 +157,17 @@ def build_merge_query(
         else f"SELECT * FROM {staged}"
     )
     # UPDATE SET assigns every data column; the merge key, rank helper and
-    # dialect bookkeeping columns are never reassigned.
-    excluded = {merge_key.lower(), "__arcane_rank"}
+    # dialect marker columns (operation flag / delete marker) are never
+    # assigned — targets don't carry them, only the staged batch does
+    # (reference golden ``generate_a_valid_merge_query_synapse_link.sql``
+    # assigns versionnumber but never IsDelete). Version columns ARE data:
+    # the t_o-side update guard reads them back on the next batch.
+    markers = {c.lower() for c in dialect.non_data_columns}
+    excluded = {merge_key.lower(), "__arcane_rank"} | markers
     update_cols = [c for c in columns if c.lower() not in excluded]
-    insert_cols = [c for c in columns if c.lower() != "__arcane_rank"]
+    insert_cols = [
+        c for c in columns if c.lower() not in ({"__arcane_rank"} | markers)
+    ]
 
     lines = [
         f"MERGE INTO {target} {TARGET_ALIAS}",

@@ -157,7 +157,17 @@ class SnapshotParquetTarget:
 
 
 class CatalogTarget:
-    """Catalog-table target driven by generated MERGE SQL (Iceberg/Delta)."""
+    """Catalog-table target driven by generated MERGE SQL (Iceberg/Delta).
+
+    The bootstrapped table carries only data columns (markers like
+    ``SYS_CHANGE_OPERATION``/``IsDelete`` stay in the staged batch;
+    :func:`queries.merge.build_merge_query` likewise never assigns them),
+    so every later batch merges onto the same schema it would have created.
+
+    On catalogs whose tables don't accept ``MERGE INTO`` (vanilla Spark's
+    v1 session catalog), the same dialect semantics execute through
+    :func:`operators.merge_apply` + ``replace`` — one code path per
+    semantic, two physical strategies, chosen per table at runtime."""
 
     def __init__(self, spark: SparkSession, table: str):
         self.spark = spark
@@ -170,7 +180,28 @@ class CatalogTarget:
         return self.spark.table(self.table) if self.exists() else None
 
     def overwrite(self, df: DataFrame) -> None:
-        df.writeTo(self.table).createOrReplace()
+        try:
+            df.writeTo(self.table).createOrReplace()
+        except Exception as e:  # noqa: BLE001 — v1 catalogs lack RTAS
+            if "REPLACE TABLE" not in str(e):
+                raise
+            df.write.mode("overwrite").saveAsTable(self.table)
+
+    def _migrate_schema(self, source: DataFrame, dialect: MergeDialect) -> None:
+        """T8 drift: add source-only data columns to the target before the
+        merge (``SchemaMigrationProcessor.scala:24-50``). ADD COLUMNS is a
+        metadata-only operation on Iceberg/Delta/v1 alike."""
+        target_cols = {c.lower() for c in self.spark.table(self.table).columns}
+        markers = {c.lower() for c in dialect.non_data_columns}
+        missing = [
+            f
+            for f in source.schema.fields
+            if f.name.lower() not in target_cols
+            and f.name.lower() not in markers
+        ]
+        if missing:
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in missing)
+            self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMNS ({cols})")
 
     def merge(self, source: DataFrame, dialect: MergeDialect) -> None:
         if not self.exists():
@@ -184,13 +215,23 @@ class CatalogTarget:
             df = df.drop(*[c for c in dialect.non_data_columns if c in df.columns])
             df.writeTo(self.table).create()
             return
+        self._migrate_schema(source, dialect)
         view = f"__arcane_staged_{abs(hash(self.table)) % 10_000_000}"
         source.createOrReplaceTempView(view)
         try:
             sql = build_merge_query(
                 dialect, self.table, view, source.columns, deduplicate=True
             )
-            self.spark.sql(sql)
+            try:
+                self.spark.sql(sql)
+            except Exception as e:  # noqa: BLE001 — inspect & re-raise below
+                if "MERGE INTO" not in str(e):
+                    raise
+                # catalog has no MERGE support: same semantics, DataFrame
+                # execution. Materialize before replace — the plan reads
+                # the table being replaced.
+                merged = merge_apply(self.spark.table(self.table), source, dialect)
+                self.overwrite(merged.localCheckpoint(eager=True))
         finally:
             self.spark.catalog.dropTempView(view)
 

@@ -133,8 +133,12 @@ class StreamRunner:
                 self.metrics.last_watermark_age_seconds = 0.0
                 return 0
         n = 0
+        interrupted = False
         for batch in self.source.changes(since):
             if self._cancelled.is_set():
+                # batches may be pending — committing any head-version
+                # watermark now would permanently skip them on restart
+                interrupted = True
                 break
             self._process_batch(batch)
             n += 1
@@ -144,11 +148,17 @@ class StreamRunner:
             ):
                 self.stop()
                 break
-        if n == 0 and self.settings.advance_watermark_on_idle:
+        if n == 0 and not interrupted and self.settings.advance_watermark_on_idle:
             # startup watermark-advance semantics: record liveness even when
-            # the source is quiet (DefaultStreamDataProvider.scala:94-111)
+            # the source is quiet (DefaultStreamDataProvider.scala:94-111).
+            # Only when the changes() iterator genuinely yielded nothing —
+            # a cancellation mid-iterator must leave the watermark at its
+            # last merged position (merge-before-commit contract, T10/T2).
             head = self.source.current_version()
-            wm = Watermark.now(version=str(head.get("version", "")))
+            wm = Watermark.now(
+                version=str(head.get("version", "")),
+                prefix=current.prefix if current else None,
+            )
             self.store.commit(wm)
         stored = self.store.read()
         if stored is not None:

@@ -7,6 +7,5 @@ WHEN MATCHED AND coalesce(t_s.IsDelete, false) = true THEN DELETE
 WHEN MATCHED AND coalesce(t_s.IsDelete, false) = false AND t_s.versionnumber > t_o.versionnumber THEN UPDATE SET
   Id = t_s.Id,
   versionnumber = t_s.versionnumber,
-  IsDelete = t_s.IsDelete,
   name = t_s.name
-WHEN NOT MATCHED AND coalesce(t_s.IsDelete, false) = false THEN INSERT (ARCANE_MERGE_KEY,Id,versionnumber,IsDelete,name) VALUES (t_s.ARCANE_MERGE_KEY,t_s.Id,t_s.versionnumber,t_s.IsDelete,t_s.name)
+WHEN NOT MATCHED AND coalesce(t_s.IsDelete, false) = false THEN INSERT (ARCANE_MERGE_KEY,Id,versionnumber,name) VALUES (t_s.ARCANE_MERGE_KEY,t_s.Id,t_s.versionnumber,t_s.name)

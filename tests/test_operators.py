@@ -29,10 +29,30 @@ from arcane_framework_scala_spark.queries.merge import (
 
 
 def test_mssql_merge_key_parity(spark):
-    # lower-hex SHA-256 over '#'-joined keys (get_select_delta_query.sql:4)
+    # lower-hex SHA-256 over '#'-joined keys AS NVARCHAR — SQL Server's
+    # HashBytes hashes UTF-16LE bytes (get_select_delta_query.sql:4,
+    # QueryProvider.scala:217 casts every operand to nvarchar(128))
     df = spark.createDataFrame([(12, 34)], "a int, b int")
     got = df.select(mssql_merge_key("a", "b").alias("k")).first()["k"]
-    assert got == hashlib.sha256(b"12#34").hexdigest()
+    assert got == hashlib.sha256("12#34".encode("utf-16-le")).hexdigest()
+
+
+def test_mssql_merge_key_duckdb_oracle_matches_spark(spark):
+    import duckdb
+
+    from arcane_framework_scala_spark.functions.merge_key import (
+        mssql_merge_key_sql,
+    )
+
+    df = spark.createDataFrame([(4711, "x9")], "a int, b string")
+    got = df.select(mssql_merge_key("a", "b").alias("k")).first()["k"]
+    oracle = duckdb.sql(
+        f"SELECT {mssql_merge_key_sql('a', 'b')} AS k "
+        "FROM (SELECT 4711 AS a, 'x9' AS b)"
+    ).fetchone()[0]
+    assert got == oracle == hashlib.sha256(
+        "4711#x9".encode("utf-16-le")
+    ).hexdigest()
 
 
 def test_blob_merge_key_parity(spark):

@@ -84,6 +84,40 @@ def test_stop_terminates_run_loop(tmp_path):
     assert not t.is_alive()
 
 
+def test_stop_before_first_batch_keeps_watermark(tmp_path):
+    # T10/T2: cancellation with batches pending must NOT idle-advance the
+    # watermark to the source head — that would permanently skip the
+    # pending [watermark, head] range on restart.
+    src = FakeSource()
+    runner, store = _runner(tmp_path, src)
+    src.push(5)
+    assert runner.run_once() == 1  # watermark now at 5
+    src.push(9)
+    runner.stop()  # requested before the next cycle processes anything
+    assert runner.run_once() == 0
+    assert store.read().version == "5"  # NOT 9 — batch for 9 never merged
+    # a restarted runner picks the pending range back up
+    runner2, store2 = _runner(tmp_path, src)
+    src.pending.append(
+        MicroBatch(df=None, watermark={"version": 9})
+    )  # source replays >5
+    assert runner2.run_once() == 1
+    assert store2.read().version == "9"
+
+
+def test_watermark_version_sort_is_numeric():
+    from arcane_framework_scala_spark.operators.watermark_rows import (
+        version_sort_key,
+    )
+
+    # '10' must rank above '9' (lexicographic would invert them and the
+    # caller, committing the last element, would regress progress)
+    vs = ["9", "10", "2", "100", "zeta", "alpha"]
+    assert sorted(vs, key=version_sort_key) == [
+        "2", "9", "10", "100", "alpha", "zeta",
+    ]
+
+
 def test_retry_policy_retries_transient_only():
     calls = {"n": 0}
 
