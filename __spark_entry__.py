@@ -55,12 +55,20 @@ from arcane_framework_scala_spark.queries.merge import (
 from arcane_framework_scala_spark.schema.normalize import normalize_columns
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    # The driver runs these queries in a bare SparkSession it builds itself,
-    # without the configs from arcane_framework_scala_spark.session.get_session.
-    # events.parquet is TIMESTAMP(NANOS) which Spark rejects unless this
-    # (runtime-settable) conf is on, so set it here defensively.
+def _harden_session(spark: SparkSession) -> None:
+    """The driver runs these queries in a bare SparkSession it builds
+    itself, without the configs from
+    arcane_framework_scala_spark.session.get_session. Set the two
+    runtime-settable confs the queries depend on: events.parquet is
+    TIMESTAMP(NANOS) (rejected without nanosAsLong), and timestamp parsing
+    / epoch extraction must be TZ-stable (UTC) to match the DuckDB
+    oracles."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _harden_session(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -911,6 +919,294 @@ def q_lsh_neighbors(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end verticals through the streaming runtime (S6 + T2/T9/T10)
+# ---------------------------------------------------------------------------
+
+#: CDM batch folders (reference naming, SynapseAzureBlobReaderExtensions.
+#: scala:40-131); the 4th is named by Changelog/changelog.info as
+#: in-progress and must be excluded (SynapseLinkStreamingSource.scala:104-176)
+_CDM_FOLDERS = ("2024-01-01T00.00.00Z", "2024-01-02T00.00.00Z", "2024-01-03T00.00.00Z")
+_CDM_IN_PROGRESS = "2024-01-04T00.00.00Z"
+
+
+def _cdm_attrs(with_note: bool) -> list[tuple[str, str]]:
+    attrs = [
+        ("Id", "guid"),
+        ("versionnumber", "int64"),
+        ("IsDelete", "boolean"),
+        ("event_type", "string"),
+        ("props", "string"),
+        ("value_milli", "int64"),
+        ("SinkCreatedOn", "dateTime"),
+    ]
+    if with_note:
+        attrs.append(("extra_note", "string"))  # T8 drift arrives in folder 3
+    return attrs
+
+
+def _build_cdm_fixture(sf_dir: str) -> str:
+    """Deterministically derive a Synapse CDM container from events.parquet:
+    three completed timestamped folders (versionnumbers monotonically
+    increasing across them), quoted CSVs split so deletes sit in the
+    lowest-numbered file (O1), per-folder model.json (folder 3 drifts, T8),
+    and a changelog-gated in-progress folder whose rows must never land.
+    Built once per sf_dir under /tmp and reused."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"arcane_cdm_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    if os.path.exists(os.path.join(root, "_FIXTURE_DONE")):
+        return root
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value", "props", "ts"],
+    ).to_pandas()
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    mx = int(ev.event_id.max())
+    t3 = (mx * 6) // 10
+    t2 = (2 * t3) // 3
+    t1 = t3 // 3
+
+    rows = pd.DataFrame(
+        {
+            "Id": ev.user_id.astype("int64").astype(str),
+            "versionnumber": ev.event_id.astype("int64"),
+            "IsDelete": np.where(ev.event_type == "error", "true", "false"),
+            "event_type": ev.event_type,
+            "props": ev.props,
+            "value_milli": np.floor(ev.value * 1000).astype("int64"),
+            # naive == UTC (parquet nanos); reference system-column format
+            "SinkCreatedOn": ev.ts.dt.strftime("%-m/%-d/%Y %-I:%M:%S %p"),
+        }
+    )
+    eid = ev.event_id.astype("int64")
+    splits = [
+        (_CDM_FOLDERS[0], rows[eid <= t1], False),
+        (_CDM_FOLDERS[1], rows[(eid > t1) & (eid <= t2)], False),
+        (_CDM_FOLDERS[2], rows[(eid > t2) & (eid <= t3)], True),
+        (_CDM_IN_PROGRESS, rows[eid > t3], True),
+    ]
+    tmp = tempfile.mkdtemp(prefix="arcane_cdm_build_")
+    for folder, part, with_note in splits:
+        part = part.copy()
+        if with_note:
+            part["extra_note"] = "n" + part["versionnumber"].astype(str)
+        attrs = _cdm_attrs(with_note)
+        fdir = os.path.join(tmp, folder)
+        os.makedirs(os.path.join(fdir, "events"), exist_ok=True)
+        with open(os.path.join(fdir, "model.json"), "w") as f:
+            json.dump(
+                {
+                    "entities": [
+                        {
+                            "name": "events",
+                            "attributes": [
+                                {"name": n, "dataType": t} for n, t in attrs
+                            ],
+                        }
+                    ]
+                },
+                f,
+            )
+        cols = [n for n, _ in attrs]
+        deletes = part[part.IsDelete == "true"]
+        upserts = part[part.IsDelete != "true"]
+        # O1: deletes in the lowest-numbered file so they apply last
+        deletes[cols].to_csv(
+            os.path.join(fdir, "events", "1.csv"), header=False, index=False
+        )
+        upserts[cols].to_csv(
+            os.path.join(fdir, "events", "2.csv"), header=False, index=False
+        )
+    os.makedirs(os.path.join(tmp, "Changelog"), exist_ok=True)
+    with open(os.path.join(tmp, "Changelog", "changelog.info"), "w") as f:
+        f.write(f"/some/container/{_CDM_IN_PROGRESS}")
+    with open(os.path.join(tmp, "_FIXTURE_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return root
+
+
+def q_s6_cdm_vertical(spark, sf_dir):
+    """S6 end-to-end: CDM folder listing + changelog gating → model.json
+    typing (P7) → quoted CSV parse (S7) → Id merge key (P5) → per-folder
+    MERGE with schema drift (T8/W1/M2) → watermark commit after each merge
+    (T2), all through the real StreamRunner polling cycle. The oracle
+    recomputes the final table state from the logical definition: latest
+    version per key within completed folders, deletes dropped (reference
+    vertical: SynapseLinkStreamingSource.scala:104-176 + merge M2)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources.cdm import SynapseCdmSource
+    from arcane_framework_scala_spark.streaming.runner import (
+        StreamRunner,
+        StreamSettings,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import FileWatermarkStore
+
+    _harden_session(spark)
+    root = _build_cdm_fixture(sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s6_run_")
+    source = SynapseCdmSource(spark, root, "events")
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    sink = MergeSink(target=target, dialect=SYNAPSE_LINK)
+    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+    runner = StreamRunner(
+        source=source,
+        sink=sink,
+        watermark_store=store,
+        settings=StreamSettings(poll_interval_seconds=0.01),
+    )
+    n = runner.run_once()
+    wm = store.read()
+    if n != len(_CDM_FOLDERS) or wm is None or wm.version != _CDM_FOLDERS[-1]:
+        raise AssertionError(
+            f"changelog gating broken: {n} batches, watermark={wm}"
+        )
+    return target.read().select(
+        "ARCANE_MERGE_KEY",
+        "Id",
+        "versionnumber",
+        "event_type",
+        "props",
+        "value_milli",
+        F.unix_timestamp("SinkCreatedOn").alias("sink_created_sec"),
+        "extra_note",
+    )
+
+
+_S6_SQL = """
+WITH b AS (
+  SELECT t3, (2 * t3) // 3 AS t2
+  FROM (SELECT CAST(max(event_id) * 6 / 10 AS BIGINT) AS t3 FROM events)
+),
+src AS (
+  SELECT CAST(user_id AS VARCHAR) AS "ARCANE_MERGE_KEY",
+         CAST(user_id AS VARCHAR) AS "Id",
+         event_id AS versionnumber,
+         event_type = 'error' AS isdel,
+         event_type, props,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         epoch_ns(ts) // 1000000000 AS sink_created_sec,
+         CASE WHEN event_id > b.t2 THEN 'n' || CAST(event_id AS VARCHAR)
+         END AS extra_note
+  FROM events, b WHERE event_id <= b.t3
+)
+SELECT "ARCANE_MERGE_KEY", "Id", versionnumber, event_type, props,
+       value_milli, sink_created_sec, extra_note
+FROM (SELECT *, rank() OVER (PARTITION BY "Id"
+                             ORDER BY versionnumber DESC) AS rk FROM src)
+WHERE rk = 1 AND NOT isdel
+"""
+
+
+class _CrashAfterMerge(RuntimeError):
+    pass
+
+
+def q_t2_crash_replay(spark, sf_dir):
+    """T2+T9+T10: the watermark store "crashes" between a successful merge
+    and its watermark commit; a restarted runner resumes from the stale
+    watermark, replays the already-merged batch, and the version-guarded
+    merge makes the replay a no-op — final state equals the single merge
+    (oracle = the M1 merge SQL). This is the reference's merge-before-
+    watermark exactly-once contract (§4) driven through StreamRunner."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources.base import MicroBatch
+    from arcane_framework_scala_spark.streaming.runner import (
+        StreamRunner,
+        StreamSettings,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+        Watermark,
+    )
+
+    _harden_session(spark)
+    thr = _events_threshold(spark, sf_dir)
+    head = _read(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    run_dir = tempfile.mkdtemp(prefix="arcane_t2_run_")
+
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.overwrite(_mssql_target(spark, sf_dir, thr))
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+
+    class _Source:
+        def current_version(self):
+            return {"version": str(head)}
+
+        def changes(self, since):
+            lower = int(since["version"]) if since else None
+            yield MicroBatch(
+                df=_mssql_changes(spark, sf_dir, lower=lower),
+                watermark={"version": str(head)},
+            )
+
+    class _CrashingStore(FileWatermarkStore):
+        def commit(self, wm):
+            raise _CrashAfterMerge("crash between merge and watermark commit")
+
+    wm_path = os.path.join(run_dir, "wm.json")
+    real_store = FileWatermarkStore(path=wm_path)
+    real_store.commit(Watermark.now(version=str(thr)))
+
+    settings = StreamSettings(poll_interval_seconds=0.01)
+    crashing = StreamRunner(
+        source=_Source(),
+        sink=sink,
+        watermark_store=_CrashingStore(path=wm_path),
+        settings=settings,
+    )
+    try:
+        crashing.run_once()
+        raise AssertionError("crash did not fire")
+    except _CrashAfterMerge:
+        pass  # merge landed, watermark did not — the T2 crash window
+
+    stale = real_store.read()
+    if stale is None or stale.version != str(thr):
+        raise AssertionError(f"watermark should still be stale: {stale}")
+    restarted = StreamRunner(
+        source=_Source(),
+        sink=MergeSink(
+            target=SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt")),
+            dialect=SQL_SERVER_CHANGE_TRACKING,
+        ),
+        watermark_store=real_store,
+        settings=settings,
+    )
+    if restarted.run_once() != 1:
+        raise AssertionError("restart did not replay the pending batch")
+    if real_store.read().version != str(head):
+        raise AssertionError("watermark did not advance after replay")
+    final = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt")).read()
+    return final.select(
+        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -935,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_json_explode": q_s9_json_explode,
         "m5_shard_combine": q_m5_shard_combine,
         "t9_replay_idempotent": q_t9_replay_idempotent,
+        "s6_cdm_vertical": q_s6_cdm_vertical,
+        "t2_crash_replay": q_t2_crash_replay,
         "p1_field_filter": q_field_filter,
         "p6_name_normalize": q_name_normalize,
         "a2_agg_version_stats": q_agg_version_stats,
@@ -986,6 +1284,8 @@ WHERE rk = 1
         "s9_json_explode": _S9_SQL,
         "m5_shard_combine": _M5_SQL,
         "t9_replay_idempotent": _M1_SQL,
+        "s6_cdm_vertical": _S6_SQL,
+        "t2_crash_replay": _M1_SQL,
         "p1_field_filter": _FIELD_FILTER_SQL,
         "p6_name_normalize": _NAME_NORMALIZE_SQL,
         "a2_agg_version_stats": _AGG_VERSION_SQL,
