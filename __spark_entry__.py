@@ -1116,6 +1116,194 @@ WHERE rk = 1 AND NOT isdel
 """
 
 
+def _build_csv_blob_fixture(sf_dir: str) -> str:
+    """Deterministic CSV 'blob container' derived from lineitem.parquet:
+    three quoted CSV files (split by order key) plus a `_SUCCESS`-style
+    marker that the listing must skip. Cached under /tmp per sf_dir."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"arcane_csvblob_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    if os.path.exists(os.path.join(root, "_FIXTURE_DONE")):
+        return root
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    ).to_pandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    tmp = tempfile.mkdtemp(prefix="arcane_csvblob_build_")
+    for i in range(3):
+        li[li.l_orderkey % 3 == i].to_csv(
+            os.path.join(tmp, f"part-{i}.csv"), header=True, index=False
+        )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")  # must be excluded by the listing's prefix filter
+    with open(os.path.join(tmp, "_FIXTURE_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def q_s10_blob_csv(spark, sf_dir):
+    """S10: CSV blob listing source (unimplemented ``???`` in the reference,
+    ``BlobListingStreamingSource``'s CSV arm) — list container, skip marker
+    files, read quoted CSVs with schema, enrich with the blob merge key.
+    ``createdon`` is file mtime (non-deterministic) so the gate output
+    projects it away; its derivation is pytest-covered."""
+    from functools import reduce
+
+    from arcane_framework_scala_spark.sources.blob import BlobCsvSource
+
+    _harden_session(spark)
+    root = _build_csv_blob_fixture(sf_dir)
+    src = BlobCsvSource(
+        spark=spark,
+        path=root,
+        primary_keys=["l_orderkey", "l_linenumber"],
+        schema=(
+            "l_orderkey bigint, l_linenumber bigint, l_quantity double, "
+            "l_returnflag string"
+        ),
+    )
+    parts = [b.df for b in src.changes(None) if b.df is not None]
+    df = reduce(DataFrame.unionAll, parts)
+    return df.select(
+        "ARCANE_MERGE_KEY", "l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag",
+    )
+
+
+_S10_SQL = f"""
+SELECT {blob_merge_key_sql('l_orderkey', 'l_linenumber')} AS "ARCANE_MERGE_KEY",
+       l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+"""
+
+
+def q_k1_staging_writer(spark, sf_dir):
+    """K1: staged write chunked at the reference's 10 000 rows per file
+    (``IcebergS3CatalogWriter.scala:34`` → Spark ``maxRecordsPerFile``),
+    then read back through the snapshot pointer. The file-count assertion
+    proves the chunking actually happened; value parity proves the
+    round-trip is lossless."""
+    import glob
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        REFERENCE_MAX_ROWS_PER_FILE,
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_k1_run_")
+    target = SnapshotParquetTarget(
+        spark,
+        os.path.join(run_dir, "t"),
+        max_rows_per_file=REFERENCE_MAX_ROWS_PER_FILE,
+    )
+    enriched = _lineitem_enriched(spark, sf_dir)
+    # one writer task so the per-file cap (not the partition count) decides
+    # the file layout — the knob under test
+    n_rows = enriched.count()
+    target.overwrite(enriched.coalesce(1))
+    files = glob.glob(os.path.join(run_dir, "t", "v=1", "*.parquet"))
+    expected = -(-n_rows // REFERENCE_MAX_ROWS_PER_FILE)
+    if len(files) != expected:
+        raise AssertionError(f"chunking broke: {len(files)} files for {n_rows} rows")
+    return target.read()
+
+
+def q_o4_watermark_rows(spark, sf_dir):
+    """O4: in-band watermark marker rows (reference ``DataCell.scala:25-44``
+    / ``StagingProcessor.scala:44-70``): attach marker rows to a feed,
+    split them back out, and check the decoded watermarks order numerically
+    ('10' after '9'). The surviving data must be byte-identical to the
+    feed."""
+    from arcane_framework_scala_spark.operators.watermark_rows import (
+        attach_watermark_row,
+        split_watermark_rows,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    _harden_session(spark)
+    feed = _synapse_changes(spark, sf_dir)
+    for v in ("9", "10"):  # lexicographic order would invert these
+        feed = attach_watermark_row(feed, Watermark(version=v, timestamp=""))
+    data, wms = split_watermark_rows(feed)
+    if [w.version for w in wms] != ["9", "10"]:
+        raise AssertionError(f"watermark ordering broke: {[w.version for w in wms]}")
+    return data
+
+
+def q_m6_shard_resume(spark, sf_dir):
+    """M6/§3.3: sharded backfill-overwrite with idempotent resume. Two of
+    four shards are pre-staged (the simulated crash point); their loaders
+    raise if the resumed run re-stages them. The combined, deduped, swapped
+    result must equal the full enriched table — proving the shards are
+    disjoint, covering, and the resume skipped exactly the staged ones
+    (reference ``DefaultBackfillOverwriteGraphBuilder.scala:36-119``,
+    ``DefaultBackfillStateManager.scala:26-112``)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.backfill.graph import (
+        BackfillOverwriteRunner,
+        FileBackfillStateStore,
+        STAGED,
+        Shard,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_m6_run_")
+
+    shard_expr = "(l_orderkey * 2654435761) % 2147483647 % 4"
+
+    def shard_df(i):
+        return _lineitem_enriched(spark, sf_dir).filter(F.expr(shard_expr) == i)
+
+    def poisoned(i):
+        def _load():
+            raise AssertionError(f"resume re-staged already-STAGED shard {i}")
+
+        return _load
+
+    runner = BackfillOverwriteRunner(
+        spark=spark,
+        target=SnapshotParquetTarget(spark, os.path.join(run_dir, "t")),
+        dialect=UPSERT_BLOB,
+        staging_dir=os.path.join(run_dir, "staging"),
+        state_store=FileBackfillStateStore(os.path.join(run_dir, "state.json")),
+    )
+    # simulate the crash: shards 0-1 staged and recorded, then the driver died
+    from arcane_framework_scala_spark.backfill.graph import BackfillState
+
+    state = BackfillState("bf-1", "0", "100")
+    for i in (0, 1):
+        runner._stage(Shard(name=str(i), load=lambda i=i: shard_df(i)))
+        state.shard_states[str(i)] = STAGED
+    runner.state_store.commit(state)
+
+    shards = [
+        Shard(name=str(i), load=poisoned(i)) if i < 2 else
+        Shard(name=str(i), load=lambda i=i: shard_df(i))
+        for i in range(4)
+    ]
+    result = runner.run(shards, backfill_id="bf-1", start_version="0", end_version="100")
+    return result.select(
+        "ARCANE_MERGE_KEY", "createdon", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag",
+    )
+
+
 class _CrashAfterMerge(RuntimeError):
     pass
 
@@ -1233,6 +1421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_replay_idempotent": q_t9_replay_idempotent,
         "s6_cdm_vertical": q_s6_cdm_vertical,
         "t2_crash_replay": q_t2_crash_replay,
+        "s10_blob_csv": q_s10_blob_csv,
+        "k1_staging_writer": q_k1_staging_writer,
+        "o4_watermark_rows": q_o4_watermark_rows,
+        "m6_shard_resume": q_m6_shard_resume,
         "p1_field_filter": q_field_filter,
         "p6_name_normalize": q_name_normalize,
         "a2_agg_version_stats": q_agg_version_stats,
@@ -1286,6 +1478,12 @@ WHERE rk = 1
         "t9_replay_idempotent": _M1_SQL,
         "s6_cdm_vertical": _S6_SQL,
         "t2_crash_replay": _M1_SQL,
+        "s10_blob_csv": _S10_SQL,
+        "k1_staging_writer": _LINEITEM_ENRICHED_SQL,
+        "o4_watermark_rows": _SYNAPSE_CHANGES_SQL,
+        # all versions tie at createdon=100 → W2 rank keeps every row; the
+        # resume/combine/swap must therefore reproduce the full enrichment
+        "m6_shard_resume": _LINEITEM_ENRICHED_SQL,
         "p1_field_filter": _FIELD_FILTER_SQL,
         "p6_name_normalize": _NAME_NORMALIZE_SQL,
         "a2_agg_version_stats": _AGG_VERSION_SQL,

@@ -54,10 +54,17 @@ def split_watermark_rows(df: DataFrame) -> tuple[DataFrame, list[Watermark]]:
 def attach_watermark_row(df: DataFrame, wm: Watermark) -> DataFrame:
     """Append one in-band watermark marker row (reference
     ``JsonWatermarkRow`` shape) — used to produce reference-compatible
-    feeds and in tests."""
+    feeds and in tests. Composable: a feed that already carries marker
+    rows keeps them (the marker column is only initialized when absent,
+    and the payload column itself is never null-filled)."""
     spark = df.sparkSession
-    data = df.withColumn(WATERMARK_ROW_COLUMN, F.lit(None).cast("string"))
+    data = (
+        df
+        if WATERMARK_ROW_COLUMN in df.columns
+        else df.withColumn(WATERMARK_ROW_COLUMN, F.lit(None).cast("string"))
+    )
     marker = spark.createDataFrame([(wm.to_json(),)], f"{WATERMARK_ROW_COLUMN} string")
-    for c in df.columns:
-        marker = marker.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+    for c in data.columns:
+        if c != WATERMARK_ROW_COLUMN:
+            marker = marker.withColumn(c, F.lit(None).cast(data.schema[c].dataType))
     return data.unionByName(marker.select(data.columns))

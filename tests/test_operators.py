@@ -204,3 +204,21 @@ def test_in_band_watermark_rows_roundtrip(spark):
     # a frame without the marker column passes through untouched
     same, none = split_watermark_rows(df)
     assert none == [] and same is df
+
+
+def test_multiple_watermark_rows_compose_and_sort_numerically(spark):
+    from arcane_framework_scala_spark.operators.watermark_rows import (
+        attach_watermark_row,
+        split_watermark_rows,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    df = spark.createDataFrame([("k1", 1)], "k string, v long")
+    # attaching a second marker must not wipe the first (regression: the
+    # marker column used to be re-initialized to NULL on every attach),
+    # and split must order '10' after '9' despite lexicographic order
+    banded = attach_watermark_row(df, Watermark(version="9", timestamp=""))
+    banded = attach_watermark_row(banded, Watermark(version="10", timestamp=""))
+    data, wms = split_watermark_rows(banded)
+    assert data.count() == 1
+    assert [w.version for w in wms] == ["9", "10"]
