@@ -164,6 +164,9 @@ class BlobJsonSource(BlobListingSource):
     root pointer relocation and array explode with column renaming
     (``services/iceberg/interop/JsonScanner.scala:20-163``)."""
 
+    #: Spark DDL ("a long, b string") or a reference-style Avro record
+    #: schema JSON (auto-detected by the leading "{" and converted via
+    #: schema.avro_interop — lets reference users reuse their schemas)
     schema: str | None = None
     #: dotted path to relocate the record root, e.g. "payload.after"
     root_pointer: str | None = None
@@ -173,7 +176,14 @@ class BlobJsonSource(BlobListingSource):
     def _read(self, paths: list[str]) -> DataFrame:
         reader = self.spark.read
         if self.schema:
-            reader = reader.schema(self.schema)
+            schema = self.schema
+            if schema.lstrip().startswith("{"):
+                from arcane_framework_scala_spark.schema.avro_interop import (
+                    avro_schema_to_struct,
+                )
+
+                schema = avro_schema_to_struct(schema)
+            reader = reader.schema(schema)
         df = reader.json(list(paths))
         if self.root_pointer:
             meta = df["_metadata"]
