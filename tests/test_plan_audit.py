@@ -83,6 +83,29 @@ def test_brute_force_topk_nested_loop_is_intentional(spark, queries):
     assert a.sort_merge_joins == 0, a.plan
 
 
+def test_expensive_plans_hold_at_sf01(spark, queries):
+    """The same plan-shape pins, built against sf0.1 inputs — the scale
+    where a regression actually costs wall-clock. Plans are only built
+    (explain, no execution), so this stays cheap; stats-driven planner
+    choices (broadcast thresholds, AQE inputs) see the real sf0.1 file
+    sizes here rather than the tiny test fixture."""
+    sf01 = "/root/testdata/sf0.1"
+    a = audit_plan(queries["dedup_minhash_lsh_pairs"](spark, sf01))
+    assert a.python_nodes == 0, a.plan
+    assert a.nested_loop_joins == 0, a.plan  # bucketed join, never all-pairs
+    a = audit_plan(queries["sim_lsh_neighbors"](spark, sf01))
+    assert a.scans <= 2 and a.python_nodes == 0 and a.exchanges <= 3, a.plan
+    a = audit_plan(queries["sim_ivf_topk"](spark, sf01))
+    assert a.python_nodes == 0 and a.sort_merge_joins == 0, a.plan
+    a = audit_plan(queries["m3_merge_upsert"](spark, sf01))
+    assert a.nested_loop_joins == 0 and a.python_nodes == 0, a.plan
+    assert a.exchanges <= 3, a.plan
+    for name, min_bhj in (("tpch_q3", 2), ("tpch_q5ish", 4)):
+        a = audit_plan(queries[name](spark, sf01))
+        assert a.broadcast_joins >= min_bhj, (name, a.plan)
+        assert a.sort_merge_joins == 0, (name, a.plan)
+
+
 def test_lsh_neighbors_single_pass(spark, queries):
     """lsh_bucket_neighbors computes (norm, bucket) in the same projection
     as the scan: exactly the 2 scans of the bucket self-join, no third scan
