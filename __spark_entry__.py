@@ -799,6 +799,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Candidate pairs → connected components → (doc_id, cluster_id): the
+    grouping step of near-dedup (one canonical survivor per cluster).
+    Oracle is an exact recursive-CTE closure over the same pairs."""
+    pairs = dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+    return dd.dedup_clusters(pairs)
+
+
 def q_simhash(spark, sf_dir):
     return dd.simhash(_read(spark, sf_dir, "documents"))
 
@@ -1440,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_exact_dedup,
         "dedup_minhash_signature": q_minhash_signature,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "sim_cosine_topk": q_cosine_topk,
@@ -1498,6 +1507,9 @@ WHERE rk = 1
         "dedup_exact": dd.exact_dedup_sql("documents"),
         "dedup_minhash_signature": dd.minhash_signature_sql("documents"),
         "dedup_minhash_lsh_pairs": dd.minhash_candidate_pairs_sql("documents"),
+        "dedup_clusters": dd.dedup_clusters_sql(
+            dd.minhash_candidate_pairs_sql("documents")
+        ),
         "dedup_simhash": dd.simhash_sql("documents"),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", threshold=0.5),
         "sim_cosine_topk": sim.brute_force_topk_sql(

@@ -206,6 +206,21 @@ def test_in_band_watermark_rows_roundtrip(spark):
     assert none == [] and same is df
 
 
+def test_dedup_clusters_connected_components(spark):
+    from arcane_framework_scala_spark.functions.dedup import dedup_clusters
+
+    # chain 1-2-3-4 (diameter forces >1 propagation round), clique {10,11,12},
+    # pair {20,21} — three components, labeled by their minimum id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_multiple_watermark_rows_compose_and_sort_numerically(spark):
     from arcane_framework_scala_spark.operators.watermark_rows import (
         attach_watermark_row,
