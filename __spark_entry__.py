@@ -1402,6 +1402,198 @@ def q_t2_crash_replay(spark, sf_dir):
     )
 
 
+def q_t1_polling_vertical(spark, sf_dir):
+    """T1+T3+T12+X-cadence: the polling loop end-to-end. A simulated CT
+    source releases the pending version range in three successive polls;
+    throughput shaping (T3) splits every poll's range into two capped
+    micro-batches, so the runner merges 6 batches across 3 cycles, firing
+    the every-2nd-batch maintenance gate 3 times (X cadence), advancing the
+    watermark after every merge (T2 ordering) and reporting T12 metrics.
+    A final idle poll must apply nothing and leave the watermark at head.
+    Oracle = the single full-range M1 merge: incremental version-guarded
+    merges must converge to exactly the same table (reference
+    ``DefaultStreamDataProvider.scala:21-113`` polling semantics)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.queries.maintenance import MaintenanceSchedule
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources.base import MicroBatch
+    from arcane_framework_scala_spark.streaming.runner import (
+        StreamRunner,
+        StreamSettings,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+        Watermark,
+    )
+
+    _harden_session(spark)
+    thr = _events_threshold(spark, sf_dir)
+    head = _read(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    # three poll-sized tranches of the (thr, head] version range
+    step = (head - thr) // 3
+    cuts = [thr, thr + step, thr + 2 * step, head]
+    run_dir = tempfile.mkdtemp(prefix="arcane_t1_run_")
+
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.overwrite(_mssql_target(spark, sf_dir, thr))
+
+    class _Source:
+        """Releases cuts[i] as the head version on poll i; slices each
+        tranche at its midpoint — the T3 per-trigger cap shape."""
+
+        def __init__(self):
+            self.poll = 1
+
+        def current_version(self):
+            return {"version": str(cuts[self.poll])}
+
+        def changes(self, since):
+            lower = int(since["version"])
+            upper = cuts[self.poll]
+            mid = (lower + upper) // 2
+            for lo, hi in ((lower, mid), (mid, upper)):
+                if hi > lo:
+                    yield MicroBatch(
+                        df=_mssql_changes(spark, sf_dir, lower=lo, upper=hi),
+                        watermark={"version": str(hi)},
+                    )
+            if self.poll < 3:
+                self.poll += 1
+
+    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+    store.commit(Watermark.now(version=str(thr)))
+    maintenance_ops = []
+    runner = StreamRunner(
+        source=_Source(),
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=store,
+        settings=StreamSettings(poll_interval_seconds=0.01, max_batches=6),
+        maintenance=MaintenanceSchedule(optimize_every=2),
+        maintenance_fn=maintenance_ops.append,
+    )
+    metrics = runner.run()
+    if metrics.batches_merged != 6:
+        raise AssertionError(f"expected 6 merged batches, got {metrics.batches_merged}")
+    if maintenance_ops != ["optimize"] * 3 or metrics.maintenance_runs != 3:
+        raise AssertionError(f"maintenance cadence broke: {maintenance_ops}")
+    if store.read().version != str(head):
+        raise AssertionError(f"watermark not at head: {store.read()}")
+    if metrics.last_watermark_age_seconds is None:
+        raise AssertionError("T12 watermark-age metric not reported")
+
+    idle = StreamRunner(
+        source=_Source.__new__(_Source),
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=store,
+        settings=StreamSettings(poll_interval_seconds=0.01),
+    )
+    idle.source.poll = 3  # head unchanged -> probe short-circuits the fetch
+    if idle.run_once() != 0 or store.read().version != str(head):
+        raise AssertionError("idle poll must apply nothing and hold the watermark")
+    return target.read().select(
+        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+    )
+
+
+def q_x1_maintenance_vertical(spark, sf_dir):
+    """X1-X4 executed for real on the versioned-parquet layout: fragment a
+    table (many small files), compact it (X1 — new snapshot, byte-packed
+    file count), ANALYZE it (X4 — sidecar stats must match the data),
+    remove planted crashed-commit orphans (X3), expire the fragmented
+    history (X2). Value parity against the plain enriched-lineitem oracle
+    proves every maintenance step was metadata-only — the data never
+    changes (reference Trino ``ALTER TABLE … EXECUTE`` family,
+    ``models/maintenance/JdbcOptimizationRequest.scala:4-30``)."""
+    import glob
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        analyze_snapshot,
+        expire_snapshots,
+        optimize_snapshot,
+        remove_orphan_files,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x1_run_")
+    target = SnapshotParquetTarget(
+        spark, os.path.join(run_dir, "t"), max_rows_per_file=2000
+    )
+    enriched = _lineitem_enriched(spark, sf_dir)
+    n_rows = enriched.count()
+    target.overwrite(enriched.repartition(8))  # 8 tasks x 2000-row cap
+    fragmented = len(glob.glob(os.path.join(run_dir, "t", "v=1", "*.parquet")))
+    if fragmented <= 8:
+        raise AssertionError(f"fragmentation setup broke: {fragmented} files")
+
+    n_files = optimize_snapshot(target, target_file_bytes=128 << 20)
+    compacted = len(glob.glob(os.path.join(run_dir, "t", "v=2", "*.parquet")))
+    if compacted != n_files or compacted >= fragmented:
+        raise AssertionError(f"optimize broke: {fragmented} -> {compacted} files")
+
+    stats = analyze_snapshot(target)
+    if stats.records != n_rows or stats.files != compacted:
+        raise AssertionError(f"analyze stats wrong: {stats}")
+
+    open(os.path.join(run_dir, "t", "_CURRENT.tmp"), "w").write("9")
+    if remove_orphan_files(target) != ["_CURRENT.tmp"]:
+        raise AssertionError("orphan removal missed the crashed pointer tmp")
+
+    if expire_snapshots(target, keep_last=1) != [1]:
+        raise AssertionError("expire should drop exactly the fragmented v=1")
+    if os.path.exists(os.path.join(run_dir, "t", "v=1")):
+        raise AssertionError("expired snapshot still on disk")
+    return target.read()
+
+
+def q_a3_table_stats(spark, sf_dir):
+    """A3+K1: stage the enriched table chunked at the reference's 10 000
+    rows per file, then recover (records, files) purely from parquet
+    footers — the catalog-free analogue of the reference's Iceberg manifest
+    scan (``IcebergTablePropertyManager.scala:70-78``). The oracle recomputes
+    both numbers from the data: count(*) and ceil(count/10 000) (a single
+    writer task, so the per-file cap alone decides the layout)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        REFERENCE_MAX_ROWS_PER_FILE,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sinks.table_stats import table_stats
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_a3_run_")
+    target = SnapshotParquetTarget(
+        spark,
+        os.path.join(run_dir, "t"),
+        max_rows_per_file=REFERENCE_MAX_ROWS_PER_FILE,
+    )
+    target.overwrite(_lineitem_enriched(spark, sf_dir).coalesce(1))
+    stats = table_stats(os.path.join(run_dir, "t", "v=1"))
+    expected_cols = set(target.read().columns)
+    if set(stats.column_bytes) != expected_cols:
+        raise AssertionError(
+            f"A4 column stats incomplete: {set(stats.column_bytes)} != {expected_cols}"
+        )
+    if stats.bytes <= 0:
+        raise AssertionError("A3 byte size must be positive")
+    return spark.createDataFrame(
+        [(stats.records, stats.files)], "records long, files long"
+    )
+
+
+_A3_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS records,
+       CAST(ceil(count(*) / 10000.0) AS BIGINT) AS files
+FROM ({_LINEITEM_ENRICHED_SQL})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1429,6 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_replay_idempotent": q_t9_replay_idempotent,
         "s6_cdm_vertical": q_s6_cdm_vertical,
         "t2_crash_replay": q_t2_crash_replay,
+        "t1_polling_vertical": q_t1_polling_vertical,
+        "x1_maintenance_vertical": q_x1_maintenance_vertical,
+        "a3_table_stats": q_a3_table_stats,
         "s10_blob_csv": q_s10_blob_csv,
         "k1_staging_writer": q_k1_staging_writer,
         "o4_watermark_rows": q_o4_watermark_rows,
@@ -1487,6 +1682,9 @@ WHERE rk = 1
         "t9_replay_idempotent": _M1_SQL,
         "s6_cdm_vertical": _S6_SQL,
         "t2_crash_replay": _M1_SQL,
+        "t1_polling_vertical": _M1_SQL,
+        "x1_maintenance_vertical": _LINEITEM_ENRICHED_SQL,
+        "a3_table_stats": _A3_SQL,
         "s10_blob_csv": _S10_SQL,
         "k1_staging_writer": _LINEITEM_ENRICHED_SQL,
         "o4_watermark_rows": _SYNAPSE_CHANGES_SQL,

@@ -1,0 +1,159 @@
+"""Executable table maintenance (X1-X4) for versioned-parquet targets.
+
+The reference issues Trino ``ALTER TABLE … EXECUTE`` statements against
+Iceberg (``models/maintenance/JdbcOptimizationRequest.scala:4-30`` and the
+expire/vacuum/analyze siblings); on a catalog-attached cluster this engine
+emits the equivalent Spark SQL (``queries/maintenance.py``). This module is
+the catalog-free execution path: the same four operations carried out
+directly on a :class:`SnapshotParquetTarget`'s ``<path>/v=N`` snapshot
+layout, so the every-N-batches cadence (``MaintenanceSchedule``) can drive
+*real* maintenance in tests and in parquet-dir deployments.
+
+Scale notes: optimize's file-count decision is O(footers) driver metadata
+work (same cost class as Iceberg's manifest scan) and the rewrite itself is
+one Spark job with a narrow ``coalesce`` — no shuffle, bin-packing by byte
+size like ``rewrite_data_files``. Expire/orphan removal are O(directory
+listing) driver work, mirroring the reference's catalog calls.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import shutil
+
+from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+from arcane_framework_scala_spark.sinks.table_stats import TableStats, table_stats
+
+_SNAPSHOT_RE = re.compile(r"^v=(\d+)$")
+_STATS_FILE = "_STATS"
+
+
+def _snapshot_versions(target: SnapshotParquetTarget) -> list[int]:
+    try:
+        names = os.listdir(target.path)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        m = _SNAPSHOT_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _current_dir(target: SnapshotParquetTarget) -> str:
+    v = target.current_version()
+    if v is None:
+        raise ValueError(f"no committed snapshot under {target.path}")
+    return os.path.join(target.path, f"v={v}")
+
+
+def optimize_snapshot(
+    target: SnapshotParquetTarget, target_file_bytes: int = 128 << 20
+) -> int:
+    """X1 compaction: rewrite the current snapshot into
+    ``ceil(total_bytes / target_file_bytes)`` files as a new snapshot
+    version (readers on the old snapshot are unaffected; the pointer flips
+    atomically). Returns the file count written. ``coalesce`` (narrow, no
+    shuffle) is deliberate: compaction reads+rewrites every byte already,
+    a ``repartition`` would add a full shuffle of the table on top."""
+    stats = table_stats(_current_dir(target))
+    n_files = max(1, math.ceil(stats.bytes / target_file_bytes))
+    df = target.read().coalesce(n_files)
+    # the per-file row cap is a staging-write knob; compaction's whole point
+    # is larger files, so bypass it for this commit
+    cap, target.max_rows_per_file = target.max_rows_per_file, None
+    try:
+        target.overwrite(df)
+    finally:
+        target.max_rows_per_file = cap
+    return n_files
+
+
+def expire_snapshots(target: SnapshotParquetTarget, keep_last: int = 1) -> list[int]:
+    """X2 snapshot expiry: drop all but the newest ``keep_last`` snapshot
+    directories (the current pointer is always retained). Returns the
+    expired version numbers. The reference expires by age; a count-based
+    policy is the deterministic equivalent for tests — both are "delete
+    history older than X"."""
+    keep_last = max(1, keep_last)
+    versions = _snapshot_versions(target)
+    current = target.current_version()
+    doomed = [v for v in versions[:-keep_last] if v != current]
+    for v in doomed:
+        shutil.rmtree(os.path.join(target.path, f"v={v}"), ignore_errors=True)
+    return doomed
+
+
+def remove_orphan_files(target: SnapshotParquetTarget) -> list[str]:
+    """X3 orphan removal: delete top-level entries that are neither a live
+    snapshot directory nor table metadata (``_CURRENT`` pointer, stats
+    sidecar) — crashed-commit leftovers like ``_CURRENT.tmp`` or stray
+    files. Never descends into live snapshots. Returns removed names."""
+    live = {f"v={v}" for v in _snapshot_versions(target)}
+    live.update({os.path.basename(target._pointer()), _STATS_FILE})
+    removed = []
+    for name in os.listdir(target.path):
+        if name in live:
+            continue
+        full = os.path.join(target.path, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.remove(full)
+        removed.append(name)
+    return sorted(removed)
+
+
+def analyze_snapshot(target: SnapshotParquetTarget) -> TableStats:
+    """X4 statistics: record/byte/file counts and per-column compressed
+    sizes for the current snapshot (A3/A4 from parquet footers), persisted
+    to a ``_STATS`` sidecar the way the reference's ANALYZE persists to the
+    metastore."""
+    stats = table_stats(_current_dir(target))
+    payload = {
+        "version": target.current_version(),
+        "records": stats.records,
+        "bytes": stats.bytes,
+        "files": stats.files,
+        "column_bytes": stats.column_bytes,
+    }
+    tmp = os.path.join(target.path, _STATS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(target.path, _STATS_FILE))
+    return stats
+
+
+def read_stats(target: SnapshotParquetTarget) -> dict | None:
+    """Read back the persisted X4 sidecar (None if ANALYZE never ran)."""
+    try:
+        with open(os.path.join(target.path, _STATS_FILE)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def run_maintenance(
+    target: SnapshotParquetTarget,
+    op: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    keep_last: int = 1,
+):
+    """Dispatch a :class:`MaintenanceSchedule` operation name (the strings
+    ``MaintenanceSchedule.due`` yields) to its executor — the
+    ``maintenance_fn`` to hand a :class:`StreamRunner` for parquet-dir
+    deployments."""
+    if op == "optimize":
+        return optimize_snapshot(target, target_file_bytes)
+    if op == "expire_snapshots":
+        return expire_snapshots(target, keep_last)
+    if op == "remove_orphan_files":
+        return remove_orphan_files(target)
+    if op == "analyze":
+        return analyze_snapshot(target)
+    raise ValueError(f"unknown maintenance op: {op}")

@@ -76,3 +76,78 @@ def test_max_rows_per_file_chunks_staging_writes(spark, tmp_path):
 
     for f in sorted((tmp_path / "t" / "v=1").glob("*.parquet")):
         assert pq.ParquetFile(str(f)).metadata.num_rows <= 1000
+
+
+# ---------------------------------------------------------------------------
+# Executable maintenance (X1-X4) on the versioned-parquet layout
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_optimize_expire_orphans_analyze(spark, sf_dir, tmp_path):
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        analyze_snapshot,
+        expire_snapshots,
+        optimize_snapshot,
+        read_stats,
+        remove_orphan_files,
+        run_maintenance,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+
+    import glob
+    import os
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    n = li.count()
+    target = SnapshotParquetTarget(spark, str(tmp_path / "t"), max_rows_per_file=500)
+    # fragment: 8 writer tasks x 500-row cap -> many small files
+    target.overwrite(li.repartition(8))
+    v1_files = glob.glob(str(tmp_path / "t" / "v=1" / "*.parquet"))
+    assert len(v1_files) > 8
+
+    # X1: compacts into byte-sized file count as a NEW snapshot
+    n_files = optimize_snapshot(target, target_file_bytes=128 << 20)
+    assert n_files == 1 and target.current_version() == 2
+    v2_files = glob.glob(str(tmp_path / "t" / "v=2" / "*.parquet"))
+    assert len(v2_files) == 1
+    assert target.read().count() == n
+    # the row cap is restored after the compaction commit
+    assert target.max_rows_per_file == 500
+
+    # X4: stats sidecar matches the data and survives reread
+    stats = analyze_snapshot(target)
+    assert stats.records == n and stats.files == 1
+    persisted = read_stats(target)
+    assert persisted["records"] == n and persisted["version"] == 2
+    assert set(persisted["column_bytes"]) == {
+        "l_orderkey", "l_linenumber", "l_quantity"
+    }
+
+    # X3: crashed-commit leftovers go, live snapshots and metadata stay
+    (tmp_path / "t" / "_CURRENT.tmp").write_text("9")
+    (tmp_path / "t" / "stray").mkdir()
+    removed = remove_orphan_files(target)
+    assert removed == ["_CURRENT.tmp", "stray"]
+
+    # X2: count-based expiry keeps the newest snapshot only
+    expired = expire_snapshots(target, keep_last=1)
+    assert expired == [1]
+    assert not os.path.exists(tmp_path / "t" / "v=1")
+    assert target.read().count() == n
+
+    # dispatcher wires MaintenanceSchedule op names to the executors
+    assert run_maintenance(target, "optimize") == 1
+    assert target.current_version() == 3
+
+
+def test_expire_never_drops_current_snapshot(spark, sf_dir, tmp_path):
+    from arcane_framework_scala_spark.sinks.maintenance import expire_snapshots
+    from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+
+    df = spark.range(10)
+    target = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    target.overwrite(df)
+    assert expire_snapshots(target, keep_last=1) == []
+    assert target.read().count() == 10
