@@ -33,6 +33,7 @@ from arcane_framework_scala_spark.functions.merge_key import (
 from arcane_framework_scala_spark.functions import dedup as dd
 from arcane_framework_scala_spark.functions import similarity as sim
 from arcane_framework_scala_spark.functions import text as tx
+from arcane_framework_scala_spark.functions import corpus as cx
 from arcane_framework_scala_spark.operators.dedup_window import (
     backfill_commit_dedup,
     latest_version_per_key,
@@ -44,6 +45,8 @@ from arcane_framework_scala_spark.operators.field_filter import (
 from arcane_framework_scala_spark.operators.event_windows import (
     sessionize,
     sessionize_sql,
+    tumbling_window,
+    tumbling_window_sql,
     windowed_event_stats,
 )
 from arcane_framework_scala_spark.operators.merge_apply import merge_apply
@@ -1595,6 +1598,116 @@ FROM ({_LINEITEM_ENRICHED_SQL})
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation surface (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (exact integer
+    ppm) over the documents table."""
+    return cx.repetition_metrics(_read(spark, sf_dir, "documents"))
+
+
+def q_corpus_contamination(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: every 10th document plays
+    the held-out benchmark; corpus docs sharing any word 8-gram with it
+    are flagged with shared-gram / benchmark-doc counts."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    return cx.contamination(corp, bench, n=8)
+
+
+def q_corpus_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket."""
+    return cx.hash_split(_read(spark, sf_dir, "documents"))
+
+
+def q_corpus_pii_redact(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic email/phone/IP appended per
+    document (the corpus itself is PII-free word soup), then redacted with
+    per-pattern hit counts."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id"),
+            F.lit("@example.org or 555-123-4567 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    return cx.pii_redact(docs)
+
+
+_PII_REDACT_SQL = cx.pii_redact_sql(
+    table="(SELECT doc_id, text || ' reach user' || doc_id || "
+    "'@example.org or 555-123-4567 at 10.0.' || (doc_id % 256) || '.7' "
+    "AS text FROM documents)"
+)
+
+
+def q_t7_stream_window_agg(spark, sf_dir):
+    """T7 via actual Structured Streaming: events staged as 4 parquet
+    files, streamed with maxFilesPerTrigger=1 (4 real micro-batches,
+    Trigger.AvailableNow), tumbling-window aggregation in complete mode
+    to a memory sink. The batch oracle hash-matching this result is the
+    streaming==batch equivalence Structured Streaming promises for
+    deterministic aggregations (reference micro-batch assembly:
+    ``services/streaming/data_providers/DefaultStreamDataProvider.scala``).
+    Memory sink is test-only; production path writes through MergeSink."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_t7_stage_{uuid.uuid4().hex}"
+    )
+    ev.repartition(4).write.parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(stage_dir).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = stream.groupBy(
+        tumbling_window("ts", 86_400).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+            "value_milli_sum"
+        ),
+    )
+    sink = f"t7_sink_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if q.lastProgress is None or q.lastProgress["batchId"] < 1:
+        raise AssertionError("expected multiple streaming micro-batches")
+    return spark.table(sink)
+
+
+_T7_STREAM_SQL = f"""
+SELECT {tumbling_window_sql('ts', 86_400)} AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
+FROM events
+GROUP BY ALL
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1655,6 +1768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_embedding_near_dup,
         "t_window_agg": q_window_agg,
         "t_sessionize": q_sessionize,
+        "corpus_repetition": q_corpus_repetition,
+        "corpus_contamination": q_corpus_contamination,
+        "corpus_hash_split": q_corpus_hash_split,
+        "corpus_pii_redact": q_corpus_pii_redact,
+        "t7_stream_window_agg": q_t7_stream_window_agg,
     }
 
 
@@ -1727,4 +1845,11 @@ WHERE rk = 1
         ),
         "t_window_agg": _WINDOW_AGG_SQL,
         "t_sessionize": sessionize_sql("events", gap_seconds=1800),
+        "corpus_repetition": cx.repetition_metrics_sql(),
+        "corpus_contamination": cx.contamination_sql(
+            "doc_id % 10 != 0", "doc_id % 10 = 0", n=8
+        ),
+        "corpus_hash_split": cx.hash_split_sql(),
+        "corpus_pii_redact": _PII_REDACT_SQL,
+        "t7_stream_window_agg": _T7_STREAM_SQL,
     }

@@ -1,0 +1,339 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond-reference surface (same family as :mod:`functions.text` /
+:mod:`functions.dedup`): the filters a 100 TB pre-training corpus needs
+between raw scrape and tokenizer —
+
+- **repetition_metrics** — Gopher-style within-document repetition
+  signals (duplicate-word fraction, top-2/3-gram fraction, duplicated
+  5-gram fraction; Rae et al. 2021 §A1.1) used to drop degenerate/looping
+  documents.
+- **contamination** — GPT-3-style benchmark decontamination (Brown et
+  al. 2020 §C): flag corpus documents sharing any word n-gram with a
+  held-out benchmark set.
+- **hash_split** — deterministic, shuffle-free train/val/test assignment
+  by stable key hash; reproducible across runs and engines.
+- **pii_redact** — regex scrubbing of emails / phone numbers / IPv4
+  addresses with per-pattern hit counts.
+
+Everything is JVM-side ``pyspark.sql.functions`` expressions — no Python
+UDFs — so plans stay inside whole-stage codegen. Each operator has a
+matching DuckDB SQL generator computing identical values (the oracle
+gate). Ratios are reported as exact integer parts-per-million
+(``(1e6 * num) div den``) so float formatting can never diverge between
+engines.
+
+Scale notes (100 TB posture):
+- ``repetition_metrics`` is explode → two keyed aggregations. The first
+  groupBy key is (doc, n, gram) — hash-uniform, no skew — and map-side
+  partial aggregation collapses each document's grams within a partition
+  before the shuffle, so shuffled bytes ≈ distinct grams, not token
+  count. Per-doc n-gram distincting never materializes a per-doc map.
+- ``contamination`` broadcasts the benchmark side (eval suites are MBs);
+  the corpus side streams through a broadcast-hash join and one keyed
+  aggregation. ``array_distinct`` inside the projection keeps per-doc
+  duplicate grams out of the join entirely.
+- ``hash_split`` / ``pii_redact`` are pure narrow projections — zero
+  shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions._parallel import (
+    spread_for_compute as _spread,
+)
+
+_PPM = 1_000_000
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher §A1.1 flavor)
+# ---------------------------------------------------------------------------
+
+_REP_NS = (1, 2, 3, 5)
+
+
+def _gram_structs(n: int) -> Column:
+    """array<struct<n,g>> of the document's word n-grams (``w`` bound)."""
+    body = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)), "
+        f"i -> struct({n} as n, concat_ws(' ', slice(w, i, {n})) as g))"
+    )
+    empty = F.expr("array()").cast("array<struct<n:int,g:string>>")
+    return F.when(F.size(F.col("w")) >= n, body).otherwise(empty)
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals as exact integer ppm.
+
+    Output: ``(id_col, words, dup_word_ppm, top_2gram_ppm, top_3gram_ppm,
+    dup_5gram_ppm)``. ``dup_word_ppm`` = fraction of word occurrences that
+    are repeats; ``top_kgram_ppm`` = share of the single most frequent
+    k-gram; ``dup_5gram_ppm`` = share of 5-gram occurrences appearing more
+    than once. Documents shorter than k words report 0 for that metric.
+    """
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+        )
+    )
+    grams = F.flatten(F.array(*[_gram_structs(n) for n in _REP_NS]))
+    exploded = base.select("id", F.explode(grams).alias("x")).select(
+        "id", F.col("x.n").alias("n"), F.col("x.g").alias("g")
+    )
+    counts = exploded.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    # One fused per-doc aggregation over the (id, n, gram) counts: the
+    # per-n rollup and the per-doc pivot collapse into conditional
+    # aggregates, so the whole operator is exactly two shuffles (gram
+    # counts, then ~1 partial row per doc per partition).
+    n_is = lambda n: F.col("n") == n  # noqa: E731
+
+    agg = counts.groupBy("id").agg(
+        F.sum(F.when(n_is(1), F.col("cnt"))).alias("w_total"),
+        F.count(F.when(n_is(1), F.lit(1))).alias("w_nd"),
+        F.max(F.when(n_is(2), F.col("cnt"))).alias("g2_mx"),
+        F.sum(F.when(n_is(2), F.col("cnt"))).alias("g2_total"),
+        F.max(F.when(n_is(3), F.col("cnt"))).alias("g3_mx"),
+        F.sum(F.when(n_is(3), F.col("cnt"))).alias("g3_total"),
+        F.coalesce(
+            F.sum(F.when(n_is(5) & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)
+        ).alias("g5_dup"),
+        F.sum(F.when(n_is(5), F.col("cnt"))).alias("g5_total"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("w_total").alias("words"),
+        F.expr(f"({_PPM} * (w_total - w_nd)) div w_total").alias("dup_word_ppm"),
+        F.expr(f"coalesce(({_PPM} * g2_mx) div g2_total, 0)").alias(
+            "top_2gram_ppm"
+        ),
+        F.expr(f"coalesce(({_PPM} * g3_mx) div g3_total, 0)").alias(
+            "top_3gram_ppm"
+        ),
+        F.expr(f"coalesce(({_PPM} * g5_dup) div g5_total, 0)").alias(
+            "dup_5gram_ppm"
+        ),
+    )
+
+
+def repetition_metrics_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB oracle computing the identical ppm values."""
+    ns = ", ".join(f"({n})" for n in _REP_NS)
+    return f"""
+WITH w AS (SELECT {id_col} AS id, string_split({text_col}, ' ') AS w FROM {table}),
+g AS (
+  SELECT id, n, array_to_string(w[i:i+n-1], ' ') AS g
+  FROM w
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) AS u(i)
+  CROSS JOIN (VALUES {ns}) AS t(n)
+  WHERE i <= len(w) - n + 1
+),
+c AS (SELECT id, n, g, count(*) AS cnt FROM g GROUP BY ALL),
+p AS (
+  -- CAST: DuckDB sum() yields HUGEINT, which pandas/Arrow turns into
+  -- float64 and the driver's value hash then diverges on formatting
+  SELECT id, n, CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS mx,
+         count(*) AS nd,
+         CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup
+  FROM c GROUP BY ALL
+),
+a AS (
+  SELECT id,
+    max(CASE WHEN n = 1 THEN total END) AS w_total,
+    max(CASE WHEN n = 1 THEN nd END) AS w_nd,
+    max(CASE WHEN n = 2 THEN mx END) AS g2_mx,
+    max(CASE WHEN n = 2 THEN total END) AS g2_total,
+    max(CASE WHEN n = 3 THEN mx END) AS g3_mx,
+    max(CASE WHEN n = 3 THEN total END) AS g3_total,
+    max(CASE WHEN n = 5 THEN dup END) AS g5_dup,
+    max(CASE WHEN n = 5 THEN total END) AS g5_total
+  FROM p GROUP BY id
+)
+SELECT id AS {id_col},
+  w_total AS words,
+  ({_PPM} * (w_total - w_nd)) // w_total AS dup_word_ppm,
+  coalesce(({_PPM} * g2_mx) // g2_total, 0) AS top_2gram_ppm,
+  coalesce(({_PPM} * g3_mx) // g3_total, 0) AS top_3gram_ppm,
+  coalesce(({_PPM} * g5_dup) // g5_total, 0) AS dup_5gram_ppm
+FROM a
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (GPT-3 §C flavor)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(out_id, g): each document's DISTINCT word n-grams. Distincting via
+    ``array_distinct`` inside the projection — no extra shuffle."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(w) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias(out_id), w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(out_id, F.explode(grams).alias("g"))
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus documents sharing ≥1 word ``n``-gram with the benchmark set.
+
+    Output: ``(id_col, hit_grams, bench_docs)`` — distinct shared grams
+    and distinct benchmark documents hit. The benchmark side (eval
+    suites: MBs, not TBs) is broadcast; the corpus never shuffles for the
+    join, only for the final per-doc aggregation.
+    """
+    c = _distinct_grams(_spread(corpus), id_col, text_col, n, "id")
+    b = _distinct_grams(benchmark, id_col, text_col, n, "bench_id")
+    return (
+        c.join(F.broadcast(b), "g")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("g").alias("hit_grams"),
+            F.countDistinct("bench_id").alias("bench_docs"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def contamination_sql(
+    corpus_pred: str,
+    bench_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    grams = f"""
+  SELECT DISTINCT {id_col} AS id, array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table} WHERE {{pred}})
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - {n} + 2)) AS i) AS u(i)
+"""
+    return f"""
+WITH cg AS ({grams.format(pred=corpus_pred)}),
+bg AS ({grams.format(pred=bench_pred)})
+SELECT cg.id AS {id_col},
+       count(DISTINCT cg.g) AS hit_grams,
+       count(DISTINCT bg.id) AS bench_docs
+FROM cg JOIN bg USING (g)
+GROUP BY cg.id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+    cuts: tuple[tuple[str, int], ...] = (("train", 800), ("val", 900), ("test", 1000)),
+) -> DataFrame:
+    """Stable split assignment: md5(key) → bucket in [0, buckets) →
+    first label whose cumulative cut exceeds the bucket. Engine- and
+    run-independent (pure key hash, no RNG, no shuffle); the same id_col
+    value lands in the same split forever — the property a training
+    pipeline needs so val/test never leak into train across re-runs.
+    """
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    expr = None
+    for name, cut in cuts:
+        expr = (
+            F.when(b < cut, F.lit(name))
+            if expr is None
+            else expr.when(b < cut, F.lit(name))
+        )
+    return df.select(
+        F.col(id_col), b.alias("bucket"), expr.otherwise(F.lit(None)).alias("split")
+    )
+
+
+def hash_split_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+    cuts: tuple[tuple[str, int], ...] = (("train", 800), ("val", 900), ("test", 1000)),
+) -> str:
+    b = (
+        f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {buckets}"
+    )
+    whens = " ".join(f"WHEN {b} < {cut} THEN '{name}'" for name, cut in cuts)
+    return (
+        f"SELECT {id_col}, {b} AS bucket, CASE {whens} END AS split FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / phones / IPv4s; count hits per pattern.
+
+    Output: ``(id_col, clean_text, email_hits, phone_hits, ip_hits)``.
+    Counts are measured on the original text; replacements are applied in
+    PII_PATTERNS order (emails first, so an address's host part is never
+    half-eaten by the IP rule). Narrow projection — no shuffle.
+    """
+    clean = F.col(text_col)
+    hits = []
+    for name, pat, repl in PII_PATTERNS:
+        hits.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"{name}_hits")
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *hits)
+
+
+def pii_redact_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    clean = text_col
+    hits = []
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB string literals pass backslashes through untouched — the
+        # pattern goes in verbatim (only quotes need SQL escaping).
+        p = pat.replace("'", "''")
+        hits.append(
+            f"len(regexp_extract_all({text_col}, '{p}')) AS {name}_hits"
+        )
+        clean = f"regexp_replace({clean}, '{p}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_col}, {clean} AS clean_text, {', '.join(hits)} FROM {table}"
+    )

@@ -1,0 +1,124 @@
+"""Unit tests for corpus-curation operators (hand-computed micro-fixtures).
+
+The sf-scale oracle parity lives in the driver gate (`corpus_*` queries);
+these pin the semantics on inputs small enough to verify by hand.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.functions.corpus import (
+    contamination,
+    hash_split,
+    pii_redact,
+    repetition_metrics,
+)
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestRepetitionMetrics:
+    def test_hand_computed(self, spark):
+        # "a b a b c": words=5, distinct=3 -> dup_word = 2/5
+        # 2-grams: [a b, b a, a b, b c] -> top = 2/4
+        # 3-grams: [a b a, b a b, a b c] -> top = 1/3
+        # 5-grams: [a b a b c] -> dup = 0
+        row = repetition_metrics(_docs(spark, "a b a b c")).first()
+        assert row.words == 5
+        assert row.dup_word_ppm == 400_000
+        assert row.top_2gram_ppm == 500_000
+        assert row.top_3gram_ppm == 333_333
+        assert row.dup_5gram_ppm == 0
+
+    def test_degenerate_loop_maxes_out(self, spark):
+        row = repetition_metrics(_docs(spark, " ".join(["spam"] * 12))).first()
+        assert row.dup_word_ppm == 916_666  # 11/12
+        assert row.top_2gram_ppm == 1_000_000
+        assert row.dup_5gram_ppm == 1_000_000
+
+    def test_short_doc_reports_zero_for_missing_n(self, spark):
+        row = repetition_metrics(_docs(spark, "one two")).first()
+        assert row.words == 2
+        assert row.top_2gram_ppm == 1_000_000  # single 2-gram is the top one
+        assert row.top_3gram_ppm == 0
+        assert row.dup_5gram_ppm == 0
+
+
+class TestContamination:
+    def test_shared_ngram_flagged(self, spark):
+        bench = _docs(spark, "the quick brown fox jumps over the lazy dog")
+        corpus = spark.createDataFrame(
+            [
+                (10, "prefix the quick brown fox jumps over the lazy dog suffix"),
+                (11, "completely unrelated words in this document body here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = contamination(corpus, bench, n=8).collect()
+        assert len(rows) == 1
+        assert rows[0].doc_id == 10
+        # shared 8-grams: positions 2..3 of the contaminated doc
+        assert rows[0].hit_grams == 2
+        assert rows[0].bench_docs == 1
+
+    def test_duplicate_grams_counted_once(self, spark):
+        bench = _docs(spark, "a b c d e f g h")
+        corpus = spark.createDataFrame(
+            [(5, "a b c d e f g h x a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        row = contamination(corpus, bench, n=8).first()
+        assert row.hit_grams == 1  # distinct per doc, despite 2 occurrences
+
+
+class TestHashSplit:
+    def test_deterministic_and_partitioned(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+        b = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+        assert a == b  # pure hash, no RNG
+        splits = {v[1] for v in a.values()}
+        assert splits == {"train", "val", "test"}
+        frac_train = sum(v[1] == "train" for v in a.values()) / 1000
+        assert 0.75 < frac_train < 0.85  # md5 buckets ~uniform
+
+    def test_respects_custom_cuts(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        rows = hash_split(df, cuts=(("all", 1000),)).collect()
+        assert all(r.split == "all" for r in rows)
+
+
+class TestPiiRedact:
+    def test_all_patterns(self, spark):
+        df = _docs(
+            spark,
+            "mail bob.smith+x@corp.example.co or call 555-867-5309 "
+            "from 192.168.1.100 today",
+        )
+        row = pii_redact(df).first()
+        assert row.clean_text == "mail [EMAIL] or call [PHONE] from [IP] today"
+        assert (row.email_hits, row.phone_hits, row.ip_hits) == (1, 1, 1)
+
+    def test_clean_text_untouched(self, spark):
+        df = _docs(spark, "no personal data in here at all")
+        row = pii_redact(df).first()
+        assert row.clean_text == "no personal data in here at all"
+        assert (row.email_hits, row.phone_hits, row.ip_hits) == (0, 0, 0)
+
+    def test_ip_host_address_falls_to_ip_rule(self, spark):
+        # an IP-host address has no alpha TLD, so the email rule skips it
+        # and the IP rule still scrubs the host part
+        df = _docs(spark, "x admin@10.0.0.7 y")
+        row = pii_redact(df).first()
+        assert row.clean_text == "x admin@[IP] y"
+        assert (row.email_hits, row.ip_hits) == (0, 1)
+
+
+@pytest.mark.parametrize("n", [1, 2])
+def test_repetition_handles_tiny_docs(spark, n):
+    row = repetition_metrics(_docs(spark, " ".join("w" * 1 for _ in range(n)))).first()
+    assert row.words == n
