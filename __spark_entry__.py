@@ -1648,6 +1648,50 @@ _PII_REDACT_SQL = cx.pii_redact_sql(
 )
 
 
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """The composed curation decision a pre-training pipeline runs per
+    document: narrow text metrics (token count, language-ID) from the
+    scan projection, repetition metrics from the aggregation path, joined
+    on doc_id into a single keep/drop verdict (Gopher-style thresholds).
+    One scan feeds both branches; the join is co-keyed on doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    narrow = docs.select(
+        "doc_id",
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+    )
+    rep = cx.repetition_metrics(docs).select(
+        "doc_id", "words", "dup_word_ppm", "top_2gram_ppm"
+    )
+    keep = (
+        (F.col("lang") != "und")
+        & (F.col("words") >= 10)
+        & (F.col("dup_word_ppm") < 900_000)
+        & (F.col("top_2gram_ppm") < 200_000)
+    )
+    return narrow.join(rep, "doc_id").select(
+        "doc_id", "lang", "ws_tokens", "words", "dup_word_ppm",
+        "top_2gram_ppm", keep.alias("keep"),
+    )
+
+
+_CURATION_SQL = f"""
+WITH narrow AS (
+  SELECT doc_id, {tx.lang_id_sql('text')} AS lang,
+         {tx.token_count_sql('text')} AS ws_tokens
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, words, dup_word_ppm, top_2gram_ppm
+  FROM ({cx.repetition_metrics_sql()})
+)
+SELECT narrow.doc_id, lang, ws_tokens, words, dup_word_ppm, top_2gram_ppm,
+       (lang != 'und' AND words >= 10 AND dup_word_ppm < 900000
+        AND top_2gram_ppm < 200000) AS keep
+FROM narrow JOIN rep ON narrow.doc_id = rep.doc_id
+"""
+
+
 def q_t7_stream_window_agg(spark, sf_dir):
     """T7 via actual Structured Streaming: events staged as 4 parquet
     files, streamed with maxFilesPerTrigger=1 (4 real micro-batches,
@@ -1772,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination": q_corpus_contamination,
         "corpus_hash_split": q_corpus_hash_split,
         "corpus_pii_redact": q_corpus_pii_redact,
+        "corpus_curation_pipeline": q_corpus_curation_pipeline,
         "t7_stream_window_agg": q_t7_stream_window_agg,
     }
 
@@ -1851,5 +1896,6 @@ WHERE rk = 1
         ),
         "corpus_hash_split": cx.hash_split_sql(),
         "corpus_pii_redact": _PII_REDACT_SQL,
+        "corpus_curation_pipeline": _CURATION_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
     }
