@@ -1751,6 +1751,92 @@ GROUP BY ALL
 """
 
 
+def q_t_stateful_first_seen(spark, sf_dir):
+    """Custom stateful operator (``applyInPandasWithState``) through the
+    driver gate with a strict oracle: events staged as 4 time-quartile
+    files (mtimes forced ascending so the file source replays them in
+    event-time order, one micro-batch each), projected to
+    ``(user_id, ts_key)`` with a zero-padded ts so lexicographic ==
+    numeric order. Cross-batch first-seen-per-user state then emits
+    exactly each user's minimum-ts row — SQL-expressible as
+    ``min(ts_key) GROUP BY user_id``, so streaming state management gets
+    a value-hash check, not a rows-only one."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.streaming.stateful import (
+        stateful_first_seen,
+    )
+
+    _harden_session(spark)
+    # ts_key truncates nanos→micros: DuckDB reads TIMESTAMP(NANOS) at
+    # micro precision, and truncation is order-preserving so min-per-user
+    # is unchanged. Exact int64 arithmetic (see tumbling_window note).
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.lpad(
+            (F.col("ts") - (F.col("ts") % 1000)).cast("string"), 20, "0"
+        ).alias("ts_key"),
+        F.col("ts").alias("ts"),
+    )
+    qs = ev.agg(
+        F.expr("percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)")
+    ).first()[0]
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_tfs_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    bounds = [None, *qs, None]
+    mtime = 1_000_000_000
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") <= bounds[i + 1])
+        sub = os.path.join(stage_dir, f"q{i}")
+        part.drop("ts").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                src = os.path.join(sub, f)
+                dst = os.path.join(stage_dir, f"{i:02d}.parquet")
+                os.rename(src, dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    stream = spark.readStream.schema(
+        "user_id long, ts_key string"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{stage_dir}/*.parquet")
+    sink = f"tfs_sink_{uuid.uuid4().hex}"
+    # 150 distinct users: 32 state-store partitions × 4 micro-batches is
+    # pure checkpoint overhead at gate scale — drop to 8 for the stream
+    # (state partitioning is fixed at query start), restore after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_first_seen(stream, "user_id")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if q.lastProgress is None or q.lastProgress["batchId"] < 3:
+        raise AssertionError("expected 4 streaming micro-batches")
+    return spark.table(sink)
+
+
+_T_STATEFUL_FIRST_SEEN_SQL = """
+SELECT user_id,
+       min(lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0')) AS ts_key
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1818,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_curation_pipeline": q_corpus_curation_pipeline,
         "t7_stream_window_agg": q_t7_stream_window_agg,
+        "t_stateful_first_seen": q_t_stateful_first_seen,
     }
 
 
@@ -1898,4 +1985,5 @@ WHERE rk = 1
         "corpus_pii_redact": _PII_REDACT_SQL,
         "corpus_curation_pipeline": _CURATION_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
+        "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
     }
