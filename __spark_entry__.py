@@ -1751,6 +1751,85 @@ GROUP BY ALL
 """
 
 
+def q_t7_stream_merge_vertical(spark, sf_dir):
+    """The production T7 path on actual Structured Streaming: CT change
+    rows staged as three version-ordered files (mtimes ascending),
+    ``readStream`` → ``foreachBatch`` → MergeSink.apply → watermark
+    commit per batch. Version-guarded incremental merges applied in
+    version order must converge to the single full-range M1 merge —
+    the same oracle SQL — and the watermark must land at head with one
+    commit per micro-batch (merge-before-watermark T2 ordering on the
+    streaming path; reference
+    ``services/streaming/graph_builders/GenericGraphBuilderFactory.scala``
+    stream→merge→commit assembly)."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+        Watermark,
+    )
+
+    _harden_session(spark)
+    thr = _events_threshold(spark, sf_dir)
+    head = _read(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    step = (head - thr) // 3
+    cuts = [thr, thr + step, thr + 2 * step, head]
+    run_dir = tempfile.mkdtemp(prefix="arcane_t7m_run_")
+
+    stage_dir = os.path.join(run_dir, "stage")
+    os.makedirs(stage_dir)
+    mtime = 1_000_000_000
+    schema = None
+    for i in range(3):
+        part = _mssql_changes(spark, sf_dir, lower=cuts[i], upper=cuts[i + 1])
+        schema = part.schema
+        sub = os.path.join(stage_dir, f"q{i}")
+        part.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(stage_dir, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.overwrite(_mssql_target(spark, sf_dir, thr))
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+    store.commit(Watermark.now(version=str(thr)))
+    commits = []
+
+    def apply_batch(batch_df, batch_id):
+        sink.apply(batch_df)
+        v = batch_df.agg(F.max("SYS_CHANGE_VERSION")).first()[0]
+        store.commit(Watermark.now(version=str(v)))
+        commits.append(v)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage_dir}/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if len(commits) != 3 or commits != sorted(commits):
+        raise AssertionError(f"expected 3 version-ordered commits: {commits}")
+    if store.read().version != str(commits[-1]):
+        raise AssertionError(f"watermark not at head: {store.read()}")
+    return target.read().select(
+        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+    )
+
+
 def q_t_stateful_first_seen(spark, sf_dir):
     """Custom stateful operator (``applyInPandasWithState``) through the
     driver gate with a strict oracle: events staged as 4 time-quartile
@@ -1904,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_curation_pipeline": q_corpus_curation_pipeline,
         "t7_stream_window_agg": q_t7_stream_window_agg,
+        "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
         "t_stateful_first_seen": q_t_stateful_first_seen,
     }
 
@@ -1985,5 +2065,6 @@ WHERE rk = 1
         "corpus_pii_redact": _PII_REDACT_SQL,
         "corpus_curation_pipeline": _CURATION_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
+        "t7_stream_merge_vertical": _M1_SQL,
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
     }
