@@ -34,6 +34,7 @@ from arcane_framework_scala_spark.functions import dedup as dd
 from arcane_framework_scala_spark.functions import similarity as sim
 from arcane_framework_scala_spark.functions import text as tx
 from arcane_framework_scala_spark.functions import corpus as cx
+from arcane_framework_scala_spark.functions import kmeans as km
 from arcane_framework_scala_spark.operators.dedup_window import (
     backfill_commit_dedup,
     latest_version_per_key,
@@ -890,6 +891,33 @@ def q_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(
         _read(spark, sf_dir, "embeddings"), _COSINE_QUERY_IDS, k=10,
         n_centroids=8, n_probe=2,
+    )
+
+
+def q_sim_kmeans_centroids(spark, sf_dir):
+    """Deterministic distributed spherical k-means (3 Lloyd iterations,
+    fixed-point accumulation) — the trained IVF codebook, value-hash
+    checked against the fit unrolled as a DuckDB CTE chain."""
+    from arcane_framework_scala_spark.functions.kmeans import (
+        kmeans_centroids_fixed_point,
+    )
+
+    return kmeans_centroids_fixed_point(
+        _read(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
+def q_sim_ivf_trained_topk(spark, sf_dir):
+    """IVF top-k over the *trained* k-means codebook (fit + search in one
+    plan, codebook broadcast) — upgrades the stand-in-centroid IVF to the
+    production shape end-to-end."""
+    from arcane_framework_scala_spark.functions.kmeans import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    codebook = kmeans_fit(emb, k=8, iters=3)
+    return sim.ivf_topk(
+        emb, _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2,
+        centroids=codebook,
     )
 
 
@@ -1974,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": q_mm_image_features,
         "mm_frame_sample": q_mm_frame_sample,
         "sim_ivf_topk": q_ivf_topk,
+        "sim_kmeans_centroids": q_sim_kmeans_centroids,
+        "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
         "dedup_embedding_cosine": q_embedding_near_dup,
         "t_window_agg": q_window_agg,
         "t_sessionize": q_sessionize,
@@ -2051,6 +2081,13 @@ WHERE rk = 1
         "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
         "sim_ivf_topk": sim.ivf_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+        ),
+        "sim_kmeans_centroids": km.kmeans_centroids_sql(
+            "embeddings", k=8, iters=3
+        ),
+        "sim_ivf_trained_topk": sim.ivf_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2,
+            cent_sql=km.kmeans_codebook_sql("embeddings", k=8, iters=3),
         ),
         "dedup_embedding_cosine": dd.embedding_near_dup_sql(
             "embeddings", threshold=0.35, bits=4

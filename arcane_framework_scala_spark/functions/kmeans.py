@@ -1,0 +1,227 @@
+"""Deterministic distributed k-means (spherical / cosine) for IVF codebooks.
+
+``similarity.ivf_topk`` quantizes the corpus against a codebook; round 1
+shipped a lowest-id stand-in with "swap in trained k-means offline". This
+is that trainer, built so the *whole iterative fit is bit-reproducible
+across engines and partitionings* — which makes even an iterative
+algorithm value-hash checkable against a DuckDB oracle (the unrolled CTE
+chain from :func:`kmeans_centroids_sql`):
+
+- **Init**: the ``k`` lowest-id vectors (no RNG).
+- **Assign**: cosine to each broadcast centroid, rounded to 6 decimals,
+  ties to the lowest centroid id — same rule as ``ivf_topk``'s cells.
+- **Update**: per-dimension means accumulated in **fixed-point int64**
+  (``floor(val·1e6)`` summed as longs, mean = truncating integer
+  division). Float addition is not associative, so a double-sum's value
+  depends on partitioning; integer sums don't — this is what buys
+  run-to-run and engine-to-engine determinism. Centroids LIVE as micro
+  ints between iterations; doubles are derived only by the exact
+  ``micro / 1e6`` (both steps bit-identical in every engine — a
+  ``round(mean, 6)`` variant was measured drifting 1 micro-unit on
+  2/512 dims from Spark HALF_UP vs DuckDB half-even).
+- **Empty cells** keep their previous centroid (standard Lloyd fallback).
+- **Fixed iteration count** — no float-threshold stopping rule to flap.
+
+Scale: everything stays in the DataFrame plan — no driver collect. Per
+iteration: one broadcast-hash assignment join (codebook is k×dim), one
+(cid, pos) aggregation whose shuffle carries k·dim map-side partials per
+partition (not N·dim rows), and a k-row codebook rebuild. Train on a
+sample at 100 TB (any deterministic filter works as the sampler); the
+plan shape is iteration-count linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.similarity import (
+    _dot,
+    _norm,
+    cosine_similarity_sql,
+)
+
+_FP = 1_000_000  # fixed-point scale (micro-units)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit ``k`` spherical-k-means centroids; returns
+    ``(centroid_id, <vec_col> array<double>)``, deterministic in every
+    environment (see module docstring)."""
+    emb = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vn"),
+    )
+
+    def with_float_view(cmicro_df: DataFrame) -> DataFrame:
+        cvec = F.transform(
+            F.col("cmicro"), lambda x: x.cast("double") / F.lit(float(_FP))
+        )
+        return cmicro_df.withColumn("cvec", cvec).withColumn(
+            "cn", _norm(F.col("cvec"))
+        )
+
+    cent = with_float_view(
+        emb.filter(F.col("vid") < k).select(
+            F.col("vid").cast("long").alias("cid"),
+            F.transform(
+                F.col("vec"),
+                lambda x: F.floor(x.cast("double") * F.lit(float(_FP))).cast(
+                    "long"
+                ),
+            ).alias("cmicro"),
+        )
+    )
+    for _ in range(iters):
+        sims = emb.join(F.broadcast(cent)).select(
+            "vid",
+            "vec",
+            "cid",
+            F.round(
+                _dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")),
+                6,
+            ).alias("csim"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+        assigned = (
+            sims.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cid", "vec")
+        )
+        stats = assigned.select(
+            "cid", F.posexplode("vec").alias("pos", "val")
+        ).groupBy("cid", "pos").agg(
+            F.sum(
+                F.floor(
+                    F.col("val").cast("double") * F.lit(float(_FP))
+                ).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        means = stats.select("cid", "pos", F.expr("s div n").alias("m"))
+        newc = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cmicro")
+        )
+        cent = with_float_view(
+            cent.alias("p")
+            .join(newc.alias("nw"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("nw.cmicro"), F.col("p.cmicro")).alias(
+                    "cmicro"
+                ),
+            )
+        )
+    return cent.select(
+        F.col("cid").alias("centroid_id"),
+        F.col("cmicro"),
+        F.col("cvec").alias(vec_col),
+    )
+
+
+def kmeans_centroids_fixed_point(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Gate-friendly flat view: ``(centroid_id, pos, c_micro int64)`` —
+    the fitted codebook exploded per dimension in fixed-point micro
+    units, so value hashing never touches float formatting."""
+    cent = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return cent.select(
+        "centroid_id", F.posexplode("cmicro").alias("pos", "c_micro")
+    )
+
+
+def _kmeans_ctes(
+    table: str, k: int, iters: int, id_col: str, vec_col: str
+) -> tuple[list[str], str]:
+    """Shared CTE chain for the DuckDB oracles; returns (ctes, fview)."""
+    fview = (
+        f"list_transform(cmicro, x -> CAST(x AS DOUBLE) / {_FP}.0)"
+    )
+    csim = cosine_similarity_sql("e.vec", "c.cvec")
+    ctes = [
+        f"""e AS (SELECT {id_col} AS vid, {vec_col} AS vec FROM {table}),
+c0 AS (SELECT CAST({id_col} AS BIGINT) AS cid,
+              list_transform({vec_col},
+                             x -> CAST(floor(CAST(x AS DOUBLE) * {_FP}.0) AS BIGINT)) AS cmicro
+       FROM {table} WHERE {id_col} < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        prev, cur = f"c{t - 1}", f"c{t}"
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vid, vec, cid FROM (
+    SELECT e.vid, e.vec, c.cid,
+           row_number() OVER (PARTITION BY e.vid
+                              ORDER BY round({csim}, 6) DESC, c.cid) AS rk
+    FROM e JOIN (SELECT cid, {fview} AS cvec FROM {prev}) c ON true
+  ) WHERE rk = 1
+),
+s{t} AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(CAST(vec[i] AS DOUBLE) * {_FP}.0) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM a{t} CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) AS u(i)
+  GROUP BY cid, i
+),
+n{t} AS (
+  SELECT cid, list(s // n ORDER BY pos) AS cmicro
+  FROM s{t} GROUP BY cid
+),
+{cur} AS (
+  SELECT p.cid, coalesce(nw.cmicro, p.cmicro) AS cmicro
+  FROM {prev} p LEFT JOIN n{t} nw ON p.cid = nw.cid
+)"""
+        )
+    return ctes, fview
+
+
+def kmeans_centroids_sql(
+    table: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: the fit unrolled as one CTE chain per iteration
+    (assign → fixed-point update → rebuild), final codebook exploded to
+    ``(centroid_id, pos, c_micro)``. Reproduces :func:`kmeans_fit`
+    exactly because every accumulation is integer and every float step
+    is the identical expression."""
+    ctes, _ = _kmeans_ctes(table, k, iters, id_col, vec_col)
+    return f"""
+WITH {", ".join(ctes)}
+SELECT cid AS centroid_id, i - 1 AS pos, cmicro[i] AS c_micro
+FROM c{iters} CROSS JOIN LATERAL (SELECT unnest(range(1, len(cmicro) + 1)) AS i) AS u(i)
+""".strip()
+
+
+def kmeans_codebook_sql(
+    table: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The fitted codebook as a nestable subquery yielding
+    ``(centroid_id, <vec_col> DOUBLE[])`` — plug into
+    ``similarity.ivf_topk_sql(cent_sql=...)``."""
+    ctes, fview = _kmeans_ctes(table, k, iters, id_col, vec_col)
+    return f"""(
+WITH {", ".join(ctes)}
+SELECT cid AS centroid_id, {fview} AS {vec_col} FROM c{iters}
+)""".strip()

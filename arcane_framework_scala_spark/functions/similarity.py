@@ -189,14 +189,16 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_centroids`` cells, probe the ``n_probe`` nearest cells per
     query, exact cosine only within probed cells.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
-    stand-in for a k-means codebook (trainable offline at scale; swapping
-    in trained centroids changes no plan shape).
+    Default centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for a k-means codebook; pass
+    ``centroids=kmeans.kmeans_fit(...)`` (``(centroid_id, <vec_col>)``)
+    for a trained codebook — the plan shape is identical either way.
 
     Plan shape: the codebook broadcasts to the assignment join with norms
     precomputed, so every cosine is a single dot-product fold over carried
@@ -212,8 +214,15 @@ def ivf_topk(
     2× SLOWER at sf0.1: the literal-heavy interpreted expression tree
     loses to the codegen-friendly join + Tungsten window sort, the same
     lesson as the rejected dot-product unrolling (docs/SCALE.md)."""
-    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
+    cent_src = (
+        centroids
+        if centroids is not None
+        else embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    )
+    cent = cent_src.select(
+        "centroid_id",
         F.col(vec_col).alias("__cvec"),
         _norm(F.col(vec_col)).alias("__cn"),
     )
@@ -275,13 +284,20 @@ def ivf_topk_sql(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_sql: str | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     csim = cosine_similarity_sql(f"e.{vec_col}", f"c.{vec_col}")
     qsim = cosine_similarity_sql("q.qvec", f"l.vec")
+    cent_body = (
+        cent_sql
+        if cent_sql is not None
+        else f"SELECT {id_col} AS centroid_id, {vec_col} FROM {table} "
+        f"WHERE {id_col} < {n_centroids}"
+    )
     return f"""
 WITH cent AS (
-  SELECT {id_col} AS centroid_id, {vec_col} FROM {table} WHERE {id_col} < {n_centroids}
+  SELECT * FROM ({cent_body})
 ), assigned AS (
   SELECT e.{id_col} AS vid, e.{vec_col} AS vec, c.centroid_id,
          row_number() OVER (PARTITION BY e.{id_col}

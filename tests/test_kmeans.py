@@ -1,0 +1,62 @@
+"""Unit tests for deterministic spherical k-means (IVF codebook trainer)."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.kmeans import (
+    kmeans_centroids_fixed_point,
+    kmeans_fit,
+)
+from arcane_framework_scala_spark.functions.similarity import ivf_topk
+
+
+def _two_cluster_df(spark):
+    # two tight angular clusters: near +x axis and near +y axis
+    rows = []
+    for i in range(20):
+        e = 0.01 * (i % 5)
+        rows.append((i, [1.0, e]))  # cluster A
+        rows.append((100 + i, [e, 1.0]))  # cluster B
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_separates_angular_clusters(spark):
+    df = _two_cluster_df(spark)
+    cent = {r.centroid_id: r.embedding for r in kmeans_fit(df, k=2, iters=3).collect()}
+    assert len(cent) == 2
+    # one centroid must point near +x, the other near +y
+    dirs = sorted((v[0] > v[1]) for v in cent.values())
+    assert dirs == [False, True], cent
+
+
+def test_deterministic_under_repartition(spark):
+    df = _two_cluster_df(spark)
+    a = sorted(map(tuple, kmeans_centroids_fixed_point(df, k=2, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_centroids_fixed_point(df.repartition(7), k=2, iters=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    # all vectors identical -> every point joins one cell; the other
+    # centroid must survive as its init value instead of vanishing
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.5]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    cent = kmeans_fit(df, k=2, iters=2).collect()
+    assert len(cent) == 2
+
+
+def test_trained_codebook_plugs_into_ivf(spark):
+    df = _two_cluster_df(spark)
+    codebook = kmeans_fit(df, k=2, iters=2)
+    got = ivf_topk(df, query_ids=[0, 100], k=3, n_probe=1, centroids=codebook)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 100}
+    # with n_probe=1 and trained centroids, neighbors of a +x query are
+    # all +x-cluster members (ids < 100), and vice versa
+    for r in rows:
+        assert (r.vec_id < 100) == (r.query_id < 100), r
