@@ -1676,6 +1676,56 @@ _PII_REDACT_SQL = cx.pii_redact_sql(
 )
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Explicit skew mitigation end-to-end: events join a tiny per-type
+    dim through ``salted_join`` (hot event_type keys scattered over 8
+    sub-keys), then ``two_phase_agg`` rolls up per user via (key, salt)
+    partials. Results must equal the plain join+groupBy oracle — salting
+    changes the shuffle layout, never the answer."""
+    from arcane_framework_scala_spark.operators.salting import (
+        salted_join,
+        two_phase_agg,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_mult", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(ev, dim, "event_type", salt=8).withColumn(
+        "adj", F.col("vm") * F.col("type_mult")
+    )
+    return two_phase_agg(
+        joined,
+        key="user_id",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "adj_sum": F.sum("adj"),
+            "max_adj": F.max("adj"),
+        },
+        salt=8,
+    )
+
+
+_SKEW_SALTED_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(adj) AS BIGINT) AS adj_sum, max(adj) AS max_adj
+FROM (
+  SELECT e.user_id,
+         CAST(floor(e.value * 1000) AS BIGINT) * length(e.event_type) AS adj
+  FROM events e
+  JOIN (SELECT DISTINCT event_type FROM events) d
+    ON e.event_type = d.event_type
+)
+GROUP BY user_id
+"""
+
+
 def q_corpus_curation_pipeline(spark, sf_dir):
     """The composed curation decision a pre-training pipeline runs per
     document: narrow text metrics (token count, language-ID) from the
@@ -2012,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_split": q_corpus_hash_split,
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_curation_pipeline": q_corpus_curation_pipeline,
+        "skew_salted_agg": q_skew_salted_agg,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
         "t_stateful_first_seen": q_t_stateful_first_seen,
@@ -2101,6 +2152,7 @@ WHERE rk = 1
         "corpus_hash_split": cx.hash_split_sql(),
         "corpus_pii_redact": _PII_REDACT_SQL,
         "corpus_curation_pipeline": _CURATION_SQL,
+        "skew_salted_agg": _SKEW_SALTED_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
