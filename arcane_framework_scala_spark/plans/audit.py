@@ -27,6 +27,7 @@ class PlanAudit:
     broadcast_joins: int      #: BroadcastHashJoin nodes
     sort_merge_joins: int     #: SortMergeJoin nodes
     nested_loop_joins: int    #: BroadcastNestedLoop + Cartesian (usually a bug)
+    cartesian_products: int   #: non-broadcast CartesianProduct (always a bug)
     exchanges: int            #: shuffle Exchange nodes (AQE may remove some at runtime)
     python_nodes: int         #: BatchEvalPython / ArrowEvalPython / *InPandas
     codegen_spans: int        #: whole-stage codegen regions (0 under AQE pre-execution)
@@ -52,6 +53,7 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         broadcast_joins=nodes("BroadcastHashJoin"),
         sort_merge_joins=nodes("SortMergeJoin"),
         nested_loop_joins=nodes("BroadcastNestedLoopJoin|CartesianProduct"),
+        cartesian_products=nodes("CartesianProduct"),
         exchanges=nodes("Exchange"),
         python_nodes=nodes(
             "BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"

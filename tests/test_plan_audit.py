@@ -115,3 +115,41 @@ def test_lsh_neighbors_single_pass(spark, queries):
         assert a.scans <= 2, (name, a.plan)
         assert a.python_nodes == 0, (name, a.plan)
         assert a.exchanges <= 3, (name, a.plan)
+
+
+def test_corpus_operators_plan_shapes(spark, queries):
+    """Corpus-curation family: repetition is explode + two keyed
+    aggregations (3 exchanges incl. the small-file spread, no Python);
+    contamination joins the benchmark side as a broadcast; hash split and
+    PII redaction are shuffle-free narrow projections."""
+    a = audit_plan(queries["corpus_repetition"](spark, SF_DIR))
+    assert a.python_nodes == 0, a.plan
+    assert a.exchanges <= 3, a.plan
+    a = audit_plan(queries["corpus_contamination"](spark, SF_DIR))
+    assert a.broadcast_joins >= 1, a.plan
+    assert a.sort_merge_joins == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    for name in ("corpus_hash_split", "corpus_pii_redact"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.exchanges == 0, (name, a.plan)
+        assert a.python_nodes == 0, (name, a.plan)
+
+
+def test_kmeans_training_stays_broadcast_and_jvm(spark, queries):
+    """Every k-means Lloyd iteration assigns via a *broadcast* cross
+    join against the k-row codebook (BroadcastNestedLoop by design — the
+    brute-force/IVF pattern); what must never appear is a non-broadcast
+    CartesianProduct, a Python node, or a corpus-sized SMJ, at sf0.1
+    plan-build scale."""
+    a = audit_plan(queries["sim_ivf_trained_topk"](spark, "/root/testdata/sf0.1"))
+    assert a.python_nodes == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
+
+
+def test_salted_join_broadcasts_exploded_dim(spark, queries):
+    """salted_join must broadcast the salt-exploded dim (big side never
+    shuffles for the join); two_phase_agg adds its two keyed exchanges."""
+    a = audit_plan(queries["skew_salted_agg"](spark, SF_DIR))
+    assert a.broadcast_joins >= 1, a.plan
+    assert a.sort_merge_joins == 0, a.plan
+    assert a.python_nodes == 0, a.plan
