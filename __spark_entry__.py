@@ -849,6 +849,27 @@ FROM documents
 """
 
 
+def q_mm_audio_features(spark, sf_dir):
+    from arcane_framework_scala_spark.multimodal import audio_features
+
+    return audio_features(_media_docs(spark, sf_dir), id_col="doc_id", decoder="fake")
+
+
+_MM_AUDIO_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(CASE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 5
+            WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 600000
+            AS BIGINT) AS duration_ms,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 2
+            AS INT) AS channels
+FROM documents
+"""
+
+
 def q_mm_frame_sample(spark, sf_dir):
     from arcane_framework_scala_spark.multimodal import frame_sample
 
@@ -2050,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
         "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
         "mm_frame_sample": q_mm_frame_sample,
         "sim_ivf_topk": q_ivf_topk,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
@@ -2129,6 +2151,7 @@ WHERE rk = 1
             "embeddings", dim=64, bits=8, threshold=0.0
         ),
         "mm_image_features": _MM_IMAGE_FEATURES_SQL,
+        "mm_audio_features": _MM_AUDIO_FEATURES_SQL,
         "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
         "sim_ivf_topk": sim.ivf_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2

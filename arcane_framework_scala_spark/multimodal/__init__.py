@@ -1,6 +1,7 @@
 from arcane_framework_scala_spark.multimodal.media import (
     MEDIA_META_SCHEMA,
     attach_media,
+    audio_features,
     frame_sample,
     image_features,
     resize_images,
@@ -9,6 +10,7 @@ from arcane_framework_scala_spark.multimodal.media import (
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_media",
+    "audio_features",
     "frame_sample",
     "image_features",
     "resize_images",

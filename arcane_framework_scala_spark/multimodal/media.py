@@ -101,6 +101,45 @@ def _decode_image(content: bytes, decoder: str):
     return {"width": img.width, "height": img.height}  # pragma: no cover
 
 
+def _fake_audio(content: bytes) -> dict:
+    """Deterministic pseudo audio properties from the content digest
+    (same reproducible-in-SQL convention as :func:`_fake_dims`):
+    sample_rate picked from 5 standard rates by digest, duration up to
+    10 min, 1-2 channels."""
+    d = hashlib.md5(content).hexdigest()
+    rates = (8000, 16000, 22050, 44100, 48000)
+    return {
+        "sample_rate": rates[int(d[:8], 16) % 5],
+        "duration_ms": 1 + int(d[8:16], 16) % 600_000,
+        "channels": 1 + int(d[16:24], 16) % 2,
+    }
+
+
+def _decode_audio(content: bytes, decoder: str) -> dict:
+    """Unlike image decode, the real WAV path needs only stdlib
+    ``wave`` — actually runnable in this container on real RIFF/WAVE
+    bytes; non-WAV codecs would need soundfile/ffmpeg and raise."""
+    if decoder == "fake":
+        return _fake_audio(content)
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            return {
+                "sample_rate": rate,
+                "duration_ms": (w.getnframes() * 1000) // max(rate, 1),
+                "channels": w.getnchannels(),
+            }
+    except wave.Error as e:
+        raise NotImplementedError(
+            "real audio decoding covers WAV via stdlib wave; other codecs "
+            "need soundfile/ffmpeg (absent here) — pass decoder='fake' "
+            "for the deterministic stub"
+        ) from e
+
+
 # ---------------------------------------------------------------------------
 # Feature extraction (mapInPandas)
 # ---------------------------------------------------------------------------
@@ -138,6 +177,43 @@ def image_features(
                     "digest": [hashlib.md5(c).hexdigest() for c in pdf[media_col]],
                     "width": [d["width"] for d in dims],
                     "height": [d["height"] for d in dims],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    decoder: str = "fake",
+) -> DataFrame:
+    """(id, n_bytes, digest, sample_rate, duration_ms, channels) via
+    Arrow-batched ``mapInPandas`` — the audio sibling of
+    :func:`image_features`, same batch shape and scale posture."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_bytes", LongType()),
+            StructField("digest", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("channels", IntegerType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            props = [_decode_audio(c, decoder) for c in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(c) for c in pdf[media_col]],
+                    "digest": [hashlib.md5(c).hexdigest() for c in pdf[media_col]],
+                    "sample_rate": [p["sample_rate"] for p in props],
+                    "duration_ms": [p["duration_ms"] for p in props],
+                    "channels": [p["channels"] for p in props],
                 }
             )
 

@@ -69,3 +69,51 @@ def test_frame_sample_explodes_per_frame(media_df):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError):
         _decode_image(b"not-an-image", decoder="real")
+
+
+def test_audio_features_fake_matches_python_reference(media_df):
+    import hashlib
+
+    from arcane_framework_scala_spark.multimodal import audio_features
+
+    rows = audio_features(media_df, id_col="doc_id", decoder="fake").collect()
+    raw = {r.doc_id: r.media for r in media_df.select("doc_id", "media").collect()}
+    rates = (8000, 16000, 22050, 44100, 48000)
+    for r in rows:
+        d = hashlib.md5(raw[r.doc_id]).hexdigest()
+        assert r.n_bytes == len(raw[r.doc_id])
+        assert r.digest == d
+        assert r.sample_rate == rates[int(d[:8], 16) % 5]
+        assert r.duration_ms == 1 + int(d[8:16], 16) % 600_000
+        assert r.channels == 1 + int(d[16:24], 16) % 2
+
+
+def test_audio_real_decoder_reads_wav(spark):
+    import io
+    import struct
+    import wave as wave_mod
+
+    from arcane_framework_scala_spark.multimodal import attach_media, audio_features
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<8000h", *([0] * 8000)))  # 4000 stereo frames
+    df = attach_media(
+        spark.createDataFrame([(1, buf.getvalue())], "doc_id long, raw binary"),
+        "raw",
+        mime="audio/wav",
+    )
+    row = audio_features(df, id_col="doc_id", decoder="real").first()
+    assert row.sample_rate == 16000
+    assert row.channels == 2
+    assert row.duration_ms == 4000 * 1000 // 16000
+
+
+def test_audio_real_decoder_rejects_non_wav():
+    from arcane_framework_scala_spark.multimodal.media import _decode_audio
+
+    with pytest.raises(NotImplementedError):
+        _decode_audio(b"not-a-riff-container", decoder="real")
