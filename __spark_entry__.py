@@ -1929,6 +1929,63 @@ def q_t7_stream_merge_vertical(spark, sf_dir):
     )
 
 
+def q_t_stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization through Spark's native ``session_window``
+    on a real stream (4 micro-batches, complete mode): session_window's
+    merge boundary is inclusive (events exactly ``gap`` apart share a
+    session — verified: a 1801 s gap over-merged by one session at
+    sf0.01), so gap = 1800 s reproduces the batch operator's
+    strict-``>`` split rule and the lag+cumsum batch ORACLE
+    (``sessionize_sql``) hash-checks the native streaming session state —
+    two independent implementations, one answer. session_window metadata
+    is discarded in favor of min/max(sec) so the output schema matches
+    the batch operator column-for-column."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", tumbling_window("ts", 1).alias("__sec")
+    )
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_tss_stage_{uuid.uuid4().hex}"
+    )
+    ev.repartition(4).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema("user_id long, __sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = (
+        stream.withColumn("__t", F.timestamp_seconds(F.col("__sec")))
+        .groupBy("user_id", F.session_window("__t", "1800 seconds"))
+        .agg(
+            F.min("__sec").alias("session_id"),
+            F.min("__sec").alias("session_start"),
+            F.max("__sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    )
+    sink = f"tss_sink_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if q.lastProgress is None or q.lastProgress["batchId"] < 1:
+        raise AssertionError("expected multiple streaming micro-batches")
+    return spark.table(sink)
+
+
 def q_t_stateful_first_seen(spark, sf_dir):
     """Custom stateful operator (``applyInPandasWithState``) through the
     driver gate with a strict oracle: events staged as 4 time-quartile
@@ -2087,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
+        "t_stream_sessionize": q_t_stream_sessionize,
         "t_stateful_first_seen": q_t_stateful_first_seen,
     }
 
@@ -2178,5 +2236,6 @@ WHERE rk = 1
         "skew_salted_agg": _SKEW_SALTED_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
+        "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
     }
