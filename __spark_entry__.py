@@ -696,6 +696,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_s9_avro_json(spark, sf_dir):
+    """S9 with the reference's schema contract: an Avro record string
+    (null-first unions, the ``JsonScanner.scala:20-163`` shape) drives
+    the JSON decode via ``avro_schema_to_struct`` → ``from_json`` —
+    a user can feed reference-style Avro schemas verbatim."""
+    import json as _json
+
+    from arcane_framework_scala_spark.schema.avro_interop import (
+        avro_schema_to_struct,
+    )
+
+    avro = _json.dumps(
+        {
+            "type": "record",
+            "name": "Props",
+            "fields": [
+                {"name": "k", "type": ["null", "long"], "default": None}
+            ],
+        }
+    )
+    schema = avro_schema_to_struct(avro, require_null_first_unions=True)
+    ev = _read(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json(F.col("props"), schema).alias("p")
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k")).filter(
+        F.col("k") > 50
+    )
+
+
+_S9_AVRO_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
 def q_tpch_q5ish(spark, sf_dir):
     """Q5-shaped join tree: region→nation→customer→orders→lineitem revenue
     per nation. Dims broadcast explicitly; the lineitem↔orders join is the
@@ -867,6 +904,37 @@ SELECT doc_id,
        CAST(1 + CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 2
             AS INT) AS channels
 FROM documents
+"""
+
+
+def q_mm_resize(spark, sf_dir):
+    from arcane_framework_scala_spark.multimodal import resize_images
+
+    return resize_images(
+        _media_docs(spark, sf_dir), max_side=256, id_col="doc_id", decoder="fake"
+    )
+
+
+# int() in the Python resize truncates; floor() is identical for the
+# positive dims here, and the scale expression keeps the same IEEE op
+# order (w * (256.0 / longest)) on both engines
+_MM_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, encode(text) AS media,
+         CAST(1 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1024
+              AS INT) AS w0,
+         CAST(1 + CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 1024
+              AS INT) AS h0
+  FROM documents
+)
+SELECT doc_id, media,
+       CAST(CASE WHEN greatest(w0, h0) > 256
+                 THEN floor(w0 * (256.0 / greatest(w0, h0))) ELSE w0 END
+            AS INT) AS width,
+       CAST(CASE WHEN greatest(w0, h0) > 256
+                 THEN floor(h0 * (256.0 / greatest(w0, h0))) ELSE h0 END
+            AS INT) AS height
+FROM dims
 """
 
 
@@ -2129,7 +2197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_neighbors": q_lsh_neighbors,
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
+        "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
+        "s9_avro_json": q_s9_avro_json,
         "sim_ivf_topk": q_ivf_topk,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
         "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
@@ -2210,6 +2280,8 @@ WHERE rk = 1
         ),
         "mm_image_features": _MM_IMAGE_FEATURES_SQL,
         "mm_audio_features": _MM_AUDIO_FEATURES_SQL,
+        "mm_resize": _MM_RESIZE_SQL,
+        "s9_avro_json": _S9_AVRO_JSON_SQL,
         "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
         "sim_ivf_topk": sim.ivf_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
