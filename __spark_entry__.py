@@ -1793,9 +1793,9 @@ def q_skew_salted_agg(spark, sf_dir):
         joined,
         key="user_id",
         aggs={
-            "n": F.count(F.lit(1)),
-            "adj_sum": F.sum("adj"),
-            "max_adj": F.max("adj"),
+            "n": ("count", F.lit(1)),
+            "adj_sum": ("sum", "adj"),
+            "max_adj": ("max", "adj"),
         },
         salt=8,
     )

@@ -42,33 +42,50 @@ def salted_join(
     return big_s.join(small_s, [on, _SALT], how).drop(_SALT)
 
 
+# partial aggregate builder and its re-reducer, per declared kind —
+# explicit because non-reducible aggregates (avg, count-distinct,
+# percentiles) CANNOT be re-reduced from partials and Column objects
+# don't expose enough structure to detect them reliably (countDistinct
+# renders identically to count in PySpark 4)
+_REDUCIBLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def two_phase_agg(
     df: DataFrame,
     key: str,
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column | str]],
     salt: int = 16,
 ) -> DataFrame:
     """Aggregate a skewed key in two shuffles: (key, salt) partials, then
-    key finals. ``aggs`` maps output name → *reducible* aggregate column
-    (sum/count→sum, min→min, max→max are handled; anything else is the
-    caller's responsibility to keep re-reducible)."""
+    key finals. ``aggs`` maps output name → ``(kind, column)`` with kind
+    one of ``sum | count | min | max`` — the reducible set. Anything
+    non-reducible (avg, distinct counts, percentiles) must be decomposed
+    by the caller into these partials (avg = sum/count after the rollup);
+    passing it here raises instead of silently mis-reducing."""
     salted = df.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     )
+    for name, (kind, _) in aggs.items():
+        if kind not in _REDUCIBLE:
+            raise ValueError(
+                f"two_phase_agg cannot re-reduce {name!r} (kind={kind!r}): "
+                f"supported kinds are {sorted(_REDUCIBLE)}; decompose "
+                "non-reducible aggregates into sum/count partials"
+            )
     partial = salted.groupBy(key, _SALT).agg(
-        *[c.alias(f"__p_{name}") for name, c in aggs.items()]
+        *[
+            _REDUCIBLE[kind][0](c).alias(f"__p_{name}")
+            for name, (kind, c) in aggs.items()
+        ]
     )
-
-    def _refold(name: str, col: Column) -> Column:
-        expr = str(col._jc)  # e.g. "sum(x) AS total"
-        if expr.startswith("count("):
-            return F.sum(f"__p_{name}")
-        if expr.startswith("min("):
-            return F.min(f"__p_{name}")
-        if expr.startswith("max("):
-            return F.max(f"__p_{name}")
-        return F.sum(f"__p_{name}")  # sum partials re-sum
-
     return partial.groupBy(key).agg(
-        *[_refold(name, c).alias(name) for name, c in aggs.items()]
+        *[
+            _REDUCIBLE[kind][1](f"__p_{name}").alias(name)
+            for name, (kind, _) in aggs.items()
+        ]
     )

@@ -83,11 +83,20 @@ def test_two_phase_agg_matches_plain(spark):
             df,
             "k",
             {
-                "s": F.sum("v"),
-                "c": F.count(F.lit(1)),
-                "mx": F.max("v"),
+                "s": ("sum", "v"),
+                "c": ("count", F.lit(1)),
+                "mx": ("max", "v"),
             },
             salt=8,
         ).collect()
     }
     assert plain == two
+
+
+def test_two_phase_agg_rejects_non_reducible(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    for kind in ("avg", "count_distinct", "percentile"):
+        with _pytest.raises(ValueError, match="cannot re-reduce"):
+            two_phase_agg(df, key="k", aggs={"bad": (kind, "v")})
