@@ -153,3 +153,37 @@ def test_salted_join_broadcasts_exploded_dim(spark, queries):
     assert a.broadcast_joins >= 1, a.plan
     assert a.sort_merge_joins == 0, a.plan
     assert a.python_nodes == 0, a.plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """docs/SCALE.md claims AQE handles runtime-discovered skew (salting
+    is only for *known* pathological keys). Prove it: a 95%-hot join key
+    under lowered skew thresholds must show 'skewed' AQEShuffleRead in
+    the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        j = big.join(dim, "k")
+        j.collect()  # same query execution -> final adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
