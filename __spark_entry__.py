@@ -1765,6 +1765,69 @@ _PII_REDACT_SQL = cx.pii_redact_sql(
 )
 
 
+def q_p10_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing — the pre-partitioning
+    strategy a 100 TB deployment uses for repeated fact-fact joins. Both
+    sides are written ``bucketBy(8, orderkey)`` + in-bucket sort; the
+    join must then plan as a sort-merge over bucketed scans with ZERO
+    exchanges before the final aggregation (asserted on the physical
+    plan — the gate fails if bucketing regresses to a shuffle), with
+    broadcast disabled so the demonstration can't degenerate. Value
+    oracle: the plain join+groupBy SQL."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.plans import audit_plan
+
+    _harden_session(spark)
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix="arcane_p10_")
+    li_t, od_t = f"li_b_{run}", f"od_b_{run}"
+    _read(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).option("path", os.path.join(base, "li")).saveAsTable(li_t)
+    _read(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).option("path", os.path.join(base, "od")).saveAsTable(od_t)
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(li_t).join(
+            spark.table(od_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000
+                ).cast("long")
+            ).alias("rev_milli"),
+        )
+        a = audit_plan(out)
+        if a.exchanges != 1 or a.sort_merge_joins != 1:
+            raise AssertionError(
+                f"bucketed join regressed: {a.exchanges} exchanges, "
+                f"{a.sort_merge_joins} SMJ — expected 1/1\n{a.plan[:2000]}"
+            )
+        # materialize before restoring the broadcast threshold: the gate
+        # collects lazily after this function returns
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+_P10_BUCKETED_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS rev_milli
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Explicit skew mitigation end-to-end: events join a tiny per-type
     dim through ``salted_join`` (hot event_type keys scattered over 8
@@ -2211,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_split": q_corpus_hash_split,
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_curation_pipeline": q_corpus_curation_pipeline,
+        "p10_bucketed_join": q_p10_bucketed_join,
         "skew_salted_agg": q_skew_salted_agg,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
@@ -2305,6 +2369,7 @@ WHERE rk = 1
         "corpus_hash_split": cx.hash_split_sql(),
         "corpus_pii_redact": _PII_REDACT_SQL,
         "corpus_curation_pipeline": _CURATION_SQL,
+        "p10_bucketed_join": _P10_BUCKETED_SQL,
         "skew_salted_agg": _SKEW_SALTED_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
