@@ -1765,6 +1765,54 @@ _PII_REDACT_SQL = cx.pii_redact_sql(
 )
 
 
+_SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+
+
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Deterministic per-source mixture control: md5-bucket sampling at
+    different rates per source, 10% for unlisted sources. Engine- and
+    run-stable (no RNG), unlike df.sample whose draw depends on
+    partition layout."""
+    return cx.stratified_sample(
+        _read(spark, sf_dir, "documents"), _SAMPLE_FRACTIONS, default=0.1
+    )
+
+
+def q_s11_orc_roundtrip(spark, sf_dir):
+    """Format breadth: the events slice written as ORC (Spark-native
+    columnar alternative), read back, and aggregated — the ORC scan must
+    produce byte-identical analytics to the parquet original (the oracle
+    reads the parquet table, so any round-trip corruption hash-fails)."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"arcane_orc_{uuid.uuid4().hex}"
+    )
+    _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.orc(path)
+    ev = spark.read.orc(path)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+            "value_milli_sum"
+        ),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+_S11_ORC_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
 def q_p10_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join via bucketing — the pre-partitioning
     strategy a 100 TB deployment uses for repeated fact-fact joins. Both
@@ -2276,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": q_corpus_curation_pipeline,
         "p10_bucketed_join": q_p10_bucketed_join,
         "skew_salted_agg": q_skew_salted_agg,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "s11_orc_roundtrip": q_s11_orc_roundtrip,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
         "t_stream_sessionize": q_t_stream_sessionize,
@@ -2371,6 +2421,10 @@ WHERE rk = 1
         "corpus_curation_pipeline": _CURATION_SQL,
         "p10_bucketed_join": _P10_BUCKETED_SQL,
         "skew_salted_agg": _SKEW_SALTED_SQL,
+        "corpus_stratified_sample": cx.stratified_sample_sql(
+            _SAMPLE_FRACTIONS, default=0.1
+        ),
+        "s11_orc_roundtrip": _S11_ORC_SQL,
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),

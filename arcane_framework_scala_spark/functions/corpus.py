@@ -288,6 +288,61 @@ def hash_split_sql(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-group downsampling — the data-mixture control a
+    pre-training pipeline applies per source/domain. A row survives iff
+    its md5 bucket falls under its group's fraction; no RNG, so the
+    sample is stable across runs, engines, and partitionings (unlike
+    ``df.sample``, whose selection depends on partition layout). Narrow
+    filter — zero shuffles; at 100 TB the filter sits directly on the
+    scan."""
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    thresh = None
+    for group, frac in sorted(fractions.items()):
+        cut = F.lit(int(frac * buckets))
+        cond = F.col(group_col) == group
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = (
+        thresh.otherwise(F.lit(int(default * buckets)))
+        if thresh is not None
+        else F.lit(int(default * buckets))
+    )
+    return df.filter(b < thresh)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    buckets: int = 1000,
+) -> str:
+    b = (
+        f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {buckets}"
+    )
+    whens = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(f * buckets)}"
+        for g, f in sorted(fractions.items())
+    )
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {b} < (CASE {whens} ELSE {int(default * buckets)} END)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
