@@ -1765,6 +1765,97 @@ _PII_REDACT_SQL = cx.pii_redact_sql(
 )
 
 
+def q_t_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join — the lookup a feature store / CDC
+    state reconstruction needs: every event gets the latest 'purchase
+    state' its user had at or before that second. Union-and-window
+    implementation (one shuffle on the key, no per-row subquery);
+    DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from arcane_framework_scala_spark.operators.temporal_join import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    sec = tumbling_window("ts", 1)
+    left = ev.select("event_id", "user_id", sec.alias("sec"))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            sec.alias("sec"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("user_id", "sec")
+        .agg(F.max("vm").alias("state_vm"))
+    )
+    out = asof_join(left, right, "user_id", "sec", ["state_vm"])
+    # no-prior-state rows are NULL; sentinel them so the oracle's pandas
+    # fetch can't widen the BIGINT column to float64 (the hash would
+    # diverge on 123 vs 123.0 despite identical values)
+    return out.withColumn(
+        "state_vm_asof", F.coalesce(F.col("state_vm_asof"), F.lit(-1))
+    )
+
+
+def _t_asof_join_sql():
+    from arcane_framework_scala_spark.operators.temporal_join import (
+        asof_join_sql,
+    )
+
+    sec = "epoch_ns(ts) // 1000000000"
+    left = f"SELECT event_id, user_id, {sec} AS sec FROM events"
+    right = f"""
+SELECT user_id, sec, max(vm) AS state_vm
+FROM (SELECT user_id, {sec} AS sec,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase')
+GROUP BY user_id, sec
+"""
+    inner = asof_join_sql(
+        left, right, "user_id", "sec",
+        left_cols=["event_id", "user_id", "sec"],
+        right_value_cols=["state_vm"],
+    )
+    return (
+        f"SELECT event_id, user_id, sec, "
+        f"CAST(coalesce(state_vm_asof, -1) AS BIGINT) AS state_vm_asof "
+        f"FROM ({inner})"
+    )
+
+
+def q_t_range_join(spark, sf_dir):
+    """Interval-containment (range) join via time-bin bucketing: every
+    event joined to its user's containing session. Self-consistency is
+    built into the output — joined_events must equal the session's
+    n_events — and the oracle recomputes the same join with a plain
+    BETWEEN predicate."""
+    from arcane_framework_scala_spark.operators.temporal_join import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_seconds=1800)
+    pts = ev.select("user_id", "event_id", tumbling_window("ts", 1).alias("sec"))
+    j = range_join(
+        pts, sess, "sec", "session_start", "session_end",
+        bucket_seconds=3600, extra_key="user_id",
+    )
+    return j.groupBy("user_id", "session_id", "n_events").agg(
+        F.count(F.lit(1)).alias("joined_events")
+    )
+
+
+def _t_range_join_sql():
+    sess = sessionize_sql("events", gap_seconds=1800)
+    sec = "epoch_ns(ts) // 1000000000"
+    return f"""
+WITH sess AS ({sess}),
+pts AS (SELECT user_id, event_id, {sec} AS sec FROM events)
+SELECT p.user_id, s.session_id, s.n_events,
+       CAST(count(*) AS BIGINT) AS joined_events
+FROM pts p JOIN sess s
+  ON p.user_id = s.user_id
+ AND p.sec BETWEEN s.session_start AND s.session_end
+GROUP BY p.user_id, s.session_id, s.n_events
+"""
+
+
 _SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
 
 
@@ -2326,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "s11_orc_roundtrip": q_s11_orc_roundtrip,
+        "t_asof_join": q_t_asof_join,
+        "t_range_join": q_t_range_join,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
         "t_stream_sessionize": q_t_stream_sessionize,
@@ -2425,6 +2518,8 @@ WHERE rk = 1
             _SAMPLE_FRACTIONS, default=0.1
         ),
         "s11_orc_roundtrip": _S11_ORC_SQL,
+        "t_asof_join": _t_asof_join_sql(),
+        "t_range_join": _t_range_join_sql(),
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),

@@ -1,0 +1,140 @@
+"""Temporal joins Spark lacks as built-ins: as-of and bucketed range join.
+
+Both are compositions of existing DataFrame ops (no UDFs, no cross
+products) — the "custom operator as composition" path:
+
+- **as-of join**: for every left row, the latest right row with
+  ``right.ts <= left.ts`` per key (point-in-time lookup — the join a
+  feature store / CDC-state reconstruction needs). Implemented as the
+  union-and-window trick: tag both sides, sort within key by
+  ``(ts, is_left)`` so a right row at exactly the left timestamp is
+  visible (inclusive as-of), and carry the last non-null right payload
+  forward with ``last(..., ignorenulls=True)``. ONE shuffle on the key —
+  never the quadratic per-row subquery, and no range condition for the
+  optimizer to mishandle.
+
+- **range join**: points joined to containing intervals. A naive
+  ``point BETWEEN start AND end`` theta-join degenerates to
+  nested-loop over the full cross product without an equi key. Here
+  intervals are exploded onto fixed time bins (``sequence(start div b,
+  end div b)``) and points join on their single bin — an equi hash join
+  whose fan-out is ``interval_length / bucket`` copies per interval.
+  Each (point, interval) pair meets in exactly one bin (the point's),
+  so no post-join dedup is needed. ``bucket_seconds`` is the scale
+  knob: bins ≈ median interval length keep copies ~2× intervals.
+
+DuckDB expresses both natively (``ASOF JOIN``, ``BETWEEN`` join), which
+is exactly what makes them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right values at
+    or before its timestamp (null when no right row precedes it).
+
+    ``right`` must be unique on ``(key_col, ts_col)`` — dedupe upstream
+    (e.g. groupBy max) since "latest of several rows at the same
+    instant" is ill-defined in any as-of semantic, including DuckDB's.
+    """
+    if right_value_cols is None:
+        right_value_cols = [
+            c for c in right.columns if c not in (key_col, ts_col)
+        ]
+    left_cols = left.columns
+    tagged_left = left.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (key_col, ts_col)],
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *left_cols, *[f"{c}{suffix}" for c in right_value_cols]
+    )
+
+
+def asof_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> str:
+    """DuckDB oracle via native ASOF LEFT JOIN (inclusive <=, same as
+    the Spark operator)."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(f"r.{c} AS {c}{suffix}" for c in right_value_cols)
+    return f"""
+SELECT {lsel}, {rsel}
+FROM ({left_sql}) l
+ASOF LEFT JOIN ({right_sql}) r
+  ON l.{key_col} = r.{key_col} AND l.{ts_col} >= r.{ts_col}
+""".strip()
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Join points to containing intervals (inclusive bounds) via time
+    bins; pass ``extra_key`` to additionally equi-join on a shared key
+    (e.g. user), shrinking each bin to that key's intervals."""
+    bins = F.explode(
+        F.sequence(
+            (F.col(start_col) / bucket_seconds).cast("long"),
+            (F.col(end_col) / bucket_seconds).cast("long"),
+        )
+    ).alias("__bin")
+    ivals = intervals.select("*", bins)
+    pts = points.withColumn(
+        "__bin", (F.col(ts_col) / bucket_seconds).cast("long")
+    )
+    on = ["__bin"] if extra_key is None else [extra_key, "__bin"]
+    return (
+        pts.join(ivals, on)
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )

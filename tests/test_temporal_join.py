@@ -1,0 +1,82 @@
+"""Unit tests for as-of and bucketed range joins (hand-built fixtures)."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.operators.temporal_join import (
+    asof_join,
+    range_join,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestAsofJoin:
+    def test_basic_carry_forward_and_tie(self, spark):
+        left = _df(
+            spark,
+            [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+            "k long, ts long, tag string",
+        )
+        right = _df(
+            spark,
+            [(1, 10, 100), (1, 15, 200), (2, 99, 300)],
+            "k long, ts long, v long",
+        )
+        got = {
+            r.tag: r.v_asof for r in asof_join(left, right, "k", "ts").collect()
+        }
+        assert got["a"] is None  # nothing at or before ts=5
+        assert got["b"] == 100  # exact tie ts=10 is inclusive
+        assert got["c"] == 200  # latest at-or-before wins
+        assert got["d"] is None  # right exists only later
+    def test_multiple_left_rows_same_instant(self, spark):
+        left = _df(
+            spark, [(1, 10, "x"), (1, 10, "y")], "k long, ts long, tag string"
+        )
+        right = _df(spark, [(1, 10, 7)], "k long, ts long, v long")
+        rows = asof_join(left, right, "k", "ts").collect()
+        assert sorted((r.tag, r.v_asof) for r in rows) == [("x", 7), ("y", 7)]
+
+    def test_multiple_value_columns(self, spark):
+        left = _df(spark, [(1, 10)], "k long, ts long")
+        right = _df(spark, [(1, 4, 1, 2.5)], "k long, ts long, a long, b double")
+        row = asof_join(left, right, "k", "ts").first()
+        assert (row.a_asof, row.b_asof) == (1, 2.5)
+
+
+class TestRangeJoin:
+    def test_inclusive_bounds_and_bin_crossing(self, spark):
+        pts = _df(
+            spark,
+            [(1, 0), (1, 100), (1, 250), (1, 251), (2, 100)],
+            "k long, ts long",
+        )
+        ivals = _df(
+            spark,
+            [(1, 100, 250, "s1"), (2, 0, 99, "s2")],
+            "k long, lo long, hi long, name string",
+        )
+        got = range_join(
+            pts, ivals, "ts", "lo", "hi", bucket_seconds=60, extra_key="k"
+        ).collect()
+        matched = sorted((r.ts, r.name) for r in got)
+        # 100 and 250 inclusive; 0, 251 outside; user 2's 100 after s2
+        assert matched == [(100, "s1"), (250, "s1")]
+
+    def test_no_duplicate_matches_across_bins(self, spark):
+        # interval spans many bins; each point must match exactly once
+        pts = _df(spark, [(1, i) for i in range(0, 500, 50)], "k long, ts long")
+        ivals = _df(spark, [(1, 0, 499, "wide")], "k long, lo long, hi long, name string")
+        got = range_join(
+            pts, ivals, "ts", "lo", "hi", bucket_seconds=10, extra_key="k"
+        )
+        assert got.count() == 10
+        assert got.select("ts").distinct().count() == 10
+
+    def test_without_extra_key_joins_on_time_only(self, spark):
+        pts = _df(spark, [(1, 5), (2, 500)], "k long, ts long")
+        ivals = _df(spark, [(9, 0, 10, "early")], "k2 long, lo long, hi long, name string")
+        got = range_join(pts, ivals, "ts", "lo", "hi", bucket_seconds=100).collect()
+        assert [(r.k, r.name) for r in got] == [(1, "early")]
