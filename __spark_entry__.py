@@ -1765,6 +1765,32 @@ _PII_REDACT_SQL = cx.pii_redact_sql(
 )
 
 
+def q_t_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous aggregate: minute rollup from raw,
+    hour re-reduced from minutes, day re-reduced from hours — raw data
+    scanned once, every coarser level derived from partials. The oracle
+    computes the DAY level directly from raw rows, so any mis-reduction
+    anywhere in the cascade hash-fails. (The mergeable HLL distinct
+    sketch rides the same cascade; its union-vs-direct equality is
+    pinned in tests/test_rollup_cascade.py — estimates are
+    library-specific, so it stays out of the SQL oracle.)"""
+    from arcane_framework_scala_spark.operators.rollup_cascade import (
+        rollup_cascade,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    levels = rollup_cascade(ev, levels=(60, 3600, 86_400))
+    return levels[86_400].drop("users_hll")
+
+
+def _t_rollup_cascade_sql():
+    from arcane_framework_scala_spark.operators.rollup_cascade import (
+        rollup_exact_sql,
+    )
+
+    return rollup_exact_sql("events", 86_400)
+
+
 def q_t_asof_join(spark, sf_dir):
     """Point-in-time (as-of) join — the lookup a feature store / CDC
     state reconstruction needs: every event gets the latest 'purchase
@@ -2419,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_orc_roundtrip": q_s11_orc_roundtrip,
         "t_asof_join": q_t_asof_join,
         "t_range_join": q_t_range_join,
+        "t_rollup_cascade": q_t_rollup_cascade,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
         "t_stream_sessionize": q_t_stream_sessionize,
@@ -2520,6 +2547,7 @@ WHERE rk = 1
         "s11_orc_roundtrip": _S11_ORC_SQL,
         "t_asof_join": _t_asof_join_sql(),
         "t_range_join": _t_range_join_sql(),
+        "t_rollup_cascade": _t_rollup_cascade_sql(),
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
