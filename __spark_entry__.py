@@ -2123,14 +2123,21 @@ def q_t7_stream_window_agg(spark, sf_dir):
         ),
     )
     sink = f"t7_sink_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 150 output groups: default shuffle partitioning is pure state-store
+    # overhead per micro-batch at gate scale (see t_stateful_first_seen)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if q.lastProgress is None or q.lastProgress["batchId"] < 1:
         raise AssertionError("expected multiple streaming micro-batches")
     return spark.table(sink)
@@ -2280,6 +2287,109 @@ def q_t_stream_sessionize(spark, sf_dir):
     if q.lastProgress is None or q.lastProgress["batchId"] < 1:
         raise AssertionError("expected multiple streaming micro-batches")
     return spark.table(sink)
+
+
+def q_t_stream_late_data(spark, sf_dir):
+    """Watermark semantics end-to-end in append mode, four staged
+    micro-batches: batch 0 closes windows W0/W1 (max event 119 s →
+    watermark 89 s), batch 1 fills W2, batch 2 carries ONLY late rows
+    for the long-finalized W0 — by then the watermark is in effect and
+    they must be DROPPED (measured: Spark applies a new watermark with
+    one batch of lag, so late rows one batch behind are still accepted;
+    two batches behind are not) — and batch 3's far-future sentinel
+    pushes the watermark so every legitimate window emits while the
+    sentinel's own window stays open and is withheld. Oracle = the
+    pure-SQL restatement: batches 0-1 only. Timestamps derive
+    deterministically from event_id so Spark staging and DuckDB agree
+    row-for-row."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    eid = F.col("event_id")
+    batch = (eid % 4).alias("batch")
+    sts = (
+        F.when(eid % 4 == 0, (eid * 7) % 120)
+        .when(eid % 4 == 1, 120 + eid % 60)
+        .when(eid % 4 == 2, eid % 60)
+        .otherwise(F.lit(10_000))
+    ).alias("sts")
+    synth = ev.select("event_type", "vm", batch, sts)
+
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_late_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    mtime = 1_000_000_000
+    for i in range(4):
+        sub = os.path.join(stage_dir, f"b{i}")
+        synth.filter(F.col("batch") == i).drop("batch").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(stage_dir, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    stream = (
+        spark.readStream.schema("event_type string, vm long, sts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage_dir}/*.parquet")
+    )
+    agg = (
+        stream.withColumn("tsc", F.timestamp_seconds(F.col("sts")))
+        .withWatermark("tsc", "30 seconds")
+        .groupBy(F.window("tsc", "60 seconds"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vm").alias("value_milli_sum"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "value_milli_sum",
+        )
+    )
+    sink = f"late_sink_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)
+
+
+_T_STREAM_LATE_SQL = """
+WITH synth AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm,
+         event_id % 4 AS batch,
+         CASE WHEN event_id % 4 = 0 THEN (event_id * 7) % 120
+              WHEN event_id % 4 = 1 THEN 120 + event_id % 60
+              WHEN event_id % 4 = 2 THEN event_id % 60
+              ELSE 10000 END AS sts
+  FROM events
+)
+SELECT (sts // 60) * 60 AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vm) AS BIGINT) AS value_milli_sum
+FROM synth
+WHERE batch IN (0, 1)   -- batch 2 = watermark-dropped late rows,
+                        -- batch 3 = sentinel window, never finalized
+GROUP BY ALL
+"""
 
 
 def q_t_stateful_first_seen(spark, sf_dir):
@@ -2449,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
         "t_stream_sessionize": q_t_stream_sessionize,
+        "t_stream_late_data": q_t_stream_late_data,
         "t_stateful_first_seen": q_t_stateful_first_seen,
     }
 
@@ -2551,5 +2662,6 @@ WHERE rk = 1
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
+        "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
     }

@@ -80,3 +80,49 @@ class TestRangeJoin:
         ivals = _df(spark, [(9, 0, 10, "early")], "k2 long, lo long, hi long, name string")
         got = range_join(pts, ivals, "ts", "lo", "hi", bucket_seconds=100).collect()
         assert [(r.k, r.name) for r in got] == [(1, "early")]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+event = st.tuples(
+    st.integers(min_value=1, max_value=3),   # key
+    st.integers(min_value=0, max_value=20),  # ts
+    st.integers(min_value=0, max_value=99),  # payload
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(event, min_size=1, max_size=10),
+    rights=st.lists(event, min_size=0, max_size=10),
+)
+def test_asof_join_matches_model(spark, lefts, rights):
+    """asof_join == the obvious per-row model: latest right at-or-before
+    each left timestamp. Right side deduped to unique (k, ts) first, as
+    the operator contract requires."""
+    dedup = {}
+    for k, ts, v in rights:
+        dedup[(k, ts)] = max(v, dedup.get((k, ts), -1))
+    rrows = [(k, ts, v) for (k, ts), v in dedup.items()]
+    left = spark.createDataFrame(
+        [(i, k, ts, v) for i, (k, ts, v) in enumerate(lefts)],
+        "row_id long, k long, ts long, pv long",
+    )
+    right = spark.createDataFrame(rrows or [(99, -1, 0)], "k long, ts long, v long")
+    got = {
+        r.row_id: r.v_asof
+        for r in asof_join(left, right, "k", "ts", ["v"]).collect()
+    }
+    for i, (k, ts, _) in enumerate(lefts):
+        prior = [(rts, v) for (rk, rts), v in dedup.items() if rk == k and rts <= ts]
+        expect = max(prior)[1] if prior else None
+        if not rrows and expect is None:
+            expect = None  # sentinel right row uses key 99 / ts -1
+            prior_sentinel = (k == 99 and ts >= -1)
+            assert not prior_sentinel
+        assert got[i] == expect, (i, k, ts, got[i], expect, rrows)
