@@ -1010,6 +1010,12 @@ def q_sim_ivf_trained_topk(spark, sf_dir):
     )
 
 
+def q_sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization + exact integer scale —
+    4x corpus storage reduction for ANN serving."""
+    return sim.quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # threshold/bits calibrated to the synthetic corpus (max pairwise
     # cosine ≈ 0.51) so the gate exercises non-empty output; production
@@ -1885,6 +1891,12 @@ GROUP BY p.user_id, s.session_id, s.n_events
 _SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
 
 
+def q_corpus_vocab_stats(spark, sf_dir):
+    """Heaps-law corpus analytics per source: tokens, vocabulary size,
+    hapax count, top-token share (exact ppm)."""
+    return cx.vocab_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_stratified_sample(spark, sf_dir):
     """Deterministic per-source mixture control: md5-bucket sampling at
     different rates per source, 10% for unlisted sources. Engine- and
@@ -2541,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_ivf_topk,
         "sim_kmeans_centroids": q_sim_kmeans_centroids,
         "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+        "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_embedding_cosine": q_embedding_near_dup,
         "t_window_agg": q_window_agg,
         "t_sessionize": q_sessionize,
@@ -2552,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_bucketed_join": q_p10_bucketed_join,
         "skew_salted_agg": q_skew_salted_agg,
         "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_vocab_stats": q_corpus_vocab_stats,
         "s11_orc_roundtrip": q_s11_orc_roundtrip,
         "t_asof_join": q_t_asof_join,
         "t_range_join": q_t_range_join,
@@ -2638,6 +2652,7 @@ WHERE rk = 1
             "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2,
             cent_sql=km.kmeans_codebook_sql("embeddings", k=8, iters=3),
         ),
+        "sim_quantize_int8": sim.quantize_embeddings_sql("embeddings"),
         "dedup_embedding_cosine": dd.embedding_near_dup_sql(
             "embeddings", threshold=0.35, bits=4
         ),
@@ -2655,6 +2670,7 @@ WHERE rk = 1
         "corpus_stratified_sample": cx.stratified_sample_sql(
             _SAMPLE_FRACTIONS, default=0.1
         ),
+        "corpus_vocab_stats": cx.vocab_stats_sql(),
         "s11_orc_roundtrip": _S11_ORC_SQL,
         "t_asof_join": _t_asof_join_sql(),
         "t_range_join": _t_range_join_sql(),

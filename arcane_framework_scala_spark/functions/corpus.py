@@ -288,6 +288,62 @@ def hash_split_sql(
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary statistics — the Heaps-law corpus analytics
+    a data-mixture dashboard tracks: total token occurrences, distinct
+    vocabulary size, hapax legomena (frequency-1 tokens — the growth
+    frontier), and the top token's share in exact ppm.
+
+    Shape: explode words → (group, word) counts (map-side combine makes
+    the shuffle carry distinct words, not occurrences) → one fused
+    per-group conditional rollup. Two shuffles at any scale."""
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    counts = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("g")
+        .agg(
+            F.sum("cnt").alias("tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "tokens",
+            "vocab",
+            "hapax",
+            F.expr(f"({_PPM} * top_cnt) div tokens").alias("top_token_ppm"),
+        )
+    )
+
+
+def vocab_stats_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    return f"""
+WITH words AS (
+  SELECT {group_col} AS g, unnest(string_split({text_col}, ' ')) AS w
+  FROM {table}
+),
+counts AS (SELECT g, w, count(*) AS cnt FROM words GROUP BY ALL)
+SELECT g AS {group_col},
+       CAST(sum(cnt) AS BIGINT) AS tokens,
+       count(*) AS vocab,
+       CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS hapax,
+       ({_PPM} * max(cnt)) // CAST(sum(cnt) AS BIGINT) AS top_token_ppm
+FROM counts GROUP BY g
+""".strip()
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -59,6 +59,56 @@ def cosine_similarity_sql(a: str, b: str) -> str:
     return f"({dot} / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``q = floor(x * 127 /
+    max_abs)``, plus the per-row scale needed to dequantize. 4× storage
+    reduction for an ANN corpus (the standard vector-store compression);
+    exact integer output so the driver gate hash-checks it. Narrow
+    projection — zero shuffles; max_abs is a per-row array fold, not an
+    aggregation. Scale is exported in exact micro-units (int64) to stay
+    float-format-proof."""
+    c = F.col(vec_col)
+    max_abs = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        c,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(127.0) / F.col("__ma")
+        ).cast("int"),
+    )
+    return (
+        df.select(F.col(id_col), c, max_abs.alias("__ma"))
+        .filter(F.col("__ma") > 0)
+        .select(
+            F.col(id_col),
+            q.alias("q8"),
+            F.floor(F.col("__ma") * 1_000_000).cast("long").alias(
+                "scale_micro"
+            ),
+        )
+    )
+
+
+def quantize_embeddings_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+SELECT {id_col},
+       list_transform({vec_col},
+         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS INT)) AS q8,
+       CAST(floor(ma * 1000000) AS BIGINT) AS scale_micro
+FROM (
+  SELECT {id_col}, {vec_col},
+         list_max(list_transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM {table}
+)
+WHERE ma > 0
+""".strip()
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
