@@ -1648,7 +1648,10 @@ def q_x1_maintenance_vertical(spark, sf_dir):
     _harden_session(spark)
     run_dir = tempfile.mkdtemp(prefix="arcane_x1_run_")
     target = SnapshotParquetTarget(
-        spark, os.path.join(run_dir, "t"), max_rows_per_file=2000
+        # 500-row chunks fragment at EVERY sf: sf0.001's ~6000 enriched
+        # rows -> 750/partition -> 2 files x 8 partitions (the 2000-row
+        # cap produced exactly 8 files there, tripping the setup check)
+        spark, os.path.join(run_dir, "t"), max_rows_per_file=500
     )
     enriched = _lineitem_enriched(spark, sf_dir)
     n_rows = enriched.count()
@@ -1994,6 +1997,8 @@ def q_p10_bucketed_join(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        for t in (li_t, od_t):  # external tables: files at `base` remain
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 _P10_BUCKETED_SQL = """

@@ -301,9 +301,10 @@ def vocab_stats(
     Shape: explode words → (group, word) counts (map-side combine makes
     the shuffle carry distinct words, not occurrences) → one fused
     per-group conditional rollup. Two shuffles at any scale."""
-    words = df.select(
-        F.col(group_col).alias("g"),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    words = _spread(
+        df.select(F.col(group_col).alias("g"), F.col(text_col))
+    ).select(
+        "g", F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     counts = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
@@ -389,6 +390,8 @@ def stratified_sample_sql(
         f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
         f"AS BIGINT) % {buckets}"
     )
+    if not fractions:  # CASE with no WHEN arms is a parse error
+        return f"SELECT * FROM {table} WHERE {b} < {int(default * buckets)}"
     whens = " ".join(
         f"WHEN {group_col} = '{g}' THEN {int(f * buckets)}"
         for g, f in sorted(fractions.items())

@@ -8,8 +8,11 @@ algorithm value-hash checkable against a DuckDB oracle (the unrolled CTE
 chain from :func:`kmeans_centroids_sql`):
 
 - **Init**: the ``k`` lowest-id vectors (no RNG).
-- **Assign**: cosine to each broadcast centroid, rounded to 6 decimals,
-  ties to the lowest centroid id — same rule as ``ivf_topk``'s cells.
+- **Assign**: cosine to each broadcast centroid, compared at full double
+  precision (the fold and norms are the identical IEEE expression in
+  both engines, so the bits match; a ``round(csim, 6)`` here would
+  reintroduce Spark-HALF_UP vs DuckDB-half-even divergence at half
+  boundaries), ties to the lowest centroid id.
 - **Update**: per-dimension means accumulated in **fixed-point int64**
   (``floor(val·1e6)`` summed as longs, mean = truncating integer
   division). Float addition is not associative, so a double-sum's value
@@ -84,9 +87,9 @@ def kmeans_fit(
             "vid",
             "vec",
             "cid",
-            F.round(
-                _dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")),
-                6,
+            (
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("vn") * F.col("cn"))
             ).alias("csim"),
         )
         w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
@@ -122,6 +125,11 @@ def kmeans_fit(
                 ),
             )
         )
+        # prev centroids feed BOTH the assignment join and the empty-cell
+        # fallback, so an uncached lineage doubles per iteration (2^iters
+        # subtree copies). localCheckpoint truncates it — k rows, one
+        # tiny job per iteration, still no driver collect.
+        cent = cent.localCheckpoint(eager=True)
     return cent.select(
         F.col("cid").alias("centroid_id"),
         F.col("cmicro"),
@@ -167,7 +175,7 @@ c0 AS (SELECT CAST({id_col} AS BIGINT) AS cid,
   SELECT vid, vec, cid FROM (
     SELECT e.vid, e.vec, c.cid,
            row_number() OVER (PARTITION BY e.vid
-                              ORDER BY round({csim}, 6) DESC, c.cid) AS rk
+                              ORDER BY {csim} DESC, c.cid) AS rk
     FROM e JOIN (SELECT cid, {fview} AS cvec FROM {prev}) c ON true
   ) WHERE rk = 1
 ),

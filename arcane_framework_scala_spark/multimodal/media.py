@@ -132,7 +132,9 @@ def _decode_audio(content: bytes, decoder: str) -> dict:
                 "duration_ms": (w.getnframes() * 1000) // max(rate, 1),
                 "channels": w.getnchannels(),
             }
-    except wave.Error as e:
+    except (wave.Error, EOFError) as e:
+        # wave.open raises EOFError (not wave.Error) on empty/truncated
+        # bytes — both mean "not decodable WAV"
         raise NotImplementedError(
             "real audio decoding covers WAV via stdlib wave; other codecs "
             "need soundfile/ffmpeg (absent here) — pass decoder='fake' "

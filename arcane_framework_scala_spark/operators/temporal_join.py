@@ -53,13 +53,27 @@ def asof_join(
             c for c in right.columns if c not in (key_col, ts_col)
         ]
     left_cols = left.columns
+    # the right payload travels as ONE struct: the struct itself is
+    # non-null for every right row even when individual values are null,
+    # so last(ignorenulls) means "latest right ROW" — a present-but-null
+    # value is carried as null (matching ASOF semantics) instead of
+    # being skipped for an older non-null one, and multi-column payloads
+    # can never mix values from different right rows
+    payload = F.struct(
+        *[F.col(c) for c in right_value_cols]
+    )
+    null_payload = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in right_value_cols
+        ) + ">"
+    )
     tagged_left = left.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_cols if c not in (key_col, ts_col)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_value_cols],
+        null_payload.alias("__r"),
     )
     tagged_right = right.select(
         F.col(key_col),
@@ -67,22 +81,22 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in (key_col, ts_col)],
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        payload.alias("__r"),
     )
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, "__is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = tagged_left.unionByName(tagged_right).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
+    carried = tagged_left.unionByName(tagged_right).withColumn(
+        "__r_carried", F.last("__r", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("__is_left") == 1).select(
-        *left_cols, *[f"{c}{suffix}" for c in right_value_cols]
+        *left_cols,
+        *[
+            F.col(f"__r_carried.{c}").alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
     )
 
 

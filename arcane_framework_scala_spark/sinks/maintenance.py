@@ -80,8 +80,11 @@ def expire_snapshots(target: SnapshotParquetTarget, keep_last: int = 1) -> list[
     policy is the deterministic equivalent for tests — both are "delete
     history older than X"."""
     keep_last = max(1, keep_last)
-    versions = _snapshot_versions(target)
     current = target.current_version()
+    # only versions at or below the committed pointer are history; a
+    # v>current directory is a crashed partial commit (orphan-removal
+    # territory) and must not consume a keep slot
+    versions = [v for v in _snapshot_versions(target) if current is not None and v <= current]
     doomed = [v for v in versions[:-keep_last] if v != current]
     for v in doomed:
         shutil.rmtree(os.path.join(target.path, f"v={v}"), ignore_errors=True)
@@ -92,11 +95,23 @@ def remove_orphan_files(target: SnapshotParquetTarget) -> list[str]:
     """X3 orphan removal: delete top-level entries that are neither a live
     snapshot directory nor table metadata (``_CURRENT`` pointer, stats
     sidecar) — crashed-commit leftovers like ``_CURRENT.tmp`` or stray
-    files. Never descends into live snapshots. Returns removed names."""
-    live = {f"v={v}" for v in _snapshot_versions(target)}
+    files. A ``v=N`` directory with N above the committed pointer is a
+    crashed partial commit (written but never flipped live) and is
+    removed too. Never descends into live snapshots. Returns removed
+    names."""
+    current = target.current_version()
+    live = {
+        f"v={v}"
+        for v in _snapshot_versions(target)
+        if current is not None and v <= current
+    }
     live.update({os.path.basename(target._pointer()), _STATS_FILE})
     removed = []
-    for name in os.listdir(target.path):
+    try:
+        names = os.listdir(target.path)
+    except FileNotFoundError:  # not-yet-bootstrapped target
+        return []
+    for name in names:
         if name in live:
             continue
         full = os.path.join(target.path, name)

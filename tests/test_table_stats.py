@@ -151,3 +151,32 @@ def test_expire_never_drops_current_snapshot(spark, sf_dir, tmp_path):
     target.overwrite(df)
     assert expire_snapshots(target, keep_last=1) == []
     assert target.read().count() == 10
+
+
+def test_maintenance_handles_partial_commit_and_missing_dir(spark, tmp_path):
+    import os
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "never_created"))
+    assert remove_orphan_files(t) == []  # not-yet-bootstrapped: no crash
+
+    t2 = SnapshotParquetTarget(spark, str(tmp_path / "t2"))
+    df = spark.range(10).withColumnRenamed("id", "x")
+    t2.overwrite(df)  # v=1
+    t2.merge_free_overwrite = None  # no-op attr guard
+    t2.overwrite(df)  # v=2
+    # simulate a crash: v=3 written, pointer never flipped
+    os.makedirs(os.path.join(t2.path, "v=3"))
+    open(os.path.join(t2.path, "v=3", "part-junk.parquet"), "w").write("x")
+    # expire must not spend its keep slot on the partial v=3
+    assert expire_snapshots(t2, keep_last=1) == [1]
+    assert os.path.isdir(os.path.join(t2.path, "v=2"))
+    # orphan removal deletes the crashed partial commit
+    assert remove_orphan_files(t2) == ["v=3"]
+    assert not os.path.isdir(os.path.join(t2.path, "v=3"))
+    assert t2.read().count() == 10

@@ -39,6 +39,18 @@ class TestAsofJoin:
         rows = asof_join(left, right, "k", "ts").collect()
         assert sorted((r.tag, r.v_asof) for r in rows) == [("x", 7), ("y", 7)]
 
+    def test_null_right_value_is_carried_not_skipped(self, spark):
+        # a later right ROW with a null value must shadow an earlier
+        # non-null one (ASOF matches rows, not values) — and multi-column
+        # payloads must never mix values from different right rows
+        left = _df(spark, [(1, 20)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 5, 7, 70), (1, 10, None, 80)], "k long, ts long, v long, u long"
+        )
+        row = asof_join(left, right, "k", "ts").first()
+        assert row.v_asof is None  # from the ts=10 row, not 7 from ts=5
+        assert row.u_asof == 80
+
     def test_multiple_value_columns(self, spark):
         left = _df(spark, [(1, 10)], "k long, ts long")
         right = _df(spark, [(1, 4, 1, 2.5)], "k long, ts long, a long, b double")
