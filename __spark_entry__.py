@@ -1894,6 +1894,14 @@ GROUP BY p.user_id, s.session_id, s.n_events
 _SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
 
 
+def q_corpus_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, stride 24) —
+    the tokenizer-feed shape; the short tail window is never dropped."""
+    return cx.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
 def q_corpus_vocab_stats(spark, sf_dir):
     """Heaps-law corpus analytics per source: tokens, vocabulary size,
     hapax count, top-token share (exact ppm)."""
@@ -2571,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_vocab_stats": q_corpus_vocab_stats,
+        "corpus_chunk": q_corpus_chunk,
         "s11_orc_roundtrip": q_s11_orc_roundtrip,
         "t_asof_join": q_t_asof_join,
         "t_range_join": q_t_range_join,
@@ -2676,6 +2685,7 @@ WHERE rk = 1
             _SAMPLE_FRACTIONS, default=0.1
         ),
         "corpus_vocab_stats": cx.vocab_stats_sql(),
+        "corpus_chunk": cx.chunk_documents_sql(chunk_tokens=32, stride=24),
         "s11_orc_roundtrip": _S11_ORC_SQL,
         "t_asof_join": _t_asof_join_sql(),
         "t_range_join": _t_range_join_sql(),

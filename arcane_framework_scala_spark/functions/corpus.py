@@ -288,6 +288,83 @@ def hash_split_sql(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    shape a tokenizer/packer consumes (stride < chunk_tokens gives
+    sequence overlap for training-context continuity).
+
+    Output: ``(id_col, chunk_id, n_tokens, chunk_text)``; the final
+    window is the short tail (never dropped — data loss in a chunker is
+    silent and catastrophic at corpus scale). chunk_id is the 0-based
+    window index; a document shorter than one window yields exactly one
+    chunk. Pure projection + explode — no shuffle; at 100 TB this runs
+    entirely inside the scan stage."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        (
+            (F.size(w) - F.lit(chunk_tokens) + F.lit(stride) - 1)
+            / F.lit(stride)
+        ).cast("long")
+        + 1,
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(w, i * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    )
+    return exploded.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+),
+n AS (
+  SELECT {id_col}, w,
+         -- floor, not bare CAST: DuckDB CAST(double AS BIGINT) rounds
+         -- while Spark's cast truncates; they agree only through floor
+         -- (the negative short-doc case is clamped by greatest anyway)
+         greatest(
+           CAST(floor((len(w) - {chunk_tokens} + {stride} - 1) / {stride})
+                AS BIGINT) + 1,
+           1) AS n_chunks
+  FROM w
+)
+SELECT {id_col}, i AS chunk_id,
+       CAST(len(w[i * {stride} + 1 : i * {stride} + {chunk_tokens}]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(w[i * {stride} + 1 : i * {stride} + {chunk_tokens}], ' ')
+           AS chunk_text
+FROM n CROSS JOIN LATERAL (SELECT unnest(range(0, n_chunks)) AS i) AS u(i)
+""".strip()
+
+
 def vocab_stats(
     df: DataFrame,
     group_col: str = "source",

@@ -122,3 +122,38 @@ class TestPiiRedact:
 def test_repetition_handles_tiny_docs(spark, n):
     row = repetition_metrics(_docs(spark, " ".join("w" * 1 for _ in range(n)))).first()
     assert row.words == n
+
+
+class TestChunkDocuments:
+    def test_windows_stride_and_tail(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        rows = chunk_documents(
+            _docs(spark, text), chunk_tokens=4, stride=3
+        ).collect()
+        got = {r.chunk_id: (r.n_tokens, r.chunk_text) for r in rows}
+        assert got[0] == (4, "w0 w1 w2 w3")
+        assert got[1] == (4, "w3 w4 w5 w6")
+        assert got[2] == (4, "w6 w7 w8 w9")
+        assert len(got) == 3  # (10-4+2)/3 trunc +1
+        # every token appears in at least one chunk (no data loss)
+        seen = set(" ".join(v[1] for v in got.values()).split())
+        assert seen == {f"w{i}" for i in range(10)}
+
+    def test_short_doc_single_tail_chunk(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import chunk_documents
+
+        rows = chunk_documents(
+            _docs(spark, "a b"), chunk_tokens=5, stride=4
+        ).collect()
+        assert len(rows) == 1
+        assert (rows[0].chunk_id, rows[0].n_tokens, rows[0].chunk_text) == (0, 2, "a b")
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from arcane_framework_scala_spark.functions.corpus import chunk_documents
+
+        with _pytest.raises(ValueError):
+            chunk_documents(_docs(spark, "a"), chunk_tokens=0)
