@@ -1902,6 +1902,17 @@ def q_corpus_chunk(spark, sf_dir):
     )
 
 
+def q_corpus_pack(spark, sf_dir):
+    """Chunk → pack vertical: the 32/24 token windows laid end-to-end
+    per md5 shard and cut into 64-token training sequences; per-sequence
+    chunk and token accounting. Oracle recomputes the identical packing
+    from the chunk SQL."""
+    chunks = cx.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+    return cx.pack_sequences_md5(chunks, seq_len=64, shards=16)
+
+
 def q_corpus_vocab_stats(spark, sf_dir):
     """Heaps-law corpus analytics per source: tokens, vocabulary size,
     hapax count, top-token share (exact ppm)."""
@@ -2580,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_vocab_stats": q_corpus_vocab_stats,
         "corpus_chunk": q_corpus_chunk,
+        "corpus_pack": q_corpus_pack,
         "s11_orc_roundtrip": q_s11_orc_roundtrip,
         "t_asof_join": q_t_asof_join,
         "t_range_join": q_t_range_join,
@@ -2686,6 +2698,11 @@ WHERE rk = 1
         ),
         "corpus_vocab_stats": cx.vocab_stats_sql(),
         "corpus_chunk": cx.chunk_documents_sql(chunk_tokens=32, stride=24),
+        "corpus_pack": cx.pack_sequences_md5_sql(
+            cx.chunk_documents_sql(chunk_tokens=32, stride=24),
+            seq_len=64,
+            shards=16,
+        ),
         "s11_orc_roundtrip": _S11_ORC_SQL,
         "t_asof_join": _t_asof_join_sql(),
         "t_range_join": _t_range_join_sql(),

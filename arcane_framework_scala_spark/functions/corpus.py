@@ -39,7 +39,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from arcane_framework_scala_spark.functions._parallel import (
@@ -362,6 +362,129 @@ SELECT {id_col}, i AS chunk_id,
        array_to_string(w[i * {stride} + 1 : i * {stride} + {chunk_tokens}], ' ')
            AS chunk_text
 FROM n CROSS JOIN LATERAL (SELECT unnest(range(0, n_chunks)) AS i) AS u(i)
+""".strip()
+
+
+def _pack_with_shard(
+    chunks, shard_col, seq_len, id_col, chunk_col, tokens_col
+):
+    w = Window.partitionBy("shard").orderBy(id_col, chunk_col)
+    spans = (
+        chunks.select(
+            shard_col.alias("shard"),
+            F.col(id_col),
+            F.col(chunk_col),
+            F.col(tokens_col),
+        )
+        .withColumn("__end", F.sum(tokens_col).over(w))
+        .withColumn("__start", F.col("__end") - F.col(tokens_col))
+    )
+    touched = spans.select(
+        "shard",
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(
+                F.expr(f"__start div {seq_len}"),
+                F.expr(f"(__end - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("__end"), (F.col("seq_id") + 1) * seq_len
+    ) - F.greatest(F.col("__start"), F.col("seq_id") * seq_len)
+    return touched.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(overlap).alias("tokens"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 64,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-stream sequence packing accounting (the pre-training packer
+    shape): chunks are laid end-to-end per hash shard and cut into
+    ``seq_len``-token training sequences — chunks may straddle a cut,
+    exactly like causal-LM packing. Output per ``(shard, seq_id)``:
+    how many chunks touch the sequence and how many tokens it holds
+    (= seq_len everywhere except each shard's tail).
+
+    Deterministic: shard = xxhash64(doc id) mod ``shards``; the within-
+    shard layout orders by (doc, chunk). One window cumsum + one explode
+    of each chunk's touched-sequence range + one keyed aggregation; the
+    per-shard window is the scale knob — raise ``shards`` until a
+    shard's chunk stream fits a task."""
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    return _pack_with_shard(
+        chunks, shard, seq_len, id_col, chunk_col, tokens_col
+    )
+
+
+def pack_sequences_md5(
+    chunks: DataFrame,
+    seq_len: int = 64,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """:func:`pack_sequences` with the md5 shard hash — engine-portable
+    for the oracle gate (DuckDB has no xxhash64 twin); xxhash64 is the
+    cheaper production default."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % shards
+    )
+    return _pack_with_shard(
+        chunks, shard, seq_len, id_col, chunk_col, tokens_col
+    )
+
+
+def _md5_shard_expr(id_col: str, shards: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {shards}"
+    )
+
+
+def pack_sequences_md5_sql(
+    chunks_sql: str,
+    seq_len: int = 64,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> str:
+    shard = _md5_shard_expr(id_col, shards)
+    return f"""
+WITH chunks AS ({chunks_sql}),
+spans AS (
+  SELECT {shard} AS shard, {id_col}, {chunk_col}, {tokens_col},
+         -- CAST: window sum() yields HUGEINT, which range() rejects and
+         -- pandas would widen to float64
+         CAST(sum({tokens_col}) OVER (PARTITION BY {shard}
+                                      ORDER BY {id_col}, {chunk_col}
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM chunks
+),
+touched AS (
+  SELECT shard, e - {tokens_col} AS s, e, i AS seq_id
+  FROM spans
+  CROSS JOIN LATERAL (
+    SELECT unnest(range((e - {tokens_col}) // {seq_len}, (e - 1) // {seq_len} + 1)) AS i
+  ) AS u(i)
+)
+SELECT shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(least(e, (seq_id + 1) * {seq_len})
+                - greatest(s, seq_id * {seq_len})) AS BIGINT) AS tokens
+FROM touched GROUP BY ALL
 """.strip()
 
 

@@ -157,3 +157,42 @@ class TestChunkDocuments:
 
         with _pytest.raises(ValueError):
             chunk_documents(_docs(spark, "a"), chunk_tokens=0)
+
+
+class TestPackSequences:
+    def test_token_conservation_and_seq_sizes(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import (
+            chunk_documents,
+            pack_sequences_md5,
+        )
+
+        docs = _docs(spark, *[" ".join(f"w{i}" for i in range(n)) for n in (10, 25, 7, 40)])
+        chunks = chunk_documents(docs, chunk_tokens=8, stride=6)
+        packed = pack_sequences_md5(chunks, seq_len=16, shards=2).collect()
+        # conservation: packed tokens == total chunk tokens
+        total_chunk_tokens = sum(r.n_tokens for r in chunks.collect())
+        assert sum(r.tokens for r in packed) == total_chunk_tokens
+        # every sequence holds exactly seq_len tokens except shard tails
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r.seq_id)
+            assert [r.seq_id for r in rows] == list(range(len(rows)))
+            for r in rows[:-1]:
+                assert r.tokens == 16, r
+            assert 1 <= rows[-1].tokens <= 16
+
+    def test_deterministic_under_repartition(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import (
+            chunk_documents,
+            pack_sequences_md5,
+        )
+
+        docs = _docs(spark, *["x " * n for n in range(1, 30)])
+        chunks = chunk_documents(docs, chunk_tokens=5, stride=4)
+        a = sorted(map(tuple, pack_sequences_md5(chunks, seq_len=8).collect()))
+        b = sorted(
+            map(tuple, pack_sequences_md5(chunks.repartition(7), seq_len=8).collect())
+        )
+        assert a == b
