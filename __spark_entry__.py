@@ -63,17 +63,29 @@ def _harden_session(spark: SparkSession) -> None:
     """The driver runs these queries in a bare SparkSession it builds
     itself, without the configs from
     arcane_framework_scala_spark.session.get_session. Set the two
-    runtime-settable confs the queries depend on: events.parquet is
-    TIMESTAMP(NANOS) (rejected without nanosAsLong), and timestamp parsing
-    / epoch extraction must be TZ-stable (UTC) to match the DuckDB
-    oracles."""
+    runtime-settable confs the queries depend on: older testdata drops
+    store events.ts as TIMESTAMP(NANOS) (rejected without nanosAsLong),
+    and timestamp parsing / epoch extraction must be TZ-stable (UTC) to
+    match the DuckDB oracles."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _harden_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # events.ts has shipped as TIMESTAMP(NANOS) (read: int64 nanos) and
+        # as TIMESTAMP(MICROS)/timestamp_ntz across testdata drops; the
+        # engine's canonical event time is int64 epoch nanos (exact int
+        # arithmetic, DuckDB twin epoch_ns(ts)) — normalize here so every
+        # query sees one representation
+        from arcane_framework_scala_spark.operators.event_windows import (
+            ensure_epoch_ns,
+        )
+
+        df = ensure_epoch_ns(df, "ts")
+    return df
 
 
 # ---------------------------------------------------------------------------

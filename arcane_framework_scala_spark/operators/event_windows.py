@@ -1,21 +1,48 @@
 """Event-time tumbling-window aggregation (streaming T-ops companion).
 
-The driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS);
-Spark surfaces it as int64 nanoseconds (``spark.sql.legacy.parquet.
-nanosAsLong``). Bucketing is pure integer arithmetic — deterministic,
-portable to any SQL oracle, and identical on a batch or streaming
-DataFrame. On a stream, pair with ``withWatermark`` on a timestamp-typed
-column derived from the same nanos (``timestamp_seconds(ts div 1e9)``) for
-late-data bounds; the groupBy below is then a standard windowed
-aggregation with partial (map-side) combine before the single shuffle.
+The engine's canonical event-time representation is int64 epoch
+nanoseconds: bucketing is then pure integer arithmetic — deterministic,
+portable to any SQL oracle (DuckDB twin: ``epoch_ns(ts)``), and identical
+on a batch or streaming DataFrame. Timestamp-typed inputs (the driver
+testdata has shipped ``events.ts`` both as parquet TIMESTAMP(NANOS) and as
+TIMESTAMP(MICROS)/timestamp_ntz across drops) are normalized with
+:func:`ensure_epoch_ns` first. On a stream, pair with ``withWatermark`` on
+a timestamp-typed column derived from the same nanos
+(``timestamp_seconds(ts div 1e9)``) for late-data bounds; the groupBy
+below is then a standard windowed aggregation with partial (map-side)
+combine before the single shuffle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 _NANOS = 1_000_000_000
+
+
+def ensure_epoch_ns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to int64 epoch nanoseconds.
+
+    Long columns pass through (already nanos). Timestamp columns convert
+    exactly via ``unix_micros * 1000`` — micros precision is all a Spark
+    timestamp carries, so no information is lost. timestamp_ntz is
+    interpreted as UTC wall-clock, which requires
+    ``spark.sql.session.timeZone=UTC`` (the engine default,
+    :mod:`..session`) to be exact — same contract as the reference's
+    UTC-LocalDateTime CDC model (``MsSqlExtensions.scala:19-23``)."""
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        return df
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return df.withColumn(
+            ts_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000),
+        )
+    raise TypeError(
+        f"{ts_col} must be long (epoch nanos) or timestamp, got {dt.simpleString()}"
+    )
 
 
 def tumbling_window(ts_nanos: Column | str, window_seconds: int) -> Column:
@@ -48,6 +75,7 @@ def windowed_event_stats(
     """(window_start, group, n, users, value_milli_sum) per tumbling
     window — the canonical streaming rollup, computed batch-side here and
     watermark-side on a stream."""
+    df = ensure_epoch_ns(df, ts_col)
     return (
         df.groupBy(
             tumbling_window(ts_col, window_seconds).alias("window_start"),
@@ -80,6 +108,7 @@ def sessionize(
     exchange. User keys are naturally high-cardinality → uniform."""
     from pyspark.sql import Window
 
+    df = ensure_epoch_ns(df, ts_col)
     sec = tumbling_window(ts_col, 1)  # exact epoch-seconds from nanos
     with_gap = df.select(F.col(user_col), sec.alias("__sec")).withColumn(
         "__new",

@@ -44,6 +44,9 @@ def rollup_base(
     distinct_col: str | None = "user_id",
 ) -> DataFrame:
     """Finest-grain rollup straight from raw events (the one raw scan)."""
+    from arcane_framework_scala_spark.operators.event_windows import ensure_epoch_ns
+
+    df = ensure_epoch_ns(df, ts_col)
     milli = F.floor(F.col(value_col) * 1000).cast("long")
     aggs = [
         F.count(F.lit(1)).alias("n"),

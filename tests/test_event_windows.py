@@ -4,6 +4,7 @@ and the streaming windowed aggregation with watermark (real readStream)."""
 import pyspark.sql.functions as F
 
 from arcane_framework_scala_spark.operators.event_windows import (
+    ensure_epoch_ns,
     sessionize,
     tumbling_window,
     windowed_event_stats,
@@ -42,7 +43,7 @@ def test_sessionize_gap_splits(spark):
 def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
     """The same windowed agg over a file stream (availableNow) equals the
     batch computation — modulo the HLL distinct, which batch replicates."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = ensure_epoch_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
     src = str(tmp_path / "stream_src")
     events.write.parquet(src, mode="overwrite")
 

@@ -3,6 +3,7 @@
 import pyspark.sql.functions as F
 import pytest
 
+from arcane_framework_scala_spark.operators.event_windows import ensure_epoch_ns
 from arcane_framework_scala_spark.operators.rollup_cascade import (
     rollup_base,
     rollup_cascade,
@@ -12,7 +13,7 @@ from arcane_framework_scala_spark.operators.rollup_cascade import (
 
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ensure_epoch_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _exact(df, seconds):
