@@ -860,6 +860,19 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(pairs)
 
 
+def q_dedup_span_stats(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee-et-al-style duplicated
+    n-gram spans): per-doc duplicated-token coverage after merging
+    overlapping duplicated windows. n=5 over the synthetic vocabulary
+    keeps random-collision noise out while catching real shared
+    passages."""
+    from arcane_framework_scala_spark.functions.span_dedup import (
+        duplicated_ngram_spans,
+    )
+
+    return duplicated_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
+
+
 def q_simhash(spark, sf_dir):
     return dd.simhash(_read(spark, sf_dir, "documents"))
 
@@ -868,6 +881,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+def _span_dedup_sql() -> str:
+    from arcane_framework_scala_spark.functions.span_dedup import (
+        duplicated_ngram_spans_sql,
+    )
+
+    return duplicated_ngram_spans_sql("documents", n=5)
 
 
 def _media_docs(spark, sf_dir):
@@ -2578,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_span_stats": q_dedup_span_stats,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
@@ -2668,6 +2690,7 @@ WHERE rk = 1
         ),
         "dedup_simhash": dd.simhash_sql("documents"),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", threshold=0.5),
+        "dedup_span_stats": _span_dedup_sql(),
         "sim_cosine_topk": sim.brute_force_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10
         ),
