@@ -873,6 +873,23 @@ def q_dedup_span_stats(spark, sf_dir):
     return duplicated_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
 
 
+def q_sim_tfidf_rerank(spark, sf_dir):
+    """TF-IDF weighted-cosine rerank over MinHash-LSH candidates — the
+    sparse-lexical scoring modality, composed with a bounded candidate
+    generator (the shape that survives 100 TB: no pair generation from
+    shared terms)."""
+    from arcane_framework_scala_spark.functions.tfidf import tfidf_rerank
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_rerank(docs, dd.minhash_candidate_pairs(docs))
+
+
+def _tfidf_rerank_sql() -> str:
+    from arcane_framework_scala_spark.functions.tfidf import tfidf_rerank_sql
+
+    return tfidf_rerank_sql("documents", dd.minhash_candidate_pairs_sql("documents"))
+
+
 def q_simhash(spark, sf_dir):
     return dd.simhash(_read(spark, sf_dir, "documents"))
 
@@ -2600,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_span_stats": q_dedup_span_stats,
+        "sim_tfidf_rerank": q_sim_tfidf_rerank,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
@@ -2691,6 +2709,7 @@ WHERE rk = 1
         "dedup_simhash": dd.simhash_sql("documents"),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", threshold=0.5),
         "dedup_span_stats": _span_dedup_sql(),
+        "sim_tfidf_rerank": _tfidf_rerank_sql(),
         "sim_cosine_topk": sim.brute_force_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10
         ),
