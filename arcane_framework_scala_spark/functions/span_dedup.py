@@ -84,35 +84,46 @@ def duplicated_ngram_span_intervals(
     masking input for substring-level corpus cleaning (cut the span,
     keep the rest of the document).
     """
+    dpos = _dup_positions(df, text_col, id_col, n, min_docs)
+    return _merged_spans(dpos, id_col, n).select(id_col, "span_start", "span_end")
+
+
+def _dup_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_docs: int
+) -> DataFrame:
+    """(id, __total, pos) for every position whose n-gram occurs in ≥
+    ``min_docs`` documents."""
     pg = _position_grams(_tokenized(df, text_col, id_col), id_col, n)
+    # pg feeds BOTH the gram-frequency aggregation and the join probe; the
+    # explicit repartition gives the two subtrees one shared exchange
+    # (ReusedExchange), so the explode+md5 pipeline — the expensive part —
+    # runs once (same trick as dedup.minhash_candidate_pairs)
+    pg = pg.repartition("gram")
     dup_grams = (
         pg.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("__ndocs"))
         .filter(F.col("__ndocs") >= min_docs)
         .select("gram")
     )
-    dpos = pg.join(dup_grams, "gram").select(id_col, "__total", "pos")
-    # gaps-and-islands merge of [pos, pos+n) windows: a window starting at
-    # or before the running max end extends the current span (pos == end
-    # means contiguous token coverage — still one span)
+    return pg.join(dup_grams, "gram").select(id_col, "__total", "pos")
+
+
+def _merged_spans(dpos: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated [pos, pos+n) windows: a window
+    starting at or before the running max end extends the current span
+    (pos == end means contiguous token coverage — still one span)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    flagged = dpos.withColumn(
+    numbered = dpos.withColumn(
         "__new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn(
+        "__span", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    numbered = flagged.withColumn(
-        "__span",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        numbered.groupBy(id_col, "__total", "__span")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + n).alias("span_end"),
-        )
-        .select(id_col, "span_start", "span_end")
+    return numbered.groupBy(id_col, "__total", "__span").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
     )
 
 
@@ -132,25 +143,9 @@ def duplicated_ngram_spans(
     total_tokens``. All-integer output → exact oracle hash parity.
     """
     toks = _tokenized(df, text_col, id_col)
-    pg = _position_grams(toks, id_col, n)
-    dup_grams = (
-        pg.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("__ndocs"))
-        .filter(F.col("__ndocs") >= min_docs)
-        .select("gram")
-    )
-    dpos = pg.join(dup_grams, "gram").select(id_col, "__total", "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max(F.col("pos") + n).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    numbered = dpos.withColumn(
-        "__new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
-    ).withColumn(
-        "__span", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = numbered.groupBy(id_col, "__total", "__span").agg(
-        (F.max("pos") + n - F.min("pos")).alias("__len")
+    dpos = _dup_positions(df, text_col, id_col, n, min_docs)
+    spans = _merged_spans(dpos, id_col, n).select(
+        id_col, (F.col("span_end") - F.col("span_start")).alias("__len")
     )
     per_doc = spans.groupBy(id_col).agg(
         F.sum("__len").alias("dup_tokens"),

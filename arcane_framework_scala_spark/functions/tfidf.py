@@ -81,7 +81,15 @@ def tfidf_rerank(
     Output ``(id_a, id_b, sim_micro)`` with ``sim_micro =
     floor(1e6 · dot / (‖a‖·‖b‖))`` — the rerank stage over any bounded
     candidate generator (MinHash-LSH, embedding LSH, a previous top-k)."""
-    w = tfidf_weights(df, text_col, id_col)
+    # the weight pipeline (explode + two keyed aggregations) feeds THREE
+    # consumers (norms, side-A probe, side-B probe); per-consumer column
+    # pruning makes the subtrees non-identical, so exchange reuse never
+    # fires and the pipeline would run three times. A lazy localCheckpoint
+    # materializes it exactly once (first consumer computes, the rest read
+    # the checkpointed blocks) — the per-(doc,term) weight table is ~the
+    # token vocabulary of the corpus, far smaller than the text it came
+    # from, so materializing it is the 100 TB-safe choice too
+    w = tfidf_weights(df, text_col, id_col).localCheckpoint(eager=False)
     norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     wa = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
     wb = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))
