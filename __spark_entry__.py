@@ -832,9 +832,15 @@ _LANG_ID_SQL = f"SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred FROM
 def q_fingerprint(spark, sf_dir):
     from arcane_framework_scala_spark.functions._parallel import spread_for_compute
 
-    # md5-per-window is the costliest text op — spread the 1-file scan
+    # md5-per-window is the costliest text op — spread the 1-file scan,
+    # and project the normalization ONCE: the window lambda would
+    # otherwise re-run the regexp per character position (6x CPU)
     docs = spread_for_compute(_read(spark, sf_dir, "documents"))
-    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", norm.alias("__norm")).select(
+        "doc_id",
+        tx.fingerprint(F.col("__norm"), pre_normalized=True).alias("fp"),
+    )
 
 
 _FINGERPRINT_SQL = f"SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM documents"

@@ -79,9 +79,17 @@ def exact_dedup_sql(table: str, content_col: str = "text", id_col: str = "doc_id
 # ---------------------------------------------------------------------------
 
 
-def char_shingles(text_col: str, k: int = 5) -> F.Column:
-    """Distinct character k-grams of normalized text, as an array column."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+def char_shingles(
+    text_col: str, k: int = 5, *, pre_normalized: bool = False
+) -> F.Column:
+    """Distinct character k-grams of normalized text, as an array column.
+
+    The window lambda is interpreted per element without loop-invariant
+    hoisting, so on hot paths project the normalization once and pass that
+    column with ``pre_normalized=True`` (same trap as
+    :func:`..text.fingerprint`)."""
+    c = F.col(text_col)
+    norm = c if pre_normalized else F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
@@ -363,17 +371,24 @@ def simhash(
 
     bit b of the signature = majority sign of ((token_hash >> b) & 1).
     Token multiset from whitespace split of normalized text. All built-in
-    expressions; one narrow projection."""
+    expressions; two narrow projections — the token-hash array
+    materializes first, because embedding its expression in all ``bits``
+    vote aggregates would re-split and re-md5 the text once per bit
+    (measured 2.4× at sf0.1)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    tokens = F.split(norm, " ")
     hashes = F.transform(
-        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+        F.split(norm, " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
     )
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), hashes.alias("__h")
+    )
+
     def bit_vote(b: int):
         # sum over tokens of (2*bit - 1); >0 → signature bit set.
         # closure keeps the merge lambda at arity 2 (aggregate contract)
         return F.aggregate(
-            hashes,
+            F.col("__h"),
             F.lit(0),
             lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -385,9 +400,7 @@ def simhash(
     sig = bit_votes[0]
     for v in bit_votes[1:]:
         sig = sig + v
-    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), sig.alias("simhash")
-    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_sql(
@@ -444,9 +457,13 @@ def ngram_jaccard_pairs(
     Output (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6
     decimals. Shuffles: explode+distinct, df-count, candidate join,
     pair-intersection count — all on uniform hash-like keys."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     exploded = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("sh"))
+        _spread(df.select(F.col(id_col), norm.alias("__norm")))
+        .select(
+            F.col(id_col),
+            F.explode(char_shingles("__norm", k, pre_normalized=True)).alias("sh"),
+        )
         .distinct()
     )
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))

@@ -180,12 +180,21 @@ def lang_id_sql(col: str = "text") -> str:
 # ---------------------------------------------------------------------------
 
 
-def fingerprint(text: Column | str, k: int = 8) -> Column:
+def fingerprint(
+    text: Column | str, k: int = 8, *, pre_normalized: bool = False
+) -> Column:
     """Winnowing-style fingerprint: the minimum md5 over all ``k``-char
     windows of the normalized text (lower, whitespace squeezed). Equal
-    fingerprints ⇒ near-identical prefixes/content; cheap grouping key."""
+    fingerprints ⇒ near-identical prefixes/content; cheap grouping key.
+
+    Higher-order functions interpret their lambda per element and do NOT
+    hoist loop-invariant subexpressions, so referencing the raw text here
+    re-runs the normalization regexp for every window (measured 6× CPU at
+    sf0.1). Callers on a hot path should project the normalization once
+    (``regexp_replace(lower(trim(text)), '\\s+', ' ')``) and pass the
+    projected column with ``pre_normalized=True``."""
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = c if pre_normalized else F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     windows = F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(k))))
