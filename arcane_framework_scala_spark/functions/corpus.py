@@ -307,7 +307,13 @@ def chunk_documents(
     entirely inside the scan stage."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    w = F.split(F.col(text_col), " ")
+    # the token array projects FIRST: the window lambda is interpreted per
+    # element without loop-invariant hoisting, so capturing the split
+    # expression directly would re-split the text once per chunk
+    tokenized = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    w = F.col("__w")
     n_chunks = F.greatest(
         (
             (F.size(w) - F.lit(chunk_tokens) + F.lit(stride) - 1)
@@ -323,7 +329,7 @@ def chunk_documents(
             F.slice(w, i * stride + 1, chunk_tokens).alias("toks"),
         ),
     )
-    exploded = df.select(
+    exploded = tokenized.select(
         F.col(id_col), F.explode(chunks).alias("c")
     )
     return exploded.select(
