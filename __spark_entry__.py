@@ -879,6 +879,25 @@ def q_dedup_span_stats(spark, sf_dir):
     return duplicated_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
 
 
+def q_dedup_span_clean(spark, sf_dir):
+    """The masking step of span-level dedup: documents rebuilt without
+    their duplicated n-gram spans (fully duplicated docs become empty
+    text, never dropped rows)."""
+    from arcane_framework_scala_spark.functions.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(_read(spark, sf_dir, "documents"), n=5)
+
+
+def _span_clean_sql() -> str:
+    from arcane_framework_scala_spark.functions.span_dedup import (
+        remove_duplicated_spans_sql,
+    )
+
+    return remove_duplicated_spans_sql("documents", n=5)
+
+
 def q_sim_tfidf_rerank(spark, sf_dir):
     """TF-IDF weighted-cosine rerank over MinHash-LSH candidates — the
     sparse-lexical scoring modality, composed with a bounded candidate
@@ -2624,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_span_stats": q_dedup_span_stats,
         "sim_tfidf_rerank": q_sim_tfidf_rerank,
+        "dedup_span_clean": q_dedup_span_clean,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
@@ -2716,6 +2736,7 @@ WHERE rk = 1
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", threshold=0.5),
         "dedup_span_stats": _span_dedup_sql(),
         "sim_tfidf_rerank": _tfidf_rerank_sql(),
+        "dedup_span_clean": _span_clean_sql(),
         "sim_cosine_topk": sim.brute_force_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10
         ),

@@ -170,6 +170,123 @@ def duplicated_ngram_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The masking step: rebuild each document's text WITHOUT its
+    duplicated spans — what a substring-dedup pipeline actually writes
+    back to the corpus (Lee et al. cut the duplicated span and keep the
+    remainder).
+
+    Output ``(id, clean_text, kept_tokens, removed_tokens)``; a fully
+    duplicated document yields empty text, never a dropped row.
+    Shapes: posexplode tokens (linear), anti-join on covered positions
+    (uniform (id, pos) keys), one doc-keyed groupBy whose order is made
+    deterministic by sorting the (pos, token) structs — no window sort
+    and no assumption about collect_list ordering."""
+    toks = _tokenized(df, text_col, id_col)
+    pos_tok = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
+    )
+    covered = duplicated_ngram_span_intervals(
+        df, text_col, id_col, n, min_docs
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    kept = pos_tok.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    return (
+        toks.select(id_col, F.col("__total").cast("long").alias("__t"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("__t") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )
+
+
+def remove_duplicated_spans_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`remove_duplicated_spans`."""
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS id,
+         regexp_split_to_array(lower(trim({text_col})), '{_TOKEN_SPLIT}') AS t
+  FROM {table}
+), sized AS (
+  SELECT id, t, len(t) AS total FROM docs
+), pg AS (
+  SELECT id, total, CAST(u.pos AS BIGINT) AS pos,
+         md5(array_to_string(t[u.pos + 1 : u.pos + {n}], ' ')) AS gram
+  FROM sized, UNNEST(
+    CASE WHEN total >= {n} THEN range(0, total - {n} + 1) ELSE [] END
+  ) AS u(pos)
+), dupg AS (
+  SELECT gram FROM pg GROUP BY gram HAVING count(DISTINCT id) >= {min_docs}
+), dpos AS (
+  SELECT id, total, pos FROM pg JOIN dupg USING (gram)
+), flagged AS (
+  SELECT id, pos,
+         CASE WHEN pos > coalesce(
+            max(pos + {n}) OVER (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_span
+  FROM dpos
+), numbered AS (
+  SELECT id, pos,
+         sum(new_span) OVER (PARTITION BY id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT id, min(pos) AS span_start, max(pos) + {n} AS span_end
+  FROM numbered GROUP BY id, span_id
+), covered AS (
+  SELECT DISTINCT id, CAST(u.pos AS BIGINT) AS pos
+  FROM spans, UNNEST(range(span_start, span_end)) AS u(pos)
+), pos_tok AS (
+  SELECT id, CAST(u.pos AS BIGINT) AS pos, t[u.pos + 1] AS tok
+  FROM sized, UNNEST(range(0, total)) AS u(pos)
+), kept AS (
+  SELECT p.id, p.pos, p.tok FROM pos_tok p
+  ANTI JOIN covered c ON c.id = p.id AND c.pos = p.pos
+), rebuilt AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY id
+)
+SELECT s.id AS {id_col},
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.kept_tokens, 0) AS kept_tokens,
+       CAST(s.total - coalesce(r.kept_tokens, 0) AS BIGINT) AS removed_tokens
+FROM sized s LEFT JOIN rebuilt r ON r.id = s.id
+"""
+
+
 def duplicated_ngram_spans_sql(
     table: str,
     text_col: str = "text",

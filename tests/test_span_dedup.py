@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from arcane_framework_scala_spark.functions.span_dedup import (
     duplicated_ngram_span_intervals,
     duplicated_ngram_spans,
+    remove_duplicated_spans,
 )
 
 _SHARED = "alpha beta gamma delta epsilon zeta"  # 6-token shared passage
@@ -61,6 +62,42 @@ def test_short_docs_below_n_have_no_grams(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=4).collect()}
     assert out[1]["dup_tokens"] == 0 and out[1]["total_tokens"] == 2
+
+
+def test_remove_spans_cuts_exactly_the_spans(spark):
+    out = {
+        r["doc_id"]: r for r in remove_duplicated_spans(_docs(spark), n=4).collect()
+    }
+    # doc 1: "unique one two [SHARED x6] tail1 tail2" → shared cut
+    assert out[1]["clean_text"] == "unique one two tail1 tail2"
+    assert out[1]["kept_tokens"] == 5 and out[1]["removed_tokens"] == 6
+    assert out[2]["clean_text"] == "prefix other words here"
+    # doc 3 untouched (lowercased by the shared tokenizer)
+    assert out[3]["clean_text"] == "totally different content nothing shared at all"
+    assert out[3]["removed_tokens"] == 0
+
+
+def test_remove_spans_keeps_fully_duplicated_doc_as_empty_row(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
+    assert out[1]["removed_tokens"] == 5
+
+
+def test_remove_spans_consistent_with_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = {
+        r["doc_id"]: r for r in duplicated_ngram_spans(docs, n=5).collect()
+    }
+    cleaned = {
+        r["doc_id"]: r for r in remove_duplicated_spans(docs, n=5).collect()
+    }
+    assert set(stats) == set(cleaned)
+    for i, s in stats.items():
+        assert cleaned[i]["removed_tokens"] == s["dup_tokens"]
+        assert cleaned[i]["kept_tokens"] == s["total_tokens"] - s["dup_tokens"]
 
 
 def test_intervals_disjoint_and_in_bounds(spark, sf_dir):
