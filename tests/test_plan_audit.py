@@ -135,6 +135,31 @@ def test_corpus_operators_plan_shapes(spark, queries):
         assert a.python_nodes == 0, (name, a.plan)
 
 
+def test_span_dedup_plan_shapes(spark, queries):
+    """Span dedup: no pair-wise or nested-loop stage anywhere (the whole
+    point of the n-gram formulation), everything JVM-side; the stats
+    variant stays within explode → gram agg → join-back → doc window."""
+    for name in ("dedup_span_stats", "dedup_span_clean"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.nested_loop_joins == 0, (name, a.plan)
+        assert a.cartesian_products == 0, (name, a.plan)
+        assert a.python_nodes == 0, (name, a.plan)
+
+
+def test_tfidf_rerank_scores_only_candidates(spark, queries):
+    """TF-IDF rerank must stay candidate-bounded: hash joins only (no
+    nested-loop over doc pairs), no Python nodes. The static plan still
+    prints the weight pipeline's lineage under each of its three
+    consumers (the lazy localCheckpoint dedupes at execution, not at
+    explain time), so the scan ceiling pins against *adding* consumers,
+    not against the checkpoint's runtime single-compute."""
+    a = audit_plan(queries["sim_tfidf_rerank"](spark, SF_DIR))
+    assert a.nested_loop_joins == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    assert a.scans <= 6, a.plan
+
+
 def test_kmeans_training_stays_broadcast_and_jvm(spark, queries):
     """Every k-means Lloyd iteration assigns via a *broadcast* cross
     join against the k-row codebook (BroadcastNestedLoop by design — the
