@@ -9,17 +9,29 @@ from arcane_framework_scala_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: In-memory DSv2 catalog with row-level-operation (MERGE INTO) support —
+#: the sandbox stand-in for Iceberg/Delta, compiled from javaext/.
+MEM_CATALOG_JAR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "javaext",
+    "mem-catalog.jar",
+)
+
 
 @pytest.fixture(scope="session")
 def spark():
+    extra = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": "8g",
+    }
+    if os.path.exists(MEM_CATALOG_JAR):
+        extra["spark.jars"] = MEM_CATALOG_JAR
+        extra["spark.sql.catalog.mem"] = "arcanespark.mem.MemCatalog"
     spark = get_session(
         app_name="arcane-tests",
         master="local[*]",
-        extra_conf={
-            "spark.sql.shuffle.partitions": "32",
-            "spark.ui.enabled": "false",
-            "spark.driver.memory": "8g",
-        },
+        extra_conf=extra,
     )
     yield spark
     spark.stop()
