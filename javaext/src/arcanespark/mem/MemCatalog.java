@@ -63,6 +63,7 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
   static final class Store {
     volatile StructType schema;
     final List<InternalRow> rows = new ArrayList<>();
+    final Map<String, String> properties = new ConcurrentHashMap<>();
     Store(StructType schema) { this.schema = schema; }
   }
 
@@ -132,6 +133,11 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
           }
           s.rows.clear();
           s.rows.addAll(padded);
+        } else if (change instanceof TableChange.SetProperty) {
+          TableChange.SetProperty set = (TableChange.SetProperty) change;
+          s.properties.put(set.property(), set.value());
+        } else if (change instanceof TableChange.RemoveProperty) {
+          s.properties.remove(((TableChange.RemoveProperty) change).property());
         } else {
           throw new UnsupportedOperationException("alter: " + change);
         }
@@ -203,6 +209,8 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
     }
 
     @Override public String name() { return tableName; }
+
+    @Override public Map<String, String> properties() { return store.properties; }
 
     @Override @SuppressWarnings("deprecation")
     public StructType schema() { return store.schema; }

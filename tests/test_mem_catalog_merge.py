@@ -140,6 +140,29 @@ def test_replay_is_idempotent_on_real_merge(mem):
     assert first == second == [("k1", 11, "new1")]
 
 
+def test_watermark_property_store_on_real_catalog(mem):
+    """T2/K4 on the catalog path: the watermark commits through ALTER
+    TABLE SET TBLPROPERTIES and reads back via SHOW TBLPROPERTIES —
+    exactly the reference's table-property watermark, executed against a
+    catalog table rather than a file stand-in."""
+    from arcane_framework_scala_spark.streaming.watermark import (
+        TablePropertyWatermarkStore,
+        Watermark,
+    )
+
+    tgt = _table(mem, [("k1", 1, "x")], _BLOB_SCHEMA)
+    store = TablePropertyWatermarkStore(mem, tgt)
+    try:
+        assert store.read() is None
+        store.commit(Watermark(version="41", timestamp="2026-08-13T00:00:00"))
+        wm = store.read()
+        assert wm is not None and wm.version == "41"
+        store.commit(Watermark(version="42", timestamp="2026-08-13T01:00:00"))
+        assert store.read().version == "42"
+    finally:
+        mem.sql(f"DROP TABLE {tgt}")
+
+
 def test_catalog_target_real_merge_with_schema_drift(mem):
     """The production path end-to-end on the catalog: bootstrap via
     MergeSink, then a second batch with a NEW column (T8 drift → ALTER
