@@ -879,6 +879,93 @@ def q_dedup_span_stats(spark, sf_dir):
     return duplicated_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
 
 
+def q_m7_real_merge_vertical(spark, sf_dir):
+    """Generated MERGE INTO executed for REAL against the javaext mem
+    catalog (DSv2 SupportsRowLevelOperations — Iceberg's copy-on-write
+    surface), loaded into the driver's bare session via ADD JAR + lazy
+    catalog instantiation. Two sequential CT-dialect batches (bootstrap
+    inserts, then updates/deletes/inserts) over events; the oracle
+    replays the same two-batch merge algebra in SQL."""
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m7"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} (ARCANE_MERGE_KEY STRING, "
+        "SYS_CHANGE_VERSION BIGINT, user_id BIGINT, event_type STRING, "
+        "value_milli BIGINT) USING mem"
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t_hi, t_mid = (mx * 6) // 10, (mx * 3) // 10
+    batch = ev.filter(F.col("event_id") <= t_hi).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    from arcane_framework_scala_spark.queries.merge import build_merge_query
+
+    for pred in (
+        F.col("SYS_CHANGE_VERSION") <= t_mid,
+        F.col("SYS_CHANGE_VERSION") > t_mid,
+    ):
+        view = "arcane_m7_staged"
+        part = batch.filter(pred)
+        part.createOrReplaceTempView(view)
+        spark.sql(
+            build_merge_query(
+                SQL_SERVER_CHANGE_TRACKING, table, view, part.columns,
+                deduplicate=True,
+            )
+        )
+        spark.catalog.dropTempView(view)
+    return spark.table(table)
+
+
+_M7_SQL = f"""
+WITH b AS (
+  SELECT CAST(max(event_id) * 6 / 10 AS BIGINT) AS t_hi,
+         CAST(max(event_id) * 3 / 10 AS BIGINT) AS t_mid
+  FROM events
+),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CASE WHEN event_id <= b.t_mid THEN 1 ELSE 2 END AS batch
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k, batch ORDER BY ver DESC) AS rk
+  FROM src
+),
+b1 AS (SELECT * FROM ranked WHERE batch = 1 AND rk = 1),
+b2 AS (SELECT * FROM ranked WHERE batch = 2 AND rk = 1)
+SELECT coalesce(b2.k, b1.k) AS "ARCANE_MERGE_KEY",
+       CASE WHEN b2.k IS NOT NULL THEN b2.ver ELSE b1.ver END
+         AS "SYS_CHANGE_VERSION",
+       CASE WHEN b2.k IS NOT NULL THEN b2.user_id ELSE b1.user_id END
+         AS user_id,
+       CASE WHEN b2.k IS NOT NULL THEN b2.event_type ELSE b1.event_type END
+         AS event_type,
+       CASE WHEN b2.k IS NOT NULL THEN b2.value_milli ELSE b1.value_milli END
+         AS value_milli
+FROM b1 FULL JOIN b2 ON b1.k = b2.k
+WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
+"""
+
+
 def q_dedup_span_clean(spark, sf_dir):
     """The masking step of span-level dedup: documents rebuilt without
     their duplicated n-gram spans (fully duplicated docs become empty
@@ -2644,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dedup_span_stats,
         "sim_tfidf_rerank": q_sim_tfidf_rerank,
         "dedup_span_clean": q_dedup_span_clean,
+        "m7_real_merge_vertical": q_m7_real_merge_vertical,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
@@ -2737,6 +2825,7 @@ WHERE rk = 1
         "dedup_span_stats": _span_dedup_sql(),
         "sim_tfidf_rerank": _tfidf_rerank_sql(),
         "dedup_span_clean": _span_clean_sql(),
+        "m7_real_merge_vertical": _M7_SQL,
         "sim_cosine_topk": sim.brute_force_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10
         ),

@@ -4,7 +4,7 @@ set -e
 cd "$(dirname "$0")"
 JARS="$(python -c 'import pyspark, os; print(os.path.join(os.path.dirname(pyspark.__file__), "jars"))')"
 rm -rf classes && mkdir classes
-javac -cp "$JARS/*" -d classes src/arcanespark/mem/MemCatalog.java
+javac -encoding UTF-8 -cp "$JARS/*" -d classes src/arcanespark/mem/MemCatalog.java
 jar cf mem-catalog.jar -C classes .
 rm -rf classes
 echo "built mem-catalog.jar"

@@ -253,7 +253,12 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
     @Override public String description() { return "mem-scan:" + storeKey; }
 
     @Override public InputPartition[] planInputPartitions() {
-      return new InputPartition[] { new MemInputPartition(storeKey) };
+      Store s = STORES.get(storeKey);
+      final InternalRow[] snapshot;
+      synchronized (s.rows) {
+        snapshot = s.rows.toArray(new InternalRow[0]);
+      }
+      return new InputPartition[] { new MemInputPartition(snapshot) };
     }
 
     @Override public PartitionReaderFactory createReaderFactory() {
@@ -261,18 +266,19 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
     }
   }
 
+  /** Carries the row snapshot itself: planInputPartitions runs on the
+   * driver (where the canonical STORES lives), while the reader may run
+   * under a different classloader (ADD JAR at runtime duplicates this
+   * class per loader, each with its own static map). Embedding the data
+   * sidesteps static-state split-brain entirely. */
   static final class MemInputPartition implements InputPartition, Serializable {
-    final String storeKey;
-    MemInputPartition(String storeKey) { this.storeKey = storeKey; }
+    final InternalRow[] snapshot;
+    MemInputPartition(InternalRow[] snapshot) { this.snapshot = snapshot; }
   }
 
   static final class MemReaderFactory implements PartitionReaderFactory {
     @Override public PartitionReader<InternalRow> createReader(InputPartition p) {
-      Store s = STORES.get(((MemInputPartition) p).storeKey);
-      final InternalRow[] snapshot;
-      synchronized (s.rows) {
-        snapshot = s.rows.toArray(new InternalRow[0]);
-      }
+      final InternalRow[] snapshot = ((MemInputPartition) p).snapshot;
       return new PartitionReader<InternalRow>() {
         private int i = -1;
         @Override public boolean next() { return ++i < snapshot.length; }
@@ -338,7 +344,19 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
       Store s = STORES.get(storeKey);
       List<InternalRow> incoming = new ArrayList<>();
       for (WriterCommitMessage m : messages) {
-        if (m != null) incoming.addAll(((MemCommitMessage) m).rows);
+        if (m == null) continue;
+        // the message may have been deserialized under a different
+        // classloader than this class (ADD JAR at runtime) -- a cast
+        // would throw, so read the rows field reflectively
+        try {
+          java.lang.reflect.Field f = m.getClass().getDeclaredField("rows");
+          f.setAccessible(true);
+          @SuppressWarnings("unchecked")
+          List<InternalRow> rows = (List<InternalRow>) f.get(m);
+          incoming.addAll(rows);
+        } catch (ReflectiveOperationException e) {
+          throw new IllegalStateException("unexpected commit message: " + m, e);
+        }
       }
       synchronized (s.rows) {
         if (replaceAll) s.rows.clear();
@@ -403,8 +421,8 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
     }
   }
 
-  static final class MemCommitMessage implements WriterCommitMessage {
-    final List<InternalRow> rows;
+  public static final class MemCommitMessage implements WriterCommitMessage {
+    public final List<InternalRow> rows;
     MemCommitMessage(List<InternalRow> rows) { this.rows = rows; }
   }
 
