@@ -140,6 +140,23 @@ def test_replay_is_idempotent_on_real_merge(mem):
     assert first == second == [("k1", 11, "new1")]
 
 
+def test_catalog_overwrite_path(mem):
+    """M4 backfill-overwrite on the catalog: CatalogTarget.overwrite
+    replaces table contents (RTAS or drop+recreate fallback), and a
+    second overwrite with a different schema wins entirely."""
+    name = f"mem.itest.t_{uuid.uuid4().hex[:10]}"
+    tgt = CatalogTarget(mem, name)
+    tgt.overwrite(mem.createDataFrame([("a", 1)], "k string, v long"))
+    assert sorted(tuple(r) for r in mem.table(name).collect()) == [("a", 1)]
+    tgt.overwrite(
+        mem.createDataFrame([("b", 2.5, "x")], "k string, w double, note string")
+    )
+    rows = sorted(tuple(r) for r in mem.table(name).collect())
+    assert rows == [("b", 2.5, "x")]
+    assert set(mem.table(name).columns) == {"k", "w", "note"}
+    mem.sql(f"DROP TABLE {name}")
+
+
 def test_watermark_property_store_on_real_catalog(mem):
     """T2/K4 on the catalog path: the watermark commits through ALTER
     TABLE SET TBLPROPERTIES and reads back via SHOW TBLPROPERTIES —
