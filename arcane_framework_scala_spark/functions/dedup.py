@@ -458,6 +458,10 @@ def ngram_jaccard_pairs(
     decimals. Shuffles: explode+distinct, df-count, candidate join,
     pair-intersection count — all on uniform hash-like keys."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # exploded feeds FOUR consumers (sizes, the rare-shingle filter, and
+    # both intersection probes) with different prunings, so exchange reuse
+    # can't fire; a lazy localCheckpoint materializes the distinct
+    # (id, shingle) set once — same pattern as tfidf's weight table
     exploded = (
         _spread(df.select(F.col(id_col), norm.alias("__norm")))
         .select(
@@ -465,6 +469,7 @@ def ngram_jaccard_pairs(
             F.explode(char_shingles("__norm", k, pre_normalized=True)).alias("sh"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if candidates is None:
