@@ -966,6 +966,44 @@ WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
 """
 
 
+def q_sim_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the exact float
+    cosine top-k and the int8-quantized cosine top-k (coarse+fine, the
+    standard production pairing — quantized corpus for recall, exact for
+    precision). Integer RRF scores → exact oracle hash parity."""
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = sim.brute_force_topk(emb, _COSINE_QUERY_IDS, k=10)
+    q8 = sim.quantize_embeddings(emb).select("vec_id", "q8")
+    quant = sim.brute_force_topk(q8, _COSINE_QUERY_IDS, k=10, vec_col="q8")
+    return sim.rrf_fuse(exact, quant)
+
+
+def _rrf_hybrid_sql() -> str:
+    ids = ", ".join(str(i) for i in _COSINE_QUERY_IDS)
+
+    def ranked(table: str, vec: str) -> str:
+        s = sim.cosine_similarity_sql("q.qvec", f"e.{vec}")
+        return (
+            f"SELECT q.query_id, e.vec_id, CAST(row_number() OVER ("
+            f"PARTITION BY q.query_id ORDER BY round({s}, 6) DESC, e.vec_id"
+            f") AS INT) AS rk "
+            f"FROM (SELECT vec_id AS query_id, {vec} AS qvec FROM {table} "
+            f"WHERE vec_id IN ({ids})) q "
+            f"JOIN {table} e ON e.vec_id != q.query_id "
+            f"QUALIFY rk <= 10"
+        )
+
+    qv = (
+        "(SELECT vec_id, q8 FROM ("
+        + sim.quantize_embeddings_sql("embeddings")
+        + "))"
+    )
+    return sim.rrf_fuse_sql(
+        ranked("embeddings", "embedding"),
+        ranked(qv, "q8"),
+    )
+
+
 def q_dedup_span_clean(spark, sf_dir):
     """The masking step of span-level dedup: documents rebuilt without
     their duplicated n-gram spans (fully duplicated docs become empty
@@ -2732,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_tfidf_rerank": q_sim_tfidf_rerank,
         "dedup_span_clean": q_dedup_span_clean,
         "m7_real_merge_vertical": q_m7_real_merge_vertical,
+        "sim_rrf_hybrid": q_sim_rrf_hybrid,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_lsh_neighbors": q_lsh_neighbors,
@@ -2826,6 +2865,7 @@ WHERE rk = 1
         "sim_tfidf_rerank": _tfidf_rerank_sql(),
         "dedup_span_clean": _span_clean_sql(),
         "m7_real_merge_vertical": _M7_SQL,
+        "sim_rrf_hybrid": _rrf_hybrid_sql(),
         "sim_cosine_topk": sim.brute_force_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10
         ),

@@ -452,3 +452,79 @@ SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, {sim} AS sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
 WHERE {sim} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings (the standard
+    hybrid-retrieval combiner: dense + lexical, exact + quantized, …).
+
+    ``rrf_micro = Σ_lists 1_000_000 div (k_rrf + rank)`` — integer
+    division end-to-end, so the fused scores and ranks are exact in any
+    SQL oracle. Candidates absent from one list contribute 0 for it
+    (full-outer union of the two lists). Output: ``(query, id, rrf_micro,
+    fused_rank)`` with a total-order tiebreak on the id.
+
+    Scale: both inputs are already top-k-bounded per query (k·queries
+    rows); the fuse is one full-outer hash join on (query, id) plus one
+    per-query window — negligible next to the rankers themselves."""
+    a = ranked_a.select(query_col, id_col, F.col(rank_col).alias("__rka"))
+    b = ranked_b.select(query_col, id_col, F.col(rank_col).alias("__rkb"))
+    fused = a.join(b, [query_col, id_col], "full_outer").select(
+        query_col,
+        id_col,
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({k_rrf} + __rka)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({k_rrf} + __rkb)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(id_col)
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_fuse_sql(
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rk",
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`; the two inputs are SQL snippets
+    yielding ``(query_col, id_col, rank_col)``."""
+    return f"""
+WITH ra AS ({ranked_a_sql}),
+rb AS ({ranked_b_sql}),
+fused AS (
+  SELECT coalesce(ra.{query_col}, rb.{query_col}) AS {query_col},
+         coalesce(ra.{id_col}, rb.{id_col}) AS {id_col},
+         CAST(coalesce(1000000 // ({k_rrf} + ra.{rank_col}), 0)
+            + coalesce(1000000 // ({k_rrf} + rb.{rank_col}), 0) AS BIGINT)
+           AS rrf_micro
+  FROM ra FULL JOIN rb
+    ON ra.{query_col} = rb.{query_col} AND ra.{id_col} = rb.{id_col}
+)
+SELECT {query_col}, {id_col}, rrf_micro,
+       CAST(row_number() OVER (PARTITION BY {query_col}
+            ORDER BY rrf_micro DESC, {id_col}) AS INT) AS fused_rank
+FROM fused
+"""

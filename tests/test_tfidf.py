@@ -72,3 +72,22 @@ def test_threshold_filters(spark):
         _docs(spark), _pairs(spark, [(1, 2), (2, 3)]), threshold_micro=500_000
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from arcane_framework_scala_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, vec_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, vec_id long, rk int"
+    )
+    out = {r["vec_id"]: r for r in rrf_fuse(a, b, k_rrf=60).collect()}
+    # 11 is in both lists (ranks 2 and 1) -> top fused
+    assert out[11]["rrf_micro"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert out[10]["rrf_micro"] == 1_000_000 // 61
+    assert out[12]["rrf_micro"] == 1_000_000 // 62
+    assert out[11]["fused_rank"] == 1
+    # 10 (1/61) beats 12 (1/62)
+    assert out[10]["fused_rank"] == 2 and out[12]["fused_rank"] == 3
