@@ -93,11 +93,14 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _events_threshold(spark: SparkSession, sf_dir: str) -> int:
+    # integer floor division on BOTH engines: DuckDB's float '/' + CAST
+    # rounds-to-nearest while Spark's cast truncates, so `div`/`//` is the
+    # only scale-stable choice (diverges whenever max(event_id) % 5 ∈ {1,3})
     ev = _read(spark, sf_dir, "events")
-    return ev.agg((F.max("event_id") * 6 / 10).cast("long")).first()[0]
+    return ev.agg(F.expr("(max(event_id) * 6) div 10")).first()[0]
 
 
-_THR_SQL = "SELECT CAST(max(event_id) * 6 / 10 AS BIGINT) AS v FROM events"
+_THR_SQL = "SELECT max(event_id) * 6 // 10 AS v FROM events"
 
 
 def _mssql_changes(spark, sf_dir, lower=None, upper=None) -> DataFrame:
@@ -327,19 +330,29 @@ def _li_thresholds(spark, sf_dir):
 
 
 def q_m3_merge_upsert(spark, sf_dir):
-    """Flagship: blob-parquet CDC upsert (S8 → P4 → W1 → M3 vertical)."""
+    """Flagship: blob-parquet CDC upsert (S8 → P4 → W1 → M3 vertical).
+
+    Plan shape (the r2 version scanned + SHA-256-hashed lineitem twice and
+    shuffled the target side twice): both merge branches now hang off ONE
+    ``repartition(ARCANE_MERGE_KEY)`` whose subtree is identical, so Spark's
+    ReuseExchange writes the shuffle once and reads it twice — one scan, one
+    SHA-256 pass, one exchange. The target dedup groups by the merge key
+    alone (key = SHA-256(l_orderkey, l_linenumber), so the groups are the
+    same as (key, ok, ln)); that agg, the W1 collapse window, and the
+    full-outer merge join all reuse the same hash partitioning — zero
+    additional exchanges after the shared one.
+    """
     t4, t2 = _li_thresholds(spark, sf_dir)
-    # note: persisting `enriched` was measured and rejected — the two
-    # branches re-scan, but cold-run cache materialization costs more than
-    # the duplicated sha256 projection it saves (2.3s steady-state vs 7.5s
-    # first-run; the un-persisted plan holds ~6.6s every run)
     enriched = _lineitem_enriched(spark, sf_dir)
+    common = enriched.repartition("ARCANE_MERGE_KEY")
     # bootstrapped target: one row per key (min-aggregate the duplicates)
     target = (
-        enriched.filter(F.col("l_orderkey") <= t4)
-        .groupBy("ARCANE_MERGE_KEY", "l_orderkey", "l_linenumber")
+        common.filter(F.col("l_orderkey") <= t4)
+        .groupBy("ARCANE_MERGE_KEY")
         .agg(
             F.min("createdon").alias("createdon"),
+            F.min("l_orderkey").alias("l_orderkey"),
+            F.min("l_linenumber").alias("l_linenumber"),
             F.min("l_quantity").alias("l_quantity"),
             F.min("l_extendedprice").alias("l_extendedprice"),
             F.min("l_returnflag").alias("l_returnflag"),
@@ -350,7 +363,7 @@ def q_m3_merge_upsert(spark, sf_dir):
         )
     )
     batch = (
-        enriched.filter(F.col("l_orderkey") > t2)
+        common.filter(F.col("l_orderkey") > t2)
         .withColumn("createdon", F.lit(200).cast("long"))
         .withColumn("l_quantity", F.col("l_quantity") + 1000)
     )
@@ -933,8 +946,8 @@ def q_m7_real_merge_vertical(spark, sf_dir):
 
 _M7_SQL = f"""
 WITH b AS (
-  SELECT CAST(max(event_id) * 6 / 10 AS BIGINT) AS t_hi,
-         CAST(max(event_id) * 3 / 10 AS BIGINT) AS t_mid
+  SELECT max(event_id) * 6 // 10 AS t_hi,
+         max(event_id) * 3 // 10 AS t_mid
   FROM events
 ),
 src AS (
@@ -1108,10 +1121,17 @@ FROM documents
 
 
 def q_mm_resize(spark, sf_dir):
+    """Gate wrapper: the operator itself returns the (possibly re-encoded)
+    media bytes, but the driver's canonicalizer cannot hash raw binary
+    columns, so the gate projects ``md5(media)`` instead — same information
+    for parity purposes (fake decoder passes bytes through unchanged)."""
     from arcane_framework_scala_spark.multimodal import resize_images
 
-    return resize_images(
+    out = resize_images(
         _media_docs(spark, sf_dir), max_side=256, id_col="doc_id", decoder="fake"
+    )
+    return out.select(
+        "doc_id", F.md5("media").alias("media_digest"), "width", "height"
     )
 
 
@@ -1120,14 +1140,14 @@ def q_mm_resize(spark, sf_dir):
 # order (w * (256.0 / longest)) on both engines
 _MM_RESIZE_SQL = """
 WITH dims AS (
-  SELECT doc_id, encode(text) AS media,
+  SELECT doc_id, md5(text) AS media_digest,
          CAST(1 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 1024
               AS INT) AS w0,
          CAST(1 + CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 1024
               AS INT) AS h0
   FROM documents
 )
-SELECT doc_id, media,
+SELECT doc_id, media_digest,
        CAST(CASE WHEN greatest(w0, h0) > 256
                  THEN floor(w0 * (256.0 / greatest(w0, h0))) ELSE w0 END
             AS INT) AS width,
@@ -1428,7 +1448,7 @@ def q_s6_cdm_vertical(spark, sf_dir):
 _S6_SQL = """
 WITH b AS (
   SELECT t3, (2 * t3) // 3 AS t2
-  FROM (SELECT CAST(max(event_id) * 6 / 10 AS BIGINT) AS t3 FROM events)
+  FROM (SELECT max(event_id) * 6 // 10 AS t3 FROM events)
 ),
 src AS (
   SELECT CAST(user_id AS VARCHAR) AS "ARCANE_MERGE_KEY",
@@ -2724,59 +2744,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
+    # entries only. r2 verified the 50 §2/core queries; r3 front-loads the 29
+    # entries that have never had a driver oracle row (+ the fixed mm_resize),
+    # then re-verifies the 20 queries whose oracles changed this round or
+    # carry the most semantic weight. r2 ∪ r3 covers all 79.
     return {
-        # reference surface (SURVEY §2)
-        "s8_blob_enrich": q_blob_enrich,
-        "s1_mssql_changes": q_mssql_changes,
-        "w1_dedup_latest": q_w1_dedup_latest,
-        "w2_backfill_dedup": q_w2_backfill_dedup,
-        "m1_merge_sqlserver": q_m1_merge_sqlserver,
-        "m2_merge_synapse": q_m2_merge_synapse,
-        "m3_merge_upsert": q_m3_merge_upsert,
-        "m4_overwrite_backfill": q_m4_overwrite_backfill,
-        "s2_backfill_scan": q_s2_backfill_scan,
-        "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
-        "s9_json_explode": q_s9_json_explode,
-        "m5_shard_combine": q_m5_shard_combine,
-        "t9_replay_idempotent": q_t9_replay_idempotent,
-        "s6_cdm_vertical": q_s6_cdm_vertical,
-        "t2_crash_replay": q_t2_crash_replay,
-        "t1_polling_vertical": q_t1_polling_vertical,
-        "x1_maintenance_vertical": q_x1_maintenance_vertical,
-        "a3_table_stats": q_a3_table_stats,
-        "s10_blob_csv": q_s10_blob_csv,
-        "k1_staging_writer": q_k1_staging_writer,
-        "o4_watermark_rows": q_o4_watermark_rows,
-        "m6_shard_resume": q_m6_shard_resume,
-        "p1_field_filter": q_field_filter,
-        "p6_name_normalize": q_name_normalize,
-        "a2_agg_version_stats": q_agg_version_stats,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
-        "p7_json_extract": q_json_extract,
-        # LLM-data-pipeline surface
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_fingerprint,
-        "dedup_exact": q_exact_dedup,
-        "dedup_minhash_signature": q_minhash_signature,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_simhash,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_span_stats": q_dedup_span_stats,
-        "sim_tfidf_rerank": q_sim_tfidf_rerank,
-        "dedup_span_clean": q_dedup_span_clean,
-        "m7_real_merge_vertical": q_m7_real_merge_vertical,
-        "sim_rrf_hybrid": q_sim_rrf_hybrid,
-        "sim_cosine_topk": q_cosine_topk,
-        "sim_lsh_buckets": q_lsh_buckets,
-        "sim_lsh_neighbors": q_lsh_neighbors,
-        "mm_image_features": q_mm_image_features,
-        "mm_audio_features": q_mm_audio_features,
-        "mm_resize": q_mm_resize,
+        # --- never driver-checked before r3 (29) ---
         "mm_frame_sample": q_mm_frame_sample,
         "s9_avro_json": q_s9_avro_json,
         "sim_ivf_topk": q_ivf_topk,
@@ -2806,6 +2780,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stream_sessionize": q_t_stream_sessionize,
         "t_stream_late_data": q_t_stream_late_data,
         "t_stateful_first_seen": q_t_stateful_first_seen,
+        # --- errored in r2, fixed (digest projection) ---
+        "mm_resize": q_mm_resize,
+        # --- re-verification picks (threshold-oracle edits + headline) ---
+        "m7_real_merge_vertical": q_m7_real_merge_vertical,
+        "m1_merge_sqlserver": q_m1_merge_sqlserver,
+        "m2_merge_synapse": q_m2_merge_synapse,
+        "t9_replay_idempotent": q_t9_replay_idempotent,
+        "t2_crash_replay": q_t2_crash_replay,
+        "t1_polling_vertical": q_t1_polling_vertical,
+        "s1_mssql_changes": q_mssql_changes,
+        "w1_dedup_latest": q_w1_dedup_latest,
+        "w2_backfill_dedup": q_w2_backfill_dedup,
+        "m3_merge_upsert": q_m3_merge_upsert,
+        "m4_overwrite_backfill": q_m4_overwrite_backfill,
+        "s6_cdm_vertical": q_s6_cdm_vertical,
+        "s2_backfill_scan": q_s2_backfill_scan,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "sim_cosine_topk": q_cosine_topk,
+        "x1_maintenance_vertical": q_x1_maintenance_vertical,
+        # --- green in r2, beyond the 50-entry gate window (29) ---
+        "s8_blob_enrich": q_blob_enrich,
+        "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
+        "s9_json_explode": q_s9_json_explode,
+        "m5_shard_combine": q_m5_shard_combine,
+        "a3_table_stats": q_a3_table_stats,
+        "s10_blob_csv": q_s10_blob_csv,
+        "k1_staging_writer": q_k1_staging_writer,
+        "o4_watermark_rows": q_o4_watermark_rows,
+        "m6_shard_resume": q_m6_shard_resume,
+        "p1_field_filter": q_field_filter,
+        "p6_name_normalize": q_name_normalize,
+        "a2_agg_version_stats": q_agg_version_stats,
+        "p7_json_extract": q_json_extract,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_exact_dedup,
+        "dedup_minhash_signature": q_minhash_signature,
+        "dedup_simhash": q_simhash,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_span_stats": q_dedup_span_stats,
+        "sim_tfidf_rerank": q_sim_tfidf_rerank,
+        "dedup_span_clean": q_dedup_span_clean,
+        "sim_rrf_hybrid": q_sim_rrf_hybrid,
+        "sim_lsh_buckets": q_lsh_buckets,
+        "sim_lsh_neighbors": q_lsh_neighbors,
+        "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
     }
 
 
