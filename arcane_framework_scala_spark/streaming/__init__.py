@@ -7,6 +7,8 @@ from arcane_framework_scala_spark.streaming.stateful import stateful_first_seen
 from arcane_framework_scala_spark.streaming.throughput import (
     StaticShaper,
     MemoryAwareShaper,
+    MemoryBoundSettings,
+    MemoryBoundShaper,
 )
 
 __all__ = [
@@ -19,6 +21,8 @@ __all__ = [
     "StructuredBlobStream",
     "StaticShaper",
     "MemoryAwareShaper",
+    "MemoryBoundSettings",
+    "MemoryBoundShaper",
 ]
 
 # StreamRunner/StructuredBlobStream import the sink layer, which imports the

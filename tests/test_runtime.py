@@ -11,7 +11,11 @@ from arcane_framework_scala_spark.sources.mssql import MsSqlQueryBuilder
 from arcane_framework_scala_spark.streaming.runner import StreamRunner, StreamSettings
 from arcane_framework_scala_spark.streaming.throughput import (
     MemoryAwareShaper,
+    MemoryBoundSettings,
+    MemoryBoundShaper,
+    estimate_memory_cutoff,
     estimate_row_bytes,
+    estimate_string_length,
 )
 from arcane_framework_scala_spark.streaming.watermark import FileWatermarkStore
 
@@ -158,6 +162,127 @@ def test_memory_shaper_partition_cap():
     schema = T.StructType([T.StructField("l", T.LongType())])
     # partition-aware cap: ≤ partitions/2 (MemoryBoundShaper.scala:188-198)
     assert shaper.max_rows(schema) == 32
+    # the cap only fires for >1 partition — a single-partition target takes
+    # the uncapped estimate, not rows=1 (reference else-branch max(chunk, 1))
+    one_part = MemoryAwareShaper(
+        executor_memory_bytes=1 << 30, partition_count=1
+    )
+    assert one_part.max_rows(schema) > 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Full MemoryBoundShaper port vs the reference's own test expectations
+# (src/test/scala/tests/services/streaming/throughput/MemoryBoundShaperTests.scala)
+# ---------------------------------------------------------------------------
+
+_REF_SETTINGS = MemoryBoundSettings(  # MemoryBound(100, 4096, 1, 10, .5, .5, 2)
+    fallback_string_size=100,
+    object_type_size=4096,
+    chunk_cost_scale=1,
+    chunk_cost_max=10,
+    table_row_count_weight=0.5,
+    table_size_weight=0.5,
+    table_size_scale_factor=2,
+    advised_burst=10,
+    advised_rate_elements=1,
+    advised_rate_interval_seconds=10.0,
+)
+
+_FREE = 1 << 30  # pinned "JVM free memory"
+
+
+def _ref_shaper(uptime=100.0, gc=0):
+    return MemoryBoundShaper(
+        settings=_REF_SETTINGS,
+        free_memory_fn=lambda: _FREE,
+        gc_count_fn=lambda: gc,
+        uptime_fn=lambda: uptime,
+    )
+
+
+def test_memory_bound_empty_target_matches_reference():
+    """Reference test 'correctly estimate on empty target': row size is
+    fallbackStringSize*2 + 32 + 16 for a merge-key-only schema, pool cutoff
+    floors at 0.2, and the flow rate stays below 15% of chunk size."""
+    schema = T.StructType([T.StructField("ARCANE_MERGE_KEY", T.StringType())])
+    shaper = _ref_shaper()
+    elements, element_size = shaper.estimate_chunk_size(
+        schema, table_records=0, table_bytes=0, partitions=1
+    )
+    expected_row = 100 * 2 + 32 + 16
+    assert element_size == expected_row
+    expected_elements = int(0.2 * _FREE / (expected_row + 1) / 2)
+    assert abs(1 - elements / expected_elements) < 0.01
+    rate_elems, interval = shaper.estimate_shape_rate(elements)
+    assert interval == 1.0
+    assert rate_elems / elements < 0.15
+
+
+def test_memory_bound_non_empty_target_matches_reference():
+    """Reference test 'correctly estimate on non-empty target': string
+    length from column sizes (×1.5 safety ÷2 bytes/char), per-type row
+    costs, sigmoid cutoff saturating to ~0.8 for a populated table."""
+    schema = T.StructType(
+        [
+            T.StructField("ARCANE_MERGE_KEY", T.StringType()),
+            T.StructField("colA", T.StringType()),
+            T.StructField("colB", T.IntegerType()),
+        ]
+    )
+    # 200 uncompressed string bytes over 10 rows → avg length 15 chars
+    assert estimate_string_length(200, 10, _REF_SETTINGS) == 15
+    shaper = _ref_shaper()
+    elements, element_size = shaper.estimate_chunk_size(
+        schema, table_records=10, table_bytes=500, partitions=1,
+        string_col_bytes=200,
+    )
+    # 2 strings of avg length 15 (= 10 chars × 1.5 buffer) and one int:
+    # 2*((10*1.5)*2 + 32 + 16) + (4+8+16+4)  — reference expectation
+    expected_row = 2 * (int(10 * 1.5) * 2 + 32 + 16) + (4 + 8 + 16 + 4)
+    assert element_size == expected_row
+    cutoff = estimate_memory_cutoff(10, 500, _REF_SETTINGS)
+    assert 0.799 < cutoff <= 0.8  # sigmoid saturates for nonzero tables
+    expected_elements = int(cutoff * _FREE / (expected_row + 1) / 2)
+    assert abs(1 - elements / expected_elements) < 0.01
+
+
+def test_memory_bound_partitioned_halving_rule():
+    """MemoryBoundShaper.scala:188-198: >1 partition → chunk forced to
+    partitions/2 (merge speed), single partition → uncapped with floor 1."""
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    parted = _ref_shaper()
+    elements, _ = parted.estimate_chunk_size(
+        schema, table_records=1000, table_bytes=100_000, partitions=8,
+        string_col_bytes=4000,
+    )
+    assert elements == 4  # 8 // 2
+    # tiny free memory + 1 partition → floor at 1, never 0
+    tiny = MemoryBoundShaper(
+        settings=_REF_SETTINGS,
+        free_memory_fn=lambda: 10,
+        gc_count_fn=lambda: 0,
+        uptime_fn=lambda: 100.0,
+    )
+    elements, _ = tiny.estimate_chunk_size(
+        schema, table_records=1000, table_bytes=100_000, partitions=1,
+        string_col_bytes=4000,
+    )
+    assert elements == 1
+
+
+def test_memory_bound_burst_and_cost():
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    shaper = _ref_shaper()
+    elements, element_size = shaper.estimate_chunk_size(
+        schema, table_records=0, table_bytes=0, partitions=1
+    )
+    burst = shaper.estimate_shape_burst(elements, element_size)
+    # burst ≥ all three floors (free/(size+1), 0.1*chunk, advised)
+    assert burst >= max(int(0.1 * elements), 10)
+    assert burst == int(_FREE / (element_size + 1))
+    # chunk cost is sigmoid-capped at chunk_cost_max
+    assert 0 <= shaper.estimate_chunk_cost(elements) <= 10
+    assert shaper.estimate_chunk_cost(10 ** 12) == 10
 
 
 def test_mssql_builder_matches_reference_shapes():
