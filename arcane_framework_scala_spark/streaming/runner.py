@@ -45,6 +45,11 @@ class StreamSettings:
     #: mode and tests; the reference's lifetime service maps to stop()
     max_batches: int | None = None
     advance_watermark_on_idle: bool = True
+    #: emit rows.incoming by counting each batch (one extra count job per
+    #: batch — CDC batches are shaper-bounded so this is cheap relative to
+    #: the merge; disable for oversized batches). Only consulted when a
+    #: DeclaredMetrics hub is attached to the runner.
+    count_incoming_rows: bool = True
 
 
 @dataclass
@@ -68,6 +73,7 @@ class StreamRunner:
         field_rule: FieldSelectionRule | None = None,
         maintenance: MaintenanceSchedule | None = None,
         maintenance_fn=None,
+        declared_metrics=None,
     ):
         self.source = source
         self.sink = sink
@@ -77,6 +83,8 @@ class StreamRunner:
         self.maintenance = maintenance or MaintenanceSchedule()
         self.maintenance_fn = maintenance_fn  # callable(op_name) -> None
         self.metrics = StreamMetrics()
+        #: optional metrics.DeclaredMetrics hub; emission is fire-and-forget
+        self.declared_metrics = declared_metrics
         self._cancelled = threading.Event()
         self._rng = random.Random(self.settings.rng_seed)
         self._batch_index = 0
@@ -97,15 +105,26 @@ class StreamRunner:
 
     # -- pipeline ------------------------------------------------------------
     def _process_batch(self, batch) -> None:
+        from arcane_framework_scala_spark import metrics as M
+
+        dm = self.declared_metrics
         if batch.df is not None:
             df = batch.df
             if self.field_rule is not None:
                 df = apply_field_selection(df, self.field_rule)
-            self.sink.apply(df)
+            if dm is not None and self.settings.count_incoming_rows:
+                rows = df.count()
+                self.metrics.rows_incoming += rows
+                dm.counter(M.ROWS_INCOMING, rows)
+            with M.timed_gauge(dm, M.BATCH_MERGE_DURATION):
+                self.sink.apply(df)
             self.metrics.batches_merged += 1
             for op in self.maintenance.due(self._batch_index):
                 if self.maintenance_fn is not None:
-                    self.maintenance_fn(op)
+                    with M.timed_gauge(
+                        dm, M.MAINTENANCE_DURATION_METRICS.get(op, M.NAMESPACE + ".target." + op)
+                    ):
+                        self.maintenance_fn(op)
                 self.metrics.maintenance_runs += 1
             self._batch_index += 1
         wm = Watermark.now(
@@ -114,6 +133,8 @@ class StreamRunner:
         )
         self.store.commit(wm)
         self.metrics.watermark_updates += 1
+        if dm is not None:
+            dm.counter(M.WATERMARK_UPDATES)
 
     def run_once(self) -> int:
         """One poll cycle; returns number of batches applied."""
@@ -163,6 +184,12 @@ class StreamRunner:
         stored = self.store.read()
         if stored is not None:
             self.metrics.last_watermark_age_seconds = stored.age_seconds()
+            if self.declared_metrics is not None:
+                from arcane_framework_scala_spark import metrics as M
+
+                self.declared_metrics.gauge(
+                    M.WATERMARK_AGE, self.metrics.last_watermark_age_seconds
+                )
         return n
 
     def run(self) -> StreamMetrics:

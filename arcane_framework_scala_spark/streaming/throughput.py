@@ -207,6 +207,9 @@ class MemoryBoundShaper:
     free_memory_fn: object = None
     gc_count_fn: object = None
     uptime_fn: object = None
+    #: optional metrics.DeclaredMetrics hub (reference gauges rowChunkSize,
+    #: rowChunkSizeBytes, rowChunkCost, mbsGCFrequency, mbsGCProbability)
+    declared_metrics: object = None
     _cache: dict = field(default_factory=dict)
 
     def _free_memory(self) -> int:
@@ -265,6 +268,16 @@ class MemoryBoundShaper:
             applied = int(min(chunk, self._cache["partitions"] / 2))
         else:
             applied = int(max(chunk, 1.0))
+        if self.declared_metrics is not None:
+            from arcane_framework_scala_spark import metrics as M
+
+            self.declared_metrics.gauge(M.ROW_CHUNK_SIZE, float(applied))
+            self.declared_metrics.gauge(
+                M.ROW_CHUNK_SIZE_BYTES, applied * row_size / (1024 * 1024)
+            )
+            self.declared_metrics.gauge(
+                M.ROW_CHUNK_COST, float(self.estimate_chunk_cost(applied))
+            )
         return applied, int(row_size)
 
     def estimate_shape_burst(self, chunk_size: int, element_size: int) -> int:
@@ -287,6 +300,11 @@ class MemoryBoundShaper:
         gc_probability = min(1.0, uptime / interval) * (
             1 - math.exp(-1 * gc_frequency * interval)
         )
+        if self.declared_metrics is not None:
+            from arcane_framework_scala_spark import metrics as M
+
+            self.declared_metrics.gauge(M.MBS_GC_FREQUENCY, gc_frequency)
+            self.declared_metrics.gauge(M.MBS_GC_PROBABILITY, gc_probability)
         return int(chunk_size * (1 + gc_probability) / interval) + 1, 1.0
 
     def estimate_chunk_cost(self, size: int) -> int:
