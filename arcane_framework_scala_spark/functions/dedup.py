@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from arcane_framework_scala_spark.functions._parallel import spread_for_compute as _spread
+from arcane_framework_scala_spark.plans.materialize import materialize
 
 #: affine MinHash family modulus — prime < 2^31 so (a*h + b) stays in int64
 _MH_PRIME = 2_147_483_647
@@ -460,16 +461,16 @@ def ngram_jaccard_pairs(
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     # exploded feeds FOUR consumers (sizes, the rare-shingle filter, and
     # both intersection probes) with different prunings, so exchange reuse
-    # can't fire; a lazy localCheckpoint materializes the distinct
-    # (id, shingle) set once — same pattern as tfidf's weight table
-    exploded = (
+    # can't fire; materialize() computes the distinct (id, shingle) set
+    # once — same pattern and fault-tolerance switch as tfidf's weight
+    # table (plans/materialize.py)
+    exploded = materialize(
         _spread(df.select(F.col(id_col), norm.alias("__norm")))
         .select(
             F.col(id_col),
             F.explode(char_shingles("__norm", k, pre_normalized=True)).alias("sh"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if candidates is None:

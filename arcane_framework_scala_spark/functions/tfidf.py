@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from arcane_framework_scala_spark.plans.materialize import materialize
+
 _TOKEN_SPLIT = r"\s+"
 
 
@@ -84,12 +86,13 @@ def tfidf_rerank(
     # the weight pipeline (explode + two keyed aggregations) feeds THREE
     # consumers (norms, side-A probe, side-B probe); per-consumer column
     # pruning makes the subtrees non-identical, so exchange reuse never
-    # fires and the pipeline would run three times. A lazy localCheckpoint
-    # materializes it exactly once (first consumer computes, the rest read
-    # the checkpointed blocks) — the per-(doc,term) weight table is ~the
-    # token vocabulary of the corpus, far smaller than the text it came
-    # from, so materializing it is the 100 TB-safe choice too
-    w = tfidf_weights(df, text_col, id_col).localCheckpoint(eager=False)
+    # fires and the pipeline would run three times. materialize() runs it
+    # exactly once; the per-(doc,term) weight table is far smaller than the
+    # text it came from. Default strategy is localCheckpoint (fast, but
+    # executor-loss-fragile — requires static allocation); set
+    # spark.arcane.materialize.faultTolerant=true on long-running clusters
+    # to use persist(MEMORY_AND_DISK) instead (plans/materialize.py).
+    w = materialize(tfidf_weights(df, text_col, id_col))
     norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     wa = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
     wb = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))

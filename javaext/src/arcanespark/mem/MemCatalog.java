@@ -102,9 +102,13 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
       Identifier ident, StructType schema, Transform[] partitions,
       Map<String, String> properties) throws TableAlreadyExistsException {
     String k = key(ident);
-    if (STORES.containsKey(k)) throw new TableAlreadyExistsException(ident);
-    STORES.put(k, new Store(schema));
-    return new MemTable(k, ident.name(), STORES.get(k));
+    // atomic claim: concurrent DDL racing containsKey/put could silently
+    // clobber an existing table's Store
+    Store fresh = new Store(schema);
+    if (STORES.putIfAbsent(k, fresh) != null) {
+      throw new TableAlreadyExistsException(ident);
+    }
+    return new MemTable(k, ident.name(), fresh);
   }
 
   @Override public Table alterTable(Identifier ident, TableChange... changes)
@@ -152,13 +156,16 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
 
   @Override public void renameTable(Identifier oldIdent, Identifier newIdent)
       throws NoSuchTableException, TableAlreadyExistsException {
-    Store s = STORES.get(key(oldIdent));
-    if (s == null) throw new NoSuchTableException(oldIdent);
-    if (STORES.containsKey(key(newIdent))) {
-      throw new TableAlreadyExistsException(newIdent);
+    // single-lock rename: the get/put/remove sequence is not atomic on its
+    // own, so concurrent renames/creates could orphan or clobber a Store
+    synchronized (STORES) {
+      Store s = STORES.get(key(oldIdent));
+      if (s == null) throw new NoSuchTableException(oldIdent);
+      if (STORES.putIfAbsent(key(newIdent), s) != null) {
+        throw new TableAlreadyExistsException(newIdent);
+      }
+      STORES.remove(key(oldIdent));
     }
-    STORES.put(key(newIdent), s);
-    STORES.remove(key(oldIdent));
   }
 
   // -- SupportsNamespaces: every single-level namespace implicitly exists --
@@ -393,6 +400,39 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
       }
       return new DataWriter<InternalRow>() {
         private final List<InternalRow> rows = new ArrayList<>();
+        private boolean layoutChecked = false;
+
+        /** Best-effort guard against the tail-slot assumption going stale:
+         * every declared write column must be readable with its declared
+         * type at the tail alignment. InternalRow carries no runtime type
+         * info, so a misalignment cannot always be proven, but mismatched
+         * variable-length reads (strings/decimals against fixed slots)
+         * throw or return garbage offsets here rather than silently
+         * scrambling stored values on a future Spark layout change. */
+        private void checkLayout(InternalRow r, int off) {
+          for (int w = 0; w < writeSchema.size(); w++) {
+            try {
+              if (!r.isNullAt(off + w)) {
+                Object v = r.get(off + w, writeSchema.fields()[w].dataType());
+                if (v instanceof org.apache.spark.unsafe.types.UTF8String
+                    && ((org.apache.spark.unsafe.types.UTF8String) v).numBytes() < 0) {
+                  throw new IllegalStateException("negative string length");
+                }
+              }
+            } catch (RuntimeException e) {
+              throw new IllegalStateException(
+                  "ReplaceData row layout mismatch: write column '"
+                  + writeSchema.fields()[w].name() + "' is not readable as "
+                  + writeSchema.fields()[w].dataType().simpleString()
+                  + " at tail slot " + (off + w) + " (row width "
+                  + r.numFields() + ", declared write width "
+                  + writeSchema.size() + "). The extra plan columns are "
+                  + "assumed to be LEADING; a Spark upgrade may have "
+                  + "changed this.", e);
+            }
+          }
+        }
+
         @Override public void write(InternalRow record) {
           InternalRow r = record.copy();
           // group-based ReplaceData rows can carry extra leading plan
@@ -403,6 +443,10 @@ public class MemCatalog implements TableCatalog, SupportsNamespaces {
             throw new IllegalStateException(
                 "row narrower than write schema: " + r.numFields()
                 + " < " + writeSchema.size());
+          }
+          if (off > 0 && !layoutChecked) {
+            checkLayout(r, off);
+            layoutChecked = true;
           }
           Object[] vals = new Object[srcIdx.length];
           for (int t = 0; t < srcIdx.length; t++) {
