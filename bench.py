@@ -36,6 +36,14 @@ HEADLINE = [
     "mm_image_features",
 ]
 
+#: second section (r3+): the heaviest formerly-ungated queries. Kept
+#: separate so HEADLINE's total stays comparable across every round.
+HEADLINE2 = [
+    "corpus_pack",
+    "t_rollup_cascade",
+    "sim_ivf_trained_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +70,17 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    timings2: dict[str, float] = {}
+    for name in HEADLINE2:
+        fn = qs[name]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings2[name] = round(best, 3)
+        print(f"# {name}: {timings2[name]}s", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -69,6 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline2_total": round(sum(timings2.values()), 3),
+                "headline2_queries": timings2,
                 "sf": sf,
             }
         )
