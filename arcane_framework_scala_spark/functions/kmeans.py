@@ -92,11 +92,20 @@ def kmeans_fit(
                 / (F.col("vn") * F.col("cn"))
             ).alias("csim"),
         )
-        w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+        # winner per vid via hash aggregation, not a sort window: max_by on
+        # (csim, -cid) is the same total order (ties → lowest cid; Spark
+        # ranks NaN largest in both codepaths), but partial aggregation
+        # collapses the k× fan-out map-side instead of shuffling and
+        # sorting all N·k rows
         assigned = (
-            sims.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("cid", "vec")
+            sims.groupBy("vid")
+            .agg(
+                F.max_by(
+                    F.struct("cid", "vec"),
+                    F.struct(F.col("csim"), (-F.col("cid")).alias("nc")),
+                ).alias("best")
+            )
+            .select(F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
         )
         stats = assigned.select(
             "cid", F.posexplode("vec").alias("pos", "val")
@@ -127,9 +136,10 @@ def kmeans_fit(
         )
         # prev centroids feed BOTH the assignment join and the empty-cell
         # fallback, so an uncached lineage doubles per iteration (2^iters
-        # subtree copies). localCheckpoint truncates it — k rows, one
-        # tiny job per iteration, still no driver collect.
-        cent = cent.localCheckpoint(eager=True)
+        # subtree copies). A lazy localCheckpoint truncates it; the next
+        # iteration's broadcast build materializes the k rows, so no
+        # dedicated job per iteration and still no driver collect.
+        cent = cent.localCheckpoint(eager=False)
     return cent.select(
         F.col("cid").alias("centroid_id"),
         F.col("cmicro"),
