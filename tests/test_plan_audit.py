@@ -41,12 +41,13 @@ def test_filters_reach_parquet_scans(spark, queries):
 def test_merge_apply_shape(spark, queries):
     """The CDC merge is one full-outer SMJ (cannot broadcast) plus the
     simulated target build; no nested-loop fallback, no Python nodes,
-    and no more than 3 exchanges (W1 window shares the join's merge-key
-    partitioning)."""
+    and no more than 2 exchanges — both merge branches hang off the
+    shared repartition(merge_key), and the target agg, W1 window, and
+    join all reuse that partitioning (r3 plan fix)."""
     a = audit_plan(queries["m3_merge_upsert"](spark, SF_DIR))
     assert a.nested_loop_joins == 0, a.plan
     assert a.python_nodes == 0, a.plan
-    assert a.exchanges <= 3, a.plan
+    assert a.exchanges <= 2, a.plan
 
 
 def test_reference_surface_stays_jvm_side(spark, queries):
@@ -99,7 +100,7 @@ def test_expensive_plans_hold_at_sf01(spark, queries):
     assert a.python_nodes == 0 and a.sort_merge_joins == 0, a.plan
     a = audit_plan(queries["m3_merge_upsert"](spark, sf01))
     assert a.nested_loop_joins == 0 and a.python_nodes == 0, a.plan
-    assert a.exchanges <= 3, a.plan
+    assert a.exchanges <= 2, a.plan
     for name, min_bhj in (("tpch_q3", 2), ("tpch_q5ish", 4)):
         a = audit_plan(queries[name](spark, sf01))
         assert a.broadcast_joins >= min_bhj, (name, a.plan)
