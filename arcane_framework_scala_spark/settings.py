@@ -131,3 +131,59 @@ def resolve_runner(context: StreamContext) -> str:
     if context.backfill_behavior is BackfillBehavior.MERGE:
         return BACKFILL_MERGE
     return BACKFILL_OVERWRITE
+
+
+def build_runner(
+    context: StreamContext,
+    source,
+    sink,
+    watermark_store,
+    field_rule: FieldSelectionRule | None = None,
+    stream_settings=None,
+    declared_metrics=None,
+    overwrite_runner_factory=None,
+):
+    """The composed-layer counterpart of the resolver: construct the actual
+    runtime the resolved kind names (reference ``StreamGraphResolver.
+    composedLayer`` wires graph builders the same way).
+
+    - streaming → a ready ``StreamRunner`` (call ``.run()`` / ``.run_once()``)
+    - backfill_merge → a zero-arg callable executing the bounded re-merge
+      from the stored watermark (resumable via ``backfill_id`` semantics:
+      the version-guarded MERGE makes replayed overlap a no-op)
+    - backfill_overwrite → delegates to ``overwrite_runner_factory(context)``
+      because shard staging needs storage paths the context does not carry;
+      raises if the factory is absent.
+    """
+    kind = resolve_runner(context)
+    if kind == STREAMING:
+        from arcane_framework_scala_spark.streaming.runner import StreamRunner
+
+        return StreamRunner(
+            source=source,
+            sink=sink,
+            watermark_store=watermark_store,
+            settings=stream_settings,
+            field_rule=field_rule,
+            declared_metrics=declared_metrics,
+        )
+    if kind == BACKFILL_MERGE:
+        from arcane_framework_scala_spark.backfill.graph import run_backfill_merge
+
+        def _run() -> int:
+            wm = watermark_store.read()
+            return run_backfill_merge(
+                source,
+                sink,
+                watermark_store,
+                start_version=wm.version if wm else None,
+                field_rule=field_rule,
+            )
+
+        return _run
+    if overwrite_runner_factory is None:
+        raise MissingStreamSetting(
+            "backfill_overwrite resolved but no overwrite_runner_factory "
+            "was provided (shard staging needs storage paths)"
+        )
+    return overwrite_runner_factory(context)

@@ -94,3 +94,46 @@ def test_field_rule_protects_essentials_through_spec():
     # essential merge-key survives an explicit exclude
     assert r.keeps("ARCANE_MERGE_KEY")
     assert not r.keeps("note")
+
+
+def test_build_runner_constructs_resolved_runtime(tmp_path):
+    from arcane_framework_scala_spark.settings import build_runner
+    from arcane_framework_scala_spark.sources.base import MicroBatch
+    from arcane_framework_scala_spark.streaming.runner import StreamRunner
+    from arcane_framework_scala_spark.streaming.watermark import FileWatermarkStore
+
+    class Src:
+        def current_version(self):
+            return {"version": 3}
+
+        def changes(self, since):
+            return iter([MicroBatch(df=None, watermark={"version": 3})])
+
+    class Sink:
+        def apply(self, df):
+            pass
+
+    store = FileWatermarkStore(path=str(tmp_path / "wm.json"))
+    streaming_ctx = StreamContext.from_env(_BASE_ENV)
+    r = build_runner(streaming_ctx, Src(), Sink(), store)
+    assert isinstance(r, StreamRunner)
+
+    merge_ctx = StreamContext.from_env(
+        {**_BASE_ENV, "STREAMCONTEXT__BACKFILL": "true"}
+    )
+    run = build_runner(merge_ctx, Src(), Sink(), store)
+    assert callable(run) and run() == 1  # bounded re-merge executes
+
+    ow_ctx = StreamContext.from_env(
+        {
+            **_BASE_ENV,
+            "STREAMCONTEXT__BACKFILL": "true",
+            "STREAMCONTEXT__BACKFILL_BEHAVIOR": "overwrite",
+        }
+    )
+    with pytest.raises(MissingStreamSetting, match="overwrite_runner_factory"):
+        build_runner(ow_ctx, Src(), Sink(), store)
+    marker = object()
+    assert build_runner(
+        ow_ctx, Src(), Sink(), store, overwrite_runner_factory=lambda c: marker
+    ) is marker
