@@ -879,6 +879,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(pairs)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """End of the near-dup pipeline: the deduplicated corpus itself — one
+    canonical (min-id) survivor per MinHash-LSH connected component, all
+    singletons kept. Returns (doc_id, md5 digest) so the gate hashes
+    cheaply; the oracle anti-joins the exact transitive closure."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(docs)
+    return dd.dedup_canonical(
+        docs.select("doc_id", F.md5("text").alias("digest")), pairs
+    )
+
+
 def q_dedup_span_stats(spark, sf_dir):
     """Span-level exact-substring dedup (Lee-et-al-style duplicated
     n-gram spans): per-doc duplicated-token coverage after merging
@@ -2802,8 +2814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sim_cosine_topk": q_cosine_topk,
+        # --- new in r3 (inside the gate window; x1 rotated out, r2-green) ---
+        "dedup_canonical": q_dedup_canonical,
+        # --- green in r2, beyond the 50-entry gate window (30) ---
         "x1_maintenance_vertical": q_x1_maintenance_vertical,
-        # --- green in r2, beyond the 50-entry gate window (29) ---
         "s8_blob_enrich": q_blob_enrich,
         "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
         "s9_json_explode": q_s9_json_explode,
@@ -2885,6 +2899,10 @@ WHERE rk = 1
         "dedup_minhash_lsh_pairs": dd.minhash_candidate_pairs_sql("documents"),
         "dedup_clusters": dd.dedup_clusters_sql(
             dd.minhash_candidate_pairs_sql("documents")
+        ),
+        "dedup_canonical": dd.dedup_canonical_sql(
+            "(SELECT doc_id, md5(text) AS digest FROM documents)",
+            dd.minhash_candidate_pairs_sql("documents"),
         ),
         "dedup_simhash": dd.simhash_sql("documents"),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", threshold=0.5),

@@ -357,6 +357,47 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The end of the near-dup pipeline: the corpus itself with every
+    non-canonical cluster member removed (the min-id member of each
+    connected component survives; docs in no pair are untouched).
+
+    Plan: ``dedup_clusters`` labels only the nodes that appear in a pair,
+    so the drop list is the duplicate population, not the corpus; the
+    removal is one LEFT ANTI join on the uniform id key. AQE broadcasts
+    the drop side when it is small (the common case — duplicate members
+    are a fraction of the corpus); a corpus-scale drop list degrades
+    gracefully to a shuffled anti join on the same key.
+    """
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def dedup_canonical_sql(
+    table: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: anti-join against the exact transitive-closure clusters."""
+    return f"""
+WITH clusters AS MATERIALIZED ({dedup_clusters_sql(pairs_sql)})
+SELECT t.* FROM {table} t
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c
+  WHERE c.doc_id = t.{id_col} AND c.doc_id != c.cluster_id
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -221,6 +221,24 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_canonical_keeps_min_id_and_singletons(spark):
+    from arcane_framework_scala_spark.functions.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in (1, 2, 3, 4, 10, 11, 12, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_canonical(docs, pairs).collect()
+    )
+    # one min-id survivor per component; 99 (no pair) untouched
+    assert kept == [1, 10, 20, 99]
+
+
 def test_multiple_watermark_rows_compose_and_sort_numerically(spark):
     from arcane_framework_scala_spark.operators.watermark_rows import (
         attach_watermark_row,
