@@ -172,6 +172,21 @@ def test_kmeans_training_stays_broadcast_and_jvm(spark, queries):
     assert a.cartesian_products == 0, a.plan
 
 
+def test_newly_gated_heavy_queries_plan_shapes(spark, queries):
+    """r3 gate additions hold the same discipline: no Python nodes, no
+    cartesian products; packing and the rollup cascade stay pure keyed
+    exchanges, temporal joins never degrade to an unbounded NLJ over the
+    fact side, canonical dedup removes via an anti join (no extra corpus
+    scans beyond docs + pair pipeline)."""
+    for name in ("corpus_pack", "t_rollup_cascade", "t_asof_join", "t_range_join"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.python_nodes == 0, (name, a.plan)
+        assert a.cartesian_products == 0, (name, a.plan)
+    a = audit_plan(queries["dedup_canonical"](spark, SF_DIR))
+    assert a.python_nodes == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
+
+
 def test_salted_join_broadcasts_exploded_dim(spark, queries):
     """salted_join must broadcast the salt-exploded dim (big side never
     shuffles for the join); two_phase_agg adds its two keyed exchanges."""
