@@ -59,6 +59,11 @@ class StructuredBlobStream:
     maintenance: MaintenanceSchedule = field(default_factory=MaintenanceSchedule)
     #: callable(op_name) executing the maintenance op against the target
     maintenance_fn: object | None = None
+    #: optional metrics.DeclaredMetrics hub — merge/maintenance durations
+    #: gauge from inside foreachBatch; ``start()`` also registers the
+    #: progress listener so rows.incoming/trigger duration come from
+    #: Spark's own counters at zero extra job cost
+    declared_metrics: object | None = None
 
     def _source(self) -> DataFrame:
         reader = (
@@ -78,6 +83,8 @@ class StructuredBlobStream:
         )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from arcane_framework_scala_spark import metrics as M
+
         if batch_df.isEmpty():
             return
         df = batch_df
@@ -85,17 +92,34 @@ class StructuredBlobStream:
             df = apply_field_selection(df, self.field_rule)
         # the version column is data now (foreachBatch df is a static frame)
         max_version = df.agg(F.max(BLOB_VERSION_COLUMN)).first()[0]
-        self.sink.apply(df)
+        dm = self.declared_metrics
+        with M.timed_gauge(dm, M.BATCH_MERGE_DURATION):
+            self.sink.apply(df)
         for op in self.maintenance.due(batch_id):
             if self.maintenance_fn is not None:
-                self.maintenance_fn(op)
+                with M.timed_gauge(
+                    dm,
+                    M.MAINTENANCE_DURATION_METRICS.get(
+                        op, M.NAMESPACE + ".target." + op
+                    ),
+                ):
+                    self.maintenance_fn(op)
         # ordering contract: watermark only after a successful merge
         self.watermark_store.commit(Watermark.now(version=str(max_version or "")))
+        if dm is not None:
+            dm.counter(M.WATERMARK_UPDATES)
 
     def start(self, trigger: dict | None = None):
         """Launch the query. ``trigger`` kwargs pass through — e.g.
         ``{"processingTime": "15 seconds"}`` (T1 cadence) or
         ``{"availableNow": True}`` (bounded catch-up / tests)."""
+        if self.declared_metrics is not None:
+            from arcane_framework_scala_spark import metrics as M
+
+            # idempotent per stream object; Spark dedups listener instances
+            if not hasattr(self, "_listener"):
+                self._listener = M.make_streaming_listener(self.declared_metrics)
+                self.spark.streams.addListener(self._listener)
         writer = (
             self._source()
             .writeStream.foreachBatch(self._process_batch)

@@ -131,6 +131,50 @@ def test_shaper_emits_chunk_and_gc_gauges():
     assert 0 < em.gauges[M.MBS_GC_PROBABILITY] <= 1
 
 
+def test_structured_stream_emits_merge_metrics(spark, sf_dir, tmp_path):
+    """T7 path with a DeclaredMetrics hub attached: foreachBatch gauges
+    merge duration + counts watermark updates; the auto-registered
+    listener adds rows.incoming from Spark progress events."""
+    from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+
+    src_dir = str(tmp_path / "in")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).limit(500).write.parquet(src_dir, mode="overwrite")
+    em = M.CollectingEmitter()
+    stream = StructuredBlobStream(
+        spark=spark,
+        path=src_dir,
+        schema="l_orderkey bigint, l_linenumber bigint, l_quantity double",
+        primary_keys=["l_orderkey", "l_linenumber"],
+        sink=MergeSink(
+            target=SnapshotParquetTarget(spark, str(tmp_path / "tgt")),
+            dialect=UPSERT_BLOB,
+        ),
+        watermark_store=FileWatermarkStore(path=str(tmp_path / "wm.json")),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        declared_metrics=M.DeclaredMetrics([em]),
+    )
+    try:
+        stream.run_available()
+        assert em.counters[M.WATERMARK_UPDATES] >= 1
+        assert em.gauges[M.BATCH_MERGE_DURATION] > 0
+        deadline = time.time() + 30
+        while time.time() < deadline and M.ROWS_INCOMING not in em.counters:
+            time.sleep(0.2)
+        assert em.counters.get(M.ROWS_INCOMING, 0) >= 500
+    finally:
+        if hasattr(stream, "_listener"):
+            spark.streams.removeListener(stream._listener)
+
+
 def test_streaming_listener_reports_progress(spark, sf_dir, tmp_path):
     """T7 path: Spark's own progress events map onto the declared names —
     numInputRows → rows.incoming with zero extra jobs."""
