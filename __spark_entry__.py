@@ -1215,6 +1215,22 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivf_index_topk(spark, sf_dir):
+    """Persisted inverted file: corpus assigned to centroids and written
+    PARTITIONED BY centroid_id (+ precomputed norms and the codebook),
+    then searched with planning-time partition pruning — only the probed
+    cells are read. Same semantics as sim_ivf_topk (identical codebook),
+    so the same oracle must hash-match; what this adds is the 100 TB
+    index shape: search I/O = n_probe/n_centroids of the corpus."""
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"arcane_ivf_{uuid.uuid4().hex}")
+    emb = _read(spark, sf_dir, "embeddings")
+    sim.build_ivf_index(emb, path, n_centroids=8)
+    return sim.ivf_index_topk(spark, path, _COSINE_QUERY_IDS, k=10, n_probe=2)
+
+
 def q_sim_kmeans_centroids(spark, sf_dir):
     """Deterministic distributed spherical k-means (3 Lloyd iterations,
     fixed-point accumulation) — the trained IVF codebook, value-hash
@@ -2813,10 +2829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "sim_cosine_topk": q_cosine_topk,
-        # --- new in r3 (inside the gate window; x1 rotated out, r2-green) ---
+        # --- new in r3 (inside the gate window; sim_cosine_topk and
+        # x1_maintenance_vertical rotate to the r2-verified tail) ---
         "dedup_canonical": q_dedup_canonical,
-        # --- green in r2, beyond the 50-entry gate window (30) ---
+        "sim_ivf_index_topk": q_sim_ivf_index_topk,
+        # --- green in r2, beyond the 50-entry gate window (31) ---
+        "sim_cosine_topk": q_cosine_topk,
         "x1_maintenance_vertical": q_x1_maintenance_vertical,
         "s8_blob_enrich": q_blob_enrich,
         "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
@@ -2924,6 +2942,11 @@ WHERE rk = 1
         "s9_avro_json": _S9_AVRO_JSON_SQL,
         "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
         "sim_ivf_topk": sim.ivf_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+        ),
+        # identical semantics to sim_ivf_topk by construction — the index is
+        # a materialization, so the same oracle must match
+        "sim_ivf_index_topk": sim.ivf_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
         ),
         "sim_kmeans_centroids": km.kmeans_centroids_sql(

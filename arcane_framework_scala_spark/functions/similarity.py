@@ -326,6 +326,151 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the inverted file on storage: every corpus vector
+    assigned to its nearest centroid (same rounding/tie rules as
+    :func:`ivf_topk`), written **partitioned by** ``centroid_id`` with the
+    norm precomputed, plus the codebook alongside.
+
+    This is the 100 TB shape of IVF: at search time only the probed
+    partitions are listed and read — parquet partition pruning turns the
+    corpus scan into ``n_probe / n_centroids`` of the data, and the norm
+    column amortizes the norm fold across every future search. Build cost
+    is one broadcast assignment join + one partitioned write; rebuild on
+    codebook refresh.
+    """
+    cent_src = (
+        centroids
+        if centroids is not None
+        else embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    )
+    cent = cent_src.select(
+        "centroid_id",
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    sims = (
+        _spread(embeddings)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("vec_norm"),
+        )
+        .join(F.broadcast(cent))
+        .select(
+            id_col,
+            vec_col,
+            "vec_norm",
+            "centroid_id",
+            F.round(
+                _dot(F.col(vec_col), F.col("__cvec"))
+                / (F.col("vec_norm") * F.col("__cn")),
+                6,
+            ).alias("__csim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    lists = (
+        sims.withColumn("__crk", F.row_number().over(w))
+        .filter(F.col("__crk") == 1)
+        .select("centroid_id", id_col, vec_col, "vec_norm")
+    )
+    lists.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        out_path + "/lists"
+    )
+    cent_src.write.mode("overwrite").parquet(out_path + "/codebook")
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`build_ivf_index` index; result semantics identical
+    to :func:`ivf_topk` over the same codebook (round-6 cosine, rank ties
+    on id, cross-probe duplicates scored once).
+
+    Scale shape: the probed centroid ids are collected to the driver
+    (|queries| × n_probe ints — metadata-scale, the same planning collect
+    an Iceberg partition filter performs) and pushed into the scan as a
+    partition filter, so only the probed inverted lists are read. Query
+    vectors are |queries| rows; everything they touch broadcasts.
+    """
+    cent_src = spark.read.parquet(index_path + "/codebook")
+    cent = cent_src.select(
+        "centroid_id",
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    lists = spark.read.parquet(index_path + "/lists")
+    queries = lists.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("vec_norm").alias("__qn"),
+    )
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "__qvec",
+            "__qn",
+            "centroid_id",
+            F.round(
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("__csim"),
+        )
+        .withColumn(
+            "__crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__csim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__crk") <= n_probe)
+        .drop("__csim", "__crk")
+    )
+    # planning-time partition pruning: probed cells only
+    probed_cids = [
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    ]
+    cand = (
+        lists.filter(F.col("centroid_id").isin(probed_cids))
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(
+            _dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qn") * F.col("vec_norm")),
+            6,
+        ).alias("sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "sim", "rk")
+    )
+
+
 def ivf_topk_sql(
     table: str,
     query_ids: list[int],

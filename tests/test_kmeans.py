@@ -60,3 +60,33 @@ def test_trained_codebook_plugs_into_ivf(spark):
     # all +x-cluster members (ids < 100), and vice versa
     for r in rows:
         assert (r.vec_id < 100) == (r.query_id < 100), r
+
+
+def test_ivf_index_matches_inline_ivf_and_prunes_partitions(spark, sf_dir, tmp_path):
+    from arcane_framework_scala_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    qids = [0, 1, 2]
+    inline = ivf_topk(emb, qids, k=5, n_centroids=8, n_probe=2)
+    indexed = ivf_index_topk(spark, path, qids, k=5, n_probe=2)
+    # the persisted index is a pure materialization: identical results
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    # and the candidate scan actually prunes: the physical plan's list scan
+    # carries a centroid_id partition filter (planning-time pruning — only
+    # probed cells are read at 100 TB)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan and ("PartitionFilters" in plan or "isin" in plan)
+    import os as _os
+
+    parts = [
+        d for d in _os.listdir(f"{path}/lists") if d.startswith("centroid_id=")
+    ]
+    assert len(parts) == 8  # one directory per inverted list
