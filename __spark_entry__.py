@@ -1260,8 +1260,14 @@ def q_sim_ivf_trained_topk(spark, sf_dir):
 
 def q_sim_quantize_int8(spark, sf_dir):
     """Symmetric int8 embedding quantization + exact integer scale —
-    4x corpus storage reduction for ANN serving."""
-    return sim.quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    4x corpus storage reduction for ANN serving. Gate view is the flat
+    (vec_id, pos, q8_val, scale_micro) explosion: the driver's
+    canonicalizer cannot hash raw array cells (same constraint as
+    mm_resize's binary column), and the flat ints hash exactly."""
+    q = sim.quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", F.posexplode("q8").alias("pos", "q8_val"), "scale_micro"
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -2956,7 +2962,11 @@ WHERE rk = 1
             "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2,
             cent_sql=km.kmeans_codebook_sql("embeddings", k=8, iters=3),
         ),
-        "sim_quantize_int8": sim.quantize_embeddings_sql("embeddings"),
+        "sim_quantize_int8": f"""
+SELECT vec_id, i - 1 AS pos, q8[i] AS q8_val, scale_micro
+FROM ({sim.quantize_embeddings_sql("embeddings")})
+CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
+""".strip(),
         "dedup_embedding_cosine": dd.embedding_near_dup_sql(
             "embeddings", threshold=0.35, bits=4
         ),

@@ -126,6 +126,19 @@ def main() -> int:
             failures.append(name)
             continue
         dt = time.time() - t0
+        # emulate the DRIVER's canonicalizer, which sorts a pandas frame on
+        # every column: unhashable cells (bytearray, list/ndarray from
+        # array columns) crash its Categorical factorize even though our
+        # hex/str canonicalization below handles them fine. Catch that
+        # class of gate error locally (r2's mm_resize, r3's quantize).
+        try:
+            import pandas as _pd
+
+            _pd.DataFrame(srows, columns=scols).sort_values(by=sorted(scols))
+        except TypeError as e:
+            print(f"FAIL {name}: driver-canonicalizer hazard: {e}")
+            failures.append(name)
+            continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             failures.append(name)
