@@ -307,6 +307,27 @@ class MemoryBoundShaper:
             self.declared_metrics.gauge(M.MBS_GC_PROBABILITY, gc_probability)
         return int(chunk_size * (1 + gc_probability) / interval) + 1, 1.0
 
+    def files_per_trigger(
+        self,
+        schema: T.StructType,
+        table_records: int,
+        table_bytes: int,
+        table_files: int,
+        partitions: int = 1,
+        string_col_bytes: int = 0,
+    ) -> int:
+        """Translate the row-based chunk estimate into the unit Spark's
+        file streaming source actually throttles on
+        (``maxFilesPerTrigger``): chunk rows ÷ average rows per source
+        file, floored at 1. This is the T4→T7 hand-off — the reference
+        feeds its chunk size to a ZStream rechunker; on Spark the same
+        number caps the micro-batch's file count."""
+        elements, _ = self.estimate_chunk_size(
+            schema, table_records, table_bytes, partitions, string_col_bytes
+        )
+        rows_per_file = max(table_records / max(table_files, 1), 1.0)
+        return max(int(elements / rows_per_file), 1)
+
     def estimate_chunk_cost(self, size: int) -> int:
         """Relative cost of a chunk vs free memory, sigmoid-capped
         (``MemoryBoundShaper.scala:263-265``)."""

@@ -270,6 +270,30 @@ def test_memory_bound_partitioned_halving_rule():
     assert elements == 1
 
 
+def test_memory_bound_files_per_trigger_handoff():
+    """T4→T7: the row-based chunk maps onto maxFilesPerTrigger via avg
+    rows-per-file, floored at 1."""
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    shaper = _ref_shaper()
+    elements, _ = shaper.estimate_chunk_size(
+        schema, table_records=1_000_000, table_bytes=1 << 28, partitions=1,
+        string_col_bytes=1 << 26,
+    )
+    files = shaper.files_per_trigger(
+        schema, table_records=1_000_000, table_bytes=1 << 28,
+        table_files=100, partitions=1, string_col_bytes=1 << 26,
+    )
+    assert files == max(int(elements / 10_000), 1)  # 10k rows/file
+    # degenerate stats never produce a zero cap
+    tiny = MemoryBoundShaper(
+        settings=_REF_SETTINGS,
+        free_memory_fn=lambda: 10,
+        gc_count_fn=lambda: 0,
+        uptime_fn=lambda: 100.0,
+    )
+    assert tiny.files_per_trigger(schema, 0, 0, 0) == 1
+
+
 def test_memory_bound_burst_and_cost():
     schema = T.StructType([T.StructField("k", T.StringType())])
     shaper = _ref_shaper()
