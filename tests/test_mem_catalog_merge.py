@@ -266,3 +266,31 @@ def test_catalog_target_real_merge_with_schema_drift(mem):
     assert set(rows) == {"k1", "k3"}
     assert rows["k1"]["payload"] == "v2" and rows["k1"]["note"] == "extra1"
     assert rows["k3"]["note"] == "extra3"
+
+
+def test_concurrent_create_table_is_atomic(mem):
+    """DDL races: N threads CREATE the same table concurrently — exactly
+    one wins, the rest get TableAlreadyExists, and the winner's store is
+    never clobbered (putIfAbsent claim in MemCatalog.createTable)."""
+    import threading
+
+    name = f"mem.itest.race_{uuid.uuid4().hex[:10]}"
+    results = []
+
+    def create():
+        try:
+            mem.sql(f"CREATE TABLE {name} (k STRING, v BIGINT) USING mem")
+            results.append("ok")
+        except Exception as e:
+            results.append(type(e).__name__)
+
+    threads = [threading.Thread(target=create) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("ok") == 1, results
+    # the surviving table is fully usable
+    mem.sql(f"INSERT INTO {name} VALUES ('a', 1)")
+    assert mem.table(name).count() == 1
+    mem.sql(f"DROP TABLE {name}")
