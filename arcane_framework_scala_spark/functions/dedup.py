@@ -325,7 +325,10 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("prop_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence-check aggregation right below is the
+            # action that materializes the checkpoint — one job per round
+            # instead of a dedicated checkpoint job + the agg job
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
