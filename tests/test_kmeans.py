@@ -90,3 +90,33 @@ def test_ivf_index_matches_inline_ivf_and_prunes_partitions(spark, sf_dir, tmp_p
         d for d in _os.listdir(f"{path}/lists") if d.startswith("centroid_id=")
     ]
     assert len(parts) == 8  # one directory per inverted list
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Symmetric int8 quantization invariants: q in [-127, 127], the
+    max-|x| component hits ±127 exactly (floor can undershoot by 1 on
+    the positive side), and dequantization error is bounded by one
+    quantization step (max_abs / 127)."""
+    import math
+
+    from arcane_framework_scala_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [-2.0, 1.5, 0.1, 0.9]),
+        (2, [1e-6, -1e-6, 5e-7, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # all-zero: filtered (no scale exists)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {0, 1, 2}  # zero vector dropped
+    raw = dict(vecs)
+    for vid, r in out.items():
+        ma = max(abs(x) for x in raw[vid])
+        assert abs(r["scale_micro"] - math.floor(ma * 1_000_000)) == 0
+        step = ma / 127.0
+        for q, x in zip(r["q8"], raw[vid]):
+            assert -127 <= q <= 127
+            assert abs(q * step - x) <= step + 1e-12, (vid, q, x)
