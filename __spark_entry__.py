@@ -2167,6 +2167,39 @@ def q_corpus_pack(spark, sf_dir):
     return cx.pack_sequences_md5(chunks, seq_len=64, shards=16)
 
 
+def q_corpus_jsonl_roundtrip(spark, sf_dir):
+    """Training-data hand-off: the corpus exported as md5-hash-sharded
+    gzip JSONL (shard=N dirs, the tokenizer-worker consumption format),
+    read back, and per-shard accounting compared against the oracle's
+    direct recomputation — any export/read corruption or shard-assignment
+    drift hash-fails."""
+    import tempfile
+    import uuid
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"arcane_jsonl_{uuid.uuid4().hex}"
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cx.export_jsonl_shards(docs, path, shards=8)
+    back = cx.read_jsonl_shards(spark, path, schema="doc_id bigint, text string")
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+        F.sum("doc_id").alias("id_sum"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_CORPUS_JSONL_SQL = f"""
+SELECT {cx._md5_shard_expr('doc_id', 8)} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       MAX(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
 def q_corpus_vocab_stats(spark, sf_dir):
     """Heaps-law corpus analytics per source: tokens, vocabulary size,
     hapax count, top-token share (exact ppm)."""
@@ -2871,6 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_neighbors": q_lsh_neighbors,
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
+        # --- new in r3, tail position: rotate into the gate window in r4 ---
+        "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
     }
 
 
@@ -3000,4 +3035,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
+        "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
     }

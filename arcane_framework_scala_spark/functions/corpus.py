@@ -641,6 +641,52 @@ def pii_redact(
     return df.select(F.col(id_col), clean.alias("clean_text"), *hits)
 
 
+def export_jsonl_shards(
+    df: DataFrame,
+    out_path: str,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    compression: str | None = "gzip",
+) -> None:
+    """The hand-off format at the end of a curation pipeline: the corpus
+    written as deterministically hash-sharded JSON-lines, one directory
+    per shard (``shard=N/``), gzip by default — what tokenizer workers
+    and data-loader mixers consume.
+
+    Shard = md5(id) mod ``shards`` (engine-portable, reproducible across
+    runs and engines — the same assignment :func:`pack_sequences_md5`
+    uses, so packing accounting and physical shards agree). The write is
+    one ``partitionBy`` pass: shuffle-free when the upstream is already
+    narrow, and each shard's files stay independently consumable. Raise
+    ``shards`` with corpus size until a shard fits a downstream worker.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % shards
+    )
+    writer = (
+        df.withColumn("shard", shard)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_path)
+
+
+def read_jsonl_shards(
+    spark, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read an :func:`export_jsonl_shards` directory back (shard column
+    restored from the partition path). Pass ``schema`` in production —
+    schema inference lists and samples every file."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema + ", shard bigint")
+    return reader.json(path)
+
+
 def pii_redact_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
