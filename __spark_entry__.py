@@ -879,6 +879,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering contract, computed by the O(log n)-round
+    large-star/small-star contraction instead of label propagation —
+    the variant that stays bounded on long-chain components. Identical
+    oracle (exact recursive closure), so a green row proves the two
+    algorithms agree on real LSH pair graphs, not just unit fixtures."""
+    pairs = dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+    return dd.dedup_clusters_star(pairs)
+
+
 def q_dedup_canonical(spark, sf_dir):
     """End of the near-dup pipeline: the deduplicated corpus itself — one
     canonical (min-id) survivor per MinHash-LSH connected component, all
@@ -2906,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": q_mm_audio_features,
         # --- new in r3, tail position: rotate into the gate window in r4 ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
+        "dedup_clusters_star": q_dedup_clusters_star,
     }
 
 
@@ -2957,6 +2968,9 @@ WHERE rk = 1
         "dedup_minhash_signature": dd.minhash_signature_sql("documents"),
         "dedup_minhash_lsh_pairs": dd.minhash_candidate_pairs_sql("documents"),
         "dedup_clusters": dd.dedup_clusters_sql(
+            dd.minhash_candidate_pairs_sql("documents")
+        ),
+        "dedup_clusters_star": dd.dedup_clusters_sql(
             dd.minhash_candidate_pairs_sql("documents")
         ),
         "dedup_canonical": dd.dedup_canonical_sql(

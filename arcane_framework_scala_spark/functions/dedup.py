@@ -360,6 +360,109 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def dedup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — same output contract as :func:`dedup_clusters`
+    ((doc_id, cluster_id=min id of component) for every node in the pair
+    graph) but O(log² n) rounds on ANY graph shape, including the long
+    chains that make plain label propagation need diameter-many rounds.
+
+    Algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public paper; re-derived here as DataFrame ops):
+
+    - edges are kept oriented large→small (``u > v``);
+    - **large-star**: for every center ``c`` of the symmetric adjacency,
+      connect each strictly-larger neighbor to ``m = min(N(c) ∪ {c})``;
+    - **small-star**: for every center ``u`` of the oriented edges,
+      connect ``u`` and each of its (smaller) neighbors to the minimum
+      of the closed neighborhood;
+    - repeat until the edge set is a fixed point — at that point the
+      graph is a disjoint union of stars rooted at each component's
+      minimum id.
+
+    Each half-round is one shuffle groupBy (map-side-combined ``min``) +
+    one shuffle join on the same key, then a ``distinct`` that also keeps
+    the edge count from ballooning; all keys are ids, uniformly
+    distributed for hash-derived doc ids. Convergence is detected with an
+    O(1) driver scalar triple (count, Σu, Σv) — a fixed point leaves all
+    three unchanged, and a collision would only cost one extra round
+    because the triple is re-checked every round (``max_iterations``
+    bounds the loop regardless). The per-round ``materialize`` keeps the
+    plan from growing superlinearly with iterations, same as
+    :func:`dedup_clusters`.
+
+    Use this variant when component diameter is unknown or adversarial;
+    for the dense clique-ish components LSH emits, plain
+    :func:`dedup_clusters` converges in fewer shuffles.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = materialize(
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct(),
+        eager=True,
+    )
+    # every node of the ORIGINAL graph — the loop rewires edges, so the
+    # final labeling must join back onto this frozen node set
+    nodes = materialize(
+        edges.select("u").unionAll(edges.select(F.col("v").alias("u"))).distinct(),
+        eager=True,
+    )
+
+    def _signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).first()
+        return (row[0], row[1], row[2])
+
+    sig = _signature(edges)
+    for _ in range(max_iterations):
+        # -- large-star ----------------------------------------------------
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )  # (center, neighbor)
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # self-loops (v == m == u's min when u is its own min) drop here
+        large = large.filter(F.col("u") != F.col("v"))
+        # -- small-star ----------------------------------------------------
+        # oriented edges already have every neighbor < center, so the
+        # closed-neighborhood min is just min(v)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = materialize(small, eager=False)
+        new_sig = _signature(edges)  # the action that materializes
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    return nodes.join(roots, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        F.coalesce("lbl", F.col("u")).alias("cluster_id"),
+    )
+
+
 def dedup_canonical(
     df: DataFrame,
     pairs: DataFrame,

@@ -221,6 +221,57 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_star_matches_label_propagation(spark):
+    """Large-star/small-star must produce the identical labeling as plain
+    label propagation on every graph shape — including a 40-node chain,
+    where propagation needs ~diameter rounds but star contraction must
+    converge in O(log n)."""
+    import random
+
+    from arcane_framework_scala_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 140)]  # diameter-40 path
+    clique = [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]
+    rand = [
+        (rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(30)
+    ]
+    pairs = spark.createDataFrame(
+        chain + clique + [(a, b) for a, b in rand if a != b],
+        "id_a long, id_b long",
+    )
+    want = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, max_iterations=60).collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_star(pairs).collect()
+    }
+    assert got == want
+    # chain labels all collapse to the min of the path
+    assert all(got[i] == 100 for i in range(100, 141))
+
+
+def test_dedup_clusters_star_round_count_logarithmic(spark):
+    """On the pathological chain the star variant must converge well under
+    the diameter bound — the reason it exists."""
+    from arcane_framework_scala_spark.functions.dedup import dedup_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    # max_iterations=10 << diameter 64: only a logarithmic-round algorithm
+    # can fully collapse the path within this budget
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_star(pairs, max_iterations=10).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+
+
 def test_dedup_canonical_keeps_min_id_and_singletons(spark):
     from arcane_framework_scala_spark.functions.dedup import dedup_canonical
 
