@@ -2226,6 +2226,40 @@ def q_corpus_stratified_sample(spark, sf_dir):
     )
 
 
+_MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+
+
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Epoch-weighted mixture resampling — the upsampling generalization
+    of stratified_sample a pre-training recipe needs (repeat the good
+    source 2.5 epochs, keep src1 once, keep 40% of src2, drop the rest).
+    Output carries the 0-based copy index; selection is md5-bucketed so
+    the sample is engine- and partitioning-stable."""
+    out = cx.mixture_sample(
+        _read(spark, sf_dir, "documents"), _MIXTURE_WEIGHTS, default=0.0
+    )
+    return out.select("doc_id", "source", "epoch", F.md5("text").alias("digest"))
+
+
+def q_corpus_quality_filter(spark, sf_dir):
+    """Gopher-rule composite filter with an audit trail: per-rule pass
+    flags, overall verdict, and a stable reject-reason string — curation
+    pipelines tune thresholds off this shape instead of silently
+    dropping rows."""
+    return cx.quality_filter(_read(spark, sf_dir, "documents"))
+
+
+def q_corpus_shuffle_shards(spark, sf_dir):
+    """Seeded global shuffle → (shard, pos): the deterministic
+    permutation + sharding step before tokenizer hand-off. Oracle
+    recomputes the identical md5 ordering, proving bit-for-bit
+    reproducibility across engines."""
+    out = cx.shuffle_shards(
+        _read(spark, sf_dir, "documents"), num_shards=8, seed=7
+    )
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_s11_orc_roundtrip(spark, sf_dir):
     """Format breadth: the events slice written as ORC (Spark-native
     columnar alternative), read back, and aggregated — the ORC scan must
@@ -2917,6 +2951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r3, tail position: rotate into the gate window in r4 ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_shuffle_shards": q_corpus_shuffle_shards,
     }
 
 
@@ -3032,6 +3069,17 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "skew_salted_agg": _SKEW_SALTED_SQL,
         "corpus_stratified_sample": cx.stratified_sample_sql(
             _SAMPLE_FRACTIONS, default=0.1
+        ),
+        "corpus_mixture_sample": (
+            "SELECT doc_id, source, epoch, md5(text) AS digest FROM ("
+            + cx.mixture_sample_sql(_MIXTURE_WEIGHTS, default=0.0)
+            + ")"
+        ),
+        "corpus_quality_filter": cx.quality_filter_sql(),
+        "corpus_shuffle_shards": (
+            "SELECT doc_id, shard, pos FROM ("
+            + cx.shuffle_shards_sql(num_shards=8, seed=7)
+            + ")"
         ),
         "corpus_vocab_stats": cx.vocab_stats_sql(),
         "corpus_chunk": cx.chunk_documents_sql(chunk_tokens=32, stride=24),

@@ -703,3 +703,233 @@ def pii_redact_sql(
     return (
         f"SELECT {id_col}, {clean} AS clean_text, {', '.join(hits)} FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling with epoch upsampling
+# ---------------------------------------------------------------------------
+
+
+def _bucket(col_expr: Column, buckets: int) -> Column:
+    """Stable uniform bucket in [0, buckets) from md5 — same trick as
+    stratified_sample, shared by every deterministic-sampling operator."""
+    return (
+        F.conv(F.substring(F.md5(col_expr), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Data-mixture resampling with weights on BOTH sides of 1.0 — the
+    generalization of :func:`stratified_sample` a pre-training mixture
+    actually needs (Hoffmann/Llama-style recipes repeat high-quality
+    sources for 2-4 epochs while downsampling the crawl): weight 0.3
+    keeps a deterministic 30% of a source, weight 2.5 emits every doc
+    twice plus a deterministic half of a third copy.
+
+    Each output row carries an ``epoch`` column (0-based copy index) so
+    downstream shuffling/packing can spread the copies. Copy selection is
+    ``md5(id:epoch)``-bucketed — reproducible across runs, engines, and
+    partition layouts, unlike rand()-based sampling.
+
+    Scale: narrow ``explode(sequence(...))`` projection — zero shuffles;
+    fan-out is bounded by ``ceil(max weight)``, and the filter on the
+    fractional copy sits in the same codegen stage. At 100 TB this
+    composes with the scan (no materialized intermediate)."""
+    full = None
+    frac = None
+    for group, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {group!r}: {w}")
+        cond = F.col(group_col) == group
+        f_i, fr_i = int(w), int(round((w - int(w)) * buckets))
+        full = F.when(cond, f_i) if full is None else full.when(cond, f_i)
+        frac = F.when(cond, fr_i) if frac is None else frac.when(cond, fr_i)
+    d_full, d_frac = int(default), int(round((default - int(default)) * buckets))
+    full = F.lit(d_full) if full is None else full.otherwise(F.lit(d_full))
+    frac = F.lit(d_frac) if frac is None else frac.otherwise(F.lit(d_frac))
+    with_n = df.withColumn("__full", full).withColumn("__frac", frac)
+    exploded = with_n.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.col("__full")))
+    )
+    keep_frac = _bucket(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("epoch")), buckets
+    ) < F.col("__frac")
+    return exploded.filter(
+        (F.col("epoch") < F.col("__full")) | keep_frac
+    ).drop("__full", "__frac")
+
+
+def mixture_sample_sql(
+    weights: dict[str, float],
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    buckets: int = 1000,
+) -> str:
+    def case(expr_for):
+        if not weights:
+            return str(expr_for(default))
+        whens = " ".join(
+            f"WHEN {group_col} = '{g}' THEN {expr_for(w)}"
+            for g, w in sorted(weights.items())
+        )
+        return f"(CASE {whens} ELSE {expr_for(default)} END)"
+
+    full = case(lambda w: int(w))
+    frac = case(lambda w: int(round((w - int(w)) * buckets)))
+    bucket = (
+        f"CAST(concat('0x', substr(md5(concat(CAST({id_col} AS VARCHAR), "
+        f"':', CAST(e.epoch AS VARCHAR))), 1, 15)) AS BIGINT) % {buckets}"
+    )
+    return f"""
+SELECT t.*, e.epoch
+FROM {table} t, unnest(range(0, {full} + 1)) AS e(epoch)
+WHERE e.epoch < {full} OR {bucket} < {frac}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter (Gopher-rule flavor)
+# ---------------------------------------------------------------------------
+
+#: (rule name, metric key, lo, hi) — a doc passes a rule iff lo <= m <= hi.
+#: Defaults are the C4/Gopher-ish cheap-heuristic band (Rae et al. 2021
+#: §A1.1, Raffel et al. 2020 §2.2) adapted to the metric set of
+#: functions.text.quality_metrics.
+DEFAULT_QUALITY_RULES: tuple[tuple[str, str, float, float], ...] = (
+    ("len", "n_chars", 64, 100_000),
+    ("tokens", "n_tokens", 8, 50_000),
+    ("word_len", "mean_word_len", 2.0, 12.0),
+    ("stopwords", "stopword_ratio", 0.01, 1.0),
+    ("punct", "punct_ratio", 0.0, 0.25),
+    ("digits", "digit_ratio", 0.0, 0.30),
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    rules: tuple[tuple[str, str, float, float], ...] = DEFAULT_QUALITY_RULES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based document filter with audit trail: per-rule pass flags,
+    an overall ``passed`` boolean, and a stable comma-joined
+    ``reject_reasons`` string (empty when passed) — the shape a curation
+    pipeline needs to *tune* thresholds (group by reason, inspect
+    borderline docs) rather than silently drop rows.
+
+    All metrics come from :func:`functions.text.quality_metrics` — pure
+    codegen expressions evaluated once per doc; the rules are boolean
+    combinations in the same projection. Zero shuffles at any scale."""
+    from arcane_framework_scala_spark.functions.text import quality_metrics
+
+    m = quality_metrics(text_col)
+    cols = [F.col(id_col)]
+    flags = []
+    for name, key, lo, hi in rules:
+        ok = (m[key] >= F.lit(lo)) & (m[key] <= F.lit(hi))
+        flags.append((name, ok))
+        cols.append(ok.alias(f"ok_{name}"))
+    passed = None
+    for _, ok in flags:
+        passed = ok if passed is None else (passed & ok)
+    reasons = F.concat_ws(
+        ",", *[F.when(~ok, F.lit(name)) for name, ok in flags]
+    )
+    return df.select(
+        *cols,
+        passed.alias("passed"),
+        reasons.alias("reject_reasons"),
+    )
+
+
+def quality_filter_sql(
+    rules: tuple[tuple[str, str, float, float], ...] = DEFAULT_QUALITY_RULES,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from arcane_framework_scala_spark.functions.text import quality_metrics_sql
+
+    m = quality_metrics_sql(text_col)
+    ok_cols, ok_names = [], []
+    for name, key, lo, hi in rules:
+        expr = f"({m[key]} >= {lo} AND {m[key]} <= {hi})"
+        ok_cols.append(f"{expr} AS ok_{name}")
+        ok_names.append((name, expr))
+    passed = " AND ".join(expr for _, expr in ok_names)
+    reasons = ", ".join(
+        f"CASE WHEN NOT {expr} THEN '{name}' END" for name, expr in ok_names
+    )
+    return f"""
+SELECT {id_col}, {', '.join(ok_cols)},
+       ({passed}) AS passed,
+       concat_ws(',', {reasons}) AS reject_reasons
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle → training shards
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame,
+    num_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row a training shard and a position within it, from a
+    seeded content-independent permutation — the "global shuffle" step
+    before tokenizer hand-off. Ordering inside a shard is by
+    ``md5(seed:id)``, so the permutation is reproducible bit-for-bit on
+    any engine and any partitioning; changing the seed reshuffles.
+
+    Plan: one hash-partition shuffle on ``shard`` + a per-shard sort for
+    ``row_number`` — exactly the exchange the sharded write needs anyway,
+    so the sort is free at write time (``sortWithinPartitions``). Shard
+    sizes are balanced by construction (uniform md5). At 100 TB pick
+    ``num_shards`` ≈ total size / desired file size; each shard sorts
+    independently (no global sort, no single-reducer bottleneck)."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    shard = _bucket(
+        F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string")),
+        num_shards,
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("__h")
+    )
+
+
+def shuffle_shards_sql(
+    num_shards: int,
+    seed: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    h = f"md5(concat('{seed}', ':', CAST({id_col} AS VARCHAR)))"
+    shard = (
+        f"CAST(concat('0x', substr(md5(concat('{seed}', '#', "
+        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT) % {num_shards}"
+    )
+    return f"""
+SELECT * EXCLUDE (__h),
+       row_number() OVER (PARTITION BY shard ORDER BY __h, {id_col}) - 1 AS pos
+FROM (SELECT t.*, {shard} AS shard, {h} AS __h FROM {table} t)
+"""

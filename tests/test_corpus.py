@@ -241,3 +241,127 @@ def test_jsonl_export_roundtrip_and_shard_determinism(spark, sf_dir, tmp_path):
         )
     )
     assert a == b
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"text {i}", "web" if i % 3 else "books") for i in range(300)],
+            "doc_id long, text string, source string",
+        )
+
+    def test_upsampling_emits_integer_copies(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import mixture_sample
+
+        out = mixture_sample(
+            self._docs(spark), {"books": 3.0, "web": 1.0}
+        )
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        n_books = 300 // 3  # i % 3 == 0
+        assert counts["books"] == 3 * n_books
+        assert counts["web"] == 300 - n_books
+        # epochs are 0..w-1 for integral weights
+        epochs = sorted(
+            r["epoch"]
+            for r in out.filter("source = 'books' and doc_id = 0").collect()
+        )
+        assert epochs == [0, 1, 2]
+
+    def test_fractional_weight_is_deterministic_and_close(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import mixture_sample
+
+        docs = self._docs(spark)
+        a = mixture_sample(docs, {"web": 2.5}, default=0.0)
+        b = mixture_sample(docs, {"web": 2.5}, default=0.0)
+        ra = sorted((r["doc_id"], r["epoch"]) for r in a.collect())
+        assert ra == sorted((r["doc_id"], r["epoch"]) for r in b.collect())
+        n_web = 300 - 300 // 3
+        n = len(ra)
+        assert 2 * n_web <= n <= 3 * n_web
+        assert abs(n - 2.5 * n_web) / n_web < 0.2  # ±20% of the half-copy
+
+    def test_downsampling_matches_stratified_semantics(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import mixture_sample
+
+        out = mixture_sample(self._docs(spark), {"web": 0.4}, default=0.0)
+        assert out.filter("source = 'books'").count() == 0
+        n_web = 300 - 300 // 3
+        kept = out.count()
+        assert 0 < kept < n_web
+        assert (out.agg(F.max("epoch")).first()[0]) == 0
+
+    def test_negative_weight_rejected(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import mixture_sample
+
+        with pytest.raises(ValueError):
+            mixture_sample(self._docs(spark), {"web": -1.0})
+
+
+class TestQualityFilter:
+    def test_flags_and_reasons(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import quality_filter
+
+        good = (
+            "this is a perfectly reasonable document with the usual words "
+            "and enough length to pass all of the cheap quality rules here."
+        )
+        df = spark.createDataFrame(
+            [
+                (1, good),
+                (2, "short"),  # fails len + tokens
+                (3, good + " 123456789 " * 40),  # digit ratio blown
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+        assert rows[1]["passed"] and rows[1]["reject_reasons"] == ""
+        assert not rows[2]["passed"]
+        assert "len" in rows[2]["reject_reasons"]
+        assert not rows[3]["passed"]
+        assert "digits" in rows[3]["reject_reasons"]
+
+    def test_custom_rules(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import quality_filter
+
+        df = spark.createDataFrame(
+            [(1, "one two three")], "doc_id long, text string"
+        )
+        out = quality_filter(df, rules=(("tiny", "n_tokens", 0, 2),)).first()
+        assert not out["passed"] and out["reject_reasons"] == "tiny"
+
+
+class TestShuffleShards:
+    def test_permutation_properties(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import shuffle_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(500)], "doc_id long, text string"
+        )
+        out = shuffle_shards(docs, num_shards=8, seed=1).collect()
+        assert len(out) == 500
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        # positions within each shard are exactly 0..n-1
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps)))
+        # roughly balanced: no shard more than 2x the mean
+        sizes = [len(v) for v in by_shard.values()]
+        assert max(sizes) < 2 * (500 / 8)
+
+    def test_seed_changes_permutation_not_membership(self, spark):
+        from arcane_framework_scala_spark.functions.corpus import shuffle_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(200)], "doc_id long, text string"
+        )
+        a = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(docs, 4, seed=1).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(docs, 4, seed=2).collect()}
+        assert {x[0] for x in a} == {x[0] for x in b}
+        assert a != b  # different permutation
+        # deterministic for the same seed
+        a2 = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(docs, 4, seed=1).collect()}
+        assert a == a2
