@@ -43,6 +43,7 @@ from arcane_framework_scala_spark.functions.similarity import (
     _norm,
     cosine_similarity_sql,
 )
+from arcane_framework_scala_spark.plans.materialize import materialize
 
 _FP = 1_000_000  # fixed-point scale (micro-units)
 
@@ -57,10 +58,20 @@ def kmeans_fit(
     """Fit ``k`` spherical-k-means centroids; returns
     ``(centroid_id, <vec_col> array<double>)``, deterministic in every
     environment (see module docstring)."""
-    emb = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("vn"),
+    # Lloyd re-reads the corpus every iteration; materialize the slim
+    # (id, vec, norm) projection ONCE instead of re-scanning parquet and
+    # re-computing norms per round — on a cluster this is the standard
+    # persist-the-training-set move (MEMORY_AND_DISK via the
+    # materialize fault-tolerance switch), and `iters` scans of storage
+    # become one. Lazy: the first iteration's assignment join is the
+    # action that fills the blocks.
+    emb = materialize(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("vn"),
+        ),
+        eager=False,
     )
 
     def with_float_view(cmicro_df: DataFrame) -> DataFrame:
