@@ -1268,6 +1268,19 @@ def q_sim_ivf_trained_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivf_recall(spark, sf_dir):
+    """Measured recall@10 of the IVF approximate search against the exact
+    brute-force ranking, per query — the quality gate every ANN index
+    needs next to its latency number. Both rankings and the recall join
+    run in one plan; the oracle recomputes all three stages exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    approx = sim.ivf_topk(
+        emb, _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+    )
+    exact = sim.brute_force_topk(emb, _COSINE_QUERY_IDS, k=10)
+    return sim.recall_at_k(approx, exact, k=10)
+
+
 def q_sim_quantize_int8(spark, sf_dir):
     """Symmetric int8 embedding quantization + exact integer scale —
     4x corpus storage reduction for ANN serving. Gate view is the flat
@@ -2954,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_sample": q_corpus_mixture_sample,
         "corpus_quality_filter": q_corpus_quality_filter,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
+        "sim_ivf_recall": q_sim_ivf_recall,
     }
 
 
@@ -3023,6 +3037,13 @@ WHERE rk = 1
         "sim_rrf_hybrid": _rrf_hybrid_sql(),
         "sim_cosine_topk": sim.brute_force_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10
+        ),
+        "sim_ivf_recall": sim.recall_at_k_sql(
+            sim.ivf_topk_sql(
+                "embeddings", _COSINE_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+            ),
+            sim.brute_force_topk_sql("embeddings", _COSINE_QUERY_IDS, k=10),
+            k=10,
         ),
         "sim_lsh_buckets": sim.lsh_signature_sql("embeddings", dim=64, bits=16),
         "sim_lsh_neighbors": sim.lsh_bucket_neighbors_sql(

@@ -673,3 +673,70 @@ SELECT {query_col}, {id_col}, rrf_micro,
             ORDER BY rrf_micro DESC, {id_col}) AS INT) AS fused_rank
 FROM fused
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement
+# ---------------------------------------------------------------------------
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one — the metric that closes the ANN loop (an index whose
+    recall is unmeasured is a guess, not an operator). Both inputs are
+    (query_id, vec_id, ...) top-k frames, e.g. :func:`ivf_topk` vs
+    :func:`brute_force_topk`.
+
+    Returns ``(query_id, hits, k, recall_ppm)`` with recall as exact
+    integer parts-per-million (engine-stable, no float formatting).
+
+    Plan: inner join on (query_id, id) — both sides are n_queries·k
+    rows, so at any corpus scale this is a broadcast join over
+    metadata-sized inputs; the expensive parts are the upstream top-k
+    operators themselves."""
+    a = approx.select("query_id", F.col(id_col).alias("__aid"))
+    e = exact.select("query_id", F.col(id_col).alias("__aid"))
+    hits = (
+        a.join(e, ["query_id", "__aid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = e.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.lit(k).cast("long").alias("k"),
+            F.expr(f"(1000000 * coalesce(hits, 0)) div {k}").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def recall_at_k_sql(
+    approx_sql: str,
+    exact_sql: str,
+    k: int,
+    id_col: str = "vec_id",
+) -> str:
+    return f"""
+WITH a AS MATERIALIZED ({approx_sql}),
+e AS MATERIALIZED ({exact_sql}),
+hits AS (
+  SELECT a.query_id, count(*) AS hits
+  FROM a JOIN e ON a.query_id = e.query_id AND a.{id_col} = e.{id_col}
+  GROUP BY a.query_id
+)
+SELECT b.query_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST({k} AS BIGINT) AS k,
+       (1000000 * coalesce(h.hits, 0)) // {k} AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM e) b LEFT JOIN hits h USING (query_id)
+"""

@@ -306,3 +306,21 @@ def test_multiple_watermark_rows_compose_and_sort_numerically(spark):
     data, wms = split_watermark_rows(banded)
     assert data.count() == 1
     assert [w.version for w in wms] == ["9", "10"]
+
+
+def test_recall_at_k_counts_overlap_per_query(spark):
+    from arcane_framework_scala_spark.functions.similarity import recall_at_k
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 99)],
+        "query_id long, vec_id long",
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22), (3, 30)],
+        "query_id long, vec_id long",
+    )
+    got = {r["query_id"]: r for r in recall_at_k(approx, exact, k=3).collect()}
+    assert got[1]["hits"] == 3 and got[1]["recall_ppm"] == 1_000_000
+    assert got[2]["hits"] == 2 and got[2]["recall_ppm"] == 666_666
+    # query 3 exists only in the exact side → recall 0, never dropped
+    assert got[3]["hits"] == 0 and got[3]["recall_ppm"] == 0
