@@ -2669,6 +2669,101 @@ def q_t_stream_sessionize(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_t_stream_dedup(spark, sf_dir):
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``)
+    end-to-end over four staged micro-batches: b0 sends the even keys,
+    b1 re-sends EVERY key (evens must be suppressed as in-horizon
+    duplicates, odds emit first-seen), b2's far-future sentinel advances
+    the watermark past every key's eviction point, and b3 re-sends the
+    keys divisible by 4 — their state is gone, so they re-emit: the
+    at-least-once-beyond-the-horizon contract, observed. Only the key
+    column is emitted (survivor payload is arrival-order-dependent by
+    design). Oracle = distinct keys + sentinel + the re-sent subset."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.streaming.stateful import (
+        stream_exact_dedup,
+    )
+
+    _harden_session(spark)
+    base = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 200).alias("dkey"))
+        .withColumn("sts", F.lit(100) + F.col("dkey") % 50)
+    )
+    def sentinel(key: int, sts: int):
+        return spark.range(1).select(
+            F.lit(key).cast("long").alias("dkey"),
+            F.lit(sts).cast("long").alias("sts"),
+        )
+
+    # the second sentinel burns a batch: state eviction applies the
+    # watermark with one batch of lag (measured, same as the late-data
+    # gate), so the re-send must arrive two batches after the watermark
+    # push for the old entries to be gone
+    batches = [
+        base.filter(F.col("dkey") % 2 == 0),
+        base,
+        sentinel(-1, 100_000),
+        sentinel(-2, 100_010),
+        base.filter(F.col("dkey") % 4 == 0).withColumn(
+            "sts", F.lit(100_050).cast("long")
+        ),
+    ]
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_sdd_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    mtime = 1_000_000_000
+    for i, part in enumerate(batches):
+        sub = os.path.join(stage_dir, f"b{i}")
+        part.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(stage_dir, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    stream = (
+        spark.readStream.schema("dkey long, sts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage_dir}/*.parquet")
+    )
+    deduped = stream_exact_dedup(
+        stream.withColumn("tsc", F.timestamp_seconds(F.col("sts"))),
+        subset=["dkey"],
+        event_time_col="tsc",
+        delay="10 minutes",
+    ).select("dkey")
+    sink = f"sdd_sink_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if q.lastProgress is None or q.lastProgress["batchId"] < 4:
+        raise AssertionError("expected 5 streaming micro-batches")
+    return spark.table(sink)
+
+
+_T_STREAM_DEDUP_SQL = """
+WITH keys AS (SELECT DISTINCT event_id % 200 AS dkey FROM events)
+SELECT dkey FROM keys
+UNION ALL SELECT CAST(-1 AS BIGINT)
+UNION ALL SELECT CAST(-2 AS BIGINT)
+UNION ALL SELECT dkey FROM keys WHERE dkey % 4 = 0
+"""
+
+
 def q_t_stream_late_data(spark, sf_dir):
     """Watermark semantics end-to-end in append mode, four staged
     micro-batches: batch 0 closes windows W0/W1 (max event 119 s →
@@ -2968,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": q_corpus_quality_filter,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "sim_ivf_recall": q_sim_ivf_recall,
+        "t_stream_dedup": q_t_stream_dedup,
     }
 
 
@@ -3117,6 +3213,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t7_stream_merge_vertical": _M1_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
+        "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
     }

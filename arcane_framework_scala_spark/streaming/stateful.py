@@ -63,3 +63,34 @@ def stateful_first_seen(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         first_seen, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    subset: list[str],
+    event_time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup with BOUNDED state — the built-in
+    complement to :func:`stateful_first_seen`: instead of explicit
+    forever-state, Spark's ``dropDuplicatesWithinWatermark`` keeps one
+    state row per key and evicts it once the watermark passes the key's
+    event time + ``delay``. The guarantee is the practical one a CDC /
+    corpus-ingest stream needs: any duplicates arriving within ``delay``
+    of each other collapse to one row; a key re-sent after its state
+    was evicted re-emits (at-least-once beyond the horizon).
+
+    Use :func:`stateful_first_seen` when the key set is small enough to
+    hold forever and exactly-once-per-key matters more than state size;
+    use this when keys are unbounded (content hashes at 100 TB) and the
+    dedup horizon is what you can afford to remember. State is hash-
+    partitioned by the subset columns — uniform for hash keys, and the
+    eviction keeps total state ≈ keys-per-``delay`` window regardless
+    of stream lifetime.
+
+    Emit only the ``subset`` columns downstream when duplicates may
+    carry differing payloads: the surviving row is the first *processed*,
+    which arrival order — not the data — decides."""
+    return stream.withWatermark(
+        event_time_col, delay
+    ).dropDuplicatesWithinWatermark(subset)

@@ -65,3 +65,40 @@ def test_first_seen_within_single_batch_deterministic(spark, tmp_path):
     rows = spark.table("firstseen1").collect()
     assert len(rows) == 1
     assert rows[0]["v"] == 2  # lowest by string sort: "2" < "5" < "9"
+
+
+def test_stream_exact_dedup_suppresses_within_horizon(spark, tmp_path):
+    """Duplicates arriving within the watermark delay collapse to one
+    emitted row; the dedup key is the subset column."""
+    import os
+
+    from arcane_framework_scala_spark.streaming.stateful import (
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 102), (2, 103), (3, 104)],
+        "k long, sts long",
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema("k long, sts long")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = stream_exact_dedup(
+        stream.withColumn("tsc", F.timestamp_seconds("sts")),
+        subset=["k"],
+        event_time_col="tsc",
+        delay="10 minutes",
+    ).select("k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdd1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.table("sdd1").collect()) == [1, 2, 3]
