@@ -101,3 +101,52 @@ def test_simhash_matches_model(spark, texts):
     rows = {r.doc_id: r.simhash for r in simhash(df).collect()}
     for i, t in enumerate(texts):
         assert rows[i] == _simhash_model(t), (repr(t), rows[i], _simhash_model(t))
+
+
+# ---------------------------------------------------------------------------
+# Connected components == union-find model
+# ---------------------------------------------------------------------------
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label every node with the component MINIMUM (the operators' contract)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for r, ns in comp.items() for n in ns}
+
+
+@given(edges=edges_st)
+@settings(**_SETTINGS)
+def test_dedup_clusters_star_matches_union_find(spark, edges):
+    from arcane_framework_scala_spark.functions.dedup import (
+        dedup_clusters_star,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_star(pairs).collect()
+    }
+    assert got == _uf_components(edges)
