@@ -228,3 +228,29 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_r3_corpus_additions_plan_shapes(spark, queries):
+    """Round-3 curation family: mixture resampling and the quality
+    filter are shuffle-free narrow projections (the explode fan-out and
+    all rule evaluation stay in the scan stage); shard shuffle is
+    exactly one exchange (the hash partition on shard that the sharded
+    write needs anyway) plus the per-shard sort."""
+    for name in ("corpus_mixture_sample", "corpus_quality_filter"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.exchanges == 0, (name, a.plan)
+        assert a.python_nodes == 0, (name, a.plan)
+    a = audit_plan(queries["corpus_shuffle_shards"](spark, SF_DIR))
+    assert a.exchanges == 1, a.plan
+    assert a.python_nodes == 0, a.plan
+
+
+def test_recall_joins_stay_metadata_sized(spark, queries):
+    """recall@k composes ivf/brute-force top-k (whose broadcast
+    nested-loop joins over the 5-row query side are the documented
+    intentional shape) with a hits join on (query_id, id). What must
+    never appear: a CartesianProduct (a non-broadcast corpus×corpus
+    pairing) or a Python node."""
+    a = audit_plan(queries["sim_ivf_recall"](spark, SF_DIR))
+    assert "CartesianProduct" not in a.plan, a.plan
+    assert a.python_nodes == 0, a.plan
