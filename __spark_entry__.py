@@ -2273,6 +2273,52 @@ def q_corpus_shuffle_shards(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_corpus_pipeline_e2e(spark, sf_dir):
+    """The full tokenizer-prep vertical in ONE hash-checked plan:
+    near-dup canonicalization (MinHash-LSH pairs → connected components
+    → min-id survivor), Gopher-band quality filtering, epoch-weighted
+    mixture resampling, and the seeded global shuffle into (shard, pos)
+    — documents in, training-shard coordinates out. Each stage is
+    individually gated elsewhere; this proves the COMPOSITION is still
+    engine-exact (the oracle recomputes all four stages, including the
+    exact transitive closure)."""
+    docs = _read(spark, sf_dir, "documents")
+    canon = dd.dedup_canonical(docs, dd.minhash_candidate_pairs(docs))
+    verdicts = cx.quality_filter(canon)
+    kept = canon.join(
+        verdicts.filter(F.col("passed")).select("doc_id"), "doc_id", "left_semi"
+    )
+    mixed = cx.mixture_sample(kept, _MIXTURE_WEIGHTS, default=1.0)
+    # copies of a doc share doc_id; the shuffle key must distinguish them
+    uid = (F.col("doc_id") * 10 + F.col("epoch")).alias("uid")
+    sharded = cx.shuffle_shards(
+        mixed.select("doc_id", "epoch", uid), num_shards=8, seed=3,
+        id_col="uid",
+    )
+    return sharded.select("doc_id", "epoch", "shard", "pos")
+
+
+def _corpus_pipeline_e2e_sql() -> str:
+    canon = dd.dedup_canonical_sql(
+        "documents", dd.minhash_candidate_pairs_sql("documents")
+    )
+    qf = cx.quality_filter_sql(table="canon")
+    mixed = cx.mixture_sample_sql(_MIXTURE_WEIGHTS, table="kept", default=1.0)
+    sharded = cx.shuffle_shards_sql(
+        num_shards=8, seed=3, table="withuid", id_col="uid"
+    )
+    return f"""
+WITH canon AS MATERIALIZED ({canon}),
+kept AS (
+  SELECT c.* FROM canon c
+  WHERE c.doc_id IN (SELECT doc_id FROM ({qf}) WHERE passed)
+),
+mixed AS ({mixed}),
+withuid AS (SELECT doc_id, epoch, doc_id * 10 + epoch AS uid FROM mixed)
+SELECT doc_id, epoch, shard, pos FROM ({sharded})
+"""
+
+
 def q_s11_orc_roundtrip(spark, sf_dir):
     """Format breadth: the events slice written as ORC (Spark-native
     columnar alternative), read back, and aggregated — the ORC scan must
@@ -3064,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "sim_ivf_recall": q_sim_ivf_recall,
         "t_stream_dedup": q_t_stream_dedup,
+        "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
     }
 
 
@@ -3214,6 +3261,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
+        "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
     }
