@@ -167,6 +167,7 @@ class BackfillOverwriteRunner:
         watermark_store: WatermarkStore | None = None,
         merge_key: str = MERGE_KEY_COLUMN,
         field_rule: FieldSelectionRule | None = None,
+        names=None,
     ):
         self.spark = spark
         self.target = target
@@ -176,8 +177,16 @@ class BackfillOverwriteRunner:
         self.watermark_store = watermark_store
         self.merge_key = merge_key
         self.field_rule = field_rule
+        #: optional naming.NameGenerator: shard directories then follow the
+        #: reference scheme backfill__{stream}__{bfid}__shard__{id} so a
+        #: resumed run (and maintenance sweeps) can find them by prefix
+        self.names = names
 
     def _shard_path(self, shard_name: str) -> str:
+        if self.names is not None:
+            return posixpath.join(
+                self.staging_dir, self.names.shard_table_name(shard_name)
+            )
         return posixpath.join(self.staging_dir, f"shard={shard_name}")
 
     def _stage(self, shard: Shard) -> None:

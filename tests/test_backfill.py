@@ -120,3 +120,38 @@ def test_backfill_merge_bounded_pass(spark, tmp_path, lineitem_feed):
     # re-running the same backfill is a no-op thanks to the version guard
     run_backfill_merge(source, sink, wm, start_version=None)
     assert target.read().count() == first
+
+
+def test_overwrite_backfill_uses_reference_shard_naming(spark, tmp_path, lineitem_feed):
+    """With a NameGenerator bound, shard staging directories follow the
+    reference scheme backfill__{stream}__{bfid}__shard__{id} — a resumed
+    run and maintenance sweeps find them by prefix."""
+    import os
+
+    from arcane_framework_scala_spark.naming import NameGenerator
+
+    src_dir, _ = lineitem_feed
+    source = BlobParquetSource(
+        spark=spark, path=src_dir, primary_keys=["l_orderkey", "l_linenumber"]
+    )
+    target = SnapshotParquetTarget(spark, str(tmp_path / "target2"))
+    store = FileBackfillStateStore(str(tmp_path / "state2.json"))
+    staging = str(tmp_path / "staging2")
+    runner = BackfillOverwriteRunner(
+        spark,
+        target,
+        UPSERT_BLOB,
+        staging_dir=staging,
+        state_store=store,
+        names=NameGenerator(
+            target_table_full_name="wh.ns.lineitem",
+            stream_id="li-stream",
+            backfill_id="bf-9",
+        ),
+    )
+    shards = source.backfill_shards(max_shard_files=2)
+    runner.run(shards, backfill_id="bf-9", start_version="0", end_version="9")
+    dirs = sorted(os.listdir(staging))
+    assert dirs, "staging dir is empty"
+    for d in dirs:
+        assert d.startswith("backfill__li_stream__bf_9__shard__"), dirs
