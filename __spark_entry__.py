@@ -665,6 +665,93 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-shaped forecasting-revenue scalar: the pure
+    predicate-pushdown showcase — every filter (date range, discount
+    band, quantity cap) must reach the parquet scan, and the plan is a
+    single codegen scan→partial-agg→one-row exchange. Milli-unit bigint
+    sum, exact on both engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 1000)
+                .cast("long")
+            ).alias("revenue_milli"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_TPCH_Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000) AS BIGINT))
+            AS BIGINT) AS revenue_milli,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.04 AND l_discount <= 0.07 AND l_quantity < 25
+"""
+
+
+def q_tpch_q18ish(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume-customer query: per-order quantity
+    rollup → filter to the heavy tail → join back to orders and
+    customers. The first agg and the join share the l_orderkey/o_orderkey
+    partitioning; the customer side broadcasts. Top-100 by (totalprice,
+    orderkey) — fully deterministic tiebreak."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 1000).cast("long")).alias("qty_milli"))
+        .filter(F.col("qty_milli") > 150_000)
+    )
+    joined = (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey",
+            F.floor(F.col("o_totalprice") * 1000).cast("long").alias(
+                "totalprice_milli"
+            ),
+            "qty_milli",
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-100 and the driver merges — never the
+    # single-partition global window (the classic top-k scale trap)
+    return joined.orderBy(
+        F.desc("totalprice_milli"), F.asc("o_orderkey")
+    ).limit(100)
+
+
+_TPCH_Q18_SQL = """
+WITH heavy AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+             AS qty_milli
+  FROM lineitem GROUP BY l_orderkey
+  HAVING qty_milli > 150000
+)
+SELECT c_name, o_orderkey,
+       CAST(floor(o_totalprice * 1000) AS BIGINT) AS totalprice_milli,
+       qty_milli
+FROM orders JOIN heavy ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_milli DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped join: broadcast dims, top-10 revenue orders."""
     cust = _read(spark, sf_dir, "customer")
@@ -3056,21 +3143,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_polling_vertical": q_t1_polling_vertical,
         "s1_mssql_changes": q_mssql_changes,
         "w1_dedup_latest": q_w1_dedup_latest,
-        "w2_backfill_dedup": q_w2_backfill_dedup,
         "m3_merge_upsert": q_m3_merge_upsert,
-        "m4_overwrite_backfill": q_m4_overwrite_backfill,
         "s6_cdm_vertical": q_s6_cdm_vertical,
         "s2_backfill_scan": q_s2_backfill_scan,
+        # --- new in r3 (inside the gate window; the five r2-green
+        # queries with UNCHANGED oracles — tpch_q1/q3/q5ish,
+        # dedup_minhash_lsh_pairs, dedup_clusters — rotate to the tail:
+        # their r2 rows remain the proof, and the slots give driver rows
+        # to the new r3 operators) ---
+        "dedup_canonical": q_dedup_canonical,
+        "sim_ivf_index_topk": q_sim_ivf_index_topk,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_shuffle_shards": q_corpus_shuffle_shards,
+        "sim_ivf_recall": q_sim_ivf_recall,
+        "t_stream_dedup": q_t_stream_dedup,
+        "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
+        # --- green in r2, beyond the 50-entry gate window ---
+        "w2_backfill_dedup": q_w2_backfill_dedup,
+        "m4_overwrite_backfill": q_m4_overwrite_backfill,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
-        # --- new in r3 (inside the gate window; sim_cosine_topk and
-        # x1_maintenance_vertical rotate to the r2-verified tail) ---
-        "dedup_canonical": q_dedup_canonical,
-        "sim_ivf_index_topk": q_sim_ivf_index_topk,
-        # --- green in r2, beyond the 50-entry gate window (31) ---
         "sim_cosine_topk": q_cosine_topk,
         "x1_maintenance_vertical": q_x1_maintenance_vertical,
         "s8_blob_enrich": q_blob_enrich,
@@ -3104,13 +3201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": q_mm_audio_features,
         # --- new in r3, tail position: rotate into the gate window in r4 ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "corpus_mixture_sample": q_corpus_mixture_sample,
-        "corpus_quality_filter": q_corpus_quality_filter,
-        "corpus_shuffle_shards": q_corpus_shuffle_shards,
-        "sim_ivf_recall": q_sim_ivf_recall,
-        "t_stream_dedup": q_t_stream_dedup,
-        "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18ish": q_tpch_q18ish,
     }
 
 
@@ -3261,6 +3353,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
+        "tpch_q6": _TPCH_Q6_SQL,
+        "tpch_q18ish": _TPCH_Q18_SQL,
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
