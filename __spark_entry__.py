@@ -51,6 +51,7 @@ from arcane_framework_scala_spark.operators.event_windows import (
     windowed_event_stats,
 )
 from arcane_framework_scala_spark.operators.merge_apply import merge_apply
+from arcane_framework_scala_spark.operators import resample as resample_mod
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -1405,6 +1406,38 @@ FROM events GROUP BY 1, 2
 
 def q_sessionize(spark, sf_dir):
     return sessionize(_read(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+def q_t_gapfill(spark, sf_dir):
+    """Hypertable-style resample: per-user daily max downsample on a
+    complete day grid with last-observation-carried-forward through the
+    gaps (synthesized rows flagged). Grid = keys x sequence(bounds) —
+    a broadcast explode, never a range join."""
+    from arcane_framework_scala_spark.operators.resample import gap_fill
+
+    out = gap_fill(
+        _read(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_ns_col="ts",
+        value_col="value",
+        bucket_seconds=86_400,
+    )
+    # leading-gap rows (before a key's first observation) are NULL by
+    # contract; the driver's pandas canonicalizer turns float NULLs into
+    # NaN on the oracle side only, so the GATE view coalesces to a
+    # sentinel (operator semantics unit-tested in test_resample.py)
+    return out.withColumn("value", F.coalesce("value", F.lit(-1.0)))
+
+
+_T_GAPFILL_SQL = (
+    "SELECT user_id, bucket_start_sec, coalesce(value, -1.0) AS value, "
+    "is_filled FROM ("
+    + resample_mod.gap_fill_sql(
+        "events", key_col="user_id", ts_col="ts", value_col="value",
+        bucket_seconds=86_400,
+    )
+    + ")"
+)
 
 
 def q_lsh_neighbors(spark, sf_dir):
@@ -3203,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
+        "t_gapfill": q_t_gapfill,
     }
 
 
@@ -3355,6 +3389,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,
+        "t_gapfill": _T_GAPFILL_SQL,
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
