@@ -52,6 +52,7 @@ from arcane_framework_scala_spark.operators.event_windows import (
 )
 from arcane_framework_scala_spark.operators.merge_apply import merge_apply
 from arcane_framework_scala_spark.operators import resample as resample_mod
+from arcane_framework_scala_spark.functions import stats as stats_mod
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -1406,6 +1407,18 @@ FROM events GROUP BY 1, 2
 
 def q_sessionize(spark, sf_dir):
     return sessionize(_read(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+def q_a8_value_quantiles(spark, sf_dir):
+    """Per-event-type distribution summary: exact interpolated p50/p90/p99
+    (identical definition to DuckDB quantile_cont — verified value-equal).
+    The production path swaps exact=False for the mergeable
+    Greenwald-Khanna sketch; the gate pins the exact math."""
+    from arcane_framework_scala_spark.functions.stats import value_quantiles
+
+    return value_quantiles(
+        _read(spark, sf_dir, "events"), "event_type", "value"
+    )
 
 
 def q_t_gapfill(spark, sf_dir):
@@ -3237,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
         "t_gapfill": q_t_gapfill,
+        "a8_value_quantiles": q_a8_value_quantiles,
     }
 
 
@@ -3390,6 +3404,9 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,
         "t_gapfill": _T_GAPFILL_SQL,
+        "a8_value_quantiles": stats_mod.value_quantiles_sql(
+            "events", "event_type", "value"
+        ),
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,

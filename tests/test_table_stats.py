@@ -180,3 +180,29 @@ def test_maintenance_handles_partial_commit_and_missing_dir(spark, tmp_path):
     assert remove_orphan_files(t2) == ["v=3"]
     assert not os.path.isdir(os.path.join(t2.path, "v=3"))
     assert t2.read().count() == 10
+
+
+def test_value_quantiles_exact_and_sketch(spark):
+    from arcane_framework_scala_spark.functions.stats import value_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)],
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r
+        for r in value_quantiles(df, "g", "v", quantiles=(0.5, 0.9)).collect()
+    }
+    # exact interpolated: median of 1..100 = 50.5; p90 = 90.1
+    assert rows["a"]["n"] == 100
+    assert rows["a"]["q_5"] == 50.5
+    assert rows["a"]["q_9"] == 90.1
+    assert rows["b"]["q_5"] == 10.0  # midpoint of the two values
+    # sketch path returns a value within the group's range (accuracy-bound)
+    sk = {
+        r["g"]: r
+        for r in value_quantiles(
+            df, "g", "v", quantiles=(0.5,), exact=False
+        ).collect()
+    }
+    assert 1.0 <= sk["a"]["q_5"] <= 100.0
