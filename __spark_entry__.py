@@ -968,6 +968,29 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(pairs)
 
 
+def q_dedup_incremental_pairs(spark, sf_dir):
+    """Incremental CDC dedup: a 20% batch of 'new' documents joins its
+    band signatures against the standing corpus instead of re-running
+    the corpus-wide self-join. Oracle is the exactness invariant itself:
+    full-corpus pairs EXCEPT old-only pairs — a hash match proves the
+    incremental path finds precisely the pairs the batch introduces."""
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dd.minhash_candidate_pairs_incremental(old, new)
+
+
+_DEDUP_INCR_SQL = f"""
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql("documents")}
+)
+EXCEPT
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql("(SELECT * FROM documents WHERE doc_id % 5 != 0)")}
+)
+"""
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Same clustering contract, computed by the O(log n)-round
     large-star/small-star contraction instead of label propagation —
@@ -3251,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18ish": q_tpch_q18ish,
         "t_gapfill": q_t_gapfill,
         "a8_value_quantiles": q_a8_value_quantiles,
+        "dedup_incremental_pairs": q_dedup_incremental_pairs,
     }
 
 
@@ -3407,6 +3431,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "a8_value_quantiles": stats_mod.value_quantiles_sql(
             "events", "event_type", "value"
         ),
+        "dedup_incremental_pairs": _DEDUP_INCR_SQL,
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,

@@ -220,6 +220,56 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate pairs TOUCHING a newly arrived batch — the incremental
+    dedup step a CDC-fed corpus needs: when a micro-batch lands (S8/K2
+    pipeline), only pairs involving new docs can be new, so the batch's
+    signatures join against the full band table instead of re-running the
+    corpus-wide self-join.
+
+    Invariant (hash-verified in the gate):
+    ``pairs(old ∪ new) == pairs(old) ∪ incremental(old, new)`` — the
+    incremental result is EXACTLY the full-corpus pair set minus the
+    already-known old-old pairs.
+
+    Plan: old band table computed once (at scale it is a *stored* table
+    maintained by the merge — signatures are content hashes, so CDC
+    updates upsert band rows by id); new bands are batch-sized. Two
+    bounded joins share one exchange on (band, bucket): new×old (cross-
+    generation) and new×new (within-batch), both with fan-out capped by
+    bucket sizes — the corpus-wide self-join never runs again. Shuffled
+    bytes ≈ batch bands + the touched buckets of the old table.
+    """
+    ob = minhash_bands(old_docs, text_col, id_col, num_hashes, bands, shingle_k)
+    nb = minhash_bands(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
+    nb = materialize(nb.repartition("band", "bucket"), eager=False)
+    on = ["band", "bucket"]
+    l, r = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    cross = (
+        nb.alias("l")
+        .join(ob.repartition("band", "bucket").alias("r"), on)
+        .select(
+            F.least(l, r).alias("id_a"), F.greatest(l, r).alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    within = (
+        nb.alias("l")
+        .join(nb.alias("r"), on)
+        .filter(l < r)
+        .select(l.alias("id_a"), r.alias("id_b"))
+    )
+    return cross.unionAll(within).distinct()
+
+
 def minhash_signature_sql(
     table: str,
     text_col: str = "text",

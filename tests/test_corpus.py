@@ -365,3 +365,28 @@ class TestShuffleShards:
         # deterministic for the same seed
         a2 = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(docs, 4, seed=1).collect()}
         assert a == a2
+
+
+def test_incremental_pairs_equal_full_minus_old(spark):
+    """The exactness invariant: pairs(old ∪ new) == pairs(old) ∪
+    incremental(old, new), disjointly."""
+    from arcane_framework_scala_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = [(i, base * 3 + f"tail {i % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter("doc_id % 4 != 0")
+    new = docs.filter("doc_id % 4 = 0")
+
+    full = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()}
+    old_p = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(old).collect()}
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs_incremental(old, new).collect()
+    }
+    assert incr == full - old_p
+    assert incr.isdisjoint(old_p)
+    assert incr  # the near-dup corpus guarantees new pairs exist
