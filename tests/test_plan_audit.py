@@ -254,3 +254,41 @@ def test_recall_joins_stay_metadata_sized(spark, queries):
     a = audit_plan(queries["sim_ivf_recall"](spark, SF_DIR))
     assert "CartesianProduct" not in a.plan, a.plan
     assert a.python_nodes == 0, a.plan
+
+
+def test_global_anti_pattern_sweep(spark, queries):
+    """Blanket regression gate over EVERY registry query's physical plan
+    (streaming gates excluded — they execute micro-batch pipelines and
+    return memory-table reads): no CartesianProduct anywhere, no Python
+    eval nodes outside the multimodal family (Arrow mapInPandas is the
+    design there), and no single-partition global window (`WindowExec`
+    warning shape: Window with empty partitionBy over the full set —
+    top-k must be TakeOrdered)."""
+    import re
+
+    SKIP_PREFIXES = (
+        "t7_", "t_stream_", "t_stateful", "t1_", "t2_",
+        "corpus_jsonl",  # executes a write+readback, plan is the readback
+        "s11_orc",       # same: round-trip through a temp ORC dir
+    )
+    PYTHON_OK = {"mm_image_features", "mm_audio_features", "mm_resize",
+                 "mm_frame_sample"}
+    checked = 0
+    for name, fn in queries.items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        a = audit_plan(fn(spark, SF_DIR))
+        assert a.cartesian_products == 0, (name, a.plan)
+        if name not in PYTHON_OK:
+            assert a.python_nodes == 0, (name, a.plan)
+        # a Window node with no PARTITION BY spec = everything in one task
+        for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", a.plan):
+            spec = m.group(1)
+            # windowspecdefinition(partitionCols..., orderCol ASC..., frame)
+            # single-partition shape has the order column first with no
+            # partition columns before it: detect 'specifiedwindowframe' as
+            # the only other arg
+            assert not spec.strip().startswith(("value#", "totalprice")), (
+                name, spec)
+        checked += 1
+    assert checked >= 70, checked
