@@ -991,6 +991,78 @@ SELECT id_a, id_b FROM (
 """
 
 
+def q_m8_cdc_corpus_vertical(spark, sf_dir):
+    """The two halves of the engine in ONE plan: a CDC batch (100 new
+    docs + 50 updated docs at version 200) MERGEs into the standing
+    corpus (M3 upsert semantics, newer version wins), and the merged
+    corpus flows straight into near-dup candidate analysis — per-doc
+    LSH candidate degree over the post-merge text. Proves merge
+    correctness AND that curation operators compose on a CDC-maintained
+    table, hash-exact."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    key = blob_merge_key("doc_id").alias("ARCANE_MERGE_KEY")
+    std = docs.filter(F.col("doc_id") % 5 != 0).select(
+        key, "doc_id", "text", F.lit(100).cast("long").alias("createdon")
+    )
+    upd = docs.filter(F.col("doc_id") % 10 == 3).select(
+        key, "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(200).cast("long").alias("createdon"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0).select(
+        key, "doc_id", "text", F.lit(200).cast("long").alias("createdon")
+    )
+    merged = merge_apply(std, upd.unionByName(new), UPSERT_BLOB).drop(
+        "ARCANE_MERGE_KEY"
+    )
+    pairs = dd.minhash_candidate_pairs(merged)
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    return (
+        merged.join(deg, "doc_id", "left")
+        .select(
+            "doc_id", "createdon", F.md5("text").alias("digest"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+        )
+    )
+
+
+_M8_SQL = f"""
+WITH std AS (
+  SELECT doc_id, text, CAST(100 AS BIGINT) AS createdon
+  FROM documents WHERE doc_id % 5 != 0
+),
+batch AS (
+  SELECT doc_id, text || ' v2' AS text, CAST(200 AS BIGINT) AS createdon
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text, CAST(200 AS BIGINT) AS createdon
+  FROM documents WHERE doc_id % 5 = 0
+),
+merged AS (
+  SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+         coalesce(b.text, s.text) AS text,
+         coalesce(b.createdon, s.createdon) AS createdon
+  FROM std s FULL JOIN batch b ON s.doc_id = b.doc_id
+),
+pairs AS (
+  {dd.minhash_candidate_pairs_sql("merged")}
+),
+deg AS (
+  SELECT id AS doc_id, count(*) AS n_cand
+  FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)
+  GROUP BY id
+)
+SELECT m.doc_id, m.createdon, md5(m.text) AS digest,
+       CAST(coalesce(d.n_cand, 0) AS BIGINT) AS n_cand
+FROM merged m LEFT JOIN deg d ON m.doc_id = d.doc_id
+"""
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Same clustering contract, computed by the O(log n)-round
     large-star/small-star contraction instead of label propagation —
@@ -3275,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gapfill": q_t_gapfill,
         "a8_value_quantiles": q_a8_value_quantiles,
         "dedup_incremental_pairs": q_dedup_incremental_pairs,
+        "m8_cdc_corpus_vertical": q_m8_cdc_corpus_vertical,
     }
 
 
@@ -3432,6 +3505,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             "events", "event_type", "value"
         ),
         "dedup_incremental_pairs": _DEDUP_INCR_SQL,
+        "m8_cdc_corpus_vertical": _M8_SQL,
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
