@@ -3286,7 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_dedup_latest": q_w1_dedup_latest,
         "m3_merge_upsert": q_m3_merge_upsert,
         "s6_cdm_vertical": q_s6_cdm_vertical,
-        "s2_backfill_scan": q_s2_backfill_scan,
+        "m8_cdc_corpus_vertical": q_m8_cdc_corpus_vertical,
         # --- new in r3 (inside the gate window; the five r2-green
         # queries with UNCHANGED oracles — tpch_q1/q3/q5ish,
         # dedup_minhash_lsh_pairs, dedup_clusters — rotate to the tail:
@@ -3304,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- green in r2, beyond the 50-entry gate window ---
         "w2_backfill_dedup": q_w2_backfill_dedup,
         "m4_overwrite_backfill": q_m4_overwrite_backfill,
+        "s2_backfill_scan": q_s2_backfill_scan,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -3347,7 +3348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gapfill": q_t_gapfill,
         "a8_value_quantiles": q_a8_value_quantiles,
         "dedup_incremental_pairs": q_dedup_incremental_pairs,
-        "m8_cdc_corpus_vertical": q_m8_cdc_corpus_vertical,
     }
 
 
