@@ -131,6 +131,15 @@ class StreamRunner:
             version=str(batch.watermark.get("version", "")),
             prefix=batch.watermark.get("prefix"),
         )
+        # monotonic guard: a replayed/out-of-order batch (crash replay,
+        # source retry) must never move the watermark BACKWARDS — the
+        # merge itself is idempotent (T9 version guards), but a regressed
+        # watermark would re-fetch every later batch on the next poll.
+        # Ordering is the reference's: numeric for CT versions,
+        # lexicographic for timestamp-name watermarks.
+        prior = self.store.read()
+        if prior is not None and wm < prior:
+            return
         self.store.commit(wm)
         self.metrics.watermark_updates += 1
         if dm is not None:

@@ -71,6 +71,33 @@ class Watermark:
             prefix=d.get("prefix"),
         )
 
+    def _order_key(self) -> tuple:
+        """Reference-parity ordering (MsSqlWatermarkTests /
+        SynapseWatermarkTests 'compare correctly'): change-tracking
+        versions are NUMERIC longs (version "9" < "12"), Synapse
+        watermarks are timestamp folder names that order
+        lexicographically ("2025-12-01T..." < "2026-01-01T...").
+        Numeric-when-parseable covers the first, string fallback the
+        second; a numeric version always compares below a non-numeric
+        one so mixed comparisons are total (they never occur on one
+        stream — a stream has one watermark kind)."""
+        try:
+            return (0, int(self.version), "")
+        except ValueError:
+            return (1, 0, self.version)
+
+    def __lt__(self, other: "Watermark") -> bool:
+        return self._order_key() < other._order_key()
+
+    def __le__(self, other: "Watermark") -> bool:
+        return self._order_key() <= other._order_key()
+
+    def __gt__(self, other: "Watermark") -> bool:
+        return self._order_key() > other._order_key()
+
+    def __ge__(self, other: "Watermark") -> bool:
+        return self._order_key() >= other._order_key()
+
     def age_seconds(self) -> float | None:
         """T12 watermark-age metric: now - watermark timestamp."""
         if not self.timestamp:

@@ -325,3 +325,57 @@ def test_mssql_builder_matches_reference_shapes():
     preds = b.shard_predicates(["pk"], 4)
     assert preds[0] == "ABS(CHECKSUM([pk])) % 4 = 0" and len(preds) == 4
     assert "TOP 1" in b.has_changes_query(42)
+
+
+def test_watermark_orders_numerically_like_mssql_ct():
+    """MsSqlWatermarkTests 'compare correctly': CT versions are numeric
+    longs — '9' must sort below '12' (lexicographic would invert)."""
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    wm = Watermark(version="1234")
+    assert Watermark(version="1233") < wm < Watermark(version="12345")
+    assert Watermark(version="9") < Watermark(version="12")
+    assert wm <= Watermark(version="1234") <= wm
+
+
+def test_watermark_orders_lexicographically_like_synapse():
+    """SynapseWatermarkTests 'compare correctly': timestamp folder names
+    order as strings."""
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    wm = Watermark(version="2026-01-01T00.00.00Z")
+    assert Watermark(version="2025-12-01T00.00.00Z") < wm
+    assert wm < Watermark(version="2026-01-01T01.00.00Z")
+
+
+def test_watermark_json_roundtrip_preserves_identity():
+    """Both reference watermark suites: fromJson(toJson(wm)) == wm."""
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    for wm in (
+        Watermark.now("1234"),
+        Watermark.now("2026-01-01T00.00.00Z", prefix="p/x"),
+    ):
+        assert Watermark.from_json(wm.to_json()) == wm
+
+
+def test_replayed_older_batch_never_regresses_watermark(tmp_path):
+    """Monotonic commit guard: a source that replays an out-of-order /
+    older batch (crash replay, retry) must not move the watermark
+    backwards — numeric ordering, so version 9 < 12 despite '9' > '12'
+    lexicographically."""
+    src = FakeSource()
+    runner, store = _runner(tmp_path, src)
+    src.push(12)
+    assert runner.run_once() == 1
+    assert store.read().version == "12"
+    # replay an older batch: processed (merge is idempotent) but the
+    # watermark must stay at 12
+    src.pending.append(MicroBatch(df=None, watermark={"version": 9}))
+    src.head = 12
+    runner.run_once()
+    assert store.read().version == "12"
+    # a genuinely newer batch still advances
+    src.push(13)
+    runner.run_once()
+    assert store.read().version == "13"
