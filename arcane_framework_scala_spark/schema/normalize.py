@@ -25,3 +25,16 @@ def normalize_columns(df, columns: list[str] | None = None):
         if n != c:
             out = out.withColumnRenamed(c, n)
     return out
+
+
+_CAMEL_BOUNDARY = re.compile(r"([a-z])([A-Z])")
+
+
+def camel_to_snake(name: str) -> str:
+    """camelCase → snake_case, byte-identical with the reference's
+    ``StringExtensions.camelCaseToSnakeCase`` (underscore ONLY at a
+    lower→upper boundary, then lowercase everything — so ``ABC`` → ``abc``
+    and ``AaBbCcDd`` → ``aa_bb_cc_dd``). Used for deriving table/stream
+    identifiers from kind names (``MicrosoftSqlServerStream`` →
+    ``microsoft_sql_server_stream``)."""
+    return _CAMEL_BOUNDARY.sub(r"\1_\2", name).lower()

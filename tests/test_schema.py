@@ -76,3 +76,25 @@ def test_schema_spark_roundtrip():
     assert all(f.nullable for f in st.fields)
     back = ArcaneSchema.from_spark(st)
     assert back.names == s.names
+
+
+def test_camel_to_snake_reference_table():
+    """The reference's full StringExtensionTests table, verbatim."""
+    from arcane_framework_scala_spark.schema.normalize import camel_to_snake
+
+    cases = [
+        ("abc", "abc"),
+        ("ABC", "abc"),
+        ("aBc", "a_bc"),
+        ("AbcdeFgh", "abcde_fgh"),
+        ("_AbcdeFgh_", "_abcde_fgh_"),
+        ("___", "___"),
+        ("AaBbCcDd", "aa_bb_cc_dd"),
+        ("MicrosoftSqlServerStream", "microsoft_sql_server_stream"),
+        ("MicrosoftSynapseStream", "microsoft_synapse_stream"),
+        ("Abcde-Fgh", "abcde-fgh"),
+        ("A-_-bcde-Fgh", "a-_-bcde-fgh"),
+        ("v0.1.2.3", "v0.1.2.3"),
+    ]
+    for s, want in cases:
+        assert camel_to_snake(s) == want, s
