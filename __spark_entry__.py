@@ -53,6 +53,7 @@ from arcane_framework_scala_spark.operators.event_windows import (
 from arcane_framework_scala_spark.operators.merge_apply import merge_apply
 from arcane_framework_scala_spark.operators import resample as resample_mod
 from arcane_framework_scala_spark.functions import stats as stats_mod
+from arcane_framework_scala_spark.functions import lm as lm_mod
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -2470,6 +2471,16 @@ def q_corpus_stratified_sample(spark, sf_dir):
 _MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
 
 
+def q_corpus_lm_score(spark, sf_dir):
+    """CCNet-style self-fitted unigram LM quality score: mean token
+    surprisal per document (lower = more corpus-typical). Engine parity
+    to 6 decimals (ln is transcendental; exact parity is impossible and
+    rounding absorbs ulp/sum-order noise)."""
+    from arcane_framework_scala_spark.functions.lm import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_mixture_sample(spark, sf_dir):
     """Epoch-weighted mixture resampling — the upsampling generalization
     of stratified_sample a pre-training recipe needs (repeat the good
@@ -3348,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gapfill": q_t_gapfill,
         "a8_value_quantiles": q_a8_value_quantiles,
         "dedup_incremental_pairs": q_dedup_incremental_pairs,
+        "corpus_lm_score": q_corpus_lm_score,
     }
 
 
@@ -3506,6 +3518,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         ),
         "dedup_incremental_pairs": _DEDUP_INCR_SQL,
         "m8_cdc_corpus_vertical": _M8_SQL,
+        "corpus_lm_score": lm_mod.unigram_logprob_sql("documents"),
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,

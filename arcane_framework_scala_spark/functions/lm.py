@@ -1,0 +1,104 @@
+"""Corpus language-model scoring (CCNet-style quality signal).
+
+A unigram LM fitted on the corpus itself, scoring every document by its
+mean token negative-log-probability — the cheap statistical stand-in for
+the "perplexity under a reference LM" filter of CCNet/CC-100 pipelines
+(Wenzek et al. 2020): documents whose token distribution diverges from
+the corpus (gibberish, boilerplate, wrong language) score high and get
+filtered or bucketed (head/middle/tail).
+
+Two passes over the tokens, both relational:
+
+1. **fit**: explode tokens → one groupBy(token) count + a 1-row total —
+   the model is the (token, count) table. At 100 TB the distinct-token
+   table is vocabulary-sized (Heaps-law sublinear, ~10^7-10^8 rows),
+   broadcastable after a frequency cut or joined as a normal hash join.
+2. **score**: re-explode, join token → count (broadcast when the vocab
+   side fits, shuffle-hash otherwise), per-doc
+   ``avg(-ln(count / total))``. Laplace-smoothed (+1) so unseen tokens
+   (when scoring NEW docs against a FROZEN model) stay finite.
+
+Float caveat, by design: ``ln`` is transcendental, so scores are
+engine-equal only to rounding (the gate rounds to 6 decimals — ulp-level
+libm differences and float-sum ordering vanish at that precision; exact
+integer parity is impossible for a log score and not worth faking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def _tokens(text_col: str):
+    return F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("__tok")
+
+
+def unigram_model(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(token, n) counts over the whitespace-tokenized lowercased corpus
+    — the fitted model. One explode + one map-side-combined groupBy."""
+    return (
+        df.select(_tokens(text_col))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("__tok").alias("token"), "n")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logprob) — mean token surprisal under the
+    unigram model (self-fitted when ``model`` is None). Lower = more
+    corpus-typical; rank or threshold for head/middle/tail bucketing."""
+    if model is None:
+        model = unigram_model(df, text_col)
+    total = model.agg(F.sum("n").alias("__total"))
+    toks = df.select(F.col(id_col), _tokens(text_col)).select(
+        F.col(id_col), F.col("__tok").alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "token", "left")
+        .join(F.broadcast(total))
+        # Laplace +1: finite for tokens absent from a frozen model
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                    / (F.col("__total") + 1)
+                )
+            ).alias("__nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__nll"), 6).alias("avg_neg_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin; identical smoothing and rounding."""
+    toks = (
+        f"SELECT {id_col}, unnest(regexp_split_to_array(trim(lower({text_col})), "
+        f"'\\s+')) AS token FROM {table}"
+    )
+    return f"""
+WITH toks AS ({toks}),
+model AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+total AS (SELECT sum(n) AS t FROM model)
+SELECT {id_col}, count(*) AS n_tokens,
+       round(avg(-ln((coalesce(m.n, 0) + 1) / (total.t + 1))), 6)
+           AS avg_neg_logprob
+FROM toks LEFT JOIN model m USING (token), total
+GROUP BY {id_col}
+"""

@@ -390,3 +390,38 @@ def test_incremental_pairs_equal_full_minus_old(spark):
     assert incr == full - old_p
     assert incr.isdisjoint(old_p)
     assert incr  # the near-dup corpus guarantees new pairs exist
+
+
+class TestUnigramLM:
+    def test_self_fit_scores_typical_below_atypical(self, spark):
+        from arcane_framework_scala_spark.functions.lm import unigram_logprob
+
+        common = "the cat sat on the mat and the dog sat on the rug"
+        df = spark.createDataFrame(
+            [(1, common), (2, common), (3, "zqx wvу jkl zzz qqq")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        # gibberish doc: every token unique in the corpus → higher surprisal
+        assert rows[3]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
+        assert rows[1]["avg_neg_logprob"] == rows[2]["avg_neg_logprob"]
+
+    def test_frozen_model_handles_unseen_tokens(self, spark):
+        from arcane_framework_scala_spark.functions.lm import (
+            unigram_logprob,
+            unigram_model,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b a b a")], "doc_id long, text string"
+        )
+        model = unigram_model(train)
+        new = spark.createDataFrame(
+            [(9, "a b zz")], "doc_id long, text string"
+        )
+        row = unigram_logprob(new, model=model).first()
+        # Laplace smoothing keeps the unseen token finite
+        assert row["n_tokens"] == 3
+        import math
+
+        assert math.isfinite(row["avg_neg_logprob"])
