@@ -2481,6 +2481,24 @@ def q_corpus_lm_score(spark, sf_dir):
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_hashed_features(spark, sf_dir):
+    """Hashing-trick featurizer: vocabulary-free (doc, bucket, count)
+    sparse text features for corpus-scale linear models; portable
+    md5-bucket hash, one explode + one combined groupBy."""
+    from arcane_framework_scala_spark.functions.lm import hashed_features
+
+    return hashed_features(_read(spark, sf_dir, "documents"), dim=256)
+
+
+def q_sim_knn_eval(spark, sf_dir):
+    """Embedding-quality probe: majority-vote kNN label prediction for
+    the standard query set, deterministic tie-break, exact-match oracle
+    over the same top-k."""
+    emb = _read(spark, sf_dir, "embeddings")
+    topk = sim.brute_force_topk(emb, _COSINE_QUERY_IDS, k=10)
+    return sim.knn_label_accuracy(topk, emb)
+
+
 def q_corpus_mixture_sample(spark, sf_dir):
     """Epoch-weighted mixture resampling — the upsampling generalization
     of stratified_sample a pre-training recipe needs (repeat the good
@@ -3360,6 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_value_quantiles": q_a8_value_quantiles,
         "dedup_incremental_pairs": q_dedup_incremental_pairs,
         "corpus_lm_score": q_corpus_lm_score,
+        "corpus_hashed_features": q_corpus_hashed_features,
+        "sim_knn_eval": q_sim_knn_eval,
     }
 
 
@@ -3519,6 +3539,10 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "dedup_incremental_pairs": _DEDUP_INCR_SQL,
         "m8_cdc_corpus_vertical": _M8_SQL,
         "corpus_lm_score": lm_mod.unigram_logprob_sql("documents"),
+        "corpus_hashed_features": lm_mod.hashed_features_sql("documents", dim=256),
+        "sim_knn_eval": sim.knn_label_accuracy_sql(
+            sim.brute_force_topk_sql("embeddings", _COSINE_QUERY_IDS, k=10)
+        ),
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,

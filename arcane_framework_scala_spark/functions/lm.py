@@ -102,3 +102,49 @@ SELECT {id_col}, count(*) AS n_tokens,
 FROM toks LEFT JOIN model m USING (token), total
 GROUP BY {id_col}
 """
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurizer (HashingVectorizer / VW style): tokens
+    hash into ``dim`` buckets, value = in-doc count — the fixed-width,
+    vocabulary-free text representation cheap linear classifiers train
+    on at corpus scale. Emitted SPARSE as (id, bucket, cnt) rows — the
+    natural relational form (dense arrays would be ~99% zeros and the
+    driver gate cannot hash array cells anyway); densify at the model
+    boundary if the trainer wants vectors.
+
+    The bucket hash is the engine-portable md5→int64 used everywhere
+    else in this package (xxhash64 differs across engines). One explode
+    + one map-side-combined groupBy — shuffle rows ≤ docs × dim, in
+    practice ≈ docs × distinct-tokens-per-doc."""
+    toks = df.select(F.col(id_col), _tokens(text_col))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10)
+        .cast("long") % dim
+    ).alias("bucket")
+    return (
+        toks.select(F.col(id_col), bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_features_sql(
+    table: str, dim: int = 1024, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = (
+        f"SELECT {id_col}, unnest(regexp_split_to_array(trim(lower({text_col})), "
+        f"'\\s+')) AS tok FROM {table}"
+    )
+    bucket = (
+        f"CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {dim}"
+    )
+    return f"""
+SELECT {id_col}, {bucket} AS bucket, count(*) AS cnt
+FROM ({toks}) GROUP BY {id_col}, {bucket}
+"""

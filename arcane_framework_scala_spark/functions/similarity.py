@@ -740,3 +740,78 @@ SELECT b.query_id,
        (1000000 * coalesce(h.hits, 0)) // {k} AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM e) b LEFT JOIN hits h USING (query_id)
 """
+
+
+def knn_label_accuracy(
+    topk: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality eval: majority-vote kNN classification per
+    query. Joins a top-k result (query_id, vec_id, rk) with a label
+    table twice (neighbor labels + the query's own label) and reports
+    (query_id, true_label, predicted_label, votes, correct) — the
+    standard "do nearest neighbors share my label" probe for embedding
+    sanity at corpus scale.
+
+    Ties break to the SMALLEST label (deterministic on every engine).
+    All joins are on ids (broadcast-able label side or uniform hash);
+    the vote aggregation is rows = queries × k, metadata-sized."""
+    lbl = labels.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        topk.join(lbl, topk[id_col] == F.col("__lid"))
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = (
+        votes.groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("__lbl").alias("l"), F.col("votes").alias("v")),
+                F.struct(F.col("votes"), (-F.col("__lbl")).alias("nl")),
+            ).alias("best")
+        )
+        .select(
+            "query_id",
+            F.col("best.l").alias("predicted_label"),
+            F.col("best.v").alias("votes"),
+        )
+    )
+    truth = lbl.select(
+        F.col("__lid").alias("query_id"), F.col("__lbl").alias("true_label")
+    )
+    return (
+        best.join(truth, "query_id")
+        .select(
+            "query_id", "true_label", "predicted_label", "votes",
+            (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+        )
+    )
+
+
+def knn_label_accuracy_sql(
+    topk_sql: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    return f"""
+WITH topk AS MATERIALIZED ({topk_sql}),
+votes AS (
+  SELECT t.query_id, e.{label_col} AS lbl, count(*) AS votes
+  FROM topk t JOIN {table} e ON t.{id_col} = e.{id_col}
+  GROUP BY t.query_id, e.{label_col}
+),
+best AS (
+  SELECT query_id, lbl AS predicted_label, votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, lbl ASC) AS rn
+        FROM votes) WHERE rn = 1
+)
+SELECT b.query_id, e.{label_col} AS true_label, b.predicted_label, b.votes,
+       (e.{label_col} = b.predicted_label) AS correct
+FROM best b JOIN {table} e ON b.query_id = e.{id_col}
+"""

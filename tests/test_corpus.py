@@ -425,3 +425,43 @@ class TestUnigramLM:
         import math
 
         assert math.isfinite(row["avg_neg_logprob"])
+
+
+def test_hashed_features_dim_bound_and_counts(spark):
+    from arcane_framework_scala_spark.functions.lm import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a")], "doc_id long, text string"
+    )
+    rows = hashed_features(df, dim=8).collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["cnt"]
+    assert by_doc == {1: 3, 2: 1}  # counts preserve token totals
+    # same token → same bucket across docs
+    b1 = {r["bucket"] for r in rows if r["doc_id"] == 2}
+    assert b1 <= {r["bucket"] for r in rows if r["doc_id"] == 1}
+
+
+def test_knn_label_accuracy_majority_and_tiebreak(spark):
+    from arcane_framework_scala_spark.functions.similarity import (
+        knn_label_accuracy,
+    )
+
+    topk = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 13)],
+        "query_id long, vec_id long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 5), (10, 7), (11, 7), (12, 5), (13, 5)],
+        "vec_id long, label int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in knn_label_accuracy(topk, labels).collect()
+    }
+    assert got[1]["predicted_label"] == 7 and got[1]["correct"]
+    # query 2: one vote each for 7 and 5 → tie breaks to SMALLEST label 5
+    assert got[2]["predicted_label"] == 5 and got[2]["correct"]
