@@ -1013,8 +1013,18 @@ def q_m8_cdc_corpus_vertical(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 5 == 0).select(
         key, "doc_id", "text", F.lit(200).cast("long").alias("createdon")
     )
-    merged = merge_apply(std, upd.unionByName(new), UPSERT_BLOB).drop(
-        "ARCANE_MERGE_KEY"
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    # the merged corpus feeds the band pipeline (twice, via the pair
+    # self-join) AND the final projection join — materialize the merge
+    # result once instead of recomputing the full-outer merge subtree
+    # per consumer (un-materialized: 15 scans / 26 exchanges; after: the
+    # merge runs once)
+    merged = materialize(
+        merge_apply(std, upd.unionByName(new), UPSERT_BLOB).drop(
+            "ARCANE_MERGE_KEY"
+        ),
+        eager=False,
     )
     pairs = dd.minhash_candidate_pairs(merged)
     deg = (
