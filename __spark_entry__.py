@@ -1298,6 +1298,73 @@ def _media_docs(spark, sf_dir):
     return attach_media(docs, F.encode(F.col("text"), "UTF-8"), mime="image/fake")
 
 
+def q_mm_audio_segments(spark, sf_dir):
+    """REAL WAV decode through the gate: 20 docs get deterministic
+    16-bit PCM synthesized (sample_i = ((doc_id*7919 + i*104729) %
+    65536) - 32768) and RIFF/WAVE-encoded in one mapInPandas, then
+    ``audio_segments(decoder="real")`` decodes, splits into 250 ms
+    windows, and emits exact integer energy accumulators. The oracle
+    regenerates the identical samples with generate_series and must
+    match sum-of-squares bit-for-bit — proving the encode→decode→
+    segment plumbing, not a stub."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd_  # local alias; driver ships pandas
+
+    from pyspark.sql.types import BinaryType as _Bin
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    from arcane_framework_scala_spark.multimodal import audio_segments
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 20)
+    )
+    wav_schema = _ST([_SF("doc_id", _Long()), _SF("media", _Bin())])
+
+    def synth(batches):
+        for pdf in batches:
+            out_ids, out_wavs = [], []
+            for did in pdf["doc_id"]:
+                n = 4000 + (int(did) % 5) * 1000
+                i = np.arange(n, dtype=np.int64)
+                x = ((int(did) * 7919 + i * 104729) % 65536) - 32768
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(x.astype("<i2").tobytes())
+                out_ids.append(int(did))
+                out_wavs.append(buf.getvalue())
+            yield pd_.DataFrame({"doc_id": out_ids, "media": out_wavs})
+
+    wavs = docs.mapInPandas(synth, wav_schema)
+    return audio_segments(wavs, segment_ms=250, decoder="real")
+
+
+_MM_AUDIO_SEGMENTS_SQL = """
+WITH params AS (
+  SELECT doc_id, 4000 + (doc_id % 5) * 1000 AS n
+  FROM documents WHERE doc_id < 20
+),
+samples AS (
+  SELECT doc_id, t.i, ((doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS x
+  FROM params, unnest(range(0, n)) AS t(i)
+)
+SELECT doc_id, CAST(i // 2000 AS INT) AS seg_idx,
+       CAST((i // 2000) * 250 AS BIGINT) AS start_ms,
+       count(*) AS n_samples,
+       CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sum_sq
+FROM samples GROUP BY doc_id, i // 2000
+"""
+
+
 def q_mm_image_features(spark, sf_dir):
     from arcane_framework_scala_spark.multimodal import image_features
 
@@ -3390,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_score": q_corpus_lm_score,
         "corpus_hashed_features": q_corpus_hashed_features,
         "sim_knn_eval": q_sim_knn_eval,
+        "mm_audio_segments": q_mm_audio_segments,
     }
 
 
@@ -3550,6 +3618,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "m8_cdc_corpus_vertical": _M8_SQL,
         "corpus_lm_score": lm_mod.unigram_logprob_sql("documents"),
         "corpus_hashed_features": lm_mod.hashed_features_sql("documents", dim=256),
+        "mm_audio_segments": _MM_AUDIO_SEGMENTS_SQL,
         "sim_knn_eval": sim.knn_label_accuracy_sql(
             sim.brute_force_topk_sql("embeddings", _COSINE_QUERY_IDS, k=10)
         ),

@@ -2,6 +2,7 @@ from arcane_framework_scala_spark.multimodal.media import (
     MEDIA_META_SCHEMA,
     attach_media,
     audio_features,
+    audio_segments,
     frame_sample,
     image_features,
     resize_images,
@@ -11,6 +12,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_media",
     "audio_features",
+    "audio_segments",
     "frame_sample",
     "image_features",
     "resize_images",

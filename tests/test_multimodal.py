@@ -117,3 +117,71 @@ def test_audio_real_decoder_rejects_non_wav():
 
     with pytest.raises(NotImplementedError):
         _decode_audio(b"not-a-riff-container", decoder="real")
+
+
+def test_audio_segments_real_wav_exact_energy(spark):
+    """Real stdlib-wave decode: a synthesized 16-bit PCM WAV splits into
+    250 ms windows whose integer sum-of-squares match numpy ground truth;
+    the trailing partial segment keeps its short length."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from arcane_framework_scala_spark.multimodal import audio_segments
+
+    rate, n = 8000, 4500  # 2 full 250ms segments (2000 samples) + 500
+    x = (np.arange(n, dtype=np.int64) * 31 % 65536) - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.astype("<i2").tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, media binary")
+    rows = sorted(
+        audio_segments(df, segment_ms=250, decoder="real").collect(),
+        key=lambda r: r["seg_idx"],
+    )
+    assert [r["n_samples"] for r in rows] == [2000, 2000, 500]
+    assert [r["start_ms"] for r in rows] == [0, 250, 500]
+    for r in rows:
+        lo, hi = r["seg_idx"] * 2000, r["seg_idx"] * 2000 + r["n_samples"]
+        assert r["sum_sq"] == int((x[lo:hi] ** 2).sum())
+
+
+def test_audio_segments_stereo_takes_channel_zero(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from arcane_framework_scala_spark.multimodal import audio_segments
+
+    left = np.full(1000, 100, dtype=np.int64)
+    right = np.full(1000, 7, dtype=np.int64)
+    inter = np.empty(2000, dtype=np.int64)
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.astype("<i2").tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, media binary")
+    row = audio_segments(df, segment_ms=250, decoder="real").first()
+    assert row["n_samples"] == 1000
+    assert row["sum_sq"] == 1000 * 100 * 100  # channel 0 only
+
+
+def test_audio_segments_fake_is_deterministic(spark):
+    from arcane_framework_scala_spark.multimodal import audio_segments
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not-a-wav"))], "doc_id long, media binary"
+    )
+    a = [tuple(r) for r in audio_segments(df, decoder="fake").collect()]
+    b = [tuple(r) for r in audio_segments(df, decoder="fake").collect()]
+    assert a == b and len(a) >= 1
