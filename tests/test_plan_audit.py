@@ -292,3 +292,14 @@ def test_global_anti_pattern_sweep(spark, queries):
                 name, spec)
         checked += 1
     assert checked >= 70, checked
+
+
+def test_m8_capstone_plan_stays_materialized(spark, queries):
+    """The CDC→corpus capstone must keep the merged corpus materialized:
+    un-materialized it recomputed the full-outer merge subtree per
+    consumer (15 scans / 26 exchanges at sf0.001); the pinned ceiling
+    catches that regression."""
+    a = audit_plan(queries["m8_cdc_corpus_vertical"](spark, SF_DIR))
+    assert a.scans <= 6, a.plan
+    assert a.exchanges <= 18, a.plan
+    assert a.cartesian_products == 0 and a.python_nodes == 0, a.plan
