@@ -2558,6 +2558,15 @@ def q_corpus_lm_score(spark, sf_dir):
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: exact tercile thresholds broadcast from a
+    1-row aggregate (never a global ntile window), bucket by
+    comparison. Oracle recomputes identical interpolated terciles."""
+    from arcane_framework_scala_spark.functions.lm import lm_buckets
+
+    return lm_buckets(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_hashed_features(spark, sf_dir):
     """Hashing-trick featurizer: vocabulary-free (doc, bucket, count)
     sparse text features for corpus-scale linear models; portable
@@ -3458,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hashed_features": q_corpus_hashed_features,
         "sim_knn_eval": q_sim_knn_eval,
         "mm_audio_segments": q_mm_audio_segments,
+        "corpus_lm_buckets": q_corpus_lm_buckets,
     }
 
 
@@ -3619,6 +3629,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_lm_score": lm_mod.unigram_logprob_sql("documents"),
         "corpus_hashed_features": lm_mod.hashed_features_sql("documents", dim=256),
         "mm_audio_segments": _MM_AUDIO_SEGMENTS_SQL,
+        "corpus_lm_buckets": lm_mod.lm_buckets_sql("documents"),
         "sim_knn_eval": sim.knn_label_accuracy_sql(
             sim.brute_force_topk_sql("embeddings", _COSINE_QUERY_IDS, k=10)
         ),

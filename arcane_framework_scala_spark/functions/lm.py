@@ -148,3 +148,55 @@ def hashed_features_sql(
 SELECT {id_col}, {bucket} AS bucket, count(*) AS cnt
 FROM ({toks}) GROUP BY {id_col}, {bucket}
 """
+
+
+def lm_buckets(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score every doc by unigram
+    surprisal, cut the corpus at the exact ⅓ / ⅔ score terciles, label
+    each doc's bucket. Head = most corpus-typical third.
+
+    Scale note: the cut uses two percentile THRESHOLDS broadcast from a
+    1-row aggregate, then a narrow comparison — never a global
+    ``ntile`` window (which funnels the corpus through one task). The
+    thresholds use exact interpolated ``percentile`` here (gate-
+    verifiable); swap ``approx_percentile`` at 100 TB — bucket edges
+    move by the sketch error, which is the accepted trade."""
+    scores = unigram_logprob(df, model=model, text_col=text_col, id_col=id_col)
+    th = scores.agg(
+        F.expr("percentile(avg_neg_logprob, 0.333)").alias("t1"),
+        F.expr("percentile(avg_neg_logprob, 0.667)").alias("t2"),
+    )
+    s = F.col("avg_neg_logprob")
+    return (
+        scores.join(F.broadcast(th))
+        .select(
+            id_col,
+            "n_tokens",
+            "avg_neg_logprob",
+            F.when(s <= F.col("t1"), F.lit("head"))
+            .when(s <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def lm_buckets_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    scores = unigram_logprob_sql(table, text_col, id_col)
+    return f"""
+WITH scores AS MATERIALIZED ({scores}),
+th AS (SELECT quantile_cont(avg_neg_logprob, 0.333) AS t1,
+              quantile_cont(avg_neg_logprob, 0.667) AS t2 FROM scores)
+SELECT {id_col}, n_tokens, avg_neg_logprob,
+       CASE WHEN avg_neg_logprob <= t1 THEN 'head'
+            WHEN avg_neg_logprob <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores, th
+"""

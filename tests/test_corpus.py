@@ -465,3 +465,20 @@ def test_knn_label_accuracy_majority_and_tiebreak(spark):
     assert got[1]["predicted_label"] == 7 and got[1]["correct"]
     # query 2: one vote each for 7 and 5 → tie breaks to SMALLEST label 5
     assert got[2]["predicted_label"] == 5 and got[2]["correct"]
+
+
+def test_lm_buckets_splits_into_thirds(spark):
+    from arcane_framework_scala_spark.functions.lm import lm_buckets
+
+    # 30 docs with 3 clearly separated surprisal tiers
+    common = "the the the the the"
+    rows = (
+        [(i, common) for i in range(10)]
+        + [(i, common + f" extra{i}") for i in range(10, 20)]
+        + [(i, f"zz{i} qq{i} ww{i} rr{i} tt{i}") for i in range(20, 30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bucket"] for r in lm_buckets(df).collect()}
+    assert all(got[i] == "head" for i in range(10))
+    assert all(got[i] == "middle" for i in range(10, 20))
+    assert all(got[i] == "tail" for i in range(20, 30))
