@@ -54,6 +54,7 @@ from arcane_framework_scala_spark.operators.merge_apply import merge_apply
 from arcane_framework_scala_spark.operators import resample as resample_mod
 from arcane_framework_scala_spark.functions import stats as stats_mod
 from arcane_framework_scala_spark.functions import lm as lm_mod
+from arcane_framework_scala_spark.functions import layout as layout_mod
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -2558,6 +2559,19 @@ def q_corpus_lm_score(spark, sf_dir):
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_p11_zorder_key(spark, sf_dir):
+    """Z-order layout key over (l_orderkey, l_partkey): the bit-interleave
+    behind Delta/Iceberg ZORDER rewrites, as pure codegen int math with a
+    broadcast bounds row. Sorting files by zkey makes min/max pruning
+    effective on BOTH columns; the gate pins the key bit-exactly."""
+    from arcane_framework_scala_spark.functions.layout import zorder_key
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+
+
 def q_corpus_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail: exact tercile thresholds broadcast from a
     1-row aggregate (never a global ntile window), bucket by
@@ -3468,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_eval": q_sim_knn_eval,
         "mm_audio_segments": q_mm_audio_segments,
         "corpus_lm_buckets": q_corpus_lm_buckets,
+        "p11_zorder_key": q_p11_zorder_key,
     }
 
 
@@ -3630,6 +3645,10 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_hashed_features": lm_mod.hashed_features_sql("documents", dim=256),
         "mm_audio_segments": _MM_AUDIO_SEGMENTS_SQL,
         "corpus_lm_buckets": lm_mod.lm_buckets_sql("documents"),
+        "p11_zorder_key": layout_mod.zorder_key_sql(
+            "lineitem", ["l_orderkey", "l_partkey"], bits=8,
+            select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
+        ),
         "sim_knn_eval": sim.knn_label_accuracy_sql(
             sim.brute_force_topk_sql("embeddings", _COSINE_QUERY_IDS, k=10)
         ),
