@@ -3470,7 +3470,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_neighbors": q_lsh_neighbors,
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
-        # --- new in r3, tail position: rotate into the gate window in r4 ---
+        # --- new in r3, tail position: ROTATE INTO THE GATE WINDOW IN r4.
+        # After r3, exactly 12 registry entries have never had a driver
+        # oracle row (all born this round, all locally parity-verified at
+        # sf0.001 AND sf0.01 by scripts/check_parity.py):
+        # corpus_jsonl_roundtrip, tpch_q6, tpch_q18ish, t_gapfill,
+        # a8_value_quantiles, dedup_incremental_pairs, corpus_lm_score,
+        # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
+        # corpus_lm_buckets, p11_zorder_key — front-load these 12 in r4;
+        # the other 38 gate slots re-verify whatever changes next round. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
