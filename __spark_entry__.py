@@ -2559,6 +2559,49 @@ def q_corpus_lm_score(spark, sf_dir):
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_s12_binary_ingest(spark, sf_dir):
+    """Format breadth: Spark's ``binaryFile`` source — the ingest path
+    for opaque media (images/audio/shards) into the multimodal pipeline.
+    50 docs staged as real .bin files, read back via binaryFile, and
+    reduced to (file_name, length, digest); the oracle derives the same
+    triple straight from the table, so any byte corruption or listing
+    drift in the round-trip hash-fails."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_s12_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    rows = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()  # 50 rows — fixture staging, not a data path
+    )
+    for r in rows:
+        with open(
+            os.path.join(stage_dir, f"doc_{int(r['doc_id']):05d}.bin"), "wb"
+        ) as f:
+            f.write(r["text"].encode("utf-8"))
+    bin_df = spark.read.format("binaryFile").load(stage_dir)
+    return bin_df.select(
+        F.substring_index(F.col("path"), "/", -1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+_S12_BINARY_SQL = """
+SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 5, '0'), '.bin')
+           AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS length,
+       md5(text) AS digest
+FROM documents WHERE doc_id < 50
+"""
+
+
 def q_p11_zorder_key(spark, sf_dir):
     """Z-order layout key over (l_orderkey, l_partkey): the bit-interleave
     behind Delta/Iceberg ZORDER rewrites, as pure codegen int math with a
@@ -3491,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_segments": q_mm_audio_segments,
         "corpus_lm_buckets": q_corpus_lm_buckets,
         "p11_zorder_key": q_p11_zorder_key,
+        "s12_binary_ingest": q_s12_binary_ingest,
     }
 
 
@@ -3653,6 +3697,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_hashed_features": lm_mod.hashed_features_sql("documents", dim=256),
         "mm_audio_segments": _MM_AUDIO_SEGMENTS_SQL,
         "corpus_lm_buckets": lm_mod.lm_buckets_sql("documents"),
+        "s12_binary_ingest": _S12_BINARY_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
