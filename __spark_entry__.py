@@ -2593,6 +2593,54 @@ def q_s12_binary_ingest(spark, sf_dir):
     )
 
 
+def q_s13_text_lines(spark, sf_dir):
+    """Format breadth: the ``text`` source (raw line-per-record corpus
+    ingest). Docs flattened to one escaped line each, written
+    distributed (no driver loop), read back line-wise, and reduced to
+    per-line (length, digest) — the oracle derives both from the table
+    through the same escaping, so the round-trip is hash-checked."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_s13_stage_{uuid.uuid4().hex}"
+    )
+    # newline/CR escape keeps one doc == one line; tab-sep id prefix keys rows
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\\", r"\\\\"), r"[\r\n]", r"\\n"
+    )
+    (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.concat_ws("\t", F.col("doc_id").cast("string"), esc).alias(
+                "value"
+            )
+        )
+        .write.mode("overwrite")
+        .text(stage_dir)
+    )
+    lines = spark.read.text(stage_dir)
+    return lines.select(
+        F.split(F.col("value"), "\t", 2)[0].cast("long").alias("doc_id"),
+        F.length(F.split(F.col("value"), "\t", 2)[1]).alias("line_len"),
+        F.md5(F.split(F.col("value"), "\t", 2)[1]).alias("digest"),
+    )
+
+
+_S13_TEXT_SQL = r"""
+SELECT doc_id,
+       CAST(length(esc) AS INT) AS line_len,
+       md5(esc) AS digest
+FROM (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '\\', '\\\\', 'g'),
+                        '[\r\n]', '\\n', 'g') AS esc
+  FROM documents
+)
+"""
+
+
 _S12_BINARY_SQL = """
 SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 5, '0'), '.bin')
            AS file_name,
@@ -3535,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_buckets": q_corpus_lm_buckets,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
+        "s13_text_lines": q_s13_text_lines,
     }
 
 
@@ -3698,6 +3747,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "mm_audio_segments": _MM_AUDIO_SEGMENTS_SQL,
         "corpus_lm_buckets": lm_mod.lm_buckets_sql("documents"),
         "s12_binary_ingest": _S12_BINARY_SQL,
+        "s13_text_lines": _S13_TEXT_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
