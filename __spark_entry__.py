@@ -3568,8 +3568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_jsonl_roundtrip, tpch_q6, tpch_q18ish, t_gapfill,
         # a8_value_quantiles, dedup_incremental_pairs, corpus_lm_score,
         # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
-        # corpus_lm_buckets, p11_zorder_key — front-load these 12 in r4;
-        # the other 38 gate slots re-verify whatever changes next round. ---
+        # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
+        # s13_text_lines — front-load these 14 in r4; the other 36 gate
+        # slots re-verify whatever changes next round. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
