@@ -271,15 +271,14 @@ def test_global_anti_pattern_sweep(spark, queries):
         "corpus_jsonl",  # executes a write+readback, plan is the readback
         "s11_orc",       # same: round-trip through a temp ORC dir
     )
-    PYTHON_OK = {"mm_image_features", "mm_audio_features", "mm_resize",
-                 "mm_frame_sample"}
+    PYTHON_OK_PREFIX = "mm_"  # multimodal: Arrow mapInPandas IS the design
     checked = 0
     for name, fn in queries.items():
         if name.startswith(SKIP_PREFIXES):
             continue
         a = audit_plan(fn(spark, SF_DIR))
         assert a.cartesian_products == 0, (name, a.plan)
-        if name not in PYTHON_OK:
+        if not name.startswith(PYTHON_OK_PREFIX):
             assert a.python_nodes == 0, (name, a.plan)
         # a Window node with no PARTITION BY spec = everything in one task
         for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", a.plan):
