@@ -2663,6 +2663,85 @@ def q_p11_zorder_key(spark, sf_dir):
     return zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
 
 
+def q_corpus_top_terms(spark, sf_dir):
+    """Exact top-10 tokens per source (vocabulary reporting / stopword
+    discovery): explode → (source, token) count → per-source rank with
+    a full deterministic tie-break. Scale: the count is map-side
+    combined; the window ranks only the counted (source, token) table
+    (vocabulary-sized), never raw tokens."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "token", "n", "rk")
+    )
+
+
+_CORPUS_TOP_TERMS_SQL = r"""
+WITH counts AS (
+  SELECT source, token, count(*) AS n
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+  GROUP BY source, token
+)
+SELECT source, token, n, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, token ASC) AS rk
+      FROM counts)
+WHERE rk <= 10
+"""
+
+
+def q_t_lag_features(spark, sf_dir):
+    """Per-user temporal features via lag windows: inter-event gap
+    (seconds), value delta, and running event index — the feature-
+    engineering shape behind churn/session models. One shuffle on
+    user_id; int64 nanosecond arithmetic end-to-end so the oracle is
+    exact."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("event_idx"),
+        # first-event rows coalesce to sentinels: the driver's pandas
+        # canonicalizer turns float NULLs into NaN on the oracle side only
+        F.coalesce(
+            ((F.col("ts") - F.lag("ts").over(w)) / F.lit(1_000_000_000))
+            .cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("gap_sec"),
+        F.coalesce(
+            F.round(F.col("value") - F.lag("value").over(w), 6), F.lit(0.0)
+        ).alias("value_delta"),
+    )
+
+
+_T_LAG_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS INT) AS event_idx,
+       CAST(coalesce((epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) // 1000000000,
+                     -1) AS BIGINT) AS gap_sec,
+       coalesce(round(value - lag(value) OVER w, 6), 0.0) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+"""
+
+
 def q_corpus_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail: exact tercile thresholds broadcast from a
     1-row aggregate (never a global ntile window), bucket by
@@ -3569,8 +3648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a8_value_quantiles, dedup_incremental_pairs, corpus_lm_score,
         # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
-        # s13_text_lines — front-load these 14 in r4; the other 36 gate
-        # slots re-verify whatever changes next round. ---
+        # s13_text_lines, corpus_top_terms, t_lag_features — front-load
+        # these 16 in r4; the other 34 gate slots re-verify whatever
+        # changes next round. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3582,6 +3662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_eval": q_sim_knn_eval,
         "mm_audio_segments": q_mm_audio_segments,
         "corpus_lm_buckets": q_corpus_lm_buckets,
+        "corpus_top_terms": q_corpus_top_terms,
+        "t_lag_features": q_t_lag_features,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -3749,6 +3831,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_lm_buckets": lm_mod.lm_buckets_sql("documents"),
         "s12_binary_ingest": _S12_BINARY_SQL,
         "s13_text_lines": _S13_TEXT_SQL,
+        "corpus_top_terms": _CORPUS_TOP_TERMS_SQL,
+        "t_lag_features": _T_LAG_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
