@@ -2742,6 +2742,107 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
 """
 
 
+def q_t_debounce(spark, sf_dir):
+    """Event debounce: within each (user, event_type) stream, keep an
+    event only if ≥60 s passed since the previous kept... strictly: since
+    the previous EVENT (lag-based debounce — the stateless variant used
+    for click/telemetry dedup). One shuffle on the composite key; the
+    filter is a lag comparison, no state beyond the window sort."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (F.col("ts") - F.lag("ts").over(w)) / F.lit(1_000_000_000)
+    return (
+        ev.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= 60))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+_T_DEBOUNCE_SQL = """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1000000000.0 AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id)
+)
+WHERE gap IS NULL OR gap >= 60
+"""
+
+
+def q_t_funnel(spark, sf_dir):
+    """Funnel analysis — users progressing view → click → purchase in
+    order, each step within 7 days of the previous: per-user min
+    timestamp of step 1, then min step-2 ts AFTER it, then min step-3 ts
+    after that. Three conditional aggregations over one shuffle on
+    user_id (the relational unrolling of the sequential-pattern match);
+    emits per-user step timestamps (epoch sec) and the depth reached."""
+    # integer div: epoch-ns (~1.7e18) exceeds double's 2^53 mantissa, so
+    # float division here would be off by whole seconds
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000000").cast("long").alias("sec"),
+    )
+    horizon = 7 * 86_400
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("sec") > F.col("t1")) & (F.col("sec") <= F.col("t1") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("sec") > F.col("t2")) & (F.col("sec") <= F.col("t2") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            F.coalesce("t2", F.lit(-1)).alias("t2"),
+            F.coalesce("t3", F.lit(-1)).alias("t3"),
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("depth"),
+        )
+    )
+
+
+_T_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+  FROM events
+),
+s1 AS (SELECT user_id, min(sec) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(sec) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND sec > t1 AND sec <= t1 + 604800
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(sec) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND sec > t2 AND sec <= t2 + 604800
+       GROUP BY e.user_id)
+SELECT s1.user_id, t1,
+       coalesce(t2, -1) AS t2, coalesce(t3, -1) AS t3,
+       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_corpus_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail: exact tercile thresholds broadcast from a
     1-row aggregate (never a global ntile window), bucket by
@@ -3648,9 +3749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a8_value_quantiles, dedup_incremental_pairs, corpus_lm_score,
         # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
-        # s13_text_lines, corpus_top_terms, t_lag_features — front-load
-        # these 16 in r4; the other 34 gate slots re-verify whatever
-        # changes next round. ---
+        # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
+        # t_funnel — front-load these 18 in r4; the other 32 gate slots
+        # re-verify whatever changes next round. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3664,6 +3765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_buckets": q_corpus_lm_buckets,
         "corpus_top_terms": q_corpus_top_terms,
         "t_lag_features": q_t_lag_features,
+        "t_debounce": q_t_debounce,
+        "t_funnel": q_t_funnel,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -3833,6 +3936,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "s13_text_lines": _S13_TEXT_SQL,
         "corpus_top_terms": _CORPUS_TOP_TERMS_SQL,
         "t_lag_features": _T_LAG_SQL,
+        "t_debounce": _T_DEBOUNCE_SQL,
+        "t_funnel": _T_FUNNEL_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
