@@ -2663,6 +2663,15 @@ def q_p11_zorder_key(spark, sf_dir):
     return zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
 
 
+def q_corpus_bigram_score(spark, sf_dir):
+    """Bigram-LM surprisal (CCNet step 2): mean -ln P(w|prev) with
+    Laplace smoothing — separates repetitive boilerplate AND gibberish
+    from typical text. 6-decimal parity (transcendental ln)."""
+    from arcane_framework_scala_spark.functions.lm import bigram_logprob
+
+    return bigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_top_terms(spark, sf_dir):
     """Exact top-10 tokens per source (vocabulary reporting / stopword
     discovery): explode → (source, token) count → per-source rank with
@@ -3750,8 +3759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
-        # t_funnel — front-load these 18 in r4; the other 32 gate slots
-        # re-verify whatever changes next round. ---
+        # t_funnel, corpus_bigram_score — front-load these 19 in r4; the
+        # other 31 gate slots re-verify whatever changes next round. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3767,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lag_features": q_t_lag_features,
         "t_debounce": q_t_debounce,
         "t_funnel": q_t_funnel,
+        "corpus_bigram_score": q_corpus_bigram_score,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -3938,6 +3948,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_lag_features": _T_LAG_SQL,
         "t_debounce": _T_DEBOUNCE_SQL,
         "t_funnel": _T_FUNNEL_SQL,
+        "corpus_bigram_score": lm_mod.bigram_logprob_sql("documents"),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],

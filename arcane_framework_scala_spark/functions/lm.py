@@ -200,3 +200,80 @@ SELECT {id_col}, n_tokens, avg_neg_logprob,
             ELSE 'tail' END AS bucket
 FROM scores, th
 """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM surprisal: mean -ln P(w_i | w_{i-1}) with Laplace
+    smoothing over the corpus vocabulary — the next step up from
+    :func:`unigram_logprob` (repetitive boilerplate looks fine to a
+    unigram model but has predictable transitions; gibberish has
+    unpredictable ones — the bigram score separates both).
+
+    P(b|a) = (c(a,b) + 1) / (c(a,·) + V). Three relational passes, all
+    keyed shuffles: token positions via posexplode, bigram counts,
+    context counts + vocab size (broadcast). Scale: the bigram table is
+    the big intermediate — O(distinct bigrams); at 100 TB cut the tail
+    (count=1 bigrams dominate and contribute a constant smoothing term)
+    or hash the context space."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    nxt = toks.select(
+        F.col(id_col), (F.col("pos") + 1).alias("pos"),
+        F.col("tok").alias("prev"),
+    )
+    pairs = toks.join(nxt, [id_col, "pos"]).select(
+        F.col(id_col), "prev", F.col("tok").alias("cur")
+    )
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
+    ctx = big.groupBy("prev").agg(F.sum("nb").alias("nc"))
+    vocab = toks.agg(
+        F.countDistinct("tok").cast("long").alias("__v")
+    )
+    scored = (
+        pairs.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log((F.col("nb") + 1) / (F.col("nc") + F.col("__v")))
+            ).alias("__nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__nll"), 6).alias("avg_neg_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = (
+        f"SELECT {id_col}, generate_subscripts(a, 1) AS pos, unnest(a) AS tok "
+        f"FROM (SELECT {id_col}, regexp_split_to_array(trim(lower({text_col})), "
+        f"'\\s+') AS a FROM {table})"
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({toks}),
+pairs AS (
+  SELECT t.{id_col}, p.tok AS prev, t.tok AS cur
+  FROM toks t JOIN toks p
+    ON t.{id_col} = p.{id_col} AND t.pos = p.pos + 1
+),
+big AS (SELECT prev, cur, count(*) AS nb FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(nb) AS nc FROM big GROUP BY prev),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM toks)
+SELECT p.{id_col}, count(*) AS n_bigrams,
+       round(avg(-ln((b.nb + 1) / (c.nc + vocab.v))), 6) AS avg_neg_logprob
+FROM pairs p JOIN big b USING (prev, cur) JOIN ctx c USING (prev), vocab
+GROUP BY p.{id_col}
+"""

@@ -482,3 +482,21 @@ def test_lm_buckets_splits_into_thirds(spark):
     assert all(got[i] == "head" for i in range(10))
     assert all(got[i] == "middle" for i in range(10, 20))
     assert all(got[i] == "tail" for i in range(20, 30))
+
+
+def test_bigram_score_flags_gibberish_and_boilerplate(spark):
+    from arcane_framework_scala_spark.functions.lm import bigram_logprob
+
+    typical = "the cat sat on the mat and the dog sat on the mat"
+    df = spark.createDataFrame(
+        [
+            (1, typical),
+            (2, typical),
+            (3, "mat the on sat cat dog and the on mat sat the"),  # shuffled
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # same unigram profile, broken transitions → higher bigram surprisal
+    assert rows[3]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
+    assert rows[1]["n_bigrams"] == len(typical.split()) - 1
