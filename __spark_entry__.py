@@ -2852,6 +2852,67 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_t_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    as retained in each later day-offset — the standard product-analytics
+    triangle. Two keyed aggregations (first-seen per user, then
+    (cohort, offset) distinct-user counts); at 100 TB the distinct count
+    swaps to approx_count_distinct (documented trade)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000000 div 86400").cast("long").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort", (F.col("day") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("users"))
+    )
+
+
+_T_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+SELECT cohort, day - cohort AS "offset",
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+FROM ev e JOIN first USING (user_id)
+GROUP BY cohort, day - cohort
+"""
+
+
+def q_t_event_pivot(spark, sf_dir):
+    """Wide feature table: per-user event-type counts pivoted to columns
+    (Spark's pivot == conditional-sum aggregation; the oracle restates it
+    as CASE sums). One shuffle; the pivot column set is the closed
+    event-type domain, so the schema is static."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+_T_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
 def q_corpus_lm_buckets(spark, sf_dir):
     """CCNet head/middle/tail: exact tercile thresholds broadcast from a
     1-row aggregate (never a global ntile window), bucket by
@@ -3759,8 +3820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
-        # t_funnel, corpus_bigram_score — front-load these 19 in r4; the
-        # other 31 gate slots re-verify whatever changes next round. ---
+        # t_funnel, corpus_bigram_score, t_retention, t_event_pivot —
+        # front-load these 21 in r4; the other 29 gate slots re-verify
+        # whatever changes next round. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3777,6 +3839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_debounce": q_t_debounce,
         "t_funnel": q_t_funnel,
         "corpus_bigram_score": q_corpus_bigram_score,
+        "t_retention": q_t_retention,
+        "t_event_pivot": q_t_event_pivot,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -3949,6 +4013,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_debounce": _T_DEBOUNCE_SQL,
         "t_funnel": _T_FUNNEL_SQL,
         "corpus_bigram_score": lm_mod.bigram_logprob_sql("documents"),
+        "t_retention": _T_RETENTION_SQL,
+        "t_event_pivot": _T_EVENT_PIVOT_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
