@@ -2852,6 +2852,64 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_corpus_length_histogram(spark, sf_dir):
+    """Power-of-two token-length histogram per source — the dataset-card
+    length distribution (sequence-length planning for packing). Bucket =
+    floor(log2(tokens)); pure int/log arithmetic, one combined groupBy."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tx.token_count(F.col("text"))
+    bucket = F.floor(F.log2(F.greatest(toks, F.lit(1)))).cast("int")
+    return (
+        docs.select("source", bucket.alias("log2_tokens"))
+        .groupBy("source", "log2_tokens")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup reporting: cluster-size histogram + removable-row count
+    per size — the number a curation run actually reports ("N% of the
+    corpus is near-duplicate"). Composes the clusters operator with two
+    tiny keyed aggregations over the (doc, cluster) table."""
+    pairs = dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+    clusters = dd.dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * (F.col("size") - 1))
+            .cast("long")
+            .alias("removable_docs"),
+        )
+        .select("size", "n_clusters", "removable_docs")
+    )
+
+
+def _corpus_length_histogram_sql() -> str:
+    toks = tx.token_count_sql("text")
+    return f"""
+SELECT source,
+       CAST(floor(log2(greatest({toks}, 1))) AS INT) AS log2_tokens,
+       count(*) AS docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def _dedup_cluster_stats_sql() -> str:
+    clusters = dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents"))
+    return f"""
+WITH clusters AS MATERIALIZED ({clusters}),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+          FROM clusters GROUP BY cluster_id)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * (size - 1) AS BIGINT) AS removable_docs
+FROM sizes GROUP BY size
+"""
+
+
 def q_t_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day, counted
     as retained in each later day-offset — the standard product-analytics
@@ -3820,9 +3878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_hashed_features, sim_knn_eval, mm_audio_segments,
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
-        # t_funnel, corpus_bigram_score, t_retention, t_event_pivot —
-        # front-load these 21 in r4; the other 29 gate slots re-verify
-        # whatever changes next round. ---
+        # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
+        # corpus_length_histogram, dedup_cluster_stats — front-load these
+        # 23 in r4; the other 27 gate slots re-verify what changes. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3841,6 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_score": q_corpus_bigram_score,
         "t_retention": q_t_retention,
         "t_event_pivot": q_t_event_pivot,
+        "corpus_length_histogram": q_corpus_length_histogram,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4015,6 +4075,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_bigram_score": lm_mod.bigram_logprob_sql("documents"),
         "t_retention": _T_RETENTION_SQL,
         "t_event_pivot": _T_EVENT_PIVOT_SQL,
+        "corpus_length_histogram": _corpus_length_histogram_sql(),
+        "dedup_cluster_stats": _dedup_cluster_stats_sql(),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
