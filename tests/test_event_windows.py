@@ -94,3 +94,58 @@ def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
         assert r["n"] == expected[k]["n"]
         assert r["value_milli_sum"] == expected[k]["value_milli_sum"]
         assert r["approx_users"] == expected[k]["approx_users"]
+
+
+def test_funnel_respects_order_and_horizon(spark):
+    """Sequential-match semantics: steps must occur strictly after the
+    previous step and within the horizon; depth counts reached steps."""
+    import __spark_entry__ as entry
+
+    NS = 1_000_000_000
+    day = 86_400 * NS
+    rows = [
+        # u1: full funnel in order
+        (1, 1, 0 * day, "view"), (2, 1, 1 * day, "click"), (3, 1, 2 * day, "purchase"),
+        # u2: click BEFORE view → depth 1
+        (4, 2, 1 * day, "click"), (5, 2, 2 * day, "view"),
+        # u3: click 8 days after view → outside 7-day horizon → depth 1
+        (6, 3, 0 * day, "view"), (7, 3, 8 * day, "click"),
+        # u4: no view at all → absent from the funnel
+        (8, 4, 0 * day, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, k, 0.0, "{}") for e, u, t, k in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, uuid, os
+    d = os.path.join(tempfile.gettempdir(), f"funnel_{uuid.uuid4().hex}")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["user_id"]: r for r in entry.queries()["t_funnel"](spark, d).collect()}
+    assert got[1]["depth"] == 3 and got[1]["t3"] == 2 * 86_400
+    assert got[2]["depth"] == 1 and got[2]["t2"] == -1
+    assert got[3]["depth"] == 1
+    assert 4 not in got
+
+
+def test_retention_triangle_hand_computed(spark):
+    import __spark_entry__ as entry
+
+    NS = 1_000_000_000
+    day = 86_400 * NS
+    rows = [  # u1 active d0,d1; u2 active d0,d2; u3 active d1
+        (1, 1, 0 * day), (2, 1, 1 * day),
+        (3, 2, 0 * day), (4, 2, 2 * day),
+        (5, 3, 1 * day),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, "view", 0.0, "{}") for e, u, t in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, uuid, os
+    d = os.path.join(tempfile.gettempdir(), f"ret_{uuid.uuid4().hex}")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["cohort"], r["offset"]): r["users"]
+        for r in entry.queries()["t_retention"](spark, d).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
