@@ -1075,6 +1075,26 @@ FROM merged m LEFT JOIN deg d ON m.doc_id = d.doc_id
 """
 
 
+def q_dedup_index_pairs(spark, sf_dir):
+    """Incremental dedup against the PERSISTED band index (the dedup
+    sibling of sim_ivf_index_topk): the standing corpus's band table is
+    written partitioned by (band, bucket-prefix); the batch's candidate
+    search reads only the partitions its own buckets touch. Same
+    exactness-invariant oracle as the in-memory incremental path — a
+    hash match proves the stored index loses nothing."""
+    import tempfile
+    import uuid
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"arcane_band_idx_{uuid.uuid4().hex}"
+    )
+    dd.build_band_index(old, idx_path)
+    return dd.minhash_candidate_pairs_indexed(spark, idx_path, new)
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Same clustering contract, computed by the O(log n)-round
     large-star/small-star contraction instead of label propagation —
@@ -3879,8 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
-        # corpus_length_histogram, dedup_cluster_stats — front-load these
-        # 23 in r4; the other 27 gate slots re-verify what changes. ---
+        # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs
+        # — front-load these 24 in r4; the other 26 slots re-verify. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3901,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_event_pivot": q_t_event_pivot,
         "corpus_length_histogram": q_corpus_length_histogram,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "dedup_index_pairs": q_dedup_index_pairs,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4077,6 +4098,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_event_pivot": _T_EVENT_PIVOT_SQL,
         "corpus_length_histogram": _corpus_length_histogram_sql(),
         "dedup_cluster_stats": _dedup_cluster_stats_sql(),
+        "dedup_index_pairs": _DEDUP_INCR_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],

@@ -806,3 +806,78 @@ def embedding_near_dup_sql(
     return (
         f"SELECT id_a AS keep_id, id_b AS dup_id, sim FROM ({inner})"
     )
+
+
+def build_band_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the corpus's LSH band table as a partition-pruned index —
+    the dedup sibling of the persisted IVF index: signatures are content
+    hashes, so the table is append/upsert-maintained by the CDC merge and
+    NEVER recomputed corpus-wide. Layout: parquet partitioned by
+    ``(band, pfx)`` where pfx = first 2 hex chars of the bucket digest
+    (bands × 256 partitions) — an incoming batch touches only the
+    partitions its own buckets hash into, so an incremental query reads
+    |touched partitions| ≈ batch-bucket spread, not the corpus."""
+    b = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_k)
+    (
+        b.withColumn("pfx", F.substring("bucket", 1, 2))
+        .write.mode("overwrite")
+        .partitionBy("band", "pfx")
+        .parquet(path)
+    )
+
+
+def minhash_candidate_pairs_indexed(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Incremental candidate pairs against a PERSISTED band index — same
+    contract as :func:`minhash_candidate_pairs_incremental` (pairs
+    touching the new batch; full == old ∪ incremental), but the old side
+    is the stored index with planning-time partition pruning: the batch's
+    (band, pfx) set (≤ bands × 256 values, collected as metadata) becomes
+    a partition filter, so the scan reads only touched partitions."""
+    nb = materialize(
+        minhash_bands(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
+        .withColumn("pfx", F.substring("bucket", 1, 2))
+        .repartition("band", "bucket"),
+        eager=True,
+    )
+    touched = [
+        (r["band"], r["pfx"])
+        for r in nb.select("band", "pfx").distinct().collect()
+    ]  # metadata-sized: ≤ bands × 256
+    idx = spark.read.parquet(index_path)
+    # an OR-of-conjunctions on the partition columns — this shape reaches
+    # the scan as a partition filter (struct().isin() does NOT)
+    cond = None
+    for b, p in touched:
+        c = (F.col("band") == b) & (F.col("pfx") == p)
+        cond = c if cond is None else (cond | c)
+    pruned = idx.filter(cond if cond is not None else F.lit(False))
+    on = ["band", "bucket"]
+    l, r = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    cross = (
+        nb.alias("l")
+        .join(pruned.repartition("band", "bucket").alias("r"), on)
+        .select(F.least(l, r).alias("id_a"), F.greatest(l, r).alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    within = (
+        nb.alias("l").join(nb.alias("r"), on).filter(l < r)
+        .select(l.alias("id_a"), r.alias("id_b"))
+    )
+    return cross.unionAll(within).distinct()

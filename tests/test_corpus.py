@@ -500,3 +500,54 @@ def test_bigram_score_flags_gibberish_and_boilerplate(spark):
     # same unigram profile, broken transitions → higher bigram surprisal
     assert rows[3]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
     assert rows[1]["n_bigrams"] == len(typical.split()) - 1
+
+
+def test_band_index_partition_pruning(spark, tmp_path):
+    """The persisted band index must be READ partition-pruned: a small
+    batch's query scans only the (band, pfx) partitions its buckets
+    touch, not the whole index."""
+    import os
+
+    from arcane_framework_scala_spark.functions.dedup import (
+        build_band_index,
+        minhash_candidate_pairs_incremental,
+        minhash_candidate_pairs_indexed,
+    )
+
+    base = "some repeated content about dedup indexes "
+    docs = spark.createDataFrame(
+        [(i, base * 2 + f"tail {i % 9}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id % 6 != 0")
+    new = docs.filter("doc_id % 6 = 0").limit(3)
+    idx = str(tmp_path / "band_idx")
+    build_band_index(old, idx)
+    total_parts = sum(
+        1 for root, dirs, files in os.walk(idx)
+        for f in files if f.endswith(".parquet")
+    )
+    got = minhash_candidate_pairs_indexed(spark, idx, new)
+    # correctness: identical to the in-memory incremental path
+    live = minhash_candidate_pairs_incremental(old, new)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in live.collect()}
+    # pruning: the index scan must carry non-empty PartitionFilters
+    # (inputFiles() lists the relation pre-pruning, so inspect the plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "band" in line
+    ]
+    assert m, plan
+    assert not any("PartitionFilters: []" in line for line in m), m
+    # and the batch genuinely touches a strict subset of partitions
+    from arcane_framework_scala_spark.functions.dedup import minhash_bands
+    import pyspark.sql.functions as F
+
+    touched = (
+        minhash_bands(new)
+        .select("band", F.substring("bucket", 1, 2).alias("pfx"))
+        .distinct()
+        .count()
+    )
+    assert touched < total_parts, (touched, total_parts)
