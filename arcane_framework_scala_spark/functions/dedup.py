@@ -862,12 +862,18 @@ def minhash_candidate_pairs_indexed(
     ]  # metadata-sized: ≤ bands × 256
     idx = spark.read.parquet(index_path)
     # an OR-of-conjunctions on the partition columns — this shape reaches
-    # the scan as a partition filter (struct().isin() does NOT)
-    cond = None
-    for b, p in touched:
-        c = (F.col("band") == b) & (F.col("pfx") == p)
-        cond = c if cond is None else (cond | c)
-    pruned = idx.filter(cond if cond is not None else F.lit(False))
+    # the scan as a partition filter (struct().isin() does NOT). Built as
+    # a BALANCED tree: a linear or-chain of hundreds of terms overflows
+    # the column-node converter's recursion at plan time.
+    terms = [
+        (F.col("band") == b) & (F.col("pfx") == p) for b, p in touched
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    pruned = idx.filter(terms[0] if terms else F.lit(False))
     on = ["band", "bucket"]
     l, r = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     cross = (
