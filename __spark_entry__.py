@@ -2930,6 +2930,38 @@ FROM sizes GROUP BY size
 """
 
 
+def q_t_anomaly(spark, sf_dir):
+    """Per-type z-score outliers: events whose value deviates >3 sample
+    standard deviations from their type's mean — the stream-monitoring
+    primitive behind alerting. One 1-row-per-type aggregate broadcast
+    back onto the stream; z rounded to 6 decimals for engine parity
+    (stddev_samp uses the same definition on both engines)."""
+    ev = _read(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), "z")
+    )
+
+
+_T_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, round(value, 6) AS value,
+       round((value - mu) / sigma, 6) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((value - mu) / sigma, 6)) > 3
+"""
+
+
 def q_t_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day, counted
     as retained in each later day-offset — the standard product-analytics
@@ -3899,8 +3931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_lm_buckets, p11_zorder_key, s12_binary_ingest,
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
-        # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs
-        # — front-load these 24 in r4; the other 26 slots re-verify. ---
+        # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
+        # t_anomaly — front-load these 25 in r4; 25 slots re-verify. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3922,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_histogram": q_corpus_length_histogram,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_index_pairs": q_dedup_index_pairs,
+        "t_anomaly": q_t_anomaly,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4099,6 +4132,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_length_histogram": _corpus_length_histogram_sql(),
         "dedup_cluster_stats": _dedup_cluster_stats_sql(),
         "dedup_index_pairs": _DEDUP_INCR_SQL,
+        "t_anomaly": _T_ANOMALY_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
