@@ -2930,6 +2930,36 @@ FROM sizes GROUP BY size
 """
 
 
+def q_w3_scd2_history(spark, sf_dir):
+    """SCD Type-2 materialization of the CT change feed: every change
+    becomes a validity interval (valid_from/valid_to by version order
+    per merge key, NULL-open current row) — W1's history-preserving
+    sibling, same single shuffle, ``lead`` instead of ``rank``."""
+    from arcane_framework_scala_spark.operators.dedup_window import (
+        scd2_history,
+    )
+
+    ch = _mssql_changes(spark, sf_dir)
+    out = scd2_history(ch, "SYS_CHANGE_VERSION")
+    return out.select(
+        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
+        "is_current",
+    )
+
+
+def _w3_scd2_sql() -> str:
+    return f"""
+SELECT "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", user_id,
+       "SYS_CHANGE_VERSION" AS valid_from,
+       coalesce(lead("SYS_CHANGE_VERSION") OVER w, -1) AS valid_to,
+       (lead("SYS_CHANGE_VERSION") OVER w IS NULL) AS is_current
+FROM ({_mssql_changes_sql()})
+WINDOW w AS (PARTITION BY "ARCANE_MERGE_KEY" ORDER BY "SYS_CHANGE_VERSION")
+"""
+
+
 def q_t_anomaly(spark, sf_dir):
     """Per-type z-score outliers: events whose value deviates >3 sample
     standard deviations from their type's mean — the stream-monitoring
@@ -3932,7 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
-        # t_anomaly — front-load these 25 in r4; 25 slots re-verify. ---
+        # t_anomaly, w3_scd2_history — these 26 front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3955,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_index_pairs": q_dedup_index_pairs,
         "t_anomaly": q_t_anomaly,
+        "w3_scd2_history": q_w3_scd2_history,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4133,6 +4164,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "dedup_cluster_stats": _dedup_cluster_stats_sql(),
         "dedup_index_pairs": _DEDUP_INCR_SQL,
         "t_anomaly": _T_ANOMALY_SQL,
+        "w3_scd2_history": _w3_scd2_sql(),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],

@@ -49,3 +49,33 @@ def backfill_commit_dedup(
     if drop_synapse_deletes:
         out = out.filter(~F.coalesce(F.col(SYNAPSE_DELETE_COLUMN), F.lit(False)))
     return out
+
+
+def scd2_history(
+    df,
+    version_column: str,
+    merge_key: str = MERGE_KEY_COLUMN,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Slowly-Changing-Dimension Type-2 materialization — the history-
+    preserving alternative to W1's latest-only collapse: every change
+    row becomes a validity interval (valid_from = its version,
+    valid_to = the next change's version, NULL-open for the current
+    row) plus an ``is_current`` flag.
+
+    The reference's sinks only keep latest state; a warehouse consumer
+    of the same CDC feed routinely needs the full history table — this
+    is that operator, W1's exact sibling: same single shuffle on the
+    merge key, ``lead`` instead of ``rank``. Pass ``tiebreak_cols``
+    (e.g. a source sequence id) when (key, version) can tie — the
+    ordering must be total and data-derived, never partition-layout-
+    dependent, for intervals to be reproducible."""
+    w = Window.partitionBy(merge_key).orderBy(
+        F.col(version_column).asc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    )
+    return (
+        df.withColumn("valid_from", F.col(version_column))
+        .withColumn("valid_to", F.lead(version_column).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

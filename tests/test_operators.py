@@ -324,3 +324,22 @@ def test_recall_at_k_counts_overlap_per_query(spark):
     assert got[2]["hits"] == 2 and got[2]["recall_ppm"] == 666_666
     # query 3 exists only in the exact side → recall 0, never dropped
     assert got[3]["hits"] == 0 and got[3]["recall_ppm"] == 0
+
+
+def test_scd2_history_intervals(spark):
+    from arcane_framework_scala_spark.operators.dedup_window import scd2_history
+
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 5, "b"), ("k1", 9, "c"), ("k2", 3, "x")],
+        "ARCANE_MERGE_KEY string, v long, payload string",
+    )
+    rows = {
+        (r["ARCANE_MERGE_KEY"], r["v"]): r
+        for r in scd2_history(df, "v").collect()
+    }
+    assert rows[("k1", 1)]["valid_to"] == 5 and not rows[("k1", 1)]["is_current"]
+    assert rows[("k1", 5)]["valid_to"] == 9
+    assert rows[("k1", 9)]["valid_to"] is None and rows[("k1", 9)]["is_current"]
+    assert rows[("k2", 3)]["is_current"]
+    # intervals partition the version line per key: from(next) == to(prev)
+    assert rows[("k1", 5)]["valid_from"] == rows[("k1", 1)]["valid_to"]
