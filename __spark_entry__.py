@@ -2872,6 +2872,25 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_corpus_lang_mix(spark, sf_dir):
+    """Language composition per source (the dataset-card language table):
+    lang_id composed with one combined groupBy — narrow projection, one
+    shuffle on the (source, lang) pair."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("source", tx.lang_id(F.col("text")).alias("lang"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+def _corpus_lang_mix_sql() -> str:
+    return f"""
+SELECT source, {tx.lang_id_sql('text')} AS lang, count(*) AS docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_corpus_length_histogram(spark, sf_dir):
     """Power-of-two token-length histogram per source — the dataset-card
     length distribution (sequence-length planning for packing). Bucket =
@@ -3962,7 +3981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
-        # t_anomaly, w3_scd2_history — these 26 front-load in r4. ---
+        # t_anomaly, w3_scd2_history, corpus_lang_mix — 27 front-load
+        # in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3986,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_pairs": q_dedup_index_pairs,
         "t_anomaly": q_t_anomaly,
         "w3_scd2_history": q_w3_scd2_history,
+        "corpus_lang_mix": q_corpus_lang_mix,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4165,6 +4186,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "dedup_index_pairs": _DEDUP_INCR_SQL,
         "t_anomaly": _T_ANOMALY_SQL,
         "w3_scd2_history": _w3_scd2_sql(),
+        "corpus_lang_mix": _corpus_lang_mix_sql(),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
