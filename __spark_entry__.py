@@ -1075,6 +1075,39 @@ FROM merged m LEFT JOIN deg d ON m.doc_id = d.doc_id
 """
 
 
+def q_sim_pair_dist_stats(spark, sf_dir):
+    """LSH tuning signal: the similarity DISTRIBUTION over embedding
+    candidate pairs (count + exact p25/50/75/90 of pair cosine) — the
+    number you read before choosing a dedup threshold. Composes the
+    bucketed pair generator with the exact-quantile aggregate; the pair
+    cosine is computed in the pair projection (HOF fold over norms
+    carried as columns), one final 1-row aggregate."""
+    pairs = dd.embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"), dim=64, bits=8, threshold=-1.0
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            F.round(F.expr(f"percentile(sim, {q!r})"), 6).alias(
+                f"p{int(q*100)}"
+            )
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ],
+    )
+
+
+def _sim_pair_dist_sql() -> str:
+    pairs = dd.embedding_near_dup_sql("embeddings", dim=64, bits=8, threshold=-1.0)
+    return f"""
+SELECT count(*) AS n_pairs,
+       round(quantile_cont(sim, 0.25), 6) AS p25,
+       round(quantile_cont(sim, 0.5), 6) AS p50,
+       round(quantile_cont(sim, 0.75), 6) AS p75,
+       round(quantile_cont(sim, 0.9), 6) AS p90
+FROM ({pairs})
+"""
+
+
 def q_dedup_index_pairs(spark, sf_dir):
     """Incremental dedup against the PERSISTED band index (the dedup
     sibling of sim_ivf_index_topk): the standing corpus's band table is
@@ -3981,8 +4014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s13_text_lines, corpus_top_terms, t_lag_features, t_debounce,
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
-        # t_anomaly, w3_scd2_history, corpus_lang_mix — 27 front-load
-        # in r4. ---
+        # t_anomaly, w3_scd2_history, corpus_lang_mix,
+        # sim_pair_dist_stats — 28 front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4007,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_anomaly": q_t_anomaly,
         "w3_scd2_history": q_w3_scd2_history,
         "corpus_lang_mix": q_corpus_lang_mix,
+        "sim_pair_dist_stats": q_sim_pair_dist_stats,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4187,6 +4221,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_anomaly": _T_ANOMALY_SQL,
         "w3_scd2_history": _w3_scd2_sql(),
         "corpus_lang_mix": _corpus_lang_mix_sql(),
+        "sim_pair_dist_stats": _sim_pair_dist_sql(),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
