@@ -1075,6 +1075,51 @@ FROM merged m LEFT JOIN deg d ON m.doc_id = d.doc_id
 """
 
 
+def q_corpus_dedup_card(spark, sf_dir):
+    """The dataset-card dedup summary in one row: corpus size, exact-dup
+    rows beyond the first copy, near-dup members removable by
+    canonicalization, and the surviving count — the headline numbers a
+    curation report leads with. Composes exact_dedup + the connected-
+    components canonical set; each input is its own bounded aggregate,
+    joined as 1-row frames."""
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    exact = dd.exact_dedup(docs).agg(
+        F.sum(F.col("dup_count") - 1).cast("long").alias("exact_dup_docs")
+    )
+    clusters = dd.dedup_clusters(dd.minhash_candidate_pairs(docs))
+    near = clusters.filter(F.col("doc_id") != F.col("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("near_dup_docs")
+    )
+    return (
+        total.join(exact).join(near)
+        .select(
+            "total_docs", "exact_dup_docs", "near_dup_docs",
+            (F.col("total_docs") - F.col("near_dup_docs")).alias(
+                "canonical_docs"
+            ),
+        )
+    )
+
+
+def _corpus_dedup_card_sql() -> str:
+    clusters = dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents"))
+    return f"""
+WITH total AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+exact AS (
+  SELECT CAST(sum(dup_count - 1) AS BIGINT) AS exact_dup_docs
+  FROM ({dd.exact_dedup_sql("documents")})
+),
+near AS (
+  SELECT CAST(count(*) AS BIGINT) AS near_dup_docs
+  FROM ({clusters}) WHERE doc_id != cluster_id
+)
+SELECT total_docs, exact_dup_docs, near_dup_docs,
+       total_docs - near_dup_docs AS canonical_docs
+FROM total, exact, near
+"""
+
+
 def q_sim_pair_dist_stats(spark, sf_dir):
     """LSH tuning signal: the similarity DISTRIBUTION over embedding
     candidate pairs (count + exact p25/50/75/90 of pair cosine) — the
@@ -4015,7 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
         # t_anomaly, w3_scd2_history, corpus_lang_mix,
-        # sim_pair_dist_stats — 28 front-load in r4. ---
+        # sim_pair_dist_stats, corpus_dedup_card — 29 front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4041,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_scd2_history": q_w3_scd2_history,
         "corpus_lang_mix": q_corpus_lang_mix,
         "sim_pair_dist_stats": q_sim_pair_dist_stats,
+        "corpus_dedup_card": q_corpus_dedup_card,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4222,6 +4268,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "w3_scd2_history": _w3_scd2_sql(),
         "corpus_lang_mix": _corpus_lang_mix_sql(),
         "sim_pair_dist_stats": _sim_pair_dist_sql(),
+        "corpus_dedup_card": _corpus_dedup_card_sql(),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
