@@ -1464,6 +1464,46 @@ FROM samples GROUP BY doc_id, i // 2000
 """
 
 
+def q_mm_sniff(spark, sf_dir):
+    """Magic-byte media-type sniffing through REAL bytes: 30 docs get a
+    deterministic container header (doc_id % 3 → PNG / JPEG / RIFF
+    magic) prepended to their text bytes in the scan projection, and the
+    pure-JVM sniff expression must route each correctly. Oracle = the
+    CASE the synthesis used — any hex/offset bug in the sniff breaks the
+    hash."""
+    from arcane_framework_scala_spark.multimodal import sniff_media_type
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit("FFD8FFE0")))
+        .otherwise(F.unhex(F.lit("524946460000")))
+    )
+    media = docs.withColumn(
+        "media", F.concat(magic, F.encode(F.col("text"), "UTF-8"))
+    )
+    return media.select(
+        "doc_id",
+        sniff_media_type("media").alias("media_type"),
+        F.length("media").cast("long").alias("n_bytes"),
+    )
+
+
+_MM_SNIFF_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'riff' END AS media_type,
+       CAST(octet_length(encode(text)) +
+            CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 6 END
+            AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 30
+"""
+
+
 def q_mm_image_features(spark, sf_dir):
     from arcane_framework_scala_spark.multimodal import image_features
 
@@ -4060,7 +4100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
         # t_anomaly, w3_scd2_history, corpus_lang_mix,
-        # sim_pair_dist_stats, corpus_dedup_card — 29 front-load in r4. ---
+        # sim_pair_dist_stats, corpus_dedup_card, mm_sniff — 30
+        # front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4087,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_mix": q_corpus_lang_mix,
         "sim_pair_dist_stats": q_sim_pair_dist_stats,
         "corpus_dedup_card": q_corpus_dedup_card,
+        "mm_sniff": q_mm_sniff,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4269,6 +4311,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_lang_mix": _corpus_lang_mix_sql(),
         "sim_pair_dist_stats": _sim_pair_dist_sql(),
         "corpus_dedup_card": _corpus_dedup_card_sql(),
+        "mm_sniff": _MM_SNIFF_SQL,
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],

@@ -4,6 +4,7 @@ from arcane_framework_scala_spark.multimodal.media import (
     audio_features,
     audio_segments,
     frame_sample,
+    sniff_media_type,
     image_features,
     resize_images,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "audio_features",
     "audio_segments",
     "frame_sample",
+    "sniff_media_type",
     "image_features",
     "resize_images",
 ]

@@ -396,3 +396,28 @@ def audio_segments(
             )
 
     return df.select(id_col, media_col).mapInPandas(split, out_schema)
+
+
+#: (label, magic-byte hex prefix) — checked in order
+_MAGIC: tuple[tuple[str, str], ...] = (
+    ("png", "89504E47"),
+    ("jpeg", "FFD8FF"),
+    ("riff", "52494646"),  # WAV/AVI container
+    ("gif", "47494638"),
+    ("pdf", "25504446"),
+)
+
+
+def sniff_media_type(media_col: str = "media"):
+    """Magic-byte container sniffing as a pure JVM expression (hex of
+    the first 4 bytes against known signatures) — the ingest guardrail
+    that routes/filters binary columns BEFORE any Python decoder runs.
+    Zero UDFs, zero shuffles; composes into the scan projection."""
+    import pyspark.sql.functions as F
+
+    head = F.upper(F.hex(F.substring(F.col(media_col), 1, 4)))
+    expr = None
+    for label, magic in _MAGIC:
+        cond = head.startswith(magic)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise("unknown")

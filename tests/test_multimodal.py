@@ -185,3 +185,24 @@ def test_audio_segments_fake_is_deterministic(spark):
     a = [tuple(r) for r in audio_segments(df, decoder="fake").collect()]
     b = [tuple(r) for r in audio_segments(df, decoder="fake").collect()]
     assert a == b and len(a) >= 1
+
+
+def test_sniff_media_type_known_and_unknown(spark):
+    from arcane_framework_scala_spark.multimodal import sniff_media_type
+
+    rows = [
+        (1, bytearray(bytes.fromhex("89504E470D0A1A0A") + b"x")),
+        (2, bytearray(bytes.fromhex("FFD8FFE0") + b"x")),
+        (3, bytearray(b"RIFF1234WAVE")),
+        (4, bytearray(b"GIF89a")),
+        (5, bytearray(b"%PDF-1.7")),
+        (6, bytearray(b"plain text")),
+        (7, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", sniff_media_type().alias("t")).collect()
+    }
+    assert got == {1: "png", 2: "jpeg", 3: "riff", 4: "gif", 5: "pdf",
+                   6: "unknown", 7: "unknown"}
