@@ -1075,6 +1075,38 @@ FROM merged m LEFT JOIN deg d ON m.doc_id = d.doc_id
 """
 
 
+def q_dedup_shingle_df_stats(spark, sf_dir):
+    """Shingle document-frequency histogram (log2 buckets) — the data
+    behind ngram_jaccard's ``max_shingle_df`` prefix-filter knob: how
+    many shingles live at each df tier tells you where the candidate
+    cap must sit before the self-join blows up. One distinct-explode +
+    two keyed aggregations."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dd.char_shingles("text", k=5)).alias("sh")
+    )
+    df_tab = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    bucket = F.floor(F.log2(F.col("df"))).cast("int")
+    return (
+        df_tab.select(bucket.alias("log2_df"))
+        .groupBy("log2_df")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    )
+
+
+def _dedup_shingle_df_sql() -> str:
+    sh = dd._char_shingles_sql("text", 5)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh}) AS s FROM documents
+),
+df_tab AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+SELECT CAST(floor(log2(df)) AS INT) AS log2_df,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM df_tab GROUP BY 1
+"""
+
+
 def q_corpus_dedup_card(spark, sf_dir):
     """The dataset-card dedup summary in one row: corpus size, exact-dup
     rows beyond the first copy, near-dup members removable by
@@ -4100,8 +4132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_funnel, corpus_bigram_score, t_retention, t_event_pivot,
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
         # t_anomaly, w3_scd2_history, corpus_lang_mix,
-        # sim_pair_dist_stats, corpus_dedup_card, mm_sniff — 30
-        # front-load in r4. ---
+        # sim_pair_dist_stats, corpus_dedup_card, mm_sniff,
+        # dedup_shingle_df_stats — 31 front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4129,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pair_dist_stats": q_sim_pair_dist_stats,
         "corpus_dedup_card": q_corpus_dedup_card,
         "mm_sniff": q_mm_sniff,
+        "dedup_shingle_df_stats": q_dedup_shingle_df_stats,
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
@@ -4312,6 +4345,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "sim_pair_dist_stats": _sim_pair_dist_sql(),
         "corpus_dedup_card": _corpus_dedup_card_sql(),
         "mm_sniff": _MM_SNIFF_SQL,
+        "dedup_shingle_df_stats": _dedup_shingle_df_sql(),
         "p11_zorder_key": layout_mod.zorder_key_sql(
             "lineitem", ["l_orderkey", "l_partkey"], bits=8,
             select_cols=["l_orderkey", "l_linenumber", "l_partkey"],
