@@ -55,6 +55,9 @@ from arcane_framework_scala_spark.operators import resample as resample_mod
 from arcane_framework_scala_spark.functions import stats as stats_mod
 from arcane_framework_scala_spark.functions import lm as lm_mod
 from arcane_framework_scala_spark.functions import layout as layout_mod
+from arcane_framework_scala_spark.functions import bloom as bloom_mod
+from arcane_framework_scala_spark.operators import analytics as analytics_mod
+from arcane_framework_scala_spark.plans import advisor as advisor_mod
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -4006,6 +4009,60 @@ GROUP BY user_id
 """
 
 
+def q_dedup_bloom_probe(spark, sf_dir):
+    """Bloom-filter decontamination probe: the benchmark docs (every
+    10th, the ``corpus_contamination`` convention) populate an
+    engine-portable Bloom filter (set bit positions from salted md5);
+    every corpus document's 8-grams are membership-tested against it.
+    Deterministic including false positives, so the oracle hash-matches.
+    Plan: broadcast bit set, k broadcast left joins, ONE wide shuffle
+    (the per-doc aggregation)."""
+    from arcane_framework_scala_spark.functions.bloom import bloom_probe
+
+    docs = _read(spark, sf_dir, "documents")
+    return bloom_probe(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def q_t_grouping_sets(spark, sf_dir):
+    """(event_type, day) → (event_type) → () ROLLUP in ONE aggregation —
+    Spark expands grouping sets map-side, so the raw table is scanned
+    once instead of three-union'd. Fixed-point value sums; grouping_id
+    bitmask pinned against DuckDB's GROUPING()."""
+    from arcane_framework_scala_spark.operators.analytics import (
+        rollup_event_stats,
+    )
+
+    return rollup_event_stats(_read(spark, sf_dir, "events"))
+
+
+def q_t_moving_avg(spark, sf_dir):
+    """Trailing 1-hour RANGE window per user: count + fixed-point mean of
+    the user's events in the preceding hour. Value-keyed frame (ties at
+    the same second included) → deterministic without a full-order
+    tiebreak; one shuffle on user_id, sliding-frame evaluation."""
+    from arcane_framework_scala_spark.operators.analytics import (
+        rolling_user_stats,
+    )
+
+    return rolling_user_stats(_read(spark, sf_dir, "events"))
+
+
+def q_a9_partition_advisor(spark, sf_dir):
+    """The 100×-scale-up arithmetic as an operator: estimate lineitem's
+    uncompressed bytes from a schema-driven row-width model (the
+    MemoryBoundShaper cost-matrix flavor, ``MemoryBoundShaper.scala:
+    88-141``) and derive file count @512 MiB, rows/file, and clamped
+    shuffle-partition count @128 MiB — the reference's shard-sizing
+    arithmetic (``QueryProvider.scala:169-193``) turned onto the sink
+    side. One narrow aggregation, pure integer advisory."""
+    from arcane_framework_scala_spark.plans.advisor import partition_advisor
+
+    return partition_advisor(_read(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4133,7 +4190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_length_histogram, dedup_cluster_stats, dedup_index_pairs,
         # t_anomaly, w3_scd2_history, corpus_lang_mix,
         # sim_pair_dist_stats, corpus_dedup_card, mm_sniff,
-        # dedup_shingle_df_stats — 31 front-load in r4. ---
+        # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
+        # t_moving_avg, a9_partition_advisor — front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4165,6 +4223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_zorder_key": q_p11_zorder_key,
         "s12_binary_ingest": q_s12_binary_ingest,
         "s13_text_lines": q_s13_text_lines,
+        "dedup_bloom_probe": q_dedup_bloom_probe,
+        "t_grouping_sets": q_t_grouping_sets,
+        "t_moving_avg": q_t_moving_avg,
+        "a9_partition_advisor": q_a9_partition_advisor,
     }
 
 
@@ -4356,4 +4418,14 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
         "t_stateful_first_seen": _T_STATEFUL_FIRST_SEEN_SQL,
         "corpus_jsonl_roundtrip": _CORPUS_JSONL_SQL,
+        "dedup_bloom_probe": bloom_mod.bloom_probe_sql(
+            "doc_id % 10 != 0", "doc_id % 10 = 0"
+        ),
+        "t_grouping_sets": analytics_mod.rollup_event_stats_sql("events"),
+        "t_moving_avg": analytics_mod.rolling_user_stats_sql("events"),
+        "a9_partition_advisor": advisor_mod.partition_advisor_sql(
+            "lineitem",
+            ("l_returnflag", "l_linestatus"),
+            fixed_width=68,
+        ),
     }
