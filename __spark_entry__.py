@@ -56,6 +56,7 @@ from arcane_framework_scala_spark.functions import stats as stats_mod
 from arcane_framework_scala_spark.functions import lm as lm_mod
 from arcane_framework_scala_spark.functions import layout as layout_mod
 from arcane_framework_scala_spark.functions import bloom as bloom_mod
+from arcane_framework_scala_spark.functions import pq as pq_mod
 from arcane_framework_scala_spark.operators import analytics as analytics_mod
 from arcane_framework_scala_spark.plans import advisor as advisor_mod
 from arcane_framework_scala_spark.queries.merge import (
@@ -4063,6 +4064,45 @@ def q_a9_partition_advisor(spark, sf_dir):
     return partition_advisor(_read(spark, sf_dir, "lineitem"))
 
 
+def q_sim_pq_codes(spark, sf_dir):
+    """Product-quantization encode: per-subspace trained codebooks (the
+    deterministic fixed-point Lloyd fit, m=4 × ksub=8 over 16-d slices)
+    and every vector's nearest-centroid code per subspace — the 4-byte
+    compressed representation behind FAISS-style IVF-PQ. Codebooks
+    broadcast; winner per (vector, subspace) via max_by hash agg."""
+    from arcane_framework_scala_spark.functions.pq import pq_encode, pq_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, m=4, ksub=8, iters=2, dim=64)
+    return pq_encode(emb, cb, m=4, dim=64)
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k: queries build a 32-entry
+    integer lookup table of subspace dot products; the search joins the
+    narrow code table against the broadcast LUT and ranks on integer
+    micro-scores — no vector math in the hot path, no embedding shuffle.
+    Recall vs brute force is pinned in tests/test_pq.py."""
+    from arcane_framework_scala_spark.functions.pq import pq_topk
+
+    return pq_topk(
+        _read(spark, sf_dir, "embeddings"), _COSINE_QUERY_IDS, k=10
+    )
+
+
+def q_sim_pq_rerank(spark, sf_dir):
+    """The production PQ pattern: ADC shortlist (codes only, 50 rows per
+    query) → exact cosine rerank of the shortlist alone. Recall of the
+    two stages is measured and pinned in tests/test_pq.py; this gate
+    hash-checks the composed plan end-to-end."""
+    from arcane_framework_scala_spark.functions.pq import pq_rerank_topk
+
+    return pq_rerank_topk(
+        _read(spark, sf_dir, "embeddings"), _COSINE_QUERY_IDS, k=10,
+        shortlist=50,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4191,7 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_anomaly, w3_scd2_history, corpus_lang_mix,
         # sim_pair_dist_stats, corpus_dedup_card, mm_sniff,
         # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
-        # t_moving_avg, a9_partition_advisor — front-load in r4. ---
+        # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
+        # sim_pq_rerank — front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4227,6 +4268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_grouping_sets": q_t_grouping_sets,
         "t_moving_avg": q_t_moving_avg,
         "a9_partition_advisor": q_a9_partition_advisor,
+        "sim_pq_codes": q_sim_pq_codes,
+        "sim_pq_topk": q_sim_pq_topk,
+        "sim_pq_rerank": q_sim_pq_rerank,
     }
 
 
@@ -4427,5 +4471,13 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             "lineitem",
             ("l_returnflag", "l_linestatus"),
             fixed_width=68,
+        ),
+        "sim_pq_codes": pq_mod.pq_codes_sql("embeddings", m=4, ksub=8, iters=2),
+        "sim_pq_topk": pq_mod.pq_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
+        ),
+        "sim_pq_rerank": pq_mod.pq_rerank_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10, shortlist=50,
+            m=4, ksub=8, iters=2,
         ),
     }

