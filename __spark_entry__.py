@@ -57,6 +57,7 @@ from arcane_framework_scala_spark.functions import lm as lm_mod
 from arcane_framework_scala_spark.functions import layout as layout_mod
 from arcane_framework_scala_spark.functions import bloom as bloom_mod
 from arcane_framework_scala_spark.functions import pq as pq_mod
+from arcane_framework_scala_spark.functions import bpe as bpe_mod
 from arcane_framework_scala_spark.operators import analytics as analytics_mod
 from arcane_framework_scala_spark.plans import advisor as advisor_mod
 from arcane_framework_scala_spark.queries.merge import (
@@ -4103,6 +4104,27 @@ def q_sim_pq_rerank(spark, sf_dir):
     )
 
 
+def q_corpus_bpe_merges(spark, sf_dir):
+    """Corpus-scale BPE tokenizer training: the corpus collapses to
+    distinct words × frequency (Heaps-bounded), then 5 merge rounds —
+    pair counts via lead(), 1-row argmax broadcast, greedy left-to-right
+    non-overlapping application done relationally (gaps-and-islands
+    runs, even offsets merge). Pure integer/string plans, so the whole
+    iterative fit hash-matches the unrolled-CTE oracle."""
+    from arcane_framework_scala_spark.functions.bpe import bpe_merges
+
+    return bpe_merges(_read(spark, sf_dir, "documents"), merges=5)
+
+
+def q_corpus_bpe_tokens(spark, sf_dir):
+    """The learned merges applied back to the corpus: per-document BPE
+    token counts — per-word tokenization lengths joined to word
+    occurrences (the corpus is never re-tokenized character-wise)."""
+    from arcane_framework_scala_spark.functions.bpe import bpe_token_counts
+
+    return bpe_token_counts(_read(spark, sf_dir, "documents"), merges=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4232,7 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pair_dist_stats, corpus_dedup_card, mm_sniff,
         # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
-        # sim_pq_rerank — front-load in r4. ---
+        # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens —
+        # front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4271,6 +4294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_pq_rerank": q_sim_pq_rerank,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_bpe_tokens": q_corpus_bpe_tokens,
     }
 
 
@@ -4479,5 +4504,9 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "sim_pq_rerank": pq_mod.pq_rerank_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10, shortlist=50,
             m=4, ksub=8, iters=2,
+        ),
+        "corpus_bpe_merges": bpe_mod.bpe_merges_sql("documents", merges=5),
+        "corpus_bpe_tokens": bpe_mod.bpe_token_counts_sql(
+            "documents", merges=5
         ),
     }
