@@ -4125,6 +4125,108 @@ def q_corpus_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(_read(spark, sf_dir, "documents"), merges=5)
 
 
+def q_t_stream_stream_join(spark, sf_dir):
+    """Stream-stream event-time interval join through actual Structured
+    Streaming: views and purchases read as two independent file streams
+    (two staged micro-batches each), joined on user within
+    [view_ts, view_ts + 30 min]. Both sides carry watermarks and the
+    range condition bounds join state; the delay here (40 days > the
+    data span) retains all state so availableNow emits the complete
+    answer — the oracle is the batch interval join. Matches that span
+    micro-batches prove the state store does the work."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000000000").alias("sec"),
+        )
+    )
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_ssj_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    mtime = 1_000_000_000
+    for i in range(2):
+        sub = os.path.join(stage_dir, f"b{i}")
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(stage_dir, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    schema = "event_id long, user_id long, event_type string, sec long"
+
+    def _side(tname, prefix):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage_dir}/*.parquet")
+            .filter(F.col("event_type") == tname)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_seconds(F.col("sec")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "40 days")
+        )
+
+    v, p = _side("view", "v"), _side("purchase", "p")
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias(
+            "lag_s"
+        ),
+    )
+    sink = f"ssj_sink_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if q.lastProgress is None or q.lastProgress["batchId"] < 1:
+        raise AssertionError("expected 2 streaming micro-batches")
+    return spark.table(sink)
+
+
+_T_STREAM_SSJ_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ns(ts) // 1000000000 AS sec
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       v.user_id, p.sec - v.sec AS lag_s
+FROM e v JOIN e p
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.sec >= v.sec AND p.sec <= v.sec + 1800
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4254,8 +4356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pair_dist_stats, corpus_dedup_card, mm_sniff,
         # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
-        # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens —
-        # front-load in r4. ---
+        # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
+        # t_stream_stream_join — front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4296,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_rerank": q_sim_pq_rerank,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_tokens": q_corpus_bpe_tokens,
+        "t_stream_stream_join": q_t_stream_stream_join,
     }
 
 
@@ -4509,4 +4612,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_bpe_tokens": bpe_mod.bpe_token_counts_sql(
             "documents", merges=5
         ),
+        "t_stream_stream_join": _T_STREAM_SSJ_SQL,
     }
