@@ -4227,6 +4227,92 @@ FROM e v JOIN e p
 """
 
 
+def q_w4_time_travel(spark, sf_dir):
+    """Time travel over the versioned-parquet target: two sequential CT
+    merges commit snapshots v=1 (bootstrap) and v=2; the gate returns
+    BOTH ``read_version(1)`` (the historical state — Iceberg
+    ``VERSION AS OF`` / Delta ``versionAsOf``) and the current read,
+    tagged, in one hash — proving old snapshots stay intact and
+    readable after later commits (the property the maintenance gate's
+    expiry then takes away deliberately)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t_hi, t_mid = (mx * 6) // 10, (mx * 3) // 10
+    batch = ev.filter(F.col("event_id") <= t_hi).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="arcane_w4_run_")
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.merge(
+        batch.filter(F.col("SYS_CHANGE_VERSION") <= t_mid),
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    target.merge(
+        batch.filter(F.col("SYS_CHANGE_VERSION") > t_mid),
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    assert target.versions() == [1, 2], target.versions()
+    v1 = target.read_version(1).withColumn("snapshot", F.lit("v1"))
+    cur = target.read().withColumn("snapshot", F.lit("current"))
+    return v1.unionByName(cur)
+
+
+_W4_SQL = f"""
+WITH b AS (
+  SELECT max(event_id) * 6 // 10 AS t_hi,
+         max(event_id) * 3 // 10 AS t_mid
+  FROM events
+),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CASE WHEN event_id <= b.t_mid THEN 1 ELSE 2 END AS batch
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k, batch ORDER BY ver DESC) AS rk
+  FROM src
+),
+b1 AS (SELECT * FROM ranked WHERE batch = 1 AND rk = 1),
+b2 AS (SELECT * FROM ranked WHERE batch = 2 AND rk = 1),
+merged AS (
+  SELECT coalesce(b2.k, b1.k) AS k,
+         CASE WHEN b2.k IS NOT NULL THEN b2.ver ELSE b1.ver END AS ver,
+         CASE WHEN b2.k IS NOT NULL THEN b2.user_id ELSE b1.user_id END
+           AS user_id,
+         CASE WHEN b2.k IS NOT NULL THEN b2.event_type ELSE b1.event_type END
+           AS event_type,
+         CASE WHEN b2.k IS NOT NULL THEN b2.value_milli
+              ELSE b1.value_milli END AS value_milli
+  FROM b1 FULL JOIN b2 ON b1.k = b2.k
+  WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, event_type, value_milli, 'v1' AS snapshot
+FROM b1 WHERE NOT del
+UNION ALL
+SELECT k, ver, user_id, event_type, value_milli, 'current' AS snapshot
+FROM merged
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4357,7 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
-        # t_stream_stream_join — front-load in r4. ---
+        # t_stream_stream_join, w4_time_travel — front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4399,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_tokens": q_corpus_bpe_tokens,
         "t_stream_stream_join": q_t_stream_stream_join,
+        "w4_time_travel": q_w4_time_travel,
     }
 
 
@@ -4613,4 +4700,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             "documents", merges=5
         ),
         "t_stream_stream_join": _T_STREAM_SSJ_SQL,
+        "w4_time_travel": _W4_SQL,
     }

@@ -110,6 +110,36 @@ class SnapshotParquetTarget:
             return None
         return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
+    def versions(self) -> list[int]:
+        """Committed snapshot versions, oldest first — the readable
+        history (snapshots past ``_CURRENT`` are uncommitted leftovers;
+        expired ones are gone). Iceberg's ``snapshots`` metadata table
+        equivalent for the sandbox layout."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v="):
+                try:
+                    v = int(name[2:])
+                except ValueError:
+                    continue
+                if v <= cur:
+                    out.append(v)
+        return sorted(out)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read a specific committed snapshot (Iceberg
+        ``VERSION AS OF`` / Delta ``versionAsOf``). Raises if the
+        snapshot was never committed or has been expired."""
+        if version not in self.versions():
+            raise ValueError(
+                f"snapshot v={version} not available under {self.path} "
+                f"(have {self.versions()})"
+            )
+        return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
+
     def _commit(self, df: DataFrame) -> None:
         v = (self.current_version() or 0) + 1
         out = os.path.join(self.path, f"v={v}")
