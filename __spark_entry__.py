@@ -4313,6 +4313,108 @@ FROM merged
 """
 
 
+def q_w5_change_feed(spark, sf_dir):
+    """Change data feed derived between two committed snapshots (Delta
+    CDF / Iceberg ``changes`` semantics without stored change logs):
+    the w4 target's v=1 → v=2 diff as (key, op, pre/post images) from
+    ONE full-outer join on the merge key. Inserts are batch-2-only
+    keys; updates are version bumps; deletes are batch-2 tombstones of
+    batch-1 rows."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t_hi, t_mid = (mx * 6) // 10, (mx * 3) // 10
+    batch = ev.filter(F.col("event_id") <= t_hi).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="arcane_w5_run_")
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.merge(
+        batch.filter(F.col("SYS_CHANGE_VERSION") <= t_mid),
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    target.merge(
+        batch.filter(F.col("SYS_CHANGE_VERSION") > t_mid),
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    cdf = snapshot_diff(
+        target.read_version(1),
+        target.read_version(2),
+        keys=["ARCANE_MERGE_KEY"],
+        compare_cols=["SYS_CHANGE_VERSION", "value_milli"],
+    )
+    return cdf.select(
+        "ARCANE_MERGE_KEY",
+        "op",
+        F.coalesce("old_SYS_CHANGE_VERSION", F.lit(-1)).alias("old_ver"),
+        F.coalesce("new_SYS_CHANGE_VERSION", F.lit(-1)).alias("new_ver"),
+        F.coalesce("old_value_milli", F.lit(-1)).alias("old_vm"),
+        F.coalesce("new_value_milli", F.lit(-1)).alias("new_vm"),
+    )
+
+
+_W5_SQL = f"""
+WITH b AS (
+  SELECT max(event_id) * 6 // 10 AS t_hi,
+         max(event_id) * 3 // 10 AS t_mid
+  FROM events
+),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CASE WHEN event_id <= b.t_mid THEN 1 ELSE 2 END AS batch
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k, batch ORDER BY ver DESC) AS rk
+  FROM src
+),
+b1 AS (SELECT * FROM ranked WHERE batch = 1 AND rk = 1 AND NOT del),
+b2 AS (SELECT * FROM ranked WHERE batch = 2 AND rk = 1),
+v2 AS (
+  SELECT coalesce(b2.k, b1.k) AS k,
+         CASE WHEN b2.k IS NOT NULL THEN b2.ver ELSE b1.ver END AS ver,
+         CASE WHEN b2.k IS NOT NULL THEN b2.value_milli
+              ELSE b1.value_milli END AS value_milli
+  FROM b1 FULL JOIN b2 ON b1.k = b2.k
+  WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
+)
+SELECT coalesce(v2.k, b1.k) AS "ARCANE_MERGE_KEY",
+       CASE WHEN b1.k IS NULL THEN 'insert'
+            WHEN v2.k IS NULL THEN 'delete'
+            WHEN b1.ver IS DISTINCT FROM v2.ver
+              OR b1.value_milli IS DISTINCT FROM v2.value_milli
+              THEN 'update'
+       END AS op,
+       coalesce(b1.ver, -1) AS old_ver,
+       coalesce(v2.ver, -1) AS new_ver,
+       coalesce(b1.value_milli, -1) AS old_vm,
+       coalesce(v2.value_milli, -1) AS new_vm
+FROM b1 FULL JOIN v2 ON b1.k = v2.k
+WHERE CASE WHEN b1.k IS NULL THEN 'insert'
+           WHEN v2.k IS NULL THEN 'delete'
+           WHEN b1.ver IS DISTINCT FROM v2.ver
+             OR b1.value_milli IS DISTINCT FROM v2.value_milli
+             THEN 'update'
+      END IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4443,7 +4545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
-        # t_stream_stream_join, w4_time_travel — front-load in r4. ---
+        # t_stream_stream_join, w4_time_travel, w5_change_feed —
+        # front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4486,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_tokens": q_corpus_bpe_tokens,
         "t_stream_stream_join": q_t_stream_stream_join,
         "w4_time_travel": q_w4_time_travel,
+        "w5_change_feed": q_w5_change_feed,
     }
 
 
@@ -4701,4 +4805,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         ),
         "t_stream_stream_join": _T_STREAM_SSJ_SQL,
         "w4_time_travel": _W4_SQL,
+        "w5_change_feed": _W5_SQL,
     }
