@@ -4415,6 +4415,63 @@ WHERE CASE WHEN b1.k IS NULL THEN 'insert'
 """
 
 
+def q_tpch_q4ish(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS: orders counted per priority when at least
+    one lineitem exceeds quantity 45 — Spark's LEFT SEMI join (the
+    dedicated existence operator: no fan-out, no post-join distinct;
+    the probe side short-circuits on first match)."""
+    orders = _read(spark, sf_dir, "orders")
+    big = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q22ish(spark, sf_dir):
+    """TPC-H Q22-shaped NOT EXISTS: customers with no high-value order
+    (>300k), summarized per market segment — Spark's LEFT ANTI join.
+    Balances as fixed-point milli sums."""
+    cust = _read(spark, sf_dir, "customer")
+    highval = _read(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    ).select("o_custkey")
+    return (
+        cust.join(highval, cust.c_custkey == highval.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 1000).cast("long")
+            ).alias("acctbal_milli"),
+        )
+    )
+
+
+_TPCH_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(floor(c_acctbal * 1000) AS BIGINT)) AS BIGINT)
+         AS acctbal_milli
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4545,8 +4602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_shingle_df_stats, dedup_bloom_probe, t_grouping_sets,
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
-        # t_stream_stream_join, w4_time_travel, w5_change_feed —
-        # front-load in r4. ---
+        # t_stream_stream_join, w4_time_travel, w5_change_feed,
+        # tpch_q4ish, tpch_q22ish — front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4590,6 +4647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stream_stream_join": q_t_stream_stream_join,
         "w4_time_travel": q_w4_time_travel,
         "w5_change_feed": q_w5_change_feed,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q22ish": q_tpch_q22ish,
     }
 
 
@@ -4806,4 +4865,6 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_stream_join": _T_STREAM_SSJ_SQL,
         "w4_time_travel": _W4_SQL,
         "w5_change_feed": _W5_SQL,
+        "tpch_q4ish": _TPCH_Q4_SQL,
+        "tpch_q22ish": _TPCH_Q22_SQL,
     }
