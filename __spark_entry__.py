@@ -58,6 +58,7 @@ from arcane_framework_scala_spark.functions import layout as layout_mod
 from arcane_framework_scala_spark.functions import bloom as bloom_mod
 from arcane_framework_scala_spark.functions import pq as pq_mod
 from arcane_framework_scala_spark.functions import bpe as bpe_mod
+from arcane_framework_scala_spark.functions import projection as projection_mod
 from arcane_framework_scala_spark.operators import analytics as analytics_mod
 from arcane_framework_scala_spark.plans import advisor as advisor_mod
 from arcane_framework_scala_spark.queries.merge import (
@@ -4472,6 +4473,17 @@ GROUP BY c_mktsegment
 """
 
 
+def q_sim_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64→16 dims (Rademacher ±1
+    planes from the repo's deterministic md5 derivation): a zero-shuffle
+    codegen projection that compresses every downstream shuffle 4×.
+    Fixed-point outputs hash-match the literal-plane oracle; distance
+    preservation is pinned in tests/test_projection.py."""
+    from arcane_framework_scala_spark.functions.projection import jl_project
+
+    return jl_project(_read(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4603,7 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
-        # tpch_q4ish, tpch_q22ish — front-load in r4. ---
+        # tpch_q4ish, tpch_q22ish, sim_jl_project — front-load in r4. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4649,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_change_feed": q_w5_change_feed,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "sim_jl_project": q_sim_jl_project,
     }
 
 
@@ -4867,4 +4880,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "w5_change_feed": _W5_SQL,
         "tpch_q4ish": _TPCH_Q4_SQL,
         "tpch_q22ish": _TPCH_Q22_SQL,
+        "sim_jl_project": projection_mod.jl_project_sql("embeddings"),
     }
