@@ -91,7 +91,11 @@ def bloom_probe(
     false positives; at ``m=2^20, k=3`` and ~40k benchmark grams the FP
     rate is ≈(k·g/m)³ ≈ 2e-6).
     """
-    bits = bloom_bits(bench, id_col, text_col, n, m, k)
+    # the bit set feeds k broadcast builds — materialize it once instead
+    # of re-scanning the benchmark per salt (bounded: it's the small side)
+    bits = bloom_bits(bench, id_col, text_col, n, m, k).localCheckpoint(
+        eager=False
+    )
     probed = _distinct_grams(corpus, id_col, text_col, n, "id")
     hits = []
     for i in range(k):
