@@ -4473,6 +4473,19 @@ GROUP BY c_mktsegment
 """
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """The full FAISS composition: IVF coarse cells prune the corpus to
+    n_probe/n_centroids, PQ/ADC scores only the surviving candidates
+    from 4-byte codes — vectors appear in no search join. Coarse
+    assignment mirrors sim_ivf_topk bit-for-bit, so the candidate sets
+    are provably IVF's."""
+    from arcane_framework_scala_spark.functions.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        _read(spark, sf_dir, "embeddings"), _COSINE_QUERY_IDS, k=10
+    )
+
+
 def q_sim_jl_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64→16 dims (Rademacher ±1
     planes from the repo's deterministic md5 derivation): a zero-shuffle
@@ -4615,7 +4628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
-        # tpch_q4ish, tpch_q22ish, sim_jl_project — front-load in r4. ---
+        # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk —
+        # front-load in r4 (48 never-checked: exactly fills the window
+        # with mm_frame_sample/s9_avro gate slots to spare). ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4662,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q22ish": q_tpch_q22ish,
         "sim_jl_project": q_sim_jl_project,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
     }
 
 
@@ -4881,4 +4897,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "tpch_q4ish": _TPCH_Q4_SQL,
         "tpch_q22ish": _TPCH_Q22_SQL,
         "sim_jl_project": projection_mod.jl_project_sql("embeddings"),
+        "sim_ivfpq_topk": pq_mod.ivfpq_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10,
+            n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
+        ),
     }

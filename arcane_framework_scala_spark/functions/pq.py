@@ -53,6 +53,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_rerank_topk",
+    "ivfpq_topk",
+    "ivfpq_topk_sql",
     "pq_codes_sql",
     "pq_topk_sql",
     "pq_rerank_topk_sql",
@@ -281,6 +283,140 @@ def pq_rerank_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS composition: IVF coarse cells prune the corpus to
+    the probed lists, PQ/ADC scores ONLY those candidates from codes —
+    the linear ADC pass of :func:`pq_topk` becomes
+    ``corpus × n_probe / n_centroids`` per query, with still no vector
+    math in the hot path.
+
+    Simplification vs FAISS: codes quantize the raw vectors, not the
+    cell residuals (cosine ADC over raw codes — the residual variant
+    needs per-cell codebooks and buys accuracy, not plan shape).
+
+    Coarse assignment mirrors ``similarity.ivf_topk`` exactly
+    (``round(csim, 6)``, centroid-id tiebreak), so IVF-PQ's candidate
+    sets equal IVF's. At 100 TB, store the code table partitioned by
+    cell (``similarity.build_ivf_index`` does this for vectors) and the
+    probe becomes a partition-pruned read instead of this gate's
+    vid-keyed join."""
+    from arcane_framework_scala_spark.functions.similarity import _spread
+
+    d = dim // m
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("__cellvec"),
+        _norm(F.col(vec_col)).alias("__celln"),
+    )
+
+    def assign(df: DataFrame, take: int, out_id: str) -> DataFrame:
+        sims = (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias("__v"),
+                _norm(F.col(vec_col)).alias("__vn"),
+            )
+            .join(F.broadcast(cent))
+            .select(
+                out_id,
+                "cell",
+                F.round(
+                    _dot(F.col("__v"), F.col("__cellvec"))
+                    / (F.col("__vn") * F.col("__celln")),
+                    6,
+                ).alias("__csim"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.desc("__csim"), F.asc("cell")
+        )
+        return (
+            sims.withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= take)
+            .select(out_id, "cell")
+        )
+
+    assigned = assign(_spread(embeddings), 1, "vid")
+    probes = assign(
+        embeddings.filter(F.col(id_col).isin(query_ids)), n_probe, "query_id"
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vid") != F.col("query_id")
+    ).select("query_id", "vid")
+
+    cb = pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    cbx = cb.withColumn(
+        "cnsq_micro",
+        F.floor(
+            F.aggregate(
+                F.transform(
+                    F.col("cvec"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * F.lit(float(_FP))
+        ).cast("long"),
+    ).localCheckpoint(eager=False)
+    codes = pq_encode(
+        embeddings, cbx.select("sub", "centroid_id", "cvec"),
+        m, dim, id_col, vec_col,
+    ).withColumnRenamed(id_col, "vid")
+    qsub = _sub_rows(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        m, d, id_col, vec_col, "query_id",
+    )
+    lut = qsub.join(F.broadcast(cbx), "sub").select(
+        "query_id",
+        "sub",
+        F.col("centroid_id").alias("code"),
+        F.floor(_dot(F.col("svec"), F.col("cvec")) * F.lit(float(_FP)))
+        .cast("long")
+        .alias("dm"),
+        "cnsq_micro",
+    )
+    scored_parts = (
+        cand.join(codes, "vid")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vid")
+        .agg(
+            F.sum("dm").alias("s_micro"),
+            F.sum("cnsq_micro").alias("nsq_micro"),
+        )
+    )
+    qn = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _norm(F.col(vec_col)).alias("qn")
+    )
+    score = (F.col("s_micro") / F.lit(float(_FP))) / (
+        F.col("qn") * F.sqrt(F.col("nsq_micro") / F.lit(float(_FP)))
+    )
+    scored = scored_parts.join(F.broadcast(qn), "query_id").select(
+        "query_id",
+        F.col("vid").alias(id_col),
+        F.floor(score * F.lit(float(_FP))).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score_micro", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -410,6 +546,116 @@ scored AS (
               AS BIGINT) AS score_micro
   FROM agg a JOIN qn ON a.query_id = qn.query_id
   WHERE a.vid != a.query_id
+)
+SELECT query_id, vid AS {id_col}, score_micro, CAST(rk AS INT) AS rk FROM (
+  SELECT query_id, vid, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, vid) AS rk
+  FROM scored
+) WHERE rk <= {k}
+""".strip()
+
+
+def ivfpq_topk_sql(
+    table: str = "embeddings",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`ivfpq_topk` — IVF candidate CTEs (the
+    ``ivf_topk_sql`` conventions) composed with the PQ ADC arithmetic."""
+    d = dim // m
+    ids = ", ".join(str(i) for i in query_ids or [])
+    from arcane_framework_scala_spark.functions.similarity import (
+        cosine_similarity_sql,
+    )
+
+    cellsim = cosine_similarity_sql(f"e.{vec_col}", f"c.{vec_col}")
+    csim = (
+        f"({_DOT_SQL.format(a='r.svec', b='c.cvec')} / "
+        f"({_NORM_SQL.format(a='r.svec')} * {_NORM_SQL.format(a='c.cvec')}))"
+    )
+    qdot = _DOT_SQL.format(a="q.svec", b="c.cvec")
+    sqn = (
+        "list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS centroid_id, {vec_col} FROM {table}
+  WHERE {id_col} < {n_centroids}
+),
+cellasg AS (
+  SELECT e.{id_col} AS vid, c.centroid_id AS cell,
+         row_number() OVER (PARTITION BY e.{id_col}
+                            ORDER BY round({cellsim}, 6) DESC,
+                                     c.centroid_id) AS crk
+  FROM {table} e JOIN cent c ON true
+),
+assigned AS (SELECT vid, cell FROM cellasg WHERE crk = 1),
+probes AS (
+  SELECT vid AS query_id, cell FROM cellasg
+  WHERE crk <= {n_probe} AND vid IN ({ids})
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vid
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.vid != p.query_id
+),
+cb AS ({_cb_union_sql(table, m, ksub, iters, dim, id_col, vec_col)}),
+cbx AS (
+  SELECT sub, centroid_id, cvec,
+         CAST(floor({sqn} * {_FP}.0) AS BIGINT) AS cnsq_micro
+  FROM cb
+),
+sr AS (
+  SELECT {id_col} AS vid, s.sub,
+         list_slice({vec_col}, s.sub * {d} + 1, (s.sub + 1) * {d}) AS svec
+  FROM {table}
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) AS s
+),
+codes AS (
+  SELECT vid, sub, code FROM (
+    SELECT r.vid, r.sub, c.centroid_id AS code,
+           row_number() OVER (PARTITION BY r.vid, r.sub
+                              ORDER BY {csim} DESC, c.centroid_id) AS rk
+    FROM sr r JOIN cbx c ON r.sub = c.sub
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vid AS query_id, q.sub, c.centroid_id AS code,
+         CAST(floor({qdot} * {_FP}.0) AS BIGINT) AS dm,
+         c.cnsq_micro
+  FROM (SELECT * FROM sr WHERE vid IN ({ids})) q
+  JOIN cbx c ON q.sub = c.sub
+),
+agg AS (
+  SELECT ca.query_id, ca.vid,
+         CAST(sum(l.dm) AS BIGINT) AS s_micro,
+         CAST(sum(l.cnsq_micro) AS BIGINT) AS nsq_micro
+  FROM cand ca
+  JOIN codes co ON ca.vid = co.vid
+  JOIN lut l ON l.query_id = ca.query_id AND l.sub = co.sub
+            AND l.code = co.code
+  GROUP BY ca.query_id, ca.vid
+),
+qn AS (
+  SELECT {id_col} AS query_id, {_NORM_SQL.format(a=vec_col)} AS qn
+  FROM {table} WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT a.query_id, a.vid,
+         CAST(floor(((s_micro / {_FP}.0) /
+                     (qn.qn * sqrt(nsq_micro / {_FP}.0))) * {_FP}.0)
+              AS BIGINT) AS score_micro
+  FROM agg a JOIN qn ON a.query_id = qn.query_id
 )
 SELECT query_id, vid AS {id_col}, score_micro, CAST(rk AS INT) AS rk FROM (
   SELECT query_id, vid, score_micro,

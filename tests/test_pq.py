@@ -83,6 +83,44 @@ def test_pq_rerank_recovers_most_of_exact(spark, sf_dir):
     assert hits / 50 >= 0.55, hits / 50
 
 
+def test_ivfpq_candidates_are_ivf_pruned(spark, sf_dir):
+    """IVF-PQ results ⊆ PQ-ADC ranking restricted to IVF's probed
+    cells: every returned neighbor must live in one of the query's
+    2 probed cells (coarse assignment mirrors sim_ivf_topk)."""
+    from arcane_framework_scala_spark.functions.pq import ivfpq_topk
+    from arcane_framework_scala_spark.functions.similarity import (
+        cosine_similarity,
+    )
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    out = ivfpq_topk(emb, QUERY_IDS, k=10).collect()
+    # recompute cell assignment (take=1) and probes (take=2) exactly
+    cent = emb.filter(FF.col("vec_id") < 8).select(
+        FF.col("vec_id").alias("cell"), FF.col("embedding").alias("cv")
+    )
+    sims = emb.join(FF.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        FF.round(
+            cosine_similarity(FF.col("embedding"), FF.col("cv")), 6
+        ).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(FF.desc("s"), FF.asc("cell"))
+    ranked = sims.withColumn("rk", FF.row_number().over(w))
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ranked.filter(FF.col("rk") == 1).collect()
+    }
+    probed = {}
+    for r in ranked.filter(FF.col("rk") <= 2).collect():
+        if r["vec_id"] in QUERY_IDS:
+            probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    for r in out:
+        assert cells[r["vec_id"]] in probed[r["query_id"]], r
+
+
 def test_pq_topk_rank_contract(spark, sf_dir):
     """Per query: exactly k rows, ranks 1..k, scores non-increasing,
     self never returned."""
