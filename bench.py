@@ -42,6 +42,11 @@ HEADLINE2 = [
     "corpus_pack",
     "t_rollup_cascade",
     "sim_ivf_trained_topk",
+    # r3-continuation additions (heaviest of the new operator families)
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "corpus_bpe_merges",
+    "dedup_bloom_probe",
 ]
 
 
