@@ -4497,6 +4497,35 @@ def q_sim_jl_project(spark, sf_dir):
     return jl_project(_read(spark, sf_dir, "embeddings"))
 
 
+def q_a10_regression(spark, sf_dir):
+    """Grouped OLS diagnostics: per returnflag, the slope/intercept of
+    extendedprice on quantity plus Pearson r — Spark's built-in
+    regr_slope/regr_intercept/corr aggregates (single hash aggregation,
+    map-side partials; the same definitions DuckDB implements, rounded
+    to 6 for float-sum-order tolerance)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6
+        ).alias("icept"),
+        F.round(F.expr("corr(l_extendedprice, l_quantity)"), 6).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_A10_SQL = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+       round(corr(l_extendedprice, l_quantity), 6) AS r,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4628,9 +4657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_moving_avg, a9_partition_advisor, sim_pq_codes, sim_pq_topk,
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
-        # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk —
-        # front-load in r4 (48 never-checked: exactly fills the window
-        # with mm_frame_sample/s9_avro gate slots to spare). ---
+        # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
+        # a10_regression — front-load in r4 (49 never-checked fills
+        # the 50-query window; overflow rolls to r5). ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4678,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22ish": q_tpch_q22ish,
         "sim_jl_project": q_sim_jl_project,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "a10_regression": q_a10_regression,
     }
 
 
@@ -4901,4 +4931,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             "embeddings", _COSINE_QUERY_IDS, k=10,
             n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
         ),
+        "a10_regression": _A10_SQL,
     }
