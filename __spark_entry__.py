@@ -61,6 +61,7 @@ from arcane_framework_scala_spark.functions import bpe as bpe_mod
 from arcane_framework_scala_spark.functions import projection as projection_mod
 from arcane_framework_scala_spark.operators import analytics as analytics_mod
 from arcane_framework_scala_spark.plans import advisor as advisor_mod
+from arcane_framework_scala_spark.plans import profile as profile_mod
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -4526,6 +4527,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_a11_profile(spark, sf_dir):
+    """One-pass table profiling (the deequ/df.summary job, made
+    oracle-exact): per column n_rows/n_null/n_distinct/min/max in a
+    SINGLE aggregation, unpivoted to (column, metric, value) long form.
+    Exact count(distinct) costs an Expand at gate scale; approx=True is
+    the documented 100 TB path."""
+    from arcane_framework_scala_spark.plans.profile import profile_table
+
+    return profile_table(_read(spark, sf_dir, "orders"))
+
+
+_A11_KINDS = {
+    "o_orderkey": "other",
+    "o_custkey": "other",
+    "o_orderstatus": "other",
+    "o_totalprice": "double",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "other",
+}
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4658,8 +4680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
-        # a10_regression — front-load in r4 (49 never-checked fills
-        # the 50-query window; overflow rolls to r5). ---
+        # a10_regression, a11_profile — front-load in r4 (50
+        # never-checked fills the window exactly; overflow → r5). ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4708,6 +4730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_jl_project": q_sim_jl_project,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "a10_regression": q_a10_regression,
+        "a11_profile": q_a11_profile,
     }
 
 
@@ -4932,4 +4955,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
         ),
         "a10_regression": _A10_SQL,
+        "a11_profile": profile_mod.profile_table_sql("orders", _A11_KINDS),
     }
