@@ -4548,6 +4548,19 @@ _A11_KINDS = {
 }
 
 
+def q_corpus_cluster_split(spark, sf_dir):
+    """Leakage-proof train/val/test split: the hash key is the near-dup
+    CLUSTER representative, so near-duplicate documents can never
+    straddle splits (the Lee-et-al test-set-contamination guard a plain
+    per-doc hash_split misses). MinHash-LSH pairs → connected
+    components → split-by-cluster-key; the within-cluster invariant is
+    additionally pinned in tests."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(docs)
+    clusters = dd.dedup_clusters(pairs)
+    return cx.cluster_safe_split(docs, clusters)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4680,8 +4693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
-        # a10_regression, a11_profile — front-load in r4 (50
-        # never-checked fills the window exactly; overflow → r5). ---
+        # a10_regression, a11_profile, corpus_cluster_split — 51
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4731,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "a10_regression": q_a10_regression,
         "a11_profile": q_a11_profile,
+        "corpus_cluster_split": q_corpus_cluster_split,
     }
 
 
@@ -4956,4 +4970,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         ),
         "a10_regression": _A10_SQL,
         "a11_profile": profile_mod.profile_table_sql("orders", _A11_KINDS),
+        "corpus_cluster_split": cx.cluster_safe_split_sql(
+            "documents",
+            dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents")),
+        ),
     }

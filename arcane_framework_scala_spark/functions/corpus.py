@@ -288,6 +288,80 @@ def hash_split_sql(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    buckets: int = 1000,
+    cuts: tuple[tuple[str, int], ...] = (("train", 800), ("val", 900), ("test", 1000)),
+) -> DataFrame:
+    """Leakage-proof split: hash the near-dup *cluster representative*
+    instead of the document id, so every member of a near-duplicate
+    cluster lands in the same split — the guard against test-set
+    contamination via near-dups that a plain :func:`hash_split` cannot
+    give (Lee et al. 2022 §4.2 measure exactly this leak).
+
+    ``clusters`` is ``(id_col, cluster_col)`` from
+    ``dedup.dedup_clusters``; unclustered documents key on their own
+    id. Output: ``(id_col, split_key, bucket, split)``.
+
+    Plan: one left join (clusters output is the small side only when
+    near-dups are rare — it shuffles on the id either way, the same
+    key as the cluster computation that produced it) + the zero-shuffle
+    hash projection."""
+    key = F.coalesce(F.col(cluster_col), F.col(id_col)).alias("split_key")
+    b = (
+        F.conv(F.substring(F.md5(F.col("split_key").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    expr = None
+    for name, cut in cuts:
+        expr = (
+            F.when(b < cut, F.lit(name))
+            if expr is None
+            else expr.when(b < cut, F.lit(name))
+        )
+    return (
+        df.select(id_col)
+        .join(clusters.select(id_col, cluster_col), id_col, "left")
+        .select(F.col(id_col), key)
+        .select(
+            id_col,
+            "split_key",
+            b.alias("bucket"),
+            expr.otherwise(F.lit(None)).alias("split"),
+        )
+    )
+
+
+def cluster_safe_split_sql(
+    table: str,
+    clusters_sql: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    buckets: int = 1000,
+    cuts: tuple[tuple[str, int], ...] = (("train", 800), ("val", 900), ("test", 1000)),
+) -> str:
+    """DuckDB oracle for :func:`cluster_safe_split`."""
+    b = (
+        f"CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {buckets}"
+    )
+    whens = " ".join(f"WHEN {b} < {cut} THEN '{name}'" for name, cut in cuts)
+    return f"""
+WITH clusters AS MATERIALIZED ({clusters_sql}),
+keyed AS (
+  SELECT t.{id_col}, coalesce(c.{cluster_col}, t.{id_col}) AS split_key
+  FROM {table} t LEFT JOIN clusters c ON t.{id_col} = c.{id_col}
+)
+SELECT {id_col}, split_key, {b} AS bucket,
+       CASE {whens} END AS split
+FROM keyed
+""".strip()
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 32,

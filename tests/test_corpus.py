@@ -551,3 +551,26 @@ def test_band_index_partition_pruning(spark, tmp_path):
         .count()
     )
     assert touched < total_parts, (touched, total_parts)
+
+
+def test_cluster_safe_split_no_straddle(spark, sf_dir):
+    """Every near-dup pair shares a split; singletons match hash_split."""
+    import pyspark.sql.functions as F
+    from arcane_framework_scala_spark.functions import corpus as cx
+    from arcane_framework_scala_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_candidate_pairs(docs)
+    clusters = dd.dedup_clusters(pairs)
+    out = cx.cluster_safe_split(docs, clusters)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    prs = pairs.collect()
+    assert prs  # the corpus has near-dups by construction
+    for r in prs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
+    # unclustered docs fall back to their own id -> equals hash_split
+    plain = {r["doc_id"]: r["split"] for r in cx.hash_split(docs).collect()}
+    clustered = {r["doc_id"] for r in clusters.collect()}
+    for d, s in split_of.items():
+        if d not in clustered:
+            assert s == plain[d]
