@@ -59,6 +59,7 @@ from arcane_framework_scala_spark.functions import bloom as bloom_mod
 from arcane_framework_scala_spark.functions import pq as pq_mod
 from arcane_framework_scala_spark.functions import bpe as bpe_mod
 from arcane_framework_scala_spark.functions import projection as projection_mod
+from arcane_framework_scala_spark.functions import graph as graph_mod
 from arcane_framework_scala_spark.operators import analytics as analytics_mod
 from arcane_framework_scala_spark.plans import advisor as advisor_mod
 from arcane_framework_scala_spark.plans import profile as profile_mod
@@ -4561,6 +4562,20 @@ def q_corpus_cluster_split(spark, sf_dir):
     return cx.cluster_safe_split(docs, clusters)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Link-analysis quality scoring (the Common-Crawl-rank flavor of
+    corpus curation): fixed-point damped PageRank, 3 power iterations
+    over the near-dup candidate graph — one (edge ⋈ rank) join + one
+    destination-keyed aggregation per round, all int64 arithmetic so
+    the iterative fit hash-matches the unrolled-CTE oracle."""
+    from arcane_framework_scala_spark.functions.graph import (
+        pagerank_fixed_point,
+    )
+
+    pairs = dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+    return pagerank_fixed_point(pairs, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4693,8 +4708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pq_rerank, corpus_bpe_merges, corpus_bpe_tokens,
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
-        # a10_regression, a11_profile, corpus_cluster_split — 51
-        # never-checked: front-load 50 in r4, overflow → r5. ---
+        # a10_regression, a11_profile, corpus_cluster_split,
+        # graph_pagerank — 52 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4745,6 +4761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_regression": q_a10_regression,
         "a11_profile": q_a11_profile,
         "corpus_cluster_split": q_corpus_cluster_split,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -4973,5 +4990,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "corpus_cluster_split": cx.cluster_safe_split_sql(
             "documents",
             dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents")),
+        ),
+        "graph_pagerank": graph_mod.pagerank_sql(
+            dd.minhash_candidate_pairs_sql("documents"), iters=3
         ),
     }
