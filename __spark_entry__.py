@@ -4576,6 +4576,17 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank_fixed_point(pairs, iters=3)
 
 
+def q_corpus_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling: 4 md5-derived corpus
+    negatives per anchor, excluding the anchor and its whole near-dup
+    cluster (a near-duplicate is a FALSE negative). ×12 narrow explode,
+    broadcast cluster joins, two anchor-keyed windows — no corpus
+    self-join; same pairs on every run and engine."""
+    docs = _read(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(dd.minhash_candidate_pairs(docs))
+    return cx.contrastive_negatives(docs, clusters, k=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4709,8 +4720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
         # a10_regression, a11_profile, corpus_cluster_split,
-        # graph_pagerank — 52 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # graph_pagerank, corpus_negatives — 53 never-checked:
+        # front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4762,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_profile": q_a11_profile,
         "corpus_cluster_split": q_corpus_cluster_split,
         "graph_pagerank": q_graph_pagerank,
+        "corpus_negatives": q_corpus_negatives,
     }
 
 
@@ -4993,5 +5005,10 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         ),
         "graph_pagerank": graph_mod.pagerank_sql(
             dd.minhash_candidate_pairs_sql("documents"), iters=3
+        ),
+        "corpus_negatives": cx.contrastive_negatives_sql(
+            "documents",
+            dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents")),
+            k=4,
         ),
     }

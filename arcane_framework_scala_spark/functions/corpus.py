@@ -362,6 +362,140 @@ FROM keyed
 """.strip()
 
 
+def contrastive_negatives(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    k: int = 4,
+    oversample: int = 10,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training data:
+    for every anchor document, ``k`` pseudo-random corpus negatives —
+    md5-derived (no RNG; same pairs every run/engine), excluding the
+    anchor itself and, when ``clusters`` (``dedup.dedup_clusters``
+    output) is given, anything in the anchor's near-dup cluster (a
+    near-duplicate is a *false* negative — training on it teaches the
+    model to push duplicates apart).
+
+    Mechanics: ``oversample·k`` candidate slots per anchor, candidate
+    ``j`` = ``md5(anchor#j) mod n_docs`` (ids assumed dense 0..n-1, the
+    corpus-table contract); slots that hit the anchor/cluster or repeat
+    an earlier candidate are dropped; the first ``k`` surviving slots
+    (by slot order) are the sample. Output:
+    ``(id_col, rank, neg_id)`` — ≤ k rows per anchor (exactly k unless
+    the exclusion zone ate the oversample, which the oversample factor
+    makes vanishingly rare).
+
+    Plan: a ×(oversample·k) narrow explode, two broadcast-size hash
+    joins against the cluster map, two windows keyed on the anchor —
+    no corpus self-join anywhere."""
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    cand = (
+        df.select(F.col(id_col).alias("anchor"))
+        .join(F.broadcast(n))
+        .select(
+            "anchor",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(oversample * k - 1)),
+                    lambda j: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("anchor").cast("string"),
+                                    F.lit("#"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("__n"),
+                )
+            ).alias("j", "neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor"))
+    )
+    if clusters is not None:
+        ca = clusters.select(
+            F.col(id_col).alias("anchor"), F.col(cluster_col).alias("__ca")
+        )
+        cn = clusters.select(
+            F.col(id_col).alias("neg_id"), F.col(cluster_col).alias("__cn")
+        )
+        cand = (
+            cand.join(ca, "anchor", "left")
+            .join(cn, "neg_id", "left")
+            .filter(
+                F.col("__ca").isNull()
+                | F.col("__cn").isNull()
+                | (F.col("__ca") != F.col("__cn"))
+            )
+            .drop("__ca", "__cn")
+        )
+    wdup = Window.partitionBy("anchor", "neg_id").orderBy("j")
+    wrank = Window.partitionBy("anchor").orderBy("j")
+    return (
+        cand.withColumn("__first", F.row_number().over(wdup))
+        .filter(F.col("__first") == 1)
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select(F.col("anchor").alias(id_col), "rank", "neg_id")
+    )
+
+
+def contrastive_negatives_sql(
+    table: str,
+    clusters_sql: str | None = None,
+    k: int = 4,
+    oversample: int = 10,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> str:
+    """DuckDB oracle for :func:`contrastive_negatives`."""
+    neg = (
+        f"CAST(concat('0x', substr(md5(CAST(anchor AS VARCHAR) || '#' || "
+        f"CAST(s.j AS VARCHAR)), 1, 15)) AS BIGINT) % n.n"
+    )
+    cluster_part = ""
+    cluster_filter = ""
+    if clusters_sql is not None:
+        cluster_part = f"clusters AS MATERIALIZED ({clusters_sql}),\n"
+        cluster_filter = f"""
+  AND NOT EXISTS (
+    SELECT 1 FROM clusters ca JOIN clusters cn
+      ON ca.{cluster_col} = cn.{cluster_col}
+    WHERE ca.{id_col} = cand.anchor AND cn.{id_col} = cand.neg_id
+  )"""
+    return f"""
+WITH {cluster_part}cand AS (
+  SELECT t.{id_col} AS anchor, s.j, {neg} AS neg_id
+  FROM {table} t
+  CROSS JOIN (SELECT count(*) AS n FROM {table}) n
+  CROSS JOIN (SELECT unnest(range(0, {oversample * k})) AS j) AS s
+),
+kept AS (
+  SELECT anchor, j, neg_id FROM cand
+  WHERE neg_id != anchor{cluster_filter}
+),
+dedup AS (
+  SELECT anchor, j, neg_id,
+         row_number() OVER (PARTITION BY anchor, neg_id ORDER BY j) AS fst
+  FROM kept
+)
+SELECT anchor AS {id_col},
+       CAST(row_number() OVER (PARTITION BY anchor ORDER BY j) AS INT)
+         AS rank,
+       neg_id
+FROM dedup WHERE fst = 1
+QUALIFY rank <= {k}
+""".strip()
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 32,

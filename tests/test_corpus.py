@@ -574,3 +574,30 @@ def test_cluster_safe_split_no_straddle(spark, sf_dir):
     for d, s in split_of.items():
         if d not in clustered:
             assert s == plain[d]
+
+
+def test_contrastive_negatives_contract(spark, sf_dir):
+    """k negatives per anchor, never self, never same cluster, stable."""
+    from arcane_framework_scala_spark.functions import corpus as cx
+    from arcane_framework_scala_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = dd.dedup_clusters(dd.minhash_candidate_pairs(docs))
+    out = cx.contrastive_negatives(docs, clusters, k=4).collect()
+    cl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    by_anchor = {}
+    for r in out:
+        assert r["neg_id"] != r["doc_id"]
+        a, n = cl.get(r["doc_id"]), cl.get(r["neg_id"])
+        assert a is None or n is None or a != n  # never a false negative
+        by_anchor.setdefault(r["doc_id"], []).append(r)
+    n_docs = docs.count()
+    assert len(by_anchor) == n_docs
+    for rows in by_anchor.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+        assert len({r["neg_id"] for r in rows}) == 4  # no duplicate negs
+    # determinism: a second run returns the identical pair set
+    again = cx.contrastive_negatives(docs, clusters, k=4).collect()
+    assert {(r["doc_id"], r["rank"], r["neg_id"]) for r in out} == {
+        (r["doc_id"], r["rank"], r["neg_id"]) for r in again
+    }
