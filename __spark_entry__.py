@@ -4587,6 +4587,79 @@ def q_corpus_negatives(spark, sf_dir):
     return cx.contrastive_negatives(docs, clusters, k=4)
 
 
+def q_t_stream_static_join(spark, sf_dir):
+    """Stream-static dimension enrichment: the events file stream (two
+    staged micro-batches) joins the static customer dimension —
+    stateless in Structured Streaming (the static side broadcasts per
+    micro-batch, no state store) — then a running per-segment aggregate
+    in complete mode. Oracle = the batch join + group."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_ssj2_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    mtime = 1_000_000_000
+    for i in range(2):
+        sub = os.path.join(stage_dir, f"b{i}")
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(stage_dir, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+    dim = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, vm long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage_dir}/*.parquet")
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vm").alias("value_micro"),
+        )
+    )
+    sink = f"ssj2_sink_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if q.lastProgress is None or q.lastProgress["batchId"] < 1:
+        raise AssertionError("expected 2 streaming micro-batches")
+    return spark.table(sink)
+
+
+_T_STREAM_STATIC_SQL = """
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micro
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4720,8 +4793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
         # a10_regression, a11_profile, corpus_cluster_split,
-        # graph_pagerank, corpus_negatives — 53 never-checked:
-        # front-load 50 in r4, overflow → r5. ---
+        # graph_pagerank, corpus_negatives, t_stream_static_join — 54
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4774,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cluster_split": q_corpus_cluster_split,
         "graph_pagerank": q_graph_pagerank,
         "corpus_negatives": q_corpus_negatives,
+        "t_stream_static_join": q_t_stream_static_join,
     }
 
 
@@ -5011,4 +5085,5 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents")),
             k=4,
         ),
+        "t_stream_static_join": _T_STREAM_STATIC_SQL,
     }
