@@ -4660,6 +4660,20 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_corpus_bpe_pack(spark, sf_dir):
+    """Tokenizer-true packing capstone: BPE-trained token budgets (the
+    corpus_bpe_tokens counts, 5 merges) drive the md5-sharded sequence
+    packer — the composition a real pre-training pipeline runs
+    (tokenize → lay documents end-to-end → cut seq_len windows), all
+    exact-oracle."""
+    from arcane_framework_scala_spark.functions.bpe import bpe_token_counts
+
+    counts = bpe_token_counts(
+        _read(spark, sf_dir, "documents"), merges=5
+    ).withColumn("chunk_id", F.lit(0))
+    return cx.pack_sequences_md5(counts, seq_len=64, shards=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4793,8 +4807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_stream_stream_join, w4_time_travel, w5_change_feed,
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
         # a10_regression, a11_profile, corpus_cluster_split,
-        # graph_pagerank, corpus_negatives, t_stream_static_join — 54
-        # never-checked: front-load 50 in r4, overflow → r5. ---
+        # graph_pagerank, corpus_negatives, t_stream_static_join,
+        # corpus_bpe_pack — 55 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4848,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "corpus_negatives": q_corpus_negatives,
         "t_stream_static_join": q_t_stream_static_join,
+        "corpus_bpe_pack": q_corpus_bpe_pack,
     }
 
 
@@ -5086,4 +5102,11 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             k=4,
         ),
         "t_stream_static_join": _T_STREAM_STATIC_SQL,
+        "corpus_bpe_pack": cx.pack_sequences_md5_sql(
+            "SELECT doc_id, 0 AS chunk_id, n_tokens FROM ("
+            + bpe_mod.bpe_token_counts_sql("documents", merges=5)
+            + ")",
+            seq_len=64,
+            shards=16,
+        ),
     }
