@@ -4674,6 +4674,15 @@ def q_corpus_bpe_pack(spark, sf_dir):
     return cx.pack_sequences_md5(counts, seq_len=64, shards=16)
 
 
+def q_dedup_minhash_quality(spark, sf_dir):
+    """Sketch-accuracy diagnostic: per exact-Jaccard decile over the LSH
+    candidates, the MinHash estimate's integer error statistics — the
+    num_hashes tuning signal (E[|err|] ≈ 1/√16 = 0.25 here, visible in
+    sum_abs_err_ppm/n). All-integer sums so truncating-vs-floor
+    division can never diverge between engines."""
+    return dd.minhash_estimate_quality(_read(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4808,8 +4817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
         # a10_regression, a11_profile, corpus_cluster_split,
         # graph_pagerank, corpus_negatives, t_stream_static_join,
-        # corpus_bpe_pack — 55 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # corpus_bpe_pack, dedup_minhash_quality — 56 never-checked:
+        # front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4864,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_negatives": q_corpus_negatives,
         "t_stream_static_join": q_t_stream_static_join,
         "corpus_bpe_pack": q_corpus_bpe_pack,
+        "dedup_minhash_quality": q_dedup_minhash_quality,
     }
 
 
@@ -5102,6 +5112,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             k=4,
         ),
         "t_stream_static_join": _T_STREAM_STATIC_SQL,
+        "dedup_minhash_quality": dd.minhash_estimate_quality_sql("documents"),
         "corpus_bpe_pack": cx.pack_sequences_md5_sql(
             "SELECT doc_id, 0 AS chunk_id, n_tokens FROM ("
             + bpe_mod.bpe_token_counts_sql("documents", merges=5)

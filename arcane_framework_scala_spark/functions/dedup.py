@@ -887,3 +887,150 @@ def minhash_candidate_pairs_indexed(
         .select(l.alias("id_a"), r.alias("id_b"))
     )
     return cross.unionAll(within).distinct()
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality (tuning diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """How good is the MinHash sketch? Per exact-Jaccard decile over the
+    LSH candidate pairs: pair count and the signature estimate's error
+    statistics — ``(bucket, n_pairs, sum_err_ppm, sum_abs_err_ppm,
+    max_abs_err_ppm)`` where ``est_ppm = matches·1e6 div num_hashes``
+    and ``exact_ppm = |∩|·1e6 div |∪|``. The knob-tuning companion to
+    ``sim_pair_dist_stats``: it tells you whether ``num_hashes`` is
+    enough for the threshold you filter at (E[|err|] ~ 1/√num_hashes ≈
+    0.25 at 16 hashes — visible directly in ``sum_abs_err_ppm/n``).
+
+    Every statistic is an integer SUM (no division of possibly-negative
+    totals — Spark's ``div`` truncates while DuckDB's ``//`` floors, so
+    signed means are left to the reader). Plan: the candidate pairs +
+    two hash joins against the signature table (16-int rows) + two
+    joins against shingle sets for the exact intersection — all keyed
+    on doc ids, bounded by |candidates|.
+    """
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        matches = t if matches is None else matches + t
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", matches.alias("m")
+    ).select(
+        "id_a", "id_b",
+        F.expr(f"(1000000 * m) div {num_hashes}").alias("est_ppm"),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(text_col, shingle_k)).alias("sh"),
+    )
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ea = exploded.select(F.col("id").alias("id_a"), "sh")
+    eb = exploded.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("za"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("zb"))
+    per = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "est_ppm",
+            F.expr(
+                "(1000000 * coalesce(i, 0)) div (za + zb - coalesce(i, 0))"
+            ).alias("exact_ppm"),
+        )
+        .withColumn("err", F.col("est_ppm") - F.col("exact_ppm"))
+    )
+    return (
+        per.groupBy(F.expr("exact_ppm div 100000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("err").alias("sum_err_ppm"),
+            F.sum(F.abs(F.col("err"))).alias("sum_abs_err_ppm"),
+            F.max(F.abs(F.col("err"))).alias("max_abs_err_ppm"),
+        )
+    )
+
+
+def minhash_estimate_quality_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`minhash_estimate_quality`."""
+    sh = _char_shingles_sql(text_col, shingle_k)
+    m = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  {minhash_candidate_pairs_sql(table, text_col, id_col, num_hashes, bands, shingle_k)}
+),
+sig AS MATERIALIZED (
+  {minhash_signature_sql(table, text_col, id_col, num_hashes, shingle_k)}
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         (1000000 * ({m})) // {num_hashes} AS est_ppm
+  FROM pairs p
+  JOIN sig sa ON sa.{id_col} = p.id_a
+  JOIN sig sb ON sb.{id_col} = p.id_b
+),
+exploded AS (
+  SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+),
+sizes AS (SELECT id, count(*) AS sz FROM exploded GROUP BY id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN exploded a ON a.id = p.id_a
+  JOIN exploded b ON b.id = p.id_b AND b.sh = a.sh
+  GROUP BY p.id_a, p.id_b
+),
+per AS (
+  SELECT e.est_ppm,
+         (1000000 * coalesce(i.i, 0)) // (za.sz + zb.sz - coalesce(i.i, 0))
+           AS exact_ppm
+  FROM est e
+  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+  JOIN sizes za ON za.id = e.id_a
+  JOIN sizes zb ON zb.id = e.id_b
+)
+SELECT exact_ppm // 100000 AS bucket,
+       count(*) AS n_pairs,
+       CAST(sum(est_ppm - exact_ppm) AS BIGINT) AS sum_err_ppm,
+       CAST(sum(abs(est_ppm - exact_ppm)) AS BIGINT) AS sum_abs_err_ppm,
+       CAST(max(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+FROM per
+GROUP BY bucket
+""".strip()
