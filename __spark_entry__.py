@@ -4683,6 +4683,111 @@ def q_dedup_minhash_quality(spark, sf_dir):
     return dd.minhash_estimate_quality(_read(spark, sf_dir, "documents"))
 
 
+def q_x5_retention_report(spark, sf_dir):
+    """Retention dry-run: three CT merges commit snapshots v=1..3; the
+    report lists every snapshot's row count and the action a
+    keep_last=1 expiry WOULD take — then actually expires and asserts
+    only the newest snapshot remains readable (the X2 + time-travel
+    interplay as one auditable gate)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        expire_snapshots,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    cuts = [(mx * 2) // 10, (mx * 4) // 10, (mx * 6) // 10]
+    batch = ev.filter(F.col("event_id") <= cuts[2]).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="arcane_x5_run_")
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    lo = None
+    for hi in cuts:
+        pred = F.col("SYS_CHANGE_VERSION") <= hi
+        if lo is not None:
+            pred = pred & (F.col("SYS_CHANGE_VERSION") > lo)
+        target.merge(batch.filter(pred), SQL_SERVER_CHANGE_TRACKING)
+        lo = hi
+    versions = target.versions()
+    assert versions == [1, 2, 3], versions
+    parts = []
+    for v in versions:
+        action = "keep" if v == versions[-1] else "expire"
+        parts.append(
+            target.read_version(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(action).alias("action"),
+            )
+        )
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    report = report.localCheckpoint(eager=True)  # pin before expiry
+    expire_snapshots(target, keep_last=1)
+    assert target.versions() == [3], target.versions()
+    return report
+
+
+_X5_SQL = f"""
+WITH b AS (
+  SELECT max(event_id) * 2 // 10 AS t1,
+         max(event_id) * 4 // 10 AS t2,
+         max(event_id) * 6 // 10 AS t3
+  FROM events
+),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         CASE WHEN event_id <= b.t1 THEN 1
+              WHEN event_id <= b.t2 THEN 2
+              ELSE 3 END AS batch
+  FROM events, b WHERE event_id <= b.t3
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k, batch ORDER BY ver DESC) AS rk
+  FROM src
+),
+b1 AS (SELECT * FROM ranked WHERE batch = 1 AND rk = 1),
+b2 AS (SELECT * FROM ranked WHERE batch = 2 AND rk = 1),
+b3 AS (SELECT * FROM ranked WHERE batch = 3 AND rk = 1),
+s1 AS (SELECT k FROM b1 WHERE NOT del),
+s2 AS (
+  SELECT coalesce(b2.k, b1.k) AS k
+  FROM b1 FULL JOIN b2 ON b1.k = b2.k
+  WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
+),
+m12 AS (
+  SELECT coalesce(b2.k, b1.k) AS k,
+         CASE WHEN b2.k IS NOT NULL THEN b2.del ELSE b1.del END AS del
+  FROM b1 FULL JOIN b2 ON b1.k = b2.k
+),
+s3 AS (
+  SELECT coalesce(b3.k, m12.k) AS k
+  FROM m12 FULL JOIN b3 ON m12.k = b3.k
+  WHERE CASE WHEN b3.k IS NOT NULL THEN NOT b3.del ELSE NOT m12.del END
+)
+SELECT 1 AS version, (SELECT count(*) FROM s1) AS n_rows, 'expire' AS action
+UNION ALL
+SELECT 2, (SELECT count(*) FROM s2), 'expire'
+UNION ALL
+SELECT 3, (SELECT count(*) FROM s3), 'keep'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4817,8 +4922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
         # a10_regression, a11_profile, corpus_cluster_split,
         # graph_pagerank, corpus_negatives, t_stream_static_join,
-        # corpus_bpe_pack, dedup_minhash_quality — 56 never-checked:
-        # front-load 50 in r4, overflow → r5. ---
+        # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report —
+        # 57 never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4874,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stream_static_join": q_t_stream_static_join,
         "corpus_bpe_pack": q_corpus_bpe_pack,
         "dedup_minhash_quality": q_dedup_minhash_quality,
+        "x5_retention_report": q_x5_retention_report,
     }
 
 
@@ -5113,6 +5219,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         ),
         "t_stream_static_join": _T_STREAM_STATIC_SQL,
         "dedup_minhash_quality": dd.minhash_estimate_quality_sql("documents"),
+        "x5_retention_report": _X5_SQL,
         "corpus_bpe_pack": cx.pack_sequences_md5_sql(
             "SELECT doc_id, 0 AS chunk_id, n_tokens FROM ("
             + bpe_mod.bpe_token_counts_sql("documents", merges=5)
