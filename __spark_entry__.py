@@ -4788,6 +4788,21 @@ SELECT 3, (SELECT count(*) FROM s3), 'keep'
 """
 
 
+def q_sim_pq_recall(spark, sf_dir):
+    """Measured PQ accuracy as a GATE (the sim_ivf_recall methodology
+    applied to ADC): per-query recall@10 of the 4-byte-code search vs
+    exact brute force, in integer ppm — an index whose recall is
+    unmeasured is a guess, not an operator."""
+    from arcane_framework_scala_spark.functions.pq import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.recall_at_k(
+        pq_topk(emb, _COSINE_QUERY_IDS, k=10),
+        sim.brute_force_topk(emb, _COSINE_QUERY_IDS, k=10),
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4922,8 +4937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q4ish, tpch_q22ish, sim_jl_project, sim_ivfpq_topk,
         # a10_regression, a11_profile, corpus_cluster_split,
         # graph_pagerank, corpus_negatives, t_stream_static_join,
-        # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report —
-        # 57 never-checked: front-load 50 in r4, overflow → r5. ---
+        # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
+        # sim_pq_recall — 58 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4980,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_pack": q_corpus_bpe_pack,
         "dedup_minhash_quality": q_dedup_minhash_quality,
         "x5_retention_report": q_x5_retention_report,
+        "sim_pq_recall": q_sim_pq_recall,
     }
 
 
@@ -5220,6 +5237,13 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_static_join": _T_STREAM_STATIC_SQL,
         "dedup_minhash_quality": dd.minhash_estimate_quality_sql("documents"),
         "x5_retention_report": _X5_SQL,
+        "sim_pq_recall": sim.recall_at_k_sql(
+            pq_mod.pq_topk_sql(
+                "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
+            ),
+            sim.brute_force_topk_sql("embeddings", _COSINE_QUERY_IDS, k=10),
+            k=10,
+        ),
         "corpus_bpe_pack": cx.pack_sequences_md5_sql(
             "SELECT doc_id, 0 AS chunk_id, n_tokens FROM ("
             + bpe_mod.bpe_token_counts_sql("documents", merges=5)
