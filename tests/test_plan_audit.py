@@ -302,3 +302,33 @@ def test_m8_capstone_plan_stays_materialized(spark, queries):
     assert a.scans <= 6, a.plan
     assert a.exchanges <= 18, a.plan
     assert a.cartesian_products == 0 and a.python_nodes == 0, a.plan
+
+
+def test_r3_continuation_plan_shapes(spark, queries):
+    """This round's additions: JL projection is a zero-shuffle codegen
+    projection; the Bloom probe's corpus path is 3 broadcast joins and
+    exactly ONE wide exchange (the per-doc agg) after the bit-set
+    checkpoint; ROLLUP is a single-pass aggregation (2 exchanges:
+    partial->final, never a 3-scan union); the rolling RANGE window is
+    one exchange; PQ search ends in a WindowGroupLimit (top-k pushdown
+    prunes per-partition BEFORE the query-keyed exchange)."""
+    a = audit_plan(queries["sim_jl_project"](spark, SF_DIR))
+    assert a.exchanges == 0 and a.python_nodes == 0, a.plan
+
+    a = audit_plan(queries["dedup_bloom_probe"](spark, SF_DIR))
+    assert a.broadcast_joins == 3, a.plan
+    assert a.exchanges <= 1, a.plan
+
+    a = audit_plan(queries["t_grouping_sets"](spark, SF_DIR))
+    assert a.scans == 1, a.plan
+    assert a.exchanges <= 2, a.plan
+
+    a = audit_plan(queries["t_moving_avg"](spark, SF_DIR))
+    assert a.exchanges == 1, a.plan
+
+    a = audit_plan(queries["sim_pq_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in a.plan, a.plan
+    assert a.cartesian_products == 0, a.plan
+
+    a = audit_plan(queries["a9_partition_advisor"](spark, SF_DIR))
+    assert a.scans == 1 and a.exchanges <= 1, a.plan
