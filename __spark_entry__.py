@@ -4803,6 +4803,24 @@ def q_sim_pq_recall(spark, sf_dir):
     )
 
 
+def q_dedup_canonical_best(spark, sf_dir):
+    """Quality-priority canonicalization: each near-dup cluster keeps
+    its HIGHEST-LM-quality member (lowest unigram surprisal, ties →
+    lowest id) instead of the arbitrary min-id survivor — keep the
+    clean copy, drop the boilerplate one. Score = fixed-point negated
+    surprisal so the winner comparison is integer-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(docs)
+    score = lm_mod.unigram_logprob(docs).select(
+        "doc_id",
+        F.floor(-F.col("avg_neg_logprob") * 1_000_000)
+        .cast("long")
+        .alias("score"),
+    )
+    out = dd.dedup_canonical_best(docs, pairs, score)
+    return out.select("doc_id", F.md5("text").alias("digest"), "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4938,8 +4956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a10_regression, a11_profile, corpus_cluster_split,
         # graph_pagerank, corpus_negatives, t_stream_static_join,
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
-        # sim_pq_recall — 58 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # sim_pq_recall, dedup_canonical_best — 59 never-checked:
+        # front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -4997,6 +5015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_quality": q_dedup_minhash_quality,
         "x5_retention_report": q_x5_retention_report,
         "sim_pq_recall": q_sim_pq_recall,
+        "dedup_canonical_best": q_dedup_canonical_best,
     }
 
 
@@ -5237,6 +5256,18 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_static_join": _T_STREAM_STATIC_SQL,
         "dedup_minhash_quality": dd.minhash_estimate_quality_sql("documents"),
         "x5_retention_report": _X5_SQL,
+        "dedup_canonical_best": (
+            "SELECT doc_id, md5(text) AS digest, source FROM ("
+            + dd.dedup_canonical_best_sql(
+                "documents",
+                dd.minhash_candidate_pairs_sql("documents"),
+                "SELECT doc_id, CAST(floor(-avg_neg_logprob * 1000000) "
+                "AS BIGINT) AS score FROM ("
+                + lm_mod.unigram_logprob_sql("documents")
+                + ")",
+            )
+            + ")"
+        ),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2

@@ -1034,3 +1034,69 @@ SELECT exact_ppm // 100000 AS bucket,
 FROM per
 GROUP BY bucket
 """.strip()
+
+
+def dedup_canonical_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-priority canonicalization: within each near-dup cluster
+    keep the member with the HIGHEST ``score`` (ties → lowest id)
+    instead of :func:`dedup_canonical`'s arbitrary min-id survivor —
+    when duplicates differ in extraction quality, this is the variant a
+    curation pipeline actually wants (keep the clean copy, drop the
+    boilerplate-ridden one).
+
+    ``score`` is ``(id_col, score_col)`` — any integer/exact-comparable
+    quality signal (``corpus_lm_score`` surprisal negated, Gopher-rule
+    pass counts, PageRank micro units…).
+
+    Plan: clusters label only paired docs; one join to scores, one
+    ``max_by`` hash aggregation per cluster picks the survivor, one
+    LEFT ANTI against the loser list — every key uniform, drop side
+    small in the common case (same shape as :func:`dedup_canonical`).
+    """
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    scored = clusters.join(
+        score.select(F.col(id_col).alias("doc_id"), score_col), "doc_id"
+    )
+    winner = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col(score_col), (-F.col("doc_id")).alias("nid")),
+        ).alias("keep_id")
+    )
+    drop = (
+        clusters.join(winner, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def dedup_canonical_best_sql(
+    table: str,
+    pairs_sql: str,
+    score_sql: str,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> str:
+    """Oracle: winner-per-cluster via the exact closure + a window."""
+    return f"""
+WITH clusters AS MATERIALIZED ({dedup_clusters_sql(pairs_sql)}),
+score AS MATERIALIZED ({score_sql}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.{score_col} DESC, c.doc_id) AS rk
+  FROM clusters c JOIN score s ON s.{id_col} = c.doc_id
+),
+drop AS (SELECT doc_id FROM ranked WHERE rk > 1)
+SELECT t.* FROM {table} t
+WHERE NOT EXISTS (SELECT 1 FROM drop d WHERE d.doc_id = t.{id_col})
+""".strip()

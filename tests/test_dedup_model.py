@@ -150,3 +150,30 @@ def test_dedup_clusters_star_matches_union_find(spark, edges):
         for r in dedup_clusters_star(pairs).collect()
     }
     assert got == _uf_components(edges)
+
+
+def test_canonical_best_keeps_highest_score(spark):
+    """Hand-computed: the cluster survivor is the max-score member
+    (ties -> lowest id); unpaired docs always survive."""
+    import pyspark.sql.functions as F
+    from arcane_framework_scala_spark.functions.dedup import (
+        dedup_canonical_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    score = spark.createDataFrame(
+        [(0, 5), (1, 9), (2, 9), (3, 1), (4, 1), (5, 0)],
+        "doc_id long, score long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_canonical_best(docs, pairs, score).collect()
+    )
+    # cluster {0,1,2}: max score 9 tied by 1 and 2 -> keep 1
+    # cluster {3,4}: tie at 1 -> keep 3; doc 5 unpaired -> kept
+    assert kept == [1, 3, 5]
