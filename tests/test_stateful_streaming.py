@@ -102,3 +102,60 @@ def test_stream_exact_dedup_suppresses_within_horizon(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r["k"] for r in spark.table("sdd1").collect()) == [1, 2, 3]
+
+
+def test_stream_exact_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The documented 100 TB path (docs/SCALE.md "Streaming"): the same
+    bounded-state dedup with the RocksDB state-store provider actually
+    configured — proves the scale configuration runs, not just reads
+    well. Results must equal the default (HDFS-backed) provider's."""
+    import os
+
+    from arcane_framework_scala_spark.streaming.stateful import (
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 102), (3, 104), (3, 105)],
+        "k long, sts long",
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("k long, sts long")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = stream_exact_dedup(
+            stream.withColumn("tsc", F.timestamp_seconds("sts")),
+            subset=["k"],
+            event_time_col="tsc",
+            delay="10 minutes",
+        ).select("k")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdd_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
+    assert sorted(r["k"] for r in spark.table("sdd_rocks").collect()) == [
+        1, 2, 3,
+    ]
