@@ -4821,6 +4821,106 @@ def q_dedup_canonical_best(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("digest"), "source")
 
 
+def q_a12_histogram(spark, sf_dir):
+    """Equi-width histogram (the width_bucket reporting shape): 20
+    buckets over lineitem extendedprice with broadcast min/max bounds —
+    integer bucket arithmetic on micro units, one stats row + one
+    aggregation. The generic-numeric complement to the pow2
+    corpus_length_histogram."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 1_000_000).cast("long").alias("vm")
+    )
+    stats = li.agg(F.min("vm").alias("lo"), F.max("vm").alias("hi"))
+    n = 20
+    return (
+        li.join(F.broadcast(stats))
+        .select(
+            F.expr(
+                f"least({n - 1}, ((vm - lo) * {n}) div "
+                "greatest(hi - lo + 1, 1))"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_A12_SQL = """
+WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS vm
+  FROM lineitem
+),
+s AS (SELECT min(vm) AS lo, max(vm) AS hi FROM v)
+SELECT least(19, ((vm - lo) * 20) // greatest(hi - lo + 1, 1)) AS bucket,
+       count(*) AS n_rows
+FROM v, s
+GROUP BY bucket
+"""
+
+
+def q_t_nearest_join(spark, sf_dir):
+    """Nearest-match temporal join (pandas merge_asof
+    direction='nearest'): every view paired with its temporally closest
+    purchase per user within ±1 h — two as-of passes (backward, and
+    forward via negated timestamps) over the union-and-window machinery
+    plus a codegen picker; never a range theta-join. Ties go to the
+    earlier purchase."""
+    from arcane_framework_scala_spark.operators.temporal_join import (
+        nearest_join,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000000000").alias("sec"),
+    )
+
+    def side(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id", "sec")
+            .agg(F.min("event_id").alias("event_id"))
+        )
+
+    left = side("view")
+    right = side("purchase").withColumnRenamed("event_id", "p_id")
+    out = nearest_join(
+        left, right, key_col="user_id", ts_col="sec",
+        right_value_cols=["p_id"], tolerance=3600,
+    )
+    return out.select(
+        "user_id", "sec", "event_id",
+        F.coalesce("p_id_near", F.lit(-1)).alias("p_id_near"),
+        F.coalesce("__near_gap", F.lit(0)).alias("near_gap"),
+    )
+
+
+def _t_nearest_sql() -> str:
+    from arcane_framework_scala_spark.operators.temporal_join import (
+        nearest_join_sql,
+    )
+
+    def side(t, idc):
+        return (
+            f"SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, "
+            f"min(event_id) AS {idc} FROM events "
+            f"WHERE event_type = '{t}' GROUP BY user_id, sec"
+        )
+
+    inner = nearest_join_sql(
+        side("view", "event_id"),
+        side("purchase", "p_id"),
+        key_col="user_id",
+        ts_col="sec",
+        right_value_cols=["p_id"],
+        tolerance=3600,
+    )
+    return (
+        "SELECT user_id, sec, event_id, "
+        "coalesce(p_id_near, -1) AS p_id_near, "
+        "coalesce(__near_gap, 0) AS near_gap FROM (" + inner + ")"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4956,8 +5056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a10_regression, a11_profile, corpus_cluster_split,
         # graph_pagerank, corpus_negatives, t_stream_static_join,
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
-        # sim_pq_recall, dedup_canonical_best — 59 never-checked:
-        # front-load 50 in r4, overflow → r5. ---
+        # sim_pq_recall, dedup_canonical_best, a12_histogram,
+        # t_nearest_join — 61 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5016,6 +5117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_retention_report": q_x5_retention_report,
         "sim_pq_recall": q_sim_pq_recall,
         "dedup_canonical_best": q_dedup_canonical_best,
+        "a12_histogram": q_a12_histogram,
+        "t_nearest_join": q_t_nearest_join,
     }
 
 
@@ -5268,6 +5371,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             )
             + ")"
         ),
+        "a12_histogram": _A12_SQL,
+        "t_nearest_join": _t_nearest_sql(),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2

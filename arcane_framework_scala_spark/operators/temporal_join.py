@@ -152,3 +152,103 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """Nearest-match temporal join (pandas ``merge_asof
+    direction='nearest'``): every left row + the right row with the
+    smallest absolute timestamp distance per key — ties go to the
+    EARLIER right row; ``tolerance`` (same units as ``ts_col``) drops
+    matches farther than the cap.
+
+    Implemented as two as-of passes over the same union-and-window
+    machinery — backward as-is, forward on negated timestamps (latest
+    ``-ts_r ≤ -ts_l`` ⇔ earliest ``ts_r ≥ ts_l``) — then a codegen
+    picker. Two key shuffles total, still no range theta-join for the
+    optimizer to degrade. ``right`` must be unique on (key, ts), like
+    :func:`asof_join`.
+
+    Output: the left columns + ``<c><suffix>`` for each right value
+    column + ``__near_gap`` (signed ``ts_r - ts_l``; null when no match
+    within tolerance)."""
+    if right_value_cols is None:
+        right_value_cols = [
+            c for c in right.columns if c not in (key_col, ts_col)
+        ]
+    rts = right.withColumn("__rts", F.col(ts_col))
+    vals = right_value_cols + ["__rts"]
+    bwd = asof_join(left, rts, key_col, ts_col, vals, suffix="__b")
+    neg_l = bwd.withColumn(ts_col, -F.col(ts_col))
+    neg_r = rts.withColumn(ts_col, -F.col(ts_col)).withColumn(
+        "__rts", -F.col("__rts")
+    )
+    both = asof_join(neg_l, neg_r, key_col, ts_col, vals, suffix="__f")
+    both = both.withColumn(ts_col, -F.col(ts_col)).withColumn(
+        "__rts__f", -F.col("__rts__f")
+    )
+    gb = F.col(ts_col) - F.col("__rts__b")   # ≥ 0 when backward exists
+    gf = F.col("__rts__f") - F.col(ts_col)   # ≥ 0 when forward exists
+    use_b = F.col("__rts__b").isNotNull() & (
+        F.col("__rts__f").isNull() | (gb <= gf)
+    )
+    if tolerance is not None:
+        in_b = use_b & (gb <= tolerance)
+        in_f = ~use_b & F.col("__rts__f").isNotNull() & (gf <= tolerance)
+    else:
+        in_b = use_b
+        in_f = ~use_b & F.col("__rts__f").isNotNull()
+    out_cols = [c for c in left.columns]
+    sel = [F.col(c) for c in out_cols]
+    for c in right_value_cols:
+        sel.append(
+            F.when(in_b, F.col(f"{c}__b"))
+            .when(in_f, F.col(f"{c}__f"))
+            .alias(f"{c}{suffix}")
+        )
+    sel.append(
+        F.when(in_b, -gb).when(in_f, gf).alias("__near_gap")
+    )
+    return both.select(*sel)
+
+
+def nearest_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    tolerance: int,
+    suffix: str = "_near",
+) -> str:
+    """DuckDB oracle: bounded-candidate argmin (|gap| ≤ tolerance),
+    ties to the earlier right timestamp, left join for no-match rows."""
+    vals = ", ".join(f"r.{c} AS {c}{suffix}" for c in right_value_cols)
+    outer_vals = ", ".join(
+        f"m.{c}{suffix}" for c in right_value_cols
+    )
+    return f"""
+WITH l AS ({left_sql}),
+r AS ({right_sql}),
+cand AS (
+  SELECT l.*, {vals},
+         r.{ts_col} - l.{ts_col} AS __near_gap,
+         row_number() OVER (
+           PARTITION BY l.{key_col}, l.{ts_col}
+           ORDER BY abs(r.{ts_col} - l.{ts_col}), r.{ts_col}
+         ) AS __rk
+  FROM l JOIN r ON l.{key_col} = r.{key_col}
+   AND abs(r.{ts_col} - l.{ts_col}) <= {tolerance}
+),
+m AS (SELECT * FROM cand WHERE __rk = 1)
+SELECT l.*, {outer_vals}, m.__near_gap
+FROM l LEFT JOIN m
+  ON l.{key_col} = m.{key_col} AND l.{ts_col} = m.{ts_col}
+""".strip()

@@ -138,3 +138,33 @@ def test_asof_join_matches_model(spark, lefts, rights):
             prior_sentinel = (k == 99 and ts >= -1)
             assert not prior_sentinel
         assert got[i] == expect, (i, k, ts, got[i], expect, rrows)
+
+
+def test_nearest_join_hand_computed(spark):
+    """Nearest semantics: closest |gap| wins, ties -> earlier right,
+    tolerance drops far matches, no-match rows survive with nulls."""
+    from arcane_framework_scala_spark.operators.temporal_join import (
+        nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 300), (2, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 110, "b"), (1, 205, "c")],
+        "k long, ts long, v string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["v_near"], r["__near_gap"])
+        for r in nearest_join(
+            left, right, "k", "ts", ["v"], tolerance=50
+        ).collect()
+    }
+    # ts=100: candidates 90 (gap -10) and 110 (gap +10) -> tie -> earlier (90)
+    assert out[(1, 100)] == ("a", -10)
+    # ts=200: 205 at +5 beats 110 at -90
+    assert out[(1, 200)] == ("c", 5)
+    # ts=300: nearest is 205 at -95 -> beyond tolerance 50 -> null
+    assert out[(1, 300)] == (None, None)
+    # key 2 has no right rows at all
+    assert out[(2, 50)] == (None, None)
