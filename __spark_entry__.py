@@ -4921,6 +4921,57 @@ def _t_nearest_sql() -> str:
     )
 
 
+def q_p12_zorder_layout_report(spark, sf_dir):
+    """Layout effectiveness report: lineitem assigned to 8 z-ordered
+    'files' (equi-width cuts of the interleaved key, broadcast bounds —
+    deterministic, unlike sampled range partitioning) and each file's
+    min/max span of BOTH key columns reported. This is the min/max
+    pruning statistic a ZORDER rewrite buys: every file covers a tight
+    rectangle in (orderkey × partkey), where a single-column sort
+    leaves the other column's span at ~full range (the p11 key made
+    executable as a layout audit)."""
+    from arcane_framework_scala_spark.functions.layout import zorder_key
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+    stats = z.agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+    return (
+        z.join(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr(
+                "least(7, ((zkey - lo) * 8) div greatest(hi - lo + 1, 1))"
+            ).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("ok_min"),
+            F.max("l_orderkey").alias("ok_max"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+        )
+    )
+
+
+def _p12_sql() -> str:
+    zk = layout_mod.zorder_key_sql(
+        "lineitem", ["l_orderkey", "l_partkey"], bits=8,
+        select_cols=["l_orderkey", "l_partkey"],
+    )
+    return f"""
+WITH z AS ({zk}),
+s AS (SELECT min(zkey) AS lo, max(zkey) AS hi FROM z)
+SELECT least(7, ((zkey - lo) * 8) // greatest(hi - lo + 1, 1)) AS file_id,
+       count(*) AS n_rows,
+       min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+FROM z, s
+GROUP BY file_id
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5057,8 +5108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_pagerank, corpus_negatives, t_stream_static_join,
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
-        # t_nearest_join — 61 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # t_nearest_join, p12_zorder_layout_report — 62 never-checked:
+        # front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5119,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_best": q_dedup_canonical_best,
         "a12_histogram": q_a12_histogram,
         "t_nearest_join": q_t_nearest_join,
+        "p12_zorder_layout_report": q_p12_zorder_layout_report,
     }
 
 
@@ -5373,6 +5425,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         ),
         "a12_histogram": _A12_SQL,
         "t_nearest_join": _t_nearest_sql(),
+        "p12_zorder_layout_report": _p12_sql(),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2

@@ -159,3 +159,67 @@ def test_stream_exact_dedup_on_rocksdb_state_store(spark, tmp_path):
     assert sorted(r["k"] for r in spark.table("sdd_rocks").collect()) == [
         1, 2, 3,
     ]
+
+
+def test_watermark_drop_metric_observable(spark, tmp_path):
+    """The state-operator progress metrics expose late-row drops: two
+    sequential files, the second entirely behind the closed watermark;
+    Spark's numRowsDroppedByWatermark must count it (the T12-flavor
+    observability a production stream alerts on)."""
+    import json
+    import os
+    import time
+
+    src = str(tmp_path / "wmsrc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10_000), (2, 10_060)], "k long, sts long"
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    for f in os.listdir(f"{src}/b0"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b0/{f}", f"{src}/00.parquet")
+    # the new watermark applies with one batch of lag (cf. the
+    # t_stream_late_data gate), so an intermediate batch locks it in
+    # before the late row arrives two batches behind
+    spark.createDataFrame(
+        [(9, 10_070)], "k long, sts long"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    for f in os.listdir(f"{src}/b1"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b1/{f}", f"{src}/01.parquet")
+    spark.createDataFrame(
+        [(3, 100)], "k long, sts long"  # far behind the watermark
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    for f in os.listdir(f"{src}/b2"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b2/{f}", f"{src}/02.parquet")
+    t0 = 1_000_000_000
+    os.utime(f"{src}/00.parquet", (t0, t0))
+    os.utime(f"{src}/01.parquet", (t0 + 1000, t0 + 1000))
+    os.utime(f"{src}/02.parquet", (t0 + 2000, t0 + 2000))
+
+    stream = (
+        spark.readStream.schema("k long, sts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    agg = (
+        stream.withColumn("tsc", F.timestamp_seconds("sts"))
+        .withWatermark("tsc", "10 seconds")
+        .groupBy(F.window("tsc", "30 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_drop_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, [json.dumps(p) for p in q.recentProgress]
