@@ -4972,6 +4972,82 @@ GROUP BY file_id
 """.strip()
 
 
+def q_mm_scene_cuts(spark, sf_dir):
+    """Frame features → temporal segmentation: sampled frame digests
+    yield a deterministic per-frame 'brightness' (leading digest byte);
+    a scene cut is a jump of more than 64 levels; scenes are the
+    gaps-and-islands cumulative sum. Everything after the Arrow
+    mapInPandas frame sampler is relational window algebra — the
+    Spark-side shape of shot-boundary detection, with the decode
+    stubbed exactly like the rest of the mm family."""
+    from arcane_framework_scala_spark.multimodal import frame_sample
+
+    frames = frame_sample(
+        _media_docs(spark, sf_dir), every_n_bytes=1024, max_frames=8,
+        id_col="doc_id",
+    )
+    bright = F.conv(F.substring("frame_digest", 1, 2), 16, 10).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    scened = (
+        frames.withColumn("b", bright)
+        .withColumn("pb", F.lag("b").over(w))
+        .withColumn(
+            "cut",
+            (F.col("pb").isNull() | (F.abs(F.col("b") - F.col("pb")) > 64))
+            .cast("int"),
+        )
+        .withColumn("scene_id", F.sum("cut").over(cum))
+    )
+    per_scene = scened.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("sc_len")
+    )
+    return per_scene.groupBy("doc_id").agg(
+        F.sum("sc_len").alias("n_frames"),
+        F.max("scene_id").alias("n_scenes"),
+        F.max("sc_len").alias("longest_scene"),
+    )
+
+
+_MM_SCENE_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(least(8, greatest(octet_length(encode(text)) // 1024, 1))))
+             AS fi
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, CAST(fi AS INT) AS frame_index,
+         CAST(concat('0x',
+              substr(md5(substr(text, CAST(fi * 1024 + 1 AS BIGINT), 16)),
+                     1, 2)) AS INT) AS b
+  FROM f
+),
+cuts AS (
+  SELECT doc_id, frame_index, b,
+         CASE WHEN lag(b) OVER w IS NULL
+                OR abs(b - lag(b) OVER w) > 64 THEN 1 ELSE 0 END AS cut
+  FROM fr
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_index)
+),
+scened AS (
+  SELECT doc_id,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_index
+                        ROWS UNBOUNDED PRECEDING) AS scene_id
+  FROM cuts
+),
+per_scene AS (
+  SELECT doc_id, scene_id, count(*) AS sc_len
+  FROM scened GROUP BY doc_id, scene_id
+)
+SELECT doc_id,
+       CAST(sum(sc_len) AS BIGINT) AS n_frames,
+       CAST(max(scene_id) AS BIGINT) AS n_scenes,
+       max(sc_len) AS longest_scene
+FROM per_scene GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5108,8 +5184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_pagerank, corpus_negatives, t_stream_static_join,
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
-        # t_nearest_join, p12_zorder_layout_report — 62 never-checked:
-        # front-load 50 in r4, overflow → r5. ---
+        # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts — 63
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5171,6 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_histogram": q_a12_histogram,
         "t_nearest_join": q_t_nearest_join,
         "p12_zorder_layout_report": q_p12_zorder_layout_report,
+        "mm_scene_cuts": q_mm_scene_cuts,
     }
 
 
@@ -5426,6 +5503,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "a12_histogram": _A12_SQL,
         "t_nearest_join": _t_nearest_sql(),
         "p12_zorder_layout_report": _p12_sql(),
+        "mm_scene_cuts": _MM_SCENE_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
