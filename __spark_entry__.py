@@ -5048,6 +5048,123 @@ FROM per_scene GROUP BY doc_id
 """
 
 
+def q_t_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a per-user (count, sum) aggregate
+    over snapshot v=1 is advanced to the v=2 state by applying ONLY the
+    change feed's deltas (insert → +new, delete → −old, update →
+    −old+new) — never rescanning the table. The oracle computes the
+    aggregate directly from the merged v=2 state, so the hash proves
+    delta-apply ≡ recompute. At 100 TB this is the difference between
+    touching the batch and touching the table (the continuous-aggregate
+    idea of t_rollup_cascade driven by CDC instead of time)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t_hi, t_mid = (mx * 6) // 10, (mx * 3) // 10
+    batch = ev.filter(F.col("event_id") <= t_hi).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="arcane_ivm_run_")
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.merge(
+        batch.filter(F.col("SYS_CHANGE_VERSION") <= t_mid),
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    target.merge(
+        batch.filter(F.col("SYS_CHANGE_VERSION") > t_mid),
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    v1 = target.read_version(1)
+    base = v1.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_milli").alias("vm"),
+    )
+    cdf = snapshot_diff(
+        v1,
+        target.read_version(2),
+        keys=["ARCANE_MERGE_KEY"],
+        compare_cols=["user_id", "value_milli"],
+    )
+    deltas = (
+        cdf.select(
+            F.coalesce("new_user_id", "old_user_id").alias("user_id"),
+            F.when(F.col("op") == "insert", F.lit(1))
+            .when(F.col("op") == "delete", F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("dn"),
+            (
+                F.coalesce("new_value_milli", F.lit(0))
+                - F.coalesce("old_value_milli", F.lit(0))
+            ).alias("dvm"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("dn").alias("dn"), F.sum("dvm").alias("dvm"))
+    )
+    updated = (
+        base.join(deltas, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n"
+            ),
+            (F.coalesce("vm", F.lit(0)) + F.coalesce("dvm", F.lit(0))).alias(
+                "vm"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return updated
+
+
+_T_IVM_SQL = f"""
+WITH b AS (
+  SELECT max(event_id) * 6 // 10 AS t_hi,
+         max(event_id) * 3 // 10 AS t_mid
+  FROM events
+),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CASE WHEN event_id <= b.t_mid THEN 1 ELSE 2 END AS batch
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k, batch ORDER BY ver DESC) AS rk
+  FROM src
+),
+b1 AS (SELECT * FROM ranked WHERE batch = 1 AND rk = 1),
+b2 AS (SELECT * FROM ranked WHERE batch = 2 AND rk = 1),
+v2 AS (
+  SELECT coalesce(b2.k, b1.k) AS k,
+         CASE WHEN b2.k IS NOT NULL THEN b2.user_id ELSE b1.user_id END
+           AS user_id,
+         CASE WHEN b2.k IS NOT NULL THEN b2.value_milli
+              ELSE b1.value_milli END AS value_milli
+  FROM b1 FULL JOIN b2 ON b1.k = b2.k
+  WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
+)
+SELECT user_id, count(*) AS n,
+       CAST(sum(value_milli) AS BIGINT) AS vm
+FROM v2 GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5184,8 +5301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_pagerank, corpus_negatives, t_stream_static_join,
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
-        # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts — 63
-        # never-checked: front-load 50 in r4, overflow → r5. ---
+        # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
+        # t_incremental_agg — 64 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5248,6 +5366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_nearest_join": q_t_nearest_join,
         "p12_zorder_layout_report": q_p12_zorder_layout_report,
         "mm_scene_cuts": q_mm_scene_cuts,
+        "t_incremental_agg": q_t_incremental_agg,
     }
 
 
@@ -5504,6 +5623,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_nearest_join": _t_nearest_sql(),
         "p12_zorder_layout_report": _p12_sql(),
         "mm_scene_cuts": _MM_SCENE_SQL,
+        "t_incremental_agg": _T_IVM_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
