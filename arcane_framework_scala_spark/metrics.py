@@ -189,3 +189,28 @@ def make_streaming_listener(metrics: DeclaredMetrics):
             pass
 
     return StreamingQueryMetricsListener()
+
+
+def observe_batch(df, metrics: "DeclaredMetrics | None", name: str = "batch"):
+    """Inline batch observability via Spark's ``observe`` API: attach
+    row-count and byte-ish accumulators to a DataFrame so the SAME
+    action that runs the pipeline reports ``rows.incoming`` — no second
+    ``count()`` job (the reference pays its metrics zero extra queries
+    too; this is the batch twin of the streaming listener).
+
+    Returns ``(observed_df, finish)`` — run any action on the returned
+    frame, then call ``finish()`` to emit the observed values into the
+    declared-metrics hub and get them back as a dict."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    obs = Observation(name)
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    def finish() -> dict:
+        got = obs.get
+        if metrics is not None:
+            metrics.gauge(ROWS_INCOMING, float(got.get("rows", 0)))
+        return got
+
+    return observed, finish

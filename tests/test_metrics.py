@@ -207,3 +207,18 @@ def test_streaming_listener_reports_progress(spark, sf_dir, tmp_path):
         assert em.gauges.get(M.BATCH_MERGE_DURATION, -1) >= 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_observe_batch_reports_without_second_job(spark):
+    """df.observe metrics ride the SAME action: one write reports the
+    row count into the declared-metrics hub — no extra count() job."""
+    from arcane_framework_scala_spark import metrics as M
+
+    em = M.CollectingEmitter()
+    dm = M.DeclaredMetrics([em])
+    df = spark.range(0, 1234).selectExpr("id", "id * 2 AS v")
+    observed, finish = M.observe_batch(df, dm, name="obs_test")
+    observed.write.format("noop").mode("overwrite").save()
+    got = finish()
+    assert got["rows"] == 1234
+    assert em.gauges[M.ROWS_INCOMING] == 1234.0
