@@ -168,3 +168,48 @@ def test_nearest_join_hand_computed(spark):
     assert out[(1, 300)] == (None, None)
     # key 2 has no right rows at all
     assert out[(2, 50)] == (None, None)
+
+
+def test_nearest_join_matches_pandas_merge_asof(spark):
+    """Property check vs the reference implementation everyone knows:
+    pandas merge_asof(direction='nearest') on random small frames.
+    Exact |gap| ties are excluded (pandas resolves them 'backward',
+    ours documents 'earlier right ts' — same row when both sides are
+    unique, but generated data avoids the ambiguity entirely)."""
+    import pandas as pd
+
+    from arcane_framework_scala_spark.operators.temporal_join import (
+        nearest_join,
+    )
+
+    rng_states = [1, 7, 13]
+    for seed in rng_states:
+        import random
+
+        rng = random.Random(seed)
+        keys = [1, 2]
+        lrows, rrows = [], []
+        for k in keys:
+            lts = sorted(rng.sample(range(0, 2000, 2), 8))  # even ts
+            rts = sorted(rng.sample(range(1, 2001, 2), 6))  # odd ts
+            lrows += [(k, t) for t in lts]
+            rrows += [(k, t, f"v{k}_{t}") for t in rts]
+        # odd/even split -> |gap| is always odd -> no exact ties
+        left = spark.createDataFrame(lrows, "k long, ts long")
+        right = spark.createDataFrame(rrows, "k long, ts long, v string")
+        got = {
+            (r["k"], r["ts"]): r["v_near"]
+            for r in nearest_join(
+                left, right, "k", "ts", ["v"], tolerance=100
+            ).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts")
+        exp_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="nearest", tolerance=100
+        )
+        exp = {
+            (int(r.k), int(r.ts)): (None if pd.isna(r.v) else r.v)
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, seed
