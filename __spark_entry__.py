@@ -5165,6 +5165,20 @@ FROM v2 GROUP BY user_id
 """
 
 
+def q_sim_text_topk(spark, sf_dir):
+    """Model-free document retrieval: cosine over hashing-trick
+    features (HashingVectorizer + cosine, no embedding model). The
+    query side's sparse buckets broadcast; similarity arithmetic is
+    all-integer with a cos-squared-ppm rank key. The lexical complement
+    to sim_cosine_topk's dense-embedding search."""
+    return lm_mod.text_topk(
+        _read(spark, sf_dir, "documents"), _TEXT_QUERY_IDS, k=10
+    )
+
+
+_TEXT_QUERY_IDS = [3, 17, 48, 77, 102]
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5302,8 +5316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
-        # t_incremental_agg — 64 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # t_incremental_agg, sim_text_topk — 65 never-checked:
+        # front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5367,6 +5381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_zorder_layout_report": q_p12_zorder_layout_report,
         "mm_scene_cuts": q_mm_scene_cuts,
         "t_incremental_agg": q_t_incremental_agg,
+        "sim_text_topk": q_sim_text_topk,
     }
 
 
@@ -5624,6 +5639,9 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "p12_zorder_layout_report": _p12_sql(),
         "mm_scene_cuts": _MM_SCENE_SQL,
         "t_incremental_agg": _T_IVM_SQL,
+        "sim_text_topk": lm_mod.text_topk_sql(
+            "documents", _TEXT_QUERY_IDS, k=10
+        ),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2

@@ -26,7 +26,7 @@ integer parity is impossible for a log score and not worth faking).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -277,3 +277,103 @@ SELECT p.{id_col}, count(*) AS n_bigrams,
 FROM pairs p JOIN big b USING (prev, cur) JOIN ctx c USING (prev), vocab
 GROUP BY p.{id_col}
 """
+
+
+def text_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free document similarity search: cosine over hashing-trick
+    features — the retrieval baseline that needs no embedding model
+    (HashingVectorizer + cosine, the classic sparse-lexical pipeline).
+
+    Plan: the sparse feature table joins ITSELF only through the query
+    side — query buckets (|q|·dim rows, broadcast) hash-join the corpus
+    buckets, so candidate volume is corpus × query-overlap, never
+    corpus². All similarity arithmetic is integer (count products and
+    squared-norm sums); the rank key is cos²·1e6 as an exact integer
+    ppm (num² · 1e6 div (‖q‖²·‖d‖²)) with id tiebreak. Self excluded,
+    zero-overlap pairs naturally absent.
+
+    Output: ``(query_id, id_col, cos2_ppm, rk)``."""
+    feats = hashed_features(df, dim, text_col, id_col)
+    nsq = feats.groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("nsq")
+    )
+    q = feats.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col("cnt").alias("qcnt"),
+    )
+    num = (
+        feats.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("num"))
+    )
+    qn = nsq.select(
+        F.col(id_col).alias("query_id"), F.col("nsq").alias("qnsq")
+    )
+    scored = (
+        num.join(F.broadcast(qn), "query_id")
+        .join(nsq, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.expr("(num * num * 1000000) div (qnsq * nsq)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos2_ppm"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "cos2_ppm", "rk")
+    )
+
+
+def text_topk_sql(
+    table: str = "documents",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`text_topk`."""
+    ids = ", ".join(str(i) for i in query_ids or [])
+    return f"""
+WITH f AS MATERIALIZED ({hashed_features_sql(table, dim, text_col, id_col)}),
+nsq AS (
+  SELECT {id_col}, CAST(sum(cnt * cnt) AS BIGINT) AS nsq
+  FROM f GROUP BY {id_col}
+),
+q AS (SELECT {id_col} AS query_id, bucket, cnt AS qcnt FROM f
+      WHERE {id_col} IN ({ids})),
+num AS (
+  SELECT q.query_id, f.{id_col},
+         CAST(sum(f.cnt * q.qcnt) AS BIGINT) AS num
+  FROM f JOIN q ON f.bucket = q.bucket AND f.{id_col} != q.query_id
+  GROUP BY q.query_id, f.{id_col}
+),
+scored AS (
+  SELECT n.query_id, n.{id_col},
+         (n.num * n.num * 1000000) // (qn.nsq * dn.nsq) AS cos2_ppm
+  FROM num n
+  JOIN nsq qn ON qn.{id_col} = n.query_id
+  JOIN nsq dn ON dn.{id_col} = n.{id_col}
+)
+SELECT query_id, {id_col}, cos2_ppm, CAST(rk AS INT) AS rk FROM (
+  SELECT query_id, {id_col}, cos2_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos2_ppm DESC, {id_col}) AS rk
+  FROM scored
+) WHERE rk <= {k}
+""".strip()

@@ -91,3 +91,50 @@ def test_rrf_fuse_hand_checked(spark):
     assert out[11]["fused_rank"] == 1
     # 10 (1/61) beats 12 (1/62)
     assert out[10]["fused_rank"] == 2 and out[12]["fused_rank"] == 3
+
+
+def test_text_topk_hand_computed(spark):
+    """Hashed-cosine retrieval on a constructed corpus: the document
+    sharing 3 of the query's 4 words must outrank the one sharing 1,
+    and disjoint-vocabulary docs never appear. Rank contract: 1..k,
+    self excluded, cos2_ppm exact-integer."""
+    from arcane_framework_scala_spark.functions import lm as lm_mod
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma zz"),     # 3/4 overlap with 0
+            (2, "alpha qq rr ss"),          # 1/4 overlap
+            (3, "tt uu vv ww"),             # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["rk"], r["doc_id"], r["cos2_ppm"])
+        for r in lm_mod.text_topk(docs, [0], k=4).collect()
+    )
+    assert [d for _, d, _ in out] == [1, 2]  # 3 absent: zero overlap
+    (rk1, d1, c1), (rk2, d2, c2) = out
+    assert (rk1, rk2) == (1, 2) and c1 > c2
+    # exact: cos2(0,1) = (3*3*1e6) // (4*4) = 562500 (unit counts)
+    assert c1 == (9 * 1_000_000) // 16
+
+
+def test_text_topk_contract_on_corpus(spark, sf_dir):
+    """On the driver corpus: ranks 1..k per query, self excluded,
+    scores non-increasing, and a query's exact text duplicate (if any)
+    scores 1e6."""
+    from arcane_framework_scala_spark.functions import lm as lm_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qids = [3, 17, 48]
+    out = lm_mod.text_topk(docs, qids, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r["doc_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in qids:
+        rows = sorted(by_q[q], key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["cos2_ppm"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
