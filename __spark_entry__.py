@@ -5179,6 +5179,26 @@ def q_sim_text_topk(spark, sf_dir):
 _TEXT_QUERY_IDS = [3, 17, 48, 77, 102]
 
 
+def q_sim_bm25_rerank(spark, sf_dir):
+    """Okapi BM25 over MinHash-LSH candidates — the canonical lexical
+    ranking function (Robertson & Zaragoza 2009) joining tfidf_rerank
+    and rrf in the retrieval family. Every per-term contribution floors
+    to integer micros BEFORE the sum, so the aggregation is order-free
+    and the iterative-free float math hash-matches the oracle."""
+    from arcane_framework_scala_spark.functions.tfidf import bm25_rerank
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_rerank(docs, dd.minhash_candidate_pairs(docs))
+
+
+def _bm25_rerank_sql() -> str:
+    from arcane_framework_scala_spark.functions.tfidf import bm25_rerank_sql
+
+    return bm25_rerank_sql(
+        "documents", dd.minhash_candidate_pairs_sql("documents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5316,8 +5336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
-        # t_incremental_agg, sim_text_topk — 65 never-checked:
-        # front-load 50 in r4, overflow → r5. ---
+        # t_incremental_agg, sim_text_topk, sim_bm25_rerank — 66
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5382,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scene_cuts": q_mm_scene_cuts,
         "t_incremental_agg": q_t_incremental_agg,
         "sim_text_topk": q_sim_text_topk,
+        "sim_bm25_rerank": q_sim_bm25_rerank,
     }
 
 
@@ -5642,6 +5663,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "sim_text_topk": lm_mod.text_topk_sql(
             "documents", _TEXT_QUERY_IDS, k=10
         ),
+        "sim_bm25_rerank": _bm25_rerank_sql(),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2

@@ -170,3 +170,140 @@ JOIN norms nb ON nb.id = d.id_b
 WHERE CAST(floor(1000000.0 * d.dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT)
       >= {threshold_micro}
 """
+
+
+def bm25_rerank(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Okapi BM25 for candidate pairs — the canonical lexical ranking
+    function (Robertson & Zaragoza 2009), scored pairwise over a
+    bounded candidate set exactly like :func:`tfidf_rerank` (same
+    reasons: pair generation via shared terms blows up; candidates-in,
+    scores-out survives 100 TB).
+
+    ``score(a→b) = Σ_{t ∈ a∩b} idf_t · tf_bt·(k1+1) /
+    (tf_bt + k1·(1 − b + b·len_b/avglen))`` with the standard smoothed
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``. Asymmetric (query side
+    a, document side b) — both directions are emitted per input pair.
+
+    Determinism: every per-term contribution is independently floored
+    to integer micros BEFORE the sum, so the aggregation is an order-
+    free int64 sum (the float expression per term is fixed-shape and
+    IEEE-identical across engines; a float Σ would depend on row
+    order). Output: ``(id_a, id_b, bm25_micro)`` = score of b against
+    query a.
+
+    Plan: the term table (explode + two keyed aggs) materializes once
+    and feeds docfreq/length/probe consumers; scoring is two (id, term)
+    hash joins + one pair-keyed integer aggregation."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
+        ).alias("term"),
+    )
+    tf = materialize(
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    lens = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__tot")
+    )
+    idf = docfreq.join(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("__n") - F.col("df_count") + 0.5)
+            / (F.col("df_count") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    k1 = k1_milli / 1000.0
+    b = b_milli / 1000.0
+    # avglen as an exact float expression from the broadcast totals
+    qa = tf.select(F.col(id_col).alias("id_a"), "term")
+    db = (
+        tf.select(F.col(id_col).alias("id_b"), "term", "tf")
+        .join(lens.select(F.col(id_col).alias("id_b"), "dl"), "id_b")
+    )
+    contrib = (
+        candidates.join(qa, "id_a")
+        .join(db, ["id_b", "term"])
+        .join(F.broadcast(idf), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * F.col("dl")
+                        / (F.col("__tot") / F.col("__n"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("id_a", "id_b").agg(
+        F.sum("c_micro").alias("bm25_micro")
+    )
+
+
+def bm25_rerank_sql(
+    table: str,
+    candidates_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> str:
+    """DuckDB oracle for :func:`bm25_rerank` — identical fixed-shape
+    float expression per term, floored to micros before the sum."""
+    k1 = k1_milli / 1000.0
+    b = b_milli / 1000.0
+    return f"""
+WITH cand AS MATERIALIZED ({candidates_sql}),
+terms AS (
+  SELECT {id_col} AS id,
+         unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+'))
+           AS term
+  FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY id, term),
+docfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+lens AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
+idf AS (
+  SELECT term,
+         ln((s.n - df_count + 0.5) / (df_count + 0.5) + 1.0) AS idf
+  FROM docfreq, stats s
+),
+contrib AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor(1000000.0 * i.idf * (tb.tf * ({k1} + 1.0)) /
+              (tb.tf + {k1} * ((1.0 - {b}) + {b} * lb.dl /
+               (CAST(s.tot AS DOUBLE) / s.n)))) AS BIGINT) AS c_micro
+  FROM cand c
+  JOIN tf ta ON ta.id = c.id_a
+  JOIN tf tb ON tb.id = c.id_b AND tb.term = ta.term
+  JOIN lens lb ON lb.id = c.id_b
+  JOIN idf i ON i.term = ta.term
+  CROSS JOIN stats s
+)
+SELECT id_a, id_b, CAST(sum(c_micro) AS BIGINT) AS bm25_micro
+FROM contrib GROUP BY id_a, id_b
+""".strip()

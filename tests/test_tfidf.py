@@ -138,3 +138,30 @@ def test_text_topk_contract_on_corpus(spark, sf_dir):
         assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["cos2_ppm"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus against the closed-form formula."""
+    import math
+
+    from arcane_framework_scala_spark.functions.tfidf import bm25_rerank
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x x z"), (2, "w w w")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["bm25_micro"]
+        for r in bm25_rerank(docs, cand).collect()
+    }
+    # shared term of (0,1) is 'x': df=2, N=3, avglen=(2+3+3)/3
+    k1, b = 1.2, 0.75
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    tf, dl, avg = 2, 3, 8 / 3
+    exp = math.floor(
+        1_000_000.0 * idf * (tf * (k1 + 1.0))
+        / (tf + k1 * ((1 - b) + b * dl / avg))
+    )
+    assert got[(0, 1)] == exp
+    assert (0, 2) not in got  # no shared terms -> no row
