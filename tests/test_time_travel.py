@@ -57,3 +57,27 @@ def test_expiry_removes_history_keeps_current(spark, tmp_path):
     with pytest.raises(ValueError):
         t.read_version(1)
     assert t.read().count() == 2  # current still intact
+
+
+def test_snapshot_gate_family_invariants(spark, sf_dir):
+    """Cross-gate consistency at sf0.001: the w4 time-travel snapshot
+    states, the w5 change feed, and the IVM result must agree with
+    each other (they share the same two-batch construction):
+    - v1 keys + CDF inserts - CDF deletes == current keys
+    - the IVM per-user counts sum to the current snapshot's row count
+    """
+    import __spark_entry__ as entry
+
+    w4 = entry.q_w4_time_travel(spark, sf_dir).collect()
+    v1_keys = {r["ARCANE_MERGE_KEY"] for r in w4 if r["snapshot"] == "v1"}
+    cur_keys = {
+        r["ARCANE_MERGE_KEY"] for r in w4 if r["snapshot"] == "current"
+    }
+    cdf = entry.q_w5_change_feed(spark, sf_dir).collect()
+    ins = {r["ARCANE_MERGE_KEY"] for r in cdf if r["op"] == "insert"}
+    dels = {r["ARCANE_MERGE_KEY"] for r in cdf if r["op"] == "delete"}
+    upd = {r["ARCANE_MERGE_KEY"] for r in cdf if r["op"] == "update"}
+    assert (v1_keys | ins) - dels == cur_keys
+    assert upd <= v1_keys & cur_keys
+    ivm = entry.q_t_incremental_agg(spark, sf_dir).collect()
+    assert sum(r["n"] for r in ivm) == len(cur_keys)
