@@ -5199,6 +5199,68 @@ def _bm25_rerank_sql() -> str:
     )
 
 
+def q_a13_winsorize(spark, sf_dir):
+    """Robust-stats capping: per event_type, values clamped to the
+    exact interpolated [p05, p95] (one quantile pass broadcast back
+    onto the stream — two aggregations total). Capped counts + the
+    fixed-point sum of the clamped column; at 100 TB the quantile pass
+    swaps to approx_percentile with the clamp unchanged."""
+    return stats_mod.winsorize(
+        _read(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def q_t_ewma_pow2(spark, sf_dir):
+    """Exponentially weighted moving value with α = 1/2 as PURE integer
+    arithmetic: ewma_t = Σ_{i≤t} vm_i div 2^(t-i) over the last 8
+    events per user — the decay a monitoring pipeline smooths with,
+    made engine-exact via power-of-two integer division instead of
+    float pow (8 explicit lags, one user-keyed sort window)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000000").alias("sec"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    terms = [F.coalesce(F.col("vm"), F.lit(0))]
+    lagged = []
+    for i in range(1, 8):
+        c = F.coalesce(F.lag("vm", i).over(w), F.lit(0))
+        lagged.append(c.alias(f"l{i}"))
+    out = ev.select("event_id", "user_id", "sec", "vm", *lagged)
+    ew = F.col("vm")
+    for i in range(1, 8):
+        ew = ew + F.expr(f"l{i} div {2 ** i}")
+    return out.select(
+        "event_id", "user_id", ew.alias("ewma_micro")
+    )
+
+
+_T_EWMA_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         epoch_ns(ts) // 1000000000 AS sec,
+         CAST(floor(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+l AS (
+  SELECT event_id, user_id, vm,
+         {lags}
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+)
+SELECT event_id, user_id,
+       vm {terms} AS ewma_micro
+FROM l
+""".format(
+    lags=",\n         ".join(
+        f"coalesce(lag(vm, {i}) OVER w, 0) AS l{i}" for i in range(1, 8)
+    ),
+    terms=" ".join(f"+ l{i} // {2 ** i}" for i in range(1, 8)),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5336,8 +5398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_bpe_pack, dedup_minhash_quality, x5_retention_report,
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
-        # t_incremental_agg, sim_text_topk, sim_bm25_rerank — 66
-        # never-checked: front-load 50 in r4, overflow → r5. ---
+        # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
+        # a13_winsorize, t_ewma_pow2 — 68 never-checked: front-load 50
+        # in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5403,6 +5466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_incremental_agg": q_t_incremental_agg,
         "sim_text_topk": q_sim_text_topk,
         "sim_bm25_rerank": q_sim_bm25_rerank,
+        "a13_winsorize": q_a13_winsorize,
+        "t_ewma_pow2": q_t_ewma_pow2,
     }
 
 
@@ -5664,6 +5729,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
             "documents", _TEXT_QUERY_IDS, k=10
         ),
         "sim_bm25_rerank": _bm25_rerank_sql(),
+        "a13_winsorize": stats_mod.winsorize_sql("events", "event_type", "value"),
+        "t_ewma_pow2": _T_EWMA_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2

@@ -125,3 +125,50 @@ def test_partition_advisor_scales_to_big_tables(spark):
     assert est_bytes == one_tb
     assert n_files == (one_tb + (512 << 20) - 1) // (512 << 20)
     assert parts == 2000
+
+
+def test_winsorize_hand_computed(spark):
+    """10 values 0..9 in one group: p05=0.45, p95=8.55 -> value 0
+    clamps up, value 9 clamps down, everything else passes through."""
+    import math
+
+    from arcane_framework_scala_spark.functions.stats import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(10)], "k string, v double"
+    )
+    r = winsorize(df, "k", "v").first()
+    assert r["n"] == 10
+    assert r["n_capped_lo"] == 1 and r["n_capped_hi"] == 1
+    exp = math.floor(0.45 * 1e6) + math.floor(8.55 * 1e6) + sum(
+        i * 1_000_000 for i in range(1, 9)
+    )
+    assert r["capped_micro"] == exp
+
+
+def test_ewma_pow2_hand_computed(spark, sf_dir):
+    """EWMA with alpha=1/2 over an explicit sequence: each event's value
+    is the integer-shift-decayed sum of its 8-event history."""
+    import __spark_entry__ as entry
+    import pyspark.sql.functions as F
+
+    ns = 1_000_000_000
+    rows = [(i, 1, i * ns, 1.0) for i in range(10)]  # constant value 1.0
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    # expected: sum over j=0..min(t,7) of 1e6 div 2^j
+    def exp_at(t):
+        return sum(1_000_000 // (2 ** j) for j in range(min(t, 7) + 1))
+
+    # write rows to a temp dir shaped like the events table and drive
+    # the gate itself (same codepath the driver runs)
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="ewma_t_")
+    df.withColumn("event_type", F.lit("view")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_id"]: r["ewma_micro"]
+           for r in entry.q_t_ewma_pow2(spark, d).collect()}
+    for t in range(10):
+        assert got[t] == exp_at(t), (t, got[t], exp_at(t))
