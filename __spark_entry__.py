@@ -5261,6 +5261,55 @@ FROM l
 )
 
 
+def q_s15_partitioned_roundtrip(spark, sf_dir):
+    """Layout breadth: events written partitionBy(event_type) to a
+    temp table, read back filtered to one type — the gate asserts the
+    physical plan prunes to the matching partition DIRECTORY
+    (PartitionFilters, zero data files from other types touched), the
+    directory-level half of what p10 (bucketing) and p12 (z-order)
+    prove for file-level layout. Output = the pruned slice's per-day
+    fixed-point aggregate; oracle filters the raw table."""
+    import tempfile
+    import uuid
+
+    _harden_session(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_s15_{uuid.uuid4().hex}"
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("ts div 1000000000 div 86400").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    ev.write.partitionBy("event_type").parquet(out_dir)
+    back = spark.read.parquet(out_dir).filter(
+        F.col("event_type") == "view"
+    )
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    if "PartitionFilters: [" not in plan or "event_type" not in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]:
+        raise AssertionError(f"partition pruning missing:\n{plan}")
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("value_micro"),
+    )
+
+
+_S15_SQL = """
+SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micro
+FROM events WHERE event_type = 'view'
+GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5399,8 +5448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
-        # a13_winsorize, t_ewma_pow2 — 68 never-checked: front-load 50
-        # in r4, overflow → r5. ---
+        # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip — 69
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5468,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bm25_rerank": q_sim_bm25_rerank,
         "a13_winsorize": q_a13_winsorize,
         "t_ewma_pow2": q_t_ewma_pow2,
+        "s15_partitioned_roundtrip": q_s15_partitioned_roundtrip,
     }
 
 
@@ -5731,6 +5781,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "sim_bm25_rerank": _bm25_rerank_sql(),
         "a13_winsorize": stats_mod.winsorize_sql("events", "event_type", "value"),
         "t_ewma_pow2": _T_EWMA_SQL,
+        "s15_partitioned_roundtrip": _S15_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
