@@ -5310,6 +5310,72 @@ GROUP BY day
 """
 
 
+def q_sim_cluster_quality(spark, sf_dir):
+    """Cluster-quality diagnostics for the trained k-means codebook —
+    the silhouette-lite report an embedding-clustering job ships: per
+    centroid, member count and mean cosine cohesion (each member's
+    similarity to its centroid floored to micro BEFORE the mean, so
+    the aggregation is an order-free integer sum / count). Assignment
+    mirrors sim_ivf_topk's rounding conventions."""
+    from arcane_framework_scala_spark.functions.kmeans import kmeans_fit
+    from arcane_framework_scala_spark.functions.similarity import (
+        cosine_similarity,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=8, iters=3).select(
+        "centroid_id", F.col("embedding").alias("__cvec")
+    )
+    sims = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("__cvec")), 6
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    assigned = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "centroid_id",
+            F.floor(F.col("csim") * 1_000_000).cast("long").alias("cm"),
+        )
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("sum(cm) div count(1)").alias("mean_cohesion_micro"),
+        F.min("cm").alias("min_cohesion_micro"),
+    )
+
+
+def _sim_cluster_quality_sql() -> str:
+    cb = km.kmeans_codebook_sql("embeddings", k=8, iters=3)
+    csim = sim.cosine_similarity_sql("e.embedding", "c.embedding")
+    return f"""
+WITH cent AS ({cb}),
+sims AS (
+  SELECT e.vec_id, c.centroid_id, round({csim}, 6) AS csim
+  FROM embeddings e JOIN cent c ON true
+),
+assigned AS (
+  SELECT centroid_id,
+         CAST(floor(csim * 1000000) AS BIGINT) AS cm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, centroid_id) AS rk
+    FROM sims
+  ) WHERE rk = 1
+)
+SELECT centroid_id, count(*) AS n_members,
+       CAST(sum(cm) AS BIGINT) // count(*) AS mean_cohesion_micro,
+       min(cm) AS min_cohesion_micro
+FROM assigned GROUP BY centroid_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5448,8 +5514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pq_recall, dedup_canonical_best, a12_histogram,
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
-        # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip — 69
-        # never-checked: front-load 50 in r4, overflow → r5. ---
+        # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
+        # sim_cluster_quality — 70 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5518,6 +5585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_winsorize": q_a13_winsorize,
         "t_ewma_pow2": q_t_ewma_pow2,
         "s15_partitioned_roundtrip": q_s15_partitioned_roundtrip,
+        "sim_cluster_quality": q_sim_cluster_quality,
     }
 
 
@@ -5782,6 +5850,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "a13_winsorize": stats_mod.winsorize_sql("events", "event_type", "value"),
         "t_ewma_pow2": _T_EWMA_SQL,
         "s15_partitioned_roundtrip": _S15_SQL,
+        "sim_cluster_quality": _sim_cluster_quality_sql(),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
