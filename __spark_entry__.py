@@ -5376,6 +5376,94 @@ FROM assigned GROUP BY centroid_id
 """
 
 
+def q_dedup_bloom_fpr(spark, sf_dir):
+    """Measured Bloom accuracy (the sketch-quality sibling of
+    dedup_minhash_quality): corpus grams tested against the Bloom
+    filter AND against the exact benchmark gram set — one row of
+    (grams tested, Bloom-flagged, true hits, false positives). The
+    deterministic construction makes even the FP count exact and
+    hash-checkable; at m=2^20/k=3 the measured FPR validates the
+    (k·g/m)^k design estimate."""
+    from arcane_framework_scala_spark.functions.bloom import (
+        _distinct_grams,
+        _pos,
+        bloom_bits,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    m, k = 1 << 20, 3
+    bits = bloom_bits(bench, n=8, m=m, k=k).localCheckpoint(eager=False)
+    probed = _distinct_grams(corpus, "doc_id", "text", 8, "id")
+    for i in range(k):
+        b = bits.select(
+            F.col("pos").alias(f"pos{i}"), F.lit(1).alias(f"hit{i}")
+        )
+        probed = probed.withColumn(f"pos{i}", _pos(F.col("g"), i, m)).join(
+            F.broadcast(b), f"pos{i}", "left"
+        )
+    flagged = (
+        F.col("hit0").isNotNull()
+        & F.col("hit1").isNotNull()
+        & F.col("hit2").isNotNull()
+    )
+    bg = _distinct_grams(bench, "doc_id", "text", 8, "bid").select(
+        "g"
+    ).distinct().withColumn("truth", F.lit(1))
+    joined = probed.join(bg, "g", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_tested"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum(F.col("truth").isNotNull().cast("long")).alias("n_true"),
+        F.sum(
+            (flagged & F.col("truth").isNull()).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
+def _bloom_fpr_sql() -> str:
+    m, k = 1 << 20, 3
+    grams = """
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE {pred})
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) AS u(i)
+"""
+
+    def pos(salt):
+        return (
+            f"CAST(concat('0x', substr(md5(g || '#{salt}'), 1, 15)) "
+            f"AS BIGINT) % {m}"
+        )
+
+    salted = " UNION ".join(f"SELECT {pos(i)} AS pos FROM bg" for i in range(k))
+    joins = "\n".join(
+        f"  LEFT JOIN bits b{i} ON {pos(i)} = b{i}.pos" for i in range(k)
+    )
+    flag = " AND ".join(f"b{i}.pos IS NOT NULL" for i in range(k))
+    return f"""
+WITH bg AS ({grams.format(pred="doc_id % 10 = 0")}),
+bits AS ({salted}),
+bset AS (SELECT DISTINCT g FROM bg),
+cg AS ({grams.format(pred="doc_id % 10 != 0")}),
+per AS (
+  SELECT cg.id, cg.g,
+         CASE WHEN {flag} THEN 1 ELSE 0 END AS flagged,
+         CASE WHEN bset.g IS NOT NULL THEN 1 ELSE 0 END AS truth
+  FROM cg
+{joins}
+  LEFT JOIN bset ON bset.g = cg.g
+)
+SELECT count(*) AS n_tested,
+       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+       CAST(sum(truth) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN flagged = 1 AND truth = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5515,8 +5603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
         # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
-        # sim_cluster_quality — 70 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # sim_cluster_quality, dedup_bloom_fpr — 71 never-checked:
+        # front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5586,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ewma_pow2": q_t_ewma_pow2,
         "s15_partitioned_roundtrip": q_s15_partitioned_roundtrip,
         "sim_cluster_quality": q_sim_cluster_quality,
+        "dedup_bloom_fpr": q_dedup_bloom_fpr,
     }
 
 
@@ -5851,6 +5940,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_ewma_pow2": _T_EWMA_SQL,
         "s15_partitioned_roundtrip": _S15_SQL,
         "sim_cluster_quality": _sim_cluster_quality_sql(),
+        "dedup_bloom_fpr": _bloom_fpr_sql(),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
