@@ -5464,6 +5464,63 @@ FROM per
 """
 
 
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Reproducible export manifest — the artifact a training run
+    records next to its shards: per shard, document count, total
+    whitespace tokens, byte estimate, and a SHARD CHECKSUM (md5 over
+    the position-ordered member digests, computed via array_sort so
+    the value is partitioning-independent). Re-running the export and
+    comparing manifests detects silent data drift bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    shards = cx.shuffle_shards(docs, num_shards=8, seed=7)
+    enriched = shards.join(
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+            F.length("text").cast("long").alias("n_bytes"),
+        ),
+        "doc_id",
+    )
+    return (
+        enriched.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "digest"))
+                        ),
+                        lambda x: x["digest"],
+                    ),
+                    "",
+                )
+            ).alias("shard_digest"),
+        )
+    )
+
+
+def _corpus_shard_manifest_sql() -> str:
+    inner = cx.shuffle_shards_sql(num_shards=8, seed=7)
+    return f"""
+WITH s AS ({inner}),
+e AS (
+  SELECT s.shard, s.pos, d.doc_id, md5(d.text) AS digest,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(d.text) AS BIGINT) AS n_bytes
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       md5(string_agg(digest, '' ORDER BY pos)) AS shard_digest
+FROM e GROUP BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5603,8 +5660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
         # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
-        # sim_cluster_quality, dedup_bloom_fpr — 71 never-checked:
-        # front-load 50 in r4, overflow → r5. ---
+        # sim_cluster_quality, dedup_bloom_fpr, corpus_shard_manifest —
+        # 72 never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5675,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_partitioned_roundtrip": q_s15_partitioned_roundtrip,
         "sim_cluster_quality": q_sim_cluster_quality,
         "dedup_bloom_fpr": q_dedup_bloom_fpr,
+        "corpus_shard_manifest": q_corpus_shard_manifest,
     }
 
 
@@ -5941,6 +5999,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "s15_partitioned_roundtrip": _S15_SQL,
         "sim_cluster_quality": _sim_cluster_quality_sql(),
         "dedup_bloom_fpr": _bloom_fpr_sql(),
+        "corpus_shard_manifest": _corpus_shard_manifest_sql(),
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
