@@ -5521,6 +5521,34 @@ FROM e GROUP BY shard
 """
 
 
+def q_a14_freshness(spark, sf_dir):
+    """Per-source freshness report (the T12 watermark-age idea as a
+    table-level audit): each event type's newest event and its lag
+    behind the globally newest — the staleness dashboard a CDC
+    operator reads first. One aggregation + a broadcast max row."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000000000").alias("sec")
+    )
+    per = ev.groupBy("event_type").agg(F.max("sec").alias("last_sec"))
+    g = per.agg(F.max("last_sec").alias("g"))
+    return per.join(F.broadcast(g)).select(
+        "event_type",
+        "last_sec",
+        (F.col("g") - F.col("last_sec")).alias("lag_s"),
+    )
+
+
+_A14_SQL = """
+WITH per AS (
+  SELECT event_type, max(epoch_ns(ts) // 1000000000) AS last_sec
+  FROM events GROUP BY event_type
+)
+SELECT event_type, last_sec,
+       (SELECT max(last_sec) FROM per) - last_sec AS lag_s
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5660,8 +5688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_nearest_join, p12_zorder_layout_report, mm_scene_cuts,
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
         # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
-        # sim_cluster_quality, dedup_bloom_fpr, corpus_shard_manifest —
-        # 72 never-checked: front-load 50 in r4, overflow → r5. ---
+        # sim_cluster_quality, dedup_bloom_fpr, corpus_shard_manifest,
+        # a14_freshness — 73 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5733,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_quality": q_sim_cluster_quality,
         "dedup_bloom_fpr": q_dedup_bloom_fpr,
         "corpus_shard_manifest": q_corpus_shard_manifest,
+        "a14_freshness": q_a14_freshness,
     }
 
 
@@ -6000,6 +6030,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "sim_cluster_quality": _sim_cluster_quality_sql(),
         "dedup_bloom_fpr": _bloom_fpr_sql(),
         "corpus_shard_manifest": _corpus_shard_manifest_sql(),
+        "a14_freshness": _A14_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
