@@ -5549,6 +5549,75 @@ FROM per
 """
 
 
+def q_t_dwell_time(spark, sf_dir):
+    """Per-user engagement totals over sessionized events: sessions
+    (30-min gap), total dwell seconds (Σ session_end − session_start),
+    and the longest session — the product-analytics rollup one keyed
+    aggregation above t_sessionize (the session groupBy reuses the
+    same user-keyed exchange)."""
+    sess = sessionize(_read(spark, sf_dir, "events"), gap_seconds=1800)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.col("session_end") - F.col("session_start")
+        ).alias("dwell_s"),
+        F.max(
+            F.col("session_end") - F.col("session_start")
+        ).alias("longest_s"),
+    )
+
+
+def _t_dwell_sql() -> str:
+    return f"""
+WITH s AS ({sessionize_sql("events", gap_seconds=1800)})
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(session_end - session_start) AS BIGINT) AS dwell_s,
+       CAST(max(session_end - session_start) AS BIGINT) AS longest_s
+FROM s GROUP BY user_id
+"""
+
+
+def q_corpus_novelty(spark, sf_dir):
+    """Dataset redundancy curve: per document (in id order), how many
+    of its distinct 8-grams are NOVEL — first seen at this doc (gram's
+    min doc_id == this doc). Falling novelty across a crawl is the
+    canonical sign of saturating a source. One gram-keyed min
+    aggregation joined back — the span-dedup shuffle class."""
+    from arcane_framework_scala_spark.functions.corpus import (
+        _distinct_grams,
+    )
+
+    g = _distinct_grams(_read(spark, sf_dir, "documents"),
+                        "doc_id", "text", 8, "id")
+    firsts = g.groupBy("g").agg(F.min("id").alias("first_id"))
+    return (
+        g.join(firsts, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("id") == F.col("first_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+_CORPUS_NOVELTY_SQL = """
+WITH g AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) AS u(i)
+),
+firsts AS (SELECT g, min(id) AS first_id FROM g GROUP BY g)
+SELECT id AS doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM g JOIN firsts USING (g)
+GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5689,8 +5758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
         # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
         # sim_cluster_quality, dedup_bloom_fpr, corpus_shard_manifest,
-        # a14_freshness — 73 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # a14_freshness, t_dwell_time, corpus_novelty — 75
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5763,6 +5832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_fpr": q_dedup_bloom_fpr,
         "corpus_shard_manifest": q_corpus_shard_manifest,
         "a14_freshness": q_a14_freshness,
+        "t_dwell_time": q_t_dwell_time,
+        "corpus_novelty": q_corpus_novelty,
     }
 
 
@@ -6031,6 +6102,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "dedup_bloom_fpr": _bloom_fpr_sql(),
         "corpus_shard_manifest": _corpus_shard_manifest_sql(),
         "a14_freshness": _A14_SQL,
+        "t_dwell_time": _t_dwell_sql(),
+        "corpus_novelty": _CORPUS_NOVELTY_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
