@@ -5618,6 +5618,39 @@ GROUP BY id
 """
 
 
+def q_a15_daily_growth(spark, sf_dir):
+    """Day-over-day volume report: daily event counts with the previous
+    day's count and the absolute delta (a lag window over the daily
+    aggregate — integers only; ratio left to the reader because
+    truncating vs flooring division of negative deltas differs between
+    engines, the same class of trap the repo avoids everywhere)."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 86400").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n",
+        F.coalesce(F.lag("n").over(w), F.lit(0)).alias("prev_n"),
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))).alias(
+            "delta"
+        ),
+    )
+
+
+_A15_SQL = """
+WITH daily AS (
+  SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, count(*) AS n
+  FROM events GROUP BY day
+)
+SELECT day, n,
+       coalesce(lag(n) OVER (ORDER BY day), 0) AS prev_n,
+       n - coalesce(lag(n) OVER (ORDER BY day), 0) AS delta
+FROM daily
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5758,8 +5791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_incremental_agg, sim_text_topk, sim_bm25_rerank,
         # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
         # sim_cluster_quality, dedup_bloom_fpr, corpus_shard_manifest,
-        # a14_freshness, t_dwell_time, corpus_novelty — 75
-        # never-checked: front-load 50 in r4, overflow → r5. ---
+        # a14_freshness, t_dwell_time, corpus_novelty,
+        # a15_daily_growth — 76 never-checked: front-load 50 in r4,
+        # overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5834,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_freshness": q_a14_freshness,
         "t_dwell_time": q_t_dwell_time,
         "corpus_novelty": q_corpus_novelty,
+        "a15_daily_growth": q_a15_daily_growth,
     }
 
 
@@ -6104,6 +6139,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "a14_freshness": _A14_SQL,
         "t_dwell_time": _t_dwell_sql(),
         "corpus_novelty": _CORPUS_NOVELTY_SQL,
+        "a15_daily_growth": _A15_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
