@@ -5651,6 +5651,77 @@ FROM daily
 """
 
 
+def q_corpus_dup_by_source(spark, sf_dir):
+    """Dataset-card row per source: documents, distinct texts, and the
+    exact-duplicate rate in ppm (positive integer division — safe in
+    both engines). One grouped aggregation over (source, md5)."""
+    docs = _read(spark, sf_dir, "documents")
+    per = docs.groupBy("source", F.md5("text").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.expr(
+            "(1000000 * (sum(n) - count(1))) div sum(n)"
+        ).alias("dup_ppm"),
+    )
+
+
+_CORPUS_DUP_SRC_SQL = """
+WITH per AS (
+  SELECT source, md5(text) AS d, count(*) AS n
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_unique,
+       (1000000 * (CAST(sum(n) AS BIGINT) - count(*))) // CAST(sum(n) AS BIGINT)
+         AS dup_ppm
+FROM per GROUP BY source
+"""
+
+
+def q_t_active_users(spark, sf_dir):
+    """DAU/WAU — the canonical engagement pair: per day, distinct
+    active users that day and over the trailing 7 days. The weekly
+    count distincts (day, user) pairs joined to the day spine within
+    the window — at 100 TB the exact WAU swaps for an HLL-sketch
+    union over daily sketches (the t_rollup_cascade machinery); the
+    gate pins the exact path."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 86400").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = du.select("day").distinct().withColumnRenamed("day", "d0")
+    wau = (
+        days.join(
+            du,
+            (F.col("day") <= F.col("d0")) & (F.col("day") > F.col("d0") - 7),
+        )
+        .groupBy("d0")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("d0", "day")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+_T_ACTIVE_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day, user_id
+  FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+days AS (SELECT DISTINCT day AS d0 FROM du),
+wau AS (
+  SELECT d0 AS day, count(DISTINCT du.user_id) AS wau
+  FROM days JOIN du ON du.day <= d0 AND du.day > d0 - 7
+  GROUP BY d0
+)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5792,8 +5863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a13_winsorize, t_ewma_pow2, s15_partitioned_roundtrip,
         # sim_cluster_quality, dedup_bloom_fpr, corpus_shard_manifest,
         # a14_freshness, t_dwell_time, corpus_novelty,
-        # a15_daily_growth — 76 never-checked: front-load 50 in r4,
-        # overflow → r5. ---
+        # a15_daily_growth, corpus_dup_by_source, t_active_users — 78
+        # never-checked: front-load 50 in r4, overflow → r5. ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -5869,6 +5940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dwell_time": q_t_dwell_time,
         "corpus_novelty": q_corpus_novelty,
         "a15_daily_growth": q_a15_daily_growth,
+        "corpus_dup_by_source": q_corpus_dup_by_source,
+        "t_active_users": q_t_active_users,
     }
 
 
@@ -6140,6 +6213,8 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_dwell_time": _t_dwell_sql(),
         "corpus_novelty": _CORPUS_NOVELTY_SQL,
         "a15_daily_growth": _A15_SQL,
+        "corpus_dup_by_source": _CORPUS_DUP_SRC_SQL,
+        "t_active_users": _T_ACTIVE_SQL,
         "sim_pq_recall": sim.recall_at_k_sql(
             pq_mod.pq_topk_sql(
                 "embeddings", _COSINE_QUERY_IDS, k=10, m=4, ksub=8, iters=2
