@@ -66,3 +66,49 @@ def test_streaming_merge_and_watermark(spark, sf_dir, tmp_path):
     stream3, target3 = _stream(spark, tmp_path, src_dir)
     stream3.run_available()
     assert target3.read().count() == second
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Structured Streaming's exactly-once restart contract, driven for
+    real: run-to-completion with a checkpoint, add a new source file,
+    restart with the SAME checkpoint — the second run must emit ONLY
+    the new file's rows (no reprocessing, no duplicates), the
+    checkpoint-based sibling of the watermark-store replay gate (t2)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "csrc")
+    ckpt = str(tmp_path / "cckpt")
+    out = str(tmp_path / "cout")
+    os.makedirs(src)
+
+    def add_file(name, rows):
+        sub = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "k long, v long").coalesce(1)\
+            .write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(sub, f), os.path.join(src, name))
+
+    def run_once():
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_file("00.parquet", [(1, 10), (2, 20)])
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+    add_file("01.parquet", [(3, 30)])
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # exactly one new row, zero reprocessed
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
