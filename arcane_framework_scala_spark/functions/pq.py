@@ -238,12 +238,22 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: ``(query_id, vec_id, score_micro, rk)`` — approximate
     cosine ranked descending with id tiebreak, self excluded (the
-    ``brute_force_topk`` conventions)."""
+    ``brute_force_topk`` conventions).
+
+    ``codebooks`` — optional prefit ``pq_fit`` output (the production
+    shape: train offline once, search many times). When omitted the
+    codebook is fit in-query, which charges the Lloyd fit to every
+    search call."""
     d = dim // m
-    cb = pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    )
     # norm² of each centroid in micro units — int64 from the fixed float
     # expression, so the per-vector Σ is an integer sum
     cbx = cb.withColumn(
@@ -320,6 +330,7 @@ def pq_rerank_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ pattern: ADC builds a ``shortlist``-sized
     candidate set from codes alone, then exact cosine reranks ONLY the
@@ -333,7 +344,8 @@ def pq_rerank_topk(
     (deterministic, so these are exact, not averages). Real embedding
     corpora cluster heavily and sit far above this floor."""
     cand = pq_topk(
-        embeddings, query_ids, shortlist, m, ksub, iters, dim, id_col, vec_col
+        embeddings, query_ids, shortlist, m, ksub, iters, dim, id_col,
+        vec_col, codebooks,
     ).select("query_id", id_col)
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -371,6 +383,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS composition: IVF coarse cells prune the corpus to
     the probed lists, PQ/ADC scores ONLY those candidates from codes —
@@ -432,7 +445,11 @@ def ivfpq_topk(
         F.col("vid") != F.col("query_id")
     ).select("query_id", "vid")
 
-    cb = pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    )
     cbx = cb.withColumn(
         "cnsq_micro",
         F.floor(

@@ -96,9 +96,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -161,7 +163,10 @@ def main() -> int:
             continue
         print(f"PASS {name}: rows={len(srows)} hash={sh[:12]} ({dt:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    # Report selected-passed/selected-run; mention the full registry size
+    # only on unfiltered runs (a filtered run used to misreport 166/166).
+    scope = "" if not only else f" (of {len(queries)} registered)"
+    print(f"\n{ran - len(failures)}/{ran} selected queries pass{scope}")
     spark.stop()
     return 1 if failures else 0
 
