@@ -35,7 +35,11 @@ _JDBC_TYPES: dict[int, T.DataType] = {
     -15: T.StringType(),         # NCHAR
     -16: T.StringType(),         # LONGNVARCHAR (ntext)
     91: T.DateType(),            # DATE
-    92: T.StringType(),          # TIME — no Spark time type; lossless string
+    # TIME — no Spark time type; the engine-wide canonical encoding is
+    # int64 NANOS-OF-DAY (schema/types.py TIME), lossless for SQL
+    # Server's time(7) (100ns ticks) and orderable. Convert at the JDBC
+    # boundary with time_to_nanos_tsql / time_string_to_nanos below.
+    92: T.LongType(),
     93: T.TimestampNTZType(),    # TIMESTAMP
     2014: T.TimestampType(),     # TIMESTAMP_WITH_TIMEZONE (datetimeoffset)
     -2: T.BinaryType(),          # BINARY
@@ -76,8 +80,49 @@ _SIMPLE: dict[str, T.DataType] = {
     "timestamp": T.TimestampNTZType(),
     "uuid": T.StringType(),
     "json": T.StringType(),
-    "time": T.StringType(),
+    "time": T.LongType(),  # nanos-of-day — one TIME encoding everywhere
 }
+
+
+# ---------------------------------------------------------------------------
+# TIME boundary conversions — the one place the nanos-of-day encoding is
+# produced, so JDBC-discovered schemas (92 → LongType above) typecheck
+# against declared Arcane schemas (types.py TIME → LongType) with no
+# spurious T8 migration diff.
+# ---------------------------------------------------------------------------
+
+
+def time_to_nanos_tsql(column: str) -> str:
+    """T-SQL expression converting a SQL Server ``time`` column to int64
+    nanos-of-day — wrap TIME columns with this in generated JDBC SELECTs
+    so the wire value already matches the engine encoding."""
+    return (
+        f"CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), "
+        f"[{column}]) AS BIGINT)"
+    )
+
+
+def time_string_to_nanos(column):
+    """Spark Column: ``'HH:MM:SS[.fffffffff]'`` text → int64 nanos-of-day
+    (for sources that deliver TIME as strings, e.g. CDM CSV). Integer
+    arithmetic throughout — no float rounding in the encoding."""
+    import pyspark.sql.functions as F
+
+    c = F.col(column) if isinstance(column, str) else column
+    hms = F.split(F.substring_index(c, ".", 1), ":")
+    frac = F.when(
+        c.contains("."),
+        F.rpad(F.substring_index(c, ".", -1), 9, "0").cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        (
+            hms.getItem(0).cast("long") * 3600
+            + hms.getItem(1).cast("long") * 60
+            + hms.getItem(2).cast("long")
+        )
+        * F.lit(1_000_000_000)
+        + frac
+    ).cast("long")
 
 
 def _split_top_level(s: str) -> list[str]:

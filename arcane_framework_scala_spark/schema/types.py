@@ -74,10 +74,17 @@ def struct_of(*fields: tuple[str, ArcaneType]) -> ArcaneType:
 
 
 def type_equals(a: ArcaneType, b: ArcaneType) -> bool:
-    """Structural equality with INT ≡ SHORT widening (reference semantics)."""
+    """Structural equality with INT ≡ SHORT widening (reference semantics)
+    and TIME ≡ LONG representational identity: TIME's engine encoding IS
+    int64 nanos-of-day (to_spark_type maps both to LongType, and Spark
+    can never round-trip a LongType back to TIME), so a declared-TIME
+    field must not raise a migration diff against its own JDBC-discovered
+    long twin (SURVEY §7.3 decision; one encoding everywhere)."""
     if {a.name, b.name} == {"int", "short"} or (a.name == b.name == "int") or (
         a.name == b.name == "short"
     ):
+        return True
+    if {a.name, b.name} == {"time", "long"}:
         return True
     if a.name != b.name:
         return False

@@ -38,16 +38,40 @@ def test_oracles_parse_in_duckdb():
 
 
 def test_gate_window_holds_the_unverified_front():
-    """The driver checks the FIRST 50 entries only; r3's window must
+    """The driver checks the FIRST 50 entries only; r4's window must
     keep the never-driver-verified set in front. Guard the boundary so
     a refactor reordering the dict doesn't silently shrink coverage."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
-    # spot-pins: the formerly-ungated families and the r3 additions
+    # spot-pins: the heaviest never-driver-checked families (VERDICT r3
+    # item 1) plus the two new §2-draining gates (item 7)
     for required in (
-        "corpus_pack", "t_rollup_cascade", "sim_ivf_trained_topk",
-        "t_stream_late_data", "mm_resize", "dedup_clusters_star",
-        "corpus_pipeline_e2e", "t_stream_dedup", "m8_cdc_corpus_vertical",
+        "sim_pq_topk", "sim_ivfpq_topk", "sim_pq_recall",
+        "corpus_bpe_merges", "corpus_bpe_pack", "dedup_bloom_probe",
+        "t_stream_stream_join", "t_stream_static_join",
+        "w4_time_travel", "w5_change_feed", "x5_retention_report",
+        "t_incremental_agg", "graph_pagerank", "corpus_cluster_split",
+        "t_nearest_join", "t_gapfill", "t_grouping_sets",
+        "s11_auth_mapping", "a6_shard_estimate",
     ):
         assert required in first50, required
+
+
+def test_r4_window_is_entirely_never_driver_checked():
+    """Every slot in the r4 gate window must spend its driver budget on
+    an entry with NO prior CORRECTNESS row (r1∪r2∪r3) — re-verifying a
+    green query while a backlog exists wastes the scarcest resource."""
+    import json
+    import os
+
+    checked: set[str] = set()
+    for r in (1, 2, 3):
+        p = os.path.join(
+            os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json"
+        )
+        with open(p) as f:
+            checked |= set(json.load(f))
+    first50 = list(entry_mod.queries())[:50]
+    stale = [n for n in first50 if n in checked]
+    assert not stale, stale

@@ -17,7 +17,7 @@ def test_jdbc_codes():
     assert jdbc_type_to_spark(3, 10, 2) == T.DecimalType(10, 2)
     assert jdbc_type_to_spark(93) == T.TimestampNTZType()
     assert jdbc_type_to_spark(2014) == T.TimestampType()
-    assert jdbc_type_to_spark(92) == T.StringType()  # TIME → lossless string
+    assert jdbc_type_to_spark(92) == T.LongType()  # TIME → nanos-of-day
     assert jdbc_type_to_spark(-3) == T.BinaryType()
     with pytest.raises(ValueError):
         jdbc_type_to_spark(99999)
@@ -100,3 +100,49 @@ def test_two_phase_agg_rejects_non_reducible(spark):
     for kind in ("avg", "count_distinct", "percentile"):
         with _pytest.raises(ValueError, match="cannot re-reduce"):
             two_phase_agg(df, key="k", aggs={"bad": (kind, "v")})
+
+
+def test_time_roundtrip_no_migration_diff(spark):
+    """The TIME decision (SURVEY §7.3): one encoding — int64 nanos-of-day
+    — everywhere. A declared-TIME column must survive JDBC-map →
+    ArcaneSchema → StructType with no spurious migration diff, and the
+    string→nanos boundary conversion must be exact (no float rounding)."""
+    from arcane_framework_scala_spark.schema.schema import (
+        ArcaneField,
+        ArcaneSchema,
+        merge_key_field,
+    )
+    from arcane_framework_scala_spark.schema.sql_types import (
+        jdbc_type_to_spark,
+        parse_trino_type,
+        time_string_to_nanos,
+        time_to_nanos_tsql,
+    )
+    from arcane_framework_scala_spark.schema.types import TIME
+
+    # every TIME ingress path lands on the same Spark type
+    assert jdbc_type_to_spark(92) == T.LongType()
+    assert parse_trino_type("time") == T.LongType()
+    assert parse_trino_type("time(7)") == T.LongType()
+
+    # declared schema (TIME) vs its own JDBC-discovered twin: the
+    # discovered StructType can only say LongType — no migration diff
+    declared = ArcaneSchema.of(
+        merge_key_field(), ArcaneField("opening_hour", TIME)
+    )
+    discovered = ArcaneSchema.from_spark(declared.to_spark())
+    assert declared.missing_fields(discovered) == []
+    assert discovered.missing_fields(declared) == []
+
+    # boundary conversions: T-SQL text is pinned; the Spark-side string
+    # parser is integer-exact down to the nanosecond
+    assert time_to_nanos_tsql("t") == (
+        "CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), [t]) "
+        "AS BIGINT)"
+    )
+    df = spark.createDataFrame(
+        [("00:00:00",), ("23:59:59.999999999",), ("12:34:56.5",), (None,)],
+        "t string",
+    ).select(time_string_to_nanos("t").alias("ns"))
+    got = [r.ns for r in df.collect()]
+    assert got == [0, 86_399_999_999_999, 45_296_500_000_000, None]
