@@ -10,6 +10,18 @@ equivalents are the Iceberg stored procedures and ``ANALYZE TABLE``.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+
+def _cutoff_literal(retention_hours: int, as_of: datetime | None) -> str:
+    """``now - retention`` as a timestamp LITERAL. Iceberg's Spark CALL
+    parser accepts constants only — ``older_than => TIMESTAMP (now() -
+    INTERVAL ...)`` is rejected by the real extension parser, so the
+    arithmetic happens here. ``as_of`` pins the clock for deterministic
+    golden text; production callers omit it (current UTC)."""
+    base = as_of if as_of is not None else datetime.now(timezone.utc)
+    cutoff = base - timedelta(hours=retention_hours)
+    return cutoff.strftime("%Y-%m-%d %H:%M:%S")
 
 
 def optimize_sql(catalog: str, table: str, file_size_threshold_mb: int = 128) -> str:
@@ -21,19 +33,29 @@ def optimize_sql(catalog: str, table: str, file_size_threshold_mb: int = 128) ->
     )
 
 
-def expire_snapshots_sql(catalog: str, table: str, retention_hours: int = 168) -> str:
-    """X2 snapshot expiry."""
+def expire_snapshots_sql(
+    catalog: str,
+    table: str,
+    retention_hours: int = 168,
+    as_of: datetime | None = None,
+) -> str:
+    """X2 snapshot expiry (Iceberg-documented literal-timestamp form)."""
     return (
         f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
-        f"older_than => TIMESTAMP (now() - INTERVAL {retention_hours} HOURS))"
+        f"older_than => TIMESTAMP '{_cutoff_literal(retention_hours, as_of)}')"
     )
 
 
-def remove_orphan_files_sql(catalog: str, table: str, retention_hours: int = 168) -> str:
-    """X3 orphan file removal."""
+def remove_orphan_files_sql(
+    catalog: str,
+    table: str,
+    retention_hours: int = 168,
+    as_of: datetime | None = None,
+) -> str:
+    """X3 orphan file removal (literal-timestamp form, as above)."""
     return (
         f"CALL {catalog}.system.remove_orphan_files(table => '{table}', "
-        f"older_than => TIMESTAMP (now() - INTERVAL {retention_hours} HOURS))"
+        f"older_than => TIMESTAMP '{_cutoff_literal(retention_hours, as_of)}')"
     )
 
 
@@ -41,6 +63,21 @@ def analyze_sql(table: str, columns: list[str] | None = None) -> str:
     """X4 statistics (skipped during backfill in the reference)."""
     cols = f" FOR COLUMNS {', '.join(columns)}" if columns else ""
     return f"ANALYZE TABLE {table} COMPUTE STATISTICS{cols}"
+
+
+# -- Delta Lake dialect (the same X1-X3 semantics on a Delta catalog) -------
+
+
+def delta_optimize_sql(table: str, zorder_by: list[str] | None = None) -> str:
+    """X1 on Delta: ``OPTIMIZE`` with optional Z-ordering (pairs with
+    ``functions/layout.py``'s Z-order key for parquet-dir targets)."""
+    z = f" ZORDER BY ({', '.join(zorder_by)})" if zorder_by else ""
+    return f"OPTIMIZE {table}{z}"
+
+
+def delta_vacuum_sql(table: str, retention_hours: int = 168) -> str:
+    """X2+X3 on Delta: ``VACUUM`` covers both expiry and orphan removal."""
+    return f"VACUUM {table} RETAIN {retention_hours} HOURS"
 
 
 @dataclass

@@ -16,12 +16,19 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from datetime import datetime, timezone
+
 from arcane_framework_scala_spark.queries.maintenance import (
     analyze_sql,
+    delta_optimize_sql,
+    delta_vacuum_sql,
     expire_snapshots_sql,
     optimize_sql,
     remove_orphan_files_sql,
 )
+
+#: pinned clock for deterministic maintenance golden text
+_AS_OF = datetime(2026, 1, 15, 12, 0, 0, tzinfo=timezone.utc)
 from arcane_framework_scala_spark.queries.merge import (
     SQL_SERVER_CHANGE_TRACKING,
     SYNAPSE_LINK,
@@ -90,9 +97,22 @@ CASES = {
     "maintenance_all": lambda: "\n---\n".join(
         [
             optimize_sql("iceberg", "test.target", file_size_threshold_mb=256),
-            expire_snapshots_sql("iceberg", "test.target", retention_hours=72),
-            remove_orphan_files_sql("iceberg", "test.target", retention_hours=72),
+            expire_snapshots_sql(
+                "iceberg", "test.target", retention_hours=72, as_of=_AS_OF
+            ),
+            remove_orphan_files_sql(
+                "iceberg", "test.target", retention_hours=72, as_of=_AS_OF
+            ),
             analyze_sql("iceberg.test.target", ["ARCANE_MERGE_KEY", "x"]),
+        ]
+    ),
+    "maintenance_delta": lambda: "\n---\n".join(
+        [
+            delta_optimize_sql(
+                "delta_cat.test.target", zorder_by=["ARCANE_MERGE_KEY", "x"]
+            ),
+            delta_optimize_sql("delta_cat.test.target"),
+            delta_vacuum_sql("delta_cat.test.target", retention_hours=72),
         ]
     ),
 }
