@@ -135,3 +135,19 @@ def test_pq_topk_rank_contract(spark, sf_dir):
         assert all(r["vec_id"] != q for r in rows)
         scores = [r["score_micro"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_prefit_codebook_is_bit_identical_to_infit(spark, sf_dir):
+    """The production fit-once/search-many path must return exactly what
+    the fit-in-query path returns — pq_fit is a deterministic fixed
+    point, so prefitting is a pure cost optimization, never a semantic
+    fork. Guards the gate/bench switch to prefit codebooks."""
+    from arcane_framework_scala_spark.functions.pq import pq_fit
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=4, ksub=8, iters=2, dim=64).localCheckpoint()
+    infit = pq_topk(emb, QUERY_IDS, k=10).collect()
+    prefit = pq_topk(emb, QUERY_IDS, k=10, codebooks=cb).collect()
+    key = lambda r: (r["query_id"], r["rk"])
+    assert sorted(map(tuple, prefit), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, infit), key=lambda t: (t[0], t[3]))
