@@ -35,6 +35,7 @@ from arcane_framework_scala_spark.functions import similarity as sim
 from arcane_framework_scala_spark.functions import text as tx
 from arcane_framework_scala_spark.functions import corpus as cx
 from arcane_framework_scala_spark.functions import kmeans as km
+from arcane_framework_scala_spark.functions import semdedup as sd
 from arcane_framework_scala_spark.operators.dedup_window import (
     backfill_commit_dedup,
     latest_version_per_key,
@@ -5752,6 +5753,24 @@ SELECT day, dau, wau FROM dau JOIN wau USING (day)
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup — the
+    deterministic fixed-point k-means codebook assigns every embedding
+    to a cell (broadcast join + max_by hash agg), then ONE cell-keyed
+    shuffle feeds a within-cell self-join whose pairwise cosine work is
+    Σ|cell|² instead of N² (threshold calibrated to the synthetic
+    corpus's ≈0.51 max pairwise cosine; production default 0.9 with
+    k ≈ N/1000). Min-id survivor per near-dup ball, keep flag per
+    vector."""
+    from arcane_framework_scala_spark.functions.semdedup import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.35
+    )
+
+
 def q_s11_auth_mapping(spark, sf_dir):
     """S11: blob-store credential → Hadoop connector configuration.
     Applies the reference's three Azure auth modes (shared key / SAS /
@@ -5993,6 +6012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_daily_growth": q_a15_daily_growth,
         "corpus_dup_by_source": q_corpus_dup_by_source,
         "t_active_users": q_t_active_users,
+        "dedup_semantic": q_dedup_semantic,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6091,6 +6111,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "s11_auth_mapping": _S11_AUTH_SQL,
         "a6_shard_estimate": _A6_SHARD_SQL,
+        "dedup_semantic": sd.semantic_dedup_sql(
+            "embeddings", k=8, iters=2, threshold=0.35
+        ),
         "s8_blob_enrich": _LINEITEM_ENRICHED_SQL,
         "s1_mssql_changes": _mssql_changes_sql(),
         "w1_dedup_latest": f"""

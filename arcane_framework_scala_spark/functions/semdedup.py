@@ -1,0 +1,191 @@
+"""SemDeDup: cluster-scoped semantic deduplication (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication" — public arXiv:2303.09540).
+
+The scale insight the paper and every production curation pipeline rely
+on: global pairwise cosine over N embeddings is O(N²) and dead at
+100 TB, but after k-means clustering, semantic duplicates live in the
+SAME cluster, so the pairwise pass shrinks to Σ |cell|² — tunable via k.
+Pick ``k ≈ N / 1000`` and the per-cell work is a bounded ~10⁶ dot
+products, embarrassingly parallel across cells.
+
+Spark-first plan:
+
+1. fit the codebook with the repo's deterministic fixed-point Lloyd
+   (``kmeans.kmeans_fit`` — engine-reproducible, oracle-twinned);
+2. assign every vector to its nearest centroid via ONE broadcast join +
+   ``max_by`` hash aggregation (map-side combined, no window over the
+   ×k fan-out — the ``kmeans_fit`` assignment conventions with the
+   ``ivf_topk`` rounding: ``round(csim, 6)``, ties → lowest cell);
+3. ONE shuffle on ``cell`` feeds a within-cell self-join (both sides
+   share the subtree, so ReuseExchange writes the shuffle once);
+   a vector is a duplicate iff a LOWER-id cellmate sits at
+   ``round(cosine, 6) ≥ threshold`` — the repo's min-id survivor
+   policy (the paper keeps a per-ball representative chosen by
+   centroid distance; min-id is the deterministic equivalent and
+   matches ``dedup_canonical``/``embedding_near_dup``).
+
+Output: one row per vector — ``(vec_id, cell, keep)``. Downstream,
+``filter(keep)`` is the curated corpus; the dropped complement is the
+semantic-dup report.
+
+Vs ``dedup.embedding_near_dup`` (sign-LSH buckets): LSH bounds the
+pairing by hash-bucket collisions (recall traded against bucket size
+via ``bits``); SemDeDup bounds it by learned cluster structure — on
+clustered real-world corpora cells align with semantics, which is the
+paper's point. Both avoid the O(N²) cross join; they are complementary
+recalls of the same near-dup relation.
+
+At 100 TB: persist ``assign`` output partitioned by cell (exactly like
+``similarity.build_ivf_index`` does for vectors) and run the pairwise
+pass per partition; oversized cells (skew) split by re-clustering the
+cell or salting the self-join — the standard skew playbook in
+docs/SCALE.md. The codebook fit is an offline sample-fit (the
+``pq_fit``/``_pq_codebook`` fit-once pattern).
+
+Determinism (docs/DETERMINISM.md): the fit is fixed-point integer; both
+the assignment similarity and the pair similarity are rounded to 6
+decimals with id tiebreaks before any comparison, so Spark and DuckDB
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.kmeans import (
+    kmeans_codebook_sql,
+    kmeans_fit,
+)
+from arcane_framework_scala_spark.functions.similarity import (
+    _dot,
+    _norm,
+    cosine_similarity_sql,
+)
+
+__all__ = ["semantic_dedup", "semantic_dedup_sql"]
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """``(vec_id, cell, keep)`` — cluster assignment plus the SemDeDup
+    survivor flag. ``codebook`` accepts a prefit ``kmeans_fit`` output
+    (the fit-once production shape); omitted → fit in-query."""
+    cb = (
+        codebook
+        if codebook is not None
+        else kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col,
+                        vec_col=vec_col)
+    )
+    cent = cb.select(
+        F.col("centroid_id").alias("cell"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    sims = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("__vec"),
+            _norm(F.col(vec_col)).alias("__vn"),
+        )
+        .join(F.broadcast(cent))
+        .select(
+            "vid",
+            "__vec",
+            "__vn",
+            "cell",
+            F.round(
+                _dot(F.col("__vec"), F.col("__cvec"))
+                / (F.col("__vn") * F.col("__cn")),
+                6,
+            ).alias("__csim"),
+        )
+    )
+    assigned = (
+        sims.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct("cell", "__vec", "__vn"),
+                F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vid",
+            F.col("best.cell").alias("cell"),
+            F.col("best.__vec").alias("__vec"),
+            F.col("best.__vn").alias("__vn"),
+        )
+        # ONE explicit shuffle on cell; the self-join below reuses this
+        # exchange for both sides (identical subtree → ReuseExchange)
+        .repartition("cell")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_sim = F.round(
+        _dot(F.col("a.__vec"), F.col("b.__vec"))
+        / (F.col("a.__vn") * F.col("b.__vn")),
+        6,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vid") < F.col("a.vid")),
+        )
+        .filter(pair_sim >= F.lit(threshold))
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: the fixed-point Lloyd CTE chain feeding the same
+    rounded assignment and within-cell pair predicate."""
+    cb = kmeans_codebook_sql(
+        table, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    asg_sim = cosine_similarity_sql(f"e.{vec_col}", f"c.{vec_col}")
+    pair_sim = cosine_similarity_sql("x.vec", "y.vec")
+    return f"""
+WITH cb AS (SELECT * FROM {cb}),
+asg AS (
+  SELECT vid, cell, vec FROM (
+    SELECT e.{id_col} AS vid, c.centroid_id AS cell, e.{vec_col} AS vec,
+           row_number() OVER (PARTITION BY e.{id_col}
+                              ORDER BY round({asg_sim}, 6) DESC,
+                                       c.centroid_id) AS rk
+    FROM {table} e JOIN cb c ON true
+  ) WHERE rk = 1
+),
+dups AS (
+  SELECT DISTINCT x.vid
+  FROM asg x JOIN asg y ON x.cell = y.cell AND y.vid < x.vid
+  WHERE round({pair_sim}, 6) >= {threshold}
+)
+SELECT a.vid AS {id_col}, a.cell,
+       (d.vid IS NULL) AS keep
+FROM asg a LEFT JOIN dups d ON a.vid = d.vid
+""".strip()

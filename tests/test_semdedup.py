@@ -1,0 +1,92 @@
+"""SemDeDup (functions/semdedup.py): hand-checkable semantics, the
+cluster-bounded-pairing contract, and prefit-codebook equality."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.kmeans import kmeans_fit
+from arcane_framework_scala_spark.functions.semdedup import semantic_dedup
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_min_id_survivor_within_cell(spark):
+    """Two tight balls on orthogonal axes: ids 0/2/4 are near-identical
+    on +x, ids 1/3 near-identical on +y. With k=2 the balls land in
+    separate cells; each cell keeps exactly its lowest id."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.01]),
+        (1, [0.0, 1.0, 0.01, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.01, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.01, 0.0]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _df(spark, rows), k=2, iters=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5  # one row per vector, always
+    assert out[0]["keep"] and out[1]["keep"]
+    assert not out[2]["keep"] and not out[3]["keep"] and not out[4]["keep"]
+    # the x-ball shares a cell, the y-ball shares the other
+    assert out[0]["cell"] == out[2]["cell"] == out[4]["cell"]
+    assert out[1]["cell"] == out[3]["cell"]
+    assert out[0]["cell"] != out[1]["cell"]
+
+
+def test_duplicates_only_pair_within_cells(spark, sf_dir):
+    """The whole point of the cluster scoping: a dropped vector must
+    have a lower-id cellmate above threshold; vectors whose only
+    near-dups live in OTHER cells survive. Verified by recomputing the
+    within-cell pair predicate from the output's own cell assignment."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = semantic_dedup(emb, k=8, iters=2, threshold=0.35)
+    joined = res.join(emb, "vec_id").select("vec_id", "cell", "keep", "embedding")
+    a, b = joined.alias("a"), joined.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(f"{side}.embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    has_lower_neighbor = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(F.round(dot / (norm("a") * norm("b")), 6) >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = {r["vec_id"] for r in has_lower_neighbor.collect()}
+    for r in res.collect():
+        assert r["keep"] == (r["vec_id"] not in flagged), r
+
+
+def test_prefit_codebook_matches_infit(spark, sf_dir):
+    """Fit-once/search-many must be a pure cost optimization (the
+    pq_topk prefit contract applied to SemDeDup)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = kmeans_fit(emb, k=8, iters=2).localCheckpoint()
+    infit = sorted(
+        map(tuple, semantic_dedup(emb, k=8, iters=2, threshold=0.35).collect())
+    )
+    prefit = sorted(
+        map(
+            tuple,
+            semantic_dedup(emb, threshold=0.35, codebook=cb).collect(),
+        )
+    )
+    assert infit == prefit
