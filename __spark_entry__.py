@@ -5771,6 +5771,24 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_corpus_dsir_select(spark, sf_dir):
+    """DSIR data selection (arXiv:2302.03169): hashed-unigram
+    distributions for a target domain (sources src0/src1 play the
+    'high-quality reference') vs the raw corpus; each document scores
+    the mean per-token log-ratio — floored to int64 micro per bucket,
+    accumulated all-integer — and the top 25% by weight are selected
+    via a broadcast percentile threshold (the lm_buckets cut pattern,
+    never a global rank window)."""
+    from arcane_framework_scala_spark.functions.lm import dsir_select
+
+    return dsir_select(
+        _read(spark, sf_dir, "documents"),
+        F.col("source").isin("src0", "src1"),
+        frac=0.25,
+        dim=256,
+    )
+
+
 def q_s11_auth_mapping(spark, sf_dir):
     """S11: blob-store credential → Hadoop connector configuration.
     Applies the reference's three Azure auth modes (shared key / SAS /
@@ -6013,6 +6031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_by_source": q_corpus_dup_by_source,
         "t_active_users": q_t_active_users,
         "dedup_semantic": q_dedup_semantic,
+        "corpus_dsir_select": q_corpus_dsir_select,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6113,6 +6132,9 @@ def oracle_sql() -> dict[str, str]:
         "a6_shard_estimate": _A6_SHARD_SQL,
         "dedup_semantic": sd.semantic_dedup_sql(
             "embeddings", k=8, iters=2, threshold=0.35
+        ),
+        "corpus_dsir_select": lm_mod.dsir_select_sql(
+            "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256
         ),
         "s8_blob_enrich": _LINEITEM_ENRICHED_SQL,
         "s1_mssql_changes": _mssql_changes_sql(),

@@ -377,3 +377,137 @@ SELECT query_id, {id_col}, cos2_ppm, CAST(rk AS INT) AS rk FROM (
   FROM scored
 ) WHERE rk <= {k}
 """.strip()
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how much its hashed-n-gram distribution
+    looks like a TARGET domain (``target_pred`` rows) relative to the
+    raw corpus. ``(doc_id, n_feats, weight_micro)`` where weight is the
+    mean per-token log-ratio ``ln p_target(b) − ln p_raw(b)`` over the
+    doc's buckets, in int64 micro units.
+
+    Determinism: each bucket's log-ratio is ONE float expression floored
+    to micro (the kmeans/pq fixed-point rule), the per-doc accumulation
+    is ``sum(cnt · ratio_micro) div sum(cnt)`` — all-integer, so
+    partition order never moves the result. Laplace +1 / +dim smoothing
+    keeps unseen buckets finite.
+
+    Scale: two broadcast joins of ``dim``-row distributions against the
+    sparse (id, bucket, cnt) features; one map-side-combined groupBy per
+    distribution and one per doc. No shuffle carries text."""
+    feats = hashed_features(df, dim, text_col, id_col)
+    tgt_feats = feats.join(
+        df.filter(target_pred).select(id_col), id_col
+    )
+    t_dist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tn"))
+    r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("rn"))
+    t_tot = t_dist.agg(F.sum("tn").alias("tt"))
+    r_tot = r_dist.agg(F.sum("rn").alias("rt"))
+    ratio = (
+        r_dist.join(t_dist, "bucket", "left")
+        .join(F.broadcast(t_tot))
+        .join(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tn"), F.lit(0)) + 1)
+                        / (F.col("tt") + dim)
+                    )
+                    - F.log((F.col("rn") + 1) / (F.col("rt") + dim))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("ratio_micro"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.expr("sum(cnt * ratio_micro) div sum(cnt)").alias(
+                "weight_micro"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred,
+    frac: float = 0.25,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection flag: keep the top ``frac`` of the corpus by
+    importance weight. The cut is a percentile THRESHOLD broadcast from
+    a 1-row aggregate (the ``lm_buckets`` pattern — never a global rank
+    window); ties at the threshold all survive, so the flag is a pure
+    function of the weight. Swap ``approx_percentile`` at 100 TB."""
+    w = dsir_weights(df, target_pred, dim, text_col, id_col)
+    th = w.agg(
+        F.expr(
+            f"percentile(weight_micro, {1.0 - frac})"
+        ).alias("th")
+    )
+    return (
+        w.join(F.broadcast(th))
+        .select(
+            id_col,
+            "n_feats",
+            "weight_micro",
+            (F.col("weight_micro") >= F.col("th")).alias("selected"),
+        )
+    )
+
+
+def dsir_select_sql(
+    table: str,
+    target_where: str,
+    frac: float = 0.25,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`dsir_select` — identical smoothing,
+    flooring, integer accumulation, and percentile cut."""
+    feats = hashed_features_sql(table, dim, text_col, id_col)
+    return f"""
+WITH feats AS MATERIALIZED ({feats}),
+tgt AS (SELECT f.* FROM feats f
+        JOIN (SELECT {id_col} FROM {table} WHERE {target_where}) t
+        USING ({id_col})),
+t_dist AS (SELECT bucket, sum(cnt) AS tn FROM tgt GROUP BY bucket),
+r_dist AS (SELECT bucket, sum(cnt) AS rn FROM feats GROUP BY bucket),
+t_tot AS (SELECT sum(tn) AS tt FROM t_dist),
+r_tot AS (SELECT sum(rn) AS rt FROM r_dist),
+ratio AS (
+  SELECT r.bucket,
+         CAST(floor((ln((coalesce(t.tn, 0) + 1) / (tt + {dim}))
+                     - ln((r.rn + 1) / (rt + {dim}))) * 1000000.0)
+              AS BIGINT) AS ratio_micro
+  FROM r_dist r LEFT JOIN t_dist t USING (bucket), t_tot, r_tot
+),
+w AS (
+  SELECT {id_col}, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         CAST(sum(cnt * ratio_micro) // sum(cnt) AS BIGINT) AS weight_micro
+  FROM feats JOIN ratio USING (bucket)
+  GROUP BY {id_col}
+),
+th AS (SELECT quantile_cont(weight_micro, {1.0 - frac}) AS th FROM w)
+SELECT {id_col}, n_feats, weight_micro,
+       weight_micro >= th AS selected
+FROM w, th
+""".strip()
