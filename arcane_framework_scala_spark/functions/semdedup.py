@@ -123,10 +123,16 @@ def semantic_dedup(
             F.col("best.__vec").alias("__vec"),
             F.col("best.__vn").alias("__vn"),
         )
-        # ONE explicit shuffle on cell; the self-join below reuses this
-        # exchange for both sides (identical subtree → ReuseExchange)
+        # ONE explicit shuffle on cell, then materialize: the assignment
+        # feeds THREE consumers (both self-join sides + the keep-flag
+        # join), so an uncached lineage would re-run the codebook
+        # assignment per consumer. Lazy localCheckpoint (the repo's
+        # materialize() default) computes it once at runtime.
         .repartition("cell")
     )
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    assigned = materialize(assigned, eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_sim = F.round(

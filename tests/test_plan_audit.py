@@ -332,3 +332,21 @@ def test_r3_continuation_plan_shapes(spark, queries):
 
     a = audit_plan(queries["a9_partition_advisor"](spark, SF_DIR))
     assert a.scans == 1 and a.exchanges <= 1, a.plan
+
+
+def test_r4_semdedup_and_dsir_plan_shapes(spark, queries):
+    """Round-4 additions. SemDeDup: the pairwise stage must be an
+    equi-join on cell (hash-joinable — never a corpus×corpus cartesian),
+    everything JVM-side; the static plan prints the assignment lineage
+    per consumer (lazy localCheckpoint dedupes at runtime, the tfidf
+    note), so only the anti-pattern invariants are pinned. DSIR: the
+    dim-row distribution joins broadcast; the selection threshold is a
+    broadcast 1-row aggregate, never a global rank window."""
+    a = audit_plan(queries["dedup_semantic"](spark, SF_DIR))
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    a = audit_plan(queries["corpus_dsir_select"](spark, SF_DIR))
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    assert a.broadcast_joins >= 2, a.plan
+    assert "row_number" not in a.plan, a.plan
