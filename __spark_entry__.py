@@ -36,6 +36,7 @@ from arcane_framework_scala_spark.functions import text as tx
 from arcane_framework_scala_spark.functions import corpus as cx
 from arcane_framework_scala_spark.functions import kmeans as km
 from arcane_framework_scala_spark.functions import semdedup as sd
+from arcane_framework_scala_spark.functions import classifier as clf
 from arcane_framework_scala_spark.operators.dedup_window import (
     backfill_commit_dedup,
     latest_version_per_key,
@@ -5789,6 +5790,27 @@ def q_corpus_dsir_select(spark, sf_dir):
     )
 
 
+def q_corpus_quality_classifier(spark, sf_dir):
+    """GPT-3/CCNet-style discriminative quality filter: logistic
+    regression over hashed unigram features, trained IN-ENGINE by 3
+    fixed-point gradient-descent rounds (integer micro weights, one
+    float sigmoid expression per step, integer gradient sums — the
+    kmeans playbook applied to GD), sources src0/src1 as the
+    high-quality reference class. Output: per-doc sigmoid score +
+    reference_like flag; the whole iterative fit hash-matches the
+    unrolled-CTE oracle."""
+    from arcane_framework_scala_spark.functions.classifier import (
+        quality_classifier_score,
+    )
+
+    return quality_classifier_score(
+        _read(spark, sf_dir, "documents"),
+        F.col("source").isin("src0", "src1"),
+        iters=3,
+        dim=256,
+    )
+
+
 def q_s11_auth_mapping(spark, sf_dir):
     """S11: blob-store credential → Hadoop connector configuration.
     Applies the reference's three Azure auth modes (shared key / SAS /
@@ -6032,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_active_users": q_t_active_users,
         "dedup_semantic": q_dedup_semantic,
         "corpus_dsir_select": q_corpus_dsir_select,
+        "corpus_quality_classifier": q_corpus_quality_classifier,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6135,6 +6158,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_dsir_select": lm_mod.dsir_select_sql(
             "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256
+        ),
+        "corpus_quality_classifier": clf.quality_classifier_score_sql(
+            "documents", "source IN ('src0', 'src1')", iters=3, dim=256
         ),
         "s8_blob_enrich": _LINEITEM_ENRICHED_SQL,
         "s1_mssql_changes": _mssql_changes_sql(),

@@ -1,0 +1,82 @@
+"""Quality classifier (functions/classifier.py): the GD fit actually
+learns, scoring respects the prefit contract, and the fixed-point
+arithmetic is partition-order independent."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.classifier import (
+    quality_classifier_fit,
+    quality_classifier_score,
+)
+
+
+def _corpus(spark):
+    rows = (
+        [(i, "whereas party herein covenant pursuant", "tgt") for i in range(6)]
+        + [(10 + i, "banana apple pear grape melon", "web") for i in range(6)]
+        + [(30, "whereas covenant banana apple", "web")]  # mixed
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_fit_separates_target_from_raw(spark):
+    df = _corpus(spark)
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(
+            df, F.col("source") == "tgt", iters=3, dim=64
+        ).collect()
+    }
+    tgt_scores = [out[i]["score_micro"] for i in range(6)]
+    web_scores = [out[10 + i]["score_micro"] for i in range(6)]
+    assert min(tgt_scores) > max(web_scores)
+    assert all(out[i]["reference_like"] for i in range(6))
+    assert not any(out[10 + i]["reference_like"] for i in range(6))
+    # the mixed doc sits strictly between the two classes
+    assert max(web_scores) < out[30]["score_micro"] < min(tgt_scores)
+
+
+def test_prefit_weights_match_infit(spark):
+    df = _corpus(spark)
+    w = quality_classifier_fit(
+        df, F.col("source") == "tgt", iters=3, dim=64
+    ).localCheckpoint()
+    infit = sorted(
+        map(
+            tuple,
+            quality_classifier_score(
+                df, F.col("source") == "tgt", iters=3, dim=64
+            ).collect(),
+        )
+    )
+    prefit = sorted(
+        map(
+            tuple,
+            quality_classifier_score(df, dim=64, weights=w).collect(),
+        )
+    )
+    assert infit == prefit
+
+
+def test_fit_is_partition_independent(spark):
+    df = _corpus(spark)
+    base = sorted(
+        map(
+            tuple,
+            quality_classifier_fit(
+                df, F.col("source") == "tgt", iters=2, dim=64
+            ).collect(),
+        )
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            quality_classifier_fit(
+                df.repartition(5, "doc_id"),
+                F.col("source") == "tgt",
+                iters=2,
+                dim=64,
+            ).collect(),
+        )
+    )
+    assert base == shuffled
