@@ -5961,10 +5961,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
     # entries only. r2 verified the 50 core queries, r3 the next 50; r4
-    # front-loads 50 of the 79 entries that have never had a driver oracle
-    # row (77 r3-born + the 2 new §2-draining gates), leaving a 29-entry
-    # backlog that fits a single window for r5. r2 ∪ r3 ∪ r4 ∪ r5 covers
-    # the whole registry.
+    # front-loads 50 of the never-driver-checked entries (77 r3-born + the
+    # 2 new §2-draining gates), leaving a 32-entry backlog (29 rotated out
+    # + the 3 r4-born operators dedup_semantic / corpus_dsir_select /
+    # corpus_quality_classifier at the tail) that fits a single window for
+    # r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry; run
+    # scripts/plan_window.py to audit the rotation.
     return {
         # --- r4 GATE WINDOW (first 50): never-driver-checked entries,
         #     front-loaded heaviest-first per VERDICT r3 item 1, plus the
