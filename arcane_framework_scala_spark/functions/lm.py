@@ -409,8 +409,10 @@ def dsir_weights(
     )
     t_dist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tn"))
     r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("rn"))
-    t_tot = t_dist.agg(F.sum("tn").alias("tt"))
-    r_tot = r_dist.agg(F.sum("rn").alias("rt"))
+    # coalesce: an EMPTY target domain must yield finite (uniformly
+    # negative) weights via the Laplace floor, not NULLs
+    t_tot = t_dist.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("tt"))
+    r_tot = r_dist.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("rt"))
     ratio = (
         r_dist.join(t_dist, "bucket", "left")
         .join(F.broadcast(t_tot))
@@ -491,8 +493,8 @@ tgt AS (SELECT f.* FROM feats f
         USING ({id_col})),
 t_dist AS (SELECT bucket, sum(cnt) AS tn FROM tgt GROUP BY bucket),
 r_dist AS (SELECT bucket, sum(cnt) AS rn FROM feats GROUP BY bucket),
-t_tot AS (SELECT sum(tn) AS tt FROM t_dist),
-r_tot AS (SELECT sum(rn) AS rt FROM r_dist),
+t_tot AS (SELECT coalesce(sum(tn), 0) AS tt FROM t_dist),
+r_tot AS (SELECT coalesce(sum(rn), 0) AS rt FROM r_dist),
 ratio AS (
   SELECT r.bucket,
          CAST(floor((ln((coalesce(t.tn, 0) + 1) / (tt + {dim}))
