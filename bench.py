@@ -49,6 +49,16 @@ HEADLINE2 = [
     "dedup_bloom_probe",
 ]
 
+#: third section (r4): the round-4 operators — fit-included by design
+#: (SemDeDup's Lloyd cells, the classifier's GD rounds), so these price
+#: the full train+apply verticals. Separate section keeps both earlier
+#: totals round-over-round comparable.
+HEADLINE3 = [
+    "dedup_semantic",
+    "corpus_dsir_select",
+    "corpus_quality_classifier",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +106,7 @@ def main() -> None:
 
     timings, stats1 = measure(HEADLINE)
     timings2, stats2 = measure(HEADLINE2)
+    timings3, stats3 = measure(HEADLINE3)
     print(
         json.dumps(
             {
@@ -107,6 +118,9 @@ def main() -> None:
                 "headline2_total": round(sum(timings2.values()), 3),
                 "headline2_queries": timings2,
                 "headline2_query_stats": stats2,
+                "headline3_total": round(sum(timings3.values()), 3),
+                "headline3_queries": timings3,
+                "headline3_query_stats": stats3,
                 "runs_per_query": runs,
                 "sf": sf,
             }
