@@ -66,6 +66,9 @@ def test_r4_window_is_entirely_never_driver_checked():
     import os
 
     checked: set[str] = set()
+    # r5 NOTE: after the driver writes CORRECTNESS_r04.json, extend this
+    # to (1, 2, 3, 4) and rotate the backlog (scripts/plan_window.py
+    # prints the exact swap) — the window must stay all-never-checked.
     for r in (1, 2, 3):
         p = os.path.join(
             os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json"
