@@ -5949,6 +5949,151 @@ FROM f GROUP BY 1
 """
 
 
+def q_t4_shaper_chain(spark, sf_dir):
+    """T4 (+T3/T5): the full MemoryBoundShaper estimation chain, driven by
+    stats probed from live data and re-derived arithmetically by the
+    oracle. The reference sizes micro-batches from target-table statistics
+    (``MemoryBoundShaper.scala:29-265``): string-length estimation from
+    summed string-column bytes, the sigmoid memory cutoff that grows with
+    table rows x bytes, the exact per-type row-cost matrix, the
+    partitions/2 cap, burst sizing, the Poisson-GC leaking-bucket rate,
+    the chunk-cost sigmoid, and the T4->T7 files-per-trigger hand-off.
+    Runtime inputs (free memory 4 GiB, gc count 0, uptime 100 s) are
+    injected so the chain is deterministic; the table-stat probes (row
+    count, summed string chars at 2 resident bytes/char, +16 bytes/row
+    for the two int64 data columns) mirror the reference's JDBC stats
+    queries (A3-A5). One metadata-sized collect: a single 1-row agg, the
+    same shape the reference's stats probe returns. The oracle recomputes
+    every stage from ``count(*)``/``length()`` alone, so any drift in the
+    cost matrix, sigmoid shifts, cap rules, or floor points breaks the
+    hash. Also covers T3 (MemoryAwareShaper simplified row model) and T5
+    (StaticShaper config passthrough) in the same row."""
+    from arcane_framework_scala_spark.streaming.throughput import (
+        MemoryAwareShaper,
+        MemoryBoundShaper,
+        StaticShaper,
+        estimate_string_length,
+    )
+
+    _harden_session(spark)
+    docs = _read(spark, sf_dir, "documents")
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            2
+            * (
+                F.sum(F.length("text"))
+                + F.sum(F.length("lang"))
+                + F.sum(F.length("source"))
+            )
+        )
+        .cast("long")
+        .alias("b"),
+    ).collect()[0]  # metadata-sized: one stats row (reference probes A3-A5)
+    n, b = int(st["n"]), int(st["b"])
+    s_bytes = b + 16 * n  # probe model: string bytes + 2 int64 cols x 8 B
+    free = 4 << 30
+    shaper = MemoryBoundShaper(
+        free_memory_fn=lambda: free,
+        gc_count_fn=lambda: 0,
+        uptime_fn=lambda: 100.0,
+    )
+    chunk_rows, elem = shaper.estimate_chunk_size(
+        docs.schema, n, s_bytes, partitions=1, string_col_bytes=b
+    )
+    burst = shaper.estimate_shape_burst(chunk_rows, elem)
+    rate_rows, rate_interval = shaper.estimate_shape_rate(chunk_rows)
+    files = shaper.files_per_trigger(
+        docs.schema, n, s_bytes, table_files=8, partitions=1, string_col_bytes=b
+    )
+    cost = shaper.estimate_chunk_cost(chunk_rows)
+    part_shaper = MemoryBoundShaper(free_memory_fn=lambda: free)
+    chunk_capped, _ = part_shaper.estimate_chunk_size(
+        docs.schema, n, s_bytes, partitions=32, string_col_bytes=b
+    )
+    slen = estimate_string_length(b, n)
+    aware = MemoryAwareShaper(executor_memory_bytes=free).max_rows(
+        docs.schema, float(slen)
+    )
+    static = StaticShaper()
+    row = (
+        slen,
+        elem,
+        chunk_rows,
+        chunk_capped,
+        burst,
+        rate_rows,
+        int(rate_interval * 1_000_000),
+        files,
+        cost,
+        aware,
+        static.max_rows_per_batch,
+        int(static.poll_interval_seconds * 1_000_000),
+    )
+    return spark.createDataFrame(
+        [row],
+        "est_string_len bigint, row_size_bytes bigint, chunk_rows bigint, "
+        "chunk_rows_partitioned bigint, burst_rows bigint, "
+        "rate_rows_per_interval bigint, rate_interval_micros bigint, "
+        "files_per_trigger bigint, chunk_cost bigint, aware_max_rows bigint, "
+        "static_max_rows bigint, static_poll_micros bigint",
+    )
+
+
+#: Oracle re-derivation of the whole chain. documents schema cost under the
+#: reference matrix: 2 x int64 @36 + 3 x string @(32+16+2*slen) = 216+6*slen
+#: (MemoryBoundShaper row model); the T3 MemoryAwareShaper model prices
+#: strings at int(48 + 2*slen*1.5) = 48+3*slen, so 216+9*slen. Injected
+#: runtime: free=2^32, gc_count=0, uptime=100 s, advised interval 10 s.
+#: Python int() truncation on positive floats == floor() here.
+_T4_SHAPER_SQL = """
+WITH st AS (
+  SELECT count(*) AS n,
+         2 * (sum(length(text)) + sum(length(lang)) + sum(length(source)))
+           AS b
+  FROM documents
+), par AS (
+  SELECT n, b, b + 16 * n AS s,
+         CAST(floor(b * 1.5 / n / 2) AS BIGINT) AS slen,
+         4294967296.0 AS free
+  FROM st
+), model AS (
+  SELECT *,
+         greatest(CAST(216 + 6 * slen AS DOUBLE), n / (s + 1.0)) AS row_size,
+         0.8 * (2.0 / (1.0 + exp(-2.0 * (0.5 * ln(n) + 0.5 * ln(s)))) - 1.0)
+           AS cutoff
+  FROM par
+), chunk AS (
+  SELECT *, free * cutoff / (row_size + 1) / 2 AS chunk_f FROM model
+), appl AS (
+  SELECT *,
+         CAST(floor(greatest(chunk_f, 1.0)) AS BIGINT) AS chunk_rows,
+         CAST(floor(least(chunk_f, 32 / 2.0)) AS BIGINT) AS chunk_capped,
+         CAST(floor(row_size) AS BIGINT) AS elem
+  FROM chunk
+)
+SELECT slen AS est_string_len,
+       elem AS row_size_bytes,
+       chunk_rows,
+       chunk_capped AS chunk_rows_partitioned,
+       CAST(floor(greatest(free / (elem + 1), 0.1 * chunk_rows, 10.0))
+            AS BIGINT) AS burst_rows,
+       CAST(floor(chunk_rows * (1 + (1 - exp(-0.1))) / 10.0) AS BIGINT) + 1
+         AS rate_rows_per_interval,
+       CAST(1000000 AS BIGINT) AS rate_interval_micros,
+       greatest(CAST(floor(chunk_rows / greatest(n / 8, 1.0)) AS BIGINT), 1)
+         AS files_per_trigger,
+       CAST(floor(10 * (2.0 / (1.0 + exp(-1.0 * (2 * chunk_rows * row_size
+                                                 / (free + 1)))) - 1.0))
+            AS BIGINT) AS chunk_cost,
+       greatest(CAST(floor(free * 0.8 / (2 * (216 + 9 * slen))) AS BIGINT), 1)
+         AS aware_max_rows,
+       CAST(100000 AS BIGINT) AS static_max_rows,
+       CAST(15000000 AS BIGINT) AS static_poll_micros
+FROM appl
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5962,11 +6107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
     # entries only. r2 verified the 50 core queries, r3 the next 50; r4
     # front-loads 50 of the never-driver-checked entries (77 r3-born + the
-    # 2 new §2-draining gates), leaving a 32-entry backlog (29 rotated out
-    # + the 3 r4-born operators dedup_semantic / corpus_dsir_select /
-    # corpus_quality_classifier at the tail) that fits a single window for
-    # r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry; run
-    # scripts/plan_window.py to audit the rotation.
+    # 2 new §2-draining gates), leaving a 33-entry backlog (29 rotated out
+    # + the 4 r4-born operators dedup_semantic / corpus_dsir_select /
+    # corpus_quality_classifier / t4_shaper_chain at the tail) that fits a
+    # single window for r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry;
+    # run scripts/plan_window.py to audit the rotation.
     return {
         # --- r4 GATE WINDOW (first 50): never-driver-checked entries,
         #     front-loaded heaviest-first per VERDICT r3 item 1, plus the
@@ -6023,8 +6168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_auth_mapping": q_s11_auth_mapping,
         "a6_shard_estimate": q_a6_shard_estimate,
         # --- r5 backlog: the remaining never-driver-checked entries
-        #     (29 — fits one window; rotate ALL of these to the
-        #     front in r5, no net-new gated queries before then) ---
+        #     (33 incl. the r4-born tail — fits one window; rotate ALL
+        #     of these to the front in r5) ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "corpus_lm_score": q_corpus_lm_score,
         "corpus_hashed_features": q_corpus_hashed_features,
@@ -6057,6 +6202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_quality_classifier": q_corpus_quality_classifier,
+        "t4_shaper_chain": q_t4_shaper_chain,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6155,6 +6301,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "s11_auth_mapping": _S11_AUTH_SQL,
         "a6_shard_estimate": _A6_SHARD_SQL,
+        "t4_shaper_chain": _T4_SHAPER_SQL,
         "dedup_semantic": sd.semantic_dedup_sql(
             "embeddings", k=8, iters=2, threshold=0.35
         ),

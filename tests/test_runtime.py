@@ -379,3 +379,27 @@ def test_replayed_older_batch_never_regresses_watermark(tmp_path):
     src.push(13)
     runner.run_once()
     assert store.read().version == "13"
+
+
+def test_t4_gate_oracle_cost_constants_match_shaper():
+    """The t4_shaper_chain oracle hardcodes the documents-schema row costs
+    as 216+6*slen (MemoryBoundShaper matrix) and 216+9*slen
+    (MemoryAwareShaper matrix). Recompute both from throughput.py so a
+    cost-matrix change breaks HERE before it breaks the driver's gate."""
+    from arcane_framework_scala_spark.streaming.throughput import (
+        _reference_row_size,
+        estimate_row_bytes,
+    )
+
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    for slen in (1, 17, 230):
+        assert _reference_row_size(docs_schema, slen) == 216 + 6 * slen
+        assert estimate_row_bytes(docs_schema, float(slen)) == 216 + 9 * slen
