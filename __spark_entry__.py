@@ -6040,6 +6040,80 @@ def q_t4_shaper_chain(spark, sf_dir):
     )
 
 
+def q_s3_tsql_surfaces(spark, sf_dir):
+    """S3/S4/A1/O2 (+P2/O5): the SQL-text and property surfaces that can
+    only EXECUTE against live SQL Server / a lakehouse catalog, pinned as
+    driver-verified golden rows. Each row renders one surface through the
+    real builder and the oracle is a hand-written literal of the
+    documented T-SQL (reference templates
+    ``get_column_summaries_query.sql``, ``QueryProvider.scala:84-143``):
+    PK/schema discovery (S3), CHANGE_TRACKING_CURRENT_VERSION /
+    dm_tran_commit_table version probes (S4/A1), the TOP 1 emptiness
+    probe (O2), the server-side pruned column list with PK protection
+    (P2, executable logic — ``field_filter.server_side_column_list``),
+    and the Iceberg ``write.sort-order`` property mapping (O5). Any
+    drift in the rendered text breaks the driver's hash, independently
+    of the repo's own golden tests."""
+    from arcane_framework_scala_spark.operators.field_filter import (
+        server_side_column_list,
+    )
+    from arcane_framework_scala_spark.queries.overwrite import TableProperties
+    from arcane_framework_scala_spark.sources.mssql import MsSqlQueryBuilder
+
+    _harden_session(spark)
+    b = MsSqlQueryBuilder("testdb", "dbo", "events")
+    pruned = server_side_column_list(
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        FieldSelectionRule(
+            mode="exclude", fields=frozenset({"props", "value"}),
+            is_server_side=True,
+        ),
+        primary_keys=["event_id"],
+    )
+    props = TableProperties(sorted_by=("ts", "user_id")).tblproperties()
+    rows = [
+        ("a1_s4_current_version", b.current_version_query()),
+        ("o2_has_changes", b.has_changes_query(42)),
+        ("o5_sort_order_property", props["write.sort-order"]),
+        ("p2_server_side_projection", ",".join(pruned)),
+        ("s3_column_summaries", b.column_summaries_query()),
+        ("s4_version_commit_time", b.version_commit_time_query(42)),
+        (
+            "s4_version_from_timestamp",
+            b.version_from_timestamp_query("2026-01-01T00:00:00"),
+        ),
+    ]
+    return spark.createDataFrame(rows, "surface string, rendered string")
+
+
+_S3_TSQL_SQL = """
+SELECT * FROM (VALUES
+  ('a1_s4_current_version',
+   'SELECT CHANGE_TRACKING_CURRENT_VERSION()'),
+  ('o2_has_changes',
+   'SELECT TOP 1 1 FROM CHANGETABLE (CHANGES [testdb].[dbo].[events], 42) ct'),
+  ('o5_sort_order_property', 'ts,user_id'),
+  ('p2_server_side_projection', 'event_id,ts,user_id,event_type'),
+  ('s3_column_summaries', 'select
+    c.COLUMN_NAME,
+    case when kcu.CONSTRAINT_NAME is not null then 1 else 0 end as IsPrimaryKey
+from
+    [testdb].INFORMATION_SCHEMA.COLUMNS c
+    left join [testdb].INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc on c.TABLE_SCHEMA = tc.TABLE_SCHEMA and c.TABLE_NAME = tc.TABLE_NAME
+    left join [testdb].INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu on tc.CONSTRAINT_NAME = kcu.CONSTRAINT_NAME and c.COLUMN_NAME = kcu.COLUMN_NAME
+where
+    tc.CONSTRAINT_TYPE = N''PRIMARY KEY''
+    and tc.TABLE_NAME = N''events''
+    and tc.TABLE_SCHEMA = N''dbo''
+order by c.ORDINAL_POSITION'),
+  ('s4_version_commit_time',
+   'SELECT MIN(commit_time) FROM sys.dm_tran_commit_table WHERE commit_ts = 42'),
+  ('s4_version_from_timestamp',
+   'SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table WHERE commit_time >= ''2026-01-01T00:00:00''')
+) AS t(surface, rendered)
+"""
+
+
 #: Oracle re-derivation of the whole chain. documents schema cost under the
 #: reference matrix: 2 x int64 @36 + 3 x string @(32+16+2*slen) = 216+6*slen
 #: (MemoryBoundShaper row model); the T3 MemoryAwareShaper model prices
@@ -6107,9 +6181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
     # entries only. r2 verified the 50 core queries, r3 the next 50; r4
     # front-loads 50 of the never-driver-checked entries (77 r3-born + the
-    # 2 new §2-draining gates), leaving a 33-entry backlog (29 rotated out
-    # + the 4 r4-born operators dedup_semantic / corpus_dsir_select /
-    # corpus_quality_classifier / t4_shaper_chain at the tail) that fits a
+    # 2 new §2-draining gates), leaving a 34-entry backlog (29 rotated out
+    # + the 5 r4-born gates dedup_semantic / corpus_dsir_select /
+    # corpus_quality_classifier / t4_shaper_chain / s3_tsql_surfaces at
+    # the tail) that fits a
     # single window for r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry;
     # run scripts/plan_window.py to audit the rotation.
     return {
@@ -6168,7 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_auth_mapping": q_s11_auth_mapping,
         "a6_shard_estimate": q_a6_shard_estimate,
         # --- r5 backlog: the remaining never-driver-checked entries
-        #     (33 incl. the r4-born tail — fits one window; rotate ALL
+        #     (34 incl. the r4-born tail — fits one window; rotate ALL
         #     of these to the front in r5) ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "corpus_lm_score": q_corpus_lm_score,
@@ -6203,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "t4_shaper_chain": q_t4_shaper_chain,
+        "s3_tsql_surfaces": q_s3_tsql_surfaces,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6302,6 +6378,7 @@ def oracle_sql() -> dict[str, str]:
         "s11_auth_mapping": _S11_AUTH_SQL,
         "a6_shard_estimate": _A6_SHARD_SQL,
         "t4_shaper_chain": _T4_SHAPER_SQL,
+        "s3_tsql_surfaces": _S3_TSQL_SQL,
         "dedup_semantic": sd.semantic_dedup_sql(
             "embeddings", k=8, iters=2, threshold=0.35
         ),
