@@ -6128,7 +6128,9 @@ WITH st AS (
   FROM documents
 ), par AS (
   SELECT n, b, b + 16 * n AS s,
-         CAST(floor(b * 1.5 / n / 2) AS BIGINT) AS slen,
+         -- estimate_string_length incl. its no-stats fallback (=100)
+         CASE WHEN b <= 0 THEN CAST(100 AS BIGINT)
+              ELSE CAST(floor(b * 1.5 / n / 2) AS BIGINT) END AS slen,
          4294967296.0 AS free
   FROM st
 ), model AS (
