@@ -6114,6 +6114,85 @@ order by c.ORDINAL_POSITION'),
 """
 
 
+def q_t12_metrics_wire(spark, sf_dir):
+    """T12: the declared-metric pipeline end-to-end — DeclaredMetrics
+    fan-out, counter-sum/gauge-latest semantics, and the REAL DogStatsD
+    datagram path (StatsdEmitter → loopback UDP socket → received wire
+    bytes), with metric values derived from live data. The reference
+    declares the same inventory and publishes via a DataDog StatsD
+    socket (``DeclaredMetrics.scala:18-103``). rows.incoming arrives in
+    two batch halves that must SUM in the collecting emitter;
+    watermark.age is the fixed-"now" lag behind ``max(events.ts)`` —
+    the reference's watermark-age gauge. The oracle derives every wire
+    line from ``count(*)``/``max(ts)`` arithmetic, so the metric names,
+    the DogStatsD ``name:value|kind|#tags`` grammar, the sorted-tag
+    rule, and the aggregation semantics are all hash-pinned."""
+    import socket
+
+    from arcane_framework_scala_spark import metrics as M
+
+    _harden_session(spark)
+    agg = (
+        _read(spark, sf_dir, "events")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ns"))
+        .collect()[0]
+    )  # metadata-sized: one stats row
+    n = int(agg["n"])
+    age = 1780272000 - int(agg["max_ns"]) // 1_000_000_000  # fixed "now"
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(10)
+    port = rx.getsockname()[1]
+    col = M.CollectingEmitter()
+    dm = M.DeclaredMetrics(
+        [
+            col,
+            M.StatsdEmitter(
+                f"127.0.0.1:{port}", tags={"stream": "events", "env": "ci"}
+            ),
+        ]
+    )
+    dm.counter(M.ROWS_INCOMING, n - n // 2)  # two halves — must sum
+    dm.counter(M.ROWS_INCOMING, n // 2)
+    dm.gauge(M.WATERMARK_AGE, age)
+    dm.counter(M.WATERMARK_UPDATES)
+    wire = [rx.recv(2048).decode() for _ in range(4)]
+    rx.close()
+    rows = [("statsd", w) for w in wire] + [
+        ("collected", f"counter {M.ROWS_INCOMING} = {col.counters[M.ROWS_INCOMING]}"),
+        ("collected", f"counter {M.WATERMARK_UPDATES} = {col.counters[M.WATERMARK_UPDATES]}"),
+        ("collected", f"gauge {M.WATERMARK_AGE} = {col.gauges[M.WATERMARK_AGE]}"),
+    ]
+    return spark.createDataFrame(rows, "channel string, line string")
+
+
+_T12_METRICS_SQL = """
+WITH par AS (
+  SELECT n, n // 2 AS h, 1780272000 - wm AS age
+  FROM (SELECT count(*) AS n,
+               max(epoch_ns(ts)) // 1000000000 AS wm
+        FROM events)
+)
+SELECT 'statsd' AS channel,
+       'arcane.stream.rows.incoming:' || CAST(n - h AS VARCHAR)
+         || '|c|#env:ci,stream:events' AS line FROM par
+UNION ALL SELECT 'statsd',
+       'arcane.stream.rows.incoming:' || CAST(h AS VARCHAR)
+         || '|c|#env:ci,stream:events' FROM par
+UNION ALL SELECT 'statsd',
+       'arcane.stream.watermark.age:' || CAST(age AS VARCHAR)
+         || '|g|#env:ci,stream:events' FROM par
+UNION ALL SELECT 'statsd',
+       'arcane.stream.watermark.updates:1|c|#env:ci,stream:events' FROM par
+UNION ALL SELECT 'collected',
+       'counter arcane.stream.rows.incoming = ' || CAST(n AS VARCHAR) FROM par
+UNION ALL SELECT 'collected',
+       'counter arcane.stream.watermark.updates = 1' FROM par
+UNION ALL SELECT 'collected',
+       'gauge arcane.stream.watermark.age = ' || CAST(age AS VARCHAR) FROM par
+"""
+
+
 #: Oracle re-derivation of the whole chain. documents schema cost under the
 #: reference matrix: 2 x int64 @36 + 3 x string @(32+16+2*slen) = 216+6*slen
 #: (MemoryBoundShaper row model); the T3 MemoryAwareShaper model prices
@@ -6183,10 +6262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
     # entries only. r2 verified the 50 core queries, r3 the next 50; r4
     # front-loads 50 of the never-driver-checked entries (77 r3-born + the
-    # 2 new §2-draining gates), leaving a 34-entry backlog (29 rotated out
-    # + the 5 r4-born gates dedup_semantic / corpus_dsir_select /
-    # corpus_quality_classifier / t4_shaper_chain / s3_tsql_surfaces at
-    # the tail) that fits a
+    # 2 new §2-draining gates), leaving a 35-entry backlog (29 rotated out
+    # + the 6 r4-born gates dedup_semantic / corpus_dsir_select /
+    # corpus_quality_classifier / t4_shaper_chain / s3_tsql_surfaces /
+    # t12_metrics_wire at the tail) that fits a
     # single window for r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry;
     # run scripts/plan_window.py to audit the rotation.
     return {
@@ -6245,7 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_auth_mapping": q_s11_auth_mapping,
         "a6_shard_estimate": q_a6_shard_estimate,
         # --- r5 backlog: the remaining never-driver-checked entries
-        #     (34 incl. the r4-born tail — fits one window; rotate ALL
+        #     (35 incl. the r4-born tail — fits one window; rotate ALL
         #     of these to the front in r5) ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "corpus_lm_score": q_corpus_lm_score,
@@ -6281,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "t4_shaper_chain": q_t4_shaper_chain,
         "s3_tsql_surfaces": q_s3_tsql_surfaces,
+        "t12_metrics_wire": q_t12_metrics_wire,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6381,6 +6461,7 @@ def oracle_sql() -> dict[str, str]:
         "a6_shard_estimate": _A6_SHARD_SQL,
         "t4_shaper_chain": _T4_SHAPER_SQL,
         "s3_tsql_surfaces": _S3_TSQL_SQL,
+        "t12_metrics_wire": _T12_METRICS_SQL,
         "dedup_semantic": sd.semantic_dedup_sql(
             "embeddings", k=8, iters=2, threshold=0.35
         ),
