@@ -51,6 +51,16 @@ def main() -> int:
           f"({'fits' if len(backlog) <= WINDOW else 'OVERFLOWS'} one window)")
     if backlog:
         print("  backlog:", ", ".join(backlog))
+
+    if "--next-round" in sys.argv:
+        # the exact queries() key order for NEXT round, ready to apply:
+        # current backlog first (the new window), then everything else in
+        # current relative order. Run only AFTER the driver has written
+        # this round's CORRECTNESS file.
+        rest = [n for n in names if n not in backlog]
+        print("\n# next-round queries() order (backlog rotated to front):")
+        for n in backlog + rest:
+            print(f'        "{n}": ...,')
     return 1 if wasted else 0
 
 
