@@ -6114,6 +6114,136 @@ order by c.ORDINAL_POSITION'),
 """
 
 
+def q_t10_graceful_stop(spark, sf_dir):
+    """T10: graceful stop executed for real, mid-stream. A 3-batch CT
+    source feeds the polling runner; a REAL SIGTERM (``os.kill`` on the
+    installed handler — reference ``StreamRunner``'s interruption
+    semantics; falls back to ``stop()`` when the harness thread can't
+    own signal handlers) lands while batch 2 is inside the merge. The
+    contract (``streaming/runner.py:148-183``): the in-flight batch
+    FINISHES and commits its watermark, batch 3 is never fetched, and
+    the loop exits without sleeping. A second runner then restarts from
+    the committed watermark and merges exactly the remainder — stop +
+    restart must converge to the single full-range M1 merge (the same
+    oracle as t1/t2/t9), proving no batch was lost or double-applied
+    around the interruption point. In-gate asserts pin the mid-state:
+    2 batches merged, watermark at cut 2, then 1 resumed batch to head."""
+    import signal
+    import tempfile
+    import time
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources.base import MicroBatch
+    from arcane_framework_scala_spark.streaming.runner import (
+        StreamRunner,
+        StreamSettings,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+        Watermark,
+    )
+
+    _harden_session(spark)
+    thr = _events_threshold(spark, sf_dir)
+    head = _read(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    step = (head - thr) // 3
+    cuts = [thr, thr + step, thr + 2 * step, head]
+    run_dir = tempfile.mkdtemp(prefix="arcane_t10_run_")
+
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    target.overwrite(_mssql_target(spark, sf_dir, thr))
+
+    class _Source:
+        """One poll releases every tranche above the stored watermark."""
+
+        def current_version(self):
+            return {"version": str(head)}
+
+        def changes(self, since):
+            lower = int(since["version"]) if since else thr
+            for hi in cuts[1:]:
+                if hi > lower:
+                    yield MicroBatch(
+                        df=_mssql_changes(spark, sf_dir, lower=lower, upper=hi),
+                        watermark={"version": str(hi)},
+                    )
+                    lower = hi
+
+    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+    store.commit(Watermark.now(version=str(thr)))
+    runner = StreamRunner(
+        source=_Source(),
+        sink=None,  # wired below via the mid-stream shim
+        watermark_store=store,
+        settings=StreamSettings(poll_interval_seconds=0.01),
+    )
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    try:
+        try:
+            runner.install_signal_handler()
+            installed = True
+        except ValueError:  # not on the main thread — direct stop()
+            installed = False
+
+        def _fire():
+            if installed:
+                os.kill(os.getpid(), signal.SIGTERM)
+                deadline = time.monotonic() + 5.0
+                while (
+                    not runner._cancelled.is_set()
+                    and time.monotonic() < deadline
+                ):
+                    time.sleep(0.001)  # handler runs between bytecodes
+            if not runner._cancelled.is_set():
+                runner.stop()
+
+        class _StopMidStream:
+            """Delegating sink: SIGTERM arrives while apply #2 runs."""
+
+            def __init__(self, inner):
+                self.inner = inner
+                self.applies = 0
+
+            def apply(self, df):
+                self.applies += 1
+                if self.applies == 2:
+                    _fire()
+                self.inner.apply(df)
+
+        runner.sink = _StopMidStream(
+            MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        )
+        metrics = runner.run()
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
+    if metrics.batches_merged != 2:
+        raise AssertionError(
+            f"graceful stop must finish the in-flight batch and skip the "
+            f"rest: merged {metrics.batches_merged}, expected 2"
+        )
+    if store.read().version != str(cuts[2]):
+        raise AssertionError(f"watermark not at cut 2: {store.read()}")
+
+    resumed = StreamRunner(
+        source=_Source(),
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=store,
+        settings=StreamSettings(poll_interval_seconds=0.01),
+    )
+    if resumed.run_once() != 1:
+        raise AssertionError("restart must merge exactly the remainder")
+    if store.read().version != str(head):
+        raise AssertionError(f"watermark not at head: {store.read()}")
+    return target.read().select(
+        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+    )
+
+
 def q_t12_metrics_wire(spark, sf_dir):
     """T12: the declared-metric pipeline end-to-end — DeclaredMetrics
     fan-out, counter-sum/gauge-latest semantics, and the REAL DogStatsD
@@ -6262,10 +6392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
     # entries only. r2 verified the 50 core queries, r3 the next 50; r4
     # front-loads 50 of the never-driver-checked entries (77 r3-born + the
-    # 2 new §2-draining gates), leaving a 35-entry backlog (29 rotated out
-    # + the 6 r4-born gates dedup_semantic / corpus_dsir_select /
+    # 2 new §2-draining gates), leaving a 36-entry backlog (29 rotated out
+    # + the 7 r4-born gates dedup_semantic / corpus_dsir_select /
     # corpus_quality_classifier / t4_shaper_chain / s3_tsql_surfaces /
-    # t12_metrics_wire at the tail) that fits a
+    # t12_metrics_wire / t10_graceful_stop at the tail) that fits a
     # single window for r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry;
     # run scripts/plan_window.py to audit the rotation.
     return {
@@ -6324,7 +6454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_auth_mapping": q_s11_auth_mapping,
         "a6_shard_estimate": q_a6_shard_estimate,
         # --- r5 backlog: the remaining never-driver-checked entries
-        #     (35 incl. the r4-born tail — fits one window; rotate ALL
+        #     (36 incl. the r4-born tail — fits one window; rotate ALL
         #     of these to the front in r5) ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
         "corpus_lm_score": q_corpus_lm_score,
@@ -6361,6 +6491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_shaper_chain": q_t4_shaper_chain,
         "s3_tsql_surfaces": q_s3_tsql_surfaces,
         "t12_metrics_wire": q_t12_metrics_wire,
+        "t10_graceful_stop": q_t10_graceful_stop,
         # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
         #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
@@ -6462,6 +6593,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_shaper_chain": _T4_SHAPER_SQL,
         "s3_tsql_surfaces": _S3_TSQL_SQL,
         "t12_metrics_wire": _T12_METRICS_SQL,
+        "t10_graceful_stop": _M1_SQL,
         "dedup_semantic": sd.semantic_dedup_sql(
             "embeddings", k=8, iters=2, threshold=0.35
         ),
