@@ -403,3 +403,45 @@ def test_t4_gate_oracle_cost_constants_match_shaper():
     for slen in (1, 17, 230):
         assert _reference_row_size(docs_schema, slen) == 216 + 6 * slen
         assert estimate_row_bytes(docs_schema, float(slen)) == 216 + 9 * slen
+
+
+def test_sigterm_delivery_stops_runner_and_restores_handlers(tmp_path):
+    """T10: install_signal_handler + a REAL os.kill(SIGTERM) sets the
+    cancel event; prior handlers must be restorable (the t10 gate's
+    save/restore contract)."""
+    import os
+    import signal
+
+    src = FakeSource()
+    runner, _ = _runner(tmp_path, src)
+    prev_term = signal.getsignal(signal.SIGTERM)
+    try:
+        runner.install_signal_handler()
+        os.kill(os.getpid(), signal.SIGTERM)
+        # handler runs at the next bytecode boundary on the main thread
+        for _ in range(1000):
+            if runner._cancelled.is_set():
+                break
+        assert runner._cancelled.is_set()
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+
+
+def test_cancellation_mid_iterator_holds_watermark_at_last_merge(tmp_path):
+    """T10/T2: stop landing between yielded batches finishes nothing
+    further — the loop breaks with batches pending, and the watermark
+    stays at the LAST MERGED version (no idle-advance that would skip
+    the pending range on restart)."""
+    src = FakeSource()
+    runner, store = _runner(tmp_path, src)
+
+    def changes(since):
+        yield MicroBatch(df=None, watermark={"version": 5})
+        runner.stop()  # arrives after batch 5 merged, before batch 9
+        yield MicroBatch(df=None, watermark={"version": 9})
+
+    src.changes = changes
+    src.head = 9
+    assert runner.run_once() == 1  # batch 5 only
+    assert store.read().version == "5"  # not 9: batch 9 never processed
