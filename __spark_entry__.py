@@ -6390,19 +6390,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
-    # entries only. r2 verified the 50 core queries, r3 the next 50; r4
-    # front-loads 50 of the never-driver-checked entries (77 r3-born + the
-    # 2 new §2-draining gates), leaving a 36-entry backlog (29 rotated out
-    # + the 7 r4-born gates dedup_semantic / corpus_dsir_select /
-    # corpus_quality_classifier / t4_shaper_chain / s3_tsql_surfaces /
-    # t12_metrics_wire / t10_graceful_stop at the tail) that fits a
-    # single window for r5. r2 ∪ r3 ∪ r4 ∪ r5 covers the whole registry;
-    # run scripts/plan_window.py to audit the rotation.
+    # entries only. r2 verified the 50 core queries, r3 the next 50, r4 a
+    # further 50; the r5 window below front-loads the remaining 36
+    # never-driver-checked entries (closing the whole 175-entry registry)
+    # and spends the 14 spare slots re-proving the stalest r2-era rows as
+    # a freshness check. Run scripts/plan_window.py to audit the rotation.
     return {
-        # --- r4 GATE WINDOW (first 50): never-driver-checked entries,
-        #     front-loaded heaviest-first per VERDICT r3 item 1, plus the
-        #     two new §2-draining gates (s11_auth_mapping,
-        #     a6_shard_estimate — VERDICT r3 item 7) ---
+        # --- r5 GATE WINDOW slots 1-36: every remaining
+        #     never-driver-checked entry (VERDICT r4 item 1) ---
+        "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
+        "corpus_lm_score": q_corpus_lm_score,
+        "corpus_hashed_features": q_corpus_hashed_features,
+        "corpus_lm_buckets": q_corpus_lm_buckets,
+        "corpus_top_terms": q_corpus_top_terms,
+        "t_debounce": q_t_debounce,
+        "corpus_bigram_score": q_corpus_bigram_score,
+        "corpus_length_histogram": q_corpus_length_histogram,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "corpus_lang_mix": q_corpus_lang_mix,
+        "corpus_dedup_card": q_corpus_dedup_card,
+        "mm_sniff": q_mm_sniff,
+        "dedup_shingle_df_stats": q_dedup_shingle_df_stats,
+        "p11_zorder_key": q_p11_zorder_key,
+        "s12_binary_ingest": q_s12_binary_ingest,
+        "s13_text_lines": q_s13_text_lines,
+        "a11_profile": q_a11_profile,
+        "a12_histogram": q_a12_histogram,
+        "p12_zorder_layout_report": q_p12_zorder_layout_report,
+        "a13_winsorize": q_a13_winsorize,
+        "t_ewma_pow2": q_t_ewma_pow2,
+        "s15_partitioned_roundtrip": q_s15_partitioned_roundtrip,
+        "corpus_shard_manifest": q_corpus_shard_manifest,
+        "a14_freshness": q_a14_freshness,
+        "t_dwell_time": q_t_dwell_time,
+        "corpus_novelty": q_corpus_novelty,
+        "a15_daily_growth": q_a15_daily_growth,
+        "corpus_dup_by_source": q_corpus_dup_by_source,
+        "t_active_users": q_t_active_users,
+        "dedup_semantic": q_dedup_semantic,
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "corpus_quality_classifier": q_corpus_quality_classifier,
+        "t4_shaper_chain": q_t4_shaper_chain,
+        "s3_tsql_surfaces": q_s3_tsql_surfaces,
+        "t12_metrics_wire": q_t12_metrics_wire,
+        "t10_graceful_stop": q_t10_graceful_stop,
+        # --- r5 GATE WINDOW slots 37-50: stalest r2-era rows, freshness
+        #     re-proof (oracles unchanged since r2) ---
+        "s8_blob_enrich": q_blob_enrich,
+        "dedup_exact": q_exact_dedup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "x1_maintenance_vertical": q_x1_maintenance_vertical,
+        "k1_staging_writer": q_k1_staging_writer,
+        "m4_overwrite_backfill": q_m4_overwrite_backfill,
+        "m5_shard_combine": q_m5_shard_combine,
+        "m6_shard_resume": q_m6_shard_resume,
+        "a3_table_stats": q_a3_table_stats,
+        "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
+        "o4_watermark_rows": q_o4_watermark_rows,
+        "w2_backfill_dedup": q_w2_backfill_dedup,
+        # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
+        #     oracles unchanged) ---
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_pq_rerank": q_sim_pq_rerank,
@@ -6453,47 +6502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_segments": q_mm_audio_segments,
         "s11_auth_mapping": q_s11_auth_mapping,
         "a6_shard_estimate": q_a6_shard_estimate,
-        # --- r5 backlog: the remaining never-driver-checked entries
-        #     (36 incl. the r4-born tail — fits one window; rotate ALL
-        #     of these to the front in r5) ---
-        "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
-        "corpus_lm_score": q_corpus_lm_score,
-        "corpus_hashed_features": q_corpus_hashed_features,
-        "corpus_lm_buckets": q_corpus_lm_buckets,
-        "corpus_top_terms": q_corpus_top_terms,
-        "t_debounce": q_t_debounce,
-        "corpus_bigram_score": q_corpus_bigram_score,
-        "corpus_length_histogram": q_corpus_length_histogram,
-        "dedup_cluster_stats": q_dedup_cluster_stats,
-        "corpus_lang_mix": q_corpus_lang_mix,
-        "corpus_dedup_card": q_corpus_dedup_card,
-        "mm_sniff": q_mm_sniff,
-        "dedup_shingle_df_stats": q_dedup_shingle_df_stats,
-        "p11_zorder_key": q_p11_zorder_key,
-        "s12_binary_ingest": q_s12_binary_ingest,
-        "s13_text_lines": q_s13_text_lines,
-        "a11_profile": q_a11_profile,
-        "a12_histogram": q_a12_histogram,
-        "p12_zorder_layout_report": q_p12_zorder_layout_report,
-        "a13_winsorize": q_a13_winsorize,
-        "t_ewma_pow2": q_t_ewma_pow2,
-        "s15_partitioned_roundtrip": q_s15_partitioned_roundtrip,
-        "corpus_shard_manifest": q_corpus_shard_manifest,
-        "a14_freshness": q_a14_freshness,
-        "t_dwell_time": q_t_dwell_time,
-        "corpus_novelty": q_corpus_novelty,
-        "a15_daily_growth": q_a15_daily_growth,
-        "corpus_dup_by_source": q_corpus_dup_by_source,
-        "t_active_users": q_t_active_users,
-        "dedup_semantic": q_dedup_semantic,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "corpus_quality_classifier": q_corpus_quality_classifier,
-        "t4_shaper_chain": q_t4_shaper_chain,
-        "s3_tsql_surfaces": q_s3_tsql_surfaces,
-        "t12_metrics_wire": q_t12_metrics_wire,
-        "t10_graceful_stop": q_t10_graceful_stop,
-        # --- ever driver-green (r1∪r2∪r3 CORRECTNESS rows stand;
-        #     oracles unchanged) ---
         "mm_frame_sample": q_mm_frame_sample,
         "s9_avro_json": q_s9_avro_json,
         "sim_ivf_topk": q_ivf_topk,
@@ -6544,25 +6552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         "t_stream_dedup": q_t_stream_dedup,
         "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
-        "w2_backfill_dedup": q_w2_backfill_dedup,
-        "m4_overwrite_backfill": q_m4_overwrite_backfill,
         "s2_backfill_scan": q_s2_backfill_scan,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sim_cosine_topk": q_cosine_topk,
-        "x1_maintenance_vertical": q_x1_maintenance_vertical,
-        "s8_blob_enrich": q_blob_enrich,
-        "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
         "s9_json_explode": q_s9_json_explode,
-        "m5_shard_combine": q_m5_shard_combine,
-        "a3_table_stats": q_a3_table_stats,
         "s10_blob_csv": q_s10_blob_csv,
-        "k1_staging_writer": q_k1_staging_writer,
-        "o4_watermark_rows": q_o4_watermark_rows,
-        "m6_shard_resume": q_m6_shard_resume,
         "p1_field_filter": q_field_filter,
         "p6_name_normalize": q_name_normalize,
         "a2_agg_version_stats": q_agg_version_stats,
@@ -6571,7 +6566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
-        "dedup_exact": q_exact_dedup,
         "dedup_minhash_signature": q_minhash_signature,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,

@@ -37,44 +37,55 @@ def test_oracles_parse_in_duckdb():
     assert not bad, bad
 
 
+def _driver_green() -> set[str]:
+    """Names with at least one PASSED driver CORRECTNESS row (same
+    passed-only filter as scripts/plan_window.py — an errored or
+    mismatched row does NOT count as verified, per ADVICE r4 item 4)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    green: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        with open(p) as f:
+            for name, row in json.load(f).items():
+                if (
+                    row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                ):
+                    green.add(name)
+    return green
+
+
 def test_gate_window_holds_the_unverified_front():
-    """The driver checks the FIRST 50 entries only; r4's window must
+    """The driver checks the FIRST 50 entries only; the r5 window must
     keep the never-driver-verified set in front. Guard the boundary so
     a refactor reordering the dict doesn't silently shrink coverage."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
-    # spot-pins: the heaviest never-driver-checked families (VERDICT r3
-    # item 1) plus the two new §2-draining gates (item 7)
+    # spot-pins: the four §2-closing gates and the three r4 LLM
+    # operators (VERDICT r4 item 1), plus the r3-overflow families
     for required in (
-        "sim_pq_topk", "sim_ivfpq_topk", "sim_pq_recall",
-        "corpus_bpe_merges", "corpus_bpe_pack", "dedup_bloom_probe",
-        "t_stream_stream_join", "t_stream_static_join",
-        "w4_time_travel", "w5_change_feed", "x5_retention_report",
-        "t_incremental_agg", "graph_pagerank", "corpus_cluster_split",
-        "t_nearest_join", "t_gapfill", "t_grouping_sets",
-        "s11_auth_mapping", "a6_shard_estimate",
+        "t4_shaper_chain", "s3_tsql_surfaces", "t10_graceful_stop",
+        "t12_metrics_wire", "dedup_semantic", "corpus_dsir_select",
+        "corpus_quality_classifier", "a11_profile", "a15_daily_growth",
+        "t_ewma_pow2", "s15_partitioned_roundtrip", "mm_sniff",
+        "corpus_novelty", "p11_zorder_key", "s12_binary_ingest",
     ):
         assert required in first50, required
 
 
-def test_r4_window_is_entirely_never_driver_checked():
-    """Every slot in the r4 gate window must spend its driver budget on
-    an entry with NO prior CORRECTNESS row (r1∪r2∪r3) — re-verifying a
-    green query while a backlog exists wastes the scarcest resource."""
-    import json
-    import os
-
-    checked: set[str] = set()
-    # r5 NOTE: after the driver writes CORRECTNESS_r04.json, extend this
-    # to (1, 2, 3, 4) and rotate the backlog (scripts/plan_window.py
-    # prints the exact swap) — the window must stay all-never-checked.
-    for r in (1, 2, 3):
-        p = os.path.join(
-            os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json"
-        )
-        with open(p) as f:
-            checked |= set(json.load(f))
-    first50 = list(entry_mod.queries())[:50]
-    stale = [n for n in first50 if n in checked]
-    assert not stale, stale
+def test_r5_window_covers_entire_backlog():
+    """Every never-driver-green registry entry must sit inside the
+    front-50 gate window — r5 is the closing rotation (VERDICT r4
+    item 1): after it runs, all 175 entries have a passed driver row.
+    Spare slots may re-prove stale green rows; unchecked entries
+    outside the window are the failure this test exists to catch."""
+    green = _driver_green()
+    names = list(entry_mod.queries())
+    never_checked = [n for n in names if n not in green]
+    outside = [n for n in never_checked if n not in names[:50]]
+    assert not outside, outside
