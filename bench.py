@@ -107,25 +107,48 @@ def main() -> None:
     timings, stats1 = measure(HEADLINE)
     timings2, stats2 = measure(HEADLINE2)
     timings3, stats3 = measure(HEADLINE3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "query_stats": stats1,
-                "headline2_total": round(sum(timings2.values()), 3),
-                "headline2_queries": timings2,
-                "headline2_query_stats": stats2,
-                "headline3_total": round(sum(timings3.values()), 3),
-                "headline3_queries": timings3,
-                "headline3_query_stats": stats3,
-                "runs_per_query": runs,
-                "sf": sf,
-            }
-        )
+    # The driver records only the LAST ~2.3 KB of stdout; r4's combined
+    # line (medians + min/max stats) overflowed that and truncated its own
+    # "value" field (VERDICT r4 item 5). So: the FINAL stdout line is a
+    # compact totals+medians JSON that fits the window, and the full
+    # per-query stats go to BENCH_DETAIL.json committed in-repo.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "query_stats": stats1,
+        "headline2_total": round(sum(timings2.values()), 3),
+        "headline2_queries": timings2,
+        "headline2_query_stats": stats2,
+        "headline3_total": round(sum(timings3.values()), 3),
+        "headline3_queries": timings3,
+        "headline3_query_stats": stats3,
+        "runs_per_query": runs,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# full per-query stats -> {detail_path}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "headline2_total": detail["headline2_total"],
+        "headline3_total": detail["headline3_total"],
+        "runs_per_query": runs,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 2000:  # stay inside the driver's ~2.3 KB tail window
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
