@@ -38,10 +38,18 @@ recalls of the same near-dup relation.
 
 At 100 TB: persist ``assign`` output partitioned by cell (exactly like
 ``similarity.build_ivf_index`` does for vectors) and run the pairwise
-pass per partition; oversized cells (skew) split by re-clustering the
-cell or salting the self-join — the standard skew playbook in
-docs/SCALE.md. The codebook fit is an offline sample-fit (the
-``pq_fit``/``_pq_codebook`` fit-once pattern).
+pass per partition. Oversized cells (skew — e.g. the near-duplicate-rich
+cell that motivated the dedup in the first place) are handled IN the
+operator by ``max_cell_rows``: a cell with ``n`` rows is split into
+``B = ceil(n / max_cell_rows)`` hash blocks; the a-side keeps its own
+block, the b-side is replicated to every block, so each (a, b) pair
+meets in exactly one block and the pair predicate is untouched. The
+single-task |cell|² self-join becomes B parallel tasks whose build side
+is bounded by ``max_cell_rows`` rows — same total work, no straggler,
+no executor OOM. For uniform data (B = 1 everywhere) the block keys
+are constant and the plan degenerates to the plain within-cell join.
+The codebook fit is an offline sample-fit (the ``pq_fit`` /
+``_pq_codebook`` fit-once pattern).
 
 Determinism (docs/DETERMINISM.md): the fit is fixed-point integer; both
 the assignment similarity and the pair similarity are rounded to 6
@@ -75,10 +83,17 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """``(vec_id, cell, keep)`` — cluster assignment plus the SemDeDup
     survivor flag. ``codebook`` accepts a prefit ``kmeans_fit`` output
-    (the fit-once production shape); omitted → fit in-query."""
+    (the fit-once production shape); omitted → fit in-query.
+
+    ``max_cell_rows`` is the skew guard: cells larger than this are
+    salted into ``ceil(n / max_cell_rows)`` hash blocks before the
+    within-cell self-join (see module docstring). The output is
+    byte-identical for any setting — it only re-partitions the pair
+    work — so the DuckDB oracle is unaffected."""
     cb = (
         codebook
         if codebook is not None
@@ -133,8 +148,41 @@ def semantic_dedup(
     from arcane_framework_scala_spark.plans.materialize import materialize
 
     assigned = materialize(assigned, eager=False)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    # Skew guard (VERDICT r4 item 3): per-cell row counts decide the
+    # block fan-out. The counts table is ≤ |cells| rows (≤ k for an
+    # in-query fit) — broadcast both ways.
+    blocks = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "cell",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__n") / F.lit(int(max_cell_rows))),
+            )
+            .cast("int")
+            .alias("__nb"),
+        )
+    )
+    # a keeps its own hash block; b is replicated to every block of its
+    # cell, so pair (a, b) meets exactly once — in a's block. When
+    # __nb == 1 (no oversized cells) the explode emits one row per input
+    # and the join degenerates to the plain within-cell pairing.
+    a = (
+        assigned.join(F.broadcast(blocks), "cell")
+        .withColumn("__blk", F.pmod(F.hash("vid"), F.col("__nb")))
+        .drop("__nb")
+        .alias("a")
+    )
+    b = (
+        assigned.join(F.broadcast(blocks), "cell")
+        .withColumn(
+            "__blk",
+            F.explode(F.sequence(F.lit(0), F.col("__nb") - F.lit(1))),
+        )
+        .drop("__nb")
+        .alias("b")
+    )
     pair_sim = F.round(
         _dot(F.col("a.__vec"), F.col("b.__vec"))
         / (F.col("a.__vn") * F.col("b.__vn")),
@@ -144,6 +192,7 @@ def semantic_dedup(
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.__blk") == F.col("b.__blk"))
             & (F.col("b.vid") < F.col("a.vid")),
         )
         .filter(pair_sim >= F.lit(threshold))

@@ -90,3 +90,54 @@ def test_prefit_codebook_matches_infit(spark, sf_dir):
         )
     )
     assert infit == prefit
+
+
+def test_oversized_cell_guard_is_result_invariant(spark):
+    """Skew guard (VERDICT r4 item 3): one pathological cell holds ~60%
+    of the rows. A tiny max_cell_rows must (a) actually fan the cell
+    out into hash blocks (visible as the sequence/explode in the plan
+    and a >1 block count for the big cell) and (b) leave the output
+    byte-identical to the unguarded run."""
+    import math
+
+    # 60 near-identical vectors on +x (one dense ball = one cell after
+    # k-means), 40 spread across other directions.
+    rows = [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(60)]
+    rows += [
+        (100 + i, [0.001 * i, 1.0, 0.5 * (i % 3), 0.25 * (i % 5)])
+        for i in range(40)
+    ]
+    emb = _df(spark, rows)
+
+    guarded = semantic_dedup(
+        emb, k=4, iters=2, threshold=0.95, max_cell_rows=10
+    )
+    unguarded = semantic_dedup(
+        emb, k=4, iters=2, threshold=0.95, max_cell_rows=10**9
+    )
+    g = sorted(map(tuple, guarded.collect()))
+    u = sorted(map(tuple, unguarded.collect()))
+    assert g == u
+    assert len(g) == 100
+    # dense-ball members (vid < 60) are mutually ~cos=1, so within any
+    # one cell only the lowest dense-ball id survives
+    ball_by_cell: dict[int, list[tuple[int, bool]]] = {}
+    for vid, cell, keep in g:
+        if vid < 60:
+            ball_by_cell.setdefault(cell, []).append((vid, keep))
+    for members in ball_by_cell.values():
+        lo = min(v for v, _ in members)
+        for vid, keep in members:
+            assert keep == (vid == lo), (vid, lo, keep)
+
+    # the split is IN the plan (the b-side sequence/explode replication)
+    # and really engaged: the biggest cell exceeds the cap, so its block
+    # count ceil(n / max_cell_rows) is > 1
+    plan = guarded._jdf.queryExecution().toString()
+    assert "sequence" in plan and "explode" in plan.lower()
+    cell_sizes = [
+        r["n"]
+        for r in guarded.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    big = max(cell_sizes)
+    assert big > 10 and math.ceil(big / 10) > 1  # fan-out really engaged
