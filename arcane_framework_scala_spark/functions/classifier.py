@@ -140,10 +140,19 @@ def quality_classifier_score(
             df, target_pred, iters, dim, text_col, id_col
         )
     feats = hashed_features(df, dim, text_col, id_col)
+    # LEFT join + coalesce(0): with prefit (sample-fit) weights, a doc
+    # whose tokens all hash to buckets unseen at fit time must still get
+    # a score row — at margin 0, i.e. score ½ — not silently vanish
+    # (ADVICE r4 item 3). The in-query-fit path covers every corpus
+    # bucket, so this is a no-op there.
     margins = (
-        feats.join(F.broadcast(weights), "bucket")
+        feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("w_micro")).alias("m_micro"))
+        .agg(
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("w_micro"), F.lit(0))
+            ).alias("m_micro")
+        )
     )
     score = F.floor(
         (
@@ -212,8 +221,9 @@ scores AS (
   SELECT {id_col},
          CAST(floor({sig} * 1000000.0) AS BIGINT) AS score_micro
   FROM (SELECT f.{id_col},
-               CAST(sum(f.cnt * w.w_micro) AS BIGINT) AS m_micro
-        FROM feats f JOIN w{iters} w USING (bucket)
+               CAST(sum(f.cnt * coalesce(w.w_micro, 0)) AS BIGINT)
+                 AS m_micro
+        FROM feats f LEFT JOIN w{iters} w USING (bucket)
         GROUP BY f.{id_col})
 )
 SELECT {id_col}, score_micro, score_micro >= 500000 AS reference_like

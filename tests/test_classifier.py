@@ -80,3 +80,30 @@ def test_fit_is_partition_independent(spark):
         )
     )
     assert base == shuffled
+
+
+def test_unseen_bucket_docs_score_half_not_dropped(spark):
+    """Prefit (sample-fit) scoring: a doc whose tokens all hash to
+    buckets the fit never saw must still get a score row at margin 0 —
+    score exactly ½ — instead of being dropped by an inner join
+    (ADVICE r4 item 3)."""
+    fit_df = _corpus(spark)
+    w = quality_classifier_fit(fit_df, F.col("source") == "tgt", iters=2, dim=4096)
+    # dim=4096 over a ~10-word vocabulary leaves almost every bucket
+    # unseen; pick novel tokens until we find a doc with zero overlap
+    seen = {r["bucket"] for r in w.collect()}
+    from arcane_framework_scala_spark.functions.lm import hashed_features
+
+    novel = spark.createDataFrame(
+        [(999, "zzzqx wvvk pqjmtr ulonnx", "web")],
+        "doc_id long, text string, source string",
+    )
+    nb = {
+        r["bucket"]
+        for r in hashed_features(novel, 4096).select("bucket").collect()
+    }
+    assert not (nb & seen), "test setup: tokens collided with fit vocab"
+    out = quality_classifier_score(novel, dim=4096, weights=w).collect()
+    assert len(out) == 1
+    assert out[0]["score_micro"] == 500_000
+    assert not out[0]["reference_like"] or out[0]["score_micro"] >= 500_000

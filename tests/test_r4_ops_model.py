@@ -216,3 +216,39 @@ def test_semdedup_matches_model(spark, vectors, k, threshold):
             for j in range(len(vectors))
         )
         assert got[i] == (cells[i], keep), (i, got[i], (cells[i], keep))
+
+
+def test_dsir_select_approx_path_within_rank_tolerance(spark, sf_dir):
+    """exact=False (the 100 TB approx_percentile path, VERDICT r4
+    item 4) must agree with exact=True everywhere except rows whose
+    weight sits between the two thresholds, and the selected count must
+    stay within the sketch's rank tolerance of the exact count."""
+    from arcane_framework_scala_spark.functions.lm import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = F.col("source").isin("src0", "src1")
+    exact = {
+        r["doc_id"]: (r["weight_micro"], r["selected"])
+        for r in dsir_select(docs, pred, frac=0.25, dim=256).collect()
+    }
+    approx = {
+        r["doc_id"]: (r["weight_micro"], r["selected"])
+        for r in dsir_select(
+            docs, pred, frac=0.25, dim=256, exact=False, accuracy=10_000
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    n = len(exact)
+    n_exact = sum(sel for _, sel in exact.values())
+    n_approx = sum(sel for _, sel in approx.values())
+    # rank error ≤ 1/accuracy of n, plus ties at the threshold
+    assert abs(n_approx - n_exact) <= max(2, (n // 10_000) + 1) + 5
+    # disagreements only in the inter-threshold band
+    diff_w = [w for d, (w, sel) in exact.items() if sel != approx[d][1]]
+    if diff_w:
+        agree_sel = [w for d, (w, sel) in exact.items()
+                     if sel and approx[d][1]]
+        agree_drop = [w for d, (w, sel) in exact.items()
+                      if not sel and not approx[d][1]]
+        assert max(diff_w) <= min(agree_sel)
+        assert min(diff_w) >= max(agree_drop)
