@@ -18,10 +18,17 @@ def _cutoff_literal(retention_hours: int, as_of: datetime | None) -> str:
     parser accepts constants only — ``older_than => TIMESTAMP (now() -
     INTERVAL ...)`` is rejected by the real extension parser, so the
     arithmetic happens here. ``as_of`` pins the clock for deterministic
-    golden text; production callers omit it (current UTC)."""
+    golden text; production callers omit it (current UTC).
+
+    The literal carries an explicit ``+00:00`` offset: a bare timestamp
+    is parsed in ``spark.sql.session.timeZone``, so executing the
+    statement on a session east of UTC would silently move the cutoff
+    LATER and expire snapshots/files younger than the configured
+    retention (ADVICE r4 item 2). With the offset the instant is
+    unambiguous regardless of where the string is executed."""
     base = as_of if as_of is not None else datetime.now(timezone.utc)
     cutoff = base - timedelta(hours=retention_hours)
-    return cutoff.strftime("%Y-%m-%d %H:%M:%S")
+    return cutoff.strftime("%Y-%m-%d %H:%M:%S+00:00")
 
 
 def optimize_sql(catalog: str, table: str, file_size_threshold_mb: int = 128) -> str:
