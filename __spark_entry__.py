@@ -6096,7 +6096,8 @@ SELECT * FROM (VALUES
   ('p2_server_side_projection', 'event_id,ts,user_id,event_type'),
   ('s3_column_summaries', 'select
     c.COLUMN_NAME,
-    case when kcu.CONSTRAINT_NAME is not null then 1 else 0 end as IsPrimaryKey
+    case when kcu.CONSTRAINT_NAME is not null then 1 else 0 end as IsPrimaryKey,
+    c.DATA_TYPE
 from
     [testdb].INFORMATION_SCHEMA.COLUMNS c
     left join [testdb].INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc on c.TABLE_SCHEMA = tc.TABLE_SCHEMA and c.TABLE_NAME = tc.TABLE_NAME

@@ -92,13 +92,25 @@ _SIMPLE: dict[str, T.DataType] = {
 # ---------------------------------------------------------------------------
 
 
-def time_to_nanos_tsql(column: str) -> str:
+def time_to_nanos_tsql(column: str, alias: str | None = None) -> str:
     """T-SQL expression converting a SQL Server ``time`` column to int64
-    nanos-of-day — wrap TIME columns with this in generated JDBC SELECTs
-    so the wire value already matches the engine encoding."""
+    nanos-of-day — ``MsSqlQueryBuilder`` wraps TIME columns with this in
+    the generated delta/backfill SELECTs (via the 3-tuple ColumnSummary
+    type code), so the wire value already matches the engine encoding.
+
+    NOTE an explicit format divergence from the reference: the reference
+    preserves a distinct TimeType through to Iceberg's native ``time``
+    type (``SchemaConversions.scala:48``); Spark has no time type, so
+    tables written by this engine store the column as ``bigint``
+    nanos-of-day. Values are losslessly convertible both ways
+    (time(7) is 100 ns ticks), but the COLUMN TYPE differs — a
+    reference-written and an engine-written table are not byte-level
+    schema-compatible on time columns. docs/LAKEHOUSE.md §Types records
+    the mapping."""
+    ref = f"{alias}.[{column}]" if alias else f"[{column}]"
     return (
         f"CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), "
-        f"[{column}]) AS BIGINT)"
+        f"{ref}) AS BIGINT)"
     )
 
 

@@ -32,8 +32,31 @@ from pyspark.sql import DataFrame, SparkSession
 from arcane_framework_scala_spark.schema.schema import MERGE_KEY_COLUMN
 from arcane_framework_scala_spark.sources.base import MicroBatch
 
-#: (column_name, is_primary_key) — reference ColumnSummary
-ColumnSummary = tuple[str, bool]
+#: (column_name, is_primary_key[, data_type]) — reference ColumnSummary,
+#: optionally extended with the lowercase INFORMATION_SCHEMA DATA_TYPE so
+#: the builders know which columns need a wire conversion (currently:
+#: ``time`` → int64 nanos-of-day, the engine-wide TIME encoding —
+#: schema/sql_types.py). Plain 2-tuples remain valid (no conversion).
+ColumnSummary = tuple
+
+
+def _summary(col: ColumnSummary) -> tuple[str, bool, str | None]:
+    name, is_pk = col[0], col[1]
+    dtype = col[2].lower() if len(col) > 2 and col[2] else None
+    return name, is_pk, dtype
+
+
+def _select_ref(name: str, dtype: str | None, alias: str) -> str:
+    """Column reference for a generated SELECT list; TIME columns are
+    wrapped server-side so the JDBC wire value is already the int64
+    nanos-of-day the declared schema (92 → LongType) promises."""
+    if dtype == "time":
+        from arcane_framework_scala_spark.schema.sql_types import (
+            time_to_nanos_tsql,
+        )
+
+        return f"{time_to_nanos_tsql(name, alias)} as [{name}]"
+    return f"{alias}.[{name}]"
 
 
 @dataclass(frozen=True)
@@ -47,34 +70,38 @@ class MsSqlQueryBuilder:
     def merge_expression(columns: list[ColumnSummary], alias: str) -> str:
         return " + '#' + ".join(
             f"cast({alias}.[{name}] as nvarchar(128))"
-            for name, is_pk in columns
+            for name, is_pk, _ in map(_summary, columns)
             if is_pk
         )
 
     @staticmethod
     def match_statement(columns: list[ColumnSummary], src: str, tgt: str) -> str:
         return " and ".join(
-            f"{tgt}.[{name}] = {src}.[{name}]" for name, is_pk in columns if is_pk
+            f"{tgt}.[{name}] = {src}.[{name}]"
+            for name, is_pk, _ in map(_summary, columns)
+            if is_pk
         )
 
     @staticmethod
     def delta_columns(columns: list[ColumnSummary], ct: str, tq: str) -> str:
-        pk = [f"{ct}.[{n}]" for n, is_pk in columns if is_pk]
+        cols = [_summary(c) for c in columns]
+        pk = [_select_ref(n, dt, ct) for n, is_pk, dt in cols if is_pk]
         extra = [f"{ct}.SYS_CHANGE_VERSION", f"{ct}.SYS_CHANGE_OPERATION"]
         non_pk = [
-            f"{tq}.[{n}]"
-            for n, is_pk in columns
+            _select_ref(n, dt, tq)
+            for n, is_pk, dt in cols
             if not is_pk and n not in ("SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
         ]
         return ",\n".join(pk + extra + non_pk)
 
     @staticmethod
     def backfill_columns(columns: list[ColumnSummary], tq: str) -> str:
-        pk = [f"{tq}.[{n}]" for n, is_pk in columns if is_pk]
+        cols = [_summary(c) for c in columns]
+        pk = [_select_ref(n, dt, tq) for n, is_pk, dt in cols if is_pk]
         extra = ["CAST(0 as BIGINT) as SYS_CHANGE_VERSION", "'I' as SYS_CHANGE_OPERATION"]
         non_pk = [
-            f"{tq}.[{n}]"
-            for n, is_pk in columns
+            _select_ref(n, dt, tq)
+            for n, is_pk, dt in cols
             if not is_pk and n not in ("SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
         ]
         return ",\n".join(pk + extra + non_pk)
@@ -107,10 +134,13 @@ class MsSqlQueryBuilder:
         )
 
     def column_summaries_query(self) -> str:
-        """S3: (COLUMN_NAME, IsPrimaryKey) discovery."""
+        """S3: (COLUMN_NAME, IsPrimaryKey, DATA_TYPE) discovery. The
+        DATA_TYPE code feeds the 3-tuple ColumnSummary so delta/backfill
+        SELECTs know which columns need the TIME→nanos wire wrapper."""
         return f"""select
     c.COLUMN_NAME,
-    case when kcu.CONSTRAINT_NAME is not null then 1 else 0 end as IsPrimaryKey
+    case when kcu.CONSTRAINT_NAME is not null then 1 else 0 end as IsPrimaryKey,
+    c.DATA_TYPE
 from
     [{self.database}].INFORMATION_SCHEMA.COLUMNS c
     left join [{self.database}].INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc on c.TABLE_SCHEMA = tc.TABLE_SCHEMA and c.TABLE_NAME = tc.TABLE_NAME

@@ -445,3 +445,30 @@ def test_cancellation_mid_iterator_holds_watermark_at_last_merge(tmp_path):
     src.head = 9
     assert runner.run_once() == 1  # batch 5 only
     assert store.read().version == "5"  # not 9: batch 9 never processed
+
+
+def test_mssql_builder_wraps_time_columns_to_nanos():
+    """ADVICE r4 item 1: the TIME→nanos conversion must be IN the
+    generated SELECT text (driven by the 3-tuple ColumnSummary type
+    code), not a helper only tests call. 2-tuples stay bare."""
+    b = MsSqlQueryBuilder(database="db", schema="dbo", table="t")
+    cols = [("pk", True, "bigint"), ("opened", False, "time"), ("val", False)]
+    delta = b.changes_query(cols, last_id=7)
+    assert (
+        "CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), "
+        "tq.[opened]) AS BIGINT) as [opened]" in delta
+    )
+    assert "tq.[val]" in delta and "tq.[opened]," not in delta
+    backfill = b.backfill_query(cols)
+    assert (
+        "CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), "
+        "tq.[opened]) AS BIGINT) as [opened]" in backfill
+    )
+    # discovery now emits the DATA_TYPE code the 3-tuple is built from
+    assert "c.DATA_TYPE" in b.column_summaries_query()
+    # a time PRIMARY KEY converts on the CHANGETABLE side too
+    pk_time = b.changes_query([("at", True, "time"), ("v", False)], last_id=1)
+    assert (
+        "CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), "
+        "ct.[at]) AS BIGINT) as [at]" in pk_time
+    )
