@@ -4517,6 +4517,35 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_index_topk(spark, sf_dir):
+    """Persisted IVF-PQ (the sim_ivf_index_topk shape for 4-byte codes):
+    the code table is written PARTITIONED BY coarse cell, the probe set
+    is pushed into the scan as a partition filter, and ADC runs against
+    the stored codes — build-once/search-many, search I/O =
+    n_probe/n_centroids of an already-~64x-compressed table. Same cells
+    + codebooks as sim_ivfpq_topk, so the same oracle must hash-match;
+    partition pruning is pinned in tests/test_pq.py."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"arcane_ivfpq_{uuid.uuid4().hex}"
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, codebooks=_pq_codebook(spark, sf_dir)
+    )
+    return ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id").isin(_COSINE_QUERY_IDS)),
+        k=10, n_probe=2,
+    )
+
+
 def q_sim_jl_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64→16 dims (Rademacher ±1
     planes from the repo's deterministic md5 derivation): a zero-shuffle
@@ -6449,10 +6478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_shard_resume": q_m6_shard_resume,
         "a3_table_stats": q_a3_table_stats,
         "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
-        "o4_watermark_rows": q_o4_watermark_rows,
         "w2_backfill_dedup": q_w2_backfill_dedup,
+        # --- r5-born gate (never checked — must sit inside the window;
+        #     displaces one stale filler) ---
+        "sim_ivfpq_index_topk": q_sim_ivfpq_index_topk,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
+        "o4_watermark_rows": q_o4_watermark_rows,
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_pq_rerank": q_sim_pq_rerank,
@@ -6813,6 +6845,12 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "tpch_q22ish": _TPCH_Q22_SQL,
         "sim_jl_project": projection_mod.jl_project_sql("embeddings"),
         "sim_ivfpq_topk": pq_mod.ivfpq_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10,
+            n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
+        ),
+        # identical search semantics over the persisted index — the
+        # in-memory composition's oracle must hash-match by construction
+        "sim_ivfpq_index_topk": pq_mod.ivfpq_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10,
             n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
         ),

@@ -53,6 +53,8 @@ __all__ = [
     "pq_topk",
     "pq_rerank_topk",
     "ivfpq_topk",
+    "build_ivfpq_index",
+    "ivfpq_index_topk",
     "ivfpq_topk_sql",
     "pq_codes_sql",
     "pq_topk_sql",
@@ -492,6 +494,210 @@ def ivfpq_topk(
     qn = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _norm(F.col(vec_col)).alias("qn")
     )
+    score = (F.col("s_micro") / F.lit(float(_FP))) / (
+        F.col("qn") * F.sqrt(F.col("nsq_micro") / F.lit(float(_FP)))
+    )
+    scored = scored_parts.join(F.broadcast(qn), "query_id").select(
+        "query_id",
+        F.col("vid").alias(id_col),
+        F.floor(score * F.lit(float(_FP))).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score_micro", "rk")
+    )
+
+
+def _with_cnsq(cb: DataFrame) -> DataFrame:
+    """Codebook + per-centroid ‖c‖² in int64 micro (the ADC denominator
+    partial — shared by pq_topk / ivfpq_topk / the persisted index)."""
+    return cb.withColumn(
+        "cnsq_micro",
+        F.floor(
+            F.aggregate(
+                F.transform(
+                    F.col("cvec"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * F.lit(float(_FP))
+        ).cast("long"),
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    out_path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF-PQ index (build once, search many — the
+    production shape ``similarity.build_ivf_index`` proves for float
+    vectors, here for 4-byte codes):
+
+    - ``{out}/codes``  — long-format PQ codes ``(vid, sub, code)``
+      written **PARTITIONED BY** the coarse ``cell``, so a search reads
+      ``n_probe / n_centroids`` of the code table via parquet partition
+      pruning — and the codes are ints, ~64× narrower than the vectors;
+    - ``{out}/cells``  — the coarse centroid table;
+    - ``{out}/codebooks`` — the PQ codebooks with ``cnsq_micro``
+      precomputed (the fit never re-runs at search time).
+
+    Cell assignment and encoding mirror :func:`ivfpq_topk` bit-for-bit
+    (round-6 cosine, ties → lowest cell / lowest code), so
+    :func:`ivfpq_index_topk` hash-matches the in-memory composition."""
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("cellvec"),
+    )
+    cx = cent.select(
+        "cell", "cellvec", _norm(F.col("cellvec")).alias("__celln")
+    )
+    sims = (
+        _spread(embeddings)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col)).alias("__vn"),
+        )
+        .join(F.broadcast(cx))
+        .select(
+            "vid",
+            "cell",
+            F.round(
+                _dot(F.col("__v"), F.col("cellvec"))
+                / (F.col("__vn") * F.col("__celln")),
+                6,
+            ).alias("__csim"),
+        )
+    )
+    assigned = (
+        sims.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("__csim"), (-F.col("cell")).alias("nc")),
+            ).alias("cell")
+        )
+    )
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
+    )
+    cbx = _with_cnsq(cb).localCheckpoint(eager=False)
+    codes = pq_encode(
+        embeddings, cbx.select("sub", "centroid_id", "cvec"),
+        m, dim, id_col, vec_col,
+    ).withColumnRenamed(id_col, "vid")
+    (
+        codes.join(assigned, "vid")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(out_path + "/codes")
+    )
+    cent.write.mode("overwrite").parquet(out_path + "/cells")
+    cbx.write.mode("overwrite").parquet(out_path + "/codebooks")
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`build_ivfpq_index` index. ``queries`` is a
+    ``(id_col, vec_col)`` DataFrame (queries arrive from outside the
+    index — the index stores codes, not vectors). Result semantics are
+    identical to :func:`ivfpq_topk` over the same cells + codebooks:
+    ``(query_id, vec_id, score_micro, rk)``, self excluded.
+
+    Scale shape: probed cell ids are collected to the driver
+    (|queries| × n_probe ints — the same planning-time collect an
+    Iceberg partition filter performs) and pushed into the codes scan as
+    a partition filter; the LUT and probe tables broadcast; the ADC
+    aggregation touches only probed-cell code rows. Search I/O =
+    ``n_probe / n_centroids`` of an already-~64×-compressed table."""
+    cent = spark.read.parquet(index_path + "/cells")
+    cbx = spark.read.parquet(index_path + "/codebooks")
+    codes = spark.read.parquet(index_path + "/codes")
+    # m and subvector width from the codebook itself (metadata-scale)
+    meta = cbx.agg(
+        (F.max("sub") + 1).alias("m"), F.max(F.size("cvec")).alias("d")
+    ).collect()[0]
+    m, d = int(meta["m"]), int(meta["d"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    cx = cent.select(
+        "cell", "cellvec", _norm(F.col("cellvec")).alias("__celln")
+    )
+    probes = (
+        q.join(F.broadcast(cx))
+        .select(
+            "query_id",
+            "cell",
+            F.round(
+                _dot(F.col("__qvec"), F.col("cellvec"))
+                / (F.col("__qn") * F.col("__celln")),
+                6,
+            ).alias("__csim"),
+        )
+        .withColumn(
+            "__crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__csim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("__crk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    # planning-time partition pruning: probed cells only
+    probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    lut = (
+        _sub_rows(queries, m, d, id_col, vec_col, "query_id")
+        .join(F.broadcast(cbx), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("centroid_id").alias("code"),
+            F.floor(_dot(F.col("svec"), F.col("cvec")) * F.lit(float(_FP)))
+            .cast("long")
+            .alias("dm"),
+            "cnsq_micro",
+        )
+    )
+    scored_parts = (
+        codes.filter(F.col("cell").isin(probed))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vid")
+        .agg(
+            F.sum("dm").alias("s_micro"),
+            F.sum("cnsq_micro").alias("nsq_micro"),
+        )
+    )
+    qn = q.select("query_id", F.col("__qn").alias("qn"))
     score = (F.col("s_micro") / F.lit(float(_FP))) / (
         F.col("qn") * F.sqrt(F.col("nsq_micro") / F.lit(float(_FP)))
     )
