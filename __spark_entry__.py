@@ -2235,10 +2235,19 @@ def q_t2_crash_replay(spark, sf_dir):
     watermark, replays the already-merged batch, and the version-guarded
     merge makes the replay a no-op — final state equals the single merge
     (oracle = the M1 merge SQL). This is the reference's merge-before-
-    watermark exactly-once contract (§4) driven through StreamRunner."""
+    watermark exactly-once contract (§4) driven through StreamRunner.
+
+    The vertical runs TWICE (VERDICT r4 item 7): once on the
+    SnapshotParquetTarget and once on CatalogTarget over the javaext
+    DSv2 mem catalog — real generated MERGE INTO against a
+    transactional catalog, the reference's Trino/Iceberg posture
+    (``WatermarkProcessor.scala:19-28``: watermark commits only after
+    the catalog merge lands). Both finals must be identical; the
+    snapshot one is returned (oracle unchanged)."""
     import tempfile
 
     from arcane_framework_scala_spark.sinks.merge_sink import (
+        CatalogTarget,
         MergeSink,
         SnapshotParquetTarget,
     )
@@ -2255,11 +2264,6 @@ def q_t2_crash_replay(spark, sf_dir):
     _harden_session(spark)
     thr = _events_threshold(spark, sf_dir)
     head = _read(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
-    run_dir = tempfile.mkdtemp(prefix="arcane_t2_run_")
-
-    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
-    target.overwrite(_mssql_target(spark, sf_dir, thr))
-    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
 
     class _Source:
         def current_version(self):
@@ -2276,43 +2280,70 @@ def q_t2_crash_replay(spark, sf_dir):
         def commit(self, wm):
             raise _CrashAfterMerge("crash between merge and watermark commit")
 
-    wm_path = os.path.join(run_dir, "wm.json")
-    real_store = FileWatermarkStore(path=wm_path)
-    real_store.commit(Watermark.now(version=str(thr)))
+    def run_vertical(make_target) -> DataFrame:
+        run_dir = tempfile.mkdtemp(prefix="arcane_t2_run_")
+        target = make_target()
+        target.overwrite(_mssql_target(spark, sf_dir, thr))
 
-    settings = StreamSettings(poll_interval_seconds=0.01)
-    crashing = StreamRunner(
-        source=_Source(),
-        sink=sink,
-        watermark_store=_CrashingStore(path=wm_path),
-        settings=settings,
-    )
-    try:
-        crashing.run_once()
-        raise AssertionError("crash did not fire")
-    except _CrashAfterMerge:
-        pass  # merge landed, watermark did not — the T2 crash window
+        wm_path = os.path.join(run_dir, "wm.json")
+        real_store = FileWatermarkStore(path=wm_path)
+        real_store.commit(Watermark.now(version=str(thr)))
 
-    stale = real_store.read()
-    if stale is None or stale.version != str(thr):
-        raise AssertionError(f"watermark should still be stale: {stale}")
-    restarted = StreamRunner(
-        source=_Source(),
-        sink=MergeSink(
-            target=SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt")),
-            dialect=SQL_SERVER_CHANGE_TRACKING,
-        ),
-        watermark_store=real_store,
-        settings=settings,
+        settings = StreamSettings(poll_interval_seconds=0.01)
+        crashing = StreamRunner(
+            source=_Source(),
+            sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+            watermark_store=_CrashingStore(path=wm_path),
+            settings=settings,
+        )
+        try:
+            crashing.run_once()
+            raise AssertionError("crash did not fire")
+        except _CrashAfterMerge:
+            pass  # merge landed, watermark did not — the T2 crash window
+
+        stale = real_store.read()
+        if stale is None or stale.version != str(thr):
+            raise AssertionError(f"watermark should still be stale: {stale}")
+        restarted = StreamRunner(
+            source=_Source(),
+            sink=MergeSink(
+                target=make_target(), dialect=SQL_SERVER_CHANGE_TRACKING
+            ),
+            watermark_store=real_store,
+            settings=settings,
+        )
+        if restarted.run_once() != 1:
+            raise AssertionError("restart did not replay the pending batch")
+        if real_store.read().version != str(head):
+            raise AssertionError("watermark did not advance after replay")
+        return make_target().read().select(
+            "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id",
+            "event_type", "value",
+        )
+
+    snap_dir = tempfile.mkdtemp(prefix="arcane_t2_snap_")
+    final = run_vertical(
+        lambda: SnapshotParquetTarget(spark, os.path.join(snap_dir, "tgt"))
     )
-    if restarted.run_once() != 1:
-        raise AssertionError("restart did not replay the pending batch")
-    if real_store.read().version != str(head):
-        raise AssertionError("watermark did not advance after replay")
-    final = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt")).read()
-    return final.select(
-        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+
+    # twin run on the transactional DSv2 catalog: generated MERGE INTO
+    # executes for real; the crash-replay convergence must be identical
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
     )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    cat_table = "arcm.gate.t2_crash"
+    spark.sql(f"DROP TABLE IF EXISTS {cat_table}")
+    cat_final = run_vertical(lambda: CatalogTarget(spark, cat_table))
+    d1 = cat_final.exceptAll(final).count()
+    d2 = final.exceptAll(cat_final).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"catalog vs snapshot crash-replay diverged: {d1}/{d2} rows"
+        )
+    return final
 
 
 def q_t1_polling_vertical(spark, sf_dir):
