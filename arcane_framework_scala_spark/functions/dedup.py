@@ -270,6 +270,57 @@ def minhash_candidate_pairs_incremental(
     return cross.unionAll(within).distinct()
 
 
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    min_bands: int = 1,
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag corpus documents
+    whose MinHash LSH signature collides with any benchmark document in
+    ≥ ``min_bands`` bands — the fuzzy sibling of
+    :func:`corpus.contamination` (exact shared word n-grams), catching
+    PARAPHRASED/lightly-edited eval leakage that exact n-gram matching
+    misses (the GPT-3 appendix-C / Llama decontamination concern; LSH
+    banding per Broder 1997, the same family as ``minhash_bands``).
+
+    Output: one row per corpus doc — ``(id_col, n_hit_bands,
+    contaminated)``; every input doc gets a row (LEFT join, zero-filled),
+    so the flag is directly usable as a filter.
+
+    Scale shape: the benchmark side (eval suites — MBs) collapses to a
+    DISTINCT (band, bucket) table and broadcasts; the corpus pays the
+    signature aggregation (shingle explode + ``num_hashes`` map-side
+    mins — the :func:`minhash_signature` plan) and ONE id-keyed groupBy
+    of band hits. No corpus self-join, no text shuffle, fan-out bounded
+    by bands."""
+    cb = minhash_bands(corpus, text_col, id_col, num_hashes, bands, shingle_k)
+    bb = (
+        minhash_bands(benchmark, text_col, id_col, num_hashes, bands, shingle_k)
+        .select("band", "bucket")
+        .distinct()
+    )
+    hits = (
+        cb.join(F.broadcast(bb), ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.count_distinct("band").alias("__nb"))
+    )
+    n = F.coalesce(F.col("__nb"), F.lit(0)).cast("long")
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n.alias("n_hit_bands"),
+            (n >= F.lit(int(min_bands))).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signature_sql(
     table: str,
     text_col: str = "text",
@@ -316,6 +367,55 @@ def minhash_candidate_pairs_sql(
         f"FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket "
         f"AND l.{id_col} < r.{id_col}"
     )
+
+
+def fuzzy_contamination_sql(
+    corpus_pred: str,
+    bench_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    min_bands: int = 1,
+) -> str:
+    """DuckDB oracle for :func:`fuzzy_contamination` — identical MinHash
+    family, banding, and LEFT-join zero-fill."""
+    rows_per_band = num_hashes // bands
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col}, {b} AS band, md5(concat_ws('|', "
+            + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f")) AS bucket FROM {src}"
+            for b in range(bands)
+        )
+
+    csig = minhash_signature_sql(
+        f"(SELECT * FROM {table} WHERE {corpus_pred})",
+        text_col, id_col, num_hashes, shingle_k,
+    )
+    bsig = minhash_signature_sql(
+        f"(SELECT * FROM {table} WHERE {bench_pred})",
+        text_col, id_col, num_hashes, shingle_k,
+    )
+    return f"""
+WITH csig AS ({csig}),
+bsig AS ({bsig}),
+cbands AS ({band_rows('csig')}),
+bb AS (SELECT DISTINCT band, bucket FROM ({band_rows('bsig')})),
+hits AS (
+  SELECT c.{id_col}, CAST(count(DISTINCT c.band) AS BIGINT) AS nb
+  FROM cbands c JOIN bb USING (band, bucket)
+  GROUP BY c.{id_col}
+)
+SELECT d.{id_col},
+       coalesce(h.nb, 0) AS n_hit_bands,
+       coalesce(h.nb, 0) >= {min_bands} AS contaminated
+FROM (SELECT {id_col} FROM {table} WHERE {corpus_pred}) d
+LEFT JOIN hits h USING ({id_col})
+""".strip()
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,12 @@ HEADLINE3 = [
     "corpus_quality_classifier",
 ]
 
+#: fourth section (r5): the persisted-IVF-PQ vertical — build (encode +
+#: cell-partitioned write) AND partition-pruned search in one gate.
+HEADLINE4 = [
+    "sim_ivfpq_index_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +113,7 @@ def main() -> None:
     timings, stats1 = measure(HEADLINE)
     timings2, stats2 = measure(HEADLINE2)
     timings3, stats3 = measure(HEADLINE3)
+    timings4, stats4 = measure(HEADLINE4)
     # The driver records only the LAST ~2.3 KB of stdout; r4's combined
     # line (medians + min/max stats) overflowed that and truncated its own
     # "value" field (VERDICT r4 item 5). So: the FINAL stdout line is a
@@ -124,6 +131,9 @@ def main() -> None:
         "headline3_total": round(sum(timings3.values()), 3),
         "headline3_queries": timings3,
         "headline3_query_stats": stats3,
+        "headline4_total": round(sum(timings4.values()), 3),
+        "headline4_queries": timings4,
+        "headline4_query_stats": stats4,
         "runs_per_query": runs,
         "sf": sf,
     }
@@ -140,6 +150,7 @@ def main() -> None:
         "queries": timings,
         "headline2_total": detail["headline2_total"],
         "headline3_total": detail["headline3_total"],
+        "headline4_total": detail["headline4_total"],
         "runs_per_query": runs,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
