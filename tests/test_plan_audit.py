@@ -350,3 +350,26 @@ def test_r4_semdedup_and_dsir_plan_shapes(spark, queries):
     assert a.python_nodes == 0, a.plan
     assert a.broadcast_joins >= 2, a.plan
     assert "row_number" not in a.plan, a.plan
+
+
+def test_r5_additions_plan_shapes(spark, queries):
+    """Round-5 additions. fuzzy_contamination: benchmark band table
+    broadcasts, no cartesian, no Python, no corpus self-join blow-up
+    (the only joins are the broadcast hit join and the zero-fill id
+    join). dedup_semantic with the skew guard active: the block
+    fan-out (sequence/explode) must not introduce a cartesian or a
+    Python node, at sf0.001 AND sf0.1."""
+    a = audit_plan(queries["corpus_fuzzy_contamination"](spark, SF_DIR))
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    assert a.broadcast_joins >= 1, a.plan
+
+    for sf in (SF_DIR, "/root/testdata/sf0.1"):
+        a = audit_plan(queries["dedup_semantic"](spark, sf))
+        assert a.cartesian_products == 0, a.plan
+        assert a.python_nodes == 0, a.plan
+        assert "sequence" in a.plan.lower(), a.plan  # guard is planned
+
+    a = audit_plan(queries["dedup_semantic_prefit"](spark, SF_DIR))
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
