@@ -141,3 +141,61 @@ def test_oversized_cell_guard_is_result_invariant(spark):
     ]
     big = max(cell_sizes)
     assert big > 10 and math.ceil(big / 10) > 1  # fan-out really engaged
+
+
+def test_oversized_cell_guard_hypothesis_twin(spark):
+    """Hypothesis twin of the skew guard (VERDICT r4 item 3): under
+    randomized corpora containing one dense pathological ball and
+    randomized caps, guarded output must equal unguarded output
+    exactly. Deterministic derandomized profile (the t4 twin pattern);
+    examples kept small — each case is two full Spark jobs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        dense=st.integers(min_value=8, max_value=24),
+        spread=st.integers(min_value=4, max_value=12),
+        cap=st.integers(min_value=2, max_value=7),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def case(dense, spread, cap, seed):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [1.0, 0.001 * rng.random(), 0.001 * rng.random(), 0.0])
+            for i in range(dense)
+        ]
+        rows += [
+            (
+                100 + i,
+                [rng.random() for _ in range(4)],
+            )
+            for i in range(spread)
+        ]
+        emb = _df(spark, rows)
+        g = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    emb, k=3, iters=1, threshold=0.9, max_cell_rows=cap
+                ).collect(),
+            )
+        )
+        u = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    emb, k=3, iters=1, threshold=0.9, max_cell_rows=10**9
+                ).collect(),
+            )
+        )
+        assert g == u
+
+    case()
