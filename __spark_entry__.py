@@ -2356,11 +2356,16 @@ def q_t1_polling_vertical(spark, sf_dir):
     A final idle poll must apply nothing and leave the watermark at head.
     Oracle = the single full-range M1 merge: incremental version-guarded
     merges must converge to exactly the same table (reference
-    ``DefaultStreamDataProvider.scala:21-113`` polling semantics)."""
+    ``DefaultStreamDataProvider.scala:21-113`` polling semantics).
+
+    Twin run (VERDICT r4 item 7, same as t2): the whole 6-batch polling
+    loop repeats on CatalogTarget over the DSv2 mem catalog — real
+    MERGE INTO per poll — and must converge to the identical table."""
     import tempfile
 
     from arcane_framework_scala_spark.queries.maintenance import MaintenanceSchedule
     from arcane_framework_scala_spark.sinks.merge_sink import (
+        CatalogTarget,
         MergeSink,
         SnapshotParquetTarget,
     )
@@ -2380,10 +2385,6 @@ def q_t1_polling_vertical(spark, sf_dir):
     # three poll-sized tranches of the (thr, head] version range
     step = (head - thr) // 3
     cuts = [thr, thr + step, thr + 2 * step, head]
-    run_dir = tempfile.mkdtemp(prefix="arcane_t1_run_")
-
-    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
-    target.overwrite(_mssql_target(spark, sf_dir, thr))
 
     class _Source:
         """Releases cuts[i] as the head version on poll i; slices each
@@ -2408,39 +2409,70 @@ def q_t1_polling_vertical(spark, sf_dir):
             if self.poll < 3:
                 self.poll += 1
 
-    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
-    store.commit(Watermark.now(version=str(thr)))
-    maintenance_ops = []
-    runner = StreamRunner(
-        source=_Source(),
-        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
-        watermark_store=store,
-        settings=StreamSettings(poll_interval_seconds=0.01, max_batches=6),
-        maintenance=MaintenanceSchedule(optimize_every=2),
-        maintenance_fn=maintenance_ops.append,
-    )
-    metrics = runner.run()
-    if metrics.batches_merged != 6:
-        raise AssertionError(f"expected 6 merged batches, got {metrics.batches_merged}")
-    if maintenance_ops != ["optimize"] * 3 or metrics.maintenance_runs != 3:
-        raise AssertionError(f"maintenance cadence broke: {maintenance_ops}")
-    if store.read().version != str(head):
-        raise AssertionError(f"watermark not at head: {store.read()}")
-    if metrics.last_watermark_age_seconds is None:
-        raise AssertionError("T12 watermark-age metric not reported")
+    def run_vertical(target) -> DataFrame:
+        run_dir = tempfile.mkdtemp(prefix="arcane_t1_run_")
+        target.overwrite(_mssql_target(spark, sf_dir, thr))
+        store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+        store.commit(Watermark.now(version=str(thr)))
+        maintenance_ops = []
+        runner = StreamRunner(
+            source=_Source(),
+            sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+            watermark_store=store,
+            settings=StreamSettings(poll_interval_seconds=0.01, max_batches=6),
+            maintenance=MaintenanceSchedule(optimize_every=2),
+            maintenance_fn=maintenance_ops.append,
+        )
+        metrics = runner.run()
+        if metrics.batches_merged != 6:
+            raise AssertionError(
+                f"expected 6 merged batches, got {metrics.batches_merged}"
+            )
+        if maintenance_ops != ["optimize"] * 3 or metrics.maintenance_runs != 3:
+            raise AssertionError(f"maintenance cadence broke: {maintenance_ops}")
+        if store.read().version != str(head):
+            raise AssertionError(f"watermark not at head: {store.read()}")
+        if metrics.last_watermark_age_seconds is None:
+            raise AssertionError("T12 watermark-age metric not reported")
 
-    idle = StreamRunner(
-        source=_Source.__new__(_Source),
-        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
-        watermark_store=store,
-        settings=StreamSettings(poll_interval_seconds=0.01),
+        idle = StreamRunner(
+            source=_Source.__new__(_Source),
+            sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+            watermark_store=store,
+            settings=StreamSettings(poll_interval_seconds=0.01),
+        )
+        idle.source.poll = 3  # head unchanged -> probe short-circuits the fetch
+        if idle.run_once() != 0 or store.read().version != str(head):
+            raise AssertionError(
+                "idle poll must apply nothing and hold the watermark"
+            )
+        return target.read().select(
+            "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id",
+            "event_type", "value",
+        )
+
+    snap_dir = tempfile.mkdtemp(prefix="arcane_t1_snap_")
+    final = run_vertical(
+        SnapshotParquetTarget(spark, os.path.join(snap_dir, "tgt"))
     )
-    idle.source.poll = 3  # head unchanged -> probe short-circuits the fetch
-    if idle.run_once() != 0 or store.read().version != str(head):
-        raise AssertionError("idle poll must apply nothing and hold the watermark")
-    return target.read().select(
-        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+
+    # twin on the transactional DSv2 catalog: all six generated MERGE
+    # INTO statements execute for real; convergence must be identical
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
     )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    cat_table = "arcm.gate.t1_poll"
+    spark.sql(f"DROP TABLE IF EXISTS {cat_table}")
+    cat_final = run_vertical(CatalogTarget(spark, cat_table))
+    d1 = cat_final.exceptAll(final).count()
+    d2 = final.exceptAll(cat_final).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"catalog vs snapshot polling loop diverged: {d1}/{d2} rows"
+        )
+    return final
 
 
 def q_x1_maintenance_vertical(spark, sf_dir):
