@@ -5742,6 +5742,22 @@ GROUP BY id
 """
 
 
+def q_a16_category_drift(spark, sf_dir):
+    """Day-over-day categorical drift: per-day Jensen-Shannon divergence
+    (int64 micro, per-category terms floored then integer-summed — the
+    DSIR accumulation rule) between consecutive days' event-type
+    distributions. The pipeline-monitoring primitive for a CDC-fed
+    corpus: an upstream traffic or schema shift spikes JSD immediately.
+    Aggregation tables are days×categories rows — metadata-scale; the
+    event scan is touched once, map-side combined. Integer epoch-day
+    keys (the a15 convention) — no date types, no timezone surface."""
+    return stats_mod.categorical_drift(
+        _read(spark, sf_dir, "events"),
+        day_col=F.expr("ts div 1000000000 div 86400"),
+        cat_col="event_type",
+    )
+
+
 def q_a15_daily_growth(spark, sf_dir):
     """Day-over-day volume report: daily event counts with the previous
     day's count and the absolute delta (a lag window over the daily
@@ -6581,15 +6597,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_staging_writer": q_k1_staging_writer,
         "m4_overwrite_backfill": q_m4_overwrite_backfill,
         "m6_shard_resume": q_m6_shard_resume,
-        "a3_table_stats": q_a3_table_stats,
         "w2_backfill_dedup": q_w2_backfill_dedup,
         # --- r5-born gates (never checked — must sit inside the window;
-        #     displace three stale fillers) ---
+        #     displace four stale fillers) ---
         "sim_ivfpq_index_topk": q_sim_ivfpq_index_topk,
         "corpus_fuzzy_contamination": q_corpus_fuzzy_contamination,
         "dedup_semantic_prefit": q_dedup_semantic_prefit,
+        "a16_category_drift": q_a16_category_drift,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
+        "a3_table_stats": q_a3_table_stats,
         "m5_shard_combine": q_m5_shard_combine,
         "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
         "o4_watermark_rows": q_o4_watermark_rows,
@@ -6740,6 +6757,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fuzzy_contamination": dd.fuzzy_contamination_sql(
             "doc_id % 10 != 0", "doc_id % 10 = 0",
             num_hashes=16, bands=4,
+        ),
+        "a16_category_drift": stats_mod.categorical_drift_sql(
+            "events", cat_col="event_type"
         ),
         "corpus_dsir_select": lm_mod.dsir_select_sql(
             "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256

@@ -144,3 +144,124 @@ SELECT {group_col}, count(*) AS n,
        CAST(sum(cm) AS BIGINT) AS capped_micro
 FROM c GROUP BY {group_col}
 """.strip()
+
+
+def categorical_drift(
+    df: DataFrame,
+    day_col,
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Day-over-day categorical distribution drift: the Jensen-Shannon
+    divergence between each day's category distribution and the previous
+    day's — the upstream-shift monitor a CDC-fed training-data pipeline
+    needs (a silent source-schema or traffic change shows up as a JSD
+    spike long before it shows up in model metrics; JSD rather than KL
+    because it is symmetric, bounded by ln 2, and defined when a
+    category appears on only one of the two days).
+
+    ``day_col`` is any integer day expression (Column or name) — e.g.
+    ``F.expr("ts div 1000000000 div 86400")`` for the engine's epoch-
+    nanos event time. Integer days keep the consecutive-day join pure
+    int64 arithmetic (no date types, no timezone surface).
+
+    Output: ``(day, n_cats, jsd_micro)`` for every day with a
+    predecessor — ``jsd_micro`` is int64 micro units.
+
+    Determinism (repo fixed-point rule): each category's contribution is
+    ONE float expression over the four integer counts, floored to micro,
+    and the per-day total is an INTEGER sum — partition order never
+    moves the result, and DuckDB computes the identical floor.
+
+    Scale: two tiny aggregation shuffles (per-(day,cat) counts, per-day
+    totals — output rows ≈ days × categories, metadata-sized for any
+    real cardinality) and joins between those aggregates; the event
+    table itself is touched once, map-side combined. Nothing scales
+    with row count except the first scan."""
+    day = (F.col(day_col) if isinstance(day_col, str) else day_col).alias(
+        "day"
+    )
+    daily = df.groupBy(day, F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.groupBy("day").agg(F.sum("n").alias("tot"))
+    prev_daily = daily.select(
+        (F.col("day") + 1).alias("day"), "cat", F.col("n").alias("pn")
+    )
+    prev_tot = tot.select(
+        (F.col("day") + 1).alias("day"), F.col("tot").alias("ptot")
+    )
+    # days that have a predecessor; cats from either side of the pair
+    pair_tot = tot.join(prev_tot, "day")
+    cats = daily.join(prev_daily, ["day", "cat"], "full_outer")
+    j = cats.join(pair_tot, "day")
+    p = F.coalesce(F.col("n"), F.lit(0)) / F.col("tot")
+    q = F.coalesce(F.col("pn"), F.lit(0)) / F.col("ptot")
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        j.select(
+            "day",
+            F.floor(contrib * F.lit(1_000_000.0)).cast("long").alias(
+                "__c_micro"
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum("__c_micro").alias("jsd_micro"),
+        )
+    )
+
+
+def categorical_drift_sql(
+    table: str = "events",
+    day_sql: str = "epoch_ns(ts) // 1000000000 // 86400",
+    cat_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`categorical_drift` — identical per-
+    category floor-to-micro and integer accumulation."""
+    return f"""
+WITH daily AS (
+  SELECT {day_sql} AS day, {cat_col} AS cat,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+),
+tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM daily GROUP BY day),
+pair AS (
+  SELECT t.day, t.tot, p.tot AS ptot
+  FROM tot t JOIN tot p ON t.day = p.day + 1
+),
+cats AS (
+  SELECT coalesce(d.day, pd.day) AS day,
+         coalesce(d.cat, pd.cat) AS cat,
+         coalesce(d.n, 0) AS n, coalesce(pd.pn, 0) AS pn
+  FROM daily d
+  FULL JOIN (SELECT day + 1 AS day, cat, n AS pn FROM daily) pd
+    ON d.day = pd.day AND d.cat = pd.cat
+),
+terms AS (
+  SELECT c.day,
+         CAST(floor((
+           CASE WHEN c.n > 0 THEN
+             0.5 * (c.n / CAST(j.tot AS DOUBLE))
+                 * ln((c.n / CAST(j.tot AS DOUBLE))
+                      / (((c.n / CAST(j.tot AS DOUBLE))
+                          + (c.pn / CAST(j.ptot AS DOUBLE))) / 2.0))
+           ELSE 0.0 END
+           +
+           CASE WHEN c.pn > 0 THEN
+             0.5 * (c.pn / CAST(j.ptot AS DOUBLE))
+                 * ln((c.pn / CAST(j.ptot AS DOUBLE))
+                      / (((c.n / CAST(j.tot AS DOUBLE))
+                          + (c.pn / CAST(j.ptot AS DOUBLE))) / 2.0))
+           ELSE 0.0 END
+         ) * 1000000.0) AS BIGINT) AS c_micro
+  FROM cats c JOIN pair j USING (day)
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_cats,
+       CAST(sum(c_micro) AS BIGINT) AS jsd_micro
+FROM terms GROUP BY day
+""".strip()

@@ -172,3 +172,44 @@ def test_ewma_pow2_hand_computed(spark, sf_dir):
            for r in entry.q_t_ewma_pow2(spark, d).collect()}
     for t in range(10):
         assert got[t] == exp_at(t), (t, got[t], exp_at(t))
+
+
+def test_categorical_drift_matches_model(spark):
+    """JSD against a NumPy-free hand model: identical day distributions
+    -> 0; a category appearing from nothing -> positive, <= ln2 micro;
+    exact per-category floor accumulation reproduced in Python."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.functions.stats import (
+        categorical_drift,
+    )
+
+    rows = []
+    # day 0: 4xA 4xB ; day 1: identical ; day 2: 8xC (total shift)
+    for d, cats in [(0, "AAAABBBB"), (1, "AAAABBBB"), (2, "CCCCCCCC")]:
+        for i, c in enumerate(cats):
+            rows.append((d * 86_400 * 10**9 + i, c))
+    df = spark.createDataFrame(rows, "ts long, event_type string")
+    out = {
+        r["day"]: r
+        for r in categorical_drift(
+            df, day_col=F.expr("ts div 1000000000 div 86400")
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # day 0 has no predecessor
+    assert out[1]["jsd_micro"] == 0 and out[1]["n_cats"] == 2
+    # day 2 vs day 1: disjoint supports -> JSD = ln 2 exactly;
+    # per-category floored-micro model:
+    def term(p, q):
+        m = (p + q) / 2.0
+        t = (0.5 * p * math.log(p / m) if p > 0 else 0.0) + (
+            0.5 * q * math.log(q / m) if q > 0 else 0.0
+        )
+        return math.floor(t * 1_000_000.0)
+
+    expected = term(0.0, 0.5) + term(0.0, 0.5) + term(1.0, 0.0)
+    assert out[2]["n_cats"] == 3
+    assert out[2]["jsd_micro"] == expected
+    assert abs(out[2]["jsd_micro"] - math.floor(math.log(2) * 1e6)) <= 3
