@@ -190,10 +190,12 @@ def categorical_drift(
     prev_tot = tot.select(
         (F.col("day") + 1).alias("day"), F.col("tot").alias("ptot")
     )
-    # days that have a predecessor; cats from either side of the pair
+    # days that have a predecessor; cats from either side of the pair.
+    # pair_tot is |days| rows — broadcast it so the per-(day,cat) side
+    # never shuffles for this join even if stats mislead the planner.
     pair_tot = tot.join(prev_tot, "day")
     cats = daily.join(prev_daily, ["day", "cat"], "full_outer")
-    j = cats.join(pair_tot, "day")
+    j = cats.join(F.broadcast(pair_tot), "day")
     p = F.coalesce(F.col("n"), F.lit(0)) / F.col("tot")
     q = F.coalesce(F.col("pn"), F.lit(0)) / F.col("ptot")
     m = (p + q) / F.lit(2.0)

@@ -59,10 +59,14 @@ HEADLINE3 = [
     "corpus_quality_classifier",
 ]
 
-#: fourth section (r5): the persisted-IVF-PQ vertical — build (encode +
-#: cell-partitioned write) AND partition-pruned search in one gate.
+#: fourth section (r5): the persisted-IVF-PQ vertical (build: encode +
+#: cell-partitioned write, then partition-pruned search in one gate) and
+#: search-only SemDeDup against a session-cached prefit codebook — the
+#: reclaim headline3's fit-included dedup_semantic leaves on the table,
+#: the same fit-once story the r4 PQ prefit switch told.
 HEADLINE4 = [
     "sim_ivfpq_index_topk",
+    "dedup_semantic_prefit",
 ]
 
 

@@ -373,3 +373,15 @@ def test_r5_additions_plan_shapes(spark, queries):
     a = audit_plan(queries["dedup_semantic_prefit"](spark, SF_DIR))
     assert a.cartesian_products == 0, a.plan
     assert a.python_nodes == 0, a.plan
+
+
+def test_a16_drift_stays_aggregate_scale(spark, queries):
+    """Drift monitor: the event table is scanned once into a map-side
+    combined aggregate; everything after operates on days×categories
+    rows, with the per-day totals pair broadcast. No cartesian, no
+    Python, and at most the two aggregation exchanges plus the
+    full-outer cat join."""
+    a = audit_plan(queries["a16_category_drift"](spark, SF_DIR))
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+    assert a.broadcast_joins >= 1, a.plan
