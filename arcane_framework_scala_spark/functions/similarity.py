@@ -523,6 +523,7 @@ def lsh_bucket_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.7,
+    max_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate all-pairs similarity: exact cosine within LSH buckets.
 
@@ -531,41 +532,80 @@ def lsh_bucket_neighbors(
     raise ``bits`` as the corpus grows — 100 TB guidance: keep expected
     bucket size ≤ ~1k rows so intra-bucket pairing stays cheap.
 
+    ``max_bucket_rows`` is the skew guard for PATHOLOGICAL buckets the
+    bits knob cannot fix (a near-duplicate-rich ball or a zero-vector
+    pile hashes to ONE bucket no matter how many planes): buckets above
+    the cap are salted into ``ceil(n/cap)`` hash blocks — the a-side
+    keeps its block, the b-side replicates per block — so every pair
+    still meets exactly once, per-task build side is bounded, and the
+    output is byte-identical for any setting (the ``semantic_dedup``
+    ``max_cell_rows`` construction; oracle unaffected).
+
     One pass over the input computes (id, vec, norm, bucket) — norm and
-    bucket are plain projections, so there is no join back to a signature
-    table (an id-keyed self-join would shuffle the corpus twice for no
-    reason). Per candidate pair the cost is a single dot product plus one
+    bucket are plain projections; the projection is materialized once
+    (lazy localCheckpoint) and feeds the bucket-count table and both
+    self-join sides, so the bits+1 HOF folds per row run once. Per
+    candidate pair the cost is a single dot product plus one
     multiply+divide: sim = dot(a, b) / (|a|·|b|) — the oracle uses the
-    identical formula so float rounding matches."""
-    e = _spread(embeddings).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("__n"),
-        _bucket_expr(vec_col, dim, bits, seed).alias("bucket"),
+    identical formula so float rounding matches.
+
+    NOTE: do NOT repartition("bucket") to force exchange sharing (the
+    trick minhash_candidate_pairs uses): with 2^bits buckets and small
+    ``bits`` the key cardinality is below the core count, so the
+    repartition serializes the pair join onto few partitions — measured
+    2× slower at bits=6."""
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    e = materialize(
+        _spread(embeddings).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("__n"),
+            _bucket_expr(vec_col, dim, bits, seed).alias("bucket"),
+        ),
+        eager=False,
     )
-    # share one exchange between both self-join inputs so the norm+bucket
-    # projection (bits+1 HOF folds per row) runs once, not twice — the
-    # small side would otherwise broadcast, and a broadcast subtree never
-    # reuses the probe side's computation
-    # NOTE: do NOT repartition("bucket") here to force exchange sharing
-    # (the trick minhash_candidate_pairs uses): with 2^bits buckets and
-    # small `bits` the key cardinality is below the core count, so the
-    # repartition serializes the pair join onto few partitions — measured
-    # 2× slower at bits=6. The duplicated projection is the lesser cost.
-    l = e.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("__n").alias("na"),
+    # ≤ 2^bits rows — broadcast to both sides
+    blocks = (
+        e.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "bucket",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__cnt") / F.lit(int(max_bucket_rows))),
+            )
+            .cast("int")
+            .alias("__nb"),
+        )
     )
-    r = e.select(
-        F.col("bucket").alias("bucket_r"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("__n").alias("nb"),
+    l = (
+        e.join(F.broadcast(blocks), "bucket")
+        .select(
+            F.col("bucket"),
+            F.pmod(F.hash(F.col(id_col)), F.col("__nb")).alias("__blk"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("__n").alias("na"),
+        )
+    )
+    r = (
+        e.join(F.broadcast(blocks), "bucket")
+        .select(
+            F.col("bucket").alias("bucket_r"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nb") - F.lit(1))
+            ).alias("__blk_r"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("__n").alias("nb"),
+        )
     )
     pairs = l.join(
-        r, (F.col("bucket") == F.col("bucket_r")) & (F.col("id_a") < F.col("id_b"))
+        r,
+        (F.col("bucket") == F.col("bucket_r"))
+        & (F.col("__blk") == F.col("__blk_r"))
+        & (F.col("id_a") < F.col("id_b")),
     )
     sim = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6

@@ -199,3 +199,32 @@ def test_oversized_cell_guard_hypothesis_twin(spark):
         assert g == u
 
     case()
+
+
+def test_lsh_bucket_guard_is_result_invariant(spark):
+    """The semantic_dedup max_cell_rows construction applied to
+    lsh_bucket_neighbors (same skew class: a pathological bucket no
+    bits setting can split): tiny cap vs unbounded must be
+    byte-identical, with the fan-out visible in the plan."""
+    from arcane_framework_scala_spark.functions.similarity import (
+        lsh_bucket_neighbors,
+    )
+
+    # 40 near-identical vectors -> ONE sign-LSH bucket regardless of bits
+    rows = [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(40)]
+    rows += [(100 + i, [0.01 * i, -1.0, 0.3 * (i % 3), 0.0]) for i in range(10)]
+    emb = _df(spark, rows)
+    guarded = lsh_bucket_neighbors(
+        emb, dim=4, bits=6, threshold=0.99, max_bucket_rows=7
+    )
+    unguarded = lsh_bucket_neighbors(
+        emb, dim=4, bits=6, threshold=0.99, max_bucket_rows=10**9
+    )
+    g = sorted(map(tuple, guarded.collect()))
+    u = sorted(map(tuple, unguarded.collect()))
+    assert g == u
+    # the dense ball pairs all survive: 40 choose 2 pairs at sim ~1
+    dense_pairs = [(a, b) for a, b, _ in g if a < 60 and b < 60]
+    assert len(dense_pairs) == 40 * 39 // 2
+    plan = guarded._jdf.queryExecution().toString()
+    assert "sequence" in plan and "explode" in plan.lower()
