@@ -4609,6 +4609,37 @@ def q_sim_ivfpq_index_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_index_rerank(spark, sf_dir):
+    """The complete persisted serving path: ADC shortlist from the
+    cell-partitioned code index (partition-pruned probe) + exact cosine
+    rerank against ONLY the probed cells of the float-vector IVF index —
+    codes propose, floats decide, both reads touch n_probe/n_centroids
+    of their tables. Shares centroids with both index builders, so the
+    oracle is the IVF-PQ shortlist SQL + exact rerank."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_index_rerank,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"arcane_ivfpqrr_{uuid.uuid4().hex}"
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    build_ivfpq_index(
+        emb, base + "/pq", n_centroids=8,
+        codebooks=_pq_codebook(spark, sf_dir),
+    )
+    sim.build_ivf_index(emb, base + "/vec", n_centroids=8)
+    return ivfpq_index_rerank(
+        spark, base + "/pq", base + "/vec",
+        emb.filter(F.col("vec_id").isin(_COSINE_QUERY_IDS)),
+        k=10, shortlist=50, n_probe=2,
+    )
+
+
 def q_sim_jl_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection 64→16 dims (Rademacher ±1
     planes from the repo's deterministic md5 derivation): a zero-shuffle
@@ -6595,17 +6626,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "x1_maintenance_vertical": q_x1_maintenance_vertical,
         "k1_staging_writer": q_k1_staging_writer,
-        "m4_overwrite_backfill": q_m4_overwrite_backfill,
         "m6_shard_resume": q_m6_shard_resume,
         "w2_backfill_dedup": q_w2_backfill_dedup,
         # --- r5-born gates (never checked — must sit inside the window;
-        #     displace four stale fillers) ---
+        #     displace five stale fillers) ---
         "sim_ivfpq_index_topk": q_sim_ivfpq_index_topk,
         "corpus_fuzzy_contamination": q_corpus_fuzzy_contamination,
         "dedup_semantic_prefit": q_dedup_semantic_prefit,
         "a16_category_drift": q_a16_category_drift,
+        "sim_ivfpq_index_rerank": q_sim_ivfpq_index_rerank,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
+        "m4_overwrite_backfill": q_m4_overwrite_backfill,
         "a3_table_stats": q_a3_table_stats,
         "m5_shard_combine": q_m5_shard_combine,
         "s7_cdm_csv_parse": q_s7_cdm_csv_parse,
@@ -6989,6 +7021,10 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         # in-memory composition's oracle must hash-match by construction
         "sim_ivfpq_index_topk": pq_mod.ivfpq_topk_sql(
             "embeddings", _COSINE_QUERY_IDS, k=10,
+            n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
+        ),
+        "sim_ivfpq_index_rerank": pq_mod.ivfpq_rerank_topk_sql(
+            "embeddings", _COSINE_QUERY_IDS, k=10, shortlist=50,
             n_centroids=8, n_probe=2, m=4, ksub=8, iters=2,
         ),
         "a10_regression": _A10_SQL,

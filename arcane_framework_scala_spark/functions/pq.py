@@ -55,7 +55,9 @@ __all__ = [
     "ivfpq_topk",
     "build_ivfpq_index",
     "ivfpq_index_topk",
+    "ivfpq_index_rerank",
     "ivfpq_topk_sql",
+    "ivfpq_rerank_topk_sql",
     "pq_codes_sql",
     "pq_topk_sql",
     "pq_rerank_topk_sql",
@@ -716,6 +718,102 @@ def ivfpq_index_topk(
     )
 
 
+def ivfpq_index_rerank(
+    spark,
+    pq_index_path: str,
+    vec_index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete persisted serving path: partition-pruned ADC over
+    the :func:`build_ivfpq_index` code table produces a ``shortlist``,
+    then exact cosine reranks ONLY the shortlist against the float
+    vectors stored in a :func:`similarity.build_ivf_index` layout —
+    reading just the probed cells of BOTH indexes.
+
+    This is :func:`pq_rerank_topk`'s accuracy recipe (codes propose,
+    floats decide) composed with both persisted index layouts: total
+    search I/O = ``n_probe / n_centroids`` of the ~64×-compressed code
+    table plus the same fraction of the vector table, and the exact
+    pass touches ``|queries| × shortlist`` vectors, never the corpus.
+    Output matches ``brute_force_topk``: ``(query_id, vec_id, sim, rk)``.
+
+    The two indexes must share the coarse centroid convention (both
+    builders default to the same stand-in/prefit centroids), so the
+    shortlist's candidates are guaranteed to live inside the probed
+    partitions of the vector index."""
+    from arcane_framework_scala_spark.functions.similarity import (
+        _dot as _sdot,
+        _norm as _snorm,
+    )
+
+    cand = ivfpq_index_topk(
+        spark, pq_index_path, queries, k=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", id_col)
+    # probed cells, recomputed from the pq index's own cell table (the
+    # same metadata-scale planning collect ivfpq_index_topk performs)
+    cent = spark.read.parquet(pq_index_path + "/cells")
+    cx = cent.select(
+        "cell", "cellvec", _snorm(F.col("cellvec")).alias("__celln")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _snorm(F.col(vec_col)).alias("__qn"),
+    )
+    probes = (
+        q.join(F.broadcast(cx))
+        .select(
+            "query_id",
+            "cell",
+            F.round(
+                _sdot(F.col("__qvec"), F.col("cellvec"))
+                / (F.col("__qn") * F.col("__celln")),
+                6,
+            ).alias("__csim"),
+        )
+        .withColumn(
+            "__crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__csim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("__crk") <= n_probe)
+    )
+    probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    # vector index stores (centroid_id, id, vec, vec_norm) partitioned by
+    # centroid_id — read only the probed cells
+    lists = spark.read.parquet(vec_index_path + "/lists").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    scored = (
+        cand.join(lists.select(id_col, vec_col, "vec_norm"), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _sdot(F.col("__qvec"), F.col(vec_col))
+                / (F.col("__qn") * F.col("vec_norm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "sim", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -960,6 +1058,55 @@ SELECT query_id, vid AS {id_col}, score_micro, CAST(rk AS INT) AS rk FROM (
   SELECT query_id, vid, score_micro,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score_micro DESC, vid) AS rk
+  FROM scored
+) WHERE rk <= {k}
+""".strip()
+
+
+def ivfpq_rerank_topk_sql(
+    table: str = "embeddings",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    shortlist: int = 100,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`ivfpq_index_rerank` — the IVF-PQ
+    shortlist SQL nested as the candidate source, exact cosine on the
+    shortlist only (the :func:`pq_rerank_topk_sql` shape with the
+    IVF-pruned ADC inside)."""
+    ids = ", ".join(str(i) for i in query_ids or [])
+    adc = ivfpq_topk_sql(
+        table, query_ids, shortlist, n_centroids, n_probe, m, ksub,
+        iters, dim, id_col, vec_col,
+    )
+    from arcane_framework_scala_spark.functions.similarity import (
+        cosine_similarity_sql,
+    )
+
+    sim = cosine_similarity_sql("q.qvec", f"e.{vec_col}")
+    return f"""
+WITH cand AS (SELECT query_id, {id_col} FROM ({adc})),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+  WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT c.query_id, c.{id_col}, round({sim}, 6) AS sim
+  FROM cand c
+  JOIN {table} e ON e.{id_col} = c.{id_col}
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, {id_col}, sim, CAST(rk AS INT) AS rk FROM (
+  SELECT query_id, {id_col}, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, {id_col}) AS rk
   FROM scored
 ) WHERE rk <= {k}
 """.strip()

@@ -188,3 +188,68 @@ def test_ivfpq_index_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert codes_scans, "codes scan missing from plan"
     pf = re.search(r"PartitionFilters: \[([^\]]*)", codes_scans[0])
     assert pf and "cell" in pf.group(1) and " IN " in pf.group(1), pf
+
+
+def test_ivfpq_index_rerank_recall_and_pruning(spark, sf_dir, tmp_path):
+    """Persisted serving path: codes propose, floats decide. The
+    reranked top-k must (a) beat-or-match the ADC-only ranking's recall
+    vs exact brute force on the same candidate pool, and (b) read only
+    probed partitions of BOTH stored tables."""
+    import re
+
+    from arcane_framework_scala_spark.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_index_rerank,
+        ivfpq_index_topk,
+    )
+    from arcane_framework_scala_spark.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=4, ksub=8, iters=2, dim=64).localCheckpoint()
+    pq_path = str(tmp_path / "pq")
+    vec_path = str(tmp_path / "vec")
+    build_ivfpq_index(emb, pq_path, n_centroids=8, codebooks=cb)
+    build_ivf_index(emb, vec_path, n_centroids=8)
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+
+    rr = ivfpq_index_rerank(
+        spark, pq_path, vec_path, queries, k=10, shortlist=50, n_probe=2
+    )
+    rows = rr.collect()
+    assert len(rows) == len(QUERY_IDS) * 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["vec_id"] != r["query_id"]
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True), (q, sims)
+
+    # floats-decide must not LOSE accuracy vs codes-decide
+    exact = brute_force_topk(emb, QUERY_IDS, k=10)
+    adc = ivfpq_index_topk(spark, pq_path, queries, k=10, n_probe=2)
+    rec_rr = sum(
+        r["recall_ppm"] for r in recall_at_k(rr, exact, k=10).collect()
+    )
+    rec_adc = sum(
+        r["recall_ppm"] for r in recall_at_k(adc, exact, k=10).collect()
+    )
+    assert rec_rr >= rec_adc, (rec_rr, rec_adc)
+
+    plan = rr._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l
+        and re.search(r"PartitionFilters: \[[^\]]*cell[^\]]* IN ", l)
+        or (
+            "FileScan" in l
+            and re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]* IN ", l)
+        )
+    ]
+    assert len(pruned) >= 2, plan[:2000]
