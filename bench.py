@@ -67,6 +67,7 @@ HEADLINE3 = [
 HEADLINE4 = [
     "sim_ivfpq_index_topk",
     "dedup_semantic_prefit",
+    "sim_ivfpq_index_rerank",
 ]
 
 
