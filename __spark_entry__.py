@@ -6571,14 +6571,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_m3_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
+# r6 GATE WINDOW (VERDICT r5 item 2): the driver's correctness gate runs
+# the FIRST 50 queries() entries only. Every registry entry already has a
+# passing driver row (backlog 0 after r5), so r6 is a pure freshness
+# rotation: the 30 entries last checked in r2 plus the 20 stalest r3
+# entries — after it runs, maximum registry staleness drops to <=2 rounds.
+# New r6-born gates are inserted at the front (never-checked entries must
+# sit inside the window; tests/test_registry_contract.py enforces it).
+# Audit with scripts/plan_window.py.
+_GATE_WINDOW_R6 = [
+    # --- 30 entries last driver-checked in r2 ---
+    "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
+    "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
+    "dedup_minhash_lsh_pairs", "dedup_clusters", "sim_cosine_topk",
+    "s9_json_explode", "s10_blob_csv", "p1_field_filter",
+    "p6_name_normalize", "a2_agg_version_stats", "p7_json_extract",
+    "text_quality", "token_counts", "lang_id", "doc_fingerprint",
+    "dedup_minhash_signature", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_span_stats", "sim_tfidf_rerank", "dedup_span_clean",
+    "sim_rrf_hybrid", "sim_lsh_buckets", "sim_lsh_neighbors",
+    "mm_image_features", "mm_audio_features",
+    # --- 20 stalest r3 entries ---
+    "mm_frame_sample", "s9_avro_json", "sim_ivf_topk",
+    "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
+    "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
+    "corpus_repetition", "corpus_contamination", "corpus_hash_split",
+    "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
+    "skew_salted_agg", "corpus_stratified_sample", "corpus_vocab_stats",
+    "corpus_chunk", "corpus_pack",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING MATTERS: the driver's correctness gate evaluates the FIRST 50
-    # entries only. r2 verified the 50 core queries, r3 the next 50, r4 a
-    # further 50; the r5 window below front-loads the remaining 36
-    # never-driver-checked entries (closing the whole 175-entry registry)
-    # and spends the 14 spare slots re-proving the stalest r2-era rows as
-    # a freshness check. Run scripts/plan_window.py to audit the rotation.
-    return {
+    # ORDERING MATTERS: the gate window list above defines the first 50
+    # entries; the remainder keep their registration order. r2-r5 windows
+    # are recorded in CORRECTNESS_r0*.json.
+    full = {
         # --- r5 GATE WINDOW slots 1-36: every remaining
         #     never-driver-checked entry (VERDICT r4 item 1) ---
         "corpus_jsonl_roundtrip": q_corpus_jsonl_roundtrip,
@@ -6768,6 +6796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
     }
+    assert len(_GATE_WINDOW_R6) == 50, len(_GATE_WINDOW_R6)
+    front = {n: full[n] for n in _GATE_WINDOW_R6}
+    return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 
 def oracle_sql() -> dict[str, str]:

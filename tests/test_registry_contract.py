@@ -59,31 +59,34 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_gate_window_holds_the_unverified_front():
-    """The driver checks the FIRST 50 entries only; the r5 window must
-    keep the never-driver-verified set in front. Guard the boundary so
-    a refactor reordering the dict doesn't silently shrink coverage."""
+def test_gate_window_is_the_declared_r6_rotation():
+    """The driver checks the FIRST 50 entries only; r6 is a pure
+    freshness rotation (VERDICT r5 item 2): the 30 entries last checked
+    in r2 plus the 20 stalest r3 entries, with any r6-born gates
+    inserted at the front. Pin the stalest families so a refactor
+    reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
-    # spot-pins: the four §2-closing gates and the three r4 LLM
-    # operators (VERDICT r4 item 1), plus the r3-overflow families
     for required in (
-        "t4_shaper_chain", "s3_tsql_surfaces", "t10_graceful_stop",
-        "t12_metrics_wire", "dedup_semantic", "corpus_dsir_select",
-        "corpus_quality_classifier", "a11_profile", "a15_daily_growth",
-        "t_ewma_pow2", "s15_partitioned_roundtrip", "mm_sniff",
-        "corpus_novelty", "p11_zorder_key", "s12_binary_ingest",
+        # r2-era rows, unchecked since then
+        "m4_overwrite_backfill", "m5_shard_combine", "a3_table_stats",
+        "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
+        "p1_field_filter", "p6_name_normalize", "sim_lsh_neighbors",
+        "dedup_minhash_lsh_pairs", "mm_audio_features", "text_quality",
+        # stalest r3 rows
+        "s9_avro_json", "sim_ivf_topk", "t_sessionize",
+        "corpus_contamination", "corpus_curation_pipeline",
+        "p10_bucketed_join", "skew_salted_agg",
     ):
         assert required in first50, required
 
 
-def test_r5_window_covers_entire_backlog():
+def test_window_covers_entire_backlog():
     """Every never-driver-green registry entry must sit inside the
-    front-50 gate window — r5 is the closing rotation (VERDICT r4
-    item 1): after it runs, all 175 entries have a passed driver row.
-    Spare slots may re-prove stale green rows; unchecked entries
-    outside the window are the failure this test exists to catch."""
+    front-50 gate window. After r5 the backlog is 0, so this now
+    guards r6-born gates: a new queries() entry without a driver row
+    registered outside the window is the failure this test catches."""
     green = _driver_green()
     names = list(entry_mod.queries())
     never_checked = [n for n in names if n not in green]
