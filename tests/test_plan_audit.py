@@ -115,14 +115,38 @@ def test_lsh_neighbors_single_pass(spark, queries):
     guard table and both self-join sides — the static plan prints the
     lineage per consumer (≤4 scans) but the runtime computes the
     projection ONCE; no id-keyed join back to a signature table,
-    the guard's blocks table broadcasts, everything JVM-side."""
+    everything JVM-side. r6: with no bucket over the cap the B=1 fast
+    path must plan the PLAIN bucket self-join — no blocks broadcast, no
+    per-row explode(sequence) (VERDICT r5 item 1)."""
     for name in ("sim_lsh_neighbors", "dedup_embedding_cosine"):
         a = audit_plan(queries[name](spark, SF_DIR))
         assert a.scans <= 4, (name, a.plan)
         assert a.python_nodes == 0, (name, a.plan)
         assert a.exchanges <= 3, (name, a.plan)
-        assert a.broadcast_joins >= 2, (name, a.plan)
         assert a.cartesian_products == 0, (name, a.plan)
+        assert "sequence" not in a.plan.lower(), (name, a.plan)
+
+
+def test_lsh_guard_path_still_plans_blocks(spark):
+    """Force the guard (cap below the densest bucket) and pin its shape:
+    blocks broadcast to both sides, b-side explode(sequence) fan-out, no
+    cartesian — the r5 salted block-pairing, now only planned when a
+    bucket actually exceeds max_bucket_rows."""
+    from arcane_framework_scala_spark.functions.similarity import (
+        lsh_bucket_neighbors,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    a = audit_plan(
+        lsh_bucket_neighbors(
+            emb, dim=dim, bits=2, threshold=0.7, max_bucket_rows=5
+        )
+    )
+    assert "sequence" in a.plan.lower(), a.plan
+    assert a.broadcast_joins >= 2, a.plan
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
 
 
 def test_corpus_operators_plan_shapes(spark, queries):
@@ -363,9 +387,11 @@ def test_r5_additions_plan_shapes(spark, queries):
     """Round-5 additions. fuzzy_contamination: benchmark band table
     broadcasts, no cartesian, no Python, no corpus self-join blow-up
     (the only joins are the broadcast hit join and the zero-fill id
-    join). dedup_semantic with the skew guard active: the block
-    fan-out (sequence/explode) must not introduce a cartesian or a
-    Python node, at sf0.001 AND sf0.1."""
+    join). dedup_semantic: no cell holds more than max_cell_rows at
+    these SFs, so the r6 B=1 fast path must plan the PLAIN within-cell
+    pairing — no explode(sequence) guard fan-out (VERDICT r5 item 1);
+    the guard path's shape is pinned separately with a forced tiny cap.
+    Checked at sf0.001 AND sf0.1."""
     a = audit_plan(queries["corpus_fuzzy_contamination"](spark, SF_DIR))
     assert a.cartesian_products == 0, a.plan
     assert a.python_nodes == 0, a.plan
@@ -375,7 +401,19 @@ def test_r5_additions_plan_shapes(spark, queries):
         a = audit_plan(queries["dedup_semantic"](spark, sf))
         assert a.cartesian_products == 0, a.plan
         assert a.python_nodes == 0, a.plan
-        assert "sequence" in a.plan.lower(), a.plan  # guard is planned
+        assert "sequence" not in a.plan.lower(), a.plan  # B=1 fast path
+
+    # guard path, forced: cap below the densest cell → blocks join +
+    # explode(sequence) planned, still no cartesian / Python
+    from arcane_framework_scala_spark.functions.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    a = audit_plan(
+        semantic_dedup(emb, k=3, iters=1, threshold=0.9, max_cell_rows=5)
+    )
+    assert "sequence" in a.plan.lower(), a.plan
+    assert a.cartesian_products == 0, a.plan
+    assert a.python_nodes == 0, a.plan
 
     a = audit_plan(queries["dedup_semantic_prefit"](spark, SF_DIR))
     assert a.cartesian_products == 0, a.plan
