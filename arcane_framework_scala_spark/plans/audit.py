@@ -32,6 +32,8 @@ class PlanAudit:
     python_nodes: int         #: BatchEvalPython / ArrowEvalPython / *InPandas
     codegen_spans: int        #: whole-stage codegen regions (0 under AQE pre-execution)
     pushed_filter_scans: int  #: scans with a non-empty PushedFilters list
+    partition_filter_scans: int  #: scans with a non-empty PartitionFilters list
+    partition_filters: tuple[str, ...]  #: the non-empty PartitionFilters texts
     plan: str                 #: raw formatted plan, for failure messages
 
 
@@ -41,6 +43,14 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
     plan = jqe.explainString(mode.fromString("formatted"))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # PartitionFilters on a FileSourceScan = partition pruning reached the
+    # scan (the persisted-index design depends on it — a regression to
+    # full-scan shows up here as an empty list). Filter the always-present
+    # isnotnull guard so "non-empty" means a real pruning predicate.
+    part = [
+        p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if p.strip() and re.sub(r"isnotnull\([^)]*\)|,|\s", "", p)
+    ]
 
     # count only the numbered detail-section nodes — the tree view at the
     # top of a formatted plan repeats every node name, so an unanchored
@@ -61,5 +71,7 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         ),
         codegen_spans=len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         pushed_filter_scans=sum(1 for p in pushed if p.strip()),
+        partition_filter_scans=len(part),
+        partition_filters=tuple(part),
         plan=plan,
     )
