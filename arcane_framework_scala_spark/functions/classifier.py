@@ -154,6 +154,21 @@ def quality_classifier_score(
             ).alias("m_micro")
         )
     )
+    # Every doc gets a row (ADVICE r5): a doc with ZERO extracted
+    # features (empty/whitespace text) yields no hashed_features rows at
+    # all, so the aggregate above has nothing to group — LEFT-join back
+    # to the corpus ids with margin 0, i.e. score 500000, the same
+    # "know-nothing" default the unseen-bucket coalesce gives.
+    margins = (
+        df.select(id_col)
+        .join(margins, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("m_micro"), F.lit(0))
+            .cast("long")
+            .alias("m_micro"),
+        )
+    )
     score = F.floor(
         (
             F.lit(1.0)
@@ -215,16 +230,22 @@ def quality_classifier_score_sql(
              GROUP BY fx.bucket) g ON {p}.bucket = g.bucket
 )"""
         )
+    # zero-feature docs coalesce to margin 0 after the LEFT join back to
+    # the corpus ids (the Spark side's "every doc gets a row" contract)
+    sig0 = sig.replace("m_micro", "coalesce(m_micro, 0)")
     return f"""
 WITH {", ".join(ctes)},
+margins AS (
+  SELECT f.{id_col},
+         CAST(sum(f.cnt * coalesce(w.w_micro, 0)) AS BIGINT) AS m_micro
+  FROM feats f LEFT JOIN w{iters} w USING (bucket)
+  GROUP BY f.{id_col}
+),
 scores AS (
-  SELECT {id_col},
-         CAST(floor({sig} * 1000000.0) AS BIGINT) AS score_micro
-  FROM (SELECT f.{id_col},
-               CAST(sum(f.cnt * coalesce(w.w_micro, 0)) AS BIGINT)
-                 AS m_micro
-        FROM feats f LEFT JOIN w{iters} w USING (bucket)
-        GROUP BY f.{id_col})
+  SELECT d.{id_col},
+         CAST(floor({sig0} * 1000000.0) AS BIGINT) AS score_micro
+  FROM (SELECT {id_col} FROM {table}) d
+  LEFT JOIN margins USING ({id_col})
 )
 SELECT {id_col}, score_micro, score_micro >= 500000 AS reference_like
 FROM scores

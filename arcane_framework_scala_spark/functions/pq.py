@@ -613,36 +613,25 @@ def build_ivfpq_index(
     cbx.write.mode("overwrite").parquet(out_path + "/codebooks")
 
 
-def ivfpq_index_topk(
-    spark,
-    index_path: str,
+def _coarse_probes(
     queries: DataFrame,
-    k: int = 10,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Search a :func:`build_ivfpq_index` index. ``queries`` is a
-    ``(id_col, vec_col)`` DataFrame (queries arrive from outside the
-    index — the index stores codes, not vectors). Result semantics are
-    identical to :func:`ivfpq_topk` over the same cells + codebooks:
-    ``(query_id, vec_id, score_micro, rk)``, self excluded.
+    cent: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, list]:
+    """Shared coarse planning step for the persisted-index searchers:
+    assign each query its ``n_probe`` nearest cells (round-6 cosine,
+    ties on cell id — the :func:`ivf_topk` convention) and collect the
+    distinct probed cell ids for partition pruning. Returns
+    ``(q, probes, probed)`` where ``q`` is the normalized query side,
+    ``probes`` is (query_id, cell), and ``probed`` the driver-side id
+    list (|queries| × n_probe ints — metadata-scale, the same
+    planning-time collect an Iceberg partition filter performs).
 
-    Scale shape: probed cell ids are collected to the driver
-    (|queries| × n_probe ints — the same planning-time collect an
-    Iceberg partition filter performs) and pushed into the codes scan as
-    a partition filter; the LUT and probe tables broadcast; the ADC
-    aggregation touches only probed-cell code rows. Search I/O =
-    ``n_probe / n_centroids`` of an already-~64×-compressed table."""
-    cent = spark.read.parquet(index_path + "/cells")
-    cbx = spark.read.parquet(index_path + "/codebooks")
-    codes = spark.read.parquet(index_path + "/codes")
-    # m and subvector width from the codebook itself (metadata-scale)
-    meta = cbx.agg(
-        (F.max("sub") + 1).alias("m"), F.max(F.size("cvec")).alias("d")
-    ).collect()[0]
-    m, d = int(meta["m"]), int(meta["d"])
-
+    Factored out (ADVICE r5) so :func:`ivfpq_index_rerank` plans ONE
+    probe assignment instead of recomputing the query×cells join and a
+    second collect after :func:`ivfpq_index_topk` already ran it."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -673,8 +662,48 @@ def ivfpq_index_topk(
         .filter(F.col("__crk") <= n_probe)
         .select("query_id", "cell")
     )
-    # planning-time partition pruning: probed cells only
     probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    return q, probes, probed
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_plan: tuple[DataFrame, DataFrame, list] | None = None,
+) -> DataFrame:
+    """Search a :func:`build_ivfpq_index` index. ``queries`` is a
+    ``(id_col, vec_col)`` DataFrame (queries arrive from outside the
+    index — the index stores codes, not vectors). Result semantics are
+    identical to :func:`ivfpq_topk` over the same cells + codebooks:
+    ``(query_id, vec_id, score_micro, rk)``, self excluded.
+
+    Scale shape: probed cell ids are collected to the driver
+    (|queries| × n_probe ints — the same planning-time collect an
+    Iceberg partition filter performs) and pushed into the codes scan as
+    a partition filter; the LUT and probe tables broadcast; the ADC
+    aggregation touches only probed-cell code rows. Search I/O =
+    ``n_probe / n_centroids`` of an already-~64×-compressed table."""
+    cent = spark.read.parquet(index_path + "/cells")
+    cbx = spark.read.parquet(index_path + "/codebooks")
+    codes = spark.read.parquet(index_path + "/codes")
+    # m and subvector width from the codebook itself (metadata-scale)
+    meta = cbx.agg(
+        (F.max("sub") + 1).alias("m"), F.max(F.size("cvec")).alias("d")
+    ).collect()[0]
+    m, d = int(meta["m"]), int(meta["d"])
+
+    # planning-time partition pruning: probed cells only (reuse the
+    # caller's probe plan when provided — ADVICE r5)
+    q, probes, probed = (
+        probe_plan
+        if probe_plan is not None
+        else _coarse_probes(queries, cent, n_probe, id_col, vec_col)
+    )
     lut = (
         _sub_rows(queries, m, d, id_col, vec_col, "query_id")
         .join(F.broadcast(cbx), "sub")
@@ -742,52 +771,42 @@ def ivfpq_index_rerank(
     pass touches ``|queries| × shortlist`` vectors, never the corpus.
     Output matches ``brute_force_topk``: ``(query_id, vec_id, sim, rk)``.
 
-    The two indexes must share the coarse centroid convention (both
-    builders default to the same stand-in/prefit centroids), so the
-    shortlist's candidates are guaranteed to live inside the probed
-    partitions of the vector index."""
+    The two indexes MUST share the coarse centroid convention or the
+    shortlist's candidates may live outside the probed partitions of the
+    vector index and silently drop; that requirement is now VALIDATED at
+    search time (ADVICE r5): both metadata tables (pq ``cells``, vec
+    ``codebook`` — each ≤ n_centroids rows) are collected and compared,
+    and a mismatch raises ``ValueError`` instead of returning fewer
+    than k rows."""
     from arcane_framework_scala_spark.functions.similarity import (
         _dot as _sdot,
-        _norm as _snorm,
     )
 
+    cent = spark.read.parquet(pq_index_path + "/cells")
+    vcb = spark.read.parquet(vec_index_path + "/codebook")
+    pq_cells = {
+        (int(r["cell"]), tuple(r["cellvec"])) for r in cent.collect()
+    }
+    vec_cells = {
+        (int(r["centroid_id"]), tuple(r[vec_col])) for r in vcb.collect()
+    }
+    if pq_cells != vec_cells:
+        raise ValueError(
+            "ivfpq_index_rerank: the PQ index and the vector index were "
+            "built with DIFFERENT coarse centroids "
+            f"({len(pq_cells)} vs {len(vec_cells)} cells, "
+            f"{len(pq_cells & vec_cells)} shared) — rebuild one of them "
+            "with the other's centroids so probed partitions agree"
+        )
+
+    # ONE coarse probe assignment, shared with the shortlist search
+    # (ADVICE r5 — previously recomputed the query×cells join + collect)
+    probe_plan = _coarse_probes(queries, cent, n_probe, id_col, vec_col)
+    q, _probes, probed = probe_plan
     cand = ivfpq_index_topk(
         spark, pq_index_path, queries, k=shortlist, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, probe_plan=probe_plan,
     ).select("query_id", id_col)
-    # probed cells, recomputed from the pq index's own cell table (the
-    # same metadata-scale planning collect ivfpq_index_topk performs)
-    cent = spark.read.parquet(pq_index_path + "/cells")
-    cx = cent.select(
-        "cell", "cellvec", _snorm(F.col("cellvec")).alias("__celln")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        _snorm(F.col(vec_col)).alias("__qn"),
-    )
-    probes = (
-        q.join(F.broadcast(cx))
-        .select(
-            "query_id",
-            "cell",
-            F.round(
-                _sdot(F.col("__qvec"), F.col("cellvec"))
-                / (F.col("__qn") * F.col("__celln")),
-                6,
-            ).alias("__csim"),
-        )
-        .withColumn(
-            "__crk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("__csim"), F.asc("cell")
-                )
-            ),
-        )
-        .filter(F.col("__crk") <= n_probe)
-    )
-    probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
     # vector index stores (centroid_id, id, vec, vec_norm) partitioned by
     # centroid_id — read only the probed cells
     lists = spark.read.parquet(vec_index_path + "/lists").filter(

@@ -107,3 +107,43 @@ def test_unseen_bucket_docs_score_half_not_dropped(spark):
     assert len(out) == 1
     assert out[0]["score_micro"] == 500_000
     assert not out[0]["reference_like"] or out[0]["score_micro"] >= 500_000
+
+
+def test_zero_feature_docs_still_get_a_row(spark):
+    """ADVICE r5: a doc whose text extracts NO features (empty or
+    whitespace-only) produces no hashed_features rows, but the score
+    output must still cover it — margin 0, score exactly 500000 — in
+    both the Spark path and the DuckDB oracle."""
+    import duckdb
+
+    from arcane_framework_scala_spark.functions.classifier import (
+        quality_classifier_score_sql,
+    )
+
+    # NULL text is the true zero-feature case: split(NULL) -> NULL ->
+    # explode emits nothing (an empty STRING tokenizes to [''] in both
+    # Spark and DuckDB, so it still gets the ''-bucket feature)
+    rows = (
+        [(i, "whereas party herein covenant pursuant", "tgt") for i in range(4)]
+        + [(10 + i, "banana apple pear grape melon", "web") for i in range(4)]
+        + [(90, None, "web"), (91, "", "web")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(
+            df, F.col("source") == "tgt", iters=2, dim=64
+        ).collect()
+    }
+    assert set(out) == {r[0] for r in rows}
+    assert out[90]["score_micro"] == 500_000, out[90]
+    assert out[90]["reference_like"] is True  # >= is the pinned tie rule
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    sql = quality_classifier_score_sql("docs", "d.source = 'tgt'", iters=2, dim=64)
+    oracle = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert set(oracle) == set(out)
+    for d in out:
+        assert oracle[d][1] == out[d]["score_micro"], d

@@ -1,6 +1,7 @@
 """Product quantization: code validity, reconstruction sanity, recall."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from arcane_framework_scala_spark.functions.pq import (
     pq_encode,
@@ -253,3 +254,31 @@ def test_ivfpq_index_rerank_recall_and_pruning(spark, sf_dir, tmp_path):
         )
     ]
     assert len(pruned) >= 2, plan[:2000]
+
+
+def test_ivfpq_index_rerank_rejects_mismatched_coarse(spark, sf_dir, tmp_path):
+    """ADVICE r5: indexes built with different coarse centroids used to
+    silently drop candidates (shortlist rows outside the probed vec
+    partitions) and return fewer than k rows. Now the search validates
+    the two metadata tables agree and raises instead."""
+    from arcane_framework_scala_spark.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_index_rerank,
+    )
+    from arcane_framework_scala_spark.functions.similarity import (
+        build_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=4, ksub=8, iters=2, dim=64).localCheckpoint()
+    pq_path = str(tmp_path / "pq")
+    vec_path = str(tmp_path / "vec")
+    build_ivfpq_index(emb, pq_path, n_centroids=8, codebooks=cb)
+    # DIFFERENT coarse convention: 4 centroids instead of 8
+    build_ivf_index(emb, vec_path, n_centroids=4)
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+
+    with pytest.raises(ValueError, match="DIFFERENT coarse centroids"):
+        ivfpq_index_rerank(
+            spark, pq_path, vec_path, queries, k=10, shortlist=50, n_probe=2
+        )
