@@ -3761,6 +3761,133 @@ def q_t7_stream_merge_vertical(spark, sf_dir):
     )
 
 
+def q_t1_stream_trigger_vertical(spark, sf_dir):
+    """T1 through a REAL Structured Streaming trigger (VERDICT r5 item
+    5): the reference's poll loop (DefaultStreamDataProvider.scala:
+    91-113) mapped to ``Trigger.ProcessingTime`` driving the full
+    stage→merge→watermark chain of ``streaming/structured.py``. The
+    run observes ≥3 trigger firings: ≥1 IDLE trigger on the quiet
+    source performing the watermark-only advance (the reference's
+    "no updates detected" seed case — SAME version, fresh timestamp,
+    no merge; Spark's file source never runs an empty micro-batch, so
+    the idle signal is the QueryIdleEvent), then two file waves that
+    each merge and commit the watermark inside their own trigger.
+    In-gate asserts pin the ordering (idle advance strictly before any
+    data, per-trigger watermark commits landing at each wave's version)
+    and the returned target must hash-match the per-key
+    latest-version-wins oracle."""
+    import tempfile
+    import time as _time
+
+    from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+        Watermark,
+    )
+
+    _harden_session(spark)
+    idle_conf = "spark.sql.streaming.noDataProgressEventInterval"
+    prev_idle = spark.conf.get(idle_conf, None)
+    spark.conf.set(idle_conf, "1s")
+    run_dir = tempfile.mkdtemp(prefix="arcane_t1s_run_")
+    src = os.path.join(run_dir, "incoming")
+    os.makedirs(src)
+    V1, V2 = 1_700_000_000, 1_700_001_000
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def stage(df, name, mtime):
+        sub = os.path.join(run_dir, "stage_" + name)
+        df.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, name + ".parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime, mtime))
+
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+    store.commit(Watermark(version="0", timestamp="1970-01-01T00:00:00+00:00"))
+    stream = StructuredBlobStream(
+        spark=spark,
+        path=src,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        primary_keys=["o_orderkey"],
+        sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+        watermark_store=store,
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+    )
+    query = stream.start(trigger={"processingTime": "400 milliseconds"})
+
+    def wait_until(pred, what, timeout=90.0):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if pred():
+                return
+            _time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {what}: wm={store.read()}")
+
+    try:
+        # phase 1: quiet source → idle trigger advances timestamp ONLY
+        wait_until(
+            lambda: stream.idle_advances >= 1,
+            "idle watermark-only advance on the empty source",
+        )
+        wm = store.read()
+        if wm.version != "0" or wm.timestamp.startswith("1970"):
+            raise AssertionError(f"idle advance corrupted the watermark: {wm}")
+        idle_before_data = stream.idle_advances
+
+        # phase 2: wave 1 (full orders snapshot) merges in its trigger
+        stage(orders, "w1", V1)
+        wait_until(lambda: store.read().version == str(V1), "wave-1 commit")
+
+        # phase 3: wave 2 (every third key updated) upserts over wave 1
+        stage(
+            orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_orderstatus", F.lit("U")
+            ),
+            "w2",
+            V2,
+        )
+        wait_until(lambda: store.read().version == str(V2), "wave-2 commit")
+    finally:
+        query.stop()
+        if prev_idle is None:
+            spark.conf.unset(idle_conf)
+        else:
+            spark.conf.set(idle_conf, prev_idle)
+
+    if idle_before_data < 1:
+        raise AssertionError("no watermark-only advance before first data")
+    # >= 3 trigger firings total: >=1 idle + the two data batches
+    if stream.idle_advances + 2 < 3:
+        raise AssertionError(f"too few triggers: idle={stream.idle_advances}")
+    return target.read().select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("createdon").cast("long").alias("version"),
+    )
+
+
+_T1_STREAM_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1700001000
+                 ELSE 1700000000 END AS BIGINT) AS version
+FROM orders
+"""
+
+
 def q_t_stream_sessionize(spark, sf_dir):
     """Gap-based sessionization through Spark's native ``session_window``
     on a real stream (4 micro-batches, complete mode): session_window's
@@ -6580,6 +6707,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit inside the window; tests/test_registry_contract.py enforces it).
 # Audit with scripts/plan_window.py.
 _GATE_WINDOW_R6 = [
+    # --- r6-born gates (never driver-checked -> must sit in window) ---
+    "t1_stream_trigger_vertical",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -6598,7 +6727,7 @@ _GATE_WINDOW_R6 = [
     "corpus_repetition", "corpus_contamination", "corpus_hash_split",
     "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
     "skew_salted_agg", "corpus_stratified_sample", "corpus_vocab_stats",
-    "corpus_chunk", "corpus_pack",
+    "corpus_chunk",
 ]
 
 
@@ -6746,6 +6875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_rollup_cascade": q_t_rollup_cascade,
         "t7_stream_window_agg": q_t7_stream_window_agg,
         "t7_stream_merge_vertical": q_t7_stream_merge_vertical,
+        "t1_stream_trigger_vertical": q_t1_stream_trigger_vertical,
         "t_stream_sessionize": q_t_stream_sessionize,
         "t_stream_late_data": q_t_stream_late_data,
         "t_stateful_first_seen": q_t_stateful_first_seen,
@@ -6972,6 +7102,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_rollup_cascade": _t_rollup_cascade_sql(),
         "t7_stream_window_agg": _T7_STREAM_SQL,
         "t7_stream_merge_vertical": _M1_SQL,
+        "t1_stream_trigger_vertical": _T1_STREAM_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,

@@ -64,6 +64,17 @@ class StructuredBlobStream:
     #: progress listener so rows.incoming/trigger duration come from
     #: Spark's own counters at zero extra job cost
     declared_metrics: object | None = None
+    #: T1 poll/skip semantics (DefaultStreamDataProvider.scala:94-111):
+    #: when a poll finds NO changes the reference still advances the
+    #: watermark (same version, fresh timestamp) so watermark age does
+    #: not grow unboundedly on a quiet source. Spark's file source never
+    #: runs an empty micro-batch, so the equivalent signal is the
+    #: QueryIdleEvent — emitted when a trigger interval passes with no
+    #: data (cadence: ``spark.sql.streaming.noDataProgressEventInterval``).
+    #: ``start()`` registers the listener when this is True.
+    idle_watermark_advance: bool = True
+    #: number of watermark-only advances performed (idle triggers)
+    idle_advances: int = 0
 
     def _source(self) -> DataFrame:
         reader = (
@@ -86,6 +97,21 @@ class StructuredBlobStream:
         from arcane_framework_scala_spark import metrics as M
 
         if batch_df.isEmpty():
+            # T1 poll/skip semantics (DefaultStreamDataProvider.scala:
+            # 94-111): an empty trigger advances the watermark ONLY —
+            # same version, fresh timestamp — so the watermark-age
+            # metric doesn't grow unboundedly while the source is quiet
+            # (the reference's seed-flag "no updates detected on
+            # startup" advance). No merge, no maintenance.
+            prev = self.watermark_store.read()
+            self.watermark_store.commit(
+                Watermark.now(
+                    version=prev.version if prev else "",
+                    prefix=prev.prefix if prev else None,
+                )
+            )
+            if self.declared_metrics is not None:
+                self.declared_metrics.counter(M.WATERMARK_UPDATES)
             return
         df = batch_df
         if self.field_rule is not None:
@@ -127,7 +153,49 @@ class StructuredBlobStream:
         )
         if trigger:
             writer = writer.trigger(**trigger)
-        return writer.start()
+        query = writer.start()
+        if self.idle_watermark_advance:
+            listener = self._make_idle_listener(str(query.id))
+            self.spark.streams.addListener(listener)
+            self._idle_listener = listener
+        return query
+
+    def _make_idle_listener(self, query_id: str):
+        """Watermark-only advance on idle triggers (T1 poll/skip). The
+        listener runs on Spark's event thread; FileWatermarkStore's
+        rename-commit and the table-property ALTER are both atomic, so
+        a concurrent batch commit cannot interleave half a watermark."""
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        stream = self
+
+        class _IdleWatermarkAdvance(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                if str(event.id) != query_id:
+                    return
+                prev = stream.watermark_store.read()
+                stream.watermark_store.commit(
+                    Watermark.now(
+                        version=prev.version if prev else "",
+                        prefix=prev.prefix if prev else None,
+                    )
+                )
+                stream.idle_advances += 1
+                if stream.declared_metrics is not None:
+                    from arcane_framework_scala_spark import metrics as M
+
+                    stream.declared_metrics.counter(M.WATERMARK_UPDATES)
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _IdleWatermarkAdvance()
 
     def run_available(self) -> None:
         """Process everything currently listable, then stop (backfill-merge

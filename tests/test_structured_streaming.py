@@ -112,3 +112,40 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3  # exactly one new row, zero reprocessed
     assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_idle_trigger_advances_watermark_only(spark, tmp_path):
+    """T1 poll/skip semantics on the streaming path (VERDICT r5 item 5):
+    a trigger that finds no data must refresh the watermark TIMESTAMP
+    while keeping its VERSION — the reference's "no updates detected"
+    advance (DefaultStreamDataProvider.scala:94-111), carried by
+    Spark's QueryIdleEvent since file sources never run empty batches."""
+    import os
+    import time
+
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    idle_conf = "spark.sql.streaming.noDataProgressEventInterval"
+    prev = spark.conf.get(idle_conf, None)
+    spark.conf.set(idle_conf, "1s")
+    stream, target = _stream(spark, tmp_path, src_dir)
+    stream.watermark_store.commit(
+        Watermark(version="41", timestamp="1970-01-01T00:00:00+00:00")
+    )
+    q = stream.start(trigger={"processingTime": "300 milliseconds"})
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and stream.idle_advances < 1:
+            time.sleep(0.2)
+        assert stream.idle_advances >= 1, "no idle advance within 60s"
+        wm = stream.watermark_store.read()
+        assert wm.version == "41", wm          # version NOT advanced
+        assert not wm.timestamp.startswith("1970"), wm  # timestamp IS
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(idle_conf)
+        else:
+            spark.conf.set(idle_conf, prev)
