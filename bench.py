@@ -68,6 +68,10 @@ HEADLINE4 = [
     "sim_ivfpq_index_topk",
     "dedup_semantic_prefit",
     "sim_ivfpq_index_rerank",
+    # r6: the persisted-band-index dedup vertical (build once + probe a
+    # batch against the stored index) — the dedup sibling of the IVF-PQ
+    # build+search story above (VERDICT r5 item 7)
+    "dedup_index_pairs",
 ]
 
 

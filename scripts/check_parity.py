@@ -77,14 +77,23 @@ def main() -> int:
     # Deliberately a BARE session — the driver's harness does not go through
     # get_session, so any conf a query needs must be set by the query itself
     # (see __spark_entry__._read). Only resource knobs here.
+    # PARITY_MASTER / PARITY_SHUFFLE override the resource shape for the
+    # partition-count-invariance sweeps (docs/SCALE.md) — a hash that
+    # survives a different core count + a prime shuffle width proves the
+    # fixed-point determinism claim, not just repeatability.
+    import os as _os
+
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(_os.environ.get("PARITY_MASTER", "local[8]"))
         .appName("parity")
         .config("spark.ui.enabled", "false")
         # local mode hosts executors in the driver JVM; the 1g default
         # dies on the sf0.1 join-heavy queries
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("PARITY_SHUFFLE", "32"),
+        )
         .getOrCreate()
     )
     con = duckdb.connect()
