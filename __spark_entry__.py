@@ -5916,6 +5916,94 @@ def q_a16_category_drift(spark, sf_dir):
     )
 
 
+def q_a17_hll_distinct(spark, sf_dir):
+    """Mergeable engine-exact HyperLogLog (functions/sketch.py): the
+    100 TB distinct-count tool — per-shard register tables merging by
+    max, no count-distinct shuffle of raw values. This vertical proves
+    all three contracts at once: (1) per-lang token sketches hash-match
+    the DuckDB twin register-for-register AND estimate-for-estimate
+    (the estimator's float chain and the linear-counting literal table
+    are engine-exact by construction); (2) the shard-merge law — the
+    per-lang sketches merged by max equal the direct global sketch
+    (in-gate exceptAll assert, both directions); (3) measured accuracy
+    — every scope row carries the exact distinct count next to the
+    estimate, so the gate hash pins the sketch error itself. Scopes
+    exercise BOTH estimator ranges: per-lang/ALL_TOKENS land in the
+    linear-counting range, ALL_EVENTS (distinct event_id) in the raw
+    harmonic-mean range."""
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    per_lang_regs = sk.hll_sketch(toks, "tok", ["lang"]).localCheckpoint(
+        eager=False
+    )
+    exact_lang = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_n")
+    )
+    part_lang = (
+        sk.hll_estimate(per_lang_regs, ["lang"])
+        .join(exact_lang, "lang")
+        .select(
+            F.col("lang").alias("scope"), "n_registers", "est_micro",
+            "exact_n",
+        )
+    )
+    merged = sk.hll_merge(per_lang_regs.select("idx", "r"))
+    direct = sk.hll_sketch(toks, "tok")
+    if merged.exceptAll(direct).count() or direct.exceptAll(merged).count():
+        raise AssertionError("HLL shard merge != direct global sketch")
+    part_all = (
+        sk.hll_estimate(merged)
+        .crossJoin(toks.agg(F.countDistinct("tok").alias("exact_n")))
+        .select(
+            F.lit("ALL_TOKENS").alias("scope"), "n_registers", "est_micro",
+            "exact_n",
+        )
+    )
+    ev = _read(spark, sf_dir, "events").select(F.col("event_id").alias("x"))
+    part_ev = (
+        sk.hll_distinct(ev, "x")
+        .crossJoin(ev.agg(F.countDistinct("x").alias("exact_n")))
+        .select(
+            F.lit("ALL_EVENTS").alias("scope"), "n_registers", "est_micro",
+            "exact_n",
+        )
+    )
+    return part_lang.unionByName(part_all).unionByName(part_ev)
+
+
+def _a17_hll_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    tokd = (
+        "SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+')) AS tok FROM documents"
+    )
+    lang_est = sk.hll_distinct_sql("tokd", "tok", ["lang"])
+    all_est = sk.hll_distinct_sql("tokd", "tok")
+    ev_est = sk.hll_distinct_sql("(SELECT event_id AS x FROM events)", "x")
+    return f"""
+WITH tokd AS ({tokd})
+SELECT l.lang AS scope, e.n_registers, e.est_micro, l.exact_n
+FROM (SELECT lang, count(DISTINCT tok) AS exact_n FROM tokd GROUP BY lang) l
+JOIN ({lang_est}) e USING (lang)
+UNION ALL
+SELECT 'ALL_TOKENS', e.n_registers, e.est_micro,
+       (SELECT count(DISTINCT tok) FROM tokd)
+FROM ({all_est}) e
+UNION ALL
+SELECT 'ALL_EVENTS', e.n_registers, e.est_micro,
+       (SELECT count(DISTINCT event_id) FROM events)
+FROM ({ev_est}) e
+"""
+
+
 def q_a15_daily_growth(spark, sf_dir):
     """Day-over-day volume report: daily event counts with the previous
     day's count and the absolute delta (a lag window over the daily
@@ -6708,7 +6796,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Audit with scripts/plan_window.py.
 _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
-    "t1_stream_trigger_vertical",
+    "t1_stream_trigger_vertical", "a17_hll_distinct",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -6727,7 +6815,7 @@ _GATE_WINDOW_R6 = [
     "corpus_repetition", "corpus_contamination", "corpus_hash_split",
     "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
     "skew_salted_agg", "corpus_stratified_sample", "corpus_vocab_stats",
-    "corpus_chunk",
+    # corpus_chunk/corpus_pack rotated out for the r6-born gates
 ]
 
 
@@ -6791,6 +6879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fuzzy_contamination": q_corpus_fuzzy_contamination,
         "dedup_semantic_prefit": q_dedup_semantic_prefit,
         "a16_category_drift": q_a16_category_drift,
+        "a17_hll_distinct": q_a17_hll_distinct,
         "sim_ivfpq_index_rerank": q_sim_ivfpq_index_rerank,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
@@ -6954,6 +7043,7 @@ def oracle_sql() -> dict[str, str]:
         "a16_category_drift": stats_mod.categorical_drift_sql(
             "events", cat_col="event_type"
         ),
+        "a17_hll_distinct": _a17_hll_sql(),
         "corpus_dsir_select": lm_mod.dsir_select_sql(
             "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256
         ),

@@ -916,18 +916,34 @@ def build_band_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    pfx_chars: int = 1,
 ) -> None:
     """Persist the corpus's LSH band table as a partition-pruned index —
     the dedup sibling of the persisted IVF index: signatures are content
     hashes, so the table is append/upsert-maintained by the CDC merge and
     NEVER recomputed corpus-wide. Layout: parquet partitioned by
-    ``(band, pfx)`` where pfx = first 2 hex chars of the bucket digest
-    (bands × 256 partitions) — an incoming batch touches only the
-    partitions its own buckets hash into, so an incremental query reads
-    |touched partitions| ≈ batch-bucket spread, not the corpus."""
+    ``(band, pfx)`` where pfx = first ``pfx_chars`` hex chars of the
+    bucket digest — an incoming batch touches only the partitions its
+    own buckets hash into, so an incremental query reads
+    |touched partitions| ≈ batch-bucket spread, not the corpus.
+
+    ``pfx_chars`` sizes the layout to the corpus: 1 (default, bands × 16
+    partitions) up to ~10 M docs; 2 (bands × 256) for 100 TB-class
+    corpora where each partition still holds many row groups. Too-fine
+    partitioning is a measured failure mode, not a free knob: at sf0.1
+    the 2-char layout spent ~15 s creating 1023 near-empty files and the
+    probe re-opened all of them — 10× the whole query's useful work."""
     b = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_k)
     (
-        b.withColumn("pfx", F.substring("bucket", 1, 2))
+        b.withColumn("pfx", F.substring("bucket", 1, pfx_chars))
+        # align the data partitioning with the layout partitioning: ONE
+        # shuffle so each (band, pfx) directory is written by exactly one
+        # task → one file per directory. Without this every upstream task
+        # writes its own sliver into every directory it touches — up to
+        # tasks × bands × 256 tiny files (measured 23 s at sf0.1, pure
+        # file-creation overhead). At 100 TB the same repartition sizes
+        # files by shuffle-partition count instead of task fan-out.
+        .repartition("band", "pfx")
         .write.mode("overwrite")
         .partitionBy("band", "pfx")
         .parquet(path)
@@ -943,16 +959,19 @@ def minhash_candidate_pairs_indexed(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    pfx_chars: int = 1,
 ) -> DataFrame:
     """Incremental candidate pairs against a PERSISTED band index — same
     contract as :func:`minhash_candidate_pairs_incremental` (pairs
     touching the new batch; full == old ∪ incremental), but the old side
     is the stored index with planning-time partition pruning: the batch's
-    (band, pfx) set (≤ bands × 256 values, collected as metadata) becomes
-    a partition filter, so the scan reads only touched partitions."""
+    (band, pfx) set (bounded by bands × 16^pfx_chars, collected as
+    metadata) becomes a partition filter, so the scan reads only touched
+    partitions. ``pfx_chars`` must match the :func:`build_band_index`
+    layout."""
     nb = materialize(
         minhash_bands(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
-        .withColumn("pfx", F.substring("bucket", 1, 2))
+        .withColumn("pfx", F.substring("bucket", 1, pfx_chars))
         .repartition("band", "bucket"),
         eager=True,
     )

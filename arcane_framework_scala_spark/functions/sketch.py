@@ -1,0 +1,241 @@
+"""Deterministic mergeable HyperLogLog distinct-count sketches.
+
+The 100 TB distinct-count tool: per-shard register tables that merge by
+``max`` (order-insensitive, associative — the property that lets 1000
+executors sketch independently and a coordinator union the results with
+no second pass over the data), plus a fixed-point estimator.
+
+Why not ``approx_count_distinct``: Spark's built-in HLL++ is the right
+production call when only Spark reads the answer, but its registers are
+opaque and its estimate is not bit-stable across engines, so it cannot
+be driver-gated and its sketches cannot be exchanged with non-Spark
+consumers. This implementation pins every step to engine-portable
+primitives so Spark and DuckDB produce byte-identical registers AND
+byte-identical estimates:
+
+- hash: the repo's standard md5→int64 (first 15 hex digits = 60 bits);
+- register index: low ``p`` bits; rank material: the remaining 51 bits;
+- rank: 1 + leading zeros, computed by STRING ops (``lpad(bin(v))`` +
+  ``instr``) — zero float involvement, zero libm;
+- estimator: the raw HLL harmonic mean with the ``2^-M_j`` sum carried
+  as the INTEGER ``S = Σ 2^(52-M_j)`` (zero registers contribute
+  ``2^52``), so the only float math is one literal-folded
+  multiply-chain and one division — both correctly-rounded IEEE ops on
+  identical inputs in every engine;
+- small-range correction: linear counting ``m·ln(m/V)`` needs ``ln``,
+  whose libm rounding is NOT engine-portable — but its argument domain
+  is the 512 possible empty-register counts, so the whole function is
+  precomputed HERE as an integer literal table and embedded in both
+  engines (``_LIN_MICRO``). The branch condition (raw estimate ≤ 2.5·m
+  and V > 0, per Flajolet et al. 2007) compares integers only.
+
+Reference analogue: the reference's scalar aggregate family (A1-A6)
+folds listings into versions/sizes; this extends the family with the
+sketch a 100 TB corpus needs for "how many distinct tokens/users/keys"
+without a count-distinct shuffle of the raw values.
+
+Scale shape: one map-side-combinable groupBy to the register table
+(≤ groups × 512 rows — metadata-sized regardless of input), then a
+second metadata-scale aggregation for the estimate. Shard merge is a
+union + the same max-groupBy over register tables only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+#: register-count exponent; m = 2^p registers per sketch
+HLL_P = 9
+HLL_M = 1 << HLL_P
+#: rank material width: 60-bit md5 hash minus the p index bits
+_VBITS = 60 - HLL_P
+#: max rank: _VBITS leading zeros (v == 0) + 1
+_RMAX = _VBITS + 1
+#: raw-HLL bias constant alpha_m for m = 512 (Flajolet et al. 2007);
+#: both engines fold the same literal expression, so the folded double
+#: is identical
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: linear-counting table: _LIN_MICRO[V-1] = floor(m·ln(m/V)·10⁶) for
+#: V = 1..m empty registers — libm evaluated ONCE here, embedded as
+#: integer literals in the Spark plan AND the oracle SQL, so the
+#: small-range estimate is engine-exact by construction
+_LIN_MICRO = [
+    int(math.floor(HLL_M * math.log(HLL_M / v) * 1_000_000.0))
+    for v in range(1, HLL_M + 1)
+]
+#: switch to linear counting when the raw estimate is below 2.5·m
+#: (and V > 0) — integer comparison in micro units
+_SMALL_RANGE_MICRO = int(2.5 * HLL_M * 1_000_000)
+
+
+def _hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash (md5 → first 15 hex digits)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build sparse register tables: ``(group..., idx, r)`` with one row
+    per non-empty register, ``r`` = max rank observed. NULL values are
+    skipped (count-distinct convention). One map-side-combinable
+    shuffle; output ≤ groups × 512 rows."""
+    group_cols = group_cols or []
+    h = _hash60(F.col(value_col))
+    v = F.shiftrightunsigned(h, HLL_P)
+    pos = F.instr(F.lpad(F.bin(v), _VBITS, "0"), "1")
+    rank = F.when(pos == 0, F.lit(_RMAX)).otherwise(pos)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+            rank.alias("__rank"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("__rank").cast("int").alias("r"))
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge register tables (same layout in, same layout out): union
+    the inputs beforehand, then ``max`` per (group, idx). Register max
+    is the HLL union — associative and idempotent, so shards can merge
+    in any order/grouping and re-merging is a no-op."""
+    group_cols = group_cols or []
+    return (
+        sketches.groupBy(*group_cols, "idx")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-point raw-HLL estimate per group:
+    ``(group..., n_registers, est_micro)``.
+
+    ``S = Σ 2^(52-r)`` over the 512 registers (empty ⇒ ``2^52``) stays
+    integer; the raw estimate is ``floor(alpha·m²·2^52·10⁶ / S)`` — one
+    float chain, byte-identical across engines — replaced by the
+    literal-table linear count when it falls in the small range."""
+    group_cols = group_cols or []
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RMAX} - r)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(term).alias("__s_filled"),
+    )
+    s = (
+        F.col("__s_filled")
+        + (F.lit(HLL_M) - F.col("n_registers"))
+        * F.lit(1 << _RMAX).cast("long")
+    )
+    raw = F.floor(
+        F.lit(_ALPHA * HLL_M * HLL_M)
+        * F.lit(float(1 << _RMAX))
+        * F.lit(1000000.0)
+        / s.cast("double")
+    ).cast("long")
+    v = (F.lit(HLL_M) - F.col("n_registers")).cast("int")
+    lin = F.element_at(
+        F.array(*[F.lit(x) for x in _LIN_MICRO]), v
+    ).cast("long")
+    est = F.when(
+        (v > 0) & (raw <= F.lit(_SMALL_RANGE_MICRO)), lin
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_registers").cast("long").alias("n_registers"),
+        est.alias("est_micro"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """sketch → estimate in one call (single-pass per-group distinct)."""
+    return hll_estimate(hll_sketch(df, value_col, group_cols), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_HASH_SQL = "CAST(concat('0x', substr(md5(CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def hll_sketch_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """Registers ``(group..., idx, r)`` — identical math to
+    :func:`hll_sketch`."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"{g}, idx" if g else "idx"
+    h = _HASH_SQL.format(v=value_col)
+    return f"""
+SELECT {gsel}idx, CAST(max(rnk) AS INT) AS r
+FROM (
+  SELECT {gsel}h & {HLL_M - 1} AS idx,
+         CASE WHEN strpos(lpad(bin(h >> {HLL_P}), {_VBITS}, '0'), '1') = 0
+              THEN {_RMAX}
+              ELSE strpos(lpad(bin(h >> {HLL_P}), {_VBITS}, '0'), '1')
+         END AS rnk
+  FROM (SELECT {gsel}{h} AS h FROM {table}
+        WHERE {value_col} IS NOT NULL)
+)
+GROUP BY {gby}
+"""
+
+
+def hll_distinct_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """``(group..., n_registers, est_micro)`` — identical estimator
+    float chain to :func:`hll_estimate` (same literals, same op
+    order)."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    regs = hll_sketch_sql(table, value_col, group_cols)
+    lin_list = "[" + ",".join(str(x) for x in _LIN_MICRO) + "]"
+    raw = f"""CAST(floor(CAST({_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+                  * CAST({float(1 << _RMAX)!r} AS DOUBLE)
+                  * CAST(1000000.0 AS DOUBLE)
+                  / CAST(s_filled + ({HLL_M} - n_registers)
+                         * (CAST(1 AS BIGINT) << {_RMAX}) AS DOUBLE))
+            AS BIGINT)"""
+    return f"""
+SELECT {gsel}CAST(n_registers AS BIGINT) AS n_registers,
+       CASE WHEN {HLL_M} - n_registers > 0
+                 AND {raw} <= {_SMALL_RANGE_MICRO}
+            THEN CAST(({lin_list})[{HLL_M} - n_registers] AS BIGINT)
+            ELSE {raw}
+       END AS est_micro
+FROM (
+  SELECT {gsel}count(*) AS n_registers,
+         sum(CAST(1 AS BIGINT) << ({_RMAX} - r)) AS s_filled
+  FROM ({regs})
+  {gby}
+)
+"""

@@ -1,0 +1,83 @@
+"""HyperLogLog sketch (functions/sketch.py): engine-exact registers and
+estimates vs DuckDB, merge associativity/idempotence, and accuracy
+bounds in both the linear-counting and raw-estimator ranges."""
+
+import duckdb
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.functions.sketch import (
+    HLL_M,
+    hll_distinct,
+    hll_distinct_sql,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+    hll_sketch_sql,
+)
+
+
+def _ids(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").cast("long").alias("x")
+    )
+
+
+def test_registers_and_estimate_match_duckdb(spark):
+    df = _ids(spark, 3000).withColumn("g", (F.col("x") % 3).cast("long"))
+    sp_regs = sorted(
+        map(tuple, hll_sketch(df, "x", ["g"]).collect())
+    )
+    sp_est = sorted(map(tuple, hll_distinct(df, "x", ["g"]).collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS x, range % 3 AS g "
+        "FROM range(3000)"
+    )
+    dk_regs = sorted(map(tuple, con.execute(
+        hll_sketch_sql("t", "x", ["g"])).fetchall()))
+    dk_est = sorted(map(tuple, con.execute(
+        hll_distinct_sql("t", "x", ["g"])).fetchall()))
+    assert sp_regs == dk_regs
+    assert sp_est == dk_est
+
+
+def test_merge_equals_direct_and_is_idempotent(spark):
+    df = _ids(spark, 4000).withColumn("g", (F.col("x") % 4).cast("long"))
+    sharded = hll_sketch(df, "x", ["g"]).localCheckpoint()
+    merged = hll_merge(sharded.select("idx", "r"))
+    direct = hll_sketch(df, "x")
+    m = {r["idx"]: r["r"] for r in merged.collect()}
+    d = {r["idx"]: r["r"] for r in direct.collect()}
+    assert m == d
+    # idempotent: merging the merge with itself changes nothing
+    twice = hll_merge(merged.unionByName(merged))
+    assert {r["idx"]: r["r"] for r in twice.collect()} == m
+
+
+def test_small_range_uses_linear_counting(spark):
+    # 40 distinct values << m=512: raw HLL overestimates wildly; the
+    # literal-table linear count must land within ~10%
+    df = _ids(spark, 40)
+    est = hll_estimate(hll_sketch(df, "x")).collect()[0]
+    assert abs(est["est_micro"] / 1e6 - 40) / 40 < 0.10, est
+
+
+def test_large_range_accuracy_within_3_sigma(spark):
+    # sigma = 1.04/sqrt(m) ~= 4.6% for m=512; allow 3 sigma
+    n = 50_000
+    df = _ids(spark, n)
+    est = hll_estimate(hll_sketch(df, "x")).collect()[0]
+    rel = abs(est["est_micro"] / 1e6 - n) / n
+    assert rel < 3 * 1.04 / (HLL_M ** 0.5), (est, rel)
+
+
+def test_nulls_are_skipped(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "x bigint"
+    )
+    regs = hll_sketch(df, "x")
+    # only the two non-null values contribute registers
+    assert regs.count() <= 2
+    est = hll_estimate(regs).collect()[0]
+    assert abs(est["est_micro"] / 1e6 - 2) < 0.5, est
