@@ -6004,6 +6004,56 @@ FROM ({ev_est}) e
 """
 
 
+def q_a18_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (functions/sketch.py): the frequency
+    sibling of a17's HLL — d×w integer counters that merge by SUM, so
+    1000 executors sketch independently and "who are the hottest
+    users/keys" never needs a full-width shuffle of raw values. The
+    gate builds the sketch over event user_ids, point-estimates every
+    distinct user, asserts the hard CMS guarantee in-gate (est ≥ true
+    for EVERY key — a single underestimate fails the gate), and
+    returns the top-40 heavy hitters with the exact count next to the
+    estimate so the hash pins the sketch's measured error. All integer
+    arithmetic — byte-identical to the DuckDB twin."""
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    ev = _read(spark, sf_dir, "events").select("user_id")
+    cms = sk.cms_sketch(ev, "user_id").localCheckpoint(eager=False)
+    est = sk.cms_lookup(cms, ev.distinct(), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    j = est.join(exact, "user_id")
+    if j.filter(F.col("est_n") < F.col("exact_n")).count() > 0:
+        raise AssertionError("CMS underestimated a key (contract breach)")
+    w = Window.orderBy(F.desc("est_n"), F.asc("user_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("user_id", "est_n", "exact_n", "rk")
+    )
+
+
+def _a18_cms_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    est = sk.cms_lookup_sql(
+        sk.cms_sketch_sql("ev", "user_id"),
+        "SELECT DISTINCT user_id FROM ev",
+        "user_id",
+    )
+    return f"""
+WITH ev AS (SELECT user_id FROM events)
+SELECT user_id, est_n, exact_n, CAST(rk AS INT) AS rk
+FROM (
+  SELECT e.user_id, e.est_n, x.exact_n,
+         row_number() OVER (ORDER BY e.est_n DESC, e.user_id) AS rk
+  FROM ({est}) e
+  JOIN (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id) x
+    USING (user_id)
+)
+WHERE rk <= 40
+"""
+
+
 def q_a15_daily_growth(spark, sf_dir):
     """Day-over-day volume report: daily event counts with the previous
     day's count and the absolute delta (a lag window over the daily
@@ -6797,6 +6847,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
+    "a18_cms_heavy_hitters",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -6814,8 +6865,9 @@ _GATE_WINDOW_R6 = [
     "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
     "corpus_repetition", "corpus_contamination", "corpus_hash_split",
     "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
-    "skew_salted_agg", "corpus_stratified_sample", "corpus_vocab_stats",
-    # corpus_chunk/corpus_pack rotated out for the r6-born gates
+    "skew_salted_agg", "corpus_stratified_sample",
+    # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
+    # r6-born gates
 ]
 
 
@@ -6880,6 +6932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_prefit": q_dedup_semantic_prefit,
         "a16_category_drift": q_a16_category_drift,
         "a17_hll_distinct": q_a17_hll_distinct,
+        "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
         "sim_ivfpq_index_rerank": q_sim_ivfpq_index_rerank,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
@@ -7044,6 +7097,7 @@ def oracle_sql() -> dict[str, str]:
             "events", cat_col="event_type"
         ),
         "a17_hll_distinct": _a17_hll_sql(),
+        "a18_cms_heavy_hitters": _a18_cms_sql(),
         "corpus_dsir_select": lm_mod.dsir_select_sql(
             "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256
         ),

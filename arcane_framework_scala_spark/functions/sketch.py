@@ -239,3 +239,149 @@ FROM (
   {gby}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+#: CMS depth (hash rows) and width (counters per row). d=4, w=1024 →
+#: ε = e/w ≈ 0.27% of total weight, δ = e^-4 ≈ 1.8% failure odds per
+#: query — 16 KB of counters regardless of input size.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_idx(j: int, col: Column) -> Column:
+    """Row-j counter index: the engine-portable md5 hash of the salted
+    value, masked to the width (w is a power of two)."""
+    return _hash60(
+        F.concat(F.lit(f"{j}|"), col.cast("string"))
+    ).bitwiseAND(F.lit(CMS_W - 1))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build Count-Min counter tables: ``(group..., j, idx, cnt)`` — the
+    frequency sibling of :func:`hll_sketch`. Counters merge by SUM
+    (associative + commutative), so shards sketch independently and any
+    merge order gives the same table; lookups never underestimate
+    (``est ≥ true``) and overestimate by at most ε·N with probability
+    1-δ. All integer arithmetic — byte-identical across engines.
+
+    One explode to d rows per input row, one map-side-combinable
+    groupBy; output ≤ groups × d × w rows (metadata-sized)."""
+    group_cols = group_cols or []
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    v = F.col(value_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_idx(j, v).alias("idx")
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, F.explode(pairs).alias("p"), w.alias("__w"))
+        .groupBy(*group_cols, F.col("p.j").alias("j"), F.col("p.idx").alias("idx"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge counter tables (union beforehand): SUM per (group, j, idx)."""
+    group_cols = group_cols or []
+    return (
+        sketches.groupBy(*group_cols, "j", "idx")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    values: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Point-estimate every row of ``values``: ``(value_col, est_n)`` =
+    min over the d rows of the counter each hash lands in (absent
+    counters read 0). The sketch side is ≤ d×w rows — broadcast."""
+    v = F.col(value_col)
+    probes = (
+        values.filter(v.isNotNull())
+        .select(
+            v.alias(value_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), _cms_idx(j, v).alias("idx")
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(value_col, F.col("p.j").alias("j"), F.col("p.idx").alias("idx"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "idx"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
+    )
+
+
+def cms_sketch_sql(
+    table: str,
+    value_col: str,
+    weight_expr: str = "1",
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`cms_sketch` (identical hashing/masking)."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"{g}, j, idx" if g else "j, idx"
+    rows = " UNION ALL ".join(
+        f"""SELECT {gsel}{j} AS j,
+           {_HASH_SQL.format(v=f"concat('{j}|', CAST({value_col} AS VARCHAR))")}
+             & {CMS_W - 1} AS idx,
+           {weight_expr} AS w
+    FROM {table} WHERE {value_col} IS NOT NULL"""
+        for j in range(CMS_D)
+    )
+    return f"""
+SELECT {gsel}j, idx, CAST(sum(w) AS BIGINT) AS cnt
+FROM ({rows})
+GROUP BY {gby}
+"""
+
+
+def cms_lookup_sql(
+    sketch_query: str,
+    values_query: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`cms_lookup` over a sketch subquery and a
+    values subquery (both referenced inline)."""
+    probes = " UNION ALL ".join(
+        f"""SELECT {value_col}, {j} AS j,
+           {_HASH_SQL.format(v=f"concat('{j}|', CAST({value_col} AS VARCHAR))")}
+             & {CMS_W - 1} AS idx
+    FROM ({values_query}) WHERE {value_col} IS NOT NULL"""
+        for j in range(CMS_D)
+    )
+    return f"""
+SELECT {value_col}, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_n
+FROM ({probes}) p
+LEFT JOIN ({sketch_query}) s USING (j, idx)
+GROUP BY {value_col}
+"""

@@ -81,3 +81,69 @@ def test_nulls_are_skipped(spark):
     assert regs.count() <= 2
     est = hll_estimate(regs).collect()[0]
     assert abs(est["est_micro"] / 1e6 - 2) < 0.5, est
+
+
+def test_cms_never_underestimates_and_matches_duckdb(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        cms_lookup,
+        cms_lookup_sql,
+        cms_sketch,
+        cms_sketch_sql,
+    )
+
+    # zipf-ish: value v appears v+1 times, 200 distinct values
+    df = (
+        _ids(spark, 200)
+        .select(F.explode(F.sequence(F.lit(0), F.col("x"))).alias("rep"),
+                F.col("x"))
+        .select("x")
+    )
+    sk = cms_sketch(df, "x").localCheckpoint()
+    est = cms_lookup(sk, df.distinct(), "x")
+    exact = df.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+    j = est.join(exact, "x").collect()
+    assert all(r["est_n"] >= r["n"] for r in j)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT x FROM (SELECT range AS x FROM range(200)), "
+        "LATERAL (SELECT unnest(range(x + 1)) AS rep)"
+    )
+    dk = sorted(map(tuple, con.execute(cms_lookup_sql(
+        cms_sketch_sql("t", "x"), "SELECT DISTINCT x FROM t", "x"
+    )).fetchall()))
+    sp = sorted(map(tuple, est.collect()))
+    assert sp == dk
+
+
+def test_cms_merge_equals_direct(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        cms_merge,
+        cms_sketch,
+    )
+
+    df = _ids(spark, 2000).withColumn("g", (F.col("x") % 5).cast("long"))
+    sharded = cms_sketch(df, "x", group_cols=["g"]).localCheckpoint()
+    merged = {
+        (r["j"], r["idx"]): r["cnt"]
+        for r in cms_merge(sharded.select("j", "idx", "cnt")).collect()
+    }
+    direct = {
+        (r["j"], r["idx"]): r["cnt"]
+        for r in cms_sketch(df, "x").collect()
+    }
+    assert merged == direct
+
+
+def test_cms_weighted(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "x bigint, w bigint"
+    )
+    sk = cms_sketch(df, "x", weight_col="w")
+    est = {r["x"]: r["est_n"] for r in cms_lookup(sk, df.select("x").distinct(), "x").collect()}
+    assert est[1] >= 15 and est[2] >= 7
