@@ -6054,6 +6054,87 @@ WHERE rk <= 40
 """
 
 
+def q_a19_kmv_overlap(spark, sf_dir):
+    """KMV/theta sketch vertical (functions/sketch.py): distinct counts
+    WITH set intersection — the split-leakage estimator a17's HLL
+    cannot express (HLL unions but never intersects). Char-5-shingle
+    vocabularies of two document sources are sketched independently
+    (k=512 smallest distinct hashes — the sketches a 1000-executor
+    fleet would ship to a coordinator), then the sketch-only
+    intersection estimates their overlap without ever joining the raw
+    corpora. Every row carries the exact count beside the estimate so
+    the gate hash pins the measured error; small-set exactness,
+    merge associativity and engine parity are unit-pinned in
+    tests/test_sketch.py."""
+    from arcane_framework_scala_spark.functions import sketch as sk
+    from arcane_framework_scala_spark.functions.dedup import char_shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(char_shingles("text", 5)).alias("g")
+    )
+    A = sh.filter(F.col("source") == "src0").select("g")
+    B = sh.filter(F.col("source") == "src1").select("g")
+    sa = sk.kmv_sketch(A, "g").localCheckpoint(eager=False)
+    sb = sk.kmv_sketch(B, "g").localCheckpoint(eager=False)
+
+    def scoped(est_df, n_col, scope, exact_df):
+        return est_df.crossJoin(exact_df).select(
+            F.lit(scope).alias("scope"),
+            F.col(n_col).cast("long").alias("n_kept"),
+            "est_micro",
+            "exact_n",
+        )
+
+    part_a = scoped(
+        sk.kmv_estimate(sa), "n_sample", "src0",
+        A.agg(F.countDistinct("g").alias("exact_n")),
+    )
+    part_b = scoped(
+        sk.kmv_estimate(sb), "n_sample", "src1",
+        B.agg(F.countDistinct("g").alias("exact_n")),
+    )
+    exact_o = (
+        A.distinct()
+        .join(B.distinct(), "g")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    part_o = scoped(sk.kmv_intersect(sa, sb), "n_common", "overlap", exact_o)
+    return part_a.unionByName(part_b).unionByName(part_o)
+
+
+def _a19_kmv_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+    from arcane_framework_scala_spark.functions.dedup import (
+        _char_shingles_sql,
+    )
+
+    grams = _char_shingles_sql("text", 5)
+    base = (
+        f"SELECT source, unnest({grams}) AS g FROM documents "
+        f"WHERE source IN ('src0', 'src1')"
+    )
+    qa = sk.kmv_sketch_sql("(SELECT g FROM sh WHERE source = 'src0')", "g")
+    qb = sk.kmv_sketch_sql("(SELECT g FROM sh WHERE source = 'src1')", "g")
+    return f"""
+WITH sh AS ({base})
+SELECT 'src0' AS scope, CAST(n_sample AS BIGINT) AS n_kept, est_micro,
+       (SELECT count(DISTINCT g) FROM sh WHERE source = 'src0') AS exact_n
+FROM ({sk.kmv_estimate_sql(qa)})
+UNION ALL
+SELECT 'src1', CAST(n_sample AS BIGINT), est_micro,
+       (SELECT count(DISTINCT g) FROM sh WHERE source = 'src1')
+FROM ({sk.kmv_estimate_sql(qb)})
+UNION ALL
+SELECT 'overlap', CAST(n_common AS BIGINT), est_micro,
+       (SELECT count(*) FROM
+         (SELECT DISTINCT g FROM sh WHERE source = 'src0'
+          INTERSECT
+          SELECT DISTINCT g FROM sh WHERE source = 'src1'))
+FROM ({sk.kmv_intersect_sql(qa, qb)})
+"""
+
+
 def q_a15_daily_growth(spark, sf_dir):
     """Day-over-day volume report: daily event counts with the previous
     day's count and the absolute delta (a lag window over the daily
@@ -6847,7 +6928,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
-    "a18_cms_heavy_hitters",
+    "a18_cms_heavy_hitters", "a19_kmv_overlap",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -6865,9 +6946,9 @@ _GATE_WINDOW_R6 = [
     "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
     "corpus_repetition", "corpus_contamination", "corpus_hash_split",
     "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
-    "skew_salted_agg", "corpus_stratified_sample",
-    # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
-    # r6-born gates
+    "skew_salted_agg",
+    # corpus_stratified_sample/corpus_vocab_stats/corpus_chunk/
+    # corpus_pack rotated out for the r6-born gates
 ]
 
 
@@ -6933,6 +7014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_category_drift": q_a16_category_drift,
         "a17_hll_distinct": q_a17_hll_distinct,
         "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
+        "a19_kmv_overlap": q_a19_kmv_overlap,
         "sim_ivfpq_index_rerank": q_sim_ivfpq_index_rerank,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
@@ -7098,6 +7180,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a17_hll_distinct": _a17_hll_sql(),
         "a18_cms_heavy_hitters": _a18_cms_sql(),
+        "a19_kmv_overlap": _a19_kmv_sql(),
         "corpus_dsir_select": lm_mod.dsir_select_sql(
             "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256
         ),

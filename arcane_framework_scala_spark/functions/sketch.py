@@ -385,3 +385,205 @@ FROM ({probes}) p
 LEFT JOIN ({sketch_query}) s USING (j, idx)
 GROUP BY {value_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (distinct counts WITH set intersection)
+# ---------------------------------------------------------------------------
+
+#: KMV sample size: the sketch is the k smallest distinct hash values.
+#: RSE ≈ 1/sqrt(k-2) ≈ 4.4% at k=512 (intersections are noisier by
+#: 1/sqrt(J·k), which is why k doubles the HLL register count).
+KMV_K = 512
+#: hash domain size (60-bit md5 prefix) as a float literal for theta
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build KMV sketches: ``(group..., h)`` — the ``k`` smallest
+    DISTINCT 60-bit hashes per group. What HLL cannot do, this can:
+    sketches of different sets compose under union AND intersection
+    (:func:`kmv_intersect`), so "how many distinct tokens/users appear
+    in BOTH splits" needs no join of the raw corpora — the
+    split-leakage / audience-overlap estimator at 100 TB.
+
+    Plan: hash projection → distinct (one shuffle) → bottom-k. Grouped:
+    a per-group window (parallel across groups). Ungrouped: orderBy +
+    limit, which Spark plans as TakeOrderedAndProject — per-partition
+    bottom-k partials merged once, never a single-task global sort.
+    Deterministic: the sketch is a pure function of the value SET
+    (order-insensitive by construction — it is a set minimum)."""
+    group_cols = group_cols or []
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _hash60(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    return _bottom_k(hashed, group_cols)
+
+
+def _bottom_k(hashed: DataFrame, group_cols: list[str]) -> DataFrame:
+    from pyspark.sql import Window
+
+    if not group_cols:
+        return hashed.select("h").orderBy("h").limit(KMV_K)
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= KMV_K)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union-merge sketch tables: k smallest of the distinct union —
+    associative and idempotent, same layout in and out."""
+    group_cols = group_cols or []
+    return _bottom_k(
+        sketches.select(*group_cols, "h").distinct(), group_cols
+    )
+
+
+def _kmv_est(n_col: Column, hk_col: Column) -> Column:
+    """est_micro from sketch size and the k-th smallest hash: exact
+    (×10⁶) when the sketch is not full (every distinct hash was kept),
+    else ``floor((k-1)·2^60·10⁶ / h_k)`` — one float chain on integer
+    inputs, byte-identical across engines."""
+    full = F.floor(
+        F.lit(float(KMV_K - 1))
+        * F.lit(_KMV_DOMAIN)
+        * F.lit(1000000.0)
+        / hk_col.cast("double")
+    ).cast("long")
+    return F.when(n_col < KMV_K, (n_col * F.lit(1_000_000)).cast("long")).otherwise(full)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``(group..., n_sample, est_micro)`` distinct-count estimate."""
+    group_cols = group_cols or []
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.max("h").alias("__hk"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_sample").cast("long").alias("n_sample"),
+        _kmv_est(F.col("n_sample"), F.col("__hk")).alias("est_micro"),
+    )
+
+
+def kmv_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Intersection estimate from two (ungrouped) sketches — one row
+    ``(n_common, est_micro)``: take the union's k smallest hashes (the
+    merged sketch — the only region where both sketches are complete),
+    count how many lie in BOTH inputs, scale by the union's theta.
+    Sketch-only math: both sides are ≤ k rows, everything broadcasts."""
+    u = kmv_merge(a.select("h").unionByName(b.select("h")))
+    common = (
+        u.join(a.select("h").distinct(), "h", "left_semi")
+        .join(b.select("h").distinct(), "h", "left_semi")
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n_union"), F.max("h").alias("__hk")
+    ).crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    est = F.when(
+        F.col("n_union") < KMV_K,
+        (F.col("n_common") * F.lit(1_000_000)).cast("long"),
+    ).otherwise(
+        F.floor(
+            F.col("n_common").cast("double")
+            * F.lit(_KMV_DOMAIN)
+            * F.lit(1000000.0)
+            / F.col("__hk").cast("double")
+        ).cast("long")
+    )
+    return stats.select(
+        F.col("n_common").cast("long").alias("n_common"),
+        est.alias("est_micro"),
+    )
+
+
+def kmv_sketch_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`kmv_sketch`."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    h = _HASH_SQL.format(v=value_col)
+    return f"""
+SELECT {gsel}h FROM (
+  SELECT {gsel}h, row_number() OVER ({part}ORDER BY h) AS rk
+  FROM (SELECT DISTINCT {gsel}{h} AS h FROM {table}
+        WHERE {value_col} IS NOT NULL)
+) WHERE rk <= {KMV_K}
+"""
+
+
+def kmv_estimate_sql(
+    sketch_query: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`kmv_estimate` (identical float chain)."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    full = (
+        f"CAST(floor(CAST({float(KMV_K - 1)!r} AS DOUBLE)"
+        f" * CAST({_KMV_DOMAIN!r} AS DOUBLE)"
+        f" * CAST(1000000.0 AS DOUBLE)"
+        f" / CAST(hk AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+SELECT {gsel}CAST(n_sample AS BIGINT) AS n_sample,
+       CASE WHEN n_sample < {KMV_K}
+            THEN CAST(n_sample * 1000000 AS BIGINT)
+            ELSE {full}
+       END AS est_micro
+FROM (
+  SELECT {gsel}count(*) AS n_sample, max(h) AS hk
+  FROM ({sketch_query})
+  {gby}
+)
+"""
+
+
+def kmv_intersect_sql(a_query: str, b_query: str) -> str:
+    """DuckDB twin of :func:`kmv_intersect`."""
+    u = f"""
+SELECT h FROM (
+  SELECT h, row_number() OVER (ORDER BY h) AS rk
+  FROM (SELECT DISTINCT h FROM (({a_query}) UNION ALL ({b_query})))
+) WHERE rk <= {KMV_K}
+"""
+    return f"""
+WITH u AS ({u}),
+common AS (
+  SELECT h FROM u
+  WHERE h IN (SELECT h FROM ({a_query}))
+    AND h IN (SELECT h FROM ({b_query}))
+)
+SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
+       CASE WHEN (SELECT count(*) FROM u) < {KMV_K}
+            THEN CAST((SELECT count(*) FROM common) * 1000000 AS BIGINT)
+            ELSE CAST(floor(CAST((SELECT count(*) FROM common) AS DOUBLE)
+                            * CAST({_KMV_DOMAIN!r} AS DOUBLE)
+                            * CAST(1000000.0 AS DOUBLE)
+                            / CAST((SELECT max(h) FROM u) AS DOUBLE))
+                      AS BIGINT)
+       END AS est_micro
+"""

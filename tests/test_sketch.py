@@ -147,3 +147,91 @@ def test_cms_weighted(spark):
     sk = cms_sketch(df, "x", weight_col="w")
     est = {r["x"]: r["est_n"] for r in cms_lookup(sk, df.select("x").distinct(), "x").collect()}
     assert est[1] >= 15 and est[2] >= 7
+
+
+def test_kmv_estimate_and_intersection_match_duckdb(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_estimate_sql,
+        kmv_intersect,
+        kmv_intersect_sql,
+        kmv_sketch,
+        kmv_sketch_sql,
+    )
+
+    A = _ids(spark, 5001)
+    B = _ids(spark, 6001, start=3000)
+    sa = kmv_sketch(A, "x").localCheckpoint()
+    sb = kmv_sketch(B, "x").localCheckpoint()
+    ea = kmv_estimate(sa).collect()[0]
+    ix = kmv_intersect(sa, sb).collect()[0]
+    # accuracy: ~4.4% RSE at k=512; allow 3 sigma
+    assert abs(ea["est_micro"] / 1e6 - 5001) / 5001 < 0.14, ea
+    assert abs(ix["est_micro"] / 1e6 - 2000) / 2000 < 0.20, ix
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE a AS SELECT range AS x FROM range(0, 5001)")
+    con.execute("CREATE TABLE b AS SELECT range AS x FROM range(3000, 9001)")
+    qa, qb = kmv_sketch_sql("a", "x"), kmv_sketch_sql("b", "x")
+    assert (ea["n_sample"], ea["est_micro"]) == con.execute(
+        kmv_estimate_sql(qa)
+    ).fetchall()[0]
+    assert (ix["n_common"], ix["est_micro"]) == con.execute(
+        kmv_intersect_sql(qa, qb)
+    ).fetchall()[0]
+
+
+def test_kmv_small_sets_are_exact(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_intersect,
+        kmv_sketch,
+    )
+
+    A = _ids(spark, 100)
+    B = _ids(spark, 100, start=60)
+    sa, sb = kmv_sketch(A, "x"), kmv_sketch(B, "x")
+    # below k the sketch IS the distinct hash set: estimates are exact
+    assert kmv_estimate(sa).collect()[0]["est_micro"] == 100 * 1_000_000
+    assert kmv_intersect(sa, sb).collect()[0]["est_micro"] == 40 * 1_000_000
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    A = _ids(spark, 3000)
+    B = _ids(spark, 3000, start=1500)
+    merged = sorted(
+        r["h"]
+        for r in kmv_merge(
+            kmv_sketch(A, "x").unionByName(kmv_sketch(B, "x"))
+        ).collect()
+    )
+    direct = sorted(
+        r["h"] for r in kmv_sketch(A.unionByName(B), "x").collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_grouped_matches_duckdb(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_estimate_sql,
+        kmv_sketch,
+        kmv_sketch_sql,
+    )
+
+    df = _ids(spark, 4000).withColumn("g", (F.col("x") % 3).cast("long"))
+    sp = sorted(map(tuple, kmv_estimate(
+        kmv_sketch(df, "x", ["g"]), ["g"]).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS x, range % 3 AS g FROM range(4000)"
+    )
+    dk = sorted(map(tuple, con.execute(
+        kmv_estimate_sql(kmv_sketch_sql("t", "x", ["g"]), ["g"])
+    ).fetchall()))
+    assert sp == dk
