@@ -6135,6 +6135,60 @@ FROM ({sk.kmv_intersect_sql(qa, qb)})
 """
 
 
+def q_a20_log_hist_quantiles(spark, sf_dir):
+    """Mergeable log-histogram quantile sketch (functions/sketch.py):
+    the engine-stable alternative to approx_percentile for 100 TB
+    monitoring — HDR-style (exponent, 5-mantissa-bit) buckets from
+    pure integer bit arithmetic, counts merging by SUM, quantile
+    queries walking the ≤ ~1920-bucket cumulative table. Per-lang
+    p50/p90/p99 of document length, with the EXACT interpolated
+    percentile (the value_quantiles parity surface) beside each
+    estimate so the gate hash pins the sketch's ≤ 2^-5 relative
+    error."""
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    docs = _read(spark, sf_dir, "documents")
+    q = sk.log_hist_quantiles(
+        sk.log_histogram(docs, "n_chars", ["lang"]), [50, 90, 99], ["lang"]
+    )
+    exact = docs.groupBy("lang").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(n_chars, {p / 100})"), 6
+            ).alias(f"p{p}")
+            for p in (50, 90, 99)
+        ]
+    )
+    stacked = exact.selectExpr(
+        "lang", "stack(3, 50, p50, 90, p90, 99, p99) AS (pct, exact_q)"
+    )
+    return q.join(stacked, ["lang", "pct"]).select(
+        "lang", "pct", "est", "exact_q"
+    )
+
+
+def _a20_log_hist_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    est = sk.log_hist_quantiles_sql(
+        sk.log_histogram_sql("documents", "n_chars", ["lang"]),
+        [50, 90, 99],
+        ["lang"],
+    )
+    return f"""
+SELECT e.lang, e.pct, e.est, x.exact_q
+FROM ({est}) e
+JOIN (
+  SELECT lang, pct,
+         round(CASE pct WHEN 50 THEN quantile_cont(n_chars, 0.5)
+                        WHEN 90 THEN quantile_cont(n_chars, 0.9)
+                        ELSE quantile_cont(n_chars, 0.99) END, 6) AS exact_q
+  FROM documents CROSS JOIN (VALUES (50), (90), (99)) AS p(pct)
+  GROUP BY lang, pct
+) x USING (lang, pct)
+"""
+
+
 def q_a15_daily_growth(spark, sf_dir):
     """Day-over-day volume report: daily event counts with the previous
     day's count and the absolute delta (a lag window over the daily
@@ -6928,7 +6982,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
-    "a18_cms_heavy_hitters", "a19_kmv_overlap",
+    "a18_cms_heavy_hitters", "a19_kmv_overlap", "a20_log_hist_quantiles",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -6946,9 +7000,8 @@ _GATE_WINDOW_R6 = [
     "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
     "corpus_repetition", "corpus_contamination", "corpus_hash_split",
     "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
-    "skew_salted_agg",
-    # corpus_stratified_sample/corpus_vocab_stats/corpus_chunk/
-    # corpus_pack rotated out for the r6-born gates
+    # skew_salted_agg/corpus_stratified_sample/corpus_vocab_stats/
+    # corpus_chunk/corpus_pack rotated out for the r6-born gates
 ]
 
 
@@ -7015,6 +7068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_hll_distinct": q_a17_hll_distinct,
         "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
         "a19_kmv_overlap": q_a19_kmv_overlap,
+        "a20_log_hist_quantiles": q_a20_log_hist_quantiles,
         "sim_ivfpq_index_rerank": q_sim_ivfpq_index_rerank,
         # --- ever driver-green (r1∪r2∪r3∪r4 CORRECTNESS rows stand;
         #     oracles unchanged) ---
@@ -7181,6 +7235,7 @@ def oracle_sql() -> dict[str, str]:
         "a17_hll_distinct": _a17_hll_sql(),
         "a18_cms_heavy_hitters": _a18_cms_sql(),
         "a19_kmv_overlap": _a19_kmv_sql(),
+        "a20_log_hist_quantiles": _a20_log_hist_sql(),
         "corpus_dsir_select": lm_mod.dsir_select_sql(
             "documents", "source IN ('src0', 'src1')", frac=0.25, dim=256
         ),

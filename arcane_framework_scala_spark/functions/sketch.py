@@ -587,3 +587,169 @@ SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
                       AS BIGINT)
        END AS est_micro
 """
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch (HDR/DDSketch shape)
+# ---------------------------------------------------------------------------
+
+#: sub-bucket bits: each power-of-two range splits into 2^b buckets →
+#: relative quantile error ≤ 2^-b ≈ 3.1%. ≤ ~60·2^b ≈ 1920 buckets
+#: cover the whole non-negative int64 domain.
+HDR_BITS = 5
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable quantile sketch over NON-NEGATIVE int64 values:
+    ``(group..., e, sub, lo, cnt)`` — HDR-histogram buckets (exponent
+    ``e`` = floor(log2 v), top ``HDR_BITS`` mantissa bits as ``sub``),
+    counts merging by SUM. The engine-stable alternative to
+    ``approx_percentile`` (Greenwald-Khanna sketches are not bit-stable
+    across engines — ``value_quantiles``'s documented caveat): bucket
+    boundaries are pure integer bit-arithmetic, so shards sketch
+    independently on any engine and the merged histogram is identical
+    everywhere. ≤ ~1920 buckets regardless of input size.
+
+    ``e`` comes from ``length(bin(v))`` — string length of the binary
+    representation, the same no-libm trick as the HLL rank."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("long")
+    e = (F.length(F.bin(v)) - 1).cast("int")
+    sub = F.expr(
+        f"shiftrightunsigned(CAST({value_col} AS BIGINT), "
+        f"greatest(CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS INT)"
+        f" - {HDR_BITS}, 0))"
+    )
+    lo = F.expr(
+        f"shiftleft(shiftrightunsigned(CAST({value_col} AS BIGINT), "
+        f"greatest(CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS INT)"
+        f" - {HDR_BITS}, 0)), "
+        f"greatest(CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS INT)"
+        f" - {HDR_BITS}, 0))"
+    )
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(
+            *group_cols,
+            e.alias("e"),
+            sub.cast("long").alias("sub"),
+            lo.cast("long").alias("lo"),
+        )
+        .groupBy(*group_cols, "e", "sub", "lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def log_hist_merge(
+    hists: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge histograms (union beforehand): SUM per bucket."""
+    group_cols = group_cols or []
+    return (
+        hists.groupBy(*group_cols, "e", "sub", "lo")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def log_hist_quantiles(
+    hist: DataFrame,
+    pcts: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles from the histogram: ``(group..., pct, est)`` where
+    ``est`` is the LOWER BOUND of the bucket containing the type-1
+    quantile (rank ``ceil(pct·N/100)`` over buckets in (e, sub) order).
+    Integer arithmetic end to end — ``ceil`` via
+    ``(pct·N + 99) div 100`` — so the result is byte-identical across
+    engines; estimate error ≤ the bucket's 2^-HDR_BITS relative
+    width."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols, "e", "sub", "lo",
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    totals = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    pcts_df = hist.sparkSession.createDataFrame(
+        [(p,) for p in pcts], "pct int"
+    )
+    joined = (
+        cum.join(F.broadcast(totals), group_cols) if group_cols
+        else cum.crossJoin(F.broadcast(totals))
+    ).crossJoin(F.broadcast(pcts_df))
+    return (
+        joined.filter(
+            F.col("cum")
+            >= F.expr("(pct * n + 99) div 100")
+        )
+        .groupBy(*group_cols, "pct")
+        .agg(F.min("lo").alias("est"))
+    )
+
+
+def log_histogram_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`log_histogram`."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"{g}, e, sub, lo" if g else "e, sub, lo"
+    v = f"CAST({value_col} AS BIGINT)"
+    e = f"CAST(length(bin({v})) - 1 AS INT)"
+    sh = f"greatest({e} - {HDR_BITS}, 0)"
+    return f"""
+SELECT {gsel}e, sub, lo, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT {gsel}{e} AS e,
+         CAST({v} >> {sh} AS BIGINT) AS sub,
+         CAST(({v} >> {sh}) << {sh} AS BIGINT) AS lo
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {v} >= 0
+)
+GROUP BY {gby}
+"""
+
+
+def log_hist_quantiles_sql(
+    hist_query: str,
+    pcts: list[int],
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`log_hist_quantiles`."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    gby = f"{g}, pct" if g else "pct"
+    jn = f"USING ({g})" if g else "ON true"
+    pvals = ", ".join(f"({p})" for p in pcts)
+    return f"""
+WITH h AS ({hist_query}),
+cum AS (
+  SELECT {gsel}e, sub, lo,
+         sum(cnt) OVER ({part}ORDER BY e, sub
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+),
+tot AS (SELECT {gsel}sum(cnt) AS n FROM h {('GROUP BY ' + g) if g else ''})
+SELECT {gsel}pct, CAST(min(lo) AS BIGINT) AS est
+FROM cum
+JOIN tot {jn}
+CROSS JOIN (VALUES {pvals}) AS p(pct)
+WHERE cum >= (pct * n + 99) // 100
+GROUP BY {gby}
+"""

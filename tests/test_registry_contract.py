@@ -77,7 +77,11 @@ def test_gate_window_is_the_declared_r6_rotation():
         # stalest r3 rows
         "s9_avro_json", "sim_ivf_topk", "t_sessionize",
         "corpus_contamination", "corpus_curation_pipeline",
-        "p10_bucketed_join", "skew_salted_agg",
+        "p10_bucketed_join",
+        # r6-born gates (never-checked -> forced into the window)
+        "t1_stream_trigger_vertical", "a17_hll_distinct",
+        "a18_cms_heavy_hitters", "a19_kmv_overlap",
+        "a20_log_hist_quantiles",
     ):
         assert required in first50, required
 

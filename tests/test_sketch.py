@@ -235,3 +235,62 @@ def test_kmv_grouped_matches_duckdb(spark):
         kmv_estimate_sql(kmv_sketch_sql("t", "x", ["g"]), ["g"])
     ).fetchall()))
     assert sp == dk
+
+
+def test_log_hist_quantiles_match_duckdb_and_bound_error(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        log_hist_quantiles,
+        log_hist_quantiles_sql,
+        log_histogram,
+        log_histogram_sql,
+    )
+
+    df = spark.range(1, 50001).select(
+        ((F.col("id") * F.col("id")) % 999983).alias("x")
+    )
+    q = log_hist_quantiles(log_histogram(df, "x"), [50, 90, 99])
+    sp = {r["pct"]: r["est"] for r in q.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT (x*x) % 999983 AS x "
+        "FROM (SELECT range AS x FROM range(1, 50001))"
+    )
+    dk = dict(con.execute(log_hist_quantiles_sql(
+        log_histogram_sql("t", "x"), [50, 90, 99])).fetchall())
+    assert sp == dk
+    # bucket lower bound is within one 2^-5 relative bucket of exact
+    exact = df.selectExpr(
+        "percentile(x, array(0.5, 0.9, 0.99)) AS p"
+    ).collect()[0]["p"]
+    for pct, ex in zip((50, 90, 99), exact):
+        assert sp[pct] <= ex
+        assert sp[pct] >= ex * (1 - 2 ** -5) - 2, (pct, sp[pct], ex)
+
+
+def test_log_hist_merge_equals_direct(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        log_hist_merge,
+        log_histogram,
+    )
+
+    df = spark.range(0, 10000).select(F.col("id").alias("x"))
+    parts = log_histogram(
+        df.withColumn("g", (F.col("x") % 4).cast("long")), "x", ["g"]
+    )
+    merged = sorted(map(tuple, log_hist_merge(parts.drop("g")).collect()))
+    direct = sorted(map(tuple, log_histogram(df, "x").collect()))
+    assert merged == direct
+
+
+def test_log_hist_zero_and_small_values_exact(spark):
+    from arcane_framework_scala_spark.functions.sketch import (
+        log_hist_quantiles,
+        log_histogram,
+    )
+
+    # values below 2^HDR_BITS get exact single-value buckets
+    df = spark.createDataFrame([(v,) for v in [0, 1, 1, 2, 3, 31]], "x bigint")
+    h = log_histogram(df, "x")
+    assert h.count() == 5  # one bucket per distinct small value
+    q = {r["pct"]: r["est"] for r in log_hist_quantiles(h, [50, 100]).collect()}
+    assert q[50] == 1 and q[100] == 31
