@@ -468,3 +468,29 @@ def test_persisted_index_scans_are_partition_pruned(spark, queries):
     a = audit_plan(queries["dedup_index_pairs"](spark, SF_DIR))
     assert a.partition_filter_scans >= 1, a.plan
     assert any("band" in p for p in a.partition_filters), a.partition_filters
+
+
+def test_sketch_gates_plan_shapes(spark, queries):
+    """r6 sketch family: every sketch build is ONE map-side-combinable
+    aggregation (plus metadata-scale post-processing) — no Python
+    nodes, no cartesian blow-ups, and the CMS lookup joins its ≤ d×w
+    counter table as a broadcast. The KMV ungrouped bottom-k must plan
+    as TakeOrderedAndProject (distributed partial top-k), never a
+    single-partition global Sort."""
+    a = audit_plan(queries["a17_hll_distinct"](spark, SF_DIR))
+    assert a.python_nodes == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
+
+    a = audit_plan(queries["a18_cms_heavy_hitters"](spark, SF_DIR))
+    assert a.python_nodes == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
+    assert a.broadcast_joins >= 1, a.plan  # counter-table lookup
+
+    a = audit_plan(queries["a19_kmv_overlap"](spark, SF_DIR))
+    assert a.python_nodes == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
+    assert "TakeOrderedAndProject" in a.plan, a.plan
+
+    a = audit_plan(queries["a20_log_hist_quantiles"](spark, SF_DIR))
+    assert a.python_nodes == 0, a.plan
+    assert a.cartesian_products == 0, a.plan
