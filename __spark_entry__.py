@@ -3945,6 +3945,101 @@ def q_t_stream_sessionize(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_t_stream_hll(spark, sf_dir):
+    """Sketches on the streaming path: a running HyperLogLog of
+    distinct users maintained across REAL micro-batches — the
+    "distinct users today" dashboard at 100 TB, where each trigger
+    merges its batch's 512-register sketch into the standing one
+    (register max — the coordinator-side merge a 1000-executor fleet
+    performs) instead of re-scanning history. Three staged file waves
+    stream through ``foreachBatch``; each batch's registers are merged
+    into the running sketch. Exactness invariant asserted in-gate: the
+    streamed merge must equal the direct batch sketch of ALL data,
+    register for register — a single divergence fails the gate. Output
+    carries the estimate beside the exact distinct count; the oracle
+    is the batch HLL twin over the full table."""
+    import tempfile
+    import uuid
+
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    _harden_session(spark)
+    ev = _read(spark, sf_dir, "events").select("user_id")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"arcane_shll_stage_{uuid.uuid4().hex}"
+    )
+    os.makedirs(stage_dir)
+    for i in range(3):
+        part = ev.filter(F.col("user_id") % 3 == i)
+        sub = os.path.join(stage_dir, f"q{i}")
+        part.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(sub, f),
+                    os.path.join(stage_dir, f"{i:02d}.parquet"),
+                )
+
+    running: dict[int, int] = {}
+    batches = []
+
+    def merge_batch(batch_df, batch_id):
+        # per-batch sketch is <= 512 rows — the collect IS the
+        # coordinator merge, metadata-sized by construction
+        regs = sk.hll_sketch(batch_df, "user_id").collect()
+        for r in regs:
+            i, rk = int(r["idx"]), int(r["r"])
+            if rk > running.get(i, 0):
+                running[i] = rk
+        batches.append(batch_id)
+
+    q = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage_dir}/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(stage_dir, "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if len(batches) != 3:
+        raise AssertionError(f"expected 3 micro-batches, got {batches}")
+    direct = {
+        int(r["idx"]): int(r["r"])
+        for r in sk.hll_sketch(ev, "user_id").collect()
+    }
+    if running != direct:
+        raise AssertionError("streamed HLL merge != direct batch sketch")
+    regs_df = spark.createDataFrame(
+        [(i, r) for i, r in sorted(running.items())], "idx long, r int"
+    )
+    return (
+        sk.hll_estimate(regs_df)
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_n")))
+        .select(
+            F.lit("stream_users").alias("scope"),
+            "n_registers",
+            "est_micro",
+            "exact_n",
+        )
+    )
+
+
+def _t_stream_hll_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    est = sk.hll_distinct_sql("(SELECT user_id FROM events)", "user_id")
+    return f"""
+SELECT 'stream_users' AS scope, e.n_registers, e.est_micro,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_n
+FROM ({est}) e
+"""
+
+
 def q_t_stream_dedup(spark, sf_dir):
     """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``)
     end-to-end over four staged micro-batches: b0 sends the even keys,
@@ -6983,6 +7078,7 @@ _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
     "a18_cms_heavy_hitters", "a19_kmv_overlap", "a20_log_hist_quantiles",
+    "t_stream_hll",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -6999,7 +7095,7 @@ _GATE_WINDOW_R6 = [
     "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
     "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
     "corpus_repetition", "corpus_contamination", "corpus_hash_split",
-    "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
+    "corpus_curation_pipeline", "p10_bucketed_join",
     # skew_salted_agg/corpus_stratified_sample/corpus_vocab_stats/
     # corpus_chunk/corpus_pack rotated out for the r6-born gates
 ]
@@ -7176,6 +7272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": q_corpus_quality_filter,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "sim_ivf_recall": q_sim_ivf_recall,
+        "t_stream_hll": q_t_stream_hll,
         "t_stream_dedup": q_t_stream_dedup,
         "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
         "s2_backfill_scan": q_s2_backfill_scan,
@@ -7387,6 +7484,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t1_stream_trigger_vertical": _T1_STREAM_SQL,
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
+        "t_stream_hll": _t_stream_hll_sql(),
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,
