@@ -74,6 +74,17 @@ HEADLINE4 = [
     "dedup_index_pairs",
 ]
 
+#: fifth section (r6): the engine-exact sketch family — the
+#: "aggregate without shuffling raw values" story priced end-to-end
+#: (each gate includes its exact-count comparison columns, so these
+#: times are sketch + exact side by side).
+HEADLINE5 = [
+    "a17_hll_distinct",
+    "a18_cms_heavy_hitters",
+    "a19_kmv_overlap",
+    "a20_log_hist_quantiles",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,6 +157,7 @@ def main() -> None:
     timings2, stats2 = measure(HEADLINE2)
     timings3, stats3 = measure(HEADLINE3)
     timings4, stats4 = measure(HEADLINE4)
+    timings5, stats5 = measure(HEADLINE5)
     # The driver records only the LAST ~2.3 KB of stdout; r4's combined
     # line (medians + min/max stats) overflowed that and truncated its own
     # "value" field (VERDICT r4 item 5). So: the FINAL stdout line is a
@@ -166,6 +178,9 @@ def main() -> None:
         "headline4_total": round(sum(timings4.values()), 3),
         "headline4_queries": timings4,
         "headline4_query_stats": stats4,
+        "headline5_total": round(sum(timings5.values()), 3),
+        "headline5_queries": timings5,
+        "headline5_query_stats": stats5,
         "runs_per_query": runs,
         "sf": sf,
     }
@@ -183,6 +198,7 @@ def main() -> None:
         "headline2_total": detail["headline2_total"],
         "headline3_total": detail["headline3_total"],
         "headline4_total": detail["headline4_total"],
+        "headline5_total": detail["headline5_total"],
         "runs_per_query": runs,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
