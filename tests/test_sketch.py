@@ -294,3 +294,72 @@ def test_log_hist_zero_and_small_values_exact(spark):
     assert h.count() == 5  # one bucket per distinct small value
     q = {r["pct"]: r["est"] for r in log_hist_quantiles(h, [50, 100]).collect()}
     assert q[50] == 1 and q[100] == 31
+
+
+def test_sketch_merge_laws_hypothesis(spark):
+    """Property twin for ALL four sketches: under randomized value sets
+    and arbitrary shardings, shard-then-merge must equal the direct
+    sketch of the union — the associativity/idempotence contract the
+    100 TB rollup depends on. Derandomized profile, few examples (each
+    case runs several Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from arcane_framework_scala_spark.functions.sketch import (
+        cms_merge,
+        cms_sketch,
+        hll_merge,
+        hll_sketch,
+        kmv_merge,
+        kmv_sketch,
+        log_hist_merge,
+        log_histogram,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        shards=st.integers(min_value=2, max_value=5),
+        dup=st.integers(min_value=1, max_value=3),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def case(n, shards, dup, seed):
+        import random
+
+        rng = random.Random(seed)
+        vals = [rng.randrange(0, 10_000) for _ in range(n)] * dup
+        df = spark.createDataFrame(
+            [(v, rng.randrange(shards)) for v in vals], "x bigint, s bigint"
+        ).localCheckpoint()
+        whole = df.select("x")
+
+        m = hll_merge(hll_sketch(df, "x", ["s"]).drop("s"))
+        d = hll_sketch(whole, "x")
+        assert sorted(map(tuple, m.collect())) == sorted(
+            map(tuple, d.collect())
+        )
+
+        m = cms_merge(cms_sketch(df, "x", group_cols=["s"]).drop("s"))
+        d = cms_sketch(whole, "x")
+        assert sorted(map(tuple, m.collect())) == sorted(
+            map(tuple, d.collect())
+        )
+
+        m = kmv_merge(kmv_sketch(df, "x", ["s"]).drop("s"))
+        d = kmv_sketch(whole, "x")
+        assert sorted(r["h"] for r in m.collect()) == sorted(
+            r["h"] for r in d.collect()
+        )
+
+        m = log_hist_merge(log_histogram(df, "x", ["s"]).drop("s"))
+        d = log_histogram(whole, "x")
+        assert sorted(map(tuple, m.collect())) == sorted(
+            map(tuple, d.collect())
+        )
+
+    case()
