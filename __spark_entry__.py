@@ -3862,6 +3862,7 @@ def q_t1_stream_trigger_vertical(spark, sf_dir):
         wait_until(lambda: store.read().version == str(V2), "wave-2 commit")
     finally:
         query.stop()
+        stream.detach_idle_listener()
         if prev_idle is None:
             spark.conf.unset(idle_conf)
         else:

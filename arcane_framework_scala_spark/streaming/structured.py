@@ -160,6 +160,18 @@ class StructuredBlobStream:
             self._idle_listener = listener
         return query
 
+    def detach_idle_listener(self) -> None:
+        """Unregister the idle-advance listener (call after stopping the
+        query). Listeners are session-global in Spark; a long-lived
+        session running many short streams would otherwise accumulate
+        one listener per ``start()`` — each still filtered to its own
+        query id, so correctness is unaffected, but the event fan-out
+        grows without bound."""
+        listener = getattr(self, "_idle_listener", None)
+        if listener is not None:
+            self.spark.streams.removeListener(listener)
+            self._idle_listener = None
+
     def _make_idle_listener(self, query_id: str):
         """Watermark-only advance on idle triggers (T1 poll/skip). The
         listener runs on Spark's event thread; FileWatermarkStore's

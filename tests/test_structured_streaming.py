@@ -145,6 +145,7 @@ def test_idle_trigger_advances_watermark_only(spark, tmp_path):
         assert not wm.timestamp.startswith("1970"), wm  # timestamp IS
     finally:
         q.stop()
+        stream.detach_idle_listener()
         if prev is None:
             spark.conf.unset(idle_conf)
         else:
