@@ -3775,12 +3775,18 @@ def q_t1_stream_trigger_vertical(spark, sf_dir):
     In-gate asserts pin the ordering (idle advance strictly before any
     data, per-trigger watermark commits landing at each wave's version)
     and the returned target must hash-match the per-key
-    latest-version-wins oracle."""
+    latest-version-wins oracle.
+
+    Twin run (the t1/t2 convention): the identical trigger-driven
+    stream repeats with the sink on CatalogTarget over the DSv2 mem
+    catalog — every wave executes a real generated MERGE INTO inside
+    its trigger — and both finals must be row-identical."""
     import tempfile
     import time as _time
 
     from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
     from arcane_framework_scala_spark.sinks.merge_sink import (
+        CatalogTarget,
         MergeSink,
         SnapshotParquetTarget,
     )
@@ -3796,88 +3802,129 @@ def q_t1_stream_trigger_vertical(spark, sf_dir):
     idle_conf = "spark.sql.streaming.noDataProgressEventInterval"
     prev_idle = spark.conf.get(idle_conf, None)
     spark.conf.set(idle_conf, "1s")
-    run_dir = tempfile.mkdtemp(prefix="arcane_t1s_run_")
-    src = os.path.join(run_dir, "incoming")
-    os.makedirs(src)
     V1, V2 = 1_700_000_000, 1_700_001_000
 
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
 
-    def stage(df, name, mtime):
-        sub = os.path.join(run_dir, "stage_" + name)
-        df.coalesce(1).write.parquet(sub)
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                dst = os.path.join(src, name + ".parquet")
-                os.rename(os.path.join(sub, f), dst)
-                os.utime(dst, (mtime, mtime))
+    def run_vertical(target) -> DataFrame:
+        run_dir = tempfile.mkdtemp(prefix="arcane_t1s_run_")
+        src = os.path.join(run_dir, "incoming")
+        os.makedirs(src)
 
-    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
-    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
-    store.commit(Watermark(version="0", timestamp="1970-01-01T00:00:00+00:00"))
-    stream = StructuredBlobStream(
-        spark=spark,
-        path=src,
-        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
-        primary_keys=["o_orderkey"],
-        sink=MergeSink(target=target, dialect=UPSERT_BLOB),
-        watermark_store=store,
-        checkpoint_dir=os.path.join(run_dir, "ckpt"),
-    )
-    query = stream.start(trigger={"processingTime": "400 milliseconds"})
+        def stage(df, name, mtime):
+            sub = os.path.join(run_dir, "stage_" + name)
+            df.coalesce(1).write.parquet(sub)
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, name + ".parquet")
+                    os.rename(os.path.join(sub, f), dst)
+                    os.utime(dst, (mtime, mtime))
 
-    def wait_until(pred, what, timeout=90.0):
-        deadline = _time.time() + timeout
-        while _time.time() < deadline:
-            if pred():
-                return
-            _time.sleep(0.2)
-        raise AssertionError(f"timed out waiting for {what}: wm={store.read()}")
+        store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
+        store.commit(
+            Watermark(version="0", timestamp="1970-01-01T00:00:00+00:00")
+        )
+        stream = StructuredBlobStream(
+            spark=spark,
+            path=src,
+            schema=(
+                "o_orderkey bigint, o_orderstatus string, "
+                "o_totalprice double"
+            ),
+            primary_keys=["o_orderkey"],
+            sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+            watermark_store=store,
+            checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        )
+        query = stream.start(trigger={"processingTime": "400 milliseconds"})
+
+        def wait_until(pred, what, timeout=90.0):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if pred():
+                    return
+                _time.sleep(0.2)
+            raise AssertionError(
+                f"timed out waiting for {what}: wm={store.read()}"
+            )
+
+        try:
+            # phase 1: quiet source → idle trigger advances timestamp ONLY
+            wait_until(
+                lambda: stream.idle_advances >= 1,
+                "idle watermark-only advance on the empty source",
+            )
+            wm = store.read()
+            if wm.version != "0" or wm.timestamp.startswith("1970"):
+                raise AssertionError(
+                    f"idle advance corrupted the watermark: {wm}"
+                )
+            idle_before_data = stream.idle_advances
+
+            # phase 2: wave 1 (full orders snapshot) merges in its trigger
+            stage(orders, "w1", V1)
+            wait_until(
+                lambda: store.read().version == str(V1), "wave-1 commit"
+            )
+
+            # phase 3: wave 2 (every third key updated) upserts over wave 1
+            stage(
+                orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                    "o_orderstatus", F.lit("U")
+                ),
+                "w2",
+                V2,
+            )
+            wait_until(
+                lambda: store.read().version == str(V2), "wave-2 commit"
+            )
+        finally:
+            query.stop()
+            stream.detach_idle_listener()
+
+        if idle_before_data < 1:
+            raise AssertionError("no watermark-only advance before first data")
+        # >= 3 trigger firings total: >=1 idle + the two data batches
+        if stream.idle_advances + 2 < 3:
+            raise AssertionError(
+                f"too few triggers: idle={stream.idle_advances}"
+            )
+        return target.read().select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("createdon").cast("long").alias("version"),
+        )
 
     try:
-        # phase 1: quiet source → idle trigger advances timestamp ONLY
-        wait_until(
-            lambda: stream.idle_advances >= 1,
-            "idle watermark-only advance on the empty source",
+        snap_dir = tempfile.mkdtemp(prefix="arcane_t1s_snap_")
+        final = run_vertical(
+            SnapshotParquetTarget(spark, os.path.join(snap_dir, "tgt"))
         )
-        wm = store.read()
-        if wm.version != "0" or wm.timestamp.startswith("1970"):
-            raise AssertionError(f"idle advance corrupted the watermark: {wm}")
-        idle_before_data = stream.idle_advances
-
-        # phase 2: wave 1 (full orders snapshot) merges in its trigger
-        stage(orders, "w1", V1)
-        wait_until(lambda: store.read().version == str(V1), "wave-1 commit")
-
-        # phase 3: wave 2 (every third key updated) upserts over wave 1
-        stage(
-            orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
-                "o_orderstatus", F.lit("U")
-            ),
-            "w2",
-            V2,
+        # twin on the transactional DSv2 catalog: both waves' MERGE INTO
+        # execute for real inside their triggers
+        jar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "javaext", "mem-catalog.jar",
         )
-        wait_until(lambda: store.read().version == str(V2), "wave-2 commit")
+        spark.sql(f"ADD JAR {jar}")
+        spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+        cat_table = "arcm.gate.t1_stream"
+        spark.sql(f"DROP TABLE IF EXISTS {cat_table}")
+        cat_final = run_vertical(CatalogTarget(spark, cat_table))
+        d1 = cat_final.exceptAll(final).count()
+        d2 = final.exceptAll(cat_final).count()
+        if d1 or d2:
+            raise AssertionError(
+                f"catalog vs snapshot stream diverged: {d1}/{d2} rows"
+            )
     finally:
-        query.stop()
-        stream.detach_idle_listener()
         if prev_idle is None:
             spark.conf.unset(idle_conf)
         else:
             spark.conf.set(idle_conf, prev_idle)
-
-    if idle_before_data < 1:
-        raise AssertionError("no watermark-only advance before first data")
-    # >= 3 trigger firings total: >=1 idle + the two data batches
-    if stream.idle_advances + 2 < 3:
-        raise AssertionError(f"too few triggers: idle={stream.idle_advances}")
-    return target.read().select(
-        "o_orderkey",
-        F.col("o_orderstatus").alias("status"),
-        F.col("createdon").cast("long").alias("version"),
-    )
+    return final
 
 
 _T1_STREAM_SQL = """

@@ -247,23 +247,30 @@ class CatalogTarget:
             return
         self._migrate_schema(source, dialect)
         view = f"__arcane_staged_{abs(hash(self.table)) % 10_000_000}"
+        # run the MERGE on the SOURCE DataFrame's session, not the one the
+        # target was constructed with: inside a foreachBatch callback the
+        # batch frame belongs to a per-stream CLONED session, and a temp
+        # view registered there is invisible to the outer session (the
+        # catalog itself is safe — MemCatalog/Iceberg state is JVM-global,
+        # and clones inherit the spark.sql.catalog.* conf).
+        sess = source.sparkSession
         source.createOrReplaceTempView(view)
         try:
             sql = build_merge_query(
                 dialect, self.table, view, source.columns, deduplicate=True
             )
             try:
-                self.spark.sql(sql)
+                sess.sql(sql)
             except Exception as e:  # noqa: BLE001 — inspect & re-raise below
                 if "MERGE INTO" not in str(e):
                     raise
                 # catalog has no MERGE support: same semantics, DataFrame
                 # execution. Materialize before replace — the plan reads
                 # the table being replaced.
-                merged = merge_apply(self.spark.table(self.table), source, dialect)
+                merged = merge_apply(sess.table(self.table), source, dialect)
                 self.overwrite(merged.localCheckpoint(eager=True))
         finally:
-            self.spark.catalog.dropTempView(view)
+            sess.catalog.dropTempView(view)
 
 
 @dataclass
