@@ -150,3 +150,54 @@ def test_idle_trigger_advances_watermark_only(spark, tmp_path):
             spark.conf.unset(idle_conf)
         else:
             spark.conf.set(idle_conf, prev)
+
+
+def test_foreachbatch_merge_into_catalog_target(spark, sf_dir, tmp_path):
+    """Regression (r6): inside a foreachBatch callback the batch frame
+    belongs to a per-stream CLONED session; the staged temp view used
+    to land there while the MERGE ran on the outer session and failed
+    with view-not-found. The streaming pipeline must merge into a real
+    DSv2 catalog table (generated MERGE INTO per micro-batch)."""
+    import os
+
+    from arcane_framework_scala_spark.sinks.merge_sink import CatalogTarget
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS arcm.test.stream_merge")
+
+    src_dir = str(tmp_path / "incoming")
+    # orders is unique on o_orderkey (the synthetic lineitem is NOT
+    # unique on its PK and a same-version duplicate trips Spark's
+    # MERGE cardinality check — the documented fixture gotcha)
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .limit(1000)
+        .cache()
+    )
+    orders.write.parquet(f"{src_dir}/b1")
+
+    def make_stream(target):
+        return StructuredBlobStream(
+            spark=spark,
+            path=src_dir,
+            schema="o_orderkey bigint, o_totalprice double",
+            primary_keys=["o_orderkey"],
+            sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+            watermark_store=FileWatermarkStore(path=str(tmp_path / "wm.json")),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    target = CatalogTarget(spark, "arcm.test.stream_merge")
+    make_stream(target).run_available()
+    first = target.read().count()
+    assert first > 0
+    # second wave re-merges idempotently through a REAL MERGE INTO
+    orders.write.mode("overwrite").parquet(f"{src_dir}/b2")
+    make_stream(target).run_available()
+    assert target.read().count() == first
