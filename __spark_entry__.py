@@ -3727,38 +3727,69 @@ def q_t7_stream_merge_vertical(spark, sf_dir):
                 os.rename(os.path.join(sub, f), dst)
                 os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
 
-    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
-    target.overwrite(_mssql_target(spark, sf_dir, thr))
-    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
-    store = FileWatermarkStore(path=os.path.join(run_dir, "wm.json"))
-    store.commit(Watermark.now(version=str(thr)))
-    commits = []
+    def run_vertical(target, ckpt_name, wm_name) -> DataFrame:
+        target.overwrite(_mssql_target(spark, sf_dir, thr))
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        store = FileWatermarkStore(path=os.path.join(run_dir, wm_name))
+        store.commit(Watermark.now(version=str(thr)))
+        commits = []
 
-    def apply_batch(batch_df, batch_id):
-        sink.apply(batch_df)
-        v = batch_df.agg(F.max("SYS_CHANGE_VERSION")).first()[0]
-        store.commit(Watermark.now(version=str(v)))
-        commits.append(v)
+        def apply_batch(batch_df, batch_id):
+            sink.apply(batch_df)
+            v = batch_df.agg(F.max("SYS_CHANGE_VERSION")).first()[0]
+            store.commit(Watermark.now(version=str(v)))
+            commits.append(v)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{stage_dir}/*.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage_dir}/*.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if len(commits) != 3 or commits != sorted(commits):
+            raise AssertionError(
+                f"expected 3 version-ordered commits: {commits}"
+            )
+        if store.read().version != str(commits[-1]):
+            raise AssertionError(f"watermark not at head: {store.read()}")
+        return target.read().select(
+            "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id",
+            "event_type", "value",
+        )
+
+    final = run_vertical(
+        SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt")),
+        "ckpt", "wm.json",
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # twin on the DSv2 catalog (r6, post clone-session fix): the CT
+    # dialect's version-guarded MERGE INTO executes for real inside each
+    # micro-batch; convergence must be identical to the snapshot run
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "javaext", "mem-catalog.jar",
     )
-    q.awaitTermination()
-    if len(commits) != 3 or commits != sorted(commits):
-        raise AssertionError(f"expected 3 version-ordered commits: {commits}")
-    if store.read().version != str(commits[-1]):
-        raise AssertionError(f"watermark not at head: {store.read()}")
-    return target.read().select(
-        "ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "user_id", "event_type", "value"
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    cat_table = "arcm.gate.t7_stream"
+    spark.sql(f"DROP TABLE IF EXISTS {cat_table}")
+    from arcane_framework_scala_spark.sinks.merge_sink import CatalogTarget
+
+    cat_final = run_vertical(
+        CatalogTarget(spark, cat_table), "ckpt_cat", "wm_cat.json"
     )
+    d1 = cat_final.exceptAll(final).count()
+    d2 = final.exceptAll(cat_final).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"catalog vs snapshot stream merge diverged: {d1}/{d2} rows"
+        )
+    return final
 
 
 def q_t1_stream_trigger_vertical(spark, sf_dir):
