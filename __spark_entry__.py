@@ -4119,6 +4119,75 @@ FROM ({est}) e
 """
 
 
+def q_t_hll_state_merge(spark, sf_dir):
+    """Sketch state maintained BY the merge machinery: the HLL register
+    table lives as a real DSv2 catalog table (≤ 512 rows) and every
+    ingest wave upserts it with a generated MERGE INTO — register max
+    as conditional row-level ops (UPDATE only when the batch's rank
+    beats the stored one). This is the 100 TB "distinct keys ever
+    seen" posture: per-batch sketch + tiny-table merge, never a
+    re-scan of history. Three event waves merge for real on the
+    javaext MemCatalog; the in-gate assert requires the final stored
+    registers to equal the direct whole-corpus sketch exactly, and the
+    returned row carries the table-derived estimate beside the exact
+    distinct count. Oracle = the batch HLL twin over the full table
+    (same as t_stream_hll — two different maintenance paths, one
+    answer)."""
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "javaext", "mem-catalog.jar",
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.hll_state"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (idx BIGINT, r INT) USING mem")
+
+    ev = _read(spark, sf_dir, "events").select("user_id")
+    for wave in range(3):
+        batch = ev.filter(F.col("user_id") % 3 == wave)
+        regs = sk.hll_sketch(batch, "user_id")
+        view = f"__hll_wave_{wave}"
+        regs.createOrReplaceTempView(view)
+        try:
+            spark.sql(sk.hll_state_merge_sql(table, view))
+        finally:
+            spark.catalog.dropTempView(view)
+
+    stored = spark.table(table)
+    direct = sk.hll_sketch(ev, "user_id")
+    d1 = stored.exceptAll(direct).count()
+    d2 = direct.exceptAll(stored).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"merged register table != direct sketch: {d1}/{d2} rows"
+        )
+    return (
+        sk.hll_estimate(stored)
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_n")))
+        .select(
+            F.lit("state_users").alias("scope"),
+            "n_registers",
+            "est_micro",
+            "exact_n",
+        )
+    )
+
+
+def _t_hll_state_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    est = sk.hll_distinct_sql("(SELECT user_id FROM events)", "user_id")
+    return f"""
+SELECT 'state_users' AS scope, e.n_registers, e.est_micro,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_n
+FROM ({est}) e
+"""
+
+
 def q_t_stream_dedup(spark, sf_dir):
     """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``)
     end-to-end over four staged micro-batches: b0 sends the even keys,
@@ -7157,7 +7226,7 @@ _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
     "a18_cms_heavy_hitters", "a19_kmv_overlap", "a20_log_hist_quantiles",
-    "t_stream_hll",
+    "t_stream_hll", "t_hll_state_merge",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -7173,7 +7242,7 @@ _GATE_WINDOW_R6 = [
     "mm_frame_sample", "s9_avro_json", "sim_ivf_topk",
     "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
     "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
-    "corpus_repetition", "corpus_contamination", "corpus_hash_split",
+    "corpus_repetition", "corpus_contamination",
     "corpus_curation_pipeline", "p10_bucketed_join",
     # skew_salted_agg/corpus_stratified_sample/corpus_vocab_stats/
     # corpus_chunk/corpus_pack rotated out for the r6-born gates
@@ -7352,6 +7421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "sim_ivf_recall": q_sim_ivf_recall,
         "t_stream_hll": q_t_stream_hll,
+        "t_hll_state_merge": q_t_hll_state_merge,
         "t_stream_dedup": q_t_stream_dedup,
         "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
         "s2_backfill_scan": q_s2_backfill_scan,
@@ -7564,6 +7634,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_sessionize": sessionize_sql("events", gap_seconds=1800),
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stream_hll": _t_stream_hll_sql(),
+        "t_hll_state_merge": _t_hll_state_sql(),
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,

@@ -753,3 +753,21 @@ CROSS JOIN (VALUES {pvals}) AS p(pct)
 WHERE cum >= (pct * n + 99) // 100
 GROUP BY {gby}
 """
+
+
+def hll_state_merge_sql(target_table: str, source_view: str) -> str:
+    """MERGE statement that maintains an HLL register TABLE from a
+    batch's register view — the production posture at 100 TB: the
+    sketch is a tiny catalog table (≤ m rows) that each ingest batch
+    upserts, so "distinct keys ever seen" never re-scans history.
+    Register max as conditional row-level ops: update only when the
+    batch's rank beats the stored one, insert unseen registers. The
+    statement is engine-portable MERGE (Spark DSv2 / Iceberg / Delta /
+    Trino all accept it)."""
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING (SELECT idx, r FROM {source_view}) s\n"
+        f"ON t.idx = s.idx\n"
+        f"WHEN MATCHED AND s.r > t.r THEN UPDATE SET r = s.r\n"
+        f"WHEN NOT MATCHED THEN INSERT (idx, r) VALUES (s.idx, s.r)"
+    )
