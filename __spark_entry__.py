@@ -7216,12 +7216,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r6 GATE WINDOW (VERDICT r5 item 2): the driver's correctness gate runs
 # the FIRST 50 queries() entries only. Every registry entry already has a
-# passing driver row (backlog 0 after r5), so r6 is a pure freshness
-# rotation: the 30 entries last checked in r2 plus the 20 stalest r3
-# entries — after it runs, maximum registry staleness drops to <=2 rounds.
-# New r6-born gates are inserted at the front (never-checked entries must
-# sit inside the window; tests/test_registry_contract.py enforces it).
-# Audit with scripts/plan_window.py.
+# passing driver row (backlog 0 after r5), so r6 is a freshness rotation:
+# the 7 r6-born gates (never-checked; the contract test forces them into
+# the window), then ALL 30 entries last checked in r2 (the verdict's
+# explicit requirement), then the 13 stalest r3 entries that fit. After
+# the driver runs it, maximum registry staleness drops to <=3 rounds with
+# the whole r2 era re-proved. Audit with scripts/plan_window.py.
 _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
