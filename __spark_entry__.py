@@ -1337,6 +1337,121 @@ WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
 """
 
 
+def q_m8_lakehouse_vertical(spark, sf_dir):
+    """The FULL lakehouse lifecycle on ONE durable copy-on-write table
+    (``DurableCatalogTarget``): three CT-dialect waves merged with real
+    ``MERGE INTO`` through the DSv2 row-level-op surface, each committing
+    a durable parquet snapshot — then X1 compaction, X4 ANALYZE, X3
+    orphan removal and X2 snapshot expiry run on the SAME table, time
+    travel proves compaction was metadata-only, and a T9 crash-replay of
+    the last wave lands byte-identical. This is the unified shape the
+    reference gets from Trino-on-Iceberg (``JdbcMergeServiceClient.
+    scala:62-91`` + ``JdbcOptimizationRequest.scala:4-30``) — one table
+    that merges, versions, and maintains. The oracle replays the
+    three-wave merge algebra in SQL (waves partition disjoint increasing
+    version ranges, so sequential merge == global latest-per-key with
+    delete-last semantics)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        analyze_snapshot,
+        expire_snapshots,
+        optimize_snapshot,
+        remove_orphan_files,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m8"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m8_run_")
+    target = DurableCatalogTarget(
+        # 500-row chunks fragment every snapshot so X1 has work to do
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2, t3 = (mx * 3) // 10, (mx * 6) // 10, (mx * 9) // 10
+    batch = ev.filter(F.col("event_id") <= t3).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    waves = [ver <= t1, (ver > t1) & (ver <= t2), ver > t2]
+    for pred in waves:
+        sink.apply(batch.filter(pred))
+    if target.versions() != [1, 2, 3]:
+        raise AssertionError(f"3 merges -> 3 snapshots, got {target.versions()}")
+    n_rows = target.read().count()
+
+    # X1 compaction (-> v=4) must be metadata-only: time travel to the
+    # pre-compaction snapshot and diff
+    optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
+    pre, post = target.read_version(3), target.read_version(4)
+    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+        raise AssertionError("compaction changed table values")
+
+    stats = analyze_snapshot(target.snapshots)  # X4
+    if stats.records != n_rows:
+        raise AssertionError(f"ANALYZE records {stats.records} != {n_rows}")
+
+    open(os.path.join(run_dir, "t", "_CURRENT.tmp"), "w").write("9")
+    if remove_orphan_files(target.snapshots) != ["_CURRENT.tmp"]:  # X3
+        raise AssertionError("orphan removal missed the crashed pointer tmp")
+
+    if expire_snapshots(target.snapshots, keep_last=2) != [1, 2]:  # X2
+        raise AssertionError("expire should drop exactly v=1 and v=2")
+
+    # T9 crash-replay: the last wave re-merged onto the compacted
+    # snapshot commits v=5 with identical values
+    sink.apply(batch.filter(waves[2]))
+    if target.versions() != [3, 4, 5]:
+        raise AssertionError(f"post-replay history wrong: {target.versions()}")
+    final = target.read()
+    replayed = target.read_version(4)
+    if final.exceptAll(replayed).count() or replayed.exceptAll(final).count():
+        raise AssertionError("replaying wave 3 was not idempotent")
+    # twin: the catalog execution table mirrors the durable snapshot
+    cat = spark.table(table)
+    if cat.exceptAll(final).count() or final.exceptAll(cat).count():
+        raise AssertionError("catalog table diverged from durable snapshot")
+    return final
+
+
+_M8_SQL = f"""
+WITH b AS (SELECT max(event_id) * 9 // 10 AS t_hi FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, event_type, value_milli
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
 def q_sim_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of the exact float
     cosine top-k and the int8-quantized cosine top-k (coarse+fine, the
@@ -7217,16 +7332,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 GATE WINDOW (VERDICT r5 item 2): the driver's correctness gate runs
 # the FIRST 50 queries() entries only. Every registry entry already has a
 # passing driver row (backlog 0 after r5), so r6 is a freshness rotation:
-# the 7 r6-born gates (never-checked; the contract test forces them into
+# the 8 r6-born gates (never-checked; the contract test forces them into
 # the window), then ALL 30 entries last checked in r2 (the verdict's
-# explicit requirement), then the 13 stalest r3 entries that fit. After
+# explicit requirement), then the 12 stalest r3 entries that fit. After
 # the driver runs it, maximum registry staleness drops to <=3 rounds with
 # the whole r2 era re-proved. Audit with scripts/plan_window.py.
 _GATE_WINDOW_R6 = [
     # --- r6-born gates (never driver-checked -> must sit in window) ---
     "t1_stream_trigger_vertical", "a17_hll_distinct",
     "a18_cms_heavy_hitters", "a19_kmv_overlap", "a20_log_hist_quantiles",
-    "t_stream_hll", "t_hll_state_merge",
+    "t_stream_hll", "t_hll_state_merge", "m8_lakehouse_vertical",
     # --- 30 entries last driver-checked in r2 ---
     "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
     "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
@@ -7238,14 +7353,15 @@ _GATE_WINDOW_R6 = [
     "dedup_span_stats", "sim_tfidf_rerank", "dedup_span_clean",
     "sim_rrf_hybrid", "sim_lsh_buckets", "sim_lsh_neighbors",
     "mm_image_features", "mm_audio_features",
-    # --- 20 stalest r3 entries ---
+    # --- 12 stalest r3 entries ---
     "mm_frame_sample", "s9_avro_json", "sim_ivf_topk",
     "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
     "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
     "corpus_repetition", "corpus_contamination",
-    "corpus_curation_pipeline", "p10_bucketed_join",
-    # skew_salted_agg/corpus_stratified_sample/corpus_vocab_stats/
-    # corpus_chunk/corpus_pack rotated out for the r6-born gates
+    "corpus_curation_pipeline",
+    # p10_bucketed_join/skew_salted_agg/corpus_stratified_sample/
+    # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
+    # r6-born gates
 ]
 
 
@@ -7422,6 +7538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         "t_stream_hll": q_t_stream_hll,
         "t_hll_state_merge": q_t_hll_state_merge,
+        "m8_lakehouse_vertical": q_m8_lakehouse_vertical,
         "t_stream_dedup": q_t_stream_dedup,
         "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
         "s2_backfill_scan": q_s2_backfill_scan,
@@ -7635,6 +7752,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stream_hll": _t_stream_hll_sql(),
         "t_hll_state_merge": _t_hll_state_sql(),
+        "m8_lakehouse_vertical": _M8_SQL,
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,

@@ -1,6 +1,6 @@
 """Merge sinks (K2/K3 + T8 schema migration).
 
-Two target flavors behind one interface:
+Three target flavors behind one interface:
 
 - ``CatalogTarget``: a catalog table (Iceberg/Delta). The generated MERGE
   SQL from :mod:`queries.merge` executes via ``spark.sql`` — storage-side
@@ -271,6 +271,87 @@ class CatalogTarget:
                 self.overwrite(merged.localCheckpoint(eager=True))
         finally:
             sess.catalog.dropTempView(view)
+
+
+class DurableCatalogTarget:
+    """Copy-on-write lakehouse table: real ``MERGE INTO`` execution AND
+    durable snapshot commits AND maintenance, all on ONE table.
+
+    Iceberg's copy-on-write MERGE performs exactly this sequence per
+    commit (``JdbcMergeServiceClient.scala:62-91`` drives it through
+    Trino): (1) read the current snapshot's files, (2) execute the
+    rewrite through the DSv2 group-based row-level-operation surface,
+    (3) commit the rewritten files as a new snapshot. Here step 2 runs on
+    the javaext MemCatalog (the same ``SupportsRowLevelOperations``
+    surface Iceberg CoW uses, so the generated MERGE SQL is byte-identical
+    to the catalog path), and steps 1/3 run on the versioned-parquet
+    layout the X1–X4 maintenance family already manages — compaction,
+    snapshot expiry, orphan removal, ANALYZE and time travel all operate
+    on the same files every merge commits.
+
+    The rewrite group is the whole table (MemCatalog does not prune groups
+    to touched files; Iceberg does) — the local-mode simplification,
+    priced in docs/SCALE.md. Durable truth is the snapshot layout: every
+    merge re-hydrates the execution table from ``_CURRENT`` first, so a
+    crash after the MERGE but before the snapshot commit loses nothing —
+    the retried batch replays onto the last durable snapshot (T9 version
+    guards make the replay idempotent).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        table: str,
+        max_rows_per_file: int | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.snapshots = SnapshotParquetTarget(spark, path, max_rows_per_file)
+        self.catalog = CatalogTarget(spark, table)
+
+    # -- durable truth: reads delegate to the snapshot layout ---------
+
+    def exists(self) -> bool:
+        return self.snapshots.exists()
+
+    def read(self) -> DataFrame | None:
+        return self.snapshots.read()
+
+    def versions(self) -> list[int]:
+        return self.snapshots.versions()
+
+    def read_version(self, version: int) -> DataFrame:
+        return self.snapshots.read_version(version)
+
+    # -- CoW write path ------------------------------------------------
+
+    def _hydrate(self) -> None:
+        """Step 1 of the CoW commit: the execution table mirrors the
+        current durable snapshot (never trust a leftover catalog table —
+        it may be a casualty of a crash between MERGE and commit)."""
+        current = self.snapshots.read()
+        if current is None:
+            if self.catalog.exists():
+                self.spark.sql(f"DROP TABLE {self.table}")
+            return
+        self.catalog.overwrite(current)
+
+    def _commit_from_catalog(self) -> None:
+        """Step 3: the rewritten table becomes the next durable snapshot
+        (atomic ``_CURRENT`` rename — readers never see a partial one)."""
+        merged = self.catalog.read()
+        assert merged is not None  # _hydrate + merge always create it
+        self.snapshots._commit(merged)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self.catalog.overwrite(df)
+        self._commit_from_catalog()
+
+    def merge(self, source: DataFrame, dialect: MergeDialect) -> None:
+        self._hydrate()
+        self.catalog.merge(source, dialect)  # real MERGE INTO (step 2)
+        self._commit_from_catalog()
 
 
 @dataclass

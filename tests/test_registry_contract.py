@@ -62,7 +62,7 @@ def _driver_green() -> set[str]:
 def test_gate_window_is_the_declared_r6_rotation():
     """The driver checks the FIRST 50 entries only; r6 is a pure
     freshness rotation (VERDICT r5 item 2): the 30 entries last checked
-    in r2 plus the 20 stalest r3 entries, with any r6-born gates
+    in r2 plus the 12 stalest r3 entries, with the 8 r6-born gates
     inserted at the front. Pin the stalest families so a refactor
     reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
@@ -74,14 +74,14 @@ def test_gate_window_is_the_declared_r6_rotation():
         "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
         "p1_field_filter", "p6_name_normalize", "sim_lsh_neighbors",
         "dedup_minhash_lsh_pairs", "mm_audio_features", "text_quality",
-        # stalest r3 rows
+        # stalest r3 rows (p10_bucketed_join rotated out for the
+        # m8_lakehouse_vertical gate — it stays r3-stale until r7)
         "s9_avro_json", "sim_ivf_topk", "t_sessionize",
         "corpus_contamination", "corpus_curation_pipeline",
-        "p10_bucketed_join",
         # r6-born gates (never-checked -> forced into the window)
         "t1_stream_trigger_vertical", "a17_hll_distinct",
         "a18_cms_heavy_hitters", "a19_kmv_overlap",
-        "a20_log_hist_quantiles",
+        "a20_log_hist_quantiles", "m8_lakehouse_vertical",
     ):
         assert required in first50, required
 
