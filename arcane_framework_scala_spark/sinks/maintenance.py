@@ -105,7 +105,11 @@ def remove_orphan_files(target: SnapshotParquetTarget) -> list[str]:
         for v in _snapshot_versions(target)
         if current is not None and v <= current
     }
-    live.update({os.path.basename(target._pointer()), _STATS_FILE})
+    # metadata sidecars are never orphans: the pointer, the X4 stats
+    # file, and the T2 watermark (DurableCatalogTarget.watermark_store)
+    live.update(
+        {os.path.basename(target._pointer()), _STATS_FILE, "_WATERMARK.json"}
+    )
     removed = []
     try:
         names = os.listdir(target.path)

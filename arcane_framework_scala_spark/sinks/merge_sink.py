@@ -353,6 +353,21 @@ class DurableCatalogTarget:
         self.catalog.merge(source, dialect)  # real MERGE INTO (step 2)
         self._commit_from_catalog()
 
+    def watermark_store(self):
+        """T2 watermark persistence that survives what the table survives:
+        the reference stores progress in the Iceberg table's ``comment``
+        property (durable because Iceberg metadata is files); MemCatalog
+        TBLPROPERTIES are JVM memory, so here the watermark lives as a
+        rename-committed JSON file inside the snapshot layout — same
+        crash-replay contract (``IcebergTablePropertyManager.scala``)."""
+        from arcane_framework_scala_spark.streaming.watermark import (
+            FileWatermarkStore,
+        )
+
+        return FileWatermarkStore(
+            path=os.path.join(self.snapshots.path, "_WATERMARK.json")
+        )
+
 
 @dataclass
 class MergeSink:

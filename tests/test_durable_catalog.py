@@ -160,3 +160,23 @@ def test_maintenance_runs_on_the_same_table(spark, target, tmp_path):
     )
     assert target.versions() == [3, 4]
     assert ("k5", 7, 5, 50) in _rows(target.read())
+
+
+def test_watermark_survives_the_session(spark, target, tmp_path):
+    """T2 on the durable target: the watermark lives in the snapshot
+    layout (rename-committed JSON), so a brand-new target instance on the
+    same path — a restarted job — resumes exactly where the crashed one
+    committed, and X3 orphan sweeps never eat it."""
+    from arcane_framework_scala_spark.sinks.maintenance import remove_orphan_files
+    from arcane_framework_scala_spark.streaming.watermark import Watermark
+
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    sink.apply(spark.createDataFrame(WAVE1, BATCH_SCHEMA))
+    store = target.watermark_store()
+    store.commit(Watermark(version="2", timestamp="2026-08-15T00:00:00+00:00"))
+
+    reborn = DurableCatalogTarget(spark, str(tmp_path / "t"), target.table)
+    wm = reborn.watermark_store().read()
+    assert wm is not None and wm.version == "2"
+    assert remove_orphan_files(reborn.snapshots) == []
+    assert reborn.watermark_store().read().version == "2"
