@@ -115,3 +115,42 @@ def test_merge_replay_is_idempotent(spark, batch):
     twice = merge_apply(once, df, UPSERT_BLOB)
     assert once.exceptAll(twice).count() == 0
     assert twice.exceptAll(once).count() == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(KEYS),
+            st.sampled_from(["U", "D"]),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cuts=st.sets(st.integers(min_value=1, max_value=23), max_size=3),
+)
+def test_range_partitioned_waves_equal_global_latest(events, cuts):
+    """The m8_lakehouse_vertical oracle's algebra claim: when waves
+    partition a change stream into DISJOINT INCREASING version ranges
+    (versions assigned by stream position, as CDC version columns are),
+    sequential per-wave CT merges produce exactly the global
+    latest-per-key state with delete-last semantics — including the
+    delete-then-reinsert and delete-of-absent corners. Pure model, no
+    Spark: _model_ct is itself pinned against merge_apply above."""
+    stream = [(k, i + 1, op, p) for i, (k, op, p) in enumerate(events)]
+    bounds = sorted(c for c in cuts if c < len(stream)) + [len(stream)]
+    waves, lo = [], 0
+    for hi in bounds:
+        if stream[lo:hi]:
+            waves.append(stream[lo:hi])
+        lo = hi
+    sequential = _model_ct(waves)
+
+    latest = {}
+    for k, v, op, p in stream:  # versions strictly increase
+        latest[k] = (v, op, p)
+    global_form = {
+        k: (v, p) for k, (v, op, p) in latest.items() if op != "D"
+    }
+    assert sequential == global_form
