@@ -180,3 +180,28 @@ def test_watermark_survives_the_session(spark, target, tmp_path):
     assert wm is not None and wm.version == "2"
     assert remove_orphan_files(reborn.snapshots) == []
     assert reborn.watermark_store().read().version == "2"
+
+
+def test_schema_drift_widens_the_durable_table(spark, target):
+    """T8 through the CoW cycle: a batch carrying a new column triggers
+    ALTER TABLE ADD COLUMNS on the execution table, and the widened
+    schema lands in the committed snapshot (old rows null-padded)."""
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    sink.apply(spark.createDataFrame(WAVE1, BATCH_SCHEMA))
+    drifted = spark.createDataFrame(
+        [("k4", 6, "U", 4, 40, "eu")],
+        BATCH_SCHEMA + ", region string",
+    )
+    sink.apply(drifted)
+    final = target.read()
+    assert "region" in final.columns
+    rows = {r["ARCANE_MERGE_KEY"]: r["region"] for r in final.collect()}
+    assert rows["k4"] == "eu" and rows["k1"] is None
+    # the widened table keeps merging (hydrate handles the wider schema)
+    sink.apply(
+        spark.createDataFrame(
+            [("k1", 7, "U", 1, 12, "us")], BATCH_SCHEMA + ", region string"
+        )
+    )
+    rows = {r["ARCANE_MERGE_KEY"]: r["region"] for r in target.read().collect()}
+    assert rows["k1"] == "us"
