@@ -353,6 +353,19 @@ class DurableCatalogTarget:
         self.catalog.merge(source, dialect)  # real MERGE INTO (step 2)
         self._commit_from_catalog()
 
+    def changes(self, v_from: int, v_to: int, keys: list[str] | None = None):
+        """Change data feed between two committed snapshots (Delta CDF /
+        Iceberg ``changes`` shape, derived): one row per changed key with
+        op + pre/post images. Defaults to the merge-key column the CoW
+        merges key on."""
+        from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+        return snapshot_diff(
+            self.read_version(v_from),
+            self.read_version(v_to),
+            keys=keys or [MERGE_KEY_COLUMN],
+        )
+
     def watermark_store(self):
         """T2 watermark persistence that survives what the table survives:
         the reference stores progress in the Iceberg table's ``comment``

@@ -85,6 +85,15 @@ HEADLINE5 = [
     "a20_log_hist_quantiles",
 ]
 
+#: sixth section (r6): the unified lakehouse lifecycle priced end-to-end —
+#: three real MERGE INTO CoW commits + compaction + ANALYZE + orphan
+#: sweep + snapshot expiry + an idempotent replay, all on one durable
+#: table (the m8 gate runs the whole thing; this is a lifecycle vertical,
+#: not a single-operator throughput number).
+HEADLINE6 = [
+    "m8_lakehouse_vertical",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,6 +167,7 @@ def main() -> None:
     timings3, stats3 = measure(HEADLINE3)
     timings4, stats4 = measure(HEADLINE4)
     timings5, stats5 = measure(HEADLINE5)
+    timings6, stats6 = measure(HEADLINE6)
     # The driver records only the LAST ~2.3 KB of stdout; r4's combined
     # line (medians + min/max stats) overflowed that and truncated its own
     # "value" field (VERDICT r4 item 5). So: the FINAL stdout line is a
@@ -181,6 +191,9 @@ def main() -> None:
         "headline5_total": round(sum(timings5.values()), 3),
         "headline5_queries": timings5,
         "headline5_query_stats": stats5,
+        "headline6_total": round(sum(timings6.values()), 3),
+        "headline6_queries": timings6,
+        "headline6_query_stats": stats6,
         "runs_per_query": runs,
         "sf": sf,
     }
@@ -199,6 +212,7 @@ def main() -> None:
         "headline3_total": detail["headline3_total"],
         "headline4_total": detail["headline4_total"],
         "headline5_total": detail["headline5_total"],
+        "headline6_total": detail["headline6_total"],
         "runs_per_query": runs,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",

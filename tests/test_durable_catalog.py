@@ -205,3 +205,15 @@ def test_schema_drift_widens_the_durable_table(spark, target):
     )
     rows = {r["ARCANE_MERGE_KEY"]: r["region"] for r in target.read().collect()}
     assert rows["k1"] == "us"
+
+
+def test_changes_between_snapshots_is_the_cdf(spark, target):
+    """The durable table is a CDC *source* too: changes(v1, v2) derives
+    the Delta-CDF-shaped feed the second merge produced."""
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    sink.apply(spark.createDataFrame(WAVE1, BATCH_SCHEMA))
+    sink.apply(spark.createDataFrame(WAVE2, BATCH_SCHEMA))
+    ops = {
+        r["ARCANE_MERGE_KEY"]: r["op"] for r in target.changes(1, 2).collect()
+    }
+    assert ops == {"k1": "update", "k2": "delete", "k4": "insert"}
