@@ -1433,7 +1433,7 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
     return final
 
 
-_M8_SQL = f"""
+_M8_LAKEHOUSE_SQL = f"""
 WITH b AS (SELECT max(event_id) * 9 // 10 AS t_hi FROM events),
 src AS (
   SELECT {mssql_merge_key_sql('user_id')} AS k,
@@ -7752,7 +7752,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_late_data": _T_STREAM_LATE_SQL,
         "t_stream_hll": _t_stream_hll_sql(),
         "t_hll_state_merge": _t_hll_state_sql(),
-        "m8_lakehouse_vertical": _M8_SQL,
+        "m8_lakehouse_vertical": _M8_LAKEHOUSE_SQL,
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,
