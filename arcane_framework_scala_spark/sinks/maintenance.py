@@ -59,7 +59,12 @@ def optimize_snapshot(
     version (readers on the old snapshot are unaffected; the pointer flips
     atomically). Returns the file count written. ``coalesce`` (narrow, no
     shuffle) is deliberate: compaction reads+rewrites every byte already,
-    a ``repartition`` would add a full shuffle of the table on top."""
+    a ``repartition`` would add a full shuffle of the table on top.
+
+    On a hive-partitioned target (``partition_cols``) the return value is
+    the write TASK count; each task fans out one file per partition
+    directory it holds rows for (Iceberg's ``rewrite_data_files`` bin-packs
+    per partition for the same reason)."""
     stats = table_stats(_current_dir(target))
     n_files = max(1, math.ceil(stats.bytes / target_file_bytes))
     df = target.read().coalesce(n_files)

@@ -86,10 +86,19 @@ class SnapshotParquetTarget:
         spark: SparkSession,
         path: str,
         max_rows_per_file: int | None = None,
+        partition_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.max_rows_per_file = max_rows_per_file
+        #: hive-partition every committed snapshot by these columns — the
+        #: 100 TB requirement (Iceberg partition spec equivalent): reads
+        #: with a partition predicate prune to the matching directories
+        #: (PartitionFilters in the scan, pinned by test_plan_audit).
+        #: Partition values must be type-inference-stable (strings that
+        #: don't look numeric, or genuine numerics) — the same contract
+        #: hive layouts always had.
+        self.partition_cols = list(partition_cols or [])
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
@@ -146,6 +155,8 @@ class SnapshotParquetTarget:
         writer = df.write.mode("overwrite")
         if self.max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_rows_per_file)
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(out)
         tmp = self._pointer() + ".tmp"
         os.makedirs(self.path, exist_ok=True)
@@ -304,10 +315,13 @@ class DurableCatalogTarget:
         path: str,
         table: str,
         max_rows_per_file: int | None = None,
+        partition_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.table = table
-        self.snapshots = SnapshotParquetTarget(spark, path, max_rows_per_file)
+        self.snapshots = SnapshotParquetTarget(
+            spark, path, max_rows_per_file, partition_cols
+        )
         self.catalog = CatalogTarget(spark, table)
 
     # -- durable truth: reads delegate to the snapshot layout ---------

@@ -217,3 +217,62 @@ def test_changes_between_snapshots_is_the_cdf(spark, target):
         r["ARCANE_MERGE_KEY"]: r["op"] for r in target.changes(1, 2).collect()
     }
     assert ops == {"k1": "update", "k2": "delete", "k4": "insert"}
+
+
+def test_partitioned_snapshots_prune_on_read(spark, tmp_path):
+    """100 TB posture: a DurableCatalogTarget with partition_cols commits
+    hive-partitioned snapshots, and a read with a partition predicate
+    reaches the scan as a PartitionFilter (directory pruning — the
+    Iceberg partition-spec equivalent)."""
+    import uuid as _uuid
+
+    from arcane_framework_scala_spark.plans.audit import audit_plan
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        expire_snapshots,
+        optimize_snapshot,
+    )
+
+    if not _mem_available(spark):
+        pytest.skip("mem catalog jar not loaded in this session")
+    name = f"mem.itest.part_{_uuid.uuid4().hex[:10]}"
+    target = DurableCatalogTarget(
+        spark, str(tmp_path / "t"), name, partition_cols=["event_type"]
+    )
+    try:
+        wave1 = [
+            ("k1", 1, "U", 1, 10, "click"),
+            ("k2", 2, "U", 2, 20, "view"),
+            ("k3", 3, "U", 3, 30, "click"),
+        ]
+        wave2 = [
+            ("k1", 4, "U", 1, 11, "click"),
+            ("k4", 5, "U", 4, 40, "scroll"),
+        ]
+        schema = BATCH_SCHEMA.replace("score long", "score long, event_type string")
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        sink.apply(spark.createDataFrame(wave1, schema))
+        sink.apply(spark.createDataFrame(wave2, schema))
+
+        # hive layout on disk
+        assert os.path.isdir(tmp_path / "t" / "v=2" / "event_type=click")
+        # full state survives the partitioned round-trip
+        got = {r["ARCANE_MERGE_KEY"]: r["event_type"] for r in target.read().collect()}
+        assert got == {"k1": "click", "k2": "view", "k3": "click", "k4": "scroll"}
+
+        # partition predicate reaches the scan as a PartitionFilter
+        pruned = target.read().filter(F.col("event_type") == "click")
+        a = audit_plan(pruned)
+        assert a.partition_filter_scans >= 1, a.plan
+        assert any("event_type" in p for p in a.partition_filters), (
+            a.partition_filters
+        )
+        assert pruned.count() == 2
+
+        # maintenance still works on the partitioned layout
+        optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
+        assert {r["ARCANE_MERGE_KEY"] for r in target.read().collect()} == {
+            "k1", "k2", "k3", "k4",
+        }
+        assert expire_snapshots(target.snapshots, keep_last=1) == [1, 2]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
