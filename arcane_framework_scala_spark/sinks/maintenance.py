@@ -52,7 +52,9 @@ def _current_dir(target: SnapshotParquetTarget) -> str:
 
 
 def optimize_snapshot(
-    target: SnapshotParquetTarget, target_file_bytes: int = 128 << 20
+    target: SnapshotParquetTarget,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """X1 compaction: rewrite the current snapshot into
     ``ceil(total_bytes / target_file_bytes)`` files as a new snapshot
@@ -64,10 +66,25 @@ def optimize_snapshot(
     On a hive-partitioned target (``partition_cols``) the return value is
     the write TASK count; each task fans out one file per partition
     directory it holds rows for (Iceberg's ``rewrite_data_files`` bin-packs
-    per partition for the same reason)."""
+    per partition for the same reason).
+
+    ``sort_cols`` switches from bin-packing to Iceberg's SORT strategy
+    (``rewrite_data_files(strategy => 'sort')``): the rewrite
+    range-repartitions on the sort key and sorts within each file, so
+    file-level min/max ranges are non-overlapping — point/range reads
+    then prune to one file by parquet footer stats alone. Costs a full
+    shuffle of the table (the strategy's price on Iceberg too); plain
+    compaction stays shuffle-free ``coalesce``. Pass a z-order key column
+    (``functions.layout.zorder_key``) to cluster on multiple dimensions."""
     stats = table_stats(_current_dir(target))
     n_files = max(1, math.ceil(stats.bytes / target_file_bytes))
-    df = target.read().coalesce(n_files)
+    df = target.read()
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(n_files)
     # the per-file row cap is a staging-write knob; compaction's whole point
     # is larger files, so bypass it for this commit
     cap, target.max_rows_per_file = target.max_rows_per_file, None

@@ -4,6 +4,7 @@ the Iceberg metadata-table SQL builders."""
 from __future__ import annotations
 
 import duckdb
+import pyspark.sql.functions as F
 
 from arcane_framework_scala_spark.sinks.table_stats import (
     avg_row_bytes,
@@ -206,3 +207,49 @@ def test_value_quantiles_exact_and_sketch(spark):
         ).collect()
     }
     assert 1.0 <= sk["a"]["q_5"] <= 100.0
+
+
+def test_sort_strategy_compaction_declusters_nothing_overlaps(spark, tmp_path, sf_dir):
+    """optimize_snapshot(sort_cols=...) = Iceberg rewrite_data_files
+    SORT strategy: the rewrite range-repartitions + sorts, so file-level
+    min/max ranges on the sort key are non-overlapping — a point read
+    prunes to ONE file from parquet footers alone. Values identical to
+    the bin-packed snapshot (compaction is metadata-only either way)."""
+    import glob
+
+    from arcane_framework_scala_spark.sinks.maintenance import optimize_snapshot
+    from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_quantity")  # deliberately clustered on the WRONG key
+    )
+    target = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    target.overwrite(li.repartition(6))
+    before = li.count()
+
+    # tiny target size forces a multi-file sorted rewrite
+    bytes_now = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(str(tmp_path / "t" / "v=1" / "*.parquet"))
+    )
+    n_files = optimize_snapshot(
+        target, target_file_bytes=max(1, bytes_now // 4), sort_cols=["l_orderkey"]
+    )
+    assert n_files >= 3
+    files = sorted(glob.glob(str(tmp_path / "t" / "v=2" / "*.parquet")))
+    assert len(files) >= 3
+    assert target.read().count() == before
+
+    # per-file [min, max] on the sort key must not overlap across files
+    ranges = []
+    for f in files:
+        agg = spark.read.parquet(f).agg(
+            F.min("l_orderkey"), F.max("l_orderkey")
+        ).first()
+        if agg[0] is not None:
+            ranges.append((agg[0], agg[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
