@@ -46,6 +46,7 @@ class RetryPolicy:
         "connection",
         "timeout acquiring",
         "CommitFailedException",
+        "CommitConflictError",  # the in-repo snapshot-pointer analogue
     )
 
     def is_retryable(self, error: BaseException) -> bool:
@@ -63,6 +64,13 @@ def with_retry(policy: RetryPolicy, fn):
                 raise
             time.sleep(delay)
             delay *= policy.scale_factor
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed between this writer's snapshot write
+    and pointer flip — the filesystem analogue of Iceberg's
+    ``CommitFailedException``. Retryable by policy: the retried merge
+    re-hydrates from the winner's snapshot, so no batch is lost."""
 
 
 #: K1 parity: the reference chunks staged parquet at 10 000 rows per file
@@ -150,7 +158,8 @@ class SnapshotParquetTarget:
         return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
 
     def _commit(self, df: DataFrame) -> None:
-        v = (self.current_version() or 0) + 1
+        base = self.current_version() or 0
+        v = base + 1
         out = os.path.join(self.path, f"v={v}")
         writer = df.write.mode("overwrite")
         if self.max_rows_per_file:
@@ -158,6 +167,20 @@ class SnapshotParquetTarget:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(out)
+        # optimistic commit (Iceberg CommitFailedException semantics): if
+        # another writer flipped the pointer while this snapshot was being
+        # written, flipping ours would silently DISCARD their commit — the
+        # lost-update anomaly. Raise instead; the error is retryable, and
+        # the MergeSink retry re-hydrates from the winner's snapshot so
+        # both batches land. (Check-then-rename is not atomic — a razor-
+        # thin race survives, exactly as narrow as two Iceberg writers
+        # hitting the catalog's compare-and-swap; the orphaned v-dir a
+        # loser leaves behind is remove_orphan_files territory.)
+        if (self.current_version() or 0) != base:
+            raise CommitConflictError(
+                f"concurrent commit to {self.path}: expected pointer at "
+                f"v={base}, found v={self.current_version()}"
+            )
         tmp = self._pointer() + ".tmp"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:

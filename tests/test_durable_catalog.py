@@ -276,3 +276,66 @@ def test_partitioned_snapshots_prune_on_read(spark, tmp_path):
         assert expire_snapshots(target.snapshots, keep_last=1) == [1, 2]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_concurrent_commit_is_detected_not_lost(spark, tmp_path):
+    """Optimistic commit: a pointer flipped by another writer between
+    snapshot write and this writer's flip raises CommitConflictError
+    (Iceberg CommitFailedException semantics) instead of silently
+    discarding the other writer's commit."""
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        CommitConflictError,
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "race"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.overwrite(df)
+    assert t.current_version() == 1
+
+    calls = {"n": 0}
+    real = SnapshotParquetTarget.current_version
+
+    def racy(self):
+        calls["n"] += 1
+        # first read = base for the new commit; later reads see another
+        # writer's v=2 having landed meanwhile
+        return real(self) if calls["n"] == 1 else real(self) + 1
+
+    t.current_version = racy.__get__(t)
+    with pytest.raises(CommitConflictError):
+        t._commit(df)
+    del t.current_version
+    assert t.current_version() == 1  # pointer untouched by the loser
+
+
+def test_commit_conflict_retries_and_converges(spark, target):
+    """MergeSink's retry policy treats the conflict as transient: the
+    retried merge re-hydrates from the winner's snapshot and lands the
+    batch — no lost update, Iceberg's optimistic-concurrency loop."""
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        CommitConflictError,
+        RetryPolicy,
+    )
+
+    sink = MergeSink(
+        target=target,
+        dialect=SQL_SERVER_CHANGE_TRACKING,
+        retry=RetryPolicy(initial_delay_seconds=0.01),
+    )
+    sink.apply(spark.createDataFrame(WAVE1, BATCH_SCHEMA))
+
+    orig = target.snapshots._commit
+    state = {"raised": False}
+
+    def conflict_once(df):
+        if not state["raised"]:
+            state["raised"] = True
+            raise CommitConflictError("simulated concurrent commit")
+        return orig(df)
+
+    target.snapshots._commit = conflict_once
+    sink.apply(spark.createDataFrame(WAVE2, BATCH_SCHEMA))  # retries inside
+    assert state["raised"]
+    assert target.versions() == [1, 2]
+    assert _rows(target.read()) == _expected_two_waves(spark)
