@@ -363,30 +363,72 @@ class DurableCatalogTarget:
 
     # -- CoW write path ------------------------------------------------
 
+    #: catalog property recording which durable snapshot the execution
+    #: table is a faithful copy of. Set only AFTER both sides agree;
+    #: cleared BEFORE the catalog is mutated — so a crash at any point
+    #: leaves it absent/stale and the next merge re-hydrates. Steady
+    #: state (consecutive merges from one process, e.g. foreachBatch)
+    #: skips the full-table re-read entirely.
+    MIRROR_PROPERTY = "arcane.mirror_of_snapshot"
+
+    def _mirror_version(self) -> int | None:
+        if not self.catalog.exists():
+            return None
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        try:
+            return int(props[self.MIRROR_PROPERTY])
+        except (KeyError, ValueError):
+            return None
+
+    def _set_mirror(self, version: int) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"('{self.MIRROR_PROPERTY}'='{version}')"
+        )
+
+    def _clear_mirror(self) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self.table} UNSET TBLPROPERTIES IF EXISTS "
+            f"('{self.MIRROR_PROPERTY}')"
+        )
+
     def _hydrate(self) -> None:
         """Step 1 of the CoW commit: the execution table mirrors the
-        current durable snapshot (never trust a leftover catalog table —
-        it may be a casualty of a crash between MERGE and commit)."""
-        current = self.snapshots.read()
-        if current is None:
+        current durable snapshot. A catalog table whose mirror property
+        matches ``_CURRENT`` is that snapshot (the property is cleared
+        before every mutation), so the full-table re-read is skipped;
+        anything else — absent property, stale version, leftover of a
+        crash between MERGE and commit — is never trusted."""
+        cur_v = self.snapshots.current_version()
+        if cur_v is None:
             if self.catalog.exists():
                 self.spark.sql(f"DROP TABLE {self.table}")
             return
-        self.catalog.overwrite(current)
+        if self._mirror_version() == cur_v:
+            return  # steady state: catalog already IS this snapshot
+        self.catalog.overwrite(self.snapshots.read())
+        self._set_mirror(cur_v)
 
     def _commit_from_catalog(self) -> None:
         """Step 3: the rewritten table becomes the next durable snapshot
-        (atomic ``_CURRENT`` rename — readers never see a partial one)."""
+        (atomic ``_CURRENT`` rename — readers never see a partial one),
+        then the catalog is marked as its mirror."""
         merged = self.catalog.read()
         assert merged is not None  # _hydrate + merge always create it
         self.snapshots._commit(merged)
+        self._set_mirror(self.snapshots.current_version())
 
     def overwrite(self, df: DataFrame) -> None:
+        if self.catalog.exists():
+            self._clear_mirror()
         self.catalog.overwrite(df)
         self._commit_from_catalog()
 
     def merge(self, source: DataFrame, dialect: MergeDialect) -> None:
         self._hydrate()
+        if self.catalog.exists():
+            self._clear_mirror()  # catalog is about to diverge
         self.catalog.merge(source, dialect)  # real MERGE INTO (step 2)
         self._commit_from_catalog()
 

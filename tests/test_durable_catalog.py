@@ -339,3 +339,32 @@ def test_commit_conflict_retries_and_converges(spark, target):
     assert state["raised"]
     assert target.versions() == [1, 2]
     assert _rows(target.read()) == _expected_two_waves(spark)
+
+
+def test_steady_state_merges_skip_the_rehydrate(spark, target):
+    """Consecutive merges from one process (the foreachBatch shape) must
+    not pay a full-table re-read per batch: the mirror property proves
+    the catalog already IS the current snapshot. Crash leftovers clear
+    the property, so the skip is never trusted blindly."""
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    sink.apply(spark.createDataFrame(WAVE1, BATCH_SCHEMA))
+
+    calls = {"overwrites": 0}
+    orig = target.catalog.overwrite
+
+    def counting(df):
+        calls["overwrites"] += 1
+        return orig(df)
+
+    target.catalog.overwrite = counting
+    sink.apply(spark.createDataFrame(WAVE2, BATCH_SCHEMA))
+    assert calls["overwrites"] == 0  # steady state: no rehydrate
+    assert _rows(target.read()) == _expected_two_waves(spark)
+
+    # another writer advances the durable truth behind our back -> the
+    # mirror is stale and the next merge MUST rehydrate
+    target.snapshots._commit(target.read().filter("ARCANE_MERGE_KEY != 'k4'"))
+    sink.apply(spark.createDataFrame([("k9", 9, "U", 9, 90)], BATCH_SCHEMA))
+    assert calls["overwrites"] == 1  # rehydrated from the foreign snapshot
+    keys = {r["ARCANE_MERGE_KEY"] for r in target.read().collect()}
+    assert keys == {"k1", "k9"}  # k4 gone (foreign snapshot), k9 merged
