@@ -368,3 +368,59 @@ def test_steady_state_merges_skip_the_rehydrate(spark, target):
     assert calls["overwrites"] == 1  # rehydrated from the foreign snapshot
     keys = {r["ARCANE_MERGE_KEY"] for r in target.read().collect()}
     assert keys == {"k1", "k9"}  # k4 gone (foreign snapshot), k9 merged
+
+
+def test_polling_loop_with_inloop_maintenance_on_the_durable_table(
+    spark, target, tmp_path
+):
+    """The complete production loop on ONE durable table: the T1 polling
+    runner merges each wave with real MERGE INTO (CoW snapshot per
+    batch), the T2 watermark lives in the snapshot layout, and the
+    every-N maintenance hook compacts/expires the SAME files mid-stream —
+    the reference's TargetMaintenanceProcessor wiring, jar-less."""
+    import time
+
+    from arcane_framework_scala_spark.queries.maintenance import (
+        MaintenanceSchedule,
+    )
+    from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+    from arcane_framework_scala_spark.sinks.maintenance import run_maintenance
+    from arcane_framework_scala_spark.sources import BlobParquetSource
+    from arcane_framework_scala_spark.streaming import StreamRunner, StreamSettings
+
+    src_dir = str(tmp_path / "blobs")
+    os.makedirs(src_dir, exist_ok=True)
+    runner = StreamRunner(
+        source=BlobParquetSource(spark, src_dir, primary_keys=["pk"]),
+        sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+        watermark_store=target.watermark_store(),
+        settings=StreamSettings(poll_interval_seconds=0.01),
+        maintenance=MaintenanceSchedule(optimize_every=2, expire_every=2),
+        maintenance_fn=lambda op: run_maintenance(target.snapshots, op),
+    )
+
+    spark.createDataFrame(
+        [("a", "v1"), ("b", "v1")], "pk string, payload string"
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "wave1"))
+    assert runner.run_once() >= 1
+    assert target.versions() == [1]
+
+    time.sleep(1.1)  # later modification epoch for wave 2
+    spark.createDataFrame(
+        [("b", "v2"), ("c", "v2")], "pk string, payload string"
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "wave2"))
+    assert runner.run_once() >= 1
+    # batch 2 triggered optimize (-> v=3) then expire keep_last=1
+    assert runner.metrics.maintenance_runs == 2
+    assert target.versions() == [3]
+    rows = {r["pk"]: r["payload"] for r in target.read().collect()}
+    assert rows == {"a": "v1", "b": "v2", "c": "v2"}
+    # the watermark store survives in the snapshot layout
+    assert target.watermark_store().read() is not None
+    # and the stream keeps merging after maintenance rewrote the files
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("d", "v3")], "pk string, payload string"
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "wave3"))
+    assert runner.run_once() >= 1
+    assert {r["pk"] for r in target.read().collect()} == {"a", "b", "c", "d"}
