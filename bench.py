@@ -162,6 +162,27 @@ def main() -> None:
             )
         return medians, stats
 
+    # Host-drift calibration: a fixed trivial plan (scan+agg over
+    # lineitem, no engine code under test) timed in the same session.
+    # Same-code totals have drifted 15-30% between runs on different
+    # days on this box; dividing any headline by this number compares
+    # engine behavior across rounds with the host normalized out.
+    def calibration() -> float:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        samples = []
+        for i in range(4):
+            t0 = time.time()
+            li.groupBy("l_returnflag").agg(
+                {"l_quantity": "sum", "l_extendedprice": "avg"}
+            ).write.format("noop").mode("overwrite").save()
+            if i:  # first run discarded (footer/codegen warm-up)
+                samples.append(time.time() - t0)
+        samples.sort()
+        return round(samples[len(samples) // 2], 3)
+
+    calib = calibration()
+    print(f"# calibration_scan: {calib}s", file=sys.stderr)
+
     timings, stats1 = measure(HEADLINE)
     timings2, stats2 = measure(HEADLINE2)
     timings3, stats3 = measure(HEADLINE3)
@@ -194,6 +215,7 @@ def main() -> None:
         "headline6_total": round(sum(timings6.values()), 3),
         "headline6_queries": timings6,
         "headline6_query_stats": stats6,
+        "calibration_scan_sec": calib,
         "runs_per_query": runs,
         "sf": sf,
     }
@@ -213,6 +235,7 @@ def main() -> None:
         "headline4_total": detail["headline4_total"],
         "headline5_total": detail["headline5_total"],
         "headline6_total": detail["headline6_total"],
+        "calibration_scan_sec": calib,
         "runs_per_query": runs,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
