@@ -37,6 +37,8 @@ from arcane_framework_scala_spark.functions import corpus as cx
 from arcane_framework_scala_spark.functions import kmeans as km
 from arcane_framework_scala_spark.functions import semdedup as sd
 from arcane_framework_scala_spark.functions import classifier as clf
+from arcane_framework_scala_spark.functions import web as web
+from arcane_framework_scala_spark.functions import line_dedup as ld
 from arcane_framework_scala_spark.operators.dedup_window import (
     backfill_commit_dedup,
     latest_version_per_key,
@@ -2707,6 +2709,86 @@ def q_corpus_contamination(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     corp = docs.filter(F.col("doc_id") % 10 != 0)
     return cx.contamination(corp, bench, n=8)
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation surface (URL canonicalization + host balancing;
+# functions/web.py — r6-born). The test tables carry no URL column, so
+# each gate derives a deterministic messy URL from (source, doc_id) with
+# identical arithmetic on both engines; the algebra under test is the
+# canonicalization / host-cap / URL-dedup itself.
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_urls(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return web.url_canonicalize(
+        docs.withColumn("url", web.synthetic_url_column())
+    )
+
+
+def q_web_url_canonical(spark, sf_dir):
+    """CCNet/RefinedWeb-style URL canonicalization: lowercase scheme and
+    host, www. stripped, scheme-default ports dropped, trailing slashes
+    trimmed, fragments removed, tracking params (utm_*/fbclid/gclid/...)
+    removed and survivors byte-sorted. Pure narrow regexp/array column
+    expressions — zero shuffles, inlineable into a 100 TB scan."""
+    return _docs_with_urls(spark, sf_dir).select(
+        "doc_id", "url", "scheme", "host", "domain", "canon_url"
+    )
+
+
+def q_web_host_stats(spark, sf_dir):
+    """Per-host corpus profile (docs, distinct canonical URLs, byte
+    mass) — the input of every host-level curation decision. One
+    map-side-combined shuffle on host."""
+    return web.host_stats(_docs_with_urls(spark, sf_dir), size_col="n_chars")
+
+
+def q_web_host_cap(spark, sf_dir):
+    """RefinedWeb host balancing: keep at most 5 documents per host,
+    chosen deterministically by md5(doc_id) so the sample is unbiased
+    and engine-independent."""
+    return web.host_cap_sample(_docs_with_urls(spark, sf_dir), cap=5).select(
+        "doc_id", "host", "host_rank"
+    )
+
+
+def q_web_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup: one row per canon_url, longest document wins
+    (ties → lowest doc_id). Tracking-param noise collapses onto one
+    canonical key, so re-crawls of the same page dedup exactly."""
+    return web.url_dedup(
+        _docs_with_urls(spark, sf_dir), quality_col="n_chars"
+    ).select("doc_id", "host", "canon_url", "n_chars")
+
+
+def q_corpus_line_dedup(spark, sf_dir):
+    """Corpus-level duplicated-line profile (RefinedWeb line-wise
+    corrections): share of each document's lines that occur in >=2
+    distinct documents. Pseudo-lines = 3-token chunks (test corpus has
+    no newlines; real corpora pass split(text, '\\n'))."""
+    return ld.line_dedup_stats(
+        ld.chunk_lines(_read(spark, sf_dir, "documents"), width=3),
+        min_docs=2,
+    )
+
+
+def q_corpus_line_dedup_clean(spark, sf_dir):
+    """The masking step: rebuild every document without its
+    corpus-duplicated lines (order-preserving array_sort reassembly; docs
+    that were pure boilerplate survive as empty strings)."""
+    return ld.line_dedup_clean(
+        ld.chunk_lines(_read(spark, sf_dir, "documents"), width=3),
+        min_docs=2,
+    )
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide frequent-3-gram mining (boilerplate signature
+    discovery): exact global top-50 with deterministic tie-break; plans
+    TakeOrderedAndProject, never a full sort."""
+    return cx.top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=50)
 
 
 def q_corpus_hash_split(spark, sf_dir):
@@ -7353,12 +7435,17 @@ _GATE_WINDOW_R6 = [
     "dedup_span_stats", "sim_tfidf_rerank", "dedup_span_clean",
     "sim_rrf_hybrid", "sim_lsh_buckets", "sim_lsh_neighbors",
     "mm_image_features", "mm_audio_features",
-    # --- 12 stalest r3 entries ---
-    "mm_frame_sample", "s9_avro_json", "sim_ivf_topk",
-    "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
-    "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
-    "corpus_repetition", "corpus_contamination",
-    "corpus_curation_pipeline",
+    # --- r6-born web-curation + line-dedup + ngram-mining gates
+    #     (never driver-checked -> must sit in window) ---
+    "web_url_canonical", "web_host_stats", "web_host_cap",
+    "web_url_dedup", "corpus_line_dedup", "corpus_line_dedup_clean",
+    "corpus_top_ngrams",
+    # --- 5 stalest r3 entries (the other 7 r3 rows displaced by the
+    #     gates above rotate forward in r7: mm_frame_sample,
+    #     sim_kmeans_centroids, sim_ivf_trained_topk, sim_quantize_int8,
+    #     dedup_embedding_cosine, t_window_agg, corpus_repetition) ---
+    "s9_avro_json", "sim_ivf_topk", "t_sessionize",
+    "corpus_contamination", "corpus_curation_pipeline",
     # p10_bucketed_join/skew_salted_agg/corpus_stratified_sample/
     # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
     # r6-born gates
@@ -7566,14 +7653,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_neighbors": q_lsh_neighbors,
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
+        # --- r6-born web-curation / line-dedup / ngram-mining gates ---
+        "web_url_canonical": q_web_url_canonical,
+        "web_host_stats": q_web_host_stats,
+        "web_host_cap": q_web_host_cap,
+        "web_url_dedup": q_web_url_dedup,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_line_dedup_clean": q_corpus_line_dedup_clean,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
     }
     assert len(_GATE_WINDOW_R6) == 50, len(_GATE_WINDOW_R6)
     front = {n: full[n] for n in _GATE_WINDOW_R6}
     return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 
+# Web-curation oracles (r6-born): same synthetic URL arithmetic as the
+# gates, then the functions' own DuckDB twins.
+_WEB_CANON_INNER_SQL = web.url_canonicalize_sql(
+    f"SELECT *, {web.synthetic_url_sql()} AS url FROM documents"
+)
+_WEB_URL_CANONICAL_SQL = (
+    "SELECT doc_id, url, scheme, host, domain, canon_url "
+    f"FROM ({_WEB_CANON_INNER_SQL})"
+)
+_WEB_HOST_STATS_SQL = web.host_stats_sql(
+    f"SELECT * FROM ({_WEB_CANON_INNER_SQL})", size_col="n_chars"
+)
+_WEB_HOST_CAP_SQL = (
+    "SELECT doc_id, host, host_rank FROM ("
+    + web.host_cap_sample_sql(f"SELECT * FROM ({_WEB_CANON_INNER_SQL})", cap=5)
+    + ")"
+)
+_WEB_URL_DEDUP_SQL = (
+    "SELECT doc_id, host, canon_url, n_chars FROM ("
+    + web.url_dedup_sql(
+        f"SELECT * FROM ({_WEB_CANON_INNER_SQL})", quality_col="n_chars"
+    )
+    + ")"
+)
+_CORPUS_LINE_DEDUP_SQL = ld.line_dedup_stats_sql(width=3, min_docs=2)
+_CORPUS_LINE_DEDUP_CLEAN_SQL = ld.line_dedup_clean_sql(width=3, min_docs=2)
+_CORPUS_TOP_NGRAMS_SQL = cx.top_ngrams_sql(n=3, k=50)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "web_url_canonical": _WEB_URL_CANONICAL_SQL,
+        "web_host_stats": _WEB_HOST_STATS_SQL,
+        "web_host_cap": _WEB_HOST_CAP_SQL,
+        "web_url_dedup": _WEB_URL_DEDUP_SQL,
+        "corpus_line_dedup": _CORPUS_LINE_DEDUP_SQL,
+        "corpus_line_dedup_clean": _CORPUS_LINE_DEDUP_CLEAN_SQL,
+        "corpus_top_ngrams": _CORPUS_TOP_NGRAMS_SQL,
         "s11_auth_mapping": _S11_AUTH_SQL,
         "a6_shard_estimate": _A6_SHARD_SQL,
         "t4_shaper_chain": _T4_SHAPER_SQL,

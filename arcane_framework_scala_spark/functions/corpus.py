@@ -1141,3 +1141,70 @@ SELECT * EXCLUDE (__h),
        row_number() OVER (PARTITION BY shard ORDER BY __h, {id_col}) - 1 AS pos
 FROM (SELECT t.*, {shard} AS shard, {h} AS __h FROM {table} t)
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide frequent n-gram mining (boilerplate signature discovery —
+# the corpus-level companion of the per-document Gopher repetition
+# metrics above; C4/RefinedWeb use the same mined lists to strip
+# boilerplate and policy lines)
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact global top-``k`` word ``n``-grams: ``(gram, occurrences,
+    doc_freq)``, ranked by occurrences with a full deterministic
+    tie-break (doc_freq desc, gram asc).
+
+    Scale: one map-side-combined shuffle over (gram) counts, then a
+    global top-k — Spark plans ``TakeOrderedAndProject`` (per-partition
+    heaps + driver merge of k rows), never a full sort. The exploded
+    gram stream is narrow; documents shorter than ``n`` words contribute
+    nothing.
+    """
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+        )
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))"
+    )
+    exploded = base.select("id", F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("id").alias("doc_freq"),
+    )
+    return counts.orderBy(
+        F.col("occurrences").desc(), F.col("doc_freq").desc(), F.col("gram")
+    ).limit(k)
+
+
+def top_ngrams_sql(
+    n: int = 3,
+    k: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`top_ngrams` (identical tie-break)."""
+    return f"""
+WITH w AS (SELECT {id_col} AS id, string_split({text_col}, ' ') AS w FROM {table}),
+g AS (
+  SELECT id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM w
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) AS u(i)
+  WHERE i <= len(w) - {n - 1}
+)
+SELECT gram, count(*) AS occurrences, count(DISTINCT id) AS doc_freq
+FROM g GROUP BY 1
+ORDER BY occurrences DESC, doc_freq DESC, gram
+LIMIT {k}
+""".strip()

@@ -1,0 +1,108 @@
+"""Unit tests for the web-curation operators (functions/web.py):
+URL canonicalization edge cases, host caps, canonical-URL dedup, and
+the Spark/DuckDB twin of the synthetic-URL derivation."""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.functions import web
+
+
+def _canon_one(spark, url: str) -> dict:
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    return web.url_canonicalize(df).collect()[0].asDict()
+
+
+@pytest.mark.parametrize(
+    "url,canon",
+    [
+        # case noise + www + default https port + trailing slash + utm
+        (
+            "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=t&z=1&a=2#frag",
+            "https://ex.com/a/b?a=2&z=1",
+        ),
+        # http default port, param sort is bytewise
+        ("http://ex.com:80/x?b=2&a=1", "http://ex.com/x?a=1&b=2"),
+        # non-default port survives
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        # https on port 80 is NOT default -> kept
+        ("https://ex.com:80/x", "https://ex.com:80/x"),
+        # all params tracking -> no query at all
+        ("http://ex.com/x?utm_a=1&fbclid=z&gclid=q", "http://ex.com/x"),
+        # root path: trailing-slash trim eats it entirely
+        ("http://ex.com/", "http://ex.com"),
+        # no path, no query
+        ("http://EX.com", "http://ex.com"),
+        # repeated slashes at end collapse
+        ("http://ex.com/a///", "http://ex.com/a"),
+    ],
+)
+def test_canonical_forms(spark, url, canon):
+    assert _canon_one(spark, url)["canon_url"] == canon
+
+
+def test_host_and_domain(spark):
+    row = _canon_one(spark, "https://WWW.news.BBC.co.uk/story")
+    assert row["host"] == "news.bbc.co.uk"
+    # last-two-label fallback (no public-suffix list): co.uk
+    assert row["domain"] == "co.uk"
+    row2 = _canon_one(spark, "https://localhost:9000/x")
+    assert row2["host"] == "localhost"
+    assert row2["domain"] == "localhost"
+
+
+def test_synthetic_url_twin_matches_duckdb(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["url"]
+        for r in docs.withColumn("url", web.synthetic_url_column())
+        .select("doc_id", "url")
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {web.synthetic_url_sql()} FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_host_cap_keeps_at_most_cap_and_is_deterministic(spark):
+    rows = [(i, f"h{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = web.host_cap_sample(df, cap=4)
+    per_host = out.groupBy("host").count().collect()
+    assert all(r["count"] == 4 for r in per_host)
+    again = web.host_cap_sample(df, cap=4)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_url_dedup_prefers_quality_then_lowest_id(spark):
+    rows = [
+        (1, "u", 10),
+        (2, "u", 30),
+        (3, "u", 30),
+        (4, "v", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, canon_url string, q long")
+    kept = {
+        r["canon_url"]: r["doc_id"]
+        for r in web.url_dedup(df, quality_col="q").collect()
+    }
+    assert kept == {"u": 2, "v": 4}
+
+
+def test_canonicalize_is_narrow_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "http://ex.com/x")], "doc_id long, url string")
+    plan = (
+        web.url_canonicalize(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
