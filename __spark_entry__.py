@@ -1454,6 +1454,144 @@ FROM ranked WHERE rk = 1 AND NOT del
 """
 
 
+def q_m9_web_ingest_vertical(spark, sf_dir):
+    """Web-crawl ingestion on the durable CoW lakehouse table: documents
+    arrive in three CDC waves (doc_id = crawl order = change version),
+    each wave canonicalizes its URLs inline in the scan
+    (``functions/web.py`` — zero extra shuffles) and real-MERGEs into ONE
+    ``DurableCatalogTarget`` keyed on the canonical URL, so re-crawls of
+    the same page (tracking-param noise collapsed) upsert instead of
+    duplicating. Latest crawl wins; a T9 replay of the last wave lands
+    byte-identical. The oracle replays the algebra: waves partition
+    disjoint increasing doc_id ranges, so sequential MERGE == global
+    latest-crawl-per-canonical-URL."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m9"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m9_run_")
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
+    )
+    canon = _docs_with_urls(spark, sf_dir)
+    batch = canon.select(
+        mssql_merge_key("canon_url").alias("ARCANE_MERGE_KEY"),
+        F.col("doc_id").alias("SYS_CHANGE_VERSION"),
+        F.lit("U").alias("SYS_CHANGE_OPERATION"),
+        "doc_id",
+        "host",
+        "canon_url",
+        "n_chars",
+    )
+    mx = canon.agg(F.max("doc_id")).first()[0]
+    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    waves = [ver <= t1, (ver > t1) & (ver <= t2), ver > t2]
+    for pred in waves:
+        sink.apply(batch.filter(pred))
+    if target.versions() != [1, 2, 3]:
+        raise AssertionError(f"3 merges -> 3 snapshots, got {target.versions()}")
+    # T9 replay of the final crawl wave: byte-identical state, new snapshot
+    sink.apply(batch.filter(waves[2]))
+    final = target.read()
+    replayed = target.read_version(3)
+    if final.exceptAll(replayed).count() or replayed.exceptAll(final).count():
+        raise AssertionError("replaying the last crawl wave was not idempotent")
+    return final.select("doc_id", "host", "canon_url", "n_chars")
+
+
+_M9_WEB_INGEST_SQL = """
+WITH ranked AS (
+  SELECT doc_id, host, canon_url, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT doc_id, host, canon_url, n_chars FROM ranked WHERE rk = 1
+"""
+
+
+def q_a21_host_stats_ivm(spark, sf_dir):
+    """Incremental view maintenance over the change data feed: the
+    host-level profile (docs, byte mass) is bootstrapped from crawl
+    wave 1 and then maintained purely from ``changes()`` CDF deltas as
+    waves 2 and 3 MERGE into the durable CoW table — O(|delta|) per
+    wave, never a full-table rescan (the 100 TB answer to per-wave
+    statistics; the reference recomputes stats from the merged table).
+    The gate asserts the maintained view equals a from-scratch groupBy
+    of the final table, and the oracle recomputes it relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.a21"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_a21_run_")
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
+    )
+    canon = _docs_with_urls(spark, sf_dir)
+    batch = canon.select(
+        mssql_merge_key("canon_url").alias("ARCANE_MERGE_KEY"),
+        F.col("doc_id").alias("SYS_CHANGE_VERSION"),
+        F.lit("U").alias("SYS_CHANGE_OPERATION"),
+        "doc_id",
+        "host",
+        "canon_url",
+        "n_chars",
+    )
+    mx = canon.agg(F.max("doc_id")).first()[0]
+    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+
+    sink.apply(batch.filter(ver <= t1))
+    stats = ivm.group_stats_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).localCheckpoint()
+    for pred, v in (((ver > t1) & (ver <= t2), 2), (ver > t2, 3)):
+        sink.apply(batch.filter(pred))
+        delta = ivm.group_delta(target.changes(v - 1, v), "host", "n_chars")
+        stats = ivm.apply_group_delta(stats, delta, "host").localCheckpoint()
+
+    recomputed = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    if stats.exceptAll(recomputed).count() or recomputed.exceptAll(stats).count():
+        raise AssertionError("IVM view diverged from full recompute")
+    return stats
+
+
+_A21_HOST_STATS_IVM_SQL = """
+WITH ranked AS (
+  SELECT host, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT host, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS sum_size
+FROM ranked WHERE rk = 1 GROUP BY 1
+"""
+
+
 def q_sim_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of the exact float
     cosine top-k and the int8-quantized cosine top-k (coarse+fine, the
@@ -7439,12 +7577,13 @@ _GATE_WINDOW_R6 = [
     #     (never driver-checked -> must sit in window) ---
     "web_url_canonical", "web_host_stats", "web_host_cap",
     "web_url_dedup", "corpus_line_dedup", "corpus_line_dedup_clean",
-    "corpus_top_ngrams",
+    "corpus_top_ngrams", "m9_web_ingest_vertical",
+    "a21_host_stats_ivm",
     # --- 5 stalest r3 entries (the other 7 r3 rows displaced by the
     #     gates above rotate forward in r7: mm_frame_sample,
     #     sim_kmeans_centroids, sim_ivf_trained_topk, sim_quantize_int8,
     #     dedup_embedding_cosine, t_window_agg, corpus_repetition) ---
-    "s9_avro_json", "sim_ivf_topk", "t_sessionize",
+    "s9_avro_json",
     "corpus_contamination", "corpus_curation_pipeline",
     # p10_bucketed_join/skew_salted_agg/corpus_stratified_sample/
     # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
@@ -7661,6 +7800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_dedup_clean": q_corpus_line_dedup_clean,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "m9_web_ingest_vertical": q_m9_web_ingest_vertical,
+        "a21_host_stats_ivm": q_a21_host_stats_ivm,
     }
     assert len(_GATE_WINDOW_R6) == 50, len(_GATE_WINDOW_R6)
     front = {n: full[n] for n in _GATE_WINDOW_R6}
@@ -7699,6 +7840,12 @@ _CORPUS_TOP_NGRAMS_SQL = cx.top_ngrams_sql(n=3, k=50)
 def oracle_sql() -> dict[str, str]:
     return {
         "web_url_canonical": _WEB_URL_CANONICAL_SQL,
+        "m9_web_ingest_vertical": _M9_WEB_INGEST_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
+        "a21_host_stats_ivm": _A21_HOST_STATS_IVM_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
         "web_host_stats": _WEB_HOST_STATS_SQL,
         "web_host_cap": _WEB_HOST_CAP_SQL,
         "web_url_dedup": _WEB_URL_DEDUP_SQL,

@@ -94,6 +94,19 @@ HEADLINE6 = [
     "m8_lakehouse_vertical",
 ]
 
+#: seventh section (late-r6): the web-curation family — URL
+#: canonicalization is the zero-shuffle narrow-projection story (its
+#: time IS scan + codegen'd regexp algebra), the others price one
+#: host/URL-keyed shuffle each; line-dedup prices the
+#: explode→count→join→reassemble chain.
+HEADLINE7 = [
+    "web_url_canonical",
+    "web_url_dedup",
+    "web_host_cap",
+    "corpus_line_dedup_clean",
+    "corpus_top_ngrams",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,6 +202,7 @@ def main() -> None:
     timings4, stats4 = measure(HEADLINE4)
     timings5, stats5 = measure(HEADLINE5)
     timings6, stats6 = measure(HEADLINE6)
+    timings7, stats7 = measure(HEADLINE7)
     # The driver records only the LAST ~2.3 KB of stdout; r4's combined
     # line (medians + min/max stats) overflowed that and truncated its own
     # "value" field (VERDICT r4 item 5). So: the FINAL stdout line is a
@@ -215,6 +229,9 @@ def main() -> None:
         "headline6_total": round(sum(timings6.values()), 3),
         "headline6_queries": timings6,
         "headline6_query_stats": stats6,
+        "headline7_total": round(sum(timings7.values()), 3),
+        "headline7_queries": timings7,
+        "headline7_query_stats": stats7,
         "calibration_scan_sec": calib,
         "runs_per_query": runs,
         "sf": sf,
@@ -235,6 +252,7 @@ def main() -> None:
         "headline4_total": detail["headline4_total"],
         "headline5_total": detail["headline5_total"],
         "headline6_total": detail["headline6_total"],
+        "headline7_total": detail["headline7_total"],
         "calibration_scan_sec": calib,
         "runs_per_query": runs,
         "sf": sf,

@@ -1,0 +1,59 @@
+"""Unit tests for CDF-driven incremental view maintenance
+(operators/ivm.py): inserts, deletes, group-moving updates, and
+count-to-zero group removal must all land the maintained view exactly on
+a from-scratch groupBy."""
+
+import pyspark.sql.functions as F
+
+from arcane_framework_scala_spark.operators import ivm
+from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "k long, host string, n long")
+
+
+def _stats(df):
+    return ivm.group_stats_bootstrap(df, "host", "n")
+
+
+def _as_dict(df):
+    return {r["host"]: (r["docs"], r["sum_size"]) for r in df.collect()}
+
+
+def test_ivm_matches_recompute_through_mixed_delta(spark):
+    before = _tbl(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)])
+    after = _tbl(
+        spark,
+        [
+            (1, "a", 11),   # in-group update (size 10 -> 11)
+            (2, "c", 20),   # group-moving update (a -> c)
+            (4, "b", 7),    # insert
+            # key 3 deleted
+        ],
+    )
+    cdf = snapshot_diff(before, after, keys=["k"])
+    maintained = ivm.apply_group_delta(
+        _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    assert _as_dict(maintained) == _as_dict(_stats(after))
+    assert _as_dict(maintained) == {"a": (1, 11), "b": (1, 7), "c": (1, 20)}
+
+
+def test_ivm_drops_groups_that_reach_zero(spark):
+    before = _tbl(spark, [(1, "solo", 9)])
+    after = _tbl(spark, [(2, "other", 1)])
+    cdf = snapshot_diff(before, after, keys=["k"])
+    maintained = ivm.apply_group_delta(
+        _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    assert _as_dict(maintained) == {"other": (1, 1)}
+
+
+def test_ivm_noop_delta_is_identity(spark):
+    before = _tbl(spark, [(1, "a", 10), (2, "b", 20)])
+    cdf = snapshot_diff(before, before, keys=["k"])
+    maintained = ivm.apply_group_delta(
+        _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    assert _as_dict(maintained) == _as_dict(_stats(before))

@@ -494,3 +494,55 @@ def test_sketch_gates_plan_shapes(spark, queries):
     a = audit_plan(queries["a20_log_hist_quantiles"](spark, SF_DIR))
     assert a.python_nodes == 0, a.plan
     assert a.cartesian_products == 0, a.plan
+
+
+def test_web_family_plan_shapes(spark, queries):
+    """Late-r6 web-curation family: canonicalization is shuffle-free;
+    the host/URL-keyed operators pay exactly their one key shuffle (+1
+    for the row_number window's sort reuse) and stay JVM-side."""
+    a = audit_plan(queries["web_url_canonical"](spark, SF_DIR))
+    assert a.exchanges == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+
+    # host_stats pays 2: the exact countDistinct(canon_url) expands to
+    # Spark's standard two-phase distinct aggregate ((host, url) partial,
+    # then host) — inherent to exactness, not a regression
+    for name, max_ex in (("web_host_cap", 1), ("web_url_dedup", 1),
+                         ("web_host_stats", 2)):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.exchanges <= max_ex, (name, a.plan)
+        assert a.python_nodes == 0, (name, a.plan)
+        assert a.nested_loop_joins == 0, (name, a.plan)
+
+
+def test_line_dedup_plan_shapes(spark, queries):
+    """Corpus line dedup: hash joins only (no cartesian/nested-loop),
+    no Python nodes; the clean variant's reassembly is an aggregate,
+    not a window over the corpus."""
+    for name in ("corpus_line_dedup", "corpus_line_dedup_clean"):
+        a = audit_plan(queries[name](spark, SF_DIR))
+        assert a.nested_loop_joins == 0, (name, a.plan)
+        assert a.cartesian_products == 0, (name, a.plan)
+        assert a.python_nodes == 0, (name, a.plan)
+
+
+def test_ivm_delta_apply_is_view_sized(spark):
+    """The IVM merge step must plan against the view + delta only: one
+    full-outer join, no base-table scan, no Python nodes."""
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, host string, n long"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 11), (3, "c", 5)], "k long, host string, n long"
+    )
+    out = ivm.apply_group_delta(
+        ivm.group_stats_bootstrap(before, "host", "n"),
+        ivm.group_delta(snapshot_diff(before, after, keys=["k"]), "host", "n"),
+        "host",
+    )
+    a = audit_plan(out)
+    assert a.python_nodes == 0, a.plan
+    assert a.nested_loop_joins == 0, a.plan

@@ -76,7 +76,7 @@ def test_gate_window_is_the_declared_r6_rotation():
         "dedup_minhash_lsh_pairs", "mm_audio_features", "text_quality",
         # stalest r3 rows (p10_bucketed_join + 7 more r3 rows rotated
         # out for the r6-born gates — they stay r3-stale until r7)
-        "s9_avro_json", "sim_ivf_topk", "t_sessionize",
+        "s9_avro_json",
         "corpus_contamination", "corpus_curation_pipeline",
         # r6-born gates (never-checked -> forced into the window)
         "t1_stream_trigger_vertical", "a17_hll_distinct",
@@ -85,6 +85,7 @@ def test_gate_window_is_the_declared_r6_rotation():
         "web_url_canonical", "web_host_stats", "web_host_cap",
         "web_url_dedup", "corpus_line_dedup",
         "corpus_line_dedup_clean", "corpus_top_ngrams",
+        "m9_web_ingest_vertical", "a21_host_stats_ivm",
     ):
         assert required in first50, required
 
