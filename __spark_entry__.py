@@ -1592,6 +1592,126 @@ FROM ranked WHERE rk = 1 GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Engine-surface breadth gates (late r6): multi-level aggregation
+# (CUBE/GROUPING SETS), the window-function suite, and relational set
+# ops — the analytics-surface a user of a complete engine expects,
+# each against an exact DuckDB twin.
+# ---------------------------------------------------------------------------
+
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def q_a22_grouping_cube(spark, sf_dir):
+    """Multi-level aggregation in ONE pass: CUBE(event_type, day-of-week)
+    = 4 grouping sets computed from a single shuffle (Spark expands the
+    cube map-side; no self-union of 4 scans). Rolled-up levels are
+    '(all)'-marked; all-integer measures (day-of-week from exact nanos
+    arithmetic, value in fixed-point millis)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(f"((ts div {_NS_PER_DAY}) + 4) % 7").alias("dow"),
+        F.expr("cast(floor(value * 1000) as long)").alias("value_milli"),
+    )
+    cube = base.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_milli").alias("sum_milli"),
+    )
+    return cube.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("etype"),
+        F.coalesce(F.col("dow").cast("string"), F.lit("(all)")).alias("dow"),
+        "n_events",
+        "sum_milli",
+    )
+
+
+_A22_GROUPING_CUBE_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         ((epoch_ns(ts) // {_NS_PER_DAY}) + 4) % 7 AS dow,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS etype,
+       coalesce(CAST(dow AS VARCHAR), '(all)') AS dow,
+       count(*) AS n_events,
+       CAST(sum(value_milli) AS BIGINT) AS sum_milli
+FROM base GROUP BY CUBE (event_type, dow)
+""".strip()
+
+
+def q_a23_window_suite(spark, sf_dir):
+    """The ranking/navigation window-function suite over one fully
+    deterministic per-user ordering (ts, event_id): row_number, lag,
+    lead, ntile quartiles, percent_rank, cume_dist — one window spec,
+    ONE hash shuffle + sort, every function sharing it. Fractional ranks
+    are exact rationals rounded to the repo's 6-decimal convention."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("cast(floor(value * 1000) as long)").alias("value_milli"),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        # -1 default: a nullable BIGINT column round-trips through the
+        # oracle's pandas frame as float64+NaN, so keep lag/lead non-null
+        F.coalesce(F.lag("value_milli").over(w), F.lit(-1)).alias("prev_milli"),
+        F.coalesce(F.lead("value_milli").over(w), F.lit(-1)).alias("next_milli"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_A23_WINDOW_SUITE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS INT) AS rn,
+       coalesce(lag(value_milli) OVER w, -1) AS prev_milli,
+       coalesce(lead(value_milli) OVER w, -1) AS next_milli,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""".strip()
+
+
+def q_p13_set_ops(spark, sf_dir):
+    """Relational set operators (distinct INTERSECT / EXCEPT) between
+    two document subsets, tagged and unioned — Spark plans these as
+    aggregates/joins on the hashed key, not sorts."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("doc_id")
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return (
+        a.intersect(b).withColumn("op", F.lit("a_and_b"))
+        .unionByName(a.subtract(b).withColumn("op", F.lit("a_minus_b")))
+        .unionByName(b.subtract(a).withColumn("op", F.lit("b_minus_a")))
+    )
+
+
+_P13_SET_OPS_SQL = """
+WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+     b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, 'a_and_b' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT doc_id, 'a_minus_b' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT doc_id, 'b_minus_a' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+""".strip()
+
+
 def q_sim_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of the exact float
     cosine top-k and the int8-quantized cosine top-k (coarse+fine, the
@@ -7578,13 +7698,16 @@ _GATE_WINDOW_R6 = [
     "web_url_canonical", "web_host_stats", "web_host_cap",
     "web_url_dedup", "corpus_line_dedup", "corpus_line_dedup_clean",
     "corpus_top_ngrams", "m9_web_ingest_vertical",
-    "a21_host_stats_ivm",
-    # --- 5 stalest r3 entries (the other 7 r3 rows displaced by the
-    #     gates above rotate forward in r7: mm_frame_sample,
+    "a21_host_stats_ivm", "a22_grouping_cube", "a23_window_suite",
+    "p13_set_ops",
+    # --- all 15 r3-stale rows are displaced by the 20 r6-born gates;
+    #     the full r3 backlog rotates forward in r7: mm_frame_sample,
     #     sim_kmeans_centroids, sim_ivf_trained_topk, sim_quantize_int8,
-    #     dedup_embedding_cosine, t_window_agg, corpus_repetition) ---
-    "s9_avro_json",
-    "corpus_contamination", "corpus_curation_pipeline",
+    #     dedup_embedding_cosine, t_window_agg, corpus_repetition,
+    #     s9_avro_json, sim_ivf_topk, t_sessionize, corpus_contamination,
+    #     corpus_curation_pipeline, p10_bucketed_join, skew_salted_agg,
+    #     and the r2-checked corpus_stratified_sample/vocab_stats/chunk/
+    #     pack set ---
     # p10_bucketed_join/skew_salted_agg/corpus_stratified_sample/
     # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
     # r6-born gates
@@ -7802,6 +7925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "m9_web_ingest_vertical": q_m9_web_ingest_vertical,
         "a21_host_stats_ivm": q_a21_host_stats_ivm,
+        "a22_grouping_cube": q_a22_grouping_cube,
+        "a23_window_suite": q_a23_window_suite,
+        "p13_set_ops": q_p13_set_ops,
     }
     assert len(_GATE_WINDOW_R6) == 50, len(_GATE_WINDOW_R6)
     front = {n: full[n] for n in _GATE_WINDOW_R6}
@@ -7846,6 +7972,9 @@ def oracle_sql() -> dict[str, str]:
         "a21_host_stats_ivm": _A21_HOST_STATS_IVM_SQL.format(
             canon=_WEB_CANON_INNER_SQL
         ),
+        "a22_grouping_cube": _A22_GROUPING_CUBE_SQL,
+        "a23_window_suite": _A23_WINDOW_SUITE_SQL,
+        "p13_set_ops": _P13_SET_OPS_SQL,
         "web_host_stats": _WEB_HOST_STATS_SQL,
         "web_host_cap": _WEB_HOST_CAP_SQL,
         "web_url_dedup": _WEB_URL_DEDUP_SQL,

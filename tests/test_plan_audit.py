@@ -546,3 +546,21 @@ def test_ivm_delta_apply_is_view_sized(spark):
     a = audit_plan(out)
     assert a.python_nodes == 0, a.plan
     assert a.nested_loop_joins == 0, a.plan
+
+
+def test_cube_is_one_pass(spark, queries):
+    """CUBE(etype, dow) must plan as Expand + ONE aggregate shuffle —
+    not a 4-way self-union of scans."""
+    a = audit_plan(queries["a22_grouping_cube"](spark, SF_DIR))
+    assert a.scans == 1, a.plan
+    assert "Expand" in a.plan, a.plan
+    assert a.exchanges <= 1, a.plan
+
+
+def test_window_suite_shares_one_window(spark, queries):
+    """All six window functions share one (partition, order) spec: one
+    exchange + one sort, a single Window node."""
+    a = audit_plan(queries["a23_window_suite"](spark, SF_DIR))
+    assert a.exchanges == 1, a.plan
+    assert a.plan.count("(4) Window") + a.plan.count("Window (") <= 2, a.plan
+    assert a.python_nodes == 0, a.plan

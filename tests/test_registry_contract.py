@@ -74,10 +74,6 @@ def test_gate_window_is_the_declared_r6_rotation():
         "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
         "p1_field_filter", "p6_name_normalize", "sim_lsh_neighbors",
         "dedup_minhash_lsh_pairs", "mm_audio_features", "text_quality",
-        # stalest r3 rows (p10_bucketed_join + 7 more r3 rows rotated
-        # out for the r6-born gates — they stay r3-stale until r7)
-        "s9_avro_json",
-        "corpus_contamination", "corpus_curation_pipeline",
         # r6-born gates (never-checked -> forced into the window)
         "t1_stream_trigger_vertical", "a17_hll_distinct",
         "a18_cms_heavy_hitters", "a19_kmv_overlap",
@@ -86,6 +82,7 @@ def test_gate_window_is_the_declared_r6_rotation():
         "web_url_dedup", "corpus_line_dedup",
         "corpus_line_dedup_clean", "corpus_top_ngrams",
         "m9_web_ingest_vertical", "a21_host_stats_ivm",
+        "a22_grouping_cube", "a23_window_suite", "p13_set_ops",
     ):
         assert required in first50, required
 
