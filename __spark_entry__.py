@@ -1454,17 +1454,12 @@ FROM ranked WHERE rk = 1 AND NOT del
 """
 
 
-def q_m9_web_ingest_vertical(spark, sf_dir):
-    """Web-crawl ingestion on the durable CoW lakehouse table: documents
-    arrive in three CDC waves (doc_id = crawl order = change version),
-    each wave canonicalizes its URLs inline in the scan
-    (``functions/web.py`` — zero extra shuffles) and real-MERGEs into ONE
-    ``DurableCatalogTarget`` keyed on the canonical URL, so re-crawls of
-    the same page (tracking-param noise collapsed) upsert instead of
-    duplicating. Latest crawl wins; a T9 replay of the last wave lands
-    byte-identical. The oracle replays the algebra: waves partition
-    disjoint increasing doc_id ranges, so sequential MERGE == global
-    latest-crawl-per-canonical-URL."""
+def _web_ingest_setup(spark, sf_dir, gate: str):
+    """Shared m9/a21 scaffolding: a fresh durable CoW target (table
+    ``arcm.gate.<gate>``), the canonical-URL-keyed CDC batch projection,
+    and the three disjoint crawl-wave predicates. The wave thresholds
+    aggregate max(doc_id) from the RAW documents scan (not the
+    regexp-heavy canonicalized projection)."""
     import tempfile
 
     from arcane_framework_scala_spark.sinks.merge_sink import (
@@ -1478,14 +1473,13 @@ def q_m9_web_ingest_vertical(spark, sf_dir):
     )
     spark.sql(f"ADD JAR {jar}")
     spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
-    table = "arcm.gate.m9"
+    table = f"arcm.gate.{gate}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    run_dir = tempfile.mkdtemp(prefix="arcane_m9_run_")
+    run_dir = tempfile.mkdtemp(prefix=f"arcane_{gate}_run_")
     target = DurableCatalogTarget(
         spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
     )
-    canon = _docs_with_urls(spark, sf_dir)
-    batch = canon.select(
+    batch = _docs_with_urls(spark, sf_dir).select(
         mssql_merge_key("canon_url").alias("ARCANE_MERGE_KEY"),
         F.col("doc_id").alias("SYS_CHANGE_VERSION"),
         F.lit("U").alias("SYS_CHANGE_OPERATION"),
@@ -1494,11 +1488,26 @@ def q_m9_web_ingest_vertical(spark, sf_dir):
         "canon_url",
         "n_chars",
     )
-    mx = canon.agg(F.max("doc_id")).first()[0]
+    mx = _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
     t1, t2 = (mx * 3) // 10, (mx * 6) // 10
     sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
     ver = F.col("SYS_CHANGE_VERSION")
     waves = [ver <= t1, (ver > t1) & (ver <= t2), ver > t2]
+    return target, sink, batch, waves
+
+
+def q_m9_web_ingest_vertical(spark, sf_dir):
+    """Web-crawl ingestion on the durable CoW lakehouse table: documents
+    arrive in three CDC waves (doc_id = crawl order = change version),
+    each wave canonicalizes its URLs inline in the scan
+    (``functions/web.py`` — zero extra shuffles) and real-MERGEs into ONE
+    ``DurableCatalogTarget`` keyed on the canonical URL, so re-crawls of
+    the same page (tracking-param noise collapsed) upsert instead of
+    duplicating. Latest crawl wins; a T9 replay of the last wave lands
+    byte-identical. The oracle replays the algebra: waves partition
+    disjoint increasing doc_id ranges, so sequential MERGE == global
+    latest-crawl-per-canonical-URL."""
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "m9")
     for pred in waves:
         sink.apply(batch.filter(pred))
     if target.versions() != [1, 2, 3]:
@@ -1531,46 +1540,15 @@ def q_a21_host_stats_ivm(spark, sf_dir):
     statistics; the reference recomputes stats from the merged table).
     The gate asserts the maintained view equals a from-scratch groupBy
     of the final table, and the oracle recomputes it relationally."""
-    import tempfile
-
     from arcane_framework_scala_spark.operators import ivm
-    from arcane_framework_scala_spark.sinks.merge_sink import (
-        DurableCatalogTarget,
-        MergeSink,
-    )
 
-    _harden_session(spark)
-    jar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
-    )
-    spark.sql(f"ADD JAR {jar}")
-    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
-    table = "arcm.gate.a21"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    run_dir = tempfile.mkdtemp(prefix="arcane_a21_run_")
-    target = DurableCatalogTarget(
-        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
-    )
-    canon = _docs_with_urls(spark, sf_dir)
-    batch = canon.select(
-        mssql_merge_key("canon_url").alias("ARCANE_MERGE_KEY"),
-        F.col("doc_id").alias("SYS_CHANGE_VERSION"),
-        F.lit("U").alias("SYS_CHANGE_OPERATION"),
-        "doc_id",
-        "host",
-        "canon_url",
-        "n_chars",
-    )
-    mx = canon.agg(F.max("doc_id")).first()[0]
-    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
-    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
-    ver = F.col("SYS_CHANGE_VERSION")
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "a21")
 
-    sink.apply(batch.filter(ver <= t1))
+    sink.apply(batch.filter(waves[0]))
     stats = ivm.group_stats_bootstrap(
         target.read_version(1), "host", "n_chars"
     ).localCheckpoint()
-    for pred, v in (((ver > t1) & (ver <= t2), 2), (ver > t2, 3)):
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
         sink.apply(batch.filter(pred))
         delta = ivm.group_delta(target.changes(v - 1, v), "host", "n_chars")
         stats = ivm.apply_group_delta(stats, delta, "host").localCheckpoint()

@@ -1173,10 +1173,16 @@ def top_ngrams(
             F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
         )
     )
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {n})))"
-    )
+    # guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark and
+    # slice(w, 0, n) then throws — documents shorter than n words must
+    # short-circuit to an empty gram array (same shape as _gram_structs)
+    grams = F.when(
+        F.size(F.col("w")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(w, i, {n})))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
     exploded = base.select("id", F.explode(grams).alias("gram"))
     counts = exploded.groupBy("gram").agg(
         F.count(F.lit(1)).alias("occurrences"),

@@ -39,22 +39,18 @@ _PPM = 1_000_000
 def chunk_lines(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     width: int = 3,
 ) -> DataFrame:
     """Append ``lines: array<string>`` — consecutive ``width``-token
     chunks of the whitespace-tokenized text (pseudo-lines for corpora
-    without newlines; the final chunk may be shorter)."""
-    w = F.split(F.col(text_col), " ")
+    without newlines; the final chunk may be shorter). NULL text yields
+    NULL lines; '' yields the single line '' (split('', ' ') is [''])."""
+    w_sql = f"split({text_col}, ' ')"  # single source for the tokenizer
     lines = F.expr(
-        f"transform(sequence(1, cast(ceil(size(split({text_col}, ' ')) "
-        f"/ {width}.0) as int)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), "
-        f"(i - 1) * {width} + 1, {width})))"
+        f"transform(sequence(1, cast(ceil(size({w_sql}) / {width}.0) as int)), "
+        f"i -> concat_ws(' ', slice({w_sql}, (i - 1) * {width} + 1, {width})))"
     )
-    return df.withColumn("lines", F.when(F.size(w) > 0, lines).otherwise(
-        F.expr("array()").cast("array<string>")
-    ))
+    return df.withColumn("lines", lines)
 
 
 def chunk_lines_sql_cte(

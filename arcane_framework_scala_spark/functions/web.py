@@ -28,8 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 # Tracking parameters stripped by canonicalization: the de-facto public
-# list (Google/Facebook/Microsoft/Mailchimp/Instagram click ids + utm_*).
-TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+# list (Google/Facebook/Microsoft/Mailchimp/Instagram click ids + the
+# whole utm_* family, including GA4's underscore names like
+# utm_source_platform). Case-insensitive: UTM_SOURCE tracks the same.
+TRACKING_PARAM_RE = r"(?i)^(utm_[a-z_]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -44,11 +46,18 @@ def url_canonicalize(
 ) -> DataFrame:
     """Append ``(scheme, host, domain, canon_url)`` parsed from ``url_col``.
 
-    Canonical form: lowercase scheme and host, leading ``www.`` stripped,
+    Canonical form: lowercase scheme and host, userinfo dropped, IPv6
+    bracket literals kept intact, leading ``www.`` stripped,
     scheme-default ports (http:80 / https:443) dropped, trailing path
     slashes trimmed, fragment removed, tracking query params removed and
     the survivors sorted bytewise. ``domain`` is the last two host labels
     (a public-suffix list is out of scope; callers with one can override).
+
+    URLs the parser cannot anchor (no ``scheme://`` or empty host —
+    protocol-relative or bare paths) get NULL ``scheme``/``host``/
+    ``domain``/``canon_url`` instead of silently colliding on a
+    degenerate key; route or repair them before dedup/caps (NULL canon
+    rows are never merged by :func:`url_dedup`).
 
     Pure narrow column expressions — no shuffle, codegen-friendly, safe to
     run inline in a 100 TB scan.
@@ -56,10 +65,20 @@ def url_canonicalize(
     url = F.col(url_col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.regexp_extract(url, _AUTH_RE, 1)
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(auth, r"^([^:]*)", 1)), r"^www\.", ""
+    # authority = [userinfo@]host[:port]; host may be a bracketed IPv6
+    # literal (which can itself contain ':')
+    hostauth = F.regexp_replace(auth, r"^[^@/]*@", "")
+    host = F.when(
+        hostauth.startswith("["),
+        F.lower(F.regexp_extract(hostauth, r"^(\[[^\]]*\])", 1)),
+    ).otherwise(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(hostauth, r"^([^:]*)", 1)),
+            r"^www\.",
+            "",
+        )
     )
-    port_raw = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    port_raw = F.regexp_extract(hostauth, r":([0-9]+)$", 1)
     port = F.when(
         ((scheme == "https") & (port_raw == "443"))
         | ((scheme == "http") & (port_raw == "80")),
@@ -76,14 +95,20 @@ def url_canonicalize(
         ),
         "&",
     )
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
-        path,
-        F.when(kept_q == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), kept_q)
+    parsed = (scheme != "") & (host != "")
+    canon = F.when(
+        parsed,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(port == "", F.lit("")).otherwise(
+                F.concat(F.lit(":"), port)
+            ),
+            path,
+            F.when(kept_q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), kept_q)
+            ),
         ),
     )
     domain = F.coalesce(
@@ -92,9 +117,9 @@ def url_canonicalize(
     )
     return df.withColumns(
         {
-            "scheme": scheme,
-            "host": host,
-            "domain": domain,
+            "scheme": F.when(parsed, scheme),
+            "host": F.when(parsed, host),
+            "domain": F.when(parsed, domain),
             "canon_url": canon,
         }
     )
@@ -113,16 +138,23 @@ u1 AS (
   -- DuckDB regexp_extract yields NULL on no match where Spark yields '';
   -- coalesce every extract so the algebra below matches bytewise.
   SELECT *,
-    coalesce(lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1)), '') AS scheme,
+    coalesce(lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1)), '') AS __scheme,
     coalesce(regexp_extract({url_col}, '{_AUTH_RE}', 1), '') AS __auth,
     coalesce(regexp_extract({url_col}, '{_PATH_RE}', 1), '') AS __pathraw,
     coalesce(regexp_extract({url_col}, '\\?([^#]*)', 1), '') AS __queryraw
   FROM u0
 ),
+u1b AS (
+  -- authority = [userinfo@]host[:port]; IPv6 bracket literals intact
+  SELECT *, regexp_replace(__auth, '^[^@/]*@', '') AS __hostauth FROM u1
+),
 u2 AS (
   SELECT *,
-    regexp_replace(lower(coalesce(regexp_extract(__auth, '^([^:]*)', 1), '')), '^www\\.', '') AS host,
-    coalesce(regexp_extract(__auth, ':([0-9]+)$', 1), '') AS __portraw,
+    CASE WHEN __hostauth LIKE '[%'
+         THEN coalesce(lower(regexp_extract(__hostauth, '^(\\[[^\\]]*\\])', 1)), '')
+         ELSE regexp_replace(lower(coalesce(regexp_extract(__hostauth, '^([^:]*)', 1), '')), '^www\\.', '')
+    END AS __host,
+    coalesce(regexp_extract(__hostauth, ':([0-9]+)$', 1), '') AS __portraw,
     regexp_replace(__pathraw, '/+$', '') AS __path,
     -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
     coalesce(array_to_string(
@@ -130,21 +162,29 @@ u2 AS (
         list_filter(string_split(__queryraw, '&'),
                     p -> p <> '' AND NOT regexp_matches(p, '{tracking_re}'))),
       '&'), '') AS __keptq
-  FROM u1
+  FROM u1b
 ),
 u3 AS (
   SELECT *,
-    CASE WHEN (scheme = 'https' AND __portraw = '443')
-           OR (scheme = 'http' AND __portraw = '80')
-         THEN '' ELSE __portraw END AS __port
+    CASE WHEN (__scheme = 'https' AND __portraw = '443')
+           OR (__scheme = 'http' AND __portraw = '80')
+         THEN '' ELSE __portraw END AS __port,
+    (__scheme <> '' AND __host <> '') AS __parsed
   FROM u2
 )
-SELECT * EXCLUDE (__auth, __pathraw, __queryraw, __portraw, __path, __keptq, __port),
-  coalesce(nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''), host) AS domain,
-  scheme || '://' || host
-    || CASE WHEN __port = '' THEN '' ELSE ':' || __port END
-    || __path
-    || CASE WHEN __keptq = '' THEN '' ELSE '?' || __keptq END AS canon_url
+SELECT * EXCLUDE (__scheme, __auth, __hostauth, __pathraw, __queryraw,
+                  __portraw, __path, __keptq, __port, __host, __parsed),
+  CASE WHEN __parsed THEN __scheme END AS scheme,
+  CASE WHEN __parsed THEN __host END AS host,
+  CASE WHEN __parsed THEN
+    coalesce(nullif(regexp_extract(__host, '([^.]+\\.[^.]+)$', 1), ''), __host)
+  END AS domain,
+  CASE WHEN __parsed THEN
+    __scheme || '://' || __host
+      || CASE WHEN __port = '' THEN '' ELSE ':' || __port END
+      || __path
+      || CASE WHEN __keptq = '' THEN '' ELSE '?' || __keptq END
+  END AS canon_url
 FROM u3
 """.strip()
 
@@ -153,7 +193,6 @@ def host_stats(
     df: DataFrame,
     host_col: str = "host",
     url_col: str = "canon_url",
-    id_col: str = "doc_id",
     size_col: str | None = None,
 ) -> DataFrame:
     """Per-host corpus profile: ``(host, docs, distinct_urls[, sum_size])``.
@@ -228,13 +267,21 @@ def url_dedup(
     quality_col: str | None = None,
 ) -> DataFrame:
     """One row per canonical URL: highest ``quality_col`` wins (ties and
-    the no-quality case fall back to lowest id — deterministic)."""
+    the no-quality case fall back to lowest id — deterministic). Rows
+    with a NULL canonical URL (unparseable input) are never merged with
+    each other — each keeps its own row (partition key falls back to a
+    per-id sentinel that cannot collide with a real URL, which always
+    starts with ``scheme://``)."""
     order = (
         [F.col(quality_col).desc(), F.col(id_col).asc()]
         if quality_col is not None
         else [F.col(id_col).asc()]
     )
-    rk = F.row_number().over(Window.partitionBy(url_col).orderBy(*order))
+    part = F.coalesce(
+        F.col(url_col),
+        F.concat(F.lit("unparsed ¶ "), F.col(id_col).cast("string")),
+    )
+    rk = F.row_number().over(Window.partitionBy(part).orderBy(*order))
     return df.withColumn("__rk", rk).filter(F.col("__rk") == 1).drop("__rk")
 
 
@@ -249,9 +296,12 @@ def url_dedup_sql(
         if quality_col is not None
         else f"{id_col} ASC"
     )
+    part = (
+        f"coalesce({url_col}, 'unparsed ¶ ' || CAST({id_col} AS VARCHAR))"
+    )
     return f"""
 SELECT * EXCLUDE (__rk) FROM (
-  SELECT *, row_number() OVER (PARTITION BY {url_col} ORDER BY {order}) AS __rk
+  SELECT *, row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS __rk
   FROM ({inner})
 ) WHERE __rk = 1
 """.strip()

@@ -85,21 +85,45 @@ def apply_group_delta(
     groupBy). One hash shuffle on the group key, sized by
     |view| + |delta| — never the base table."""
     s = stats.select(
-        F.col(group_col).alias("__sg"), "docs", "sum_size"
+        F.col(group_col).alias("__sg"),
+        "docs",
+        "sum_size",
+        F.lit(True).alias("__in_s"),
     )
-    d = delta.select(F.col(group_col).alias("__dg"), "d_docs", "d_size")
-    j = s.join(d, F.col("__sg") == F.col("__dg"), "full_outer")
+    d = delta.select(
+        F.col(group_col).alias("__dg"),
+        "d_docs",
+        "d_size",
+        F.lit(True).alias("__in_d"),
+    )
+    # eqNullSafe: a NULL group key is still ONE group (a plain == would
+    # leave both sides unmatched and emit two NULL-group rows)
+    j = s.join(d, F.col("__sg").eqNullSafe(F.col("__dg")), "full_outer")
+    in_s = F.coalesce(F.col("__in_s"), F.lit(False))
+    in_d = F.coalesce(F.col("__in_d"), F.lit(False))
+    # SUM semantics: an all-NULL-size group aggregates to NULL, and
+    # NULL + x = x, NULL + NULL = NULL — blanket coalesce-to-0 would
+    # diverge from a fresh groupBy
+    summed = (
+        F.when(
+            F.col("sum_size").isNull() & F.col("d_size").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.coalesce(F.col("sum_size"), F.lit(0))
+            + F.coalesce(F.col("d_size"), F.lit(0))
+        )
+        .cast("long")
+    )
     return (
         j.select(
-            F.coalesce(F.col("__sg"), F.col("__dg")).alias(group_col),
+            F.when(in_s, F.col("__sg"))
+            .otherwise(F.col("__dg"))
+            .alias(group_col),
             (
                 F.coalesce(F.col("docs"), F.lit(0))
                 + F.coalesce(F.col("d_docs"), F.lit(0))
             ).alias("docs"),
-            (
-                F.coalesce(F.col("sum_size"), F.lit(0))
-                + F.coalesce(F.col("d_size"), F.lit(0))
-            ).alias("sum_size"),
+            summed.alias("sum_size"),
         )
         .filter(F.col("docs") > 0)
     )

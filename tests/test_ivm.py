@@ -57,3 +57,33 @@ def test_ivm_noop_delta_is_identity(spark):
         _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
     )
     assert _as_dict(maintained) == _as_dict(_stats(before))
+
+
+def test_ivm_null_group_key_is_one_group(spark):
+    before = spark.createDataFrame(
+        [(1, None, 10), (2, "b", 20)], "k long, host string, n long"
+    )
+    after = spark.createDataFrame(
+        [(1, None, 10), (2, "b", 20), (3, None, 7)],
+        "k long, host string, n long",
+    )
+    cdf = snapshot_diff(before, after, keys=["k"])
+    maintained = ivm.apply_group_delta(
+        _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    assert _as_dict(maintained) == _as_dict(_stats(after))
+    assert _as_dict(maintained)[None] == (2, 17)
+
+
+def test_ivm_all_null_sums_stay_null_like_a_fresh_groupby(spark):
+    before = spark.createDataFrame(
+        [(1, "a", None)], "k long, host string, n long"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None)], "k long, host string, n long"
+    )
+    cdf = snapshot_diff(before, after, keys=["k"])
+    maintained = ivm.apply_group_delta(
+        _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    assert _as_dict(maintained) == _as_dict(_stats(after)) == {"a": (2, None)}

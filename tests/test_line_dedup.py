@@ -68,3 +68,12 @@ def test_top_ngrams_plans_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_top_ngrams_short_docs_contribute_nothing(spark):
+    # docs shorter than n words must not crash (sequence(1,0) is the
+    # DESCENDING [1,0] in Spark; slice(w, 0, n) throws) — they just
+    # contribute zero grams
+    df = _docs(spark, [(1, "hello world"), (2, "a b c d"), (3, "x")])
+    rows = cx.top_ngrams(df, n=3, k=10).collect()
+    assert [r["gram"] for r in rows] == ["a b c", "b c d"]
