@@ -18,13 +18,16 @@ _SETTINGS = dict(
 )
 
 scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+userinfo = st.sampled_from(["", "bob@", "user:pa55@"])
 host = st.sampled_from(
-    ["Ex.COM", "www.ex.com", "WWW.a.b.Ex.org", "localhost", "api.news.co.uk"]
+    ["Ex.COM", "www.ex.com", "WWW.a.b.Ex.org", "localhost",
+     "api.news.co.uk", "[::1]", "[2001:DB8::1]"]
 )
 port = st.sampled_from(["", ":80", ":443", ":8080"])
 path = st.sampled_from(["", "/", "/a", "/a/b", "/a/b/", "/a//", "/a%20b"])
 param = st.sampled_from(
-    ["a=1", "b=2", "z=9", "utm_source=x", "utm_campaign=y", "fbclid=q", "ref=r", "id=3"]
+    ["a=1", "b=2", "z=9", "utm_source=x", "UTM_CAMPAIGN=y",
+     "utm_source_platform=web", "fbclid=q", "ref=r", "id=3"]
 )
 query = st.lists(param, max_size=4).map(
     lambda ps: "?" + "&".join(ps) if ps else ""
@@ -32,8 +35,8 @@ query = st.lists(param, max_size=4).map(
 frag = st.sampled_from(["", "#f", "#a/b?c=1"])
 
 url = st.builds(
-    lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}{q}{f}",
-    scheme, host, port, path, query, frag,
+    lambda s, u, h, po, pa, q, f: f"{s}://{u}{h}{po}{pa}{q}{f}",
+    scheme, userinfo, host, port, path, query, frag,
 )
 
 _TRACK = re.compile(web.TRACKING_PARAM_RE)
@@ -42,9 +45,14 @@ _TRACK = re.compile(web.TRACKING_PARAM_RE)
 def _model(u: str) -> str:
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)", u)
     sch, auth, pth = m.group(1).lower(), m.group(2), m.group(3)
-    hm = re.match(r"^([^:]*)", auth)
-    hst = re.sub(r"^www\.", "", hm.group(1).lower())
-    pm = re.search(r":([0-9]+)$", auth)
+    hostauth = re.sub(r"^[^@/]*@", "", auth)
+    if hostauth.startswith("["):
+        bm = re.match(r"^(\[[^\]]*\])", hostauth)
+        hst = bm.group(1).lower() if bm else ""
+    else:
+        hm = re.match(r"^([^:]*)", hostauth)
+        hst = re.sub(r"^www\.", "", hm.group(1).lower())
+    pm = re.search(r":([0-9]+)$", hostauth)
     prt = pm.group(1) if pm else ""
     if (sch, prt) in (("https", "443"), ("http", "80")):
         prt = ""
