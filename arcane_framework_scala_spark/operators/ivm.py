@@ -127,3 +127,35 @@ def apply_group_delta(
         )
         .filter(F.col("docs") > 0)
     )
+
+
+def group_state_merge_sql(
+    target_table: str, delta_view: str, group_col: str = "host"
+) -> str:
+    """MERGE statement that maintains the grouped-aggregate TABLE from a
+    delta view — the production twin of :func:`apply_group_delta` when
+    the view lives as a real catalog table (Iceberg/Delta/DSv2): each
+    wave's :func:`group_delta` output upserts additively, groups whose
+    count reaches zero are DELETEd, and insert-only applies to groups
+    with a positive count (a retraction for a group the table never held
+    is a no-op, matching the DataFrame path's docs>0 filter). Null-safe
+    ON (``<=>``) keeps a NULL group key as ONE group. The CASE on
+    sum_size preserves SUM's NULL semantics (all-NULL stays NULL;
+    NULL + x = x). Engine-portable MERGE (Spark DSv2 / Iceberg / Delta
+    accept the conditional clauses)."""
+    add_size = (
+        "CASE WHEN t.sum_size IS NULL AND s.d_size IS NULL THEN NULL "
+        "ELSE coalesce(t.sum_size, CAST(0 AS BIGINT)) "
+        "+ coalesce(s.d_size, CAST(0 AS BIGINT)) END"
+    )
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING (SELECT {group_col}, d_docs, d_size FROM {delta_view}) s\n"
+        f"ON t.{group_col} <=> s.{group_col}\n"
+        f"WHEN MATCHED AND t.docs + s.d_docs <= 0 THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET docs = t.docs + s.d_docs, "
+        f"sum_size = {add_size}\n"
+        f"WHEN NOT MATCHED AND s.d_docs > 0 THEN "
+        f"INSERT ({group_col}, docs, sum_size) "
+        f"VALUES (s.{group_col}, s.d_docs, s.d_size)"
+    )

@@ -87,3 +87,65 @@ def test_ivm_all_null_sums_stay_null_like_a_fresh_groupby(spark):
         _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
     )
     assert _as_dict(maintained) == _as_dict(_stats(after)) == {"a": (2, None)}
+
+
+def _merge_state(spark, table, delta):
+    from arcane_framework_scala_spark.operators.ivm import (
+        group_state_merge_sql,
+    )
+
+    delta.createOrReplaceTempView("__ivm_delta")
+    try:
+        spark.sql(group_state_merge_sql(table, "__ivm_delta"))
+    finally:
+        spark.catalog.dropTempView("__ivm_delta")
+
+
+def test_group_state_merge_matches_dataframe_path(spark):
+    """The MERGE-maintained state table must land exactly where
+    apply_group_delta lands: additive update, delete-at-zero,
+    insert-positive, retraction-for-unknown-group is a no-op."""
+    import os
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    import pytest
+
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.test.ivm_state"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(host STRING, docs BIGINT, sum_size BIGINT) USING mem"
+    )
+
+    before = _tbl(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)])
+    after = _tbl(spark, [(1, "a", 11), (2, "c", 20), (4, "d", 7)])
+    # bootstrap: wave-1 state as an all-insert delta
+    boot = _stats(before).select(
+        "host",
+        F.col("docs").alias("d_docs"),
+        F.col("sum_size").alias("d_size"),
+    )
+    _merge_state(spark, table, boot)
+    # wave 2: mixed insert/delete/group-move delta, plus a retraction
+    # for a group the table never held (must be a no-op)
+    cdf = snapshot_diff(before, after, keys=["k"])
+    delta = ivm.group_delta(cdf, "host", "n").unionByName(
+        spark.createDataFrame(
+            [("ghost", -3, -99)], "host string, d_docs long, d_size long"
+        )
+    )
+    _merge_state(spark, table, delta)
+
+    got = {
+        r["host"]: (r["docs"], r["sum_size"])
+        for r in spark.table(table).collect()
+    }
+    assert got == _as_dict(_stats(after))
+    assert "b" not in got and "ghost" not in got
