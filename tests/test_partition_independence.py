@@ -74,3 +74,61 @@ def test_winsorize_idempotent(spark):
     twice = winsorize(capped, "k", "v").first()
     assert twice["capped_micro"] == once["capped_micro"]
     assert twice["n"] == once["n"]
+
+
+def test_web_curation_partition_independent(spark, sf_dir):
+    """canonicalize → url_dedup → host_cap is md5/row-deterministic:
+    identical kept-row sets under a hostile repartitioning."""
+    from arcane_framework_scala_spark.functions import web
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", web.synthetic_url_column()
+    )
+
+    def pipeline(df):
+        canon = web.url_canonicalize(df)
+        return web.host_cap_sample(
+            web.url_dedup(canon, quality_col="n_chars"), cap=5
+        ).select("doc_id", "host", "host_rank")
+
+    a = sorted(map(tuple, pipeline(docs).collect()))
+    b = sorted(map(tuple, pipeline(docs.repartition(13, "lang")).collect()))
+    assert a == b
+
+
+def test_line_dedup_clean_partition_independent(spark, sf_dir):
+    from arcane_framework_scala_spark.functions import line_dedup as ld
+
+    docs = _docs(spark, sf_dir)
+
+    def clean(df):
+        return ld.line_dedup_clean(ld.chunk_lines(df, width=3), min_docs=2)
+
+    a = sorted(map(tuple, clean(docs).collect()))
+    b = sorted(map(tuple, clean(docs.repartition(11)).collect()))
+    assert a == b
+
+
+def test_ivm_partition_independent(spark, sf_dir):
+    """Bootstrap + delta application lands on the same view regardless
+    of the delta's partitioning (additive ints, null-safe join)."""
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    before = docs.filter("doc_id % 4 != 0")
+    after = docs.filter("doc_id % 3 != 0")
+    stats = ivm.group_stats_bootstrap(before, "source", "n_chars")
+    cdf = snapshot_diff(before, after, keys=["doc_id"])
+
+    def run(c):
+        return sorted(
+            map(
+                tuple,
+                ivm.apply_group_delta(
+                    stats, ivm.group_delta(c, "source", "n_chars"), "source"
+                ).collect(),
+            )
+        )
+
+    assert run(cdf) == run(cdf.repartition(9))
