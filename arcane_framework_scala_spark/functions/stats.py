@@ -22,7 +22,7 @@ One shuffle either way: groupBy(key) with partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -266,4 +266,83 @@ terms AS (
 SELECT day, CAST(count(*) AS BIGINT) AS n_cats,
        CAST(sum(c_micro) AS BIGINT) AS jsd_micro
 FROM terms GROUP BY day
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Concentration report (host/domain skew diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def concentration_report(
+    df: DataFrame, weight_col: str, group_col: str | None = None
+) -> DataFrame:
+    """One-row skew profile of a weighted group table: ``(n_groups,
+    total_weight, top1_share_ppm, top10_share_ppm, gini_ppm)``.
+
+    The input is an already-aggregated table (e.g. ``web.host_stats``
+    output: one row per host with a ``docs`` weight). Gini uses the
+    exact sorted-index identity G = Σ(2i−n−1)·x_i / (n·Σx) over weights
+    ascending — all-int64 arithmetic in ppm, so the report is
+    cross-engine byte-stable. Ordering ties (equal weights) don't affect
+    any of the sums, so no tie-break is needed for determinism.
+
+    Scale: one window over the GROUP table (already reduced — hosts, not
+    documents) plus a single-row aggregate; never touches raw rows.
+    """
+    w = Window.orderBy(F.col("x").asc())
+    n_w = Window.partitionBy()
+    ranked = df.select(
+        F.col(weight_col).cast("long").alias("x"),
+    ).select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n_groups"),
+        F.sum("x").alias("total_weight"),
+        F.max("x").alias("__top1"),
+        F.sum(F.expr("(2 * i - n - 1) * x")).alias("__gnum"),
+        F.sum(F.when(F.col("i") > F.col("n") - 10, F.col("x"))).alias(
+            "__top10"
+        ),
+    )
+    ppm = 1_000_000
+    return agg.select(
+        "n_groups",
+        "total_weight",
+        F.expr(f"({ppm} * __top1) div total_weight").alias("top1_share_ppm"),
+        F.expr(
+            f"({ppm} * coalesce(__top10, 0)) div total_weight"
+        ).alias("top10_share_ppm"),
+        F.expr(
+            f"({ppm} * __gnum) div (n_groups * total_weight)"
+        ).alias("gini_ppm"),
+    )
+
+
+def concentration_report_sql(inner: str, weight_col: str) -> str:
+    """DuckDB twin of :func:`concentration_report` over ``inner``."""
+    ppm = 1_000_000
+    return f"""
+WITH ranked AS (
+  SELECT CAST({weight_col} AS BIGINT) AS x,
+         row_number() OVER (ORDER BY {weight_col} ASC) AS i,
+         count(*) OVER () AS n
+  FROM ({inner})
+),
+a AS (
+  SELECT max(n) AS n_groups,
+         CAST(sum(x) AS BIGINT) AS total_weight,
+         max(x) AS __top1,
+         CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS __gnum,
+         CAST(coalesce(sum(x) FILTER (WHERE i > n - 10), 0) AS BIGINT) AS __top10
+  FROM ranked
+)
+SELECT n_groups, total_weight,
+       ({ppm} * __top1) // total_weight AS top1_share_ppm,
+       ({ppm} * __top10) // total_weight AS top10_share_ppm,
+       ({ppm} * __gnum) // (n_groups * total_weight) AS gini_ppm
+FROM a
 """.strip()

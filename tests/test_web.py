@@ -162,3 +162,44 @@ def test_tracking_param_family(spark, q, stripped):
         f"http://ex.com/x?{'&'.join(sorted([q, 'keep=1']))}"
     )
     assert row["canon_url"] == want
+
+
+def test_concentration_report_matches_duckdb_and_hand_math(spark):
+    import duckdb
+
+    from arcane_framework_scala_spark.functions.stats import (
+        concentration_report,
+        concentration_report_sql,
+    )
+
+    # weights 1,1,2,6 -> total 10, top1 600000 ppm;
+    # gini = sum((2i-n-1)x)/(n*sum) = (1*-3 + 2*-1 + 3*1*2 + 4*3*6)/(4*10)
+    rows = [("a", 1), ("b", 1), ("c", 2), ("d", 6)]
+    df = spark.createDataFrame(rows, "host string, docs long")
+    got = concentration_report(df, "docs").collect()[0].asDict()
+    gnum = (2 * 1 - 5) * 1 + (2 * 2 - 5) * 1 + (2 * 3 - 5) * 2 + (2 * 4 - 5) * 6
+    assert got == {
+        "n_groups": 4,
+        "total_weight": 10,
+        "top1_share_ppm": 600000,
+        "top10_share_ppm": 1000000,
+        "gini_ppm": (1_000_000 * gnum) // 40,
+    }
+    con = duckdb.connect()
+    inner = "SELECT * FROM (VALUES ('a',1),('b',1),('c',2),('d',6)) t(host, docs)"
+    want = con.execute(concentration_report_sql(inner, "docs")).fetchall()[0]
+    assert tuple(got.values()) == tuple(want)
+
+
+def test_concentration_report_on_host_stats(spark, sf_dir):
+    from arcane_framework_scala_spark.functions.stats import (
+        concentration_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = web.url_canonicalize(docs.withColumn("url", web.synthetic_url_column()))
+    rep = concentration_report(
+        web.host_stats(canon, size_col="n_chars"), "docs"
+    ).collect()[0]
+    assert rep["n_groups"] == 40
+    assert 0 <= rep["gini_ppm"] < 1_000_000
