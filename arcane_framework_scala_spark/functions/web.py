@@ -369,3 +369,49 @@ def synthetic_url_sql(id_col: str = "doc_id", src_col: str = "source") -> str:
           ELSE '' END
   || CASE WHEN {i} % 6 = 0 THEN '#frag' ELSE '' END
 )""".strip()
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str] | DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    path_col: str | None = None,
+    disallow_prefixes: list[str] | None = None,
+) -> DataFrame:
+    """Drop documents whose domain is blocklisted or whose path falls
+    under a disallowed prefix (the robots/licensing filter every crawl
+    pipeline runs before anything else).
+
+    ``blocked_domains`` blocks the registered domain AND every subdomain
+    host under it. Small lists become a broadcast anti-join (blocklists
+    are thousands of rows, never corpus-sized); a DataFrame input
+    (column ``domain``) supports externally-managed lists. Rows with a
+    NULL host/domain (unparseable URLs) are NOT dropped here — route
+    them explicitly; a blocklist that silently eats unparseable rows
+    hides data-quality signal.
+
+    ``disallow_prefixes`` applies robots-style path-prefix rules
+    globally (e.g. ``['/api/', '/login']``) as a narrow in-scan filter.
+    """
+    spark = df.sparkSession
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.select(F.col("domain").alias("__bl_domain"))
+    else:
+        bl = spark.createDataFrame(
+            [(d.lower(),) for d in blocked_domains], "__bl_domain string"
+        )
+    cond = (F.col(domain_col) == F.col("__bl_domain")) | (
+        F.col(host_col) == F.col("__bl_domain")
+    ) | F.col(host_col).endswith(
+        F.concat(F.lit("."), F.col("__bl_domain"))
+    )
+    out = df.join(F.broadcast(bl), cond, "left_anti")
+    if path_col is not None and disallow_prefixes:
+        keep = F.lit(True)
+        for p in disallow_prefixes:
+            keep = keep & ~F.coalesce(
+                F.col(path_col).startswith(p), F.lit(False)
+            )
+        out = out.filter(keep)
+    return out

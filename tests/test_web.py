@@ -203,3 +203,38 @@ def test_concentration_report_on_host_stats(spark, sf_dir):
     ).collect()[0]
     assert rep["n_groups"] == 40
     assert 0 <= rep["gini_ppm"] < 1_000_000
+
+
+def test_blocklist_filter_blocks_domain_and_subdomains(spark):
+    rows = [
+        (1, "spam.com", "spam.com", "/x"),
+        (2, "cdn.spam.com", "spam.com", "/x"),
+        (3, "notspam.com", "notspam.com", "/x"),
+        (4, "spam.com.evil.org", "evil.org", "/x"),  # suffix trick: kept
+        (5, "good.org", "good.org", "/api/internal"),
+        (6, "good.org", "good.org", "/article"),
+        (7, None, None, None),  # unparseable: never silently dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, host string, domain string, path string"
+    )
+    out = web.blocklist_filter(
+        df,
+        ["spam.com"],
+        path_col="path",
+        disallow_prefixes=["/api/"],
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [3, 4, 6, 7]
+
+
+def test_blocklist_filter_accepts_dataframe_and_broadcasts(spark):
+    df = spark.createDataFrame(
+        [(1, "a.com", "a.com"), (2, "b.com", "b.com")],
+        "doc_id long, host string, domain string",
+    )
+    bl = spark.createDataFrame([("a.com",)], "domain string")
+    out = web.blocklist_filter(df, bl)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
