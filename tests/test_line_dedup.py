@@ -77,3 +77,53 @@ def test_top_ngrams_short_docs_contribute_nothing(spark):
     df = _docs(spark, [(1, "hello world"), (2, "a b c d"), (3, "x")])
     rows = cx.top_ngrams(df, n=3, k=10).collect()
     assert [r["gram"] for r in rows] == ["a b c", "b c d"]
+
+
+def test_line_dedup_matches_pure_python_model(spark):
+    """Property: chunking + corpus-dup-line removal must equal a direct
+    Python implementation on random tiny corpora (catches off-by-one
+    chunk boundaries and ordering bugs the fixed gates can't)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "dd"])
+    doc = st.lists(words, min_size=1, max_size=9).map(" ".join)
+
+    def model(texts, width, min_docs):
+        chunks = {
+            i: [
+                " ".join(t.split(" ")[j : j + width])
+                for j in range(0, len(t.split(" ")), width)
+            ]
+            for i, t in enumerate(texts)
+        }
+        from collections import Counter
+
+        docs_per_line = Counter()
+        for lines in chunks.values():
+            for line in set(lines):
+                docs_per_line[line] += 1
+        return {
+            i: " ".join(
+                l for l in lines if docs_per_line[l] < min_docs
+            )
+            for i, lines in chunks.items()
+        }
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        df = _docs(spark, list(enumerate(texts)))
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in ld.line_dedup_clean(
+                ld.chunk_lines(df, width=2), min_docs=2
+            ).collect()
+        }
+        assert got == model(texts, 2, 2)
+
+    run()
