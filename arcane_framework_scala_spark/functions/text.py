@@ -208,3 +208,30 @@ def fingerprint_sql(col: str = "text", k: int = 8) -> str:
         f"i -> md5(substr(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'), "
         f"i, {k}))))"
     )
+
+
+def normalize_for_dedup(text: Column | str) -> Column:
+    """Dedup-normalization (the step before shingling/MinHash in the
+    published recipes — Gopher/RefinedWeb fold case, punctuation, digits
+    and whitespace so near-identical boilerplate hashes identically):
+    lowercase → digits squashed to 0 → punctuation dropped (anything
+    not a letter/digit/space) → whitespace runs collapsed → trimmed.
+
+    Pure regexp column algebra; the unicode classes used (\\p{L},
+    \\p{N}) mean the same thing to Spark's Java regex and DuckDB's RE2,
+    so the twin is byte-stable on the shared plane."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"\p{N}", "0")
+    c = F.regexp_replace(c, r"[^\p{L}\p{N} ]+", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def normalize_for_dedup_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`normalize_for_dedup`."""
+    return (
+        f"trim(regexp_replace(regexp_replace(regexp_replace(lower({col}), "
+        f"'\\p{{N}}', '0', 'g'), '[^\\p{{L}}\\p{{N}} ]+', ' ', 'g'), "
+        f"' +', ' ', 'g'))"
+    )

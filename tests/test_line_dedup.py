@@ -127,3 +127,33 @@ def test_line_dedup_matches_pure_python_model(spark):
         assert got == model(texts, 2, 2)
 
     run()
+
+
+def test_normalize_for_dedup_matches_duckdb(spark):
+    import duckdb
+
+    from arcane_framework_scala_spark.functions.text import (
+        normalize_for_dedup,
+        normalize_for_dedup_sql,
+    )
+
+    texts = [
+        "Hello,   WORLD!! 42 times...",
+        "  tabs\tand\nnewlines  ",
+        "version 2.7.1 (beta-3)",
+        "ALL CAPS & symbols #1",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_for_dedup("text").alias("n")).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')".replace("\t", "' || chr(9) || '")
+                     .replace("\n", "' || chr(10) || '")
+                     for i, t in enumerate(texts))
+    want = dict(con.execute(
+        f"SELECT i, {normalize_for_dedup_sql('text')} FROM "
+        f"(VALUES {vals}) t(i, text)").fetchall())
+    assert got == want
+    assert got[0] == "hello world 00 times"
+    assert got[2] == "version 0 0 0 beta 0"
