@@ -755,6 +755,67 @@ def ngram_jaccard_pairs(
     Output (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6
     decimals. Shuffles: explode+distinct, df-count, candidate join,
     pair-intersection count — all on uniform hash-like keys."""
+    inter = _pair_shingle_overlap(
+        df, text_col, id_col, k, candidates, max_shingle_df
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Broder containment over the same shingle machinery: C(a,b) =
+    |A∩B| / min(|A|, |B|) — the metric that catches SUBSET duplication
+    (a document quoted or embedded inside a larger one), which Jaccard
+    misses because the union is dominated by the larger doc. Same
+    prefix-filtered candidate generation and exact intersection as
+    :func:`ngram_jaccard_pairs`; output (id_a, id_b, containment ≥
+    threshold) rounded to 6 decimals."""
+    inter = _pair_shingle_overlap(
+        df, text_col, id_col, k, candidates, max_shingle_df
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(
+                F.col("inter")
+                / F.least(F.col("size_a"), F.col("size_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def _pair_shingle_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    candidates: DataFrame | None,
+    max_shingle_df: int,
+) -> DataFrame:
+    """Shared tail of the exact set-similarity joins: candidate pairs
+    (prefix-filtered unless supplied) with exact shingle-set overlap —
+    ``(id_a, id_b, inter, size_a, size_b)``."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     # exploded feeds FOUR consumers (sizes, the rare-shingle filter, and
     # both intersection probes) with different prunings, so exchange reuse
@@ -803,20 +864,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def ngram_jaccard_pairs_sql(
@@ -853,6 +901,44 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(i / CAST(sa.set_size + sb.set_size - i AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def ngram_containment_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    sh = _char_shingles_sql(text_col, k)
+    return f"""
+WITH exploded AS (
+  SELECT DISTINCT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+), sizes AS (
+  SELECT id, count(*) AS set_size FROM exploded GROUP BY id
+), rare AS (
+  SELECT sh FROM exploded GROUP BY sh HAVING count(*) <= {max_shingle_df}
+), rare_ex AS (
+  SELECT e.id, e.sh FROM exploded e JOIN rare USING (sh)
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM rare_ex l JOIN rare_ex r ON l.sh = r.sh AND l.id < r.id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN exploded a ON a.id = c.id_a
+  JOIN exploded b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(i / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(i / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 6) >= {threshold}
 """
 
 

@@ -60,3 +60,55 @@ def test_benchmark_side_broadcasts(spark):
     # the corpus text is never self-joined: exactly the hit join and the
     # zero-fill join appear
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc quoted verbatim inside a much larger one has low
+    Jaccard (union dominated by the big doc) but containment 1.0."""
+    from arcane_framework_scala_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    big = quote + " " + " ".join(f"filler{i} words here" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, big), (3, "completely different content piece")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert cont.get((1, 2)) == 1.0
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.3  # jaccard misses what containment finds
+
+
+def test_containment_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from arcane_framework_scala_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        map(tuple, ngram_containment_pairs(docs, threshold=0.6).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(
+            ngram_containment_pairs_sql("documents", threshold=0.6)
+        ).fetchall())
+    )
+    assert got == want
