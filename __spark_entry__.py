@@ -1556,7 +1556,10 @@ def q_a21_host_stats_ivm(spark, sf_dir):
     recomputed = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
     if stats.exceptAll(recomputed).count() or recomputed.exceptAll(stats).count():
         raise AssertionError("IVM view diverged from full recompute")
-    return stats
+    # nn_size is auxiliary state (it equals count(n_chars), proven by the
+    # exceptAll against the fresh bootstrap above); the view's contract
+    # output stays (host, docs, sum_size)
+    return stats.select("host", "docs", "sum_size")
 
 
 _A21_HOST_STATS_IVM_SQL = """

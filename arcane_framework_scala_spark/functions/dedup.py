@@ -1018,7 +1018,15 @@ def build_band_index(
     corpora where each partition still holds many row groups. Too-fine
     partitioning is a measured failure mode, not a free knob: at sf0.1
     the 2-char layout spent ~15 s creating 1023 near-empty files and the
-    probe re-opened all of them — 10× the whole query's useful work."""
+    probe re-opened all of them — 10× the whole query's useful work.
+
+    The layout parameters are persisted to ``<path>/_INDEX_META.json``
+    (underscore-prefixed — Spark's scanner ignores it) and re-read at
+    probe time: a probe whose pruning prefix or signature scheme differs
+    from the stored layout would SILENTLY return empty/wrong candidate
+    pairs (1-char filter values match zero 2-char partitions), so the
+    probe defaults to the stored values and raises on an explicit
+    mismatch rather than missing duplicates."""
     b = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_k)
     (
         b.withColumn("pfx", F.substring("bucket", 1, pfx_chars))
@@ -1034,6 +1042,37 @@ def build_band_index(
         .partitionBy("band", "pfx")
         .parquet(path)
     )
+    _write_index_meta(
+        path,
+        {
+            "pfx_chars": pfx_chars,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+        },
+    )
+
+
+_INDEX_META_FILE = "_INDEX_META.json"
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _INDEX_META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_index_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _INDEX_META_FILE)) as f:
+            return json.load(f)
+    except FileNotFoundError:  # pre-metadata index (r6 layout)
+        return None
 
 
 def minhash_candidate_pairs_indexed(
@@ -1042,10 +1081,10 @@ def minhash_candidate_pairs_indexed(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 5,
-    pfx_chars: int = 1,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_k: int | None = None,
+    pfx_chars: int | None = None,
 ) -> DataFrame:
     """Incremental candidate pairs against a PERSISTED band index — same
     contract as :func:`minhash_candidate_pairs_incremental` (pairs
@@ -1053,8 +1092,36 @@ def minhash_candidate_pairs_indexed(
     is the stored index with planning-time partition pruning: the batch's
     (band, pfx) set (bounded by bands × 16^pfx_chars, collected as
     metadata) becomes a partition filter, so the scan reads only touched
-    partitions. ``pfx_chars`` must match the :func:`build_band_index`
-    layout."""
+    partitions.
+
+    The layout/signature parameters default to the values persisted by
+    :func:`build_band_index` in ``_INDEX_META.json`` — pass them only to
+    assert an expectation; a mismatch with the stored layout raises
+    ``ValueError`` (silently pruning with the wrong prefix width, or
+    hashing with a different scheme, would return EMPTY/garbage pairs —
+    missed duplicates with no error)."""
+    meta = _read_index_meta(index_path) or {}
+    resolved = {}
+    for name, passed, fallback in (
+        ("num_hashes", num_hashes, 16),
+        ("bands", bands, 4),
+        ("shingle_k", shingle_k, 5),
+        ("pfx_chars", pfx_chars, 1),
+    ):
+        stored = meta.get(name)
+        if passed is not None and stored is not None and passed != stored:
+            raise ValueError(
+                f"band index at {index_path} was built with {name}={stored} "
+                f"but the probe requested {name}={passed}; rebuild the index "
+                f"or drop the argument to adopt the stored layout"
+            )
+        resolved[name] = passed if passed is not None else (
+            stored if stored is not None else fallback
+        )
+    num_hashes, bands, shingle_k, pfx_chars = (
+        resolved["num_hashes"], resolved["bands"],
+        resolved["shingle_k"], resolved["pfx_chars"],
+    )
     nb = materialize(
         minhash_bands(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
         .withColumn("pfx", F.substring("bucket", 1, pfx_chars))

@@ -36,7 +36,12 @@ TRACKING_PARAM_RE = r"(?i)^(utm_[a-z_]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)=
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored so the '?' must occur BEFORE any '#': a URL with no query but
+# a '?' inside its fragment (http://h/p#a?b) has NO query — the unanchored
+# r'\?([^#]*)' misparsed fragment text as a query and split genuinely
+# identical canonical URLs. [^#?]* stops at the FIRST of '?'/'#', so a
+# query containing further '?' chars (legal) is still captured whole.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def url_canonicalize(
@@ -141,7 +146,7 @@ u1 AS (
     coalesce(lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1)), '') AS __scheme,
     coalesce(regexp_extract({url_col}, '{_AUTH_RE}', 1), '') AS __auth,
     coalesce(regexp_extract({url_col}, '{_PATH_RE}', 1), '') AS __pathraw,
-    coalesce(regexp_extract({url_col}, '\\?([^#]*)', 1), '') AS __queryraw
+    coalesce(regexp_extract({url_col}, '^[^#?]*\\?([^#]*)', 1), '') AS __queryraw
   FROM u0
 ),
 u1b AS (

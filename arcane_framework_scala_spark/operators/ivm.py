@@ -13,9 +13,16 @@ full scan after bootstrap.
 
 Supported aggregate shape: additive counts and sums (docs, sum_size)
 per group — the self-maintainable class (no max/min, which are not
-incrementally maintainable under deletes without auxiliary state).
-Groups whose count reaches zero are dropped, so the maintained view is
-always exactly what a fresh groupBy would produce.
+incrementally maintainable under deletes without auxiliary state; see
+:mod:`ivm_minmax` for the top-k-auxiliary extension). Groups whose
+count reaches zero are dropped, and SUM's NULL semantics survive
+deletes via one auxiliary column: ``nn_size`` counts the group's
+non-NULL size contributions, and the maintained sum returns to NULL
+exactly when it reaches zero (plain additive state can't distinguish
+"sum is 0" from "every remaining size is NULL" — a group holding
+[10, NULL] whose 10-row is deleted must read NULL, as a fresh groupBy
+would). So the maintained view is always exactly what a fresh groupBy
+would produce, NULLs included.
 
 Determinism: all-integer arithmetic; parity with a from-scratch
 recompute is asserted by the gate and the DuckDB oracle.
@@ -30,10 +37,14 @@ import pyspark.sql.functions as F
 def group_stats_bootstrap(
     df: DataFrame, group_col: str, size_col: str
 ) -> DataFrame:
-    """The initial materialization: ``(group, docs, sum_size)``."""
+    """The initial materialization: ``(group, docs, sum_size, nn_size)``
+    — ``nn_size`` (count of non-NULL sizes) is the auxiliary state that
+    lets the maintained sum return to NULL under deletes; it is itself
+    what ``count(size_col)`` of a fresh groupBy produces."""
     return df.groupBy(F.col(group_col).alias(group_col)).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.col(size_col).cast("long")).alias("sum_size"),
+        F.count(F.col(size_col)).alias("nn_size"),
     )
 
 
@@ -68,11 +79,15 @@ def group_delta(cdf: DataFrame, group_col: str, size_col: str) -> DataFrame:
             F.when(pos, F.col("__ns")).otherwise(-F.col("__os")).alias(
                 "__d_size"
             ),
+            F.when(pos, F.col("__ns").isNotNull().cast("long"))
+            .otherwise(-F.col("__os").isNotNull().cast("long"))
+            .alias("__d_nn"),
         )
         .groupBy(group_col)
         .agg(
             F.sum("__d_docs").alias("d_docs"),
             F.sum("__d_size").alias("d_size"),
+            F.sum("__d_nn").alias("d_nn"),
         )
     )
 
@@ -88,26 +103,30 @@ def apply_group_delta(
         F.col(group_col).alias("__sg"),
         "docs",
         "sum_size",
+        "nn_size",
         F.lit(True).alias("__in_s"),
     )
     d = delta.select(
         F.col(group_col).alias("__dg"),
         "d_docs",
         "d_size",
+        "d_nn",
         F.lit(True).alias("__in_d"),
     )
     # eqNullSafe: a NULL group key is still ONE group (a plain == would
     # leave both sides unmatched and emit two NULL-group rows)
     j = s.join(d, F.col("__sg").eqNullSafe(F.col("__dg")), "full_outer")
     in_s = F.coalesce(F.col("__in_s"), F.lit(False))
-    in_d = F.coalesce(F.col("__in_d"), F.lit(False))
-    # SUM semantics: an all-NULL-size group aggregates to NULL, and
-    # NULL + x = x, NULL + NULL = NULL — blanket coalesce-to-0 would
-    # diverge from a fresh groupBy
+    # SUM semantics: sum is NULL exactly when ZERO non-NULL sizes remain
+    # (all-NULL group, or every non-NULL contributor was deleted). The
+    # nn_size auxiliary decides — additive arithmetic alone cannot
+    # distinguish "sum became 0" from "nothing non-NULL remains".
+    nn = (
+        F.coalesce(F.col("nn_size"), F.lit(0))
+        + F.coalesce(F.col("d_nn"), F.lit(0))
+    )
     summed = (
-        F.when(
-            F.col("sum_size").isNull() & F.col("d_size").isNull(), F.lit(None)
-        )
+        F.when(nn == 0, F.lit(None))
         .otherwise(
             F.coalesce(F.col("sum_size"), F.lit(0))
             + F.coalesce(F.col("d_size"), F.lit(0))
@@ -124,6 +143,7 @@ def apply_group_delta(
                 + F.coalesce(F.col("d_docs"), F.lit(0))
             ).alias("docs"),
             summed.alias("sum_size"),
+            nn.alias("nn_size"),
         )
         .filter(F.col("docs") > 0)
     )
@@ -139,23 +159,26 @@ def group_state_merge_sql(
     count reaches zero are DELETEd, and insert-only applies to groups
     with a positive count (a retraction for a group the table never held
     is a no-op, matching the DataFrame path's docs>0 filter). Null-safe
-    ON (``<=>``) keeps a NULL group key as ONE group. The CASE on
-    sum_size preserves SUM's NULL semantics (all-NULL stays NULL;
-    NULL + x = x). Engine-portable MERGE (Spark DSv2 / Iceberg / Delta
-    accept the conditional clauses)."""
+    ON (``<=>``) keeps a NULL group key as ONE group. The state table
+    carries the ``nn_size`` auxiliary (non-NULL size contributions): the
+    CASE on sum_size returns the sum to NULL exactly when it reaches
+    zero, preserving SUM's NULL semantics under deletes. Engine-portable
+    MERGE (Spark DSv2 / Iceberg / Delta accept the conditional
+    clauses)."""
     add_size = (
-        "CASE WHEN t.sum_size IS NULL AND s.d_size IS NULL THEN NULL "
+        "CASE WHEN t.nn_size + s.d_nn = 0 THEN NULL "
         "ELSE coalesce(t.sum_size, CAST(0 AS BIGINT)) "
         "+ coalesce(s.d_size, CAST(0 AS BIGINT)) END"
     )
     return (
         f"MERGE INTO {target_table} t\n"
-        f"USING (SELECT {group_col}, d_docs, d_size FROM {delta_view}) s\n"
+        f"USING (SELECT {group_col}, d_docs, d_size, d_nn "
+        f"FROM {delta_view}) s\n"
         f"ON t.{group_col} <=> s.{group_col}\n"
         f"WHEN MATCHED AND t.docs + s.d_docs <= 0 THEN DELETE\n"
         f"WHEN MATCHED THEN UPDATE SET docs = t.docs + s.d_docs, "
-        f"sum_size = {add_size}\n"
+        f"sum_size = {add_size}, nn_size = t.nn_size + s.d_nn\n"
         f"WHEN NOT MATCHED AND s.d_docs > 0 THEN "
-        f"INSERT ({group_col}, docs, sum_size) "
-        f"VALUES (s.{group_col}, s.d_docs, s.d_size)"
+        f"INSERT ({group_col}, docs, sum_size, nn_size) "
+        f"VALUES (s.{group_col}, s.d_docs, s.d_size, s.d_nn)"
     )

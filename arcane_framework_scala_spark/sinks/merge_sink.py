@@ -23,7 +23,9 @@ added to the target before the merge — ``SchemaMigrationProcessor.scala:
 from __future__ import annotations
 
 import os
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,31 +159,56 @@ class SnapshotParquetTarget:
             )
         return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
 
-    def _commit(self, df: DataFrame) -> None:
-        base = self.current_version() or 0
-        v = base + 1
+    def _commit(self, df: DataFrame, expected_base: int | None = None) -> None:
+        """Optimistic commit (Iceberg ``CommitFailedException`` semantics).
+
+        Each attempt writes its snapshot to a writer-unique STAGING dir
+        (``v=N.tmp-<token>``) and then claims the version number with one
+        atomic ``os.rename`` onto ``v=N`` — a rename onto an existing
+        non-empty directory fails, so the filesystem itself arbitrates:
+        exactly one concurrent writer owns ``v=N``, and a loser can never
+        clobber data files the winner already committed. The loser's
+        staging dir is removed best-effort (leftovers are
+        ``remove_orphan_files`` territory), and ``CommitConflictError`` is
+        retryable — the retried merge re-hydrates from the winner's
+        snapshot, so both batches land.
+
+        ``expected_base`` is the version the CALLER's read was based on
+        (captured by :meth:`merge` before reading the target). A commit
+        that landed between that read and this call moves the pointer off
+        ``expected_base`` and is detected here — without it, the merge
+        result would silently drop the intervening batch (lost update).
+        """
+        if expected_base is None:
+            expected_base = self.current_version() or 0
+        v = expected_base + 1
         out = os.path.join(self.path, f"v={v}")
+        staging = os.path.join(self.path, f"v={v}.tmp-{uuid.uuid4().hex[:12]}")
         writer = df.write.mode("overwrite")
         if self.max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_rows_per_file)
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(out)
-        # optimistic commit (Iceberg CommitFailedException semantics): if
-        # another writer flipped the pointer while this snapshot was being
-        # written, flipping ours would silently DISCARD their commit — the
-        # lost-update anomaly. Raise instead; the error is retryable, and
-        # the MergeSink retry re-hydrates from the winner's snapshot so
-        # both batches land. (Check-then-rename is not atomic — a razor-
-        # thin race survives, exactly as narrow as two Iceberg writers
-        # hitting the catalog's compare-and-swap; the orphaned v-dir a
-        # loser leaves behind is remove_orphan_files territory.)
-        if (self.current_version() or 0) != base:
+        writer.parquet(staging)
+        if (self.current_version() or 0) != expected_base:
+            shutil.rmtree(staging, ignore_errors=True)
             raise CommitConflictError(
-                f"concurrent commit to {self.path}: expected pointer at "
-                f"v={base}, found v={self.current_version()}"
+                f"concurrent commit to {self.path}: merge read the target "
+                f"at v={expected_base}, pointer now at "
+                f"v={self.current_version()}"
             )
-        tmp = self._pointer() + ".tmp"
+        try:
+            os.rename(staging, out)
+        except OSError:
+            # v=N already exists: a concurrent writer claimed this version
+            # first (or a crashed run left it behind — X3 removes v-dirs
+            # above the pointer, after which the replay succeeds).
+            shutil.rmtree(staging, ignore_errors=True)
+            raise CommitConflictError(
+                f"concurrent commit to {self.path}: v={v} already claimed "
+                f"by another writer"
+            ) from None
+        tmp = self._pointer() + f".tmp-{uuid.uuid4().hex[:12]}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
             f.write(str(v))
@@ -191,7 +218,15 @@ class SnapshotParquetTarget:
         self._commit(df)
 
     def merge(self, source: DataFrame, dialect: MergeDialect) -> None:
-        target = self.read()
+        # capture the base version BEFORE reading: the merge result is a
+        # function of this snapshot, so the commit must verify the pointer
+        # has not moved off it (otherwise the intervening batch is lost).
+        base = self.current_version()
+        target = (
+            self.spark.read.parquet(os.path.join(self.path, f"v={base}"))
+            if base is not None
+            else None
+        )
         if target is None:
             # bootstrap: first batch becomes the target minus delete markers
             insert_ok = (
@@ -206,7 +241,7 @@ class SnapshotParquetTarget:
                 insert_ok
             )
             drop = [c for c in dialect.non_data_columns if c in boot.columns]
-            self._commit(boot.drop(*drop))
+            self._commit(boot.drop(*drop), expected_base=0)
             return
         # T8 schema drift: add source-only columns to the target as nulls
         missing = [
@@ -217,7 +252,7 @@ class SnapshotParquetTarget:
         ]
         for f in missing:
             target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-        self._commit(merge_apply(target, source, dialect))
+        self._commit(merge_apply(target, source, dialect), expected_base=base)
 
 
 class CatalogTarget:
@@ -410,27 +445,35 @@ class DurableCatalogTarget:
         self.catalog.overwrite(self.snapshots.read())
         self._set_mirror(cur_v)
 
-    def _commit_from_catalog(self) -> None:
+    def _commit_from_catalog(self, expected_base: int | None = None) -> None:
         """Step 3: the rewritten table becomes the next durable snapshot
-        (atomic ``_CURRENT`` rename — readers never see a partial one),
-        then the catalog is marked as its mirror."""
+        (atomic ``v=N`` claim + ``_CURRENT`` flip — readers never see a
+        partial one), then the catalog is marked as its mirror.
+        ``expected_base`` is the snapshot the catalog was hydrated from;
+        a commit landing in between raises ``CommitConflictError`` and the
+        retried merge re-hydrates from the winner."""
         merged = self.catalog.read()
         assert merged is not None  # _hydrate + merge always create it
-        self.snapshots._commit(merged)
+        self.snapshots._commit(merged, expected_base=expected_base)
         self._set_mirror(self.snapshots.current_version())
 
     def overwrite(self, df: DataFrame) -> None:
+        base = self.snapshots.current_version() or 0
         if self.catalog.exists():
             self._clear_mirror()
         self.catalog.overwrite(df)
-        self._commit_from_catalog()
+        self._commit_from_catalog(expected_base=base)
 
     def merge(self, source: DataFrame, dialect: MergeDialect) -> None:
+        # the base version is captured BEFORE hydrate: the MERGE rewrites
+        # a catalog table that mirrors exactly this snapshot, so the
+        # commit asserts the pointer has not moved off it since.
+        base = self.snapshots.current_version() or 0
         self._hydrate()
         if self.catalog.exists():
             self._clear_mirror()  # catalog is about to diverge
         self.catalog.merge(source, dialect)  # real MERGE INTO (step 2)
-        self._commit_from_catalog()
+        self._commit_from_catalog(expected_base=base)
 
     def changes(self, v_from: int, v_to: int, keys: list[str] | None = None):
         """Change data feed between two committed snapshots (Delta CDF /

@@ -553,6 +553,45 @@ def test_band_index_partition_pruning(spark, tmp_path):
     assert touched < total_parts, (touched, total_parts)
 
 
+def test_band_index_meta_guards_layout_mismatch(spark, tmp_path):
+    """The probe adopts the layout persisted at build time; an explicit
+    mismatching parameter raises instead of silently returning empty
+    candidate pairs (a 1-char prefix filter matches zero 2-char
+    partitions — missed duplicates with no error)."""
+    import pytest
+
+    from arcane_framework_scala_spark.functions.dedup import (
+        build_band_index,
+        minhash_candidate_pairs_incremental,
+        minhash_candidate_pairs_indexed,
+    )
+
+    base = "another run of repeated dedup index content "
+    docs = spark.createDataFrame(
+        [(i, base * 2 + f"tail {i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0").limit(3)
+    idx = str(tmp_path / "band_idx2")
+    # build with the NON-default prefix width — the r6 regression shape
+    build_band_index(old, idx, pfx_chars=2)
+
+    # probe with all defaults: the stored pfx_chars=2 is adopted, results
+    # match the in-memory incremental path (NOT silently empty)
+    got = minhash_candidate_pairs_indexed(spark, idx, new)
+    live = minhash_candidate_pairs_incremental(old, new)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in live.collect()
+    }
+
+    # an explicit conflicting layout raises rather than mispruning
+    with pytest.raises(ValueError, match="pfx_chars=2"):
+        minhash_candidate_pairs_indexed(spark, idx, new, pfx_chars=1)
+    with pytest.raises(ValueError, match="num_hashes=16"):
+        minhash_candidate_pairs_indexed(spark, idx, new, num_hashes=32)
+
+
 def test_cluster_safe_split_no_straddle(spark, sf_dir):
     """Every near-dup pair shares a split; singletons match hash_split."""
     import pyspark.sql.functions as F

@@ -103,7 +103,7 @@ def test_crash_between_merge_and_commit_loses_nothing(spark, target):
 
     real_commit = target.snapshots._commit
 
-    def crash(df):
+    def crash(df, **kw):
         raise OSError("simulated crash before snapshot commit")
 
     target.snapshots._commit = crash
@@ -309,6 +309,88 @@ def test_concurrent_commit_is_detected_not_lost(spark, tmp_path):
     assert t.current_version() == 1  # pointer untouched by the loser
 
 
+def test_loser_never_clobbers_winner_data_files(spark, tmp_path):
+    """Two writers race for v=2. The winner's committed data files must be
+    BYTE-IDENTICAL after the loser's failed attempt — each attempt writes
+    to a unique staging dir and claims ``v=N`` with one atomic rename, so
+    a loser physically cannot overwrite files the winner already owns
+    (the lost-update clobber the r6 scheme allowed)."""
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        CommitConflictError,
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "race2"))
+    t.overwrite(spark.createDataFrame([(1, "base")], "id long, v string"))
+    assert t.current_version() == 1
+
+    # winner A: a normal commit based on v=1 -> claims v=2
+    t._commit(
+        spark.createDataFrame([(2, "winner")], "id long, v string"),
+        expected_base=1,
+    )
+    assert t.current_version() == 2
+    v2 = os.path.join(t.path, "v=2")
+    before = {
+        f: open(os.path.join(v2, f), "rb").read()
+        for f in sorted(os.listdir(v2))
+        if not f.startswith(".")
+    }
+
+    # loser B also read the target at v=1; its commit must fail WITHOUT
+    # touching the winner's v=2 files
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            spark.createDataFrame([(3, "loser")], "id long, v string"),
+            expected_base=1,
+        )
+    after = {
+        f: open(os.path.join(v2, f), "rb").read()
+        for f in sorted(os.listdir(v2))
+        if not f.startswith(".")
+    }
+    assert after == before  # byte-identical: no clobber
+    assert [r["v"] for r in t.read().collect()] == ["winner"]
+    # loser's staging dir was cleaned up (no v=2.tmp-* leftovers)
+    assert not [n for n in os.listdir(t.path) if ".tmp-" in n]
+
+
+def test_rename_claim_detects_midflight_winner_and_crash_leftovers(
+    spark, tmp_path
+):
+    """A ``v=N`` dir that exists while the pointer still sits at N-1 is
+    either a winner mid-commit (dir renamed, pointer not yet flipped) or
+    a crashed run's leftover. Either way the rename claim fails -> conflict,
+    and after X3 orphan removal clears a genuine crash leftover the replay
+    succeeds."""
+    import shutil as sh
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        remove_orphan_files,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        CommitConflictError,
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "crash"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate a crash between the v=2 rename and the pointer flip
+    sh.copytree(os.path.join(t.path, "v=1"), os.path.join(t.path, "v=2"))
+    assert t.current_version() == 1
+
+    df = spark.createDataFrame([(2, "b")], "id long, v string")
+    with pytest.raises(CommitConflictError):
+        t._commit(df, expected_base=1)
+    assert t.current_version() == 1  # pointer untouched
+
+    removed = remove_orphan_files(t)
+    assert "v=2" in removed  # the crash leftover is above the pointer
+    t._commit(df, expected_base=1)  # replay lands cleanly
+    assert t.current_version() == 2
+    assert sorted(r["v"] for r in t.read().collect()) == ["b"]
+
+
 def test_commit_conflict_retries_and_converges(spark, target):
     """MergeSink's retry policy treats the conflict as transient: the
     retried merge re-hydrates from the winner's snapshot and lands the
@@ -328,11 +410,11 @@ def test_commit_conflict_retries_and_converges(spark, target):
     orig = target.snapshots._commit
     state = {"raised": False}
 
-    def conflict_once(df):
+    def conflict_once(df, **kw):
         if not state["raised"]:
             state["raised"] = True
             raise CommitConflictError("simulated concurrent commit")
-        return orig(df)
+        return orig(df, **kw)
 
     target.snapshots._commit = conflict_once
     sink.apply(spark.createDataFrame(WAVE2, BATCH_SCHEMA))  # retries inside

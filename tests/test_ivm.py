@@ -89,6 +89,33 @@ def test_ivm_all_null_sums_stay_null_like_a_fresh_groupby(spark):
     assert _as_dict(maintained) == _as_dict(_stats(after)) == {"a": (2, None)}
 
 
+def test_ivm_sum_returns_to_null_when_last_nonnull_size_deleted(spark):
+    """Additive state alone cannot do this: a group holding [10, NULL]
+    whose size-10 row is deleted must read sum_size=NULL (what a fresh
+    groupBy of the remaining NULL-size row produces), not 0 — the
+    nn_size auxiliary decides."""
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None)], "k long, host string, n long"
+    )
+    after = spark.createDataFrame(
+        [(2, "a", None)], "k long, host string, n long"
+    )
+    cdf = snapshot_diff(before, after, keys=["k"])
+    maintained = ivm.apply_group_delta(
+        _stats(before), ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    assert _as_dict(maintained) == _as_dict(_stats(after)) == {"a": (1, None)}
+    # and the sum comes BACK from NULL when a non-NULL size re-appears
+    again = spark.createDataFrame(
+        [(2, "a", None), (3, "a", 7)], "k long, host string, n long"
+    )
+    maintained2 = ivm.apply_group_delta(
+        maintained, ivm.group_delta(snapshot_diff(after, again, keys=["k"]),
+                                    "host", "n"), "host"
+    )
+    assert _as_dict(maintained2) == _as_dict(_stats(again)) == {"a": (2, 7)}
+
+
 def _merge_state(spark, table, delta):
     from arcane_framework_scala_spark.operators.ivm import (
         group_state_merge_sql,
@@ -121,7 +148,8 @@ def test_group_state_merge_matches_dataframe_path(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(
         f"CREATE TABLE {table} "
-        "(host STRING, docs BIGINT, sum_size BIGINT) USING mem"
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT) "
+        "USING mem"
     )
 
     before = _tbl(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)])
@@ -131,6 +159,7 @@ def test_group_state_merge_matches_dataframe_path(spark):
         "host",
         F.col("docs").alias("d_docs"),
         F.col("sum_size").alias("d_size"),
+        F.col("nn_size").alias("d_nn"),
     )
     _merge_state(spark, table, boot)
     # wave 2: mixed insert/delete/group-move delta, plus a retraction
@@ -138,7 +167,8 @@ def test_group_state_merge_matches_dataframe_path(spark):
     cdf = snapshot_diff(before, after, keys=["k"])
     delta = ivm.group_delta(cdf, "host", "n").unionByName(
         spark.createDataFrame(
-            [("ghost", -3, -99)], "host string, d_docs long, d_size long"
+            [("ghost", -3, -99, -3)],
+            "host string, d_docs long, d_size long, d_nn long",
         )
     )
     _merge_state(spark, table, delta)

@@ -36,6 +36,14 @@ def _canon_one(spark, url: str) -> dict:
         ("http://EX.com", "http://ex.com"),
         # repeated slashes at end collapse
         ("http://ex.com/a///", "http://ex.com/a"),
+        # '?' inside the FRAGMENT is not a query: these three are the
+        # same resource and must share one canonical form
+        ("http://ex.com/p#a?b", "http://ex.com/p"),
+        ("http://ex.com/p#frag", "http://ex.com/p"),
+        ("http://ex.com/p", "http://ex.com/p"),
+        # a query containing a literal '?' (legal) is captured whole;
+        # '?'-containing params sort bytewise like any other
+        ("http://ex.com/p?a=1?x&b=2#f?g", "http://ex.com/p?a=1?x&b=2"),
     ],
 )
 def test_canonical_forms(spark, url, canon):
@@ -95,6 +103,38 @@ def test_url_dedup_prefers_quality_then_lowest_id(spark):
         for r in web.url_dedup(df, quality_col="q").collect()
     }
     assert kept == {"u": 2, "v": 4}
+
+
+def test_canonicalize_twin_agrees_on_fragment_and_query_edges(spark):
+    """Spark and DuckDB must produce byte-identical canon_url on the
+    fragment/query corner cases (the r6 regex misparsed '#a?b' fragments
+    as queries — parity held but the canonical form was wrong; pin the
+    FIXED form in both engines)."""
+    urls = [
+        "http://ex.com/p#a?b",
+        "http://ex.com/p#frag",
+        "http://ex.com/p",
+        "http://ex.com/p?a=1?x&b=2#f?g",
+        "http://ex.com/p?utm_source=t#x?y",
+        "https://u:pw@ex.com/q?b=1&a=2#s?t",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["canon_url"]
+        for r in web.url_canonicalize(df).select("doc_id", "canon_url").collect()
+    }
+    values = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    inner = f"SELECT * FROM (VALUES {values}) AS t(doc_id, url)"
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, canon_url FROM ({web.url_canonicalize_sql(inner)})"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[0] == got[1] == got[2] == "http://ex.com/p"
 
 
 def test_canonicalize_is_narrow_no_shuffle(spark):
