@@ -1454,6 +1454,128 @@ FROM ranked WHERE rk = 1 AND NOT del
 """
 
 
+def q_m10_pruned_cow_merge(spark, sf_dir):
+    """Partition-scoped copy-on-write MERGE (the r6 verdict's top item):
+    on a hive-partitioned durable table the rewrite group is PRUNED to
+    the partitions the batch writes into or holds a matched merge key
+    in — Iceberg CoW's file-group pruning, the partition-scoped merge
+    the reference's ``ON … IN (…)`` lists buy
+    (``models/queries/MergeQuerySegment.scala:54-71``). The table is
+    bucket-partitioned on a KEY-DERIVED column (``user_id % 4`` —
+    Iceberg bucket-spec shape), so wave 3, whose rows are all
+    ``user_id % 4 == 0``, provably touches ONE partition; the gate pins
+    that every other bucket's data files are BYTE-IDENTICAL across the
+    snapshot commit (same inode — carried by hard link, zero data
+    movement), not merely value-equal. Waves hold disjoint increasing
+    version ranges, so the sequential MERGE algebra equals global
+    latest-per-key with delete-last semantics — which is what the
+    oracle recomputes over the included row set."""
+    import hashlib
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m10"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m10_run_")
+    target = DurableCatalogTarget(
+        spark,
+        os.path.join(run_dir, "t"),
+        table,
+        partition_cols=["bucket"],
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2, t3 = (mx * 3) // 10, (mx * 6) // 10, (mx * 9) // 10
+    batch = ev.filter(F.col("event_id") <= t3).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    waves = [
+        ver <= t1,
+        (ver > t1) & (ver <= t2),
+        (ver > t2) & (F.col("bucket") == 0),
+    ]
+    sink.apply(batch.filter(waves[0]))
+    sink.apply(batch.filter(waves[1]))
+
+    def dir_hashes(vdir):
+        out = {}
+        for dirpath, _dirs, files in os.walk(vdir):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, vdir)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    v2_dir = os.path.join(run_dir, "t", "v=2")
+    v3_dir = os.path.join(run_dir, "t", "v=3")
+    before = dir_hashes(v2_dir)
+    sink.apply(batch.filter(waves[2]))  # touches bucket=0 ONLY
+    after = dir_hashes(v3_dir)
+    for b in (1, 2, 3):
+        part = f"bucket={b}"
+        pinned = {k: h for k, h in before.items() if k.startswith(part)}
+        carried = {k: h for k, h in after.items() if k.startswith(part)}
+        if not pinned or carried != pinned:
+            raise AssertionError(
+                f"untouched partition {part} was rewritten: "
+                f"{len(pinned)} files before vs {len(carried)} after"
+            )
+        for rel in pinned:  # carried by hard link: the same inode
+            if not os.path.samefile(
+                os.path.join(v2_dir, rel), os.path.join(v3_dir, rel)
+            ):
+                raise AssertionError(f"{part}/{rel} copied, not linked")
+    touched_before = {k for k in before if k.startswith("bucket=0")}
+    touched_after = {k for k in after if k.startswith("bucket=0")}
+    if touched_before & touched_after:
+        raise AssertionError("bucket=0 files were not rewritten")
+    return target.read()
+
+
+_M10_PRUNED_COW_SQL = f"""
+WITH b AS (SELECT max(event_id) AS mx FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CAST(user_id % 4 AS INTEGER) AS bucket
+  FROM events, b
+  WHERE event_id <= mx * 9 // 10
+    AND (event_id <= mx * 6 // 10 OR user_id % 4 = 0)
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, value_milli, bucket
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
 def _web_ingest_setup(spark, sf_dir, gate: str):
     """Shared m9/a21 scaffolding: a fresh durable CoW target (table
     ``arcm.gate.<gate>``), the canonical-URL-keyed CDC batch projection,
@@ -7869,6 +7991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stream_hll": q_t_stream_hll,
         "t_hll_state_merge": q_t_hll_state_merge,
         "m8_lakehouse_vertical": q_m8_lakehouse_vertical,
+        "m10_pruned_cow_merge": q_m10_pruned_cow_merge,
         "t_stream_dedup": q_t_stream_dedup,
         "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
         "s2_backfill_scan": q_s2_backfill_scan,
@@ -8141,6 +8264,7 @@ CROSS JOIN LATERAL (SELECT unnest(range(1, len(q8) + 1)) AS i) AS u(i)
         "t_stream_hll": _t_stream_hll_sql(),
         "t_hll_state_merge": _t_hll_state_sql(),
         "m8_lakehouse_vertical": _M8_LAKEHOUSE_SQL,
+        "m10_pruned_cow_merge": _M10_PRUNED_COW_SQL,
         "t_stream_dedup": _T_STREAM_DEDUP_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q18ish": _TPCH_Q18_SQL,

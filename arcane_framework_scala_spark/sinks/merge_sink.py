@@ -181,8 +181,12 @@ class SnapshotParquetTarget:
         """
         if expected_base is None:
             expected_base = self.current_version() or 0
-        v = expected_base + 1
-        out = os.path.join(self.path, f"v={v}")
+        staging = self._write_staging(df, expected_base + 1)
+        self._finalize(staging, expected_base)
+
+    def _write_staging(self, df: DataFrame, v: int) -> str:
+        """Write ``df`` as the candidate ``v`` snapshot into a
+        writer-unique staging dir; returns the staging path."""
         staging = os.path.join(self.path, f"v={v}.tmp-{uuid.uuid4().hex[:12]}")
         writer = df.write.mode("overwrite")
         if self.max_rows_per_file:
@@ -190,6 +194,13 @@ class SnapshotParquetTarget:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(staging)
+        return staging
+
+    def _finalize(self, staging: str, expected_base: int) -> None:
+        """Claim ``v=expected_base+1`` with one atomic rename of the
+        staging dir, then flip the pointer."""
+        v = expected_base + 1
+        out = os.path.join(self.path, f"v={v}")
         if (self.current_version() or 0) != expected_base:
             shutil.rmtree(staging, ignore_errors=True)
             raise CommitConflictError(
@@ -213,6 +224,38 @@ class SnapshotParquetTarget:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer())
+
+    def _commit_pruned(
+        self, df: DataFrame, carry_dirs: list[str], expected_base: int
+    ) -> None:
+        """CoW commit of a PRUNED rewrite group: ``df`` holds only the
+        rewritten (touched) partitions, and every untouched partition
+        directory of the base snapshot is carried into the new snapshot
+        by HARD LINK — byte-identical by construction (same inodes, zero
+        data movement), the file-level reuse an Iceberg manifest
+        expresses by reference. ``carry_dirs`` are base-snapshot-relative
+        leaf partition paths (``col=value[/col2=value2]``). Snapshots stay
+        self-contained (every version dir lists the full table) and
+        expiry stays a plain ``rmtree``: the filesystem's link count is
+        the manifest refcount, so shared files survive until the last
+        referencing snapshot is expired. Falls back to copy when the
+        filesystem refuses links."""
+        staging = self._write_staging(df, expected_base + 1)
+        base_dir = os.path.join(self.path, f"v={expected_base}")
+        for rel in carry_dirs:
+            src = os.path.join(base_dir, rel)
+            dst = os.path.join(staging, rel)
+            os.makedirs(dst, exist_ok=True)
+            for name in os.listdir(src):
+                s = os.path.join(src, name)
+                if not os.path.isfile(s):
+                    continue
+                d = os.path.join(dst, name)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        self._finalize(staging, expected_base)
 
     def overwrite(self, df: DataFrame) -> None:
         self._commit(df)
@@ -358,13 +401,23 @@ class DurableCatalogTarget:
     snapshot expiry, orphan removal, ANALYZE and time travel all operate
     on the same files every merge commits.
 
-    The rewrite group is the whole table (MemCatalog does not prune groups
-    to touched files; Iceberg does) — the local-mode simplification,
-    priced in docs/SCALE.md. Durable truth is the snapshot layout: every
-    merge re-hydrates the execution table from ``_CURRENT`` first, so a
-    crash after the MERGE but before the snapshot commit loses nothing —
-    the retried batch replays onto the last durable snapshot (T9 version
-    guards make the replay idempotent).
+    On a hive-partitioned table (``partition_cols``) the rewrite group is
+    PRUNED to the touched partitions, exactly as Iceberg CoW prunes the
+    rewrite to files whose key ranges intersect the source (the same
+    partition-scoped merge the reference's ``ON … IN (…)`` lists buy —
+    ``models/queries/MergeQuerySegment.scala:54-71``): the execution
+    table is hydrated with only the partitions the batch writes into or
+    holds a matched merge key in, the MERGE rewrites just that group, and
+    the snapshot commit carries every untouched partition directory over
+    by hard link — byte-identical, zero data movement
+    (:meth:`SnapshotParquetTarget._commit_pruned`). Unpartitioned tables
+    keep the whole-table group (there is nothing to prune by), and a
+    schema-drift batch falls back to the full rewrite (carried-over files
+    cannot gain columns). Durable truth is the snapshot layout either
+    way: every merge re-hydrates the execution table from ``_CURRENT``
+    first, so a crash after the MERGE but before the snapshot commit
+    loses nothing — the retried batch replays onto the last durable
+    snapshot (T9 version guards make the replay idempotent).
     """
 
     def __init__(
@@ -469,11 +522,111 @@ class DurableCatalogTarget:
         # a catalog table that mirrors exactly this snapshot, so the
         # commit asserts the pointer has not moved off it since.
         base = self.snapshots.current_version() or 0
+        if (
+            base
+            and self.snapshots.partition_cols
+            and self._merge_pruned(source, dialect, base)
+        ):
+            return
         self._hydrate()
         if self.catalog.exists():
             self._clear_mirror()  # catalog is about to diverge
         self.catalog.merge(source, dialect)  # real MERGE INTO (step 2)
         self._commit_from_catalog(expected_base=base)
+
+    def _merge_pruned(
+        self, source: DataFrame, dialect: MergeDialect, base: int
+    ) -> bool:
+        """Partition-scoped CoW merge: rewrite ONLY the touched rewrite
+        group; carry every other partition's data files into the new
+        snapshot byte-identically. Returns False when the pruned path
+        does not apply (the batch drifts the schema — carried-over files
+        cannot gain columns — or lacks the partition columns), in which
+        case the caller runs the full-table path.
+
+        The rewrite group = partitions the batch writes into (its own
+        partition values) ∪ base partitions holding a matched merge key
+        (an update may MOVE a row between partitions: the old partition
+        must be rewritten without it). The key probe is a broadcast
+        semi-join over a two-column pruned scan — the planning read
+        Iceberg CoW also performs to find matched files; what it never
+        does is rewrite unmatched ones. On a sort-compacted layout
+        (``optimize_snapshot(sort_cols)``) the same carry logic extends
+        below partitions to file-level key ranges; partition granularity
+        is what the layout guarantees without footer reads."""
+        from urllib.parse import unquote, urlparse
+
+        pcols = self.snapshots.partition_cols
+        base_dir = os.path.join(self.snapshots.path, f"v={base}")
+        base_df = self.spark.read.parquet(base_dir)
+        have = {c.lower() for c in base_df.columns}
+        markers = {c.lower() for c in dialect.non_data_columns}
+        if any(
+            f.name.lower() not in have and f.name.lower() not in markers
+            for f in source.schema.fields
+        ):
+            return False  # T8 drift -> full rewrite
+        if any(c not in source.columns for c in pcols):
+            return False
+        src_parts = source.select(*pcols).distinct()
+        keys = source.select(MERGE_KEY_COLUMN).distinct()
+        matched_parts = (
+            base_df.join(F.broadcast(keys), MERGE_KEY_COLUMN, "leftsemi")
+            .select(*pcols)
+            .distinct()
+        )
+        touched = [
+            tuple(r)
+            for r in src_parts.unionByName(matched_parts).distinct().collect()
+        ]  # metadata-sized: bounded by the batch's partition spread
+        # untouched leaf dirs, named by the ENGINE (hive-escaping-proof):
+        # distinct parent dir per base data file, anti-joined null-safe
+        # against the touched tuples (a NULL partition value is still one
+        # partition). One row per leaf dir reaches the driver.
+        part_schema = source.select(*pcols).schema
+        tdf = self.spark.createDataFrame(touched, part_schema)
+        dirs = base_df.select(
+            *pcols,
+            F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias("__d"),
+        ).distinct()
+        cond = None
+        for c in pcols:
+            e = dirs[c].eqNullSafe(tdf[c])
+            cond = e if cond is None else cond & e
+        carry = sorted(
+            {
+                os.path.relpath(unquote(urlparse(r["__d"]).path), base_dir)
+                for r in dirs.join(tdf, cond, "left_anti")
+                .select("__d")
+                .collect()
+            }
+        )
+        # hydrate the catalog with ONLY the rewrite group (a partition
+        # filter — the scan prunes to the touched directories). The
+        # catalog never mirrors the full snapshot on this path, so the
+        # mirror property stays unset and the next merge re-hydrates its
+        # own (cheap, group-sized) slice.
+        terms = []
+        for t in touched:
+            conj = None
+            for c, v in zip(pcols, t):
+                e = F.col(c).eqNullSafe(F.lit(v))
+                conj = e if conj is None else conj & e
+            terms.append(conj)
+        while len(terms) > 1:  # balanced OR: no deep-recursion plans
+            terms = [
+                terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        group = base_df.filter(terms[0] if terms else F.lit(False))
+        if self.catalog.exists():
+            self._clear_mirror()
+        self.catalog.overwrite(group)
+        self.catalog.merge(source, dialect)  # real MERGE INTO on the group
+        merged = self.catalog.read()
+        assert merged is not None
+        self.snapshots._commit_pruned(merged, carry, expected_base=base)
+        return True
 
     def changes(self, v_from: int, v_to: int, keys: list[str] | None = None):
         """Change data feed between two committed snapshots (Delta CDF /

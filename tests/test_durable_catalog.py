@@ -278,6 +278,182 @@ def test_partitioned_snapshots_prune_on_read(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def _partitioned_target(spark, tmp_path, tag):
+    if not _mem_available(spark):
+        pytest.skip("mem catalog jar not loaded in this session")
+    name = f"mem.itest.pr_{tag}_{uuid.uuid4().hex[:8]}"
+    return DurableCatalogTarget(
+        spark, str(tmp_path / tag), name, partition_cols=["event_type"]
+    )
+
+
+def _dir_hashes(root):
+    import hashlib
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, root)
+            out[rel] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+PART_SCHEMA = BATCH_SCHEMA + ", event_type string"
+
+
+def test_pruned_merge_leaves_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    """The r6 caveat closed: a merge touching ONE partition must leave
+    every other partition's data files BYTE-IDENTICAL across the
+    snapshot commit (file-hash pin, not value parity) — the rewrite
+    group is pruned, untouched files are carried by hard link exactly
+    as an Iceberg manifest carries them by reference."""
+    target = _partitioned_target(spark, tmp_path, "pin")
+    try:
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        sink.apply(
+            spark.createDataFrame(
+                [
+                    ("k1", 1, "U", 1, 10, "click"),
+                    ("k2", 2, "U", 2, 20, "view"),
+                    ("k3", 3, "U", 3, 30, "scroll"),
+                ],
+                PART_SCHEMA,
+            )
+        )
+        v1 = _dir_hashes(os.path.join(target.snapshots.path, "v=1"))
+        # wave 2 touches ONLY the click partition
+        sink.apply(
+            spark.createDataFrame(
+                [("k1", 4, "U", 1, 11, "click")], PART_SCHEMA
+            )
+        )
+        v2_dir = os.path.join(target.snapshots.path, "v=2")
+        v2 = _dir_hashes(v2_dir)
+        for part in ("event_type=view", "event_type=scroll"):
+            b = {k: h for k, h in v1.items() if k.startswith(part)}
+            a = {k: h for k, h in v2.items() if k.startswith(part)}
+            assert b and a == b, (part, b, a)
+            # carried by hard link: same inode, zero data movement
+            for rel in b:
+                assert os.path.samefile(
+                    os.path.join(target.snapshots.path, "v=1", rel),
+                    os.path.join(v2_dir, rel),
+                ), rel
+        # the touched partition WAS rewritten (new files)
+        clicks_before = {k for k in v1 if k.startswith("event_type=click")}
+        clicks_after = {k for k in v2 if k.startswith("event_type=click")}
+        assert not (clicks_before & clicks_after)
+        got = {
+            r["ARCANE_MERGE_KEY"]: r["score"] for r in target.read().collect()
+        }
+        assert got == {"k1": 11, "k2": 20, "k3": 30}
+        # hard links survive expiry of the source snapshot: the link
+        # count is the manifest refcount
+        from arcane_framework_scala_spark.sinks.maintenance import (
+            expire_snapshots,
+        )
+
+        assert expire_snapshots(target.snapshots, keep_last=1) == [1]
+        still = {
+            r["ARCANE_MERGE_KEY"]: r["score"] for r in target.read().collect()
+        }
+        assert still == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {target.table}")
+
+
+def test_pruned_merge_rewrites_old_partition_of_a_moved_key(spark, tmp_path):
+    """An update that MOVES a row between partitions must rewrite the old
+    partition too (it holds a matched key), or the row would be
+    resurrected from the carried-over files."""
+    target = _partitioned_target(spark, tmp_path, "move")
+    try:
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        sink.apply(
+            spark.createDataFrame(
+                [
+                    ("k1", 1, "U", 1, 10, "click"),
+                    ("k2", 2, "U", 2, 20, "view"),
+                ],
+                PART_SCHEMA,
+            )
+        )
+        # k1 moves click -> view; the click partition must lose it
+        sink.apply(
+            spark.createDataFrame([("k1", 3, "U", 1, 11, "view")], PART_SCHEMA)
+        )
+        rows = {
+            r["ARCANE_MERGE_KEY"]: (r["event_type"], r["score"])
+            for r in target.read().collect()
+        }
+        assert rows == {"k1": ("view", 11), "k2": ("view", 20)}
+        # no stale k1 copy under the old partition dir
+        old = target.read().filter(
+            (F.col("event_type") == "click")
+        ).count()
+        assert old == 0
+        # a delete prunes to the partition holding the matched key even
+        # though the batch's own partition value is the row's old home
+        sink.apply(
+            spark.createDataFrame([("k2", 4, "D", 2, 20, "view")], PART_SCHEMA)
+        )
+        assert {
+            r["ARCANE_MERGE_KEY"] for r in target.read().collect()
+        } == {"k1"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {target.table}")
+
+
+def test_pruned_merge_schema_drift_falls_back_to_full_rewrite(
+    spark, tmp_path
+):
+    """Carried-over files cannot gain columns, so a drifting batch takes
+    the full-table path: all partitions are rewritten with the new
+    column and values stay right."""
+    target = _partitioned_target(spark, tmp_path, "drift")
+    try:
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        sink.apply(
+            spark.createDataFrame(
+                [
+                    ("k1", 1, "U", 1, 10, "click"),
+                    ("k2", 2, "U", 2, 20, "view"),
+                ],
+                PART_SCHEMA,
+            )
+        )
+        sink.apply(
+            spark.createDataFrame(
+                [("k1", 3, "U", 1, 11, "click", "us")],
+                PART_SCHEMA + ", region string",
+            )
+        )
+        rows = {
+            r["ARCANE_MERGE_KEY"]: (r["score"], r["region"])
+            for r in target.read().collect()
+        }
+        assert rows == {"k1": (11, "us"), "k2": (20, None)}
+        # and the NEXT non-drifting merge prunes again on the widened table
+        v2 = _dir_hashes(os.path.join(target.snapshots.path, "v=2"))
+        sink.apply(
+            spark.createDataFrame(
+                [("k1", 5, "U", 1, 12, "click", "us")],
+                PART_SCHEMA + ", region string",
+            )
+        )
+        v3 = _dir_hashes(os.path.join(target.snapshots.path, "v=3"))
+        view_b = {k: h for k, h in v2.items() if k.startswith("event_type=view")}
+        view_a = {k: h for k, h in v3.items() if k.startswith("event_type=view")}
+        assert view_b and view_a == view_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {target.table}")
+
+
 def test_concurrent_commit_is_detected_not_lost(spark, tmp_path):
     """Optimistic commit: a pointer flipped by another writer between
     snapshot write and this writer's flip raises CommitConflictError
