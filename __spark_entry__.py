@@ -1695,6 +1695,127 @@ FROM ranked WHERE rk = 1 GROUP BY 1
 """
 
 
+def q_t_ivm_state_merge(spark, sf_dir):
+    """IVM state as a MERGE-maintained catalog TABLE (the production
+    twin of a21's DataFrame path): the host profile bootstraps as an
+    all-insert delta, then every crawl wave's CDF delta upserts the
+    state table with one generated MERGE (additive update,
+    delete-at-zero, insert-positive; the nn_size auxiliary returns
+    sums to NULL when the last non-NULL contributor leaves). O(|delta|)
+    per wave against a groups-sized table — never a base-table rescan.
+    The gate asserts the merged state equals a from-scratch groupBy of
+    the final table; the oracle recomputes it relationally."""
+    from arcane_framework_scala_spark.operators import ivm
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tivm")
+    state = "arcm.gate.tivm_state"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT) "
+        "USING mem"
+    )
+
+    def merge_delta(delta):
+        view = "__tivm_delta"
+        delta.createOrReplaceTempView(view)
+        try:
+            spark.sql(ivm.group_state_merge_sql(state, view))
+        finally:
+            spark.catalog.dropTempView(view)
+
+    sink.apply(batch.filter(waves[0]))
+    boot = ivm.group_stats_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).select(
+        "host",
+        F.col("docs").alias("d_docs"),
+        F.col("sum_size").alias("d_size"),
+        F.col("nn_size").alias("d_nn"),
+    )
+    merge_delta(boot)
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        merge_delta(ivm.group_delta(target.changes(v - 1, v), "host", "n_chars"))
+
+    got = spark.table(state)
+    recomputed = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    if got.exceptAll(recomputed).count() or recomputed.exceptAll(got).count():
+        raise AssertionError("MERGE-maintained IVM state diverged")
+    return got.select("host", "docs", "sum_size")
+
+
+def q_a24_host_concentration(spark, sf_dir):
+    """Skew diagnostic over the host profile: one-row concentration
+    report (group count, total weight, top-1/top-10 shares and exact
+    Gini, all integer ppm) of documents per host — the number that says
+    whether host caps are needed before the corpus mix is dominated.
+    Operates on the already-reduced group table by contract."""
+    from arcane_framework_scala_spark.functions.stats import (
+        concentration_report,
+    )
+
+    hosts = web.host_stats(_docs_with_urls(spark, sf_dir), size_col="n_chars")
+    return concentration_report(hosts, weight_col="docs")
+
+
+def q_web_blocklist(spark, sf_dir):
+    """Blocklist filtering (the robots/licensing gate every crawl
+    pipeline runs first): documents whose domain is ``example.org`` (the
+    whole api.* family) or whose host sits under ``src0.example.com``
+    are dropped via one broadcast anti-join; unparseable (NULL-host)
+    rows are never silently eaten."""
+    blocked = ["example.org", "src0.example.com"]
+    return web.blocklist_filter(
+        _docs_with_urls(spark, sf_dir), blocked
+    ).select("doc_id", "host", "domain", "canon_url")
+
+
+_WEB_BLOCKLIST_SQL = (
+    "SELECT doc_id, host, domain, canon_url "
+    f"FROM ({{canon}}) u "
+    "WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('example.org'), "
+    "('src0.example.com')) b(d) "
+    "WHERE u.domain = b.d OR u.host = b.d OR u.host LIKE '%.' || b.d)"
+)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Dedup normalization (the fold before shingling/MinHash in the
+    Gopher/RefinedWeb recipes): lowercase, digits squashed to 0,
+    punctuation dropped, whitespace collapsed — near-identical
+    boilerplate hashes identically afterwards. Pure narrow regexp
+    column algebra, zero shuffles."""
+    from arcane_framework_scala_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", normalize_for_dedup("text").alias("norm_text")
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Broder containment pairs: C(a,b) = |A∩B| / min(|A|,|B|) over
+    char-5-gram sets — catches SUBSET duplication (a document quoted
+    inside a larger one) that Jaccard misses because the union is
+    dominated by the larger doc. Prefix-filtered candidates, exact
+    intersections, threshold 0.8."""
+    return dd.ngram_containment_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def q_dedup_prefix_recall(spark, sf_dir):
+    """Prices the prefix filter's recall (VERDICT r6 item 5 — the
+    ``dedup_minhash_quality`` companion for the df-cap): per exact-
+    Jaccard decile over MinHash-LSH candidate pairs, how many pairs the
+    ``max_shingle_df`` cap also generates and how many it loses. On this
+    corpus every miss sits in the ≤0.3-Jaccard buckets while the ≥0.9
+    buckets are fully recalled — the documented trade, now measured."""
+    return dd.prefix_filter_recall(_read(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Engine-surface breadth gates (late r6): multi-level aggregation
 # (CUBE/GROUPING SETS), the window-function suite, and relational set
@@ -8029,6 +8150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "m9_web_ingest_vertical": q_m9_web_ingest_vertical,
         "a21_host_stats_ivm": q_a21_host_stats_ivm,
+        "t_ivm_state_merge": q_t_ivm_state_merge,
+        "a24_host_concentration": q_a24_host_concentration,
+        "web_blocklist": q_web_blocklist,
+        "text_normalize": q_text_normalize,
+        "dedup_containment": q_dedup_containment,
+        "dedup_prefix_recall": q_dedup_prefix_recall,
         "a22_grouping_cube": q_a22_grouping_cube,
         "a23_window_suite": q_a23_window_suite,
         "p13_set_ops": q_p13_set_ops,
@@ -8076,6 +8203,24 @@ def oracle_sql() -> dict[str, str]:
         "a21_host_stats_ivm": _A21_HOST_STATS_IVM_SQL.format(
             canon=_WEB_CANON_INNER_SQL
         ),
+        "t_ivm_state_merge": _A21_HOST_STATS_IVM_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
+        "a24_host_concentration": stats_mod.concentration_report_sql(
+            _WEB_HOST_STATS_SQL, "docs"
+        ),
+        "web_blocklist": _WEB_BLOCKLIST_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
+        "text_normalize": (
+            "SELECT doc_id, "
+            + tx.normalize_for_dedup_sql("text")
+            + " AS norm_text FROM documents"
+        ),
+        "dedup_containment": dd.ngram_containment_pairs_sql(
+            "documents", threshold=0.8
+        ),
+        "dedup_prefix_recall": dd.prefix_filter_recall_sql("documents"),
         "a22_grouping_cube": _A22_GROUPING_CUBE_SQL,
         "a23_window_suite": _A23_WINDOW_SUITE_SQL,
         "p13_set_ops": _P13_SET_OPS_SQL,

@@ -942,6 +942,111 @@ WHERE round(i / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 6) >= {threshol
 """
 
 
+def prefix_filter_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_shingle_df: int = 50,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Price the prefix filter's recall (the ``dedup_minhash_quality``
+    companion for the df-cap): what candidate pairs does
+    ``max_shingle_df`` lose, and how similar are they really?
+
+    Takes MinHash-LSH candidate pairs as the recall yardstick, computes
+    each pair's EXACT shingle Jaccard, and reports per integer-floored
+    Jaccard decile (``bucket = (|∩|·10) div |∪|``, all-integer so both
+    engines agree): ``(bucket, n_lsh, n_prefix, n_missed)`` — LSH pairs
+    in the bucket, how many the prefix filter also generates, and how
+    many it misses. A healthy cap shows misses concentrated in LOW
+    buckets (pairs whose entire overlap is ultra-common shingles are not
+    near-duplicates — the documented trade); misses in high buckets say
+    the cap is too tight for this corpus. Pairs sharing zero shingles
+    (pure band-hash collisions) have no exact Jaccard and are excluded
+    by both engines alike.
+
+    Diagnostic-scale contract: candidate-pair-bounded work (two
+    candidate generations + two hash joins against the shingle table);
+    at 100 TB run it over a sampled slice to TUNE the cap, not inline in
+    the dedup pipeline."""
+    lsh = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, k
+    ).select("id_a", "id_b")
+    ov = _pair_shingle_overlap(df, text_col, id_col, k, lsh, max_shingle_df)
+    pfx = _pair_shingle_overlap(
+        df, text_col, id_col, k, None, max_shingle_df
+    ).select("id_a", "id_b", F.lit(True).alias("__hit"))
+    return (
+        ov.join(pfx, ["id_a", "id_b"], "left")
+        .select(
+            F.expr("(inter * 10) div (size_a + size_b - inter)").alias(
+                "bucket"
+            ),
+            "__hit",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lsh"),
+            F.sum(
+                F.when(F.col("__hit"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_prefix"),
+            F.sum(
+                F.when(F.col("__hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_missed"),
+        )
+    )
+
+
+def prefix_filter_recall_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_shingle_df: int = 50,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    """DuckDB twin of :func:`prefix_filter_recall`."""
+    lsh = minhash_candidate_pairs_sql(
+        table, text_col, id_col, num_hashes, bands, k
+    )
+    sh = _char_shingles_sql(text_col, k)
+    return f"""
+WITH lsh AS ({lsh}),
+exploded AS (
+  SELECT DISTINCT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+), sizes AS (
+  SELECT id, count(*) AS set_size FROM exploded GROUP BY id
+), rare AS (
+  SELECT sh FROM exploded GROUP BY sh HAVING count(*) <= {max_shingle_df}
+), rare_ex AS (
+  SELECT e.id, e.sh FROM exploded e JOIN rare USING (sh)
+), pfx AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM rare_ex l JOIN rare_ex r ON l.sh = r.sh AND l.id < r.id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM lsh c
+  JOIN exploded a ON a.id = c.id_a
+  JOIN exploded b ON b.id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+), scored AS (
+  SELECT (i.i * 10) // (sa.set_size + sb.set_size - i.i) AS bucket,
+         p.id_a IS NOT NULL AS hit
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  LEFT JOIN pfx p ON p.id_a = i.id_a AND p.id_b = i.id_b
+)
+SELECT bucket, count(*) AS n_lsh,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix,
+       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_missed
+FROM scored GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

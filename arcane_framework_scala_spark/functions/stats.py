@@ -275,7 +275,10 @@ FROM terms GROUP BY day
 
 
 def concentration_report(
-    df: DataFrame, weight_col: str, group_col: str | None = None
+    df: DataFrame,
+    weight_col: str,
+    group_col: str | None = None,
+    max_groups: int | None = 10_000_000,
 ) -> DataFrame:
     """One-row skew profile of a weighted group table: ``(n_groups,
     total_weight, top1_share_ppm, top10_share_ppm, gini_ppm)``.
@@ -287,9 +290,25 @@ def concentration_report(
     cross-engine byte-stable. Ordering ties (equal weights) don't affect
     any of the sums, so no tie-break is needed for determinism.
 
-    Scale: one window over the GROUP table (already reduced — hosts, not
-    documents) plus a single-row aggregate; never touches raw rows.
+    Scale: the exact Gini needs a GLOBAL rank, which Spark executes as a
+    single-partition sort — fine for the group tables this report is FOR
+    (hosts/domains: ≤10⁷ rows sort in seconds on one task), wrong for a
+    raw-row table. ``max_groups`` enforces that contract: the input is
+    counted first (one cheap agg over the reduced table) and a larger
+    input raises instead of silently single-tasking a terabyte sort —
+    pass ``None`` only when the caller has pre-verified the size. Beyond
+    the cap, bucket the weights (``log_histogram``) for an approximate
+    Gini instead of exact ranks.
     """
+    if max_groups is not None:
+        n_in = df.count()
+        if n_in > max_groups:
+            raise ValueError(
+                f"concentration_report input has {n_in} rows — beyond "
+                f"max_groups={max_groups}, the exact-Gini global sort "
+                f"single-tasks; aggregate further or use a bucketed "
+                f"approximation (functions.sketch.log_histogram)"
+            )
     w = Window.orderBy(F.col("x").asc())
     n_w = Window.partitionBy()
     ranked = df.select(

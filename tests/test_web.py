@@ -245,6 +245,27 @@ def test_concentration_report_on_host_stats(spark, sf_dir):
     assert 0 <= rep["gini_ppm"] < 1_000_000
 
 
+def test_concentration_report_guards_the_global_sort(spark):
+    """The exact Gini runs a single-partition global sort — fine for a
+    reduced group table, wrong for raw rows. max_groups enforces the
+    contract: an over-sized input raises instead of silently
+    single-tasking."""
+    import pytest
+
+    from arcane_framework_scala_spark.functions.stats import (
+        concentration_report,
+    )
+
+    groups = spark.createDataFrame(
+        [(f"h{i}", i + 1) for i in range(20)], "host string, docs long"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        concentration_report(groups, "docs", max_groups=10)
+    # at/under the cap (and with the guard disabled) the report runs
+    assert concentration_report(groups, "docs", max_groups=20).count() == 1
+    assert concentration_report(groups, "docs", max_groups=None).count() == 1
+
+
 def test_blocklist_filter_blocks_domain_and_subdomains(spark):
     rows = [
         (1, "spam.com", "spam.com", "/x"),
