@@ -1745,6 +1745,51 @@ def q_t_ivm_state_merge(spark, sf_dir):
     return got.select("host", "docs", "sum_size")
 
 
+def q_t_ivm_minmax(spark, sf_dir):
+    """Incremental MAX/MIN maintenance under the change feed (the
+    extension past the additive IVM class, VERDICT r6 item 6): the
+    host-level max/min document size is bootstrapped from crawl wave 1
+    and maintained from CDF deltas with the top-2 auxiliary — inserts
+    merge into the auxiliary, a delete/retraction reaching into the
+    top-2/bottom-2 band recomputes ONLY that group (semi-join on the
+    affected set; re-crawl updates retract their pre-images, so band
+    hits genuinely occur). The gate asserts the maintained view equals
+    a from-scratch groupBy of the final table; the oracle recomputes
+    it relationally."""
+    from arcane_framework_scala_spark.operators import ivm_minmax as mm
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tmm")
+    sink.apply(batch.filter(waves[0]))
+    state = mm.minmax_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).localCheckpoint()
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        delta = mm.minmax_delta(target.changes(v - 1, v), "host", "n_chars")
+        state = mm.apply_minmax_delta(
+            state, delta, target.read(), "host", "n_chars"
+        ).localCheckpoint()
+    recomputed = mm.minmax_bootstrap(target.read(), "host", "n_chars")
+    if state.exceptAll(recomputed).count() or recomputed.exceptAll(state).count():
+        raise AssertionError("minmax IVM view diverged from full recompute")
+    # top2/bot2 are auxiliary state (proven against the fresh bootstrap
+    # above); the view's contract output is the aggregate triple
+    return state.select("host", "docs", "max_size", "min_size")
+
+
+_T_IVM_MINMAX_SQL = """
+WITH ranked AS (
+  SELECT host, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT host, count(*) AS docs,
+       CAST(max(n_chars) AS BIGINT) AS max_size,
+       CAST(min(n_chars) AS BIGINT) AS min_size
+FROM ranked WHERE rk = 1 GROUP BY 1
+"""
+
+
 def q_a24_host_concentration(spark, sf_dir):
     """Skew diagnostic over the host profile: one-row concentration
     report (group count, total weight, top-1/top-10 shares and exact
@@ -8151,6 +8196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_web_ingest_vertical": q_m9_web_ingest_vertical,
         "a21_host_stats_ivm": q_a21_host_stats_ivm,
         "t_ivm_state_merge": q_t_ivm_state_merge,
+        "t_ivm_minmax": q_t_ivm_minmax,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
         "text_normalize": q_text_normalize,
@@ -8204,6 +8250,9 @@ def oracle_sql() -> dict[str, str]:
             canon=_WEB_CANON_INNER_SQL
         ),
         "t_ivm_state_merge": _A21_HOST_STATS_IVM_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
+        "t_ivm_minmax": _T_IVM_MINMAX_SQL.format(
             canon=_WEB_CANON_INNER_SQL
         ),
         "a24_host_concentration": stats_mod.concentration_report_sql(

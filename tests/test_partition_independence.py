@@ -132,3 +132,35 @@ def test_ivm_partition_independent(spark, sf_dir):
         )
 
     assert run(cdf) == run(cdf.repartition(9))
+
+
+def test_ivm_minmax_partition_independent(spark, sf_dir):
+    """The top-2-auxiliary max/min maintenance is partitioning-blind:
+    the same view lands for any delta partitioning (sorted bounded
+    arrays, null-safe joins, deterministic recompute scope)."""
+    from arcane_framework_scala_spark.operators import ivm_minmax as mm
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    before = docs.filter("doc_id % 4 != 0")
+    after = docs.filter("doc_id % 3 != 0")
+    state = mm.minmax_bootstrap(before, "source", "n_chars")
+    cdf = snapshot_diff(before, after, keys=["doc_id"])
+
+    def run(c):
+        return sorted(
+            map(
+                tuple,
+                mm.apply_minmax_delta(
+                    state,
+                    mm.minmax_delta(c, "source", "n_chars"),
+                    after,
+                    "source",
+                    "n_chars",
+                )
+                .select("source", "docs", "max_size", "min_size")
+                .collect(),
+            )
+        )
+
+    assert run(cdf) == run(cdf.repartition(9))
