@@ -4691,6 +4691,122 @@ FROM orders
 """
 
 
+def q_t3_shaped_trigger_vertical(spark, sf_dir):
+    """The T3/T4 shaper chain driving the REAL trigger cap (VERDICT r6
+    item 7): ``MemoryBoundShaper`` sizes the stream's per-trigger file
+    cap from the live memory budget and the source's parquet-footer
+    stats — the reference's shaper feeding ``throttleShape``
+    (``ThroughputShaper.scala:22-40``), mapped onto Spark's
+    ``maxFilesPerTrigger``. The SAME 8-file ingest (6 wave-1 slices +
+    2 wave-2 update files) runs twice end-to-end through
+    stage→merge→watermark: once under a generous memory budget (large
+    cap → few batches) and once under a SHRUNKEN budget (cap drops to
+    1 file → more, smaller batches). The gate counts merge triggers —
+    the shrunken run must fire strictly more — and the two final tables
+    must be row-identical (version-guarded MERGE makes batch slicing
+    invisible). Oracle: per-key latest-version-wins."""
+    import tempfile
+
+    from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+    from arcane_framework_scala_spark.streaming.throughput import (
+        MemoryBoundShaper,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    _harden_session(spark)
+    V1, V2 = 1_700_000_000, 1_700_001_000
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    stage_root = tempfile.mkdtemp(prefix="arcane_t3s_src_")
+    src = os.path.join(stage_root, "incoming")
+    os.makedirs(src)
+
+    def stage(df, name, mtime):
+        sub = os.path.join(stage_root, "stage_" + name)
+        df.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, name + ".parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime, mtime))
+
+    for i in range(6):  # wave 1: six disjoint slices, version V1
+        stage(orders.filter(F.col("o_orderkey") % 6 == i), f"w1_{i}", V1)
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    for i in range(2):  # wave 2: two update files, version V2
+        stage(upd.filter(F.col("o_orderkey") % 2 == i), f"w2_{i}", V2)
+
+    def run(tag, free_bytes):
+        run_dir = tempfile.mkdtemp(prefix=f"arcane_t3s_{tag}_")
+        stream = StructuredBlobStream(
+            spark=spark,
+            path=src,
+            schema=(
+                "o_orderkey bigint, o_orderstatus string, "
+                "o_totalprice double"
+            ),
+            primary_keys=["o_orderkey"],
+            sink=MergeSink(
+                target=SnapshotParquetTarget(
+                    spark, os.path.join(run_dir, "tgt")
+                ),
+                dialect=UPSERT_BLOB,
+            ),
+            watermark_store=FileWatermarkStore(
+                path=os.path.join(run_dir, "wm.json")
+            ),
+            checkpoint_dir=os.path.join(run_dir, "ckpt"),
+            shaper=MemoryBoundShaper(free_memory_fn=lambda: free_bytes),
+            idle_watermark_advance=False,
+        )
+        stream.run_available()
+        final = stream.sink.target.read().select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("createdon").cast("long").alias("version"),
+        )
+        return stream, final
+
+    roomy, final_a = run("roomy", 8 << 30)
+    # 128 KiB: small enough that the chunk estimate holds fewer rows
+    # than ONE source file at every test SF -> cap degrades to 1 file
+    tight, final_b = run("tight", 1 << 17)
+    if roomy.shaped_cap <= tight.shaped_cap:
+        raise AssertionError(
+            f"shrinking memory did not shrink the cap: "
+            f"{roomy.shaped_cap} vs {tight.shaped_cap}"
+        )
+    if tight.batches_processed <= roomy.batches_processed:
+        raise AssertionError(
+            f"shrunken budget should fire more, smaller triggers: "
+            f"{tight.batches_processed} vs {roomy.batches_processed}"
+        )
+    if tight.shaped_cap != 1 or tight.batches_processed != 8:
+        raise AssertionError(
+            f"tight run expected 8 one-file triggers, got cap="
+            f"{tight.shaped_cap} batches={tight.batches_processed}"
+        )
+    d1 = final_a.exceptAll(final_b).count()
+    d2 = final_b.exceptAll(final_a).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"batch slicing changed the merged table: {d1}/{d2} rows"
+        )
+    return final_a
+
+
 def q_t_stream_sessionize(spark, sf_dir):
     """Gap-based sessionization through Spark's native ``session_window``
     on a real stream (4 micro-batches, complete mode): session_window's
@@ -8197,6 +8313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_host_stats_ivm": q_a21_host_stats_ivm,
         "t_ivm_state_merge": q_t_ivm_state_merge,
         "t_ivm_minmax": q_t_ivm_minmax,
+        "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
         "text_normalize": q_text_normalize,
@@ -8255,6 +8372,7 @@ def oracle_sql() -> dict[str, str]:
         "t_ivm_minmax": _T_IVM_MINMAX_SQL.format(
             canon=_WEB_CANON_INNER_SQL
         ),
+        "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"
         ),

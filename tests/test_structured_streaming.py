@@ -263,3 +263,60 @@ def test_foreachbatch_merge_into_durable_target(spark, sf_dir, tmp_path):
     cat = spark.table("arcm.test.stream_durable")
     fin = target.read()
     assert cat.exceptAll(fin).count() == 0 and fin.exceptAll(cat).count() == 0
+
+
+def test_shaper_sizes_the_trigger_cap(spark, tmp_path):
+    """T3/T4 -> T7 hand-off: a MemoryBoundShaper on the stream derives
+    maxFilesPerTrigger from the LIVE memory budget and the source's
+    footer stats; a shrinking budget shrinks the cap, and the static
+    knob remains the ceiling/fallback."""
+    from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+    from arcane_framework_scala_spark.streaming.throughput import (
+        MemoryBoundShaper,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.range(0, 4000).selectExpr(
+        "id AS o_orderkey", "cast(id AS double) AS o_totalprice"
+    )
+    for i in range(4):
+        df.filter(f"o_orderkey % 4 = {i}").coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    def stream(free_bytes, static_cap=10_000):
+        return StructuredBlobStream(
+            spark=spark,
+            path=str(src),
+            schema="o_orderkey bigint, o_totalprice double",
+            primary_keys=["o_orderkey"],
+            sink=MergeSink(
+                target=SnapshotParquetTarget(spark, str(tmp_path / "t")),
+                dialect=UPSERT_BLOB,
+            ),
+            watermark_store=FileWatermarkStore(path=str(tmp_path / "wm.json")),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_batch=static_cap,
+            shaper=MemoryBoundShaper(free_memory_fn=lambda: free_bytes)
+            if free_bytes
+            else None,
+        )
+
+    roomy = stream(8 << 30)
+    assert roomy._shaped_max_files() > 1
+    tight = stream(1 << 14)
+    assert tight._shaped_max_files() == 1
+    # static knob stays the ceiling; no shaper -> static knob verbatim
+    assert stream(8 << 30, static_cap=2)._shaped_max_files() == 2
+    assert stream(None, static_cap=7)._shaped_max_files() == 7
