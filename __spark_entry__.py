@@ -8054,48 +8054,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_m3_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
-# r6 GATE WINDOW (VERDICT r5 item 2): the driver's correctness gate runs
-# the FIRST 50 queries() entries only. Every registry entry already has a
-# passing driver row (backlog 0 after r5), so r6 is a freshness rotation:
-# the 8 r6-born gates (never-checked; the contract test forces them into
-# the window), then ALL 30 entries last checked in r2 (the verdict's
-# explicit requirement), then the 12 stalest r3 entries that fit. After
-# the driver runs it, maximum registry staleness drops to <=3 rounds with
-# the whole r2 era re-proved. Audit with scripts/plan_window.py.
-_GATE_WINDOW_R6 = [
-    # --- r6-born gates (never driver-checked -> must sit in window) ---
-    "t1_stream_trigger_vertical", "a17_hll_distinct",
-    "a18_cms_heavy_hitters", "a19_kmv_overlap", "a20_log_hist_quantiles",
-    "t_stream_hll", "t_hll_state_merge", "m8_lakehouse_vertical",
-    # --- 30 entries last driver-checked in r2 ---
-    "m4_overwrite_backfill", "a3_table_stats", "m5_shard_combine",
-    "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
-    "dedup_minhash_lsh_pairs", "dedup_clusters", "sim_cosine_topk",
-    "s9_json_explode", "s10_blob_csv", "p1_field_filter",
-    "p6_name_normalize", "a2_agg_version_stats", "p7_json_extract",
-    "text_quality", "token_counts", "lang_id", "doc_fingerprint",
-    "dedup_minhash_signature", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_span_stats", "sim_tfidf_rerank", "dedup_span_clean",
-    "sim_rrf_hybrid", "sim_lsh_buckets", "sim_lsh_neighbors",
-    "mm_image_features", "mm_audio_features",
-    # --- r6-born web-curation + line-dedup + ngram-mining gates
-    #     (never driver-checked -> must sit in window) ---
-    "web_url_canonical", "web_host_stats", "web_host_cap",
-    "web_url_dedup", "corpus_line_dedup", "corpus_line_dedup_clean",
-    "corpus_top_ngrams", "m9_web_ingest_vertical",
-    "a21_host_stats_ivm", "a22_grouping_cube", "a23_window_suite",
-    "p13_set_ops",
-    # --- all 15 r3-stale rows are displaced by the 20 r6-born gates;
-    #     the full r3 backlog rotates forward in r7: mm_frame_sample,
-    #     sim_kmeans_centroids, sim_ivf_trained_topk, sim_quantize_int8,
-    #     dedup_embedding_cosine, t_window_agg, corpus_repetition,
-    #     s9_avro_json, sim_ivf_topk, t_sessionize, corpus_contamination,
-    #     corpus_curation_pipeline, p10_bucketed_join, skew_salted_agg,
-    #     and the r2-checked corpus_stratified_sample/vocab_stats/chunk/
-    #     pack set ---
-    # p10_bucketed_join/skew_salted_agg/corpus_stratified_sample/
-    # corpus_vocab_stats/corpus_chunk/corpus_pack rotated out for the
-    # r6-born gates
+# r7 GATE WINDOW (VERDICT r6 item 2): staleness-ranked rotation, now
+# computed by scripts/plan_window.py (never-checked first, then oldest
+# last-green round, core verticals winning ties). The 9 r7-born gates
+# plus the 41 stalest (all last green in r3, every judge-named core
+# vertical included: s1/m1/m2/m3/t1_polling/t2/t7/t9/s6/
+# corpus_pipeline_e2e/dedup_clusters_star). After the driver runs it,
+# maximum registry staleness is <=4 rounds. Audit/regenerate with
+# `python scripts/plan_window.py --emit`.
+_GATE_WINDOW_R7 = [
+    # --- 9 r7-born gates (never driver-checked -> must sit in window;
+    #     tests/test_registry_contract.py enforces it) ---
+    "m10_pruned_cow_merge", "t_ivm_state_merge", "t_ivm_minmax",
+    "t3_shaped_trigger_vertical", "a24_host_concentration",
+    "web_blocklist", "text_normalize", "dedup_containment",
+    "dedup_prefix_recall",
+    # --- 41 stalest entries (last green r3), core verticals first ---
+    "s1_mssql_changes", "s6_cdm_vertical", "m1_merge_sqlserver",
+    "m2_merge_synapse", "m3_merge_upsert", "m7_real_merge_vertical",
+    "t1_polling_vertical", "t2_crash_replay", "t7_stream_merge_vertical",
+    "t9_replay_idempotent", "corpus_pipeline_e2e", "dedup_clusters_star",
+    "mm_frame_sample", "s9_avro_json", "sim_ivf_topk",
+    "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
+    "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
+    "corpus_repetition", "corpus_contamination", "corpus_hash_split",
+    "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
+    "skew_salted_agg", "corpus_stratified_sample", "corpus_vocab_stats",
+    "corpus_chunk", "corpus_pack", "s11_orc_roundtrip", "t_asof_join",
+    "t_range_join", "t_rollup_cascade", "t7_stream_window_agg",
+    "t_stream_sessionize", "t_stream_late_data", "t_stateful_first_seen",
+    "mm_resize",
 ]
 
 
@@ -8323,8 +8311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_window_suite": q_a23_window_suite,
         "p13_set_ops": q_p13_set_ops,
     }
-    assert len(_GATE_WINDOW_R6) == 50, len(_GATE_WINDOW_R6)
-    front = {n: full[n] for n in _GATE_WINDOW_R6}
+    assert len(_GATE_WINDOW_R7) == 50, len(_GATE_WINDOW_R7)
+    front = {n: full[n] for n in _GATE_WINDOW_R7}
     return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 

@@ -59,30 +59,33 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_gate_window_is_the_declared_r6_rotation():
-    """The driver checks the FIRST 50 entries only; r6 is a pure
-    freshness rotation (VERDICT r5 item 2): the 30 entries last checked
-    in r2 plus the 12 stalest r3 entries, with the 8 r6-born gates
-    inserted at the front. Pin the stalest families so a refactor
+def test_gate_window_is_the_declared_r7_rotation():
+    """The driver checks the FIRST 50 entries only; r7 is the
+    staleness-ranked rotation (VERDICT r6 item 2): the 9 r7-born gates
+    (never-checked) plus the 41 stalest r3-checked entries with every
+    judge-named core vertical included. Pin the families so a refactor
     reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
     for required in (
-        # r2-era rows, unchecked since then
-        "m4_overwrite_backfill", "m5_shard_combine", "a3_table_stats",
-        "s7_cdm_csv_parse", "o4_watermark_rows", "s2_backfill_scan",
-        "p1_field_filter", "p6_name_normalize", "sim_lsh_neighbors",
-        "dedup_minhash_lsh_pairs", "mm_audio_features", "text_quality",
-        # r6-born gates (never-checked -> forced into the window)
-        "t1_stream_trigger_vertical", "a17_hll_distinct",
-        "a18_cms_heavy_hitters", "a19_kmv_overlap",
-        "a20_log_hist_quantiles", "m8_lakehouse_vertical",
-        "web_url_canonical", "web_host_stats", "web_host_cap",
-        "web_url_dedup", "corpus_line_dedup",
-        "corpus_line_dedup_clean", "corpus_top_ngrams",
-        "m9_web_ingest_vertical", "a21_host_stats_ivm",
-        "a22_grouping_cube", "a23_window_suite", "p13_set_ops",
+        # r7-born gates (never-checked -> forced into the window)
+        "m10_pruned_cow_merge", "t_ivm_state_merge", "t_ivm_minmax",
+        "t3_shaped_trigger_vertical", "a24_host_concentration",
+        "web_blocklist", "text_normalize", "dedup_containment",
+        "dedup_prefix_recall",
+        # judge-named core verticals, last green in r3
+        "s1_mssql_changes", "s6_cdm_vertical", "m1_merge_sqlserver",
+        "m2_merge_synapse", "m3_merge_upsert", "t1_polling_vertical",
+        "t2_crash_replay", "t7_stream_merge_vertical",
+        "t9_replay_idempotent", "corpus_pipeline_e2e",
+        "dedup_clusters_star",
+        # stalest-r3 filler families
+        "mm_frame_sample", "sim_kmeans_centroids", "sim_ivf_trained_topk",
+        "sim_quantize_int8", "dedup_embedding_cosine", "t_window_agg",
+        "corpus_repetition", "sim_ivf_topk", "t_sessionize",
+        "p10_bucketed_join", "skew_salted_agg", "corpus_stratified_sample",
+        "corpus_vocab_stats", "corpus_chunk", "corpus_pack",
     ):
         assert required in first50, required
 
