@@ -418,6 +418,19 @@ class DurableCatalogTarget:
     first, so a crash after the MERGE but before the snapshot commit
     loses nothing — the retried batch replays onto the last durable
     snapshot (T9 version guards make the replay idempotent).
+
+    ``file_group_pruning=True`` extends the pruning BELOW partitions to
+    Iceberg's real granularity on unpartitioned tables: the rewrite
+    group is the set of FILES containing a matched merge key (found by
+    the same broadcast-semi-join planning scan, grouped by
+    ``input_file_name``), every unmatched file is carried by hard link,
+    and inserts land in the rewritten output. How much it prunes is the
+    layout's property, exactly as on Iceberg: after
+    ``optimize_snapshot(sort_cols=[...])`` a key-clustered batch touches
+    few files; a uniformly-hashing merge key touches most. Opt-in for
+    now: the whole-table path keeps the steady-state mirror elision
+    (zero re-read on consecutive merges), which the file-group path
+    trades for O(|group|) hydration per merge.
     """
 
     def __init__(
@@ -427,6 +440,7 @@ class DurableCatalogTarget:
         table: str,
         max_rows_per_file: int | None = None,
         partition_cols: list[str] | None = None,
+        file_group_pruning: bool = False,
     ):
         self.spark = spark
         self.table = table
@@ -434,6 +448,7 @@ class DurableCatalogTarget:
             spark, path, max_rows_per_file, partition_cols
         )
         self.catalog = CatalogTarget(spark, table)
+        self.file_group_pruning = file_group_pruning
 
     # -- durable truth: reads delegate to the snapshot layout ---------
 
@@ -526,6 +541,13 @@ class DurableCatalogTarget:
             base
             and self.snapshots.partition_cols
             and self._merge_pruned(source, dialect, base)
+        ):
+            return
+        if (
+            base
+            and self.file_group_pruning
+            and not self.snapshots.partition_cols
+            and self._merge_pruned_files(source, dialect, base)
         ):
             return
         self._hydrate()
@@ -626,6 +648,72 @@ class DurableCatalogTarget:
         merged = self.catalog.read()
         assert merged is not None
         self.snapshots._commit_pruned(merged, carry, expected_base=base)
+        return True
+
+    def _merge_pruned_files(
+        self, source: DataFrame, dialect: MergeDialect, base: int
+    ) -> bool:
+        """File-granular CoW merge (Iceberg's real rewrite unit): the
+        rewrite group is the set of base data FILES holding a matched
+        merge key; unmatched files are carried into the new snapshot by
+        hard link, byte-identical. Returns False when the pruned path
+        does not apply (schema drift — carried files cannot gain
+        columns). Inserts need no file: they land in the rewritten
+        output alongside the group's surviving rows.
+
+        The matched-file probe is the planning scan Iceberg CoW also
+        runs (a broadcast semi-join over two columns, here key +
+        ``input_file_name``); the group it finds is as small as the
+        LAYOUT makes it — few files after a key-sorted compaction, most
+        files under a uniformly-hashing key. Carried file names keep
+        their task-UUID part names; a collision with a freshly written
+        name is vanishingly unlikely but still detected (the link raises
+        instead of clobbering)."""
+        from urllib.parse import unquote, urlparse
+
+        base_dir = os.path.join(self.snapshots.path, f"v={base}")
+        base_df = self.spark.read.parquet(base_dir)
+        have = {c.lower() for c in base_df.columns}
+        markers = {c.lower() for c in dialect.non_data_columns}
+        if any(
+            f.name.lower() not in have and f.name.lower() not in markers
+            for f in source.schema.fields
+        ):
+            return False  # T8 drift -> full rewrite
+        keys = source.select(MERGE_KEY_COLUMN).distinct()
+        tagged = base_df.withColumn("__f", F.input_file_name())
+
+        def rel(uri: str) -> str:
+            return os.path.relpath(unquote(urlparse(uri).path), base_dir)
+
+        matched_uris = [
+            r["__f"]
+            for r in tagged.join(F.broadcast(keys), MERGE_KEY_COLUMN, "leftsemi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ]  # metadata-sized: ≤ |files|
+        all_files = {
+            rel(r["__f"]) for r in tagged.select("__f").distinct().collect()
+        }
+        carry = sorted(all_files - {rel(u) for u in matched_uris})
+        group = tagged.filter(
+            F.col("__f").isin(*matched_uris) if matched_uris else F.lit(False)
+        ).drop("__f")
+        if self.catalog.exists():
+            self._clear_mirror()
+        self.catalog.overwrite(group)
+        self.catalog.merge(source, dialect)  # real MERGE INTO on the group
+        merged = self.catalog.read()
+        assert merged is not None
+        # carry unmatched files FLAT into the new snapshot dir: link each
+        # file at its base-relative path ('' dirname for a flat layout)
+        staging = self.snapshots._write_staging(merged, base + 1)
+        for name in carry:
+            # raises on name collision with a freshly written part file:
+            # never clobbers (task-UUID part names make this ~impossible)
+            os.link(os.path.join(base_dir, name), os.path.join(staging, name))
+        self.snapshots._finalize(staging, expected_base=base)
         return True
 
     def changes(self, v_from: int, v_to: int, keys: list[str] | None = None):

@@ -454,6 +454,88 @@ def test_pruned_merge_schema_drift_falls_back_to_full_rewrite(
         spark.sql(f"DROP TABLE IF EXISTS {target.table}")
 
 
+def test_file_group_pruned_merge_on_sorted_layout(spark, tmp_path):
+    """Iceberg's real rewrite granularity (opt-in file_group_pruning):
+    on a key-sorted compacted layout, a batch touching keys from ONE
+    file rewrites only that file — every unmatched file is carried by
+    hard link, byte-identical; an insert-only batch carries ALL files;
+    a drifting batch falls back to the full rewrite."""
+    if not _mem_available(spark):
+        pytest.skip("mem catalog jar not loaded in this session")
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+
+    name = f"mem.itest.fg_{uuid.uuid4().hex[:8]}"
+    target = DurableCatalogTarget(
+        spark, str(tmp_path / "fg"), name, file_group_pruning=True
+    )
+    try:
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        rows = [(f"k{i:03d}", 1, "U", i, i * 10) for i in range(60)]
+        sink.apply(spark.createDataFrame(rows, BATCH_SCHEMA))
+        # sort-compact on the merge key into several files (v=2)
+        optimize_snapshot(
+            target.snapshots,
+            target_file_bytes=1000,
+            sort_cols=["ARCANE_MERGE_KEY"],
+        )
+        v2_dir = os.path.join(target.snapshots.path, "v=2")
+        files = sorted(
+            f for f in os.listdir(v2_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        assert len(files) >= 3, files
+        # pick every key living in ONE file -> the rewrite group is it
+        one = spark.read.parquet(os.path.join(v2_dir, files[0]))
+        keys = [r["ARCANE_MERGE_KEY"] for r in one.collect()]
+        batch = spark.createDataFrame(
+            [(k, 2, "U", 0, 999) for k in keys], BATCH_SCHEMA
+        )
+        sink.apply(batch)
+        v3_dir = os.path.join(target.snapshots.path, "v=3")
+        for f in files[1:]:  # unmatched files carried: same inode
+            assert os.path.samefile(
+                os.path.join(v2_dir, f), os.path.join(v3_dir, f)
+            ), f
+        assert not os.path.exists(os.path.join(v3_dir, files[0]))
+        got = {
+            r["ARCANE_MERGE_KEY"]: r["score"] for r in target.read().collect()
+        }
+        assert all(got[k] == 999 for k in keys)
+        assert len(got) == 60
+
+        # insert-only batch: no matched keys -> ALL files carried
+        v3_files = set(os.listdir(v3_dir))
+        sink.apply(
+            spark.createDataFrame([("new1", 3, "U", 99, 1)], BATCH_SCHEMA)
+        )
+        v4_dir = os.path.join(target.snapshots.path, "v=4")
+        for f in v3_files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                assert os.path.samefile(
+                    os.path.join(v3_dir, f), os.path.join(v4_dir, f)
+                ), f
+        assert target.read().count() == 61
+
+        # schema drift falls back to the full rewrite and stays correct
+        sink.apply(
+            spark.createDataFrame(
+                [("k000", 4, "U", 0, 1000, "eu")],
+                BATCH_SCHEMA + ", region string",
+            )
+        )
+        rows2 = {
+            r["ARCANE_MERGE_KEY"]: (r["score"], r["region"])
+            for r in target.read().collect()
+        }
+        assert rows2["k000"] == (1000, "eu")
+        assert rows2["new1"] == (1, None)
+        assert target.versions() == [1, 2, 3, 4, 5]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_concurrent_commit_is_detected_not_lost(spark, tmp_path):
     """Optimistic commit: a pointer flipped by another writer between
     snapshot write and this writer's flip raises CommitConflictError
