@@ -57,7 +57,10 @@ def _model(u: str) -> str:
     if (sch, prt) in (("https", "443"), ("http", "80")):
         prt = ""
     pth = re.sub(r"/+$", "", pth)
-    qm = re.search(r"\?([^#]*)", u)
+    # anchored like the engine (r7 fix): the query starts at the first
+    # '?' only if it occurs before any '#'; a '?' inside the fragment
+    # (e.g. #a/b?c=1) is NOT a query
+    qm = re.match(r"^[^#?]*\?([^#]*)", u)
     q = qm.group(1) if qm else ""
     kept = sorted(p for p in q.split("&") if p and not _TRACK.match(p))
     out = f"{sch}://{hst}"
