@@ -95,12 +95,29 @@ def optimize_snapshot(
     return n_files
 
 
-def expire_snapshots(target: SnapshotParquetTarget, keep_last: int = 1) -> list[int]:
-    """X2 snapshot expiry: drop all but the newest ``keep_last`` snapshot
-    directories (the current pointer is always retained). Returns the
-    expired version numbers. The reference expires by age; a count-based
-    policy is the deterministic equivalent for tests — both are "delete
-    history older than X"."""
+def expire_snapshots(
+    target: SnapshotParquetTarget,
+    keep_last: int = 1,
+    retention_threshold_seconds: float | None = None,
+    now_fn=None,
+) -> list[int]:
+    """X2 snapshot expiry: drop old snapshot directories (the current
+    pointer is always retained). Returns the expired version numbers.
+
+    Two policies, matching Iceberg's ``expire_snapshots`` knobs the
+    reference drives (``JdbcSnapshotExpirationRequest.scala:9`` —
+    ``retention_threshold => '<duration>'`` / ``retain_last``):
+
+    - ``keep_last`` (count-based): keep the newest N — the deterministic
+      policy for tests;
+    - ``retention_threshold_seconds`` (age-based): ADDITIONALLY protect
+      every snapshot committed within the window, judged by the version
+      directory's mtime — set atomically by the commit rename, so it IS
+      the commit time. A snapshot is expired only when BOTH policies
+      agree it is disposable. ``now_fn`` is injectable for tests.
+
+    Data files shared with newer snapshots via the pruned-commit hard
+    links survive the ``rmtree`` — the link count is the refcount."""
     keep_last = max(1, keep_last)
     current = target.current_version()
     # only versions at or below the committed pointer are history; a
@@ -108,19 +125,44 @@ def expire_snapshots(target: SnapshotParquetTarget, keep_last: int = 1) -> list[
     # territory) and must not consume a keep slot
     versions = [v for v in _snapshot_versions(target) if current is not None and v <= current]
     doomed = [v for v in versions[:-keep_last] if v != current]
+    if retention_threshold_seconds is not None:
+        import time as _time
+
+        cutoff = (now_fn or _time.time)() - retention_threshold_seconds
+        doomed = [
+            v
+            for v in doomed
+            if os.path.getmtime(os.path.join(target.path, f"v={v}")) < cutoff
+        ]
     for v in doomed:
         shutil.rmtree(os.path.join(target.path, f"v={v}"), ignore_errors=True)
     return doomed
 
 
-def remove_orphan_files(target: SnapshotParquetTarget) -> list[str]:
+def remove_orphan_files(
+    target: SnapshotParquetTarget,
+    retention_threshold_seconds: float = 0.0,
+    now_fn=None,
+) -> list[str]:
     """X3 orphan removal: delete top-level entries that are neither a live
     snapshot directory nor table metadata (``_CURRENT`` pointer, stats
-    sidecar) — crashed-commit leftovers like ``_CURRENT.tmp`` or stray
-    files. A ``v=N`` directory with N above the committed pointer is a
-    crashed partial commit (written but never flipped live) and is
-    removed too. Never descends into live snapshots. Returns removed
-    names."""
+    sidecar) — crashed-commit leftovers like ``_CURRENT.tmp``, abandoned
+    ``v=N.tmp-*`` staging dirs, or stray files. A ``v=N`` directory with
+    N above the committed pointer is a crashed partial commit (written
+    but never flipped live) and is removed too. Never descends into live
+    snapshots. Returns removed names.
+
+    ``retention_threshold_seconds`` is Iceberg's safety window, the very
+    knob the reference passes (``JdbcOrphanFilesExpirationRequest.
+    scala:9`` — ``remove_orphan_files(retention_threshold => …)``): an
+    entry younger than the window is spared because it may be a
+    CONCURRENT writer's in-flight staging dir, not a leftover — deleting
+    it mid-write would fail that writer's commit for no reason. The
+    default 0 keeps the historical eager behavior for tests; production
+    cadence should pass hours."""
+    import time as _time
+
+    cutoff = (now_fn or _time.time)() - retention_threshold_seconds
     current = target.current_version()
     live = {
         f"v={v}"
@@ -141,6 +183,11 @@ def remove_orphan_files(target: SnapshotParquetTarget) -> list[str]:
         if name in live:
             continue
         full = os.path.join(target.path, name)
+        if (
+            retention_threshold_seconds > 0
+            and os.path.getmtime(full) >= cutoff
+        ):
+            continue  # possibly a concurrent writer's in-flight staging
         if os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
         else:
@@ -184,17 +231,24 @@ def run_maintenance(
     *,
     target_file_bytes: int = 128 << 20,
     keep_last: int = 1,
+    retention_threshold_seconds: float | None = None,
 ):
     """Dispatch a :class:`MaintenanceSchedule` operation name (the strings
     ``MaintenanceSchedule.due`` yields) to its executor — the
     ``maintenance_fn`` to hand a :class:`StreamRunner` for parquet-dir
-    deployments."""
+    deployments. ``retention_threshold_seconds`` maps the reference's
+    ``retention_threshold`` duration onto both expiry ops."""
     if op == "optimize":
         return optimize_snapshot(target, target_file_bytes)
     if op == "expire_snapshots":
-        return expire_snapshots(target, keep_last)
+        return expire_snapshots(
+            target, keep_last,
+            retention_threshold_seconds=retention_threshold_seconds,
+        )
     if op == "remove_orphan_files":
-        return remove_orphan_files(target)
+        return remove_orphan_files(
+            target, retention_threshold_seconds or 0.0
+        )
     if op == "analyze":
         return analyze_snapshot(target)
     raise ValueError(f"unknown maintenance op: {op}")

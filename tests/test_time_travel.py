@@ -59,6 +59,46 @@ def test_expiry_removes_history_keeps_current(spark, tmp_path):
     assert t.read().count() == 2  # current still intact
 
 
+def test_age_based_expiry_and_orphan_retention_window(spark, tmp_path):
+    """The reference expires by age (retention_threshold =>
+    '<duration>' — JdbcSnapshotExpirationRequest.scala:9): snapshots
+    committed inside the window survive even when keep_last would drop
+    them, and remove_orphan_files spares entries younger than its window
+    (a concurrent writer's in-flight staging dir is not a leftover)."""
+    import os
+    import time
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        remove_orphan_files,
+    )
+
+    t = _target(spark, tmp_path)  # versions 1..3
+    now = time.time()
+    # v=1 committed an hour ago; v=2/v=3 just now
+    os.utime(os.path.join(t.path, "v=1"), (now - 3600, now - 3600))
+    # age window of 30 min: only v=1 is old enough to expire
+    doomed = expire_snapshots(
+        t, keep_last=1, retention_threshold_seconds=1800, now_fn=lambda: now
+    )
+    assert doomed == [1]
+    assert t.versions() == [2, 3]
+
+    # orphan retention: a fresh staging dir (concurrent writer mid-
+    # commit) is spared; an hour-old one is a leftover and goes
+    fresh = os.path.join(t.path, "v=4.tmp-fresh")
+    stale = os.path.join(t.path, "v=4.tmp-stale")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    os.utime(stale, (now - 3600, now - 3600))
+    removed = remove_orphan_files(
+        t, retention_threshold_seconds=1800, now_fn=lambda: now
+    )
+    assert removed == ["v=4.tmp-stale"]
+    assert os.path.isdir(fresh)
+    # eager mode (threshold 0, the test default) removes it too
+    assert remove_orphan_files(t) == ["v=4.tmp-fresh"]
+
+
 def test_snapshot_gate_family_invariants(spark, sf_dir):
     """Cross-gate consistency at sf0.001: the w4 time-travel snapshot
     states, the w5 change feed, and the IVM result must agree with
