@@ -149,6 +149,90 @@ def apply_group_delta(
     )
 
 
+class StreamingViewMaintainer:
+    """Ride a CoW target's change feed to keep a grouped view current —
+    the piece that turns per-wave IVM into a STREAMING materialized
+    view: hand ``sync`` to the stream's post-merge hook
+    (``StructuredBlobStream.on_batch_merged``) and the view advances
+    with every committed snapshot, O(|delta|) per wave.
+
+    ``sync`` is idempotent and gap-tolerant: it catches up from the last
+    synced version to ``_CURRENT``, however many commits landed in
+    between (a crashed maintainer just re-bootstraps; production
+    deployments persist the state table instead via
+    :func:`group_state_merge_sql`, which this class also supports
+    through ``state_table``)."""
+
+    def __init__(
+        self,
+        target,
+        group_col: str,
+        size_col: str,
+        state_table: str | None = None,
+    ):
+        self.target = target
+        self.group_col = group_col
+        self.size_col = size_col
+        self.state_table = state_table
+        self.state: DataFrame | None = None
+        self.synced_version: int | None = None
+        self.bootstraps = 0
+        self.deltas_applied = 0
+
+    def _merge_into_table(self, delta: DataFrame) -> None:
+        view = "__ivm_stream_delta"
+        delta.createOrReplaceTempView(view)
+        try:
+            delta.sparkSession.sql(
+                group_state_merge_sql(self.state_table, view, self.group_col)
+            )
+        finally:
+            delta.sparkSession.catalog.dropTempView(view)
+
+    def sync(self) -> None:
+        """Catch the view up to the target's current snapshot."""
+        cur = self.target.snapshots.current_version()
+        if cur is None:
+            return
+        if self.synced_version is None:
+            boot = group_stats_bootstrap(
+                self.target.read_version(cur), self.group_col, self.size_col
+            )
+            if self.state_table is not None:
+                self._merge_into_table(
+                    boot.select(
+                        self.group_col,
+                        F.col("docs").alias("d_docs"),
+                        F.col("sum_size").alias("d_size"),
+                        F.col("nn_size").alias("d_nn"),
+                    )
+                )
+            else:
+                self.state = boot.localCheckpoint()
+            self.synced_version = cur
+            self.bootstraps += 1
+            return
+        for v in range(self.synced_version + 1, cur + 1):
+            delta = group_delta(
+                self.target.changes(v - 1, v), self.group_col, self.size_col
+            )
+            if self.state_table is not None:
+                self._merge_into_table(delta)
+            else:
+                self.state = apply_group_delta(
+                    self.state, delta, self.group_col
+                ).localCheckpoint()
+            self.deltas_applied += 1
+        self.synced_version = cur
+
+    def view(self) -> DataFrame:
+        if self.state_table is not None:
+            return self.target.spark.table(self.state_table)
+        if self.state is None:
+            raise ValueError("maintainer has not synced yet")
+        return self.state
+
+
 def group_state_merge_sql(
     target_table: str, delta_view: str, group_col: str = "host"
 ) -> str:

@@ -74,6 +74,12 @@ class StructuredBlobStream:
     maintenance: MaintenanceSchedule = field(default_factory=MaintenanceSchedule)
     #: callable(op_name) executing the maintenance op against the target
     maintenance_fn: object | None = None
+    #: optional callable(batch_id) invoked after each successful
+    #: merge+watermark commit — the hook a derived-view maintainer rides
+    #: (``operators.ivm.StreamingViewMaintainer.sync``): the view lags
+    #: at most one trigger and catches up on the next (the maintainer is
+    #: gap-tolerant), so exactly-once of the TABLE never depends on it
+    on_batch_merged: object | None = None
     #: optional metrics.DeclaredMetrics hub — merge/maintenance durations
     #: gauge from inside foreachBatch; ``start()`` also registers the
     #: progress listener so rows.incoming/trigger duration come from
@@ -181,6 +187,8 @@ class StructuredBlobStream:
         self.watermark_store.commit(Watermark.now(version=str(max_version or "")))
         if dm is not None:
             dm.counter(M.WATERMARK_UPDATES)
+        if self.on_batch_merged is not None:
+            self.on_batch_merged(batch_id)
 
     def start(self, trigger: dict | None = None):
         """Launch the query. ``trigger`` kwargs pass through — e.g.

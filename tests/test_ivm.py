@@ -179,3 +179,65 @@ def test_group_state_merge_matches_dataframe_path(spark):
     }
     assert got == _as_dict(_stats(after))
     assert "b" not in got and "ghost" not in got
+
+
+def test_streaming_maintainer_state_table_branch(spark, tmp_path):
+    """StreamingViewMaintainer with state_table persists through the
+    generated MERGE instead of an in-memory frame — same landing as the
+    DataFrame branch, durable across maintainer restarts."""
+    import os
+
+    import pytest
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    state = "arcm.test.maintainer_state"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT) "
+        "USING mem"
+    )
+    table = "arcm.test.maintainer_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    m = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 10), ("k2", 2, "U", "b", 5)], schema))
+    m.sync()
+    sink.apply(spark.createDataFrame(
+        [("k1", 3, "U", "c", 11), ("k3", 4, "U", "b", 7)], schema))
+    # a RESTARTED maintainer resumes from the synced version it is told
+    m2 = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    m2.synced_version = m.synced_version
+    m2.sync()
+    got = {
+        r["host"]: (r["docs"], r["sum_size"])
+        for r in m2.view().select("host", "docs", "sum_size").collect()
+    }
+    assert got == {"b": (2, 12), "c": (1, 11)}  # k1 moved a -> c
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -320,3 +320,76 @@ def test_shaper_sizes_the_trigger_cap(spark, tmp_path):
     # static knob stays the ceiling; no shaper -> static knob verbatim
     assert stream(8 << 30, static_cap=2)._shaped_max_files() == 2
     assert stream(None, static_cap=7)._shaped_max_files() == 7
+
+
+def test_streaming_view_maintainer_rides_the_batch_hook(
+    spark, sf_dir, tmp_path
+):
+    """A derived grouped view maintained INSIDE the stream: the
+    on_batch_merged hook syncs a StreamingViewMaintainer from the CoW
+    target's change feed after every micro-batch — one bootstrap, then
+    O(|delta|) catch-ups, landing exactly on a fresh groupBy."""
+    import os
+
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+    )
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS arcm.test.stream_view")
+
+    src_dir = str(tmp_path / "incoming")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(600)
+        .cache()
+    )
+    orders.write.parquet(f"{src_dir}/b1")
+
+    target = DurableCatalogTarget(
+        spark, str(tmp_path / "table"), "arcm.test.stream_view"
+    )
+    maintainer = ivm.StreamingViewMaintainer(
+        target, group_col="o_orderstatus", size_col="o_totalprice"
+    )
+
+    def make_stream():
+        return StructuredBlobStream(
+            spark=spark,
+            path=src_dir,
+            schema=(
+                "o_orderkey bigint, o_orderstatus string, "
+                "o_totalprice double"
+            ),
+            primary_keys=["o_orderkey"],
+            sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+            watermark_store=FileWatermarkStore(path=str(tmp_path / "wm.json")),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            on_batch_merged=lambda _bid: maintainer.sync(),
+        )
+
+    make_stream().run_available()
+    assert maintainer.bootstraps == 1 and maintainer.deltas_applied == 0
+
+    # wave 2: status flips for a third of the keys -> group moves
+    orders.filter("o_orderkey % 3 = 0").withColumn(
+        "o_orderstatus", F.lit("Z")
+    ).write.parquet(f"{src_dir}/b2")
+    make_stream().run_available()
+    assert maintainer.bootstraps == 1  # no re-bootstrap
+    assert maintainer.deltas_applied >= 1  # caught up incrementally
+
+    fresh = ivm.group_stats_bootstrap(
+        target.read(), "o_orderstatus", "o_totalprice"
+    )
+    view = maintainer.view()
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
+    assert {r["o_orderstatus"] for r in view.collect()} >= {"Z"}
