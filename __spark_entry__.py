@@ -7716,14 +7716,25 @@ def q_s3_tsql_surfaces(spark, sf_dir):
     dm_tran_commit_table version probes (S4/A1), the TOP 1 emptiness
     probe (O2), the server-side pruned column list with PK protection
     (P2, executable logic — ``field_filter.server_side_column_list``),
-    and the Iceberg ``write.sort-order`` property mapping (O5). Any
-    drift in the rendered text breaks the driver's hash, independently
-    of the repo's own golden tests."""
+    the Iceberg ``write.sort-order`` property mapping (O5), and — new
+    in r7, closing §2's last open row — the A7 query-cost surfaces:
+    the STATISTICS PROFILE probe, the physical-stats shard profile,
+    the costToSize fold (1 + ln(cost)^3 clamped to [1,1000], pinned at
+    six canonical costs to 6 decimals), the EstimateIO+EstimateCPU sum
+    over a canned profile result set, and the derived shard count
+    (``QueryProvider.scala:163-186`` + ``MsSqlStreamingSource.scala:
+    382-411``). Any drift in the rendered text breaks the driver's
+    hash, independently of the repo's own golden tests."""
     from arcane_framework_scala_spark.operators.field_filter import (
         server_side_column_list,
     )
     from arcane_framework_scala_spark.queries.overwrite import TableProperties
-    from arcane_framework_scala_spark.sources.mssql import MsSqlQueryBuilder
+    from arcane_framework_scala_spark.sources.mssql import (
+        MsSqlQueryBuilder,
+        cost_to_size,
+        shards_from_cost,
+        sum_profile_cost,
+    )
 
     _harden_session(spark)
     b = MsSqlQueryBuilder("testdb", "dbo", "events")
@@ -7736,8 +7747,22 @@ def q_s3_tsql_surfaces(spark, sf_dir):
         primary_keys=["event_id"],
     )
     props = TableProperties(sorted_by=("ts", "user_id")).tblproperties()
+    profile_rows = [  # canned STATISTICS PROFILE result set (A7)
+        {"EstimateIO": 0.5, "EstimateCPU": 0.25},
+        {"EstimateIO": None, "EstimateCPU": 1.0},
+        {},
+    ]
+    cost_table = ",".join(
+        f"{c}:{cost_to_size(c):.6f}"
+        for c in (0.1, 0.5, 1.0, 42.5, 5000.0, 1000000.0)
+    )
     rows = [
         ("a1_s4_current_version", b.current_version_query()),
+        ("a7_cost_to_size", cost_table),
+        ("a7_physical_stats", b.physical_stats_query(500)),
+        ("a7_shards_from_cost", str(shards_from_cost(10240.0, 42.5))),
+        ("a7_stats_profile", b.stats_profile_query()),
+        ("a7_sum_profile_cost", f"{sum_profile_cost(profile_rows):.6f}"),
         ("o2_has_changes", b.has_changes_query(42)),
         ("o5_sort_order_property", props["write.sort-order"]),
         ("p2_server_side_projection", ",".join(pruned)),
@@ -7755,6 +7780,21 @@ _S3_TSQL_SQL = """
 SELECT * FROM (VALUES
   ('a1_s4_current_version',
    'SELECT CHANGE_TRACKING_CURRENT_VERSION()'),
+  ('a7_cost_to_size',
+   '0.1:1.000000,0.5:0.666975,1.0:1.000000,42.5:53.713456,5000.0:618.859167,1000000.0:1000.000000'),
+  ('a7_physical_stats', 'SELECT
+    (page_count * 8.0) / 1024 / 1024 as total_size_gib,
+    ceiling((page_count * 8.0) / 1024 / 500) as shards,
+    record_count / ceiling((page_count * 8.0) / 1024 / 500) as records_per_shard
+FROM
+    sys.dm_db_index_physical_stats(DB_ID(), OBJECT_ID(''dbo.events''), 1, NULL, ''DETAILED'')
+where index_level = 0'),
+  ('a7_shards_from_cost', '191'),
+  ('a7_stats_profile', 'EXEC(''
+ SET STATISTICS PROFILE ON;
+ SELECT TOP 1 * FROM [dbo].[events];
+ SET STATISTICS PROFILE OFF'')'),
+  ('a7_sum_profile_cost', '1.750000'),
   ('o2_has_changes',
    'SELECT TOP 1 1 FROM CHANGETABLE (CHANGES [testdb].[dbo].[events], 42) ct'),
   ('o5_sort_order_property', 'ts,user_id'),

@@ -177,6 +177,39 @@ order by c.ORDINAL_POSITION"""
             f"SELECT TOP 1 1 FROM CHANGETABLE (CHANGES {fqn}, {last_id}) ct"
         )
 
+    # A7: STATISTICS PROFILE cost probe → shard sizing (reference
+    # QueryProvider.scala:163-186 + MsSqlStreamingSource.scala:382-411).
+    # The reference estimates `SELECT *` cost from the profile result
+    # set, folds it through costToSize = clamp(1 + ln(cost)³, 1, 1000)
+    # MiB, and derives the shard count from the table's physical size.
+    # Here the probes RENDER (pinned by s3_tsql_surfaces — they only
+    # execute on live SQL Server) and the arithmetic is executable: feed
+    # `shards_from_cost` into `shard_predicates`/`backfill(num_shards=…)`
+    # when no advised shard size is configured.
+    def stats_profile_query(self) -> str:
+        return (
+            "EXEC('\n"
+            " SET STATISTICS PROFILE ON;\n"
+            f" SELECT TOP 1 * FROM [{self.schema}].[{self.table}];\n"
+            " SET STATISTICS PROFILE OFF')"
+        )
+
+    def physical_stats_query(self, shard_size_estimate: float) -> str:
+        """``dm_db_index_physical_stats`` shard profile with the shard
+        size (MiB) already resolved — pass an advised integer size or
+        :func:`cost_to_size` of the profiled cost, exactly the two
+        overloads the reference renders."""
+        return (
+            "SELECT\n"
+            "    (page_count * 8.0) / 1024 / 1024 as total_size_gib,\n"
+            f"    ceiling((page_count * 8.0) / 1024 / {shard_size_estimate}) as shards,\n"
+            f"    record_count / ceiling((page_count * 8.0) / 1024 / {shard_size_estimate}) as records_per_shard\n"
+            "FROM\n"
+            "    sys.dm_db_index_physical_stats(DB_ID(), "
+            f"OBJECT_ID('{self.schema}.{self.table}'), 1, NULL, 'DETAILED')\n"
+            "where index_level = 0"
+        )
+
     # S5: Spark-native sharding — predicate list instead of server-side
     # shard tables (reference MsSqlStreamingSource.scala:375-458)
     @staticmethod
@@ -186,6 +219,45 @@ order by c.ORDINAL_POSITION"""
             f"ABS(CHECKSUM({checksum})) % {num_shards} = {i}"
             for i in range(num_shards)
         ]
+
+
+def sum_profile_cost(rows) -> float:
+    """A7: total estimated read cost from the STATISTICS PROFILE result
+    set — Σ (EstimateIO + EstimateCPU) over all plan rows, NULLs as 0
+    (reference ``MsSqlStreamingSource.scala:389-409``, the unfold/runSum
+    over the JDBC result set). ``rows`` is any iterable of mappings —
+    the fetched profile rows."""
+    total = 0.0
+    for r in rows:
+        total += (r.get("EstimateIO") or 0.0) + (r.get("EstimateCPU") or 0.0)
+    return total
+
+
+def cost_to_size(cost: float) -> float:
+    """A7: the reference's cost → shard-size-MiB fold
+    (``QueryProvider.scala:169-174``): ``1 + ln(cost)³`` clamped to
+    [1, 1000] — cheap tables get small shards, expensive ones cap at
+    1 GiB so a shard always fits one JDBC reader."""
+    import math
+
+    calculated = 1.0 + math.log(cost) ** 3
+    if calculated < 0:
+        return 1.0
+    if calculated > 1000:
+        return 1000.0
+    return calculated
+
+
+def shards_from_cost(total_size_mib: float, cost: float) -> int:
+    """A7 → S5 hand-off: the shard count the reference's physical-stats
+    query computes server-side (``ceiling(size_mib / costToSize)``),
+    executable driver-side — feed it to
+    :meth:`MsSqlQueryBuilder.shard_predicates` /
+    :meth:`MsSqlSource.backfill` when no advised shard size is
+    configured."""
+    import math
+
+    return max(1, math.ceil(total_size_mib / cost_to_size(cost)))
 
 
 @dataclass

@@ -472,3 +472,44 @@ def test_mssql_builder_wraps_time_columns_to_nanos():
         "CAST(DATEDIFF_BIG(NANOSECOND, CAST('00:00:00' AS time), "
         "ct.[at]) AS BIGINT) as [at]" in pk_time
     )
+
+
+def test_a7_cost_surfaces_match_reference_semantics():
+    """A7 (QueryProvider.scala:163-186 + MsSqlStreamingSource.scala:
+    382-411): the profile probe renders the reference's EXEC block, the
+    cost sum treats NULL estimates as 0, costToSize clamps 1+ln(cost)^3
+    into [1,1000] (only NEGATIVE results floor to 1 — 0<calc<1 passes
+    through, faithfully), and the derived shard count ceils size/shard."""
+    import math
+
+    from arcane_framework_scala_spark.sources.mssql import (
+        MsSqlQueryBuilder,
+        cost_to_size,
+        shards_from_cost,
+        sum_profile_cost,
+    )
+
+    b = MsSqlQueryBuilder("db", "dbo", "t")
+    q = b.stats_profile_query()
+    assert q.startswith("EXEC('") and "SET STATISTICS PROFILE ON;" in q
+    assert "SELECT TOP 1 * FROM [dbo].[t];" in q
+
+    assert sum_profile_cost([]) == 0.0
+    assert sum_profile_cost(
+        [{"EstimateIO": 0.5, "EstimateCPU": 0.25},
+         {"EstimateIO": None, "EstimateCPU": 1.0}, {}]
+    ) == 1.75
+
+    assert cost_to_size(1.0) == 1.0              # ln(1)=0 -> 1
+    assert cost_to_size(0.1) == 1.0              # negative -> floor 1
+    assert cost_to_size(1e6) == 1000.0           # cap
+    assert 0 < cost_to_size(0.5) < 1             # passes through (ref)
+    assert abs(cost_to_size(42.5) - (1 + math.log(42.5) ** 3)) < 1e-9
+
+    # 10 GiB table at cost 42.5 -> ceil(10240 / 53.713) = 191 shards
+    assert shards_from_cost(10240.0, 42.5) == 191
+    assert shards_from_cost(1.0, 1e6) == 1       # tiny table, one shard
+
+    stats_q = b.physical_stats_query(500)
+    assert "dm_db_index_physical_stats" in stats_q
+    assert "/ 500) as shards" in stats_q
