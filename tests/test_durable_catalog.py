@@ -454,6 +454,67 @@ def test_pruned_merge_schema_drift_falls_back_to_full_rewrite(
         spark.sql(f"DROP TABLE IF EXISTS {target.table}")
 
 
+def test_pruned_merge_randomized_waves_match_ground_truth(spark, tmp_path):
+    """Seeded fuzz of the pruned-CoW flagship: five random CT waves
+    (inserts, version-guarded updates, deletes, partition moves, absent-
+    key deletes) against a bucket-partitioned target must land exactly
+    where sequential merge_apply on a plain DataFrame lands, wave by
+    wave — and the final state must also equal the same waves applied
+    through an UNPARTITIONED (whole-table-rewrite) target."""
+    import random
+
+    from arcane_framework_scala_spark.operators.merge_apply import (
+        merge_apply,
+    )
+
+    if not _mem_available(spark):
+        pytest.skip("mem catalog jar not loaded in this session")
+    rng = random.Random(42)
+    target = _partitioned_target(spark, tmp_path, "fuzz")
+    plain = DurableCatalogTarget(
+        spark,
+        str(tmp_path / "plain"),
+        f"mem.itest.fuzzplain_{uuid.uuid4().hex[:8]}",
+    )
+    try:
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        plain_sink = MergeSink(
+            target=plain, dialect=SQL_SERVER_CHANGE_TRACKING
+        )
+        etypes = ["click", "view", "scroll"]
+        ver = 0
+        truth = None  # plain DataFrame ground truth via merge_apply
+        for wave in range(5):
+            rows = []
+            for _ in range(rng.randrange(4, 10)):
+                ver += 1
+                k = f"k{rng.randrange(12)}"
+                op = rng.choice(["U", "U", "U", "D"])
+                rows.append(
+                    (k, ver, op, rng.randrange(100),
+                     rng.randrange(1000), rng.choice(etypes))
+                )
+            batch = spark.createDataFrame(rows, PART_SCHEMA)
+            sink.apply(batch)
+            plain_sink.apply(batch)
+            if truth is None:
+                truth = target.read_version(1)  # bootstrap semantics
+            else:
+                truth = merge_apply(
+                    truth, batch, SQL_SERVER_CHANGE_TRACKING
+                ).localCheckpoint()
+            got = target.read()
+            d1 = got.exceptAll(truth).count()
+            d2 = truth.exceptAll(got).count()
+            assert d1 == 0 and d2 == 0, f"wave {wave}: {d1}/{d2} rows off"
+        p = plain.read()
+        assert p.exceptAll(got).count() == 0
+        assert got.exceptAll(p).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {target.table}")
+        spark.sql(f"DROP TABLE IF EXISTS {plain.table}")
+
+
 def test_file_group_pruned_merge_on_sorted_layout(spark, tmp_path):
     """Iceberg's real rewrite granularity (opt-in file_group_pruning):
     on a key-sorted compacted layout, a batch touching keys from ONE
