@@ -604,3 +604,33 @@ def test_window_suite_shares_one_window(spark, queries):
     assert a.exchanges == 1, a.plan
     assert a.plan.count("(4) Window") + a.plan.count("Window (") <= 2, a.plan
     assert a.python_nodes == 0, a.plan
+
+
+def test_pruned_cow_hydrate_filter_is_partition_pruned(spark, tmp_path):
+    """The r7 pruned-CoW merge hydrates its rewrite group with a
+    balanced OR of null-safe partition-equality terms — pin that this
+    exact filter shape reaches the scan as PartitionFilters (directory
+    pruning, zero DataFilters), because the whole group-pruning story
+    collapses to a full scan if Catalyst ever stops recognizing it."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"e{i % 4}") for i in range(100)], "k long, event_type string"
+    )
+    path = str(tmp_path / "pp")
+    df.write.partitionBy("event_type").parquet(path)
+    base = spark.read.parquet(path)
+    terms = [
+        F.col("event_type").eqNullSafe(F.lit(v)) for v in ("e1", "e3")
+    ]
+    plan = (
+        base.filter(terms[0] | terms[1])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    assert "PartitionFilters: []" not in scan[0], scan[0]
+    assert "<=>" in scan[0], scan[0]          # the null-safe terms landed
+    assert "DataFilters: []" in scan[0], scan[0]  # nothing left post-prune
