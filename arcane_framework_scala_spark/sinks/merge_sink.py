@@ -665,10 +665,16 @@ class DurableCatalogTarget:
         runs (a broadcast semi-join over two columns, here key +
         ``input_file_name``); the group it finds is as small as the
         LAYOUT makes it — few files after a key-sorted compaction, most
-        files under a uniformly-hashing key. Carried file names keep
-        their task-UUID part names; a collision with a freshly written
-        name is vanishingly unlikely but still detected (the link raises
-        instead of clobbering)."""
+        files under a uniformly-hashing key. When the snapshot carries a
+        column-range manifest covering the merge key
+        (``sinks.manifest.build_manifest``), the probe itself is pruned
+        at PLANNING time: files whose key range cannot overlap the
+        batch's [min, max] key are carried without being scanned —
+        Iceberg's manifest range pruning, so the probe cost drops from
+        O(table) to O(candidate files) on a sorted layout. Carried file
+        names keep their task-UUID part names; a collision with a
+        freshly written name is vanishingly unlikely but still detected
+        (the link raises instead of clobbering)."""
         from urllib.parse import unquote, urlparse
 
         base_dir = os.path.join(self.snapshots.path, f"v={base}")
@@ -681,7 +687,35 @@ class DurableCatalogTarget:
         ):
             return False  # T8 drift -> full rewrite
         keys = source.select(MERGE_KEY_COLUMN).distinct()
-        tagged = base_df.withColumn("__f", F.input_file_name())
+
+        # planning-time candidate pruning from the column-range manifest
+        # (absent manifest -> every file is a candidate). deferred import:
+        # manifest.py imports this module.
+        from arcane_framework_scala_spark.sinks.manifest import plan_files
+
+        lo_hi = None
+        candidates = plan_files(self.snapshots, MERGE_KEY_COLUMN, version=base)
+        if candidates is not None:
+            lo_hi = source.agg(
+                F.min(MERGE_KEY_COLUMN), F.max(MERGE_KEY_COLUMN)
+            ).first()
+            candidates = plan_files(
+                self.snapshots,
+                MERGE_KEY_COLUMN,
+                lo=lo_hi[0],
+                hi=lo_hi[1],
+                version=base,
+            )
+        probe_df = (
+            base_df
+            if candidates is None
+            else (
+                self.spark.read.parquet(*candidates)
+                if candidates
+                else base_df.filter(F.lit(False))
+            )
+        )
+        tagged = probe_df.withColumn("__f", F.input_file_name())
 
         def rel(uri: str) -> str:
             return os.path.relpath(unquote(urlparse(uri).path), base_dir)
@@ -693,8 +727,12 @@ class DurableCatalogTarget:
             .distinct()
             .collect()
         ]  # metadata-sized: ≤ |files|
+        from arcane_framework_scala_spark.sinks.table_stats import (
+            _parquet_files,
+        )
+
         all_files = {
-            rel(r["__f"]) for r in tagged.select("__f").distinct().collect()
+            os.path.relpath(p, base_dir) for p in _parquet_files(base_dir)
         }
         carry = sorted(all_files - {rel(u) for u in matched_uris})
         group = tagged.filter(

@@ -547,9 +547,19 @@ def test_file_group_pruned_merge_on_sorted_layout(spark, tmp_path):
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
         assert len(files) >= 3, files
+        # manifest on the sorted layout: the probe scan itself is pruned
+        # at planning time to the key-range-overlapping files
+        from arcane_framework_scala_spark.sinks import manifest as mf
+
+        mf.build_manifest(target.snapshots, ["ARCANE_MERGE_KEY"])
         # pick every key living in ONE file -> the rewrite group is it
         one = spark.read.parquet(os.path.join(v2_dir, files[0]))
         keys = [r["ARCANE_MERGE_KEY"] for r in one.collect()]
+        cand = mf.plan_files(
+            target.snapshots, "ARCANE_MERGE_KEY",
+            lo=min(keys), hi=max(keys),
+        )
+        assert len(cand) < len(files)  # planning pruned the probe itself
         batch = spark.createDataFrame(
             [(k, 2, "U", 0, 999) for k in keys], BATCH_SCHEMA
         )
