@@ -196,6 +196,33 @@ def remove_orphan_files(
     return sorted(removed)
 
 
+def should_compact(
+    target: SnapshotParquetTarget,
+    target_file_bytes: int = 128 << 20,
+    max_small_ratio: float = 0.5,
+) -> bool:
+    """Stats-driven compaction trigger: True when more than
+    ``max_small_ratio`` of the current snapshot's files are under half
+    the target size — Iceberg's small-file pressure signal, decided
+    from ONE footer sweep (metadata cost) so a maintenance cadence can
+    ask cheaply every batch instead of compacting blindly every N
+    (``MaintenanceSchedule``'s count cadence remains the simple
+    default; this is the data-aware upgrade). A single-file snapshot
+    never needs compaction regardless of size."""
+    vdir = _current_dir(target)
+    import pyarrow.parquet as pq  # noqa: F401 — table_stats pulls it anyway
+
+    from arcane_framework_scala_spark.sinks.table_stats import _parquet_files
+
+    files = _parquet_files(vdir)
+    if len(files) <= 1:
+        return False
+    small = sum(
+        1 for f in files if os.path.getsize(f) < target_file_bytes // 2
+    )
+    return small / len(files) > max_small_ratio
+
+
 def analyze_snapshot(target: SnapshotParquetTarget) -> TableStats:
     """X4 statistics: record/byte/file counts and per-column compressed
     sizes for the current snapshot (A3/A4 from parquet footers), persisted

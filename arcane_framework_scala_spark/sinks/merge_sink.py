@@ -159,6 +159,29 @@ class SnapshotParquetTarget:
             )
         return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
 
+    def version_as_of(self, timestamp: float) -> int:
+        """Iceberg ``TIMESTAMP AS OF`` resolution: the newest snapshot
+        committed at or before ``timestamp`` (unix seconds). Commit time
+        is the version directory's mtime — set atomically by the claim
+        rename. Raises if every retained snapshot is newer (the history
+        before the first commit, or expired away)."""
+        best = None
+        for v in self.versions():
+            if os.path.getmtime(os.path.join(self.path, f"v={v}")) <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before timestamp {timestamp} under "
+                f"{self.path} (have {self.versions()})"
+            )
+        return best
+
+    def read_as_of(self, timestamp: float) -> DataFrame:
+        """Time travel by wall clock (Iceberg ``TIMESTAMP AS OF`` / Delta
+        ``timestampAsOf``): the table exactly as a reader at that moment
+        saw it."""
+        return self.read_version(self.version_as_of(timestamp))
+
     def _commit(self, df: DataFrame, expected_base: int | None = None) -> None:
         """Optimistic commit (Iceberg ``CommitFailedException`` semantics).
 

@@ -59,6 +59,51 @@ def test_expiry_removes_history_keeps_current(spark, tmp_path):
     assert t.read().count() == 2  # current still intact
 
 
+def test_timestamp_as_of_resolves_commit_times(spark, tmp_path):
+    """TIMESTAMP AS OF: the newest snapshot committed at or before the
+    asked moment (commit time = the claim rename's mtime), raising
+    before the first commit; interplay with expiry (an expired version
+    no longer resolves)."""
+    import os
+    import time
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        should_compact,
+    )
+
+    t = _target(spark, tmp_path)  # versions 1..3
+    now = time.time()
+    for v, ago in ((1, 300), (2, 200), (3, 100)):
+        os.utime(os.path.join(t.path, f"v={v}"), (now - ago, now - ago))
+
+    assert t.version_as_of(now - 250) == 1
+    assert t.version_as_of(now - 150) == 2
+    assert t.version_as_of(now) == 3
+    assert {r["ARCANE_MERGE_KEY"] for r in t.read_as_of(now - 150).collect()} \
+        == {"a", "b", "c"}
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.version_as_of(now - 400)
+    expire_snapshots(t, keep_last=2)
+    # v=1 expired; AT-OR-BEFORE only, so a moment predating every
+    # retained commit resolves to nothing (never silently to a newer one)
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.version_as_of(now - 250)
+    assert t.version_as_of(now - 150) == 2  # still resolvable history
+
+    # stats-driven compaction trigger: fragment the current snapshot
+    # (one row per file) -> pressure; after compaction -> quiet
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+
+    t.max_rows_per_file = 1
+    t.overwrite(t.read())
+    t.max_rows_per_file = None
+    assert should_compact(t, target_file_bytes=128 << 20)
+    optimize_snapshot(t, target_file_bytes=128 << 20)
+    assert not should_compact(t, target_file_bytes=128 << 20)
+
+
 def test_age_based_expiry_and_orphan_retention_window(spark, tmp_path):
     """The reference expires by age (retention_threshold =>
     '<duration>' — JdbcSnapshotExpirationRequest.scala:9): snapshots
