@@ -487,6 +487,9 @@ class DurableCatalogTarget:
     def read_version(self, version: int) -> DataFrame:
         return self.snapshots.read_version(version)
 
+    def read_as_of(self, timestamp: float) -> DataFrame:
+        return self.snapshots.read_as_of(timestamp)
+
     # -- CoW write path ------------------------------------------------
 
     #: catalog property recording which durable snapshot the execution
