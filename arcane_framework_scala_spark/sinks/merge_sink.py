@@ -182,6 +182,17 @@ class SnapshotParquetTarget:
         saw it."""
         return self.read_version(self.version_as_of(timestamp))
 
+    def history(self) -> list[tuple[int, float]]:
+        """Commit history, oldest first: ``(version, commit_unix_ts)``
+        per retained snapshot (Delta ``DESCRIBE HISTORY`` / the Iceberg
+        ``snapshots`` table's committed_at) — commit time is the claim
+        rename's mtime, the same clock ``version_as_of`` resolves
+        against."""
+        return [
+            (v, os.path.getmtime(os.path.join(self.path, f"v={v}")))
+            for v in self.versions()
+        ]
+
     def _commit(self, df: DataFrame, expected_base: int | None = None) -> None:
         """Optimistic commit (Iceberg ``CommitFailedException`` semantics).
 

@@ -229,6 +229,8 @@ def sum_profile_cost(rows) -> float:
     the fetched profile rows."""
     total = 0.0
     for r in rows:
+        if hasattr(r, "asDict"):  # pyspark Row from a JDBC fetch
+            r = r.asDict()
         total += (r.get("EstimateIO") or 0.0) + (r.get("EstimateCPU") or 0.0)
     return total
 

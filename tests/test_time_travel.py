@@ -104,6 +104,27 @@ def test_timestamp_as_of_resolves_commit_times(spark, tmp_path):
     assert not should_compact(t, target_file_bytes=128 << 20)
 
 
+def test_history_lists_versions_with_commit_times(spark, tmp_path):
+    """history() = (version, commit_ts) oldest-first, consistent with
+    version_as_of on the same clock; Row inputs to sum_profile_cost work
+    like dicts (the JDBC fetch shape)."""
+    import time
+
+    from arcane_framework_scala_spark.sources.mssql import sum_profile_cost
+
+    t = _target(spark, tmp_path)
+    h = t.history()
+    assert [v for v, _ in h] == [1, 2, 3]
+    assert all(ts <= time.time() + 1 for _, ts in h)
+    assert sorted(ts for _, ts in h) == [ts for _, ts in h]
+    assert t.version_as_of(h[1][1]) == 2
+
+    rows = spark.createDataFrame(
+        [(0.5, 0.25), (None, 1.0)], "EstimateIO double, EstimateCPU double"
+    ).collect()
+    assert sum_profile_cost(rows) == 1.75
+
+
 def test_age_based_expiry_and_orphan_retention_window(spark, tmp_path):
     """The reference expires by age (retention_threshold =>
     '<duration>' — JdbcSnapshotExpirationRequest.scala:9): snapshots
