@@ -1176,8 +1176,16 @@ def _read_index_meta(path: str) -> dict | None:
     try:
         with open(os.path.join(path, _INDEX_META_FILE)) as f:
             return json.load(f)
-    except FileNotFoundError:  # pre-metadata index (r6 layout)
-        return None
+    except (FileNotFoundError, NotADirectoryError):
+        return None  # pre-metadata index (r6 layout) / not an index dir
+    except json.JSONDecodeError as e:
+        # a truncated/corrupt sidecar must not masquerade as an opaque
+        # parse failure — probing with wrong layout params would return
+        # EMPTY pairs, which is exactly what the meta guard exists to stop
+        raise ValueError(
+            f"corrupt {_INDEX_META_FILE} under {path!r} ({e}); rebuild "
+            "the band index with build_band_index()"
+        ) from e
 
 
 def minhash_candidate_pairs_indexed(

@@ -161,7 +161,18 @@ class StreamingViewMaintainer:
     between (a crashed maintainer just re-bootstraps; production
     deployments persist the state table instead via
     :func:`group_state_merge_sql`, which this class also supports
-    through ``state_table``)."""
+    through ``state_table``).
+
+    With ``state_table`` the synced version is DURABLE too: it rides the
+    state table's TBLPROPERTIES (``arcane.ivm_synced_version``), written
+    after every successful sync and restored by a fresh instance — so a
+    restarted maintainer resumes from the recorded version instead of
+    re-bootstrapping. A populated state table with NO recorded version
+    (a pre-upgrade table, or someone else's) makes ``sync`` raise rather
+    than merge a full bootstrap on top of existing rows, which would
+    silently double every count."""
+
+    SYNC_PROPERTY = "arcane.ivm_synced_version"
 
     def __init__(
         self,
@@ -175,9 +186,30 @@ class StreamingViewMaintainer:
         self.size_col = size_col
         self.state_table = state_table
         self.state: DataFrame | None = None
-        self.synced_version: int | None = None
+        self.synced_version: int | None = self._restore_synced_version()
         self.bootstraps = 0
         self.deltas_applied = 0
+
+    def _restore_synced_version(self) -> int | None:
+        if self.state_table is None:
+            return None
+        spark = self.target.spark
+        if not spark.catalog.tableExists(self.state_table):
+            return None
+        rows = spark.sql(f"SHOW TBLPROPERTIES {self.state_table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        try:
+            return int(props[self.SYNC_PROPERTY])
+        except (KeyError, ValueError):
+            return None
+
+    def _record_synced_version(self, version: int) -> None:
+        if self.state_table is None:
+            return
+        self.target.spark.sql(
+            f"ALTER TABLE {self.state_table} SET TBLPROPERTIES "
+            f"('{self.SYNC_PROPERTY}'='{version}')"
+        )
 
     def _merge_into_table(self, delta: DataFrame) -> None:
         view = "__ivm_stream_delta"
@@ -195,6 +227,17 @@ class StreamingViewMaintainer:
         if cur is None:
             return
         if self.synced_version is None:
+            if (
+                self.state_table is not None
+                and self.target.spark.catalog.tableExists(self.state_table)
+                and self.target.spark.table(self.state_table).limit(1).count()
+            ):
+                raise ValueError(
+                    f"state table {self.state_table} is populated but "
+                    f"carries no {self.SYNC_PROPERTY} property — merging "
+                    "a bootstrap on top would double-count every group. "
+                    "Truncate the table (or restore the property) first."
+                )
             boot = group_stats_bootstrap(
                 self.target.read_version(cur), self.group_col, self.size_col
             )
@@ -210,6 +253,7 @@ class StreamingViewMaintainer:
             else:
                 self.state = boot.localCheckpoint()
             self.synced_version = cur
+            self._record_synced_version(cur)
             self.bootstraps += 1
             return
         for v in range(self.synced_version + 1, cur + 1):
@@ -224,6 +268,7 @@ class StreamingViewMaintainer:
                 ).localCheckpoint()
             self.deltas_applied += 1
         self.synced_version = cur
+        self._record_synced_version(cur)
 
     def view(self) -> DataFrame:
         if self.state_table is not None:

@@ -162,9 +162,11 @@ class SnapshotParquetTarget:
     def version_as_of(self, timestamp: float) -> int:
         """Iceberg ``TIMESTAMP AS OF`` resolution: the newest snapshot
         committed at or before ``timestamp`` (unix seconds). Commit time
-        is the version directory's mtime — set atomically by the claim
-        rename. Raises if every retained snapshot is newer (the history
-        before the first commit, or expired away)."""
+        is the version directory's mtime, stamped by ``_finalize``
+        immediately after the claim rename succeeds (the rename itself
+        preserves the staging dir's older mtime). Raises if every
+        retained snapshot is newer (the history before the first
+        commit, or expired away)."""
         best = None
         for v in self.versions():
             if os.path.getmtime(os.path.join(self.path, f"v={v}")) <= timestamp:
@@ -253,6 +255,12 @@ class SnapshotParquetTarget:
                 f"concurrent commit to {self.path}: v={v} already claimed "
                 f"by another writer"
             ) from None
+        # stamp COMMIT time on the claimed dir: os.rename keeps the
+        # renamed directory's own mtime (= last staging write, which
+        # precedes the pointer flip), so without this a version_as_of
+        # timestamp falling between staging-write and the flip would
+        # resolve to a snapshot no reader could have seen at that moment.
+        os.utime(out)
         tmp = self._pointer() + f".tmp-{uuid.uuid4().hex[:12]}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
@@ -772,9 +780,16 @@ class DurableCatalogTarget:
             os.path.relpath(p, base_dir) for p in _parquet_files(base_dir)
         }
         carry = sorted(all_files - {rel(u) for u in matched_uris})
-        group = tagged.filter(
-            F.col("__f").isin(*matched_uris) if matched_uris else F.lit(False)
-        ).drop("__f")
+        # the rewrite group IS the matched files — hydrate by reading
+        # exactly those paths. Never an `isin(<file literals>)` filter:
+        # under a uniformly-hashing merge key the matched set approaches
+        # |files| and an IN-literal of 10^5+ path strings bloats the plan
+        # (the scan below stays O(1) plan nodes at any file count).
+        group = (
+            self.spark.read.parquet(*matched_uris)
+            if matched_uris
+            else base_df.filter(F.lit(False))
+        )
         if self.catalog.exists():
             self._clear_mirror()
         self.catalog.overwrite(group)
@@ -785,9 +800,17 @@ class DurableCatalogTarget:
         # file at its base-relative path ('' dirname for a flat layout)
         staging = self.snapshots._write_staging(merged, base + 1)
         for name in carry:
-            # raises on name collision with a freshly written part file:
-            # never clobbers (task-UUID part names make this ~impossible)
-            os.link(os.path.join(base_dir, name), os.path.join(staging, name))
+            src, dst = os.path.join(base_dir, name), os.path.join(staging, name)
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                # collision with a freshly written part file: never
+                # clobber (task-UUID part names make this ~impossible)
+                raise
+            except OSError:
+                # filesystem refuses links (EXDEV/EPERM): carry by copy,
+                # mirroring _commit_pruned's fallback
+                shutil.copy2(src, dst)
         self.snapshots._finalize(staging, expected_base=base)
         return True
 

@@ -553,6 +553,28 @@ def test_band_index_partition_pruning(spark, tmp_path):
     assert touched < total_parts, (touched, total_parts)
 
 
+def test_band_index_corrupt_meta_raises_clear_error(tmp_path):
+    """A truncated/corrupt _INDEX_META.json surfaces a 'rebuild the
+    index' ValueError, not an opaque JSONDecodeError (and a missing or
+    non-directory path still means 'no metadata') — ADVICE r7."""
+    import pytest
+
+    from arcane_framework_scala_spark.functions.dedup import (
+        _INDEX_META_FILE,
+        _read_index_meta,
+    )
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    (idx / _INDEX_META_FILE).write_text('{"pfx_chars": 2, "num_h')
+    with pytest.raises(ValueError, match="rebuild"):
+        _read_index_meta(str(idx))
+    assert _read_index_meta(str(tmp_path / "nope")) is None
+    blob = tmp_path / "a_file"
+    blob.write_text("x")
+    assert _read_index_meta(str(blob)) is None  # NotADirectoryError path
+
+
 def test_band_index_meta_guards_layout_mismatch(spark, tmp_path):
     """The probe adopts the layout persisted at build time; an explicit
     mismatching parameter raises instead of silently returning empty

@@ -228,16 +228,31 @@ def test_streaming_maintainer_state_table_branch(spark, tmp_path):
     m.sync()
     sink.apply(spark.createDataFrame(
         [("k1", 3, "U", "c", 11), ("k3", 4, "U", "b", 7)], schema))
-    # a RESTARTED maintainer resumes from the synced version it is told
+    # a RESTARTED maintainer restores the synced version from the state
+    # table's TBLPROPERTIES — no hand-off, no re-bootstrap double-count
     m2 = ivm.StreamingViewMaintainer(
         target, group_col="host", size_col="n", state_table=state
     )
-    m2.synced_version = m.synced_version
+    assert m2.synced_version == m.synced_version
     m2.sync()
+    assert m2.bootstraps == 0  # resumed incrementally
     got = {
         r["host"]: (r["docs"], r["sum_size"])
         for r in m2.view().select("host", "docs", "sum_size").collect()
     }
     assert got == {"b": (2, 12), "c": (1, 11)}  # k1 moved a -> c
+
+    # a populated state table WITHOUT the recorded version must refuse
+    # to bootstrap (merging a bootstrap onto live rows doubles counts)
+    spark.sql(
+        f"ALTER TABLE {state} UNSET TBLPROPERTIES "
+        f"('{ivm.StreamingViewMaintainer.SYNC_PROPERTY}')"
+    )
+    m3 = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    assert m3.synced_version is None
+    with pytest.raises(ValueError, match="double-count"):
+        m3.sync()
     spark.sql(f"DROP TABLE IF EXISTS {state}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
