@@ -1,0 +1,145 @@
+"""Incremental AVG/variance-moment and COUNT(DISTINCT) maintenance
+(operators/ivm_profile.py): the maintained profile must land every wave
+exactly on a from-scratch groupBy — including NULL-value retractions,
+duplicate-value deletes (the distinct count must NOT drop until the
+LAST copy leaves), group moves, and a seeded randomized sweep."""
+
+import random
+
+import pytest
+
+from arcane_framework_scala_spark.operators import ivm_profile as ip
+from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+SCHEMA = "k long, host string, n long"
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _as_dict(df):
+    return {
+        r["host"]: (
+            r["docs"], r["sum_v"], r["sum_sq"], r["nn"], r["distinct_vals"]
+        )
+        for r in df.collect()
+    }
+
+
+def _fresh(spark, rows):
+    return _as_dict(ip.profile_bootstrap_fresh(_tbl(spark, rows), "host", "n"))
+
+
+def _maintained(spark, waves):
+    """Bootstrap from waves[0], maintain via CDF deltas through the rest."""
+    cur = waves[0]
+    moments = ip.moments_bootstrap(_tbl(spark, cur), "host", "n")
+    aux = ip.distinct_bootstrap(_tbl(spark, cur), "host", "n")
+    for nxt in waves[1:]:
+        cdf = snapshot_diff(_tbl(spark, cur), _tbl(spark, nxt), keys=["k"])
+        moments = ip.apply_moments_delta(
+            moments, ip.moments_delta(cdf, "host", "n"), "host"
+        ).localCheckpoint()
+        aux = ip.apply_distinct_delta(
+            aux, ip.distinct_delta(cdf, "host", "n"), "host"
+        ).localCheckpoint()
+        cur = nxt
+    return _as_dict(ip.profile_view(moments, aux, "host"))
+
+
+@pytest.mark.parametrize(
+    "before,after",
+    [
+        # insert-only
+        (
+            [(1, "a", 10)],
+            [(1, "a", 10), (2, "a", 30), (3, "b", 5)],
+        ),
+        # duplicate-value delete: distinct count holds until the LAST
+        # copy of the value leaves the group
+        (
+            [(1, "a", 10), (2, "a", 10), (3, "a", 7)],
+            [(2, "a", 10), (3, "a", 7)],
+        ),
+        # last copy leaves: distinct count drops
+        (
+            [(1, "a", 10), (2, "a", 7)],
+            [(2, "a", 7)],
+        ),
+        # NULL value insert/delete: docs move, nn/sums/distinct don't
+        (
+            [(1, "a", 10), (2, "a", None)],
+            [(1, "a", 10), (3, "a", None), (4, "a", None)],
+        ),
+        # the last non-NULL value leaves: sums return to NULL, distinct 0
+        (
+            [(1, "a", 10), (2, "a", None)],
+            [(2, "a", None)],
+        ),
+        # group-moving update: value migrates a -> b
+        (
+            [(1, "a", 30), (2, "a", 10), (3, "b", 7)],
+            [(1, "b", 30), (2, "a", 10), (3, "b", 7)],
+        ),
+        # in-place value update: retract old value, admit new
+        (
+            [(1, "a", 30), (2, "a", 30)],
+            [(1, "a", 12), (2, "a", 30)],
+        ),
+        # group emptied entirely
+        (
+            [(1, "a", 5), (2, "b", 9)],
+            [(2, "b", 9)],
+        ),
+    ],
+)
+def test_profile_matches_fresh_recompute(spark, before, after):
+    assert _maintained(spark, [before, after]) == _fresh(spark, after)
+
+
+def test_profile_multiwave_randomized(spark):
+    """Seeded random insert/update/delete churn over several waves with a
+    narrow value domain (forcing duplicate values) must stay exactly on
+    the fresh recompute at every wave."""
+    rng = random.Random(84)
+    hosts = ["a", "b", "c", None]
+    vals = [None, 1, 2, 3, 5, 8]
+    state = {k: (rng.choice(hosts), rng.choice(vals)) for k in range(30)}
+    waves = [[(k, h, v) for k, (h, v) in state.items()]]
+    for _ in range(4):
+        for k in list(state):
+            r = rng.random()
+            if r < 0.2:
+                del state[k]
+            elif r < 0.5:
+                state[k] = (rng.choice(hosts), rng.choice(vals))
+        for _ in range(rng.randrange(6)):
+            nk = max(state, default=0) + rng.randrange(1, 5)
+            state[nk] = (rng.choice(hosts), rng.choice(vals))
+        waves.append([(k, h, v) for k, (h, v) in state.items()])
+    got = _maintained(spark, waves)
+    want = _fresh(spark, waves[-1])
+    assert got == want
+
+
+def test_derived_avg_and_variance_match_builtins(spark):
+    """The maintained moments reproduce F.avg / F.var_pop exactly (up to
+    float formatting): avg = sum_v/nn, var_pop = sum_sq/nn - avg^2."""
+    import pyspark.sql.functions as F
+
+    rows = [(k, "h" + str(k % 3), (k * 7) % 23) for k in range(40)]
+    after = [(k, h, v + (1 if k % 5 == 0 else 0)) for (k, h, v) in rows[5:]]
+    prof = _maintained(spark, [rows, after])
+    builtin = {
+        r["host"]: (r["avg"], r["var"])
+        for r in _tbl(spark, after)
+        .groupBy("host")
+        .agg(F.avg("n").alias("avg"), F.var_pop("n").alias("var"))
+        .collect()
+    }
+    for host, (_docs, sum_v, sum_sq, nn, _dv) in prof.items():
+        avg = sum_v / nn
+        var = sum_sq / nn - avg * avg
+        assert abs(avg - builtin[host][0]) < 1e-9
+        assert abs(var - builtin[host][1]) < 1e-9
