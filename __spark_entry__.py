@@ -1576,6 +1576,180 @@ FROM ranked WHERE rk = 1 AND NOT del
 """
 
 
+def q_x6_manifest_plan(spark, sf_dir):
+    """Manifest-planned range reads on the durable snapshot layout
+    (VERDICT r7 items 2b + 7): after a sort-strategy compaction on
+    ``event_id``, ``build_manifest`` sweeps the footers once into the
+    ``_MANIFEST.json`` sidecar, and the TARGET's own ``read_range``
+    plans from it — the gate pins that the range scan opens strictly
+    fewer files than the snapshot holds (and more than zero), i.e.
+    pruning happened at PLANNING time, before any data I/O: Iceberg's
+    manifest min/max pruning on the sandbox layout. The oracle is the
+    plain relational range filter."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks import manifest as mf
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x6_run_")
+    target = SnapshotParquetTarget(
+        spark, os.path.join(run_dir, "t"), max_rows_per_file=2000
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    target.overwrite(ev)  # v=1: fragmented, unsorted
+    from arcane_framework_scala_spark.sinks.table_stats import table_stats
+
+    total = table_stats(os.path.join(run_dir, "t", "v=1")).bytes
+    optimize_snapshot(
+        target, target_file_bytes=max(1, total // 8), sort_cols=["event_id"]
+    )  # v=2: ~8 sorted files, non-overlapping event_id ranges per file
+    man = mf.build_manifest(target, ["event_id"])
+    if len(man) < 2:
+        raise AssertionError(f"sorted snapshot too coarse to prune: {man}")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    lo, hi = (mx * 2) // 10, (mx * 3) // 10
+    planned = mf.plan_files(target, "event_id", lo=lo, hi=hi)
+    if planned is None or not (0 < len(planned) < len(man)):
+        raise AssertionError(
+            f"manifest planning did not prune: {planned and len(planned)} "
+            f"of {len(man)} files"
+        )
+    out = target.read_range("event_id", lo=lo, hi=hi)
+    opened = len(out.inputFiles())
+    if opened != len(planned):
+        raise AssertionError(
+            f"read_range opened {opened} files, planner chose {len(planned)}"
+        )
+    return out
+
+
+_X6_MANIFEST_SQL = """
+WITH b AS (SELECT max(event_id) AS mx FROM events)
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events, b
+WHERE event_id >= mx * 2 // 10 AND event_id <= mx * 3 // 10
+"""
+
+
+def q_x7_snapshot_audit(spark, sf_dir):
+    """Maintenance-surface audit vertical (VERDICT r7 item 2d): on one
+    durable CoW table fed by three CT merge waves, (1) ``history()``
+    lists the commit ledger — versions [1,2,3] with nondecreasing
+    commit times stamped at the pointer flip; (2) ``read_as_of`` at a
+    wall-clock instant captured between wave 2 and wave 3 resolves to
+    snapshot v=2 exactly (time travel by timestamp); (3) the
+    stats-driven ``should_compact`` trigger fires on the fragmented
+    snapshot (500-row files) and is quenched by the compaction it
+    recommends, which adds v=4 without changing values. Returns the
+    as-of state — the table as a reader between the waves saw it —
+    whose algebra the oracle recomputes (latest-per-key with
+    delete-last over the first two waves' version range)."""
+    import tempfile
+    import time
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+        should_compact,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.x7"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_x7_run_")
+    # 5-row files fragment every snapshot so the stats trigger has
+    # small-file pressure to detect (the merged table is ~|users| rows,
+    # which is only ~12 at sf0.001)
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=5
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2, t3 = (mx * 3) // 10, (mx * 6) // 10, (mx * 9) // 10
+    batch = ev.filter(F.col("event_id") <= t3).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    sink.apply(batch.filter(ver <= t1))
+    sink.apply(batch.filter((ver > t1) & (ver <= t2)))
+    time.sleep(0.05)
+    between = time.time()  # a reader's clock between wave 2 and wave 3
+    time.sleep(0.05)
+    sink.apply(batch.filter(ver > t2))
+
+    hist = target.history()
+    if [v for v, _ in hist] != [1, 2, 3]:
+        raise AssertionError(f"commit ledger wrong: {hist}")
+    times = [ts for _, ts in hist]
+    if times != sorted(times):
+        raise AssertionError(f"commit times not monotonic: {times}")
+    if target.snapshots.version_as_of(between) != 2:
+        raise AssertionError("read_as_of did not resolve to v=2")
+    as_of = target.read_as_of(between)
+    v2 = target.read_version(2)
+    if as_of.exceptAll(v2).count() or v2.exceptAll(as_of).count():
+        raise AssertionError("as-of read differs from read_version(2)")
+
+    # stats-driven compaction trigger: fragmented -> fire; compacted ->
+    # quenched; values unchanged across the rewrite
+    if not should_compact(target.snapshots, target_file_bytes=128 << 20):
+        raise AssertionError("should_compact missed the fragmented layout")
+    optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
+    if should_compact(target.snapshots, target_file_bytes=128 << 20):
+        raise AssertionError("should_compact still firing post-compaction")
+    pre, post = target.read_version(3), target.read_version(4)
+    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+        raise AssertionError("compaction changed table values")
+    return as_of
+
+
+_X7_SNAPSHOT_AUDIT_SQL = f"""
+WITH b AS (SELECT max(event_id) * 6 // 10 AS t_hi FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, event_type, value_milli
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
 def _web_ingest_setup(spark, sf_dir, gate: str):
     """Shared m9/a21 scaffolding: a fresh durable CoW target (table
     ``arcm.gate.<gate>``), the canonical-URL-keyed CDC batch projection,
@@ -8495,6 +8669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ivm_minmax": q_t_ivm_minmax,
         "t_ivm_profile": q_t_ivm_profile,
         "t_ivm_live_maintain": q_t_ivm_live_maintain,
+        "x6_manifest_plan": q_x6_manifest_plan,
+        "x7_snapshot_audit": q_x7_snapshot_audit,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
@@ -8560,6 +8736,8 @@ def oracle_sql() -> dict[str, str]:
         "t_ivm_live_maintain": _T_IVM_LIVE_SQL.format(
             canon=_WEB_CANON_INNER_SQL
         ),
+        "x6_manifest_plan": _X6_MANIFEST_SQL,
+        "x7_snapshot_audit": _X7_SNAPSHOT_AUDIT_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"

@@ -184,6 +184,21 @@ class SnapshotParquetTarget:
         saw it."""
         return self.read_version(self.version_as_of(timestamp))
 
+    def read_range(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Manifest-planned range read (point lookup with ``lo == hi``):
+        when the snapshot carries a ``_MANIFEST.json`` sidecar
+        (``sinks.manifest.build_manifest`` — run it after a sort-strategy
+        compaction), Spark opens ONLY the files whose [min, max] for
+        ``col`` overlaps [lo, hi]; a residual filter keeps the result
+        exact. Without a manifest this is the plain filtered scan —
+        correct either way, file-pruned on a sorted layout (Iceberg's
+        manifest range pruning on the sandbox layout)."""
+        from arcane_framework_scala_spark.sinks.manifest import read_range
+
+        return read_range(self, col, lo, hi, version)
+
     def history(self) -> list[tuple[int, float]]:
         """Commit history, oldest first: ``(version, commit_unix_ts)``
         per retained snapshot (Delta ``DESCRIBE HISTORY`` / the Iceberg
@@ -508,6 +523,14 @@ class DurableCatalogTarget:
 
     def read_as_of(self, timestamp: float) -> DataFrame:
         return self.snapshots.read_as_of(timestamp)
+
+    def read_range(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        return self.snapshots.read_range(col, lo, hi, version)
+
+    def history(self) -> list[tuple[int, float]]:
+        return self.snapshots.history()
 
     # -- CoW write path ------------------------------------------------
 

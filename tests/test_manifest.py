@@ -72,6 +72,23 @@ def test_manifest_range_read_is_exact_vs_full_scan(spark, tmp_path):
     assert empty.columns == t.read().columns
 
 
+def test_target_read_range_consults_the_manifest(spark, tmp_path):
+    """The read-path wiring (VERDICT r7 item 7): the TARGET's own
+    read_range consults _MANIFEST.json — a point lookup on the sorted
+    snapshot opens one file with a manifest and every file without."""
+    t = _sorted_target(spark, tmp_path)
+    all_files = len(t.read().inputFiles())
+    assert all_files >= 3
+    # no manifest yet: correct but unpruned
+    plain = t.read_range("n", lo=5, hi=5)
+    assert len(plain.inputFiles()) == all_files
+    assert [r["n"] for r in plain.collect()] == [5]
+    mf.build_manifest(t, ["n"])
+    pruned = t.read_range("n", lo=5, hi=5)
+    assert len(pruned.inputFiles()) == 1
+    assert [r["n"] for r in pruned.collect()] == [5]
+
+
 def test_manifest_absent_falls_back_to_full_scan(spark, tmp_path):
     t = _sorted_target(spark, tmp_path)
     assert mf.read_manifest(t) is None
