@@ -1576,6 +1576,125 @@ FROM ranked WHERE rk = 1 AND NOT del
 """
 
 
+def q_m11_file_pruned_merge(spark, sf_dir):
+    """File-granular copy-on-write MERGE (VERDICT r7 item 2a — Iceberg's
+    real rewrite unit, ``file_group_pruning=True``): on an UNPARTITIONED
+    durable table that was sort-compacted on the merge key and carries a
+    column-range manifest, a batch touching only the low quarter of the
+    key space (keys < '4' — the SHA-256 hex keys are uniform, so this is
+    a contiguous range of the sorted layout) rewrites ONLY the files
+    whose key range overlaps it: the manifest prunes the planning probe
+    itself, every unmatched file is carried into the new snapshot BY
+    HARD LINK (same inode — pinned), and at least one file is genuinely
+    rewritten. The default stays False (the whole-table path keeps the
+    steady-state mirror elision; see docs/SCALE.md) — this gate is the
+    opt-in path's end-to-end proof. Waves hold disjoint increasing
+    version ranges, so sequential MERGE == global latest-per-key with
+    delete-last over the included rows, which the oracle recomputes."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks import manifest as mf
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+    from arcane_framework_scala_spark.sinks.table_stats import table_stats
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m11"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m11_run_")
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, file_group_pruning=True
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t2 = (mx * 6) // 10
+    batch = ev.select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    sink.apply(batch.filter(ver <= t2))  # v=1
+    total = table_stats(os.path.join(run_dir, "t", "v=1")).bytes
+    optimize_snapshot(  # v=2: ~8 files sorted by merge key
+        target.snapshots,
+        target_file_bytes=max(1, total // 8),
+        sort_cols=["ARCANE_MERGE_KEY"],
+    )
+    man = mf.build_manifest(target.snapshots, ["ARCANE_MERGE_KEY"])
+    if len(man) < 3:
+        raise AssertionError(f"sorted layout too coarse: {len(man)} files")
+    # wave 2: the low quarter of the key space — clustered on the layout
+    wave2 = batch.filter((ver > t2) & (F.col("ARCANE_MERGE_KEY") < "4"))
+    sink.apply(wave2)  # v=3 via the file-pruned path
+    v2_dir = os.path.join(run_dir, "t", "v=2")
+    v3_dir = os.path.join(run_dir, "t", "v=3")
+    v2_files = {
+        f for f in os.listdir(v2_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    carried = {
+        f
+        for f in v2_files
+        if os.path.exists(os.path.join(v3_dir, f))
+        and os.path.samefile(
+            os.path.join(v2_dir, f), os.path.join(v3_dir, f)
+        )
+    }
+    if not carried:
+        raise AssertionError("no file carried by hard link — pruning dead")
+    if not v2_files - carried:
+        raise AssertionError("no file rewritten — the merge was a no-op?")
+    # the carried set must be exactly the files whose key range misses
+    # the batch (manifest ranges are authoritative on the sorted layout)
+    untouched = {
+        rel for rel, e in man.items()
+        if e["ranges"]["ARCANE_MERGE_KEY"][0] >= "4"
+    }
+    if not untouched <= carried:
+        raise AssertionError(
+            f"files outside the batch range were rewritten: "
+            f"{sorted(untouched - carried)[:3]}"
+        )
+    return target.read()
+
+
+_M11_FILE_PRUNED_SQL = f"""
+WITH b AS (SELECT max(event_id) AS mx FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events, b
+  WHERE event_id <= mx * 6 // 10
+     OR {mssql_merge_key_sql('user_id')} < '4'
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, value_milli
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
 def q_x6_manifest_plan(spark, sf_dir):
     """Manifest-planned range reads on the durable snapshot layout
     (VERDICT r7 items 2b + 7): after a sort-strategy compaction on
@@ -8671,6 +8790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ivm_live_maintain": q_t_ivm_live_maintain,
         "x6_manifest_plan": q_x6_manifest_plan,
         "x7_snapshot_audit": q_x7_snapshot_audit,
+        "m11_file_pruned_merge": q_m11_file_pruned_merge,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
@@ -8738,6 +8858,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x6_manifest_plan": _X6_MANIFEST_SQL,
         "x7_snapshot_audit": _X7_SNAPSHOT_AUDIT_SQL,
+        "m11_file_pruned_merge": _M11_FILE_PRUNED_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"
