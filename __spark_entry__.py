@@ -8539,36 +8539,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_m3_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
-# r7 GATE WINDOW (VERDICT r6 item 2): staleness-ranked rotation, now
-# computed by scripts/plan_window.py (never-checked first, then oldest
-# last-green round, core verticals winning ties). The 9 r7-born gates
-# plus the 41 stalest (all last green in r3, every judge-named core
-# vertical included: s1/m1/m2/m3/t1_polling/t2/t7/t9/s6/
-# corpus_pipeline_e2e/dedup_clusters_star). After the driver runs it,
-# maximum registry staleness is <=4 rounds. Audit/regenerate with
-# `python scripts/plan_window.py --emit`.
-_GATE_WINDOW_R7 = [
-    # --- 9 r7-born gates (never driver-checked -> must sit in window;
-    #     tests/test_registry_contract.py enforces it) ---
-    "m10_pruned_cow_merge", "t_ivm_state_merge", "t_ivm_minmax",
-    "t3_shaped_trigger_vertical", "a24_host_concentration",
-    "web_blocklist", "text_normalize", "dedup_containment",
-    "dedup_prefix_recall",
-    # --- 41 stalest entries (last green r3), core verticals first ---
-    "s1_mssql_changes", "s6_cdm_vertical", "m1_merge_sqlserver",
-    "m2_merge_synapse", "m3_merge_upsert", "m7_real_merge_vertical",
-    "t1_polling_vertical", "t2_crash_replay", "t7_stream_merge_vertical",
-    "t9_replay_idempotent", "corpus_pipeline_e2e", "dedup_clusters_star",
-    "mm_frame_sample", "s9_avro_json", "sim_ivf_topk",
-    "sim_kmeans_centroids", "sim_ivf_trained_topk", "sim_quantize_int8",
-    "dedup_embedding_cosine", "t_window_agg", "t_sessionize",
-    "corpus_repetition", "corpus_contamination", "corpus_hash_split",
-    "corpus_pii_redact", "corpus_curation_pipeline", "p10_bucketed_join",
-    "skew_salted_agg", "corpus_stratified_sample", "corpus_vocab_stats",
-    "corpus_chunk", "corpus_pack", "s11_orc_roundtrip", "t_asof_join",
-    "t_range_join", "t_rollup_cascade", "t7_stream_window_agg",
-    "t_stream_sessionize", "t_stream_late_data", "t_stateful_first_seen",
-    "mm_resize",
+# r8 GATE WINDOW (VERDICT r7 items 1+2): scripts/plan_window.py --emit
+# verbatim — the FORCED s3_tsql_surfaces re-proof (its a7_* rows were
+# appended after the r5 driver check), the 5 r8-born gates
+# (never-checked -> contract-forced into the window), the 9 stalest
+# rows (last green r3), and the 35 stalest r4 rows. The 6 freshest of
+# the r4 cohort (tpch_q6/q18ish/q4ish/q22ish, t_funnel, t_retention)
+# wait for r9; max registry staleness after the driver runs this
+# window stays <=4 rounds.
+_GATE_WINDOW_R8 = [
+    "s3_tsql_surfaces",
+    # --- r8-born gates ---
+    "t_ivm_profile", "t_ivm_live_maintain", "x6_manifest_plan",
+    "x7_snapshot_audit", "m11_file_pruned_merge",
+    # --- 9 stalest (last green r3) ---
+    "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
+    "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
+    "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
+    # --- 35 stalest of the r4 cohort ---
+    "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
+    "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
+    "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
+    "t_stream_stream_join", "t_stream_static_join", "w4_time_travel",
+    "w5_change_feed", "x5_retention_report", "t_incremental_agg",
+    "corpus_cluster_split", "corpus_negatives", "graph_pagerank",
+    "t_nearest_join", "t_gapfill", "t_grouping_sets", "t_moving_avg",
+    "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
+    "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
+    "sim_jl_project", "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
+    "sim_cluster_quality", "sim_pair_dist_stats",
 ]
 
 
@@ -8801,8 +8800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_window_suite": q_a23_window_suite,
         "p13_set_ops": q_p13_set_ops,
     }
-    assert len(_GATE_WINDOW_R7) == 50, len(_GATE_WINDOW_R7)
-    front = {n: full[n] for n in _GATE_WINDOW_R7}
+    assert len(_GATE_WINDOW_R8) == 50, len(_GATE_WINDOW_R8)
+    front = {n: full[n] for n in _GATE_WINDOW_R8}
     return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 

@@ -59,6 +59,14 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
+#: rows the next window must include regardless of staleness rank.
+#: r8: A7's a7_* oracle rows were appended to s3_tsql_surfaces AFTER its
+#: last driver check (r5), so the row needs a driver re-proof on the
+#: current implementation (VERDICT r7 item 1) even though 3 whole
+#: cohorts are staler. Clear per round once satisfied.
+FORCE = ["s3_tsql_surfaces"]
+
+
 def propose(names: list[str], last: dict[str, int]) -> list[str]:
     order = {n: i for i, n in enumerate(names)}
     core_rank = {n: i for i, n in enumerate(CORE)}
@@ -70,7 +78,9 @@ def propose(names: list[str], last: dict[str, int]) -> list[str]:
             core_rank.get(n, order[n]),          # stable within each class
         )
 
-    return sorted(names, key=key)[:WINDOW]
+    forced = [n for n in FORCE if n in names]
+    ranked = [n for n in sorted(names, key=key) if n not in forced]
+    return forced + ranked[: WINDOW - len(forced)]
 
 
 def main() -> int:

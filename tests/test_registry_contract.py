@@ -59,33 +59,34 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_gate_window_is_the_declared_r7_rotation():
-    """The driver checks the FIRST 50 entries only; r7 is the
-    staleness-ranked rotation (VERDICT r6 item 2): the 9 r7-born gates
-    (never-checked) plus the 41 stalest r3-checked entries with every
-    judge-named core vertical included. Pin the families so a refactor
+def test_gate_window_is_the_declared_r8_rotation():
+    """The driver checks the FIRST 50 entries only; r8 is the
+    staleness-ranked rotation (VERDICT r7 items 1+2): the FORCED
+    s3_tsql_surfaces re-proof (a7_* rows postdate its r5 driver check),
+    the 5 r8-born gates (never-checked), the 9 stalest r3-checked rows,
+    and the 35 stalest of the r4 cohort. Pin the families so a refactor
     reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
     for required in (
-        # r7-born gates (never-checked -> forced into the window)
-        "m10_pruned_cow_merge", "t_ivm_state_merge", "t_ivm_minmax",
-        "t3_shaped_trigger_vertical", "a24_host_concentration",
-        "web_blocklist", "text_normalize", "dedup_containment",
-        "dedup_prefix_recall",
-        # judge-named core verticals, last green in r3
-        "s1_mssql_changes", "s6_cdm_vertical", "m1_merge_sqlserver",
-        "m2_merge_synapse", "m3_merge_upsert", "t1_polling_vertical",
-        "t2_crash_replay", "t7_stream_merge_vertical",
-        "t9_replay_idempotent", "corpus_pipeline_e2e",
-        "dedup_clusters_star",
-        # stalest-r3 filler families
-        "mm_frame_sample", "sim_kmeans_centroids", "sim_ivf_trained_topk",
-        "sim_quantize_int8", "dedup_embedding_cosine", "t_window_agg",
-        "corpus_repetition", "sim_ivf_topk", "t_sessionize",
-        "p10_bucketed_join", "skew_salted_agg", "corpus_stratified_sample",
-        "corpus_vocab_stats", "corpus_chunk", "corpus_pack",
+        # forced: A7's driver row (VERDICT r7 item 1)
+        "s3_tsql_surfaces",
+        # r8-born gates (never-checked -> forced into the window)
+        "t_ivm_profile", "t_ivm_live_maintain", "x6_manifest_plan",
+        "x7_snapshot_audit", "m11_file_pruned_merge",
+        # stalest cohort (last green r3)
+        "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
+        "sim_ivf_index_topk", "corpus_mixture_sample",
+        "corpus_quality_filter", "corpus_shuffle_shards",
+        "sim_ivf_recall", "t_stream_dedup",
+        # r4-cohort families
+        "sim_pq_codes", "sim_ivfpq_topk", "corpus_bpe_merges",
+        "dedup_bloom_probe", "t_stream_stream_join", "w4_time_travel",
+        "w5_change_feed", "x5_retention_report", "t_incremental_agg",
+        "graph_pagerank", "t_gapfill", "t_grouping_sets",
+        "a8_value_quantiles", "w3_scd2_history", "dedup_index_pairs",
+        "sim_jl_project", "sim_bm25_rerank", "sim_pair_dist_stats",
     ):
         assert required in first50, required
 
