@@ -160,16 +160,24 @@ def main() -> None:
                     samples.append(dt)
             samples.sort()
             med = samples[len(samples) // 2]
+            # per-query CV (stdev/mean over the n timed runs, VERDICT r7
+            # item 4): the ledger's own noise floor, so a future reader
+            # can tell a 15% regression from box jitter per query
+            mean = sum(samples) / len(samples)
+            var = sum((s - mean) ** 2 for s in samples) / len(samples)
+            cv = (var ** 0.5) / mean if mean else 0.0
             medians[name] = round(med, 3)
             stats[name] = {
                 "median": round(med, 3),
                 "min": round(samples[0], 3),
                 "max": round(samples[-1], 3),
+                "cv": round(cv, 3),
                 "warmup": round(warm, 3),
             }
             print(
                 f"# {name}: {stats[name]['median']}s "
                 f"[{stats[name]['min']}..{stats[name]['max']}] "
+                f"cv={stats[name]['cv']} "
                 f"(warmup {stats[name]['warmup']}s discarded)",
                 file=sys.stderr,
             )
