@@ -2136,6 +2136,55 @@ FROM ranked WHERE rk = 1 GROUP BY 1
 """
 
 
+def q_t_ivm_quantile(spark, sf_dir):
+    """Incremental QUANTILE maintenance under the change feed: KMV/HLL
+    sketches are insert-only, but the HDR log-histogram is a pure
+    counting structure — per-(host, bucket) counts absorb ±deltas, so
+    the same counting-multiset maintenance keeps the histogram EXACT
+    under deletes/updates, with bounded state (≤ ~1920 buckets per
+    group regardless of value domain). The host-level size histogram is
+    bootstrapped from crawl wave 1, maintained from CDF deltas through
+    waves 2-3, pinned bucket-for-bucket against a fresh
+    ``log_histogram`` of the final table, and the returned p50/p90
+    estimates use the batch sketch's own integer-exact estimator — so
+    maintained and fresh answers are byte-identical, which the DuckDB
+    oracle recomputes relationally."""
+    from arcane_framework_scala_spark.operators import ivm_profile as ip
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tquant")
+    sink.apply(batch.filter(waves[0]))
+    hist = ip.hist_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).localCheckpoint()
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        hist = ip.apply_hist_delta(
+            hist,
+            ip.hist_delta(target.changes(v - 1, v), "host", "n_chars"),
+            "host",
+        ).localCheckpoint()
+    fresh = ip.hist_bootstrap(target.read(), "host", "n_chars")
+    if hist.exceptAll(fresh).count() or fresh.exceptAll(hist).count():
+        raise AssertionError("maintained histogram diverged from fresh sketch")
+    return ip.quantile_view(hist, [50, 90], "host")
+
+
+def _t_ivm_quantile_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    final_corpus = (
+        "(SELECT host, n_chars FROM ("
+        "SELECT host, n_chars, rank() OVER (PARTITION BY canon_url "
+        "ORDER BY doc_id DESC) AS rk FROM ({canon})"
+        ") WHERE rk = 1) __src"
+    )
+    return sk.log_hist_quantiles_sql(
+        sk.log_histogram_sql(final_corpus, "n_chars", ["host"]),
+        [50, 90],
+        ["host"],
+    )
+
+
 def q_t_ivm_live_maintain(spark, sf_dir):
     """StreamingViewMaintainer riding the REAL stream hook (VERDICT r7
     item 2c): a Structured Streaming query (readStream → foreachBatch →
@@ -8541,22 +8590,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r8 GATE WINDOW (VERDICT r7 items 1+2): scripts/plan_window.py --emit
 # verbatim — the FORCED s3_tsql_surfaces re-proof (its a7_* rows were
-# appended after the r5 driver check), the 5 r8-born gates
+# appended after the r5 driver check), the 6 r8-born gates
 # (never-checked -> contract-forced into the window), the 9 stalest
-# rows (last green r3), and the 35 stalest r4 rows. The 6 freshest of
-# the r4 cohort (tpch_q6/q18ish/q4ish/q22ish, t_funnel, t_retention)
-# wait for r9; max registry staleness after the driver runs this
-# window stays <=4 rounds.
+# rows (last green r3), and the 34 stalest r4 rows. The 7 freshest of
+# the r4 cohort (sim_pair_dist_stats, tpch_q6/q18ish/q4ish/q22ish,
+# t_funnel, t_retention) wait for r9; max registry staleness after the
+# driver runs this window stays <=4 rounds.
 _GATE_WINDOW_R8 = [
     "s3_tsql_surfaces",
     # --- r8-born gates ---
-    "t_ivm_profile", "t_ivm_live_maintain", "x6_manifest_plan",
-    "x7_snapshot_audit", "m11_file_pruned_merge",
+    "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
+    "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
     # --- 9 stalest (last green r3) ---
     "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
     "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
     "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
-    # --- 35 stalest of the r4 cohort ---
+    # --- 34 stalest of the r4 cohort ---
     "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
     "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
     "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
@@ -8567,7 +8616,7 @@ _GATE_WINDOW_R8 = [
     "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
     "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
     "sim_jl_project", "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
-    "sim_cluster_quality", "sim_pair_dist_stats",
+    "sim_cluster_quality",
 ]
 
 
@@ -8786,6 +8835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ivm_state_merge": q_t_ivm_state_merge,
         "t_ivm_minmax": q_t_ivm_minmax,
         "t_ivm_profile": q_t_ivm_profile,
+        "t_ivm_quantile": q_t_ivm_quantile,
         "t_ivm_live_maintain": q_t_ivm_live_maintain,
         "x6_manifest_plan": q_x6_manifest_plan,
         "x7_snapshot_audit": q_x7_snapshot_audit,
@@ -8853,6 +8903,9 @@ def oracle_sql() -> dict[str, str]:
             canon=_WEB_CANON_INNER_SQL
         ),
         "t_ivm_live_maintain": _T_IVM_LIVE_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
+        "t_ivm_quantile": _t_ivm_quantile_sql().format(
             canon=_WEB_CANON_INNER_SQL
         ),
         "x6_manifest_plan": _X6_MANIFEST_SQL,

@@ -599,6 +599,26 @@ SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
 HDR_BITS = 5
 
 
+def hdr_bucket_exprs(value_col: str):
+    """The HDR bucket columns ``(e, sub, lo)`` for a non-negative int64
+    column — exponent, top-``HDR_BITS``-mantissa sub-bucket, and the
+    bucket's lower bound. Shared by :func:`log_histogram` and the
+    delete-tolerant IVM histogram (``operators.ivm_profile``), so both
+    maintain bit-identical buckets."""
+    v = f"CAST({value_col} AS BIGINT)"
+    e = (F.length(F.bin(F.col(value_col).cast("long"))) - 1).cast("int")
+    sub = F.expr(
+        f"shiftrightunsigned({v}, "
+        f"greatest(CAST(length(bin({v})) - 1 AS INT) - {HDR_BITS}, 0))"
+    )
+    lo = F.expr(
+        f"shiftleft(shiftrightunsigned({v}, "
+        f"greatest(CAST(length(bin({v})) - 1 AS INT) - {HDR_BITS}, 0)), "
+        f"greatest(CAST(length(bin({v})) - 1 AS INT) - {HDR_BITS}, 0))"
+    )
+    return e, sub, lo
+
+
 def log_histogram(
     df: DataFrame,
     value_col: str,
@@ -618,19 +638,7 @@ def log_histogram(
     representation, the same no-libm trick as the HLL rank."""
     group_cols = group_cols or []
     v = F.col(value_col).cast("long")
-    e = (F.length(F.bin(v)) - 1).cast("int")
-    sub = F.expr(
-        f"shiftrightunsigned(CAST({value_col} AS BIGINT), "
-        f"greatest(CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS INT)"
-        f" - {HDR_BITS}, 0))"
-    )
-    lo = F.expr(
-        f"shiftleft(shiftrightunsigned(CAST({value_col} AS BIGINT), "
-        f"greatest(CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS INT)"
-        f" - {HDR_BITS}, 0)), "
-        f"greatest(CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS INT)"
-        f" - {HDR_BITS}, 0))"
-    )
+    e, sub, lo = hdr_bucket_exprs(value_col)
     return (
         df.filter(v.isNotNull() & (v >= 0))
         .select(

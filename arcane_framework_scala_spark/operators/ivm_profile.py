@@ -279,6 +279,128 @@ def profile_view(
     )
 
 
+# ------------------------------------------- quantiles (log-histogram)
+#
+# Approximate quantiles under deletes: KMV/HLL are insert-only, but the
+# HDR log-histogram (functions.sketch.log_histogram) is a pure COUNTING
+# structure — per-(group, bucket) counts are additive in both
+# directions, so the same counting-multiset maintenance used for
+# distinct values keeps the histogram exact under inserts, deletes and
+# updates. Quantile estimates then come from the maintained buckets via
+# the existing integer-exact estimator (log_hist_quantiles), with the
+# same ≤2^-HDR_BITS relative bucket error as the batch sketch. State is
+# O(|groups| × ≤1920 buckets) — bounded regardless of value domain,
+# unlike the exact-distinct aux.
+
+
+def hist_bootstrap(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Initial per-group HDR histogram — exactly
+    ``functions.sketch.log_histogram`` (bit-identical buckets)."""
+    from arcane_framework_scala_spark.functions.sketch import log_histogram
+
+    return log_histogram(df, val_col, [group_col])
+
+
+def hist_delta(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Collapse a CDF batch into per-(group, bucket) count deltas.
+    Negative and NULL values never enter (matching log_histogram's
+    non-negative-int64 domain)."""
+    from arcane_framework_scala_spark.functions.sketch import (
+        hdr_bucket_exprs,
+    )
+
+    ins = F.col("op") == "insert"
+    dele = F.col("op") == "delete"
+    sided = cdf.select(
+        "op",
+        F.explode(
+            F.when(ins, F.array(F.lit(1)))
+            .when(dele, F.array(F.lit(-1)))
+            .otherwise(F.array(F.lit(1), F.lit(-1)))
+        ).alias("side"),
+        F.col(f"new_{group_col}").alias("__ng"),
+        F.col(f"old_{group_col}").alias("__og"),
+        F.col(f"new_{val_col}").cast("long").alias("__nv"),
+        F.col(f"old_{val_col}").cast("long").alias("__ov"),
+    )
+    pos = F.col("side") == 1
+    val = F.when(pos, F.col("__nv")).otherwise(F.col("__ov"))
+    framed = sided.select(
+        F.when(pos, F.col("__ng")).otherwise(F.col("__og")).alias(group_col),
+        val.alias("__v"),
+        F.when(pos, F.lit(1)).otherwise(F.lit(-1)).alias("__d"),
+    ).filter(F.col("__v").isNotNull() & (F.col("__v") >= 0))
+    e, sub, lo = hdr_bucket_exprs("__v")
+    return (
+        framed.select(
+            group_col,
+            e.alias("e"),
+            sub.cast("long").alias("sub"),
+            lo.cast("long").alias("lo"),
+            "__d",
+        )
+        .groupBy(group_col, "e", "sub", "lo")
+        .agg(F.sum("__d").alias("d_cnt"))
+    )
+
+
+def apply_hist_delta(
+    hist: DataFrame, delta: DataFrame, group_col: str
+) -> DataFrame:
+    """Merge bucket deltas into the maintained histogram: full-outer on
+    the null-safe group key + bucket id, buckets at zero drop out. One
+    hash shuffle sized |hist| + |delta|."""
+    h = hist.select(
+        F.col(group_col).alias("__hg"),
+        F.col("e").alias("__he"),
+        F.col("sub").alias("__hs"),
+        F.col("lo").alias("__hl"),
+        "cnt",
+        F.lit(True).alias("__in_h"),
+    )
+    d = delta.select(
+        F.col(group_col).alias("__dg"),
+        F.col("e").alias("__de"),
+        F.col("sub").alias("__ds"),
+        F.col("lo").alias("__dl"),
+        "d_cnt",
+    )
+    j = h.join(
+        d,
+        F.col("__hg").eqNullSafe(F.col("__dg"))
+        & (F.col("__he") == F.col("__de"))
+        & (F.col("__hs") == F.col("__ds")),
+        "full_outer",
+    )
+    in_h = F.coalesce(F.col("__in_h"), F.lit(False))
+    cnt = F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(
+        F.col("d_cnt"), F.lit(0)
+    )
+    return (
+        j.select(
+            F.when(in_h, F.col("__hg")).otherwise(F.col("__dg")).alias(group_col),
+            F.when(in_h, F.col("__he")).otherwise(F.col("__de")).alias("e"),
+            F.when(in_h, F.col("__hs")).otherwise(F.col("__ds")).alias("sub"),
+            F.when(in_h, F.col("__hl")).otherwise(F.col("__dl")).alias("lo"),
+            cnt.cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def quantile_view(
+    hist: DataFrame, pcts: list[int], group_col: str
+) -> DataFrame:
+    """Quantile estimates from the maintained histogram — the exact
+    estimator the batch sketch uses (``log_hist_quantiles``), so a
+    maintained histogram and a fresh one give byte-identical answers."""
+    from arcane_framework_scala_spark.functions.sketch import (
+        log_hist_quantiles,
+    )
+
+    return log_hist_quantiles(hist, pcts, [group_col])
+
+
 def profile_bootstrap_fresh(
     df: DataFrame, group_col: str, val_col: str
 ) -> DataFrame:

@@ -123,6 +123,81 @@ def test_profile_multiwave_randomized(spark):
     assert got == want
 
 
+def _hist_maintained(spark, waves):
+    cur = waves[0]
+    hist = ip.hist_bootstrap(_tbl(spark, cur), "host", "n")
+    for nxt in waves[1:]:
+        cdf = snapshot_diff(_tbl(spark, cur), _tbl(spark, nxt), keys=["k"])
+        hist = ip.apply_hist_delta(
+            hist, ip.hist_delta(cdf, "host", "n"), "host"
+        ).localCheckpoint()
+        cur = nxt
+    return hist
+
+
+def _hist_as_dict(df):
+    return {
+        (r["host"], r["e"], r["sub"]): (r["lo"], r["cnt"])
+        for r in df.collect()
+    }
+
+
+def test_histogram_maintained_equals_fresh_sketch(spark):
+    """The delete-tolerant histogram lands bucket-for-bucket on a fresh
+    log_histogram of the final state — inserts, deletes, in-place value
+    updates and group moves included."""
+    before = [
+        (1, "a", 10), (2, "a", 1000), (3, "a", 1001), (4, "b", 7),
+        (5, "a", None), (6, "a", -3),  # NULL/negative: outside the domain
+    ]
+    after = [
+        (2, "a", 1000), (3, "b", 1001),  # 10 deleted; 1001 moved a->b
+        (4, "b", 7000),                  # in-place update
+        (7, "a", 10),                    # re-insert of a deleted value
+        (5, "a", None), (6, "a", -3),
+    ]
+    got = _hist_as_dict(_hist_maintained(spark, [before, after]))
+    want = _hist_as_dict(ip.hist_bootstrap(_tbl(spark, after), "host", "n"))
+    assert got == want
+
+
+def test_histogram_randomized_multiwave_and_quantiles(spark):
+    """Seeded churn over several waves: the maintained histogram stays
+    bucket-exact vs a fresh sketch, and quantile_view over it equals
+    log_hist_quantiles over the fresh sketch byte-for-byte."""
+    rng = random.Random(21)
+    hosts = ["a", "b", None]
+    state = {k: (rng.choice(hosts), rng.randrange(0, 100_000)) for k in range(40)}
+    waves = [[(k, h, v) for k, (h, v) in state.items()]]
+    for _ in range(3):
+        for k in list(state):
+            r = rng.random()
+            if r < 0.25:
+                del state[k]
+            elif r < 0.5:
+                state[k] = (rng.choice(hosts), rng.randrange(0, 100_000))
+        for _ in range(rng.randrange(8)):
+            nk = max(state, default=0) + rng.randrange(1, 4)
+            state[nk] = (rng.choice(hosts), rng.randrange(0, 100_000))
+        waves.append([(k, h, v) for k, (h, v) in state.items()])
+    got_hist = _hist_maintained(spark, waves)
+    fresh = ip.hist_bootstrap(_tbl(spark, waves[-1]), "host", "n")
+    assert _hist_as_dict(got_hist) == _hist_as_dict(fresh)
+    from arcane_framework_scala_spark.functions.sketch import (
+        log_hist_quantiles,
+    )
+
+    got_q = {
+        (r["host"], r["pct"]): r["est"]
+        for r in ip.quantile_view(got_hist, [50, 90], "host").collect()
+    }
+    want_q = {
+        (r["host"], r["pct"]): r["est"]
+        for r in log_hist_quantiles(fresh, [50, 90], ["host"]).collect()
+    }
+    assert got_q == want_q and got_q
+
+
 def test_derived_avg_and_variance_match_builtins(spark):
     """The maintained moments reproduce F.avg / F.var_pop exactly (up to
     float formatting): avg = sum_v/nn, var_pop = sum_sq/nn - avg^2."""

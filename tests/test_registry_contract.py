@@ -73,8 +73,8 @@ def test_gate_window_is_the_declared_r8_rotation():
         # forced: A7's driver row (VERDICT r7 item 1)
         "s3_tsql_surfaces",
         # r8-born gates (never-checked -> forced into the window)
-        "t_ivm_profile", "t_ivm_live_maintain", "x6_manifest_plan",
-        "x7_snapshot_audit", "m11_file_pruned_merge",
+        "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
+        "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
         # stalest cohort (last green r3)
         "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
         "sim_ivf_index_topk", "corpus_mixture_sample",
@@ -86,7 +86,7 @@ def test_gate_window_is_the_declared_r8_rotation():
         "w5_change_feed", "x5_retention_report", "t_incremental_agg",
         "graph_pagerank", "t_gapfill", "t_grouping_sets",
         "a8_value_quantiles", "w3_scd2_history", "dedup_index_pairs",
-        "sim_jl_project", "sim_bm25_rerank", "sim_pair_dist_stats",
+        "sim_jl_project", "sim_bm25_rerank", "sim_cluster_quality",
     ):
         assert required in first50, required
 
