@@ -414,3 +414,83 @@ def profile_bootstrap_fresh(
         F.count(v).alias("nn"),
         F.countDistinct(v).alias("distinct_vals"),
     )
+
+
+# ------------------------------ production twins: MERGE-maintained state
+#
+# Like ivm.group_state_merge_sql, these keep the maintained state in a
+# real catalog TABLE (Iceberg/Delta/DSv2) updated by one generated MERGE
+# per wave — the deployment posture when the view must outlive the
+# process. Engine-portable conditional clauses; null-safe ON keeps a
+# NULL group as ONE group.
+
+
+def moments_state_merge_sql(
+    target_table: str, delta_view: str, group_col: str = "host"
+) -> str:
+    """MERGE maintaining the moments TABLE ``(group, docs, sum_v,
+    sum_sq, nn)`` from a :func:`moments_delta` view: additive update,
+    delete-at-zero docs, insert-positive, sums returning to NULL exactly
+    when nn reaches zero (the same auxiliary trick as the DataFrame
+    path)."""
+
+    def summed(cur: str, d: str) -> str:
+        return (
+            f"CASE WHEN t.nn + s.d_nn = 0 THEN NULL "
+            f"ELSE coalesce(t.{cur}, CAST(0 AS BIGINT)) "
+            f"+ coalesce(s.{d}, CAST(0 AS BIGINT)) END"
+        )
+
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING (SELECT {group_col}, d_docs, d_sum, d_sq, d_nn "
+        f"FROM {delta_view}) s\n"
+        f"ON t.{group_col} <=> s.{group_col}\n"
+        f"WHEN MATCHED AND t.docs + s.d_docs <= 0 THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET docs = t.docs + s.d_docs, "
+        f"sum_v = {summed('sum_v', 'd_sum')}, "
+        f"sum_sq = {summed('sum_sq', 'd_sq')}, nn = t.nn + s.d_nn\n"
+        f"WHEN NOT MATCHED AND s.d_docs > 0 THEN "
+        f"INSERT ({group_col}, docs, sum_v, sum_sq, nn) "
+        f"VALUES (s.{group_col}, s.d_docs, s.d_sum, s.d_sq, s.d_nn)"
+    )
+
+
+def distinct_state_merge_sql(
+    target_table: str, delta_view: str, group_col: str = "host"
+) -> str:
+    """MERGE maintaining the counting-multiset TABLE ``(group, val,
+    cnt)`` from a :func:`distinct_delta` view — multiplicities at zero
+    DELETE; the per-group distinct count is then
+    ``SELECT group, count(*) FROM state GROUP BY 1``."""
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING (SELECT {group_col}, val, d_cnt FROM {delta_view}) s\n"
+        f"ON t.{group_col} <=> s.{group_col} AND t.val = s.val\n"
+        f"WHEN MATCHED AND t.cnt + s.d_cnt <= 0 THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.d_cnt\n"
+        f"WHEN NOT MATCHED AND s.d_cnt > 0 THEN "
+        f"INSERT ({group_col}, val, cnt) "
+        f"VALUES (s.{group_col}, s.val, s.d_cnt)"
+    )
+
+
+def hist_state_merge_sql(
+    target_table: str, delta_view: str, group_col: str = "host"
+) -> str:
+    """MERGE maintaining the HDR histogram TABLE ``(group, e, sub, lo,
+    cnt)`` from a :func:`hist_delta` view — buckets at zero DELETE.
+    ``lo`` is functionally determined by (e, sub), so the ON clause
+    matches on (group, e, sub)."""
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING (SELECT {group_col}, e, sub, lo, d_cnt "
+        f"FROM {delta_view}) s\n"
+        f"ON t.{group_col} <=> s.{group_col} "
+        f"AND t.e = s.e AND t.sub = s.sub\n"
+        f"WHEN MATCHED AND t.cnt + s.d_cnt <= 0 THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.d_cnt\n"
+        f"WHEN NOT MATCHED AND s.d_cnt > 0 THEN "
+        f"INSERT ({group_col}, e, sub, lo, cnt) "
+        f"VALUES (s.{group_col}, s.e, s.sub, s.lo, s.d_cnt)"
+    )

@@ -6,6 +6,7 @@ LAST copy leaves), group moves, and a seeded randomized sweep."""
 
 import random
 
+import pyspark.sql.functions as F
 import pytest
 
 from arcane_framework_scala_spark.operators import ivm_profile as ip
@@ -196,6 +197,100 @@ def test_histogram_randomized_multiwave_and_quantiles(spark):
         for r in log_hist_quantiles(fresh, [50, 90], ["host"]).collect()
     }
     assert got_q == want_q and got_q
+
+
+def _mem_ready(spark):
+    import os
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+
+
+def _run_merge(spark, sql_fn, table, delta):
+    delta.createOrReplaceTempView("__ivmp_delta")
+    try:
+        spark.sql(sql_fn(table, "__ivmp_delta"))
+    finally:
+        spark.catalog.dropTempView("__ivmp_delta")
+
+
+def test_state_merge_twins_match_dataframe_paths(spark):
+    """The MERGE-maintained moments, multiset and histogram tables must
+    land exactly where the DataFrame applies land — additive update,
+    delete-at-zero, insert-positive — through two waves of mixed churn
+    including a NULL-returning sum and a vanishing bucket."""
+    _mem_ready(spark)
+    before = [(1, "a", 10), (2, "a", 10), (3, "b", 5000), (4, "a", None)]
+    mid = [(2, "a", 10), (3, "b", 7), (4, "a", None), (5, "c", 12)]
+    after = [(3, "b", 7), (4, "a", None), (5, "c", 13)]
+
+    mom_t = "arcm.test.ivmp_moments"
+    dis_t = "arcm.test.ivmp_multiset"
+    his_t = "arcm.test.ivmp_hist"
+    spark.sql(f"DROP TABLE IF EXISTS {mom_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {dis_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {his_t}")
+    spark.sql(
+        f"CREATE TABLE {mom_t} (host STRING, docs BIGINT, sum_v BIGINT, "
+        "sum_sq BIGINT, nn BIGINT) USING mem"
+    )
+    spark.sql(
+        f"CREATE TABLE {dis_t} (host STRING, val BIGINT, cnt BIGINT) "
+        "USING mem"
+    )
+    spark.sql(
+        f"CREATE TABLE {his_t} (host STRING, e INT, sub BIGINT, "
+        "lo BIGINT, cnt BIGINT) USING mem"
+    )
+    # bootstrap: wave-1 state as all-insert deltas
+    boot_m = ip.moments_bootstrap(_tbl(spark, before), "host", "n").select(
+        "host",
+        F.col("docs").alias("d_docs"),
+        F.col("sum_v").alias("d_sum"),
+        F.col("sum_sq").alias("d_sq"),
+        F.col("nn").alias("d_nn"),
+    )
+    boot_d = ip.distinct_bootstrap(_tbl(spark, before), "host", "n").select(
+        "host", "val", F.col("cnt").alias("d_cnt")
+    )
+    boot_h = ip.hist_bootstrap(_tbl(spark, before), "host", "n").select(
+        "host", "e", "sub", "lo", F.col("cnt").alias("d_cnt")
+    )
+    _run_merge(spark, ip.moments_state_merge_sql, mom_t, boot_m)
+    _run_merge(spark, ip.distinct_state_merge_sql, dis_t, boot_d)
+    _run_merge(spark, ip.hist_state_merge_sql, his_t, boot_h)
+    cur = before
+    for nxt in (mid, after):
+        cdf = snapshot_diff(_tbl(spark, cur), _tbl(spark, nxt), keys=["k"])
+        _run_merge(
+            spark, ip.moments_state_merge_sql, mom_t,
+            ip.moments_delta(cdf, "host", "n"),
+        )
+        _run_merge(
+            spark, ip.distinct_state_merge_sql, dis_t,
+            ip.distinct_delta(cdf, "host", "n"),
+        )
+        _run_merge(
+            spark, ip.hist_state_merge_sql, his_t,
+            ip.hist_delta(cdf, "host", "n"),
+        )
+        cur = nxt
+
+    got = _as_dict(
+        ip.profile_view(spark.table(mom_t), spark.table(dis_t), "host")
+    )
+    assert got == _fresh(spark, after)
+    got_h = _hist_as_dict(spark.table(his_t))
+    want_h = _hist_as_dict(ip.hist_bootstrap(_tbl(spark, after), "host", "n"))
+    assert got_h == want_h
+    for t in (mom_t, dis_t, his_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_derived_avg_and_variance_match_builtins(spark):
