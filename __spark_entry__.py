@@ -1661,10 +1661,12 @@ def q_m11_file_pruned_merge(spark, sf_dir):
     if not v2_files - carried:
         raise AssertionError("no file rewritten — the merge was a no-op?")
     # the carried set must be exactly the files whose key range misses
-    # the batch (manifest ranges are authoritative on the sorted layout)
+    # the batch (manifest ranges are authoritative on the sorted layout;
+    # a file WITHOUT usable stats is a candidate by the safe-over-
+    # selection rule, so it may legitimately be rewritten — skip it)
     untouched = {
         rel for rel, e in man.items()
-        if e["ranges"]["ARCANE_MERGE_KEY"][0] >= "4"
+        if (rng := e["ranges"].get("ARCANE_MERGE_KEY")) and rng[0] >= "4"
     }
     if not untouched <= carried:
         raise AssertionError(

@@ -226,6 +226,17 @@ class StreamingViewMaintainer:
         cur = self.target.snapshots.current_version()
         if cur is None:
             return
+        if self.synced_version is not None and self.synced_version > cur:
+            # a recorded version AHEAD of the target means the state
+            # belongs to a different table lifetime (target wiped/rolled
+            # back/re-ingested): rewinding and applying the NEW table's
+            # deltas onto the OLD table's state would be silently wrong
+            raise ValueError(
+                f"recorded synced version {self.synced_version} exceeds "
+                f"the target's current version {cur} — the state "
+                f"{'table ' + self.state_table if self.state_table else ''} "
+                "reflects a different table lifetime; rebuild it."
+            )
         if self.synced_version is None:
             if (
                 self.state_table is not None
@@ -267,8 +278,12 @@ class StreamingViewMaintainer:
                     self.state, delta, self.group_col
                 ).localCheckpoint()
             self.deltas_applied += 1
-        self.synced_version = cur
-        self._record_synced_version(cur)
+            # record per STEP, not once after the loop: the MERGE is
+            # additive (not idempotent), so a crash between a merged
+            # delta and its recorded version would re-apply that delta
+            # on restart and double-count every touched group
+            self.synced_version = v
+            self._record_synced_version(v)
 
     def view(self) -> DataFrame:
         if self.state_table is not None:

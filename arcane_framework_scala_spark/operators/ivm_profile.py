@@ -47,6 +47,33 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+def _sided_values(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Collapse a CDF batch to signed value contributions
+    ``(group, __v, __sg)``: insert → (+1, post-image), delete →
+    (−1, pre-image), update → both rows — the canonical sided-explode
+    shape of :func:`ivm.group_delta`, shared by every delta builder in
+    this module so the CDF convention lives in ONE place."""
+    ins = F.col("op") == "insert"
+    dele = F.col("op") == "delete"
+    sided = cdf.select(
+        F.explode(
+            F.when(ins, F.array(F.lit(1)))
+            .when(dele, F.array(F.lit(-1)))
+            .otherwise(F.array(F.lit(1), F.lit(-1)))
+        ).alias("side"),
+        F.col(f"new_{group_col}").alias("__ng"),
+        F.col(f"old_{group_col}").alias("__og"),
+        F.col(f"new_{val_col}").cast("long").alias("__nv"),
+        F.col(f"old_{val_col}").cast("long").alias("__ov"),
+    )
+    pos = F.col("side") == 1
+    return sided.select(
+        F.when(pos, F.col("__ng")).otherwise(F.col("__og")).alias(group_col),
+        F.when(pos, F.col("__nv")).otherwise(F.col("__ov")).alias("__v"),
+        F.when(pos, F.lit(1)).otherwise(F.lit(-1)).alias("__sg"),
+    )
+
+
 # ---------------------------------------------------------------- moments
 
 
@@ -67,31 +94,9 @@ def moments_bootstrap(
 
 def moments_delta(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
     """Collapse a CDF batch into per-group additive moment deltas
-    (insert: +post-image; delete: -pre-image; update: both sides —
-    the :func:`ivm.group_delta` sided-explode shape)."""
-    ins = F.col("op") == "insert"
-    dele = F.col("op") == "delete"
-    sided = cdf.select(
-        "op",
-        F.explode(
-            F.when(ins, F.array(F.lit(1)))
-            .when(dele, F.array(F.lit(-1)))
-            .otherwise(F.array(F.lit(1), F.lit(-1)))
-        ).alias("side"),
-        F.col(f"new_{group_col}").alias("__ng"),
-        F.col(f"old_{group_col}").alias("__og"),
-        F.col(f"new_{val_col}").cast("long").alias("__nv"),
-        F.col(f"old_{val_col}").cast("long").alias("__ov"),
-    )
-    pos = F.col("side") == 1
-    val = F.when(pos, F.col("__nv")).otherwise(F.col("__ov"))
-    sign = F.when(pos, F.lit(1)).otherwise(F.lit(-1))
+    (insert: +post-image; delete: -pre-image; update: both sides)."""
     return (
-        sided.select(
-            F.when(pos, F.col("__ng")).otherwise(F.col("__og")).alias(group_col),
-            sign.alias("__sg"),
-            val.alias("__v"),
-        )
+        _sided_values(cdf, group_col, val_col)
         .groupBy(group_col)
         .agg(
             F.sum("__sg").alias("d_docs"),
@@ -175,31 +180,12 @@ def distinct_bootstrap(
 
 def distinct_delta(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
     """Collapse a CDF batch into (group, val, ±count) multiset deltas."""
-    ins = F.col("op") == "insert"
-    dele = F.col("op") == "delete"
-    sided = cdf.select(
-        "op",
-        F.explode(
-            F.when(ins, F.array(F.lit(1)))
-            .when(dele, F.array(F.lit(-1)))
-            .otherwise(F.array(F.lit(1), F.lit(-1)))
-        ).alias("side"),
-        F.col(f"new_{group_col}").alias("__ng"),
-        F.col(f"old_{group_col}").alias("__og"),
-        F.col(f"new_{val_col}").cast("long").alias("__nv"),
-        F.col(f"old_{val_col}").cast("long").alias("__ov"),
-    )
-    pos = F.col("side") == 1
-    val = F.when(pos, F.col("__nv")).otherwise(F.col("__ov"))
     return (
-        sided.select(
-            F.when(pos, F.col("__ng")).otherwise(F.col("__og")).alias(group_col),
-            val.alias("val"),
-            F.when(pos, F.lit(1)).otherwise(F.lit(-1)).alias("__d"),
-        )
-        .filter(F.col("val").isNotNull())
+        _sided_values(cdf, group_col, val_col)
+        .filter(F.col("__v").isNotNull())
+        .select(group_col, F.col("__v").alias("val"), "__sg")
         .groupBy(group_col, "val")
-        .agg(F.sum("__d").alias("d_cnt"))
+        .agg(F.sum("__sg").alias("d_cnt"))
     )
 
 
@@ -309,27 +295,9 @@ def hist_delta(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
         hdr_bucket_exprs,
     )
 
-    ins = F.col("op") == "insert"
-    dele = F.col("op") == "delete"
-    sided = cdf.select(
-        "op",
-        F.explode(
-            F.when(ins, F.array(F.lit(1)))
-            .when(dele, F.array(F.lit(-1)))
-            .otherwise(F.array(F.lit(1), F.lit(-1)))
-        ).alias("side"),
-        F.col(f"new_{group_col}").alias("__ng"),
-        F.col(f"old_{group_col}").alias("__og"),
-        F.col(f"new_{val_col}").cast("long").alias("__nv"),
-        F.col(f"old_{val_col}").cast("long").alias("__ov"),
+    framed = _sided_values(cdf, group_col, val_col).filter(
+        F.col("__v").isNotNull() & (F.col("__v") >= 0)
     )
-    pos = F.col("side") == 1
-    val = F.when(pos, F.col("__nv")).otherwise(F.col("__ov"))
-    framed = sided.select(
-        F.when(pos, F.col("__ng")).otherwise(F.col("__og")).alias(group_col),
-        val.alias("__v"),
-        F.when(pos, F.lit(1)).otherwise(F.lit(-1)).alias("__d"),
-    ).filter(F.col("__v").isNotNull() & (F.col("__v") >= 0))
     e, sub, lo = hdr_bucket_exprs("__v")
     return (
         framed.select(
@@ -337,10 +305,10 @@ def hist_delta(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
             e.alias("e"),
             sub.cast("long").alias("sub"),
             lo.cast("long").alias("lo"),
-            "__d",
+            "__sg",
         )
         .groupBy(group_col, "e", "sub", "lo")
-        .agg(F.sum("__d").alias("d_cnt"))
+        .agg(F.sum("__sg").alias("d_cnt"))
     )
 
 

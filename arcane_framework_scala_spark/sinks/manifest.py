@@ -97,10 +97,16 @@ def build_manifest(
         os.path.relpath(f, vdir): _file_ranges(f, cols)
         for f in _parquet_files(vdir)
     }
+    # the version dir's mtime IS the snapshot's commit time (stamped by
+    # _finalize at the pointer flip; version_as_of/history/age-based
+    # expiry all resolve against it) — writing the sidecar into the dir
+    # must not rewrite history, so restore the mtime afterwards
+    stat = os.stat(vdir)
     tmp = os.path.join(vdir, MANIFEST_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(vdir, MANIFEST_FILE))
+    os.utime(vdir, (stat.st_atime, stat.st_mtime))
     return manifest
 
 

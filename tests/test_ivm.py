@@ -242,17 +242,105 @@ def test_streaming_maintainer_state_table_branch(spark, tmp_path):
     }
     assert got == {"b": (2, 12), "c": (1, 11)}  # k1 moved a -> c
 
-    # a populated state table WITHOUT the recorded version must refuse
-    # to bootstrap (merging a bootstrap onto live rows doubles counts)
+    # a recorded version AHEAD of the target (stale state from a wiped/
+    # rolled-back table lifetime) must raise, never rewind-and-corrupt
     spark.sql(
-        f"ALTER TABLE {state} UNSET TBLPROPERTIES "
-        f"('{ivm.StreamingViewMaintainer.SYNC_PROPERTY}')"
+        f"ALTER TABLE {state} SET TBLPROPERTIES "
+        f"('{ivm.StreamingViewMaintainer.SYNC_PROPERTY}'='99')"
     )
-    m3 = ivm.StreamingViewMaintainer(
+    ahead = ivm.StreamingViewMaintainer(
         target, group_col="host", size_col="n", state_table=state
     )
-    assert m3.synced_version is None
+    assert ahead.synced_version == 99
+    with pytest.raises(ValueError, match="different table lifetime"):
+        ahead.sync()
+
+    # crash MID catch-up: the synced version is recorded per merged
+    # delta (the MERGE is additive, not idempotent), so a resumed
+    # maintainer skips the already-applied delta instead of re-merging
+    spark.sql(  # restore the TRUE state version (m2 synced through v2)
+        f"ALTER TABLE {state} SET TBLPROPERTIES "
+        f"('{ivm.StreamingViewMaintainer.SYNC_PROPERTY}'"
+        f"='{m2.synced_version}')"
+    )
+    sink.apply(spark.createDataFrame([("k5", 5, "U", "d", 3)], schema))
+    sink.apply(spark.createDataFrame([("k6", 6, "U", "d", 4)], schema))
+    crasher = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    real_changes = target.changes
+    first_new = crasher.synced_version + 1
+
+    def explode_on_second(v_from, v_to, keys=None):
+        if v_to > first_new:
+            raise RuntimeError("boom mid catch-up")
+        return real_changes(v_from, v_to, keys)
+
+    target.changes = explode_on_second
+    with pytest.raises(RuntimeError, match="boom"):
+        crasher.sync()
+    target.changes = real_changes
+    assert crasher.synced_version == first_new  # first delta recorded
+    resumed = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    assert resumed.synced_version == first_new
+    resumed.sync()
+    fresh = ivm.group_stats_bootstrap(target.read(), "host", "n")
+    view = resumed.view().select("host", "docs", "sum_size", "nn_size")
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_maintainer_refuses_unversioned_populated_state(
+    spark, tmp_path
+):
+    """A populated state table WITHOUT the recorded version must refuse
+    to bootstrap (merging a bootstrap onto live rows doubles counts)."""
+    import os
+
+    import pytest
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    state = "arcm.test.maint_noversion"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT) "
+        "USING mem"
+    )
+    spark.sql(f"INSERT INTO {state} VALUES ('a', 1, 10, 1)")
+    table = "arcm.test.maint_noversion_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 10)],
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long",
+    ))
+    m = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    assert m.synced_version is None
     with pytest.raises(ValueError, match="double-count"):
-        m3.sync()
+        m.sync()
     spark.sql(f"DROP TABLE IF EXISTS {state}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")

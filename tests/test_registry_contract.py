@@ -63,8 +63,8 @@ def test_gate_window_is_the_declared_r8_rotation():
     """The driver checks the FIRST 50 entries only; r8 is the
     staleness-ranked rotation (VERDICT r7 items 1+2): the FORCED
     s3_tsql_surfaces re-proof (a7_* rows postdate its r5 driver check),
-    the 5 r8-born gates (never-checked), the 9 stalest r3-checked rows,
-    and the 35 stalest of the r4 cohort. Pin the families so a refactor
+    the 6 r8-born gates (never-checked), the 9 stalest r3-checked rows,
+    and the 34 stalest of the r4 cohort. Pin the families so a refactor
     reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
