@@ -1217,6 +1217,55 @@ def q_dedup_index_pairs(spark, sf_dir):
     return dd.minhash_candidate_pairs_indexed(spark, idx_path, new)
 
 
+def q_dedup_index_append(spark, sf_dir):
+    """The MAINTENANCE half of the persisted-index dedup story: the
+    standing corpus's band index is built once, then each CDC batch
+    probes AND appends (``append_band_index`` — partition-aligned
+    append computed from the batch alone, layout params from the stored
+    metadata). Batch 2's probe runs against the GROWN index (base ∪
+    batch 1), and the gate pins it equal to the in-memory incremental
+    path over the grown corpus before returning — so a green row proves
+    index maintenance loses nothing and invents nothing. The oracle is
+    the exactness invariant: pairs(all) minus pairs(all − batch2)."""
+    import tempfile
+    import uuid
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 0))
+    batch2 = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 1))
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"arcane_band_apx_{uuid.uuid4().hex}"
+    )
+    dd.build_band_index(base, idx_path)
+    dd.append_band_index(idx_path, batch1)
+    got = dd.minhash_candidate_pairs_indexed(spark, idx_path, batch2)
+    live = dd.minhash_candidate_pairs_incremental(
+        base.unionByName(batch1), batch2
+    )
+    d1 = got.exceptAll(live).count()
+    d2 = live.exceptAll(got).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"appended-index probe diverged from live path: {d1}/{d2}"
+        )
+    return got
+
+
+_DEDUP_INDEX_APPEND_SQL = f"""
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql("documents")}
+)
+EXCEPT
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql(
+      "(SELECT * FROM documents "
+      "WHERE NOT (doc_id % 5 = 0 AND doc_id % 2 = 1))"
+  )}
+)
+"""
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Same clustering contract, computed by the O(log n)-round
     large-star/small-star contraction instead of label propagation —
@@ -8592,22 +8641,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r8 GATE WINDOW (VERDICT r7 items 1+2): scripts/plan_window.py --emit
 # verbatim — the FORCED s3_tsql_surfaces re-proof (its a7_* rows were
-# appended after the r5 driver check), the 6 r8-born gates
+# appended after the r5 driver check), the 7 r8-born gates
 # (never-checked -> contract-forced into the window), the 9 stalest
-# rows (last green r3), and the 34 stalest r4 rows. The 7 freshest of
-# the r4 cohort (sim_pair_dist_stats, tpch_q6/q18ish/q4ish/q22ish,
-# t_funnel, t_retention) wait for r9; max registry staleness after the
-# driver runs this window stays <=4 rounds.
+# rows (last green r3), and the 33 stalest r4 rows. The 8 freshest of
+# the r4 cohort (sim_cluster_quality, sim_pair_dist_stats,
+# tpch_q6/q18ish/q4ish/q22ish, t_funnel, t_retention) wait for r9; max
+# registry staleness after the driver runs this window stays <=4.
 _GATE_WINDOW_R8 = [
     "s3_tsql_surfaces",
     # --- r8-born gates ---
     "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
     "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
+    "dedup_index_append",
     # --- 9 stalest (last green r3) ---
     "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
     "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
     "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
-    # --- 34 stalest of the r4 cohort ---
+    # --- 33 stalest of the r4 cohort ---
     "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
     "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
     "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
@@ -8618,7 +8668,6 @@ _GATE_WINDOW_R8 = [
     "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
     "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
     "sim_jl_project", "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
-    "sim_cluster_quality",
 ]
 
 
@@ -8842,6 +8891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_manifest_plan": q_x6_manifest_plan,
         "x7_snapshot_audit": q_x7_snapshot_audit,
         "m11_file_pruned_merge": q_m11_file_pruned_merge,
+        "dedup_index_append": q_dedup_index_append,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
@@ -8913,6 +8963,7 @@ def oracle_sql() -> dict[str, str]:
         "x6_manifest_plan": _X6_MANIFEST_SQL,
         "x7_snapshot_audit": _X7_SNAPSHOT_AUDIT_SQL,
         "m11_file_pruned_merge": _M11_FILE_PRUNED_SQL,
+        "dedup_index_append": _DEDUP_INDEX_APPEND_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"

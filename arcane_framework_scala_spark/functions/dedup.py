@@ -1158,6 +1158,53 @@ def build_band_index(
     )
 
 
+def append_band_index(
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Extend a persisted band index with a new batch — the maintenance
+    half of the incremental-dedup story (build once, then every CDC
+    batch probes AND appends, so the index tracks the corpus without a
+    corpus-wide rebuild). Signatures are content hashes, so the new
+    rows are computed from the batch alone; the write is partition-
+    aligned appending (same ``(band, pfx)`` layout, one shuffle, new
+    files land inside the directories the batch's buckets touch —
+    untouched partitions gain nothing).
+
+    Layout parameters always come from the stored ``_INDEX_META.json``
+    (raises when absent: appending with guessed parameters would mix
+    signature schemes in one table and silently corrupt every later
+    probe). Append each batch exactly ONCE — the caller's CDC ordering
+    (T9 version guards upstream) is what makes replays safe to skip;
+    re-appending a batch duplicates its band rows, which inflates
+    candidate multiplicity but never loses a pair (probes dedup pairs).
+    """
+    meta = _read_index_meta(index_path)
+    if meta is None:
+        raise ValueError(
+            f"no {_INDEX_META_FILE} under {index_path!r} — appending "
+            "with guessed layout parameters would corrupt the index; "
+            "build it with build_band_index() first"
+        )
+    b = minhash_bands(
+        new_docs,
+        text_col,
+        id_col,
+        meta["num_hashes"],
+        meta["bands"],
+        meta["shingle_k"],
+    )
+    (
+        b.withColumn("pfx", F.substring("bucket", 1, meta["pfx_chars"]))
+        .repartition("band", "pfx")
+        .write.mode("append")
+        .partitionBy("band", "pfx")
+        .parquet(index_path)
+    )
+
+
 _INDEX_META_FILE = "_INDEX_META.json"
 
 

@@ -553,6 +553,63 @@ def test_band_index_partition_pruning(spark, tmp_path):
     assert touched < total_parts, (touched, total_parts)
 
 
+def test_band_index_append_maintains_the_index(spark, tmp_path):
+    """append_band_index extends the stored index partition-aligned:
+    probes against the appended index equal the in-memory incremental
+    path over the grown corpus, new files land only inside the batch's
+    own (band, pfx) directories, and appending without stored metadata
+    refuses (guessed layout params would corrupt every later probe)."""
+    import os
+
+    import pytest
+
+    from arcane_framework_scala_spark.functions.dedup import (
+        append_band_index,
+        build_band_index,
+        minhash_candidate_pairs_incremental,
+        minhash_candidate_pairs_indexed,
+    )
+
+    base = "web corpus page body shared boilerplate text "
+    docs = spark.createDataFrame(
+        [(i, base * 2 + f"tail {i % 8}") for i in range(150)],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id % 3 != 0")
+    batch1 = docs.filter("doc_id % 3 = 0 AND doc_id % 2 = 0")
+    batch2 = docs.filter("doc_id % 3 = 0 AND doc_id % 2 = 1")
+    idx = str(tmp_path / "idx")
+    build_band_index(old, idx)
+
+    def files():
+        return {
+            os.path.join(os.path.relpath(r, idx), f)
+            for r, _d, fs in os.walk(idx)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = files()
+    append_band_index(idx, batch1)
+    added = files() - before
+    assert added and before <= files()  # pure append, nothing rewritten
+    # every new file sits inside an existing-layout (band, pfx) dir
+    assert all(f.startswith("band=") for f in added)
+
+    got = minhash_candidate_pairs_indexed(spark, idx, batch2)
+    live = minhash_candidate_pairs_incremental(
+        old.unionByName(batch1), batch2
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in live.collect()
+    }
+
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    with pytest.raises(ValueError, match="build it with build_band_index"):
+        append_band_index(str(bare), batch1)
+
+
 def test_band_index_corrupt_meta_raises_clear_error(tmp_path):
     """A truncated/corrupt _INDEX_META.json surfaces a 'rebuild the
     index' ValueError, not an opaque JSONDecodeError (and a missing or
