@@ -149,6 +149,54 @@ def apply_group_delta(
     )
 
 
+class AdditiveGroupStatsSpec:
+    """The count/sum view family as a maintenance SPEC — the pluggable
+    unit :class:`StreamingViewMaintainer` drives. A spec supplies:
+
+    - ``bootstrap(df)`` — materialize the view from a full snapshot;
+    - ``delta(cdf)`` — collapse a CDF batch to the family's delta shape;
+    - ``apply(state, delta, target, version)`` — fold a delta into the
+      DataFrame state (``target``/``version`` let families whose apply
+      needs the base table — e.g. min/max band-hit recomputes — read
+      the snapshot AS OF the delta's version, which matters when a
+      catch-up spans several commits; ignored here);
+    - ``bootstrap_as_delta(boot)`` — project a bootstrap into delta
+      columns so the MERGE path can insert it (optional: only needed
+      for ``state_table`` support);
+    - ``merge_sql(table, view)`` — the family's state-table MERGE
+      (optional, same condition).
+
+    The sibling families live beside their algebra:
+    ``ivm_profile.MomentsSpec`` / ``.DistinctSpec`` / ``.HistogramSpec``
+    and ``ivm_minmax.MinMaxSpec``."""
+
+    def __init__(self, group_col: str, size_col: str):
+        self.group_col = group_col
+        self.size_col = size_col
+
+    def bootstrap(self, df: DataFrame) -> DataFrame:
+        return group_stats_bootstrap(df, self.group_col, self.size_col)
+
+    def delta(self, cdf: DataFrame) -> DataFrame:
+        return group_delta(cdf, self.group_col, self.size_col)
+
+    def apply(
+        self, state: DataFrame, delta: DataFrame, target, version=None
+    ) -> DataFrame:
+        return apply_group_delta(state, delta, self.group_col)
+
+    def bootstrap_as_delta(self, boot: DataFrame) -> DataFrame:
+        return boot.select(
+            self.group_col,
+            F.col("docs").alias("d_docs"),
+            F.col("sum_size").alias("d_size"),
+            F.col("nn_size").alias("d_nn"),
+        )
+
+    def merge_sql(self, table: str, view: str) -> str:
+        return group_state_merge_sql(table, view, self.group_col)
+
+
 class StreamingViewMaintainer:
     """Ride a CoW target's change feed to keep a grouped view current —
     the piece that turns per-wave IVM into a STREAMING materialized
@@ -165,25 +213,43 @@ class StreamingViewMaintainer:
 
     With ``state_table`` the synced version is DURABLE too: it rides the
     state table's TBLPROPERTIES (``arcane.ivm_synced_version``), written
-    after every successful sync and restored by a fresh instance — so a
-    restarted maintainer resumes from the recorded version instead of
+    after every successfully merged delta (the MERGE is additive, not
+    idempotent) and restored by a fresh instance — so a restarted
+    maintainer resumes from the recorded version instead of
     re-bootstrapping. A populated state table with NO recorded version
     (a pre-upgrade table, or someone else's) makes ``sync`` raise rather
     than merge a full bootstrap on top of existing rows, which would
-    silently double every count."""
+    silently double every count.
+
+    The maintained FAMILY is pluggable via ``spec`` (default: the
+    additive count/sum profile from ``group_col``/``size_col``). Any of
+    the view-maintenance families rides the same loop:
+    ``ivm_profile.MomentsSpec`` (avg/variance), ``.DistinctSpec``
+    (exact COUNT(DISTINCT)), ``.HistogramSpec`` (delete-exact
+    quantiles), ``ivm_minmax.MinMaxSpec`` (max/min; DataFrame state
+    only — its band-hit recompute has no single-MERGE form)."""
 
     SYNC_PROPERTY = "arcane.ivm_synced_version"
 
     def __init__(
         self,
         target,
-        group_col: str,
-        size_col: str,
+        group_col: str | None = None,
+        size_col: str | None = None,
         state_table: str | None = None,
+        spec=None,
     ):
+        if spec is None:
+            if group_col is None or size_col is None:
+                raise ValueError("pass either spec or group_col+size_col")
+            spec = AdditiveGroupStatsSpec(group_col, size_col)
+        if state_table is not None and not hasattr(spec, "merge_sql"):
+            raise ValueError(
+                f"{type(spec).__name__} has no state-table MERGE form; "
+                "use the DataFrame state (state_table=None)"
+            )
         self.target = target
-        self.group_col = group_col
-        self.size_col = size_col
+        self.spec = spec
         self.state_table = state_table
         self.state: DataFrame | None = None
         self.synced_version: int | None = self._restore_synced_version()
@@ -215,9 +281,7 @@ class StreamingViewMaintainer:
         view = "__ivm_stream_delta"
         delta.createOrReplaceTempView(view)
         try:
-            delta.sparkSession.sql(
-                group_state_merge_sql(self.state_table, view, self.group_col)
-            )
+            delta.sparkSession.sql(self.spec.merge_sql(self.state_table, view))
         finally:
             delta.sparkSession.catalog.dropTempView(view)
 
@@ -249,18 +313,9 @@ class StreamingViewMaintainer:
                     "a bootstrap on top would double-count every group. "
                     "Truncate the table (or restore the property) first."
                 )
-            boot = group_stats_bootstrap(
-                self.target.read_version(cur), self.group_col, self.size_col
-            )
+            boot = self.spec.bootstrap(self.target.read_version(cur))
             if self.state_table is not None:
-                self._merge_into_table(
-                    boot.select(
-                        self.group_col,
-                        F.col("docs").alias("d_docs"),
-                        F.col("sum_size").alias("d_size"),
-                        F.col("nn_size").alias("d_nn"),
-                    )
-                )
+                self._merge_into_table(self.spec.bootstrap_as_delta(boot))
             else:
                 self.state = boot.localCheckpoint()
             self.synced_version = cur
@@ -268,14 +323,12 @@ class StreamingViewMaintainer:
             self.bootstraps += 1
             return
         for v in range(self.synced_version + 1, cur + 1):
-            delta = group_delta(
-                self.target.changes(v - 1, v), self.group_col, self.size_col
-            )
+            delta = self.spec.delta(self.target.changes(v - 1, v))
             if self.state_table is not None:
                 self._merge_into_table(delta)
             else:
-                self.state = apply_group_delta(
-                    self.state, delta, self.group_col
+                self.state = self.spec.apply(
+                    self.state, delta, self.target, v
                 ).localCheckpoint()
             self.deltas_applied += 1
             # record per STEP, not once after the loop: the MERGE is

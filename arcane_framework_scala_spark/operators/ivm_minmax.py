@@ -224,3 +224,30 @@ def apply_minmax_delta(
         size_col,
     )
     return ok.unionByName(recomputed)
+
+
+class MinMaxSpec:
+    """MAX/MIN as a :class:`ivm.StreamingViewMaintainer` spec — DataFrame
+    state only: the band-hit recompute consults the base snapshot AS OF
+    the delta's version (a catch-up spanning several commits must not
+    read future state), which has no single-MERGE state-table form."""
+
+    def __init__(self, group_col: str, size_col: str):
+        self.group_col = group_col
+        self.size_col = size_col
+
+    def bootstrap(self, df):
+        return minmax_bootstrap(df, self.group_col, self.size_col)
+
+    def delta(self, cdf):
+        return minmax_delta(cdf, self.group_col, self.size_col)
+
+    def apply(self, state, delta, target, version=None):
+        base = (
+            target.read_version(version)
+            if version is not None
+            else target.read()
+        )
+        return apply_minmax_delta(
+            state, delta, base, self.group_col, self.size_col
+        )

@@ -384,6 +384,101 @@ def profile_bootstrap_fresh(
     )
 
 
+# ------------------- maintenance specs (StreamingViewMaintainer plugins)
+#
+# Each spec packages one family's (bootstrap, delta, apply, MERGE form)
+# so `ivm.StreamingViewMaintainer(target, spec=MomentsSpec("host",
+# "n_chars"))` rides the stream's post-merge hook with the same durable
+# resume semantics as the additive default.
+
+
+class MomentsSpec:
+    """avg/variance moments: state (group, docs, sum_v, sum_sq, nn)."""
+
+    def __init__(self, group_col: str, val_col: str):
+        self.group_col = group_col
+        self.val_col = val_col
+
+    def bootstrap(self, df: DataFrame) -> DataFrame:
+        return moments_bootstrap(df, self.group_col, self.val_col)
+
+    def delta(self, cdf: DataFrame) -> DataFrame:
+        return moments_delta(cdf, self.group_col, self.val_col)
+
+    def apply(
+        self, state: DataFrame, delta: DataFrame, target, version=None
+    ) -> DataFrame:
+        return apply_moments_delta(state, delta, self.group_col)
+
+    def bootstrap_as_delta(self, boot: DataFrame) -> DataFrame:
+        return boot.select(
+            self.group_col,
+            F.col("docs").alias("d_docs"),
+            F.col("sum_v").alias("d_sum"),
+            F.col("sum_sq").alias("d_sq"),
+            F.col("nn").alias("d_nn"),
+        )
+
+    def merge_sql(self, table: str, view: str) -> str:
+        return moments_state_merge_sql(table, view, self.group_col)
+
+
+class DistinctSpec:
+    """Exact COUNT(DISTINCT): state is the counting multiset
+    (group, val, cnt); read the aggregate via :func:`distinct_view`."""
+
+    def __init__(self, group_col: str, val_col: str):
+        self.group_col = group_col
+        self.val_col = val_col
+
+    def bootstrap(self, df: DataFrame) -> DataFrame:
+        return distinct_bootstrap(df, self.group_col, self.val_col)
+
+    def delta(self, cdf: DataFrame) -> DataFrame:
+        return distinct_delta(cdf, self.group_col, self.val_col)
+
+    def apply(
+        self, state: DataFrame, delta: DataFrame, target, version=None
+    ) -> DataFrame:
+        return apply_distinct_delta(state, delta, self.group_col)
+
+    def bootstrap_as_delta(self, boot: DataFrame) -> DataFrame:
+        return boot.select(
+            self.group_col, "val", F.col("cnt").alias("d_cnt")
+        )
+
+    def merge_sql(self, table: str, view: str) -> str:
+        return distinct_state_merge_sql(table, view, self.group_col)
+
+
+class HistogramSpec:
+    """Delete-exact quantiles: state is the HDR bucket table
+    (group, e, sub, lo, cnt); read estimates via :func:`quantile_view`."""
+
+    def __init__(self, group_col: str, val_col: str):
+        self.group_col = group_col
+        self.val_col = val_col
+
+    def bootstrap(self, df: DataFrame) -> DataFrame:
+        return hist_bootstrap(df, self.group_col, self.val_col)
+
+    def delta(self, cdf: DataFrame) -> DataFrame:
+        return hist_delta(cdf, self.group_col, self.val_col)
+
+    def apply(
+        self, state: DataFrame, delta: DataFrame, target, version=None
+    ) -> DataFrame:
+        return apply_hist_delta(state, delta, self.group_col)
+
+    def bootstrap_as_delta(self, boot: DataFrame) -> DataFrame:
+        return boot.select(
+            self.group_col, "e", "sub", "lo", F.col("cnt").alias("d_cnt")
+        )
+
+    def merge_sql(self, table: str, view: str) -> str:
+        return hist_state_merge_sql(table, view, self.group_col)
+
+
 # ------------------------------ production twins: MERGE-maintained state
 #
 # Like ivm.group_state_merge_sql, these keep the maintained state in a

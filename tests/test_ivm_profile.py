@@ -293,6 +293,79 @@ def test_state_merge_twins_match_dataframe_paths(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_all_spec_families_ride_the_view_maintainer(spark, tmp_path):
+    """Every IVM family is a StreamingViewMaintainer plugin: moments,
+    multiset-distinct, histogram (DataFrame state) and min/max (whose
+    apply reads the base snapshot AS OF each delta's version) all
+    bootstrap once, catch up a MULTI-commit gap in one sync, and land
+    exactly on a fresh recompute of the final table."""
+    _mem_ready(spark)
+    from arcane_framework_scala_spark.operators import ivm, ivm_minmax
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    table = "arcm.test.spec_families"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 10), ("k2", 1, "U", "a", 10),
+         ("k3", 1, "U", "b", 5), ("k4", 1, "U", "a", None)], schema))
+    ms = [
+        ivm.StreamingViewMaintainer(target, spec=ip.MomentsSpec("host", "n")),
+        ivm.StreamingViewMaintainer(target, spec=ip.DistinctSpec("host", "n")),
+        ivm.StreamingViewMaintainer(
+            target, spec=ip.HistogramSpec("host", "n")
+        ),
+        ivm.StreamingViewMaintainer(
+            target, spec=ivm_minmax.MinMaxSpec("host", "n")
+        ),
+    ]
+    for m in ms:
+        m.sync()
+    # two MORE commits land before the next sync: the catch-up must
+    # apply v1->v2 and v2->v3 separately (minmax reads AS OF each)
+    sink.apply(spark.createDataFrame(
+        [("k1", 2, "D", "a", 10), ("k5", 2, "U", "b", 9)], schema))
+    sink.apply(spark.createDataFrame(
+        [("k2", 3, "U", "c", 11), ("k3", 3, "U", "b", 7)], schema))
+    for m in ms:
+        m.sync()
+        assert m.bootstraps == 1 and m.deltas_applied == 2
+    final = target.read()
+    prof = ip.profile_view(ms[0].view(), ms[1].view(), "host")
+    fresh = ip.profile_bootstrap_fresh(final, "host", "n")
+    assert prof.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(prof).count() == 0
+    assert _hist_as_dict(ms[2].view()) == _hist_as_dict(
+        ip.hist_bootstrap(final, "host", "n")
+    )
+    from arcane_framework_scala_spark.operators.ivm_minmax import (
+        minmax_bootstrap,
+    )
+
+    mm_fresh = minmax_bootstrap(final, "host", "n")
+    assert ms[3].view().exceptAll(mm_fresh).count() == 0
+    assert mm_fresh.exceptAll(ms[3].view()).count() == 0
+    # min/max has no MERGE state-table form: constructor refuses
+    with pytest.raises(ValueError, match="no state-table MERGE form"):
+        ivm.StreamingViewMaintainer(
+            target,
+            spec=ivm_minmax.MinMaxSpec("host", "n"),
+            state_table="arcm.test.nope",
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_derived_avg_and_variance_match_builtins(spark):
     """The maintained moments reproduce F.avg / F.var_pop exactly (up to
     float formatting): avg = sum_v/nn, var_pop = sum_sq/nn - avg^2."""
