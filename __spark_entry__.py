@@ -2349,6 +2349,55 @@ def q_a24_host_concentration(spark, sf_dir):
     return concentration_report(hosts, weight_col="docs")
 
 
+def q_web_html_extract(spark, sf_dir):
+    """HTML → text extraction (the crawl stage before every text
+    operator): markup synthesized around each document IN BOTH ENGINES
+    (tags, a script block with a sneaky embedded tag, comments,
+    entities), then stripped by the RE2-portable regexp chain
+    (``functions/web.py::html_extract``) — scripts/styles/comments out,
+    block closers → newlines, tags dropped, entities decoded,
+    whitespace normalized. Pure narrow projections (whole-stage
+    codegen, zero shuffles, inlineable into a 100 TB scan); the oracle
+    runs the byte-identical DuckDB twin chain."""
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><!-- nav --><head><style>p{x}</style>'
+            '<script>var p="<b>x</b>";</script></head><body><h1>'
+        ),
+        F.col("lang"),
+        F.lit(" &amp; "),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</li></ul></body></html>"),
+    )
+    txt = web.html_extract(html)
+    return docs.select(
+        "doc_id",
+        F.md5(txt).alias("txt_md5"),
+        F.length(txt).alias("n_txt"),
+    )
+
+
+_WEB_HTML_EXTRACT_SQL = f"""
+SELECT doc_id,
+       md5({web.html_extract_sql('html')}) AS txt_md5,
+       CAST(length({web.html_extract_sql('html')}) AS INT) AS n_txt
+FROM (
+  SELECT doc_id,
+         '<html><!-- nav --><head><style>p{{x}}</style>'
+         || '<script>var p="<b>x</b>";</script></head><body><h1>'
+         || lang || ' &amp; ' || source || '</h1><p>' || text
+         || '</p><ul><li>' || CAST(doc_id AS VARCHAR)
+         || '</li></ul></body></html>' AS html
+  FROM documents
+)
+"""
+
+
 def q_web_blocklist(spark, sf_dir):
     """Blocklist filtering (the robots/licensing gate every crawl
     pipeline runs first): documents whose domain is ``example.org`` (the
@@ -8641,23 +8690,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r8 GATE WINDOW (VERDICT r7 items 1+2): scripts/plan_window.py --emit
 # verbatim — the FORCED s3_tsql_surfaces re-proof (its a7_* rows were
-# appended after the r5 driver check), the 7 r8-born gates
+# appended after the r5 driver check), the 8 r8-born gates
 # (never-checked -> contract-forced into the window), the 9 stalest
-# rows (last green r3), and the 33 stalest r4 rows. The 8 freshest of
-# the r4 cohort (sim_cluster_quality, sim_pair_dist_stats,
-# tpch_q6/q18ish/q4ish/q22ish, t_funnel, t_retention) wait for r9; max
-# registry staleness after the driver runs this window stays <=4.
+# rows (last green r3), and the 32 stalest r4 rows. The 9 freshest of
+# the r4 cohort (sim_bm25_rerank, sim_cluster_quality,
+# sim_pair_dist_stats, tpch_q6/q18ish/q4ish/q22ish, t_funnel,
+# t_retention) wait for r9; max registry staleness after the driver
+# runs this window stays <=4.
 _GATE_WINDOW_R8 = [
     "s3_tsql_surfaces",
     # --- r8-born gates ---
     "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
     "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
-    "dedup_index_append",
+    "dedup_index_append", "web_html_extract",
     # --- 9 stalest (last green r3) ---
     "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
     "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
     "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
-    # --- 33 stalest of the r4 cohort ---
+    # --- 32 stalest of the r4 cohort ---
     "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
     "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
     "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
@@ -8667,7 +8717,7 @@ _GATE_WINDOW_R8 = [
     "t_nearest_join", "t_gapfill", "t_grouping_sets", "t_moving_avg",
     "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
     "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
-    "sim_jl_project", "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
+    "sim_jl_project", "sim_knn_eval", "sim_text_topk",
 ]
 
 
@@ -8892,6 +8942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_snapshot_audit": q_x7_snapshot_audit,
         "m11_file_pruned_merge": q_m11_file_pruned_merge,
         "dedup_index_append": q_dedup_index_append,
+        "web_html_extract": q_web_html_extract,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
@@ -8964,6 +9015,7 @@ def oracle_sql() -> dict[str, str]:
         "x7_snapshot_audit": _X7_SNAPSHOT_AUDIT_SQL,
         "m11_file_pruned_merge": _M11_FILE_PRUNED_SQL,
         "dedup_index_append": _DEDUP_INDEX_APPEND_SQL,
+        "web_html_extract": _WEB_HTML_EXTRACT_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"

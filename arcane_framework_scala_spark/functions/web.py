@@ -420,3 +420,64 @@ def blocklist_filter(
             )
         out = out.filter(keep)
     return out
+
+
+# --- HTML -> text extraction (r8) -------------------------------------
+#
+# The crawl stage before every text operator: strip markup, keep the
+# prose. Deliberately the REGEX class of extractor (jusText/trafilatura
+# are DOM-based and need native libs); the pattern set is chosen to be
+# portable across Java regex (Spark) and RE2 (DuckDB) — no backrefs, no
+# lookaround — so the oracle twin is byte-exact. Runs as a chain of
+# narrow regexp_replace projections: whole-stage codegen, zero shuffles,
+# inlineable into a 100 TB scan.
+
+#: (pattern, replacement) chain; order matters. \n replacements use a
+#: placeholder resolved per engine (Python "\n" / SQL chr(10)).
+_HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", ""),     # active content out first
+    (r"(?is)<style[^>]*>.*?</style>", ""),
+    (r"(?s)<!--.*?-->", ""),                      # comments
+    # block-level closers + <br> become line breaks BEFORE tag strip
+    (r"(?is)</(?:p|div|li|tr|h1|h2|h3|h4|h5|h6|blockquote)>|<br[^>]*>",
+     "\n"),
+    (r"(?s)<[^>]+>", " "),                        # every remaining tag
+    # minimal entity set (full tables are library territory)
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),                              # LAST: && double-escapes
+    # whitespace normalization: spaces/tabs collapse, newlines tighten,
+    # ends trimmed (regex, not SQL trim — trim() won't take newlines)
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    (r"^\s+", ""),
+    (r"\s+$", ""),
+]
+
+
+def html_extract(col: Column) -> Column:
+    """Markup-stripped text of an HTML column: scripts/styles/comments
+    removed, block boundaries become newlines, tags dropped, the basic
+    entity set decoded, whitespace normalized, result trimmed."""
+    out = col
+    for pat, repl in _HTML_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def html_extract_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_extract` — the same pattern chain
+    (RE2-safe by construction) with the global flag per step."""
+    out = expr
+    for pat, repl in _HTML_STEPS:
+        p = pat.replace("'", "''")
+        if repl == "\n":
+            r = "chr(10)"
+        else:
+            r = "'" + repl.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r}, 'g')"
+    return out

@@ -299,3 +299,46 @@ def test_blocklist_filter_accepts_dataframe_and_broadcasts(spark):
     assert [r["doc_id"] for r in out.collect()] == [2]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_html_extract_strips_markup_and_matches_duckdb(spark):
+    """html_extract drops scripts/styles/comments, turns block closers
+    into newlines, strips tags, decodes the basic entity set and
+    normalizes whitespace — and the DuckDB twin is byte-exact on the
+    same inputs (the RE2-portable pattern contract)."""
+    import duckdb
+
+    html = (
+        '<html><!-- nav --><head><style>p {color:red}</style>'
+        '<script type="text/js">var s = "<p>sneaky</p>";</script></head>'
+        '<body><h1>Title &amp; more</h1>'
+        '<p>First   para with&nbsp;entities: &lt;tag&gt; &quot;q&quot; '
+        "&#39;a&#39;</p>"
+        '<div>Block<br/>broken</div>'
+        '<ul><li>one</li><li>two</li></ul></body></html>'
+    )
+    rows = [(1, html), (2, "plain text, no markup"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["txt"]
+        for r in df.select(
+            "doc_id", web.html_extract(F.col("html")).alias("txt")
+        ).collect()
+    }
+    assert got[1] == (
+        "Title & more\n"
+        'First para with entities: <tag> "q" \'a\'\n'
+        "Block\nbroken\none\ntwo"
+    )
+    assert got[2] == "plain text, no markup"
+    assert got[3] == ""
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {web.html_extract_sql('html')} FROM t"
+        ).fetchall()
+    )
+    assert duck == got
