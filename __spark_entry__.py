@@ -1625,6 +1625,108 @@ FROM ranked WHERE rk = 1 AND NOT del
 """
 
 
+def q_s16_delta_log_scan(spark, sf_dir):
+    """Jar-free Delta Lake interop (``sources/delta_reader.py``): a
+    Delta table is constructed around plain parquet files by writing
+    REAL ``_delta_log`` protocol commits (protocol/metaData/add/remove
+    JSON actions, delta.io PROTOCOL.md), then read back by replaying
+    the log — no connector jar anywhere. Commit 0 adds the first two
+    event ranges; commit 1 compacts one away (remove + re-add) and adds
+    the third — so the replay must honor removes, and ``VERSION AS OF``
+    0 must still see the pre-compaction table (asserted in-gate). The
+    final snapshot is the full event projection, which the oracle
+    recomputes relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s16_run_")
+    table = os.path.join(run_dir, "t")
+    os.makedirs(table)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
+
+    def one_file(df, rel):
+        tmp = os.path.join(run_dir, "w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+
+    one_file(ev.filter(F.col("event_id") <= t1), "fA.parquet")
+    one_file(
+        ev.filter((F.col("event_id") > t1) & (F.col("event_id") <= t2)),
+        "fB.parquet",
+    )
+    one_file(
+        ev.filter((F.col("event_id") > t1) & (F.col("event_id") <= t2)),
+        "fB2.parquet",
+    )
+    one_file(ev.filter(F.col("event_id") > t2), "fC.parquet")
+    import json as _json
+
+    schema_json = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": ty, "nullable": True, "metadata": {}}
+                for n, ty in (
+                    ("event_id", "long"),
+                    ("user_id", "long"),
+                    ("event_type", "string"),
+                    ("value_milli", "long"),
+                )
+            ],
+        }
+    )
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+
+    def commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "s16", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": schema_json,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "fA.parquet", "dataChange": True}},
+        {"add": {"path": "fB.parquet", "dataChange": True}},
+    ])
+    commit(1, [
+        {"remove": {"path": "fB.parquet", "dataChange": True}},
+        {"add": {"path": "fB2.parquet", "dataChange": False}},
+        {"add": {"path": "fC.parquet", "dataChange": True}},
+    ])
+    # VERSION AS OF 0: the pre-compaction snapshot, exactly ev <= t2
+    v0 = dr.read_delta(spark, table, version=0)
+    want0 = ev.filter(F.col("event_id") <= t2)
+    if v0.exceptAll(want0).count() or want0.exceptAll(v0).count():
+        raise AssertionError("VERSION AS OF 0 diverged from commit-0 adds")
+    if len(dr.active_files(table)) != 3:
+        raise AssertionError("replay should leave fA, fB2, fC live")
+    return dr.read_delta(spark, table)
+
+
+_S16_DELTA_LOG_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events
+"""
+
+
 def q_m11_file_pruned_merge(spark, sf_dir):
     """File-granular copy-on-write MERGE (VERDICT r7 item 2a — Iceberg's
     real rewrite unit, ``file_group_pruning=True``): on an UNPARTITIONED
@@ -8690,10 +8792,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r8 GATE WINDOW (VERDICT r7 items 1+2): scripts/plan_window.py --emit
 # verbatim — the FORCED s3_tsql_surfaces re-proof (its a7_* rows were
-# appended after the r5 driver check), the 8 r8-born gates
+# appended after the r5 driver check), the 9 r8-born gates
 # (never-checked -> contract-forced into the window), the 9 stalest
-# rows (last green r3), and the 32 stalest r4 rows. The 9 freshest of
-# the r4 cohort (sim_bm25_rerank, sim_cluster_quality,
+# rows (last green r3), and the 31 stalest r4 rows. The 10 freshest of
+# the r4 cohort (sim_text_topk, sim_bm25_rerank, sim_cluster_quality,
 # sim_pair_dist_stats, tpch_q6/q18ish/q4ish/q22ish, t_funnel,
 # t_retention) wait for r9; max registry staleness after the driver
 # runs this window stays <=4.
@@ -8702,12 +8804,12 @@ _GATE_WINDOW_R8 = [
     # --- r8-born gates ---
     "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
     "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
-    "dedup_index_append", "web_html_extract",
+    "dedup_index_append", "web_html_extract", "s16_delta_log_scan",
     # --- 9 stalest (last green r3) ---
     "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
     "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
     "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
-    # --- 32 stalest of the r4 cohort ---
+    # --- 31 stalest of the r4 cohort ---
     "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
     "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
     "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
@@ -8717,7 +8819,7 @@ _GATE_WINDOW_R8 = [
     "t_nearest_join", "t_gapfill", "t_grouping_sets", "t_moving_avg",
     "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
     "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
-    "sim_jl_project", "sim_knn_eval", "sim_text_topk",
+    "sim_jl_project", "sim_knn_eval",
 ]
 
 
@@ -8943,6 +9045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m11_file_pruned_merge": q_m11_file_pruned_merge,
         "dedup_index_append": q_dedup_index_append,
         "web_html_extract": q_web_html_extract,
+        "s16_delta_log_scan": q_s16_delta_log_scan,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
@@ -9016,6 +9119,7 @@ def oracle_sql() -> dict[str, str]:
         "m11_file_pruned_merge": _M11_FILE_PRUNED_SQL,
         "dedup_index_append": _DEDUP_INDEX_APPEND_SQL,
         "web_html_extract": _WEB_HTML_EXTRACT_SQL,
+        "s16_delta_log_scan": _S16_DELTA_LOG_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"

@@ -63,8 +63,8 @@ def test_gate_window_is_the_declared_r8_rotation():
     """The driver checks the FIRST 50 entries only; r8 is the
     staleness-ranked rotation (VERDICT r7 items 1+2): the FORCED
     s3_tsql_surfaces re-proof (a7_* rows postdate its r5 driver check),
-    the 8 r8-born gates (never-checked), the 9 stalest r3-checked rows,
-    and the 32 stalest of the r4 cohort. Pin the families so a refactor
+    the 9 r8-born gates (never-checked), the 9 stalest r3-checked rows,
+    and the 31 stalest of the r4 cohort. Pin the families so a refactor
     reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
@@ -75,7 +75,7 @@ def test_gate_window_is_the_declared_r8_rotation():
         # r8-born gates (never-checked -> forced into the window)
         "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
         "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
-        "dedup_index_append", "web_html_extract",
+        "dedup_index_append", "web_html_extract", "s16_delta_log_scan",
         # stalest cohort (last green r3)
         "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
         "sim_ivf_index_topk", "corpus_mixture_sample",
@@ -87,7 +87,7 @@ def test_gate_window_is_the_declared_r8_rotation():
         "w5_change_feed", "x5_retention_report", "t_incremental_agg",
         "graph_pagerank", "t_gapfill", "t_grouping_sets",
         "a8_value_quantiles", "w3_scd2_history", "dedup_index_pairs",
-        "sim_jl_project", "sim_text_topk",
+        "sim_jl_project", "sim_knn_eval",
     ):
         assert required in first50, required
 
