@@ -634,3 +634,83 @@ def test_pruned_cow_hydrate_filter_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters: []" not in scan[0], scan[0]
     assert "<=>" in scan[0], scan[0]          # the null-safe terms landed
     assert "DataFilters: []" in scan[0], scan[0]  # nothing left post-prune
+
+
+def test_r8_additions_plan_shapes(spark, queries, tmp_path):
+    """r8 families: html extraction is a shuffle-free JVM projection;
+    the profile/histogram IVM applies are state-sized joins with no
+    Python nodes; the jar-free Delta reader's scan accepts predicate
+    pushdown like any parquet table."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.functions import web
+
+    # html_extract: narrow regexp chain — zero exchanges, zero Python
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = audit_plan(
+        docs.select(web.html_extract(F.col("text")).alias("t"))
+    )
+    assert a.exchanges == 0, a.plan
+    assert a.python_nodes == 0, a.plan
+
+    # profile/histogram IVM applies: view-sized, JVM-side, no loops
+    from arcane_framework_scala_spark.operators import ivm_profile as ip
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, host string, n long"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 11), (3, "c", 5)], "k long, host string, n long"
+    )
+    cdf = snapshot_diff(before, after, keys=["k"])
+    for out in (
+        ip.apply_moments_delta(
+            ip.moments_bootstrap(before, "host", "n"),
+            ip.moments_delta(cdf, "host", "n"),
+            "host",
+        ),
+        ip.apply_distinct_delta(
+            ip.distinct_bootstrap(before, "host", "n"),
+            ip.distinct_delta(cdf, "host", "n"),
+            "host",
+        ),
+        ip.apply_hist_delta(
+            ip.hist_bootstrap(before, "host", "n"),
+            ip.hist_delta(cdf, "host", "n"),
+            "host",
+        ),
+    ):
+        a = audit_plan(out)
+        assert a.python_nodes == 0, a.plan
+        assert a.nested_loop_joins == 0, a.plan
+        assert a.cartesian_products == 0, a.plan
+
+    # delta_reader: filters push down into the parquet scan it plans
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    t = str(tmp_path / "dt")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(t, "w"))
+    part = next(
+        f for f in os.listdir(os.path.join(t, "w"))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    os.replace(os.path.join(t, "w", part), os.path.join(t, "f1.parquet"))
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ) + "\n")
+        f.write(json.dumps(
+            {"add": {"path": "f1.parquet", "dataChange": True}}
+        ) + "\n")
+    plan = (
+        dr.read_delta(spark, t).filter("id = 1")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,1)]" in plan, plan
