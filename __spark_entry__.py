@@ -1634,6 +1634,9 @@ def q_s16_delta_log_scan(spark, sf_dir):
     event ranges; commit 1 compacts one away (remove + re-add) and adds
     the third — so the replay must honor removes, and ``VERSION AS OF``
     0 must still see the pre-compaction table (asserted in-gate). The
+    OUTBOUND half is pinned too: ``export_delta`` publishes two
+    snapshots of a versioned-parquet target as incremental Delta
+    commits, read back through the same protocol with time travel. The
     final snapshot is the full event projection, which the oracle
     recomputes relationally."""
     import tempfile
@@ -1717,6 +1720,28 @@ def q_s16_delta_log_scan(spark, sf_dir):
         raise AssertionError("VERSION AS OF 0 diverged from commit-0 adds")
     if len(dr.active_files(table)) != 3:
         raise AssertionError("replay should leave fA, fB2, fC live")
+
+    # export leg (the OUTBOUND half): publish two snapshots of a
+    # SnapshotParquetTarget as incremental Delta commits and read them
+    # back through the same protocol — round-trip + time travel pinned
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(want0)
+    exp = os.path.join(run_dir, "delta_pub")
+    if dr.export_delta(st, exp) != 0:
+        raise AssertionError("first export should be Delta version 0")
+    st.overwrite(ev)
+    if dr.export_delta(st, exp) != 1:
+        raise AssertionError("second export should be Delta version 1")
+    pub = dr.read_delta(spark, exp)
+    if pub.exceptAll(ev).count() or ev.exceptAll(pub).count():
+        raise AssertionError("exported Delta table diverged from source")
+    old = dr.read_delta(spark, exp, version=0)
+    if old.exceptAll(want0).count() or want0.exceptAll(old).count():
+        raise AssertionError("exported VERSION AS OF 0 diverged")
     return dr.read_delta(spark, table)
 
 

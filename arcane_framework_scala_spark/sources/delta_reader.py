@@ -190,3 +190,113 @@ def table_schema(path: str, version: int | None = None):
     if schema_json is None:
         raise ValueError(f"no metaData action found in {path!r}")
     return StructType.fromJson(json.loads(schema_json))
+
+
+# --- write direction: publish a snapshot AS a Delta table --------------
+
+
+def export_delta(target, out_dir: str) -> int:
+    """Publish the target's CURRENT snapshot as a Delta table any
+    Delta-capable engine can read — the outbound half of the jar-free
+    interop story (:func:`read_delta` is inbound). Data files are HARD
+    LINKED into ``out_dir`` (zero data movement; copy fallback) under
+    names derived from their (inode, size, mtime) identity, so a file
+    carried unchanged across snapshots keeps its export name and the
+    incremental commit records only genuine adds/removes — repeated
+    exports build a faithful Delta VERSION history of the table.
+    Hive-partition subdirectories are preserved and recorded as
+    ``partitionValues``, matching Delta's layout convention.
+
+    ``target`` is a ``SnapshotParquetTarget`` (or anything with
+    ``current_version()``/``path``/``read()``/``partition_cols``).
+    Returns the Delta version written. The previous active set is
+    recovered by replaying the export's own log — no side-channel
+    state."""
+    import hashlib
+    import shutil
+
+    from arcane_framework_scala_spark.sinks.table_stats import (
+        _parquet_files,
+    )
+
+    v = target.current_version()
+    if v is None:
+        raise ValueError(f"nothing to export: {target.path} has no snapshot")
+    vdir = os.path.join(target.path, f"v={v}")
+    log = os.path.join(out_dir, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+
+    cur: dict[str, dict] = {}  # export-relative path -> add action extras
+    for f in _parquet_files(vdir):
+        st = os.stat(f)
+        digest = hashlib.md5(
+            f"{st.st_ino}-{st.st_size}-{st.st_mtime_ns}".encode()
+        ).hexdigest()
+        rel_dir = os.path.dirname(os.path.relpath(f, vdir))
+        part_values = {}
+        if rel_dir:
+            for seg in rel_dir.split(os.sep):
+                k, _, val = seg.partition("=")
+                part_values[k] = unquote(val)
+        rel = os.path.join(rel_dir, f"part-{digest}.parquet")
+        cur[rel] = {
+            "partitionValues": part_values,
+            "size": st.st_size,
+            "src": f,
+        }
+    versions = commit_versions(out_dir) if os.listdir(log) else []
+    prev = (
+        {os.path.relpath(p, out_dir) for p in active_files(out_dir)}
+        if versions
+        else set()
+    )
+    if versions and set(cur) == prev:
+        return versions[-1]  # nothing changed: no empty commit
+    next_v = (versions[-1] + 1) if versions else 0
+    for rel, info in cur.items():
+        dst = os.path.join(out_dir, rel)
+        if os.path.exists(dst):
+            continue
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(info["src"], dst)
+        except OSError:
+            shutil.copy2(info["src"], dst)
+    actions: list[dict] = []
+    if next_v == 0:
+        schema = target.read().schema
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": hashlib.md5(out_dir.encode()).hexdigest(),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": list(
+                        getattr(target, "partition_cols", []) or []
+                    ),
+                    "configuration": {},
+                }
+            }
+        )
+    for rel in sorted(prev - set(cur)):
+        actions.append({"remove": {"path": rel, "dataChange": True}})
+    for rel in sorted(set(cur) - prev):
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": cur[rel]["partitionValues"],
+                    "size": cur[rel]["size"],
+                    "dataChange": True,
+                }
+            }
+        )
+    tmp = os.path.join(log, f".{next_v:020d}.json.tmp")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, os.path.join(log, f"{next_v:020d}.json"))
+    return next_v

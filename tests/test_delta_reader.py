@@ -173,3 +173,71 @@ def test_url_encoded_paths_and_empty_table(spark, tmp_path):
     empty = dr.read_delta(spark, t)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["id", "v"]
+
+
+def test_export_delta_roundtrip_and_incremental(spark, tmp_path):
+    """export_delta publishes snapshots as a Delta table: the first
+    export is version 0, a later snapshot exports as an incremental
+    commit (removes + adds), VERSION AS OF replays history, and a
+    hard-link-carried file keeps its export name (no spurious
+    remove/re-add)."""
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS arcm.test.delta_export")
+    dur = DurableCatalogTarget(
+        spark, str(tmp_path / "t"), "arcm.test.delta_export",
+        partition_cols=["bucket"],
+    )
+    t = dur.snapshots
+    sink = MergeSink(target=dur, dialect=SQL_SERVER_CHANGE_TRACKING)
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, n long, bucket int"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", 10, 0), ("k2", 1, "U", 20, 1)], schema))
+    out = str(tmp_path / "export")
+    assert dr.export_delta(t, out) == 0
+    r0 = dr.read_delta(spark, out)
+    assert set(r0.columns) >= {"ARCANE_MERGE_KEY", "n", "bucket"}
+    assert _rows(r0.select("ARCANE_MERGE_KEY", "n")) == _rows(
+        t.read().select("ARCANE_MERGE_KEY", "n")
+    )
+    # wave 2 touches bucket 0 only: bucket=1's file is hard-link carried
+    sink.apply(spark.createDataFrame([("k1", 2, "U", 11, 0)], schema))
+    assert dr.export_delta(t, out) == 1
+    assert _rows(dr.read_delta(spark, out).select("ARCANE_MERGE_KEY", "n")) \
+        == {("k1", 11), ("k2", 20)}
+    assert _rows(
+        dr.read_delta(spark, out, version=0).select("ARCANE_MERGE_KEY", "n")
+    ) == {("k1", 10), ("k2", 20)}
+    # the carried bucket=1 file kept its export identity: commit 1 never
+    # removes it (only bucket=0's file was remove+re-added)
+    with open(os.path.join(out, "_delta_log", f"{1:020d}.json")) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    removed = [a["remove"]["path"] for a in actions if "remove" in a]
+    added = [a["add"]["path"] for a in actions if "add" in a]
+    assert removed and added
+    assert all("bucket=0" in p for p in removed + added), (removed, added)
+    # partitionValues recorded per Delta convention
+    assert all(
+        a["add"]["partitionValues"] == {"bucket": "0"}
+        for a in actions if "add" in a
+    )
+    # re-export with nothing new: no empty commit, same version
+    assert dr.export_delta(t, out) == 1
+    spark.sql("DROP TABLE IF EXISTS arcm.test.delta_export")
