@@ -454,8 +454,10 @@ _HTML_STEPS: list[tuple[str, str]] = [
     (r"[ \t]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),
-    (r"^\s+", ""),
-    (r"\s+$", ""),
+    # explicit class, NOT \s: Java's \s includes \x0B, RE2's does not —
+    # the twin contract needs the same character set in both engines
+    (r"^[ \t\r\n\f]+", ""),
+    (r"[ \t\r\n\f]+$", ""),
 ]
 
 

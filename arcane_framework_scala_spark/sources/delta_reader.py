@@ -88,11 +88,17 @@ def _check_protocol(action: dict) -> None:
             )
 
 
-def active_files(path: str, version: int | None = None) -> list[str]:
+def active_files(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+) -> list[str]:
     """Replay the log (checkpoint + later commits) up to ``version``
     (default: latest) and return the table's live data files as
-    absolute paths. Raises on unknown reader requirements and on a
-    version the log does not contain."""
+    absolute paths. Raises on unknown reader requirements, on a version
+    the log does not contain, and on a TRUNCATED log (earliest commits
+    cleaned with no usable single-file checkpoint — multi-part/v2
+    checkpoint layouts are not implemented, and starting the replay
+    mid-history would silently return a partial table). ``spark`` is
+    needed only when a checkpoint must be read."""
     versions = commit_versions(path)
     if not versions:
         raise ValueError(f"empty _delta_log under {path!r}")
@@ -114,10 +120,23 @@ def active_files(path: str, version: int | None = None) -> list[str]:
 
     start = 0
     ckpt = _latest_checkpoint(path, head)
+    if ckpt is None and versions[0] != 0:
+        raise ValueError(
+            f"Delta log under {path!r} is truncated (earliest commit is "
+            f"{versions[0]}) and no single-file checkpoint covers it — "
+            "multi-part / v2 checkpoints are not implemented by this "
+            "jar-free reader; replaying a partial history would return "
+            "wrong rows"
+        )
     if ckpt is not None:
         from pyspark.sql import functions as F
 
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "reading a checkpointed Delta log needs a SparkSession — "
+                "pass one (read_delta does) or set an active session"
+            )
         ck = spark.read.parquet(
             os.path.join(_log_dir(path), f"{ckpt:020d}.checkpoint.parquet")
         )
@@ -156,30 +175,61 @@ def read_delta(
 ) -> DataFrame:
     """Snapshot read of a Delta table without the connector jar —
     ``version`` gives ``VERSION AS OF`` time travel. One parquet scan
-    over the live files with ``basePath`` set, so hive-style partition
-    columns come back through Spark's own partition discovery and
-    partition pruning applies as usual. An empty table returns an
-    empty DataFrame with the schema recorded in the log's ``metaData``
-    action."""
-    files = active_files(path, version)
+    over the live files with the LOG's schema imposed (the metaData
+    schemaString is authoritative — footer inference would lose
+    columns on a schema-evolved table and re-type string partition
+    values that look numeric) and ``basePath`` set, so hive-style
+    partition columns come back through Spark's partition discovery
+    and partition pruning applies as usual. An empty table returns an
+    empty DataFrame with the log's schema."""
+    files = active_files(path, version, spark=spark)
+    schema = table_schema(path, version, spark=spark)
     if files:
-        return spark.read.option("basePath", path).parquet(*files)
-    schema = table_schema(path, version)
+        return (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
     return spark.createDataFrame([], schema)
 
 
-def table_schema(path: str, version: int | None = None):
+def table_schema(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+):
     """The table schema from the newest ``metaData`` action at or below
     ``version`` — Delta stores it as a JSON struct string, which maps
-    1:1 onto a Spark StructType."""
+    1:1 onto a Spark StructType. On a checkpoint-collapsed log (the
+    metaData-bearing commits cleaned away) the checkpoint's own
+    ``metaData`` column is consulted, which needs ``spark``."""
     from pyspark.sql.types import StructType
 
     versions = commit_versions(path)
     head = (versions[-1] if versions else -1) if version is None else version
     schema_json = None
+    ckpt = _latest_checkpoint(path, head)
+    start = 0
+    if ckpt is not None:
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            from pyspark.sql import functions as F
+
+            ck = spark.read.parquet(
+                os.path.join(_log_dir(path), f"{ckpt:020d}.checkpoint.parquet")
+            )
+            if "metaData" in ck.columns:
+                rows = (
+                    ck.filter(F.col("metaData").isNotNull())
+                    .select("metaData.schemaString")
+                    .collect()
+                )
+                if rows:
+                    schema_json = rows[-1]["schemaString"]
+                    # only skip pre-checkpoint commits when the
+                    # checkpoint actually carried the schema
+                    start = ckpt + 1
     for v in versions:
-        if v > head:
-            break
+        if v > head or v < start:
+            continue
         with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
             for line in f:
                 line = line.strip()
@@ -245,12 +295,19 @@ def export_delta(target, out_dir: str) -> int:
             "src": f,
         }
     versions = commit_versions(out_dir) if os.listdir(log) else []
+    # prev/cur compare in UNQUOTED (filesystem) space; the log records
+    # url-encoded paths per the protocol (active_files unquotes back)
     prev = (
         {os.path.relpath(p, out_dir) for p in active_files(out_dir)}
         if versions
         else set()
     )
-    if versions and set(cur) == prev:
+    schema = target.read().schema
+    schema_str = json.dumps(schema.jsonValue())
+    prev_schema_str = (
+        json.dumps(table_schema(out_dir).jsonValue()) if versions else None
+    )
+    if versions and set(cur) == prev and schema_str == prev_schema_str:
         return versions[-1]  # nothing changed: no empty commit
     next_v = (versions[-1] + 1) if versions else 0
     for rel, info in cur.items():
@@ -262,18 +319,23 @@ def export_delta(target, out_dir: str) -> int:
             os.link(info["src"], dst)
         except OSError:
             shutil.copy2(info["src"], dst)
+    from urllib.parse import quote
+
     actions: list[dict] = []
     if next_v == 0:
-        schema = target.read().schema
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
+    if next_v == 0 or schema_str != prev_schema_str:
+        # the protocol requires a fresh metaData action whenever the
+        # schema changes (schema drift is a supported merge feature) —
+        # spec-compliant readers resolve the schema from the NEWEST one
         actions.append(
             {
                 "metaData": {
                     "id": hashlib.md5(out_dir.encode()).hexdigest(),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(schema.jsonValue()),
+                    "schemaString": schema_str,
                     "partitionColumns": list(
                         getattr(target, "partition_cols", []) or []
                     ),
@@ -282,12 +344,14 @@ def export_delta(target, out_dir: str) -> int:
             }
         )
     for rel in sorted(prev - set(cur)):
-        actions.append({"remove": {"path": rel, "dataChange": True}})
+        actions.append(
+            {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
+        )
     for rel in sorted(set(cur) - prev):
         actions.append(
             {
                 "add": {
-                    "path": rel,
+                    "path": quote(rel, safe="/="),
                     "partitionValues": cur[rel]["partitionValues"],
                     "size": cur[rel]["size"],
                     "dataChange": True,

@@ -95,7 +95,19 @@ def test_partition_columns_come_back_via_base_path(spark, tmp_path):
     mk = lambda rows: spark.createDataFrame(rows, "id long")
     _one_file(spark, mk([(1,), (2,)]), t, "lang=en/f1.parquet")
     _one_file(spark, mk([(3,)]), t, "lang=fr/f2.parquet")
-    _commit(t, 0, _meta_actions(partition_cols=["lang"]) + [
+    # per the protocol the schemaString INCLUDES partition columns
+    part_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "lang", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(t, 0, _meta_actions(part_schema, partition_cols=["lang"]) + [
         {"add": {"path": "lang=en/f1.parquet", "dataChange": True,
                  "partitionValues": {"lang": "en"}}},
         {"add": {"path": "lang=fr/f2.parquet", "dataChange": True,
@@ -128,10 +140,14 @@ def test_checkpoint_collapses_history(spark, tmp_path):
         {"add": {"path": "f2.parquet", "dataChange": True}},
     ])
     _commit(t, 1, [{"remove": {"path": "f2.parquet", "dataChange": True}}])
-    # checkpoint at v=1 holds the collapsed live set {f1}
+    # checkpoint at v=1 holds the collapsed live set {f1} AND the
+    # table's metaData (protocol: checkpoints must carry it — the
+    # pre-checkpoint commits may be cleaned away)
     ck = spark.createDataFrame(
-        [Row(add=Row(path="f1.parquet"), remove=None)],
-        "add struct<path:string>, remove struct<path:string>",
+        [Row(add=Row(path="f1.parquet"), remove=None,
+             metaData=Row(schemaString=SCHEMA_JSON))],
+        "add struct<path:string>, remove struct<path:string>, "
+        "metaData struct<schemaString:string>",
     )
     tmp = os.path.join(t, "__ck")
     ck.coalesce(1).write.parquet(tmp)
@@ -241,3 +257,71 @@ def test_export_delta_roundtrip_and_incremental(spark, tmp_path):
     # re-export with nothing new: no empty commit, same version
     assert dr.export_delta(t, out) == 1
     spark.sql("DROP TABLE IF EXISTS arcm.test.delta_export")
+
+
+def test_truncated_log_without_checkpoint_raises(spark, tmp_path):
+    """Log cleanup removed the earliest commits and no single-file
+    checkpoint covers them: refuse rather than replay a partial
+    history (a real table in this state uses multi-part checkpoints,
+    which this reader does not implement)."""
+    t = str(tmp_path / "tr")
+    os.makedirs(t)
+    _commit(t, 5, [{"add": {"path": "f.parquet", "dataChange": True}}])
+    with pytest.raises(ValueError, match="truncated"):
+        dr.active_files(t)
+
+
+def test_reader_imposes_log_schema_on_evolved_tables(spark, tmp_path):
+    """Schema evolution: a file written before a column existed must
+    come back with that column as NULL — the log's newest metaData is
+    authoritative, never parquet-footer sampling."""
+    t = str(tmp_path / "ev")
+    os.makedirs(t)
+    _one_file(
+        spark, spark.createDataFrame([(1,)], "id long"), t, "f1.parquet"
+    )
+    _one_file(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        t,
+        "f2.parquet",
+    )
+    old_schema = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        ]}
+    )
+    _commit(t, 0, _meta_actions(old_schema) + [
+        {"add": {"path": "f1.parquet", "dataChange": True}},
+    ])
+    _commit(t, 1, [
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": SCHEMA_JSON,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "f2.parquet", "dataChange": True}},
+    ])
+    got = dr.read_delta(spark, t)
+    assert set(got.columns) == {"id", "v"}
+    assert _rows(got) == {(1, None), (2, "b")}
+    # time travel to v0 reads with the OLD schema
+    assert _rows(dr.read_delta(spark, t, version=0)) == {(1,)}
+
+
+def test_export_reemits_metadata_on_schema_drift(spark, tmp_path):
+    """A later snapshot with a drifted schema must export a fresh
+    metaData action (spec readers resolve the schema from the newest
+    one)."""
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    out = str(tmp_path / "out")
+    assert dr.export_delta(t, out) == 0
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert dr.export_delta(t, out) == 1
+    assert [f.name for f in dr.table_schema(out).fields] == ["id", "v"]
+    assert _rows(dr.read_delta(spark, out)) == {(1, "a")}
+    assert _rows(dr.read_delta(spark, out, version=0)) == {(1,)}
