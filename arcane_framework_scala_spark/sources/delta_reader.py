@@ -364,3 +364,66 @@ def export_delta(target, out_dir: str) -> int:
             f.write(json.dumps(a) + "\n")
     os.replace(tmp, os.path.join(log, f"{next_v:020d}.json"))
     return next_v
+
+
+def delta_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change data feed between two Delta versions, derived — one row
+    per changed key with op + pre/post images (the same
+    ``operators.diff.snapshot_diff`` shape the CoW target's ``changes``
+    emits, so every IVM spec can maintain views off a Delta table this
+    engine only READS). Plan: one full-outer join keyed on ``keys``
+    over the two snapshots' pruned scans."""
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+    return snapshot_diff(
+        read_delta(spark, path, version=v_from),
+        read_delta(spark, path, version=v_to),
+        keys=keys,
+    )
+
+
+def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
+    """Collapse an exported table's log into a single-file checkpoint
+    at the latest version (protocol shape: one parquet with
+    ``add``/``metaData`` rows), so replay cost stays O(commits since
+    checkpoint) as the export history grows — the same reason Delta
+    writers checkpoint every N commits. Earlier commit JSONs may then
+    be cleaned by retention; :func:`active_files` discovers the
+    checkpoint by name. Returns the checkpointed version."""
+    import shutil
+
+    versions = commit_versions(out_dir)
+    if not versions:
+        raise ValueError(f"nothing to checkpoint under {out_dir!r}")
+    head = versions[-1]
+    files = [
+        os.path.relpath(p, out_dir) for p in active_files(out_dir, spark=spark)
+    ]
+    schema_str = json.dumps(table_schema(out_dir, spark=spark).jsonValue())
+    from pyspark.sql import Row
+
+    rows = [
+        Row(add=Row(path=rel), metaData=None) for rel in files
+    ] + [Row(add=None, metaData=Row(schemaString=schema_str))]
+    ck = spark.createDataFrame(
+        rows,
+        "add struct<path:string>, metaData struct<schemaString:string>",
+    )
+    tmp = os.path.join(out_dir, "_delta_log", "__ck_tmp")
+    ck.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    os.replace(
+        os.path.join(tmp, part),
+        os.path.join(out_dir, "_delta_log", f"{head:020d}.checkpoint.parquet"),
+    )
+    shutil.rmtree(tmp)
+    return head

@@ -325,3 +325,39 @@ def test_export_reemits_metadata_on_schema_drift(spark, tmp_path):
     assert [f.name for f in dr.table_schema(out).fields] == ["id", "v"]
     assert _rows(dr.read_delta(spark, out)) == {(1, "a")}
     assert _rows(dr.read_delta(spark, out, version=0)) == {(1,)}
+
+
+def test_delta_changes_and_export_checkpoint(spark, tmp_path):
+    """delta_changes derives a CDF between exported versions (the IVM
+    feed for Delta tables we only read), and export_checkpoint
+    collapses the log so replay survives commit-retention cleanup."""
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"))
+    out = str(tmp_path / "out")
+    dr.export_delta(t, out)
+    t.overwrite(spark.createDataFrame(
+        [(1, "a2"), (3, "c")], "id long, v string"))
+    dr.export_delta(t, out)
+
+    cdf = {
+        (r["id"], r["op"]): (r["old_v"], r["new_v"])
+        for r in dr.delta_changes(spark, out, 0, 1, keys=["id"]).collect()
+    }
+    assert cdf == {
+        (1, "update"): ("a", "a2"),
+        (2, "delete"): ("b", None),
+        (3, "insert"): (None, "c"),
+    }
+
+    assert dr.export_checkpoint(spark, out) == 1
+    # retention cleans the pre-checkpoint commits; replay still works
+    os.remove(os.path.join(out, "_delta_log", f"{0:020d}.json"))
+    assert _rows(dr.read_delta(spark, out)) == {(1, "a2"), (3, "c")}
+    t.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
+    assert dr.export_delta(t, out) == 2
+    assert _rows(dr.read_delta(spark, out)) == {(9, "z")}
