@@ -361,3 +361,35 @@ def test_delta_changes_and_export_checkpoint(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
     assert dr.export_delta(t, out) == 2
     assert _rows(dr.read_delta(spark, out)) == {(9, "z")}
+
+
+def test_ivm_rides_the_delta_change_feed(spark, tmp_path):
+    """The view-maintenance family composes with delta_changes: a host
+    profile maintained purely from the exported Delta table's derived
+    CDF lands exactly on a fresh groupBy — IVM over a lakehouse table
+    this engine only READS."""
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    w1 = [(1, "a", 10), (2, "a", 20), (3, "b", 5)]
+    w2 = [(1, "a", 11), (3, "c", 5), (4, "b", 7)]
+    mk = lambda rows: spark.createDataFrame(rows, "k long, host string, n long")
+    t.overwrite(mk(w1))
+    out = str(tmp_path / "out")
+    dr.export_delta(t, out)
+    t.overwrite(mk(w2))
+    dr.export_delta(t, out)
+
+    state = ivm.group_stats_bootstrap(
+        dr.read_delta(spark, out, version=0), "host", "n"
+    )
+    cdf = dr.delta_changes(spark, out, 0, 1, keys=["k"])
+    state = ivm.apply_group_delta(
+        state, ivm.group_delta(cdf, "host", "n"), "host"
+    )
+    fresh = ivm.group_stats_bootstrap(dr.read_delta(spark, out), "host", "n")
+    assert state.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(state).count() == 0
