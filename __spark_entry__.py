@@ -1752,6 +1752,59 @@ FROM events
 """
 
 
+def q_s17_xml_ingest(spark, sf_dir):
+    """XML ingestion through Spark's native parser (S10-class format
+    breadth — the enterprise-CDC payload the blob sources don't cover
+    yet): an XML envelope is synthesized around each document IN BOTH
+    ENGINES (fields + an entity-escaped body), Spark parses it back
+    with ``from_xml`` (JVM-side, codegen-friendly; whitespace
+    preservation pinned via ignoreSurroundingSpaces=false), and the
+    gate returns the parsed fields — so the oracle is the INVERSION:
+    parsing must recover exactly the source columns, entity round-trip
+    included."""
+    docs = _read(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    xml = F.concat(
+        F.lit("<doc><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"),
+        F.col("lang"),
+        F.lit("</lang><n>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</n><body>"),
+        esc,
+        F.lit("</body></doc>"),
+    )
+    parsed = docs.select(
+        F.from_xml(
+            xml,
+            "id BIGINT, lang STRING, n BIGINT, body STRING",
+            {"ignoreSurroundingSpaces": "false"},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.n").alias("n_chars"),
+        F.md5("r.body").alias("body_md5"),
+    )
+
+
+_S17_XML_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
 def q_m11_file_pruned_merge(spark, sf_dir):
     """File-granular copy-on-write MERGE (VERDICT r7 item 2a — Iceberg's
     real rewrite unit, ``file_group_pruning=True``): on an UNPARTITIONED
@@ -8817,24 +8870,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r8 GATE WINDOW (VERDICT r7 items 1+2): scripts/plan_window.py --emit
 # verbatim — the FORCED s3_tsql_surfaces re-proof (its a7_* rows were
-# appended after the r5 driver check), the 9 r8-born gates
+# appended after the r5 driver check), the 10 r8-born gates
 # (never-checked -> contract-forced into the window), the 9 stalest
-# rows (last green r3), and the 31 stalest r4 rows. The 10 freshest of
-# the r4 cohort (sim_text_topk, sim_bm25_rerank, sim_cluster_quality,
-# sim_pair_dist_stats, tpch_q6/q18ish/q4ish/q22ish, t_funnel,
-# t_retention) wait for r9; max registry staleness after the driver
-# runs this window stays <=4.
+# rows (last green r3), and the 30 stalest r4 rows. The 11 freshest of
+# the r4 cohort (sim_knn_eval, sim_text_topk, sim_bm25_rerank,
+# sim_cluster_quality, sim_pair_dist_stats, tpch_q6/q18ish/q4ish/
+# q22ish, t_funnel, t_retention) wait for r9; max registry staleness
+# after the driver runs this window stays <=4.
 _GATE_WINDOW_R8 = [
     "s3_tsql_surfaces",
     # --- r8-born gates ---
     "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
     "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
     "dedup_index_append", "web_html_extract", "s16_delta_log_scan",
+    "s17_xml_ingest",
     # --- 9 stalest (last green r3) ---
     "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
     "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
     "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
-    # --- 31 stalest of the r4 cohort ---
+    # --- 30 stalest of the r4 cohort ---
     "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
     "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
     "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
@@ -8844,7 +8898,7 @@ _GATE_WINDOW_R8 = [
     "t_nearest_join", "t_gapfill", "t_grouping_sets", "t_moving_avg",
     "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
     "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
-    "sim_jl_project", "sim_knn_eval",
+    "sim_jl_project",
 ]
 
 
@@ -9071,6 +9125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_append": q_dedup_index_append,
         "web_html_extract": q_web_html_extract,
         "s16_delta_log_scan": q_s16_delta_log_scan,
+        "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
         "web_blocklist": q_web_blocklist,
@@ -9145,6 +9200,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index_append": _DEDUP_INDEX_APPEND_SQL,
         "web_html_extract": _WEB_HTML_EXTRACT_SQL,
         "s16_delta_log_scan": _S16_DELTA_LOG_SQL,
+        "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(
             _WEB_HOST_STATS_SQL, "docs"

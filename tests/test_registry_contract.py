@@ -63,9 +63,9 @@ def test_gate_window_is_the_declared_r8_rotation():
     """The driver checks the FIRST 50 entries only; r8 is the
     staleness-ranked rotation (VERDICT r7 items 1+2): the FORCED
     s3_tsql_surfaces re-proof (a7_* rows postdate its r5 driver check),
-    the 9 r8-born gates (never-checked), the 9 stalest r3-checked rows,
-    and the 31 stalest of the r4 cohort. Pin the families so a refactor
-    reordering the dict doesn't silently drop the rotation."""
+    the 10 r8-born gates (never-checked), the 9 stalest r3-checked
+    rows, and the 30 stalest of the r4 cohort. Pin the families so a
+    refactor reordering the dict doesn't silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
@@ -76,6 +76,7 @@ def test_gate_window_is_the_declared_r8_rotation():
         "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
         "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
         "dedup_index_append", "web_html_extract", "s16_delta_log_scan",
+        "s17_xml_ingest",
         # stalest cohort (last green r3)
         "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
         "sim_ivf_index_topk", "corpus_mixture_sample",
@@ -87,7 +88,7 @@ def test_gate_window_is_the_declared_r8_rotation():
         "w5_change_feed", "x5_retention_report", "t_incremental_agg",
         "graph_pagerank", "t_gapfill", "t_grouping_sets",
         "a8_value_quantiles", "w3_scd2_history", "dedup_index_pairs",
-        "sim_jl_project", "sim_knn_eval",
+        "sim_jl_project",
     ):
         assert required in first50, required
 
