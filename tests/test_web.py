@@ -342,3 +342,45 @@ def test_html_extract_strips_markup_and_matches_duckdb(spark):
         ).fetchall()
     )
     assert duck == got
+
+
+def test_html_extract_cross_engine_fuzz(spark):
+    """Seeded randomized HTML-ish inputs (nested tags, stray brackets,
+    partial entities, mixed whitespace incl. \\x0b) — Spark and DuckDB
+    must agree byte-for-byte on every one (the RE2-portable pattern
+    contract, fuzzed rather than promised)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(88)
+    frags = [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<br/>",
+        "<script>var a=1;</script>", "<style>.c{}</style>",
+        "<!-- hidden -->", "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;",
+        "&#39;", "&amp", "& loose", "word", "two words", "  ", "\t",
+        "\n", "\x0b", "<h2>", "</h2>", "<ul><li>", "</li></ul>",
+        "<em>i</em>", "text > math < text", "<a href='u'>link</a>",
+        "<td>", "</tr>", "100%", "a=b",
+    ]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randrange(1, 25))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["txt"]
+        for r in df.select(
+            "doc_id", web.html_extract(F.col("html")).alias("txt")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {web.html_extract_sql('html')} FROM t"
+        ).fetchall()
+    )
+    diffs = {k for k in got if got[k] != duck[k]}
+    assert not diffs, [(k, got[k], duck[k]) for k in sorted(diffs)[:3]]
