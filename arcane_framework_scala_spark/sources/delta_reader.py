@@ -287,7 +287,11 @@ def export_delta(target, out_dir: str) -> int:
         if rel_dir:
             for seg in rel_dir.split(os.sep):
                 k, _, val = seg.partition("=")
-                part_values[k] = unquote(val)
+                val = unquote(val)
+                # hive's NULL sentinel maps to a protocol null value
+                part_values[k] = (
+                    None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                )
         rel = os.path.join(rel_dir, f"part-{digest}.parquet")
         cur[rel] = {
             "partitionValues": part_values,
