@@ -702,9 +702,21 @@ def test_r8_additions_plan_shapes(spark, queries, tmp_path):
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
     os.replace(os.path.join(t, "w", part), os.path.join(t, "f1.parquet"))
+    schema_json = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]}
+    )
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
         f.write(json.dumps(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ) + "\n")
+        f.write(json.dumps(
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema_json,
+                          "partitionColumns": [], "configuration": {}}}
         ) + "\n")
         f.write(json.dumps(
             {"add": {"path": "f1.parquet", "dataChange": True}}
