@@ -88,29 +88,38 @@ def _check_protocol(action: dict) -> None:
             )
 
 
-def active_files(
+def _replay(
     path: str, version: int | None = None, spark: SparkSession | None = None
-) -> list[str]:
-    """Replay the log (checkpoint + later commits) up to ``version``
-    (default: latest) and return the table's live data files as
-    absolute paths. Raises on unknown reader requirements, on a version
-    the log does not contain, and on a TRUNCATED log (earliest commits
-    cleaned with no usable single-file checkpoint — multi-part/v2
-    checkpoint layouts are not implemented, and starting the replay
-    mid-history would silently return a partial table). ``spark`` is
-    needed only when a checkpoint must be read."""
+) -> tuple[list[str], dict | None]:
+    """ONE pass over the log (checkpoint + later commits) up to
+    ``version`` (default: latest) → (live table-relative file paths,
+    newest metaData action dict). Every public reader builds on this so
+    the log and any checkpoint parquet are parsed exactly once per
+    call. Raises on unknown reader requirements, on a version the log
+    does not contain, and on a TRUNCATED log (earliest commits cleaned
+    with no usable single-file checkpoint — multi-part/v2 checkpoint
+    layouts are not implemented, and starting the replay mid-history
+    would silently return a partial table)."""
     versions = commit_versions(path)
-    if not versions:
+    ckpt_any = _latest_checkpoint(path, None)
+    if not versions and ckpt_any is None:
         raise ValueError(f"empty _delta_log under {path!r}")
-    head = versions[-1] if version is None else version
-    if version is not None and version not in versions:
-        ckpt_only = _latest_checkpoint(path, version)
-        if ckpt_only != version:
-            raise ValueError(
-                f"version {version} not in the Delta log (have "
-                f"{versions[0]}..{versions[-1]})"
-            )
+    max_head = max(
+        versions[-1] if versions else -1,
+        ckpt_any if ckpt_any is not None else -1,
+    )
+    head = max_head if version is None else version
+    if (
+        version is not None
+        and version not in versions
+        and _latest_checkpoint(path, version) != version
+    ):
+        raise ValueError(
+            f"version {version} not in the Delta log (have "
+            f"{versions[0] if versions else ckpt_any}..{max_head})"
+        )
     live: dict[str, bool] = {}
+    meta: dict | None = None
 
     def apply_add(rel: str) -> None:
         live[unquote(rel)] = True
@@ -118,9 +127,28 @@ def active_files(
     def apply_remove(rel: str) -> None:
         live.pop(unquote(rel), None)
 
+    def scan_commit(v: int, meta_only: bool = False) -> None:
+        nonlocal meta
+        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif meta_only:
+                    continue
+                elif "add" in action:
+                    apply_add(action["add"]["path"])
+                elif "remove" in action:
+                    apply_remove(action["remove"]["path"])
+
     start = 0
     ckpt = _latest_checkpoint(path, head)
-    if ckpt is None and versions[0] != 0:
+    if ckpt is None and versions and versions[0] != 0:
         raise ValueError(
             f"Delta log under {path!r} is truncated (earliest commit is "
             f"{versions[0]}) and no single-file checkpoint covers it — "
@@ -147,27 +175,39 @@ def active_files(
                 .collect()
             ):
                 _check_protocol({"protocol": r["protocol"].asDict()})
+        if "metaData" in ck.columns:
+            rows = (
+                ck.filter(F.col("metaData").isNotNull())
+                .select("metaData")
+                .collect()
+            )
+            if rows:
+                meta = rows[-1]["metaData"].asDict(recursive=True)
         for r in (
             ck.filter(F.col("add").isNotNull()).select("add.path").collect()
         ):
             apply_add(r["path"])
         start = ckpt + 1
     for v in versions:
-        if v < start or v > head:
-            continue
-        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    _check_protocol(action)
-                elif "add" in action:
-                    apply_add(action["add"]["path"])
-                elif "remove" in action:
-                    apply_remove(action["remove"]["path"])
-    return [os.path.join(path, rel) for rel in sorted(live)]
+        if start <= v <= head:
+            scan_commit(v)
+    if meta is None and start > 0:
+        # non-spec checkpoint without metaData: fall back to the
+        # retained pre-checkpoint commits for the schema only
+        for v in versions:
+            if v < start:
+                scan_commit(v, meta_only=True)
+    return sorted(live), meta
+
+
+def active_files(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+) -> list[str]:
+    """The table's live data files at ``version`` (default: latest) as
+    absolute paths — see :func:`_replay` for the replay contract.
+    ``spark`` is needed only when a checkpoint must be read."""
+    rels, _ = _replay(path, version, spark)
+    return [os.path.join(path, rel) for rel in rels]
 
 
 def read_delta(
@@ -182,64 +222,46 @@ def read_delta(
     partition columns come back through Spark's partition discovery
     and partition pruning applies as usual. An empty table returns an
     empty DataFrame with the log's schema."""
-    files = active_files(path, version, spark=spark)
-    schema = table_schema(path, version, spark=spark)
-    if files:
+    rels, meta = _replay(path, version, spark)
+    schema = _schema_from_meta(meta, path)
+    if rels:
         return (
             spark.read.schema(schema)
             .option("basePath", path)
-            .parquet(*files)
+            .parquet(*[os.path.join(path, rel) for rel in rels])
         )
     return spark.createDataFrame([], schema)
+
+
+def _schema_from_meta(meta: dict | None, path: str):
+    from pyspark.sql.types import StructType
+
+    if meta is None or not meta.get("schemaString"):
+        raise ValueError(f"no metaData action found in {path!r}")
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def table_metadata(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+) -> dict:
+    """The newest ``metaData`` action at or below ``version`` (id,
+    format, schemaString, partitionColumns, configuration) — from the
+    commit JSONs or, on a checkpoint-collapsed log, the checkpoint's
+    own metaData column (which needs ``spark``)."""
+    _, meta = _replay(path, version, spark)
+    if meta is None:
+        raise ValueError(f"no metaData action found in {path!r}")
+    return meta
 
 
 def table_schema(
     path: str, version: int | None = None, spark: SparkSession | None = None
 ):
-    """The table schema from the newest ``metaData`` action at or below
-    ``version`` — Delta stores it as a JSON struct string, which maps
-    1:1 onto a Spark StructType. On a checkpoint-collapsed log (the
-    metaData-bearing commits cleaned away) the checkpoint's own
-    ``metaData`` column is consulted, which needs ``spark``."""
-    from pyspark.sql.types import StructType
-
-    versions = commit_versions(path)
-    head = (versions[-1] if versions else -1) if version is None else version
-    schema_json = None
-    ckpt = _latest_checkpoint(path, head)
-    start = 0
-    if ckpt is not None:
-        spark = spark or SparkSession.getActiveSession()
-        if spark is not None:
-            from pyspark.sql import functions as F
-
-            ck = spark.read.parquet(
-                os.path.join(_log_dir(path), f"{ckpt:020d}.checkpoint.parquet")
-            )
-            if "metaData" in ck.columns:
-                rows = (
-                    ck.filter(F.col("metaData").isNotNull())
-                    .select("metaData.schemaString")
-                    .collect()
-                )
-                if rows:
-                    schema_json = rows[-1]["schemaString"]
-                    # only skip pre-checkpoint commits when the
-                    # checkpoint actually carried the schema
-                    start = ckpt + 1
-    for v in versions:
-        if v > head or v < start:
-            continue
-        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    action = json.loads(line)
-                    if "metaData" in action:
-                        schema_json = action["metaData"].get("schemaString")
-    if schema_json is None:
-        raise ValueError(f"no metaData action found in {path!r}")
-    return StructType.fromJson(json.loads(schema_json))
+    """The table schema from the newest ``metaData`` action — Delta
+    stores it as a JSON struct string, which maps 1:1 onto a Spark
+    StructType."""
+    _, meta = _replay(path, version, spark)
+    return _schema_from_meta(meta, path)
 
 
 # --- write direction: publish a snapshot AS a Delta table --------------
@@ -298,22 +320,28 @@ def export_delta(target, out_dir: str) -> int:
             "size": st.st_size,
             "src": f,
         }
-    versions = commit_versions(out_dir) if os.listdir(log) else []
-    # prev/cur compare in UNQUOTED (filesystem) space; the log records
-    # url-encoded paths per the protocol (active_files unquotes back)
-    prev = (
-        {os.path.relpath(p, out_dir) for p in active_files(out_dir)}
-        if versions
-        else set()
+    has_log = bool(os.listdir(log))
+    versions = commit_versions(out_dir) if has_log else []
+    ckpt = _latest_checkpoint(out_dir, None) if has_log else None
+    head = max(
+        versions[-1] if versions else -1,
+        ckpt if ckpt is not None else -1,
     )
+    # prev/cur compare in UNQUOTED (filesystem) space; the log records
+    # url-encoded paths per the protocol (the replay unquotes back).
+    # One _replay covers prev AND the previous schema — and works on a
+    # checkpoint-only log (commit JSONs cleaned by retention).
+    spark = getattr(target, "spark", None)
+    prev_rels, prev_meta = (
+        _replay(out_dir, spark=spark) if head >= 0 else ([], None)
+    )
+    prev = set(prev_rels)
     schema = target.read().schema
     schema_str = json.dumps(schema.jsonValue())
-    prev_schema_str = (
-        json.dumps(table_schema(out_dir).jsonValue()) if versions else None
-    )
-    if versions and set(cur) == prev and schema_str == prev_schema_str:
-        return versions[-1]  # nothing changed: no empty commit
-    next_v = (versions[-1] + 1) if versions else 0
+    prev_schema_str = prev_meta.get("schemaString") if prev_meta else None
+    if head >= 0 and set(cur) == prev and schema_str == prev_schema_str:
+        return head  # nothing changed: no empty commit
+    next_v = head + 1 if head >= 0 else 0
     for rel, info in cur.items():
         dst = os.path.join(out_dir, rel)
         if os.path.exists(dst):
@@ -394,30 +422,77 @@ def delta_changes(
 
 def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
     """Collapse an exported table's log into a single-file checkpoint
-    at the latest version (protocol shape: one parquet with
-    ``add``/``metaData`` rows), so replay cost stays O(commits since
+    at the latest version, so replay cost stays O(commits since
     checkpoint) as the export history grows — the same reason Delta
     writers checkpoint every N commits. Earlier commit JSONs may then
     be cleaned by retention; :func:`active_files` discovers the
-    checkpoint by name. Returns the checkpointed version."""
+    checkpoint by name (a ``_last_checkpoint`` pointer is written too,
+    for real readers that consult it first). Returns the checkpointed
+    version.
+
+    Protocol shape: the parquet carries the ``protocol`` row, the FULL
+    ``metaData`` (id/format/schemaString/partitionColumns/
+    configuration) and, per live file, ``add`` with the URL-ENCODED
+    path (the same encoding the commit JSONs use — a raw filesystem
+    path would be double-unquoted on replay), partitionValues, size and
+    dataChange=false — the fields spec readers require of a
+    checkpoint."""
     import shutil
+    from urllib.parse import quote
 
     versions = commit_versions(out_dir)
     if not versions:
         raise ValueError(f"nothing to checkpoint under {out_dir!r}")
     head = versions[-1]
-    files = [
-        os.path.relpath(p, out_dir) for p in active_files(out_dir, spark=spark)
-    ]
-    schema_str = json.dumps(table_schema(out_dir, spark=spark).jsonValue())
+    rels, meta = _replay(out_dir, spark=spark)
+    if meta is None:
+        raise ValueError(f"no metaData action found in {out_dir!r}")
     from pyspark.sql import Row
 
-    rows = [
-        Row(add=Row(path=rel), metaData=None) for rel in files
-    ] + [Row(add=None, metaData=Row(schemaString=schema_str))]
+    def add_row(rel: str) -> Row:
+        part_values = {}
+        for seg in os.path.dirname(rel).split(os.sep):
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                val = unquote(val)
+                part_values[k] = (
+                    None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                )
+        return Row(
+            add=Row(
+                path=quote(rel, safe="/="),
+                partitionValues=part_values,
+                size=os.path.getsize(os.path.join(out_dir, rel)),
+                dataChange=False,
+            ),
+            metaData=None,
+            protocol=None,
+        )
+
+    meta_row = Row(
+        add=None,
+        metaData=Row(
+            id=meta.get("id", "exported"),
+            format=Row(provider="parquet"),
+            schemaString=meta["schemaString"],
+            partitionColumns=list(meta.get("partitionColumns") or []),
+            configuration=dict(meta.get("configuration") or {}),
+        ),
+        protocol=None,
+    )
+    proto_row = Row(
+        add=None,
+        metaData=None,
+        protocol=Row(minReaderVersion=1, minWriterVersion=2),
+    )
     ck = spark.createDataFrame(
-        rows,
-        "add struct<path:string>, metaData struct<schemaString:string>",
+        [proto_row, meta_row] + [add_row(rel) for rel in rels],
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:bigint, dataChange:boolean>, "
+        "metaData struct<id:string, format:struct<provider:string>, "
+        "schemaString:string, partitionColumns:array<string>, "
+        "configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int, minWriterVersion:int>",
     )
     tmp = os.path.join(out_dir, "_delta_log", "__ck_tmp")
     ck.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -430,4 +505,8 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
         os.path.join(out_dir, "_delta_log", f"{head:020d}.checkpoint.parquet"),
     )
     shutil.rmtree(tmp)
+    lc_tmp = os.path.join(out_dir, "_delta_log", ".last_checkpoint.tmp")
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": head, "size": len(rels) + 2}, f)
+    os.replace(lc_tmp, os.path.join(out_dir, "_delta_log", "_last_checkpoint"))
     return head

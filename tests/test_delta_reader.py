@@ -355,12 +355,44 @@ def test_delta_changes_and_export_checkpoint(spark, tmp_path):
     }
 
     assert dr.export_checkpoint(spark, out) == 1
-    # retention cleans the pre-checkpoint commits; replay still works
+    assert os.path.exists(os.path.join(out, "_delta_log", "_last_checkpoint"))
+    # retention cleans EVERY commit JSON; the checkpoint alone must
+    # fully describe the table (files + protocol + metaData)
     os.remove(os.path.join(out, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(out, "_delta_log", f"{1:020d}.json"))
     assert _rows(dr.read_delta(spark, out)) == {(1, "a2"), (3, "c")}
+    assert [f.name for f in dr.table_schema(out, spark=spark).fields] == [
+        "id", "v",
+    ]
     t.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
     assert dr.export_delta(t, out) == 2
     assert _rows(dr.read_delta(spark, out)) == {(9, "z")}
+
+
+def test_checkpoint_roundtrips_hive_escaped_partition_paths(spark, tmp_path):
+    """A partition value hive-escapes in the directory name (':' →
+    %3A); the checkpoint must store the URL-ENCODED path exactly like
+    the commit JSONs do, or replay unquotes the raw name into a
+    nonexistent path."""
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(
+        spark, str(tmp_path / "t"), partition_cols=["tag"]
+    )
+    t.overwrite(spark.createDataFrame(
+        [(1, "a:b"), (2, "plain")], "id long, tag string"))
+    out = str(tmp_path / "out")
+    dr.export_delta(t, out)
+    want = {(1, "a:b"), (2, "plain")}
+    assert _rows(dr.read_delta(spark, out).select("id", "tag")) == want
+    dr.export_checkpoint(spark, out)
+    os.remove(os.path.join(out, "_delta_log", f"{0:020d}.json"))
+    got = dr.read_delta(spark, out)
+    assert _rows(got.select("id", "tag")) == want
+    # idempotent re-export on the checkpoint-only log: no new commit
+    assert dr.export_delta(t, out) == 0
 
 
 def test_ivm_rides_the_delta_change_feed(spark, tmp_path):
