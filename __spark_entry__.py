@@ -1761,26 +1761,31 @@ def q_s17_xml_ingest(spark, sf_dir):
     preservation pinned via ignoreSurroundingSpaces=false), and the
     gate returns the parsed fields — so the oracle is the INVERSION:
     parsing must recover exactly the source columns, entity round-trip
-    included."""
+    included. Corpus-robustness hardening (the XML spec, mirrored in
+    the oracle): CR/CRLF is normalized to LF and the XML-1.0-illegal
+    \\x0b to a space BEFORE synthesis (the StAX parser would normalize/
+    reject them anyway), every interpolated string field is escaped,
+    and the body carries an 'x' prefix so an empty text survives
+    (``<body></body>`` parses to NULL, not '')."""
     docs = _read(spark, sf_dir, "documents")
-    esc = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"),
-            F.lit("&lt;"),
-        ),
-        F.lit(">"),
-        F.lit("&gt;"),
+
+    def esc(col):
+        out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+        out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+        return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\r\n?", "\n"), r"\x0b", " "
     )
     xml = F.concat(
         F.lit("<doc><id>"),
         F.col("doc_id").cast("string"),
         F.lit("</id><lang>"),
-        F.col("lang"),
+        esc(F.col("lang")),
         F.lit("</lang><n>"),
         F.col("n_chars").cast("string"),
-        F.lit("</n><body>"),
-        esc,
+        F.lit("</n><body>x"),
+        esc(norm),
         F.lit("</body></doc>"),
     )
     parsed = docs.select(
@@ -1798,9 +1803,11 @@ def q_s17_xml_ingest(spark, sf_dir):
     )
 
 
-_S17_XML_SQL = """
+_S17_XML_SQL = r"""
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
-       md5(text) AS body_md5
+       md5('x' || regexp_replace(
+              regexp_replace(text, '\r\n?', chr(10), 'g'),
+              '\x0b', ' ', 'g')) AS body_md5
 FROM documents
 """
 
