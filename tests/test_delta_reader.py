@@ -425,3 +425,32 @@ def test_ivm_rides_the_delta_change_feed(spark, tmp_path):
     fresh = ivm.group_stats_bootstrap(dr.read_delta(spark, out), "host", "n")
     assert state.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(state).count() == 0
+
+
+def test_export_delta_copies_when_links_are_refused(spark, tmp_path,
+                                                    monkeypatch):
+    """Filesystems without hard-link support (or cross-device exports)
+    fall back to copy2 — same bytes, no crash."""
+    import shutil as _shutil
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    t = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    def no_links(src, dst, **kw):
+        raise OSError(18, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "link", no_links)
+    copies = []
+    real_copy2 = _shutil.copy2
+    monkeypatch.setattr(
+        _shutil, "copy2",
+        lambda s, d, **kw: (copies.append(d), real_copy2(s, d, **kw))[1],
+    )
+    out = str(tmp_path / "out")
+    assert dr.export_delta(t, out) == 0
+    assert copies  # the fallback actually ran
+    assert _rows(dr.read_delta(spark, out)) == {(1, "a")}
