@@ -1762,11 +1762,12 @@ def q_s17_xml_ingest(spark, sf_dir):
     gate returns the parsed fields — so the oracle is the INVERSION:
     parsing must recover exactly the source columns, entity round-trip
     included. Corpus-robustness hardening (the XML spec, mirrored in
-    the oracle): CR/CRLF is normalized to LF and the XML-1.0-illegal
-    \\x0b to a space BEFORE synthesis (the StAX parser would normalize/
-    reject them anyway), every interpolated string field is escaped,
-    and the body carries an 'x' prefix so an empty text survives
-    (``<body></body>`` parses to NULL, not '')."""
+    the oracle): CR/CRLF is normalized to LF and EVERY XML-1.0-illegal
+    control character to a space BEFORE synthesis (the StAX parser
+    would normalize/reject them anyway), NULL text reads as empty,
+    every interpolated string field is escaped, and the body carries
+    an 'x' prefix so an empty text survives (``<body></body>`` parses
+    to NULL, not '')."""
     docs = _read(spark, sf_dir, "documents")
 
     def esc(col):
@@ -1775,7 +1776,11 @@ def q_s17_xml_ingest(spark, sf_dir):
         return F.replace(out, F.lit(">"), F.lit("&gt;"))
 
     norm = F.regexp_replace(
-        F.regexp_replace(F.col("text"), r"\r\n?", "\n"), r"\x0b", " "
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"\r\n?", "\n"
+        ),
+        r"[\x00-\x08\x0b\x0c\x0e-\x1f]",
+        " ",
     )
     xml = F.concat(
         F.lit("<doc><id>"),
@@ -1806,8 +1811,8 @@ def q_s17_xml_ingest(spark, sf_dir):
 _S17_XML_SQL = r"""
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        md5('x' || regexp_replace(
-              regexp_replace(text, '\r\n?', chr(10), 'g'),
-              '\x0b', ' ', 'g')) AS body_md5
+              regexp_replace(coalesce(text, ''), '\r\n?', chr(10), 'g'),
+              '[\x00-\x08\x0b\x0c\x0e-\x1f]', ' ', 'g')) AS body_md5
 FROM documents
 """
 
