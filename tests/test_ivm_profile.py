@@ -386,3 +386,61 @@ def test_derived_avg_and_variance_match_builtins(spark):
         var = sum_sq / nn - avg * avg
         assert abs(avg - builtin[host][0]) < 1e-9
         assert abs(var - builtin[host][1]) < 1e-9
+
+
+def test_moments_spec_rides_the_maintainer_state_table(spark, tmp_path):
+    """MomentsSpec + state_table: the maintainer bootstraps the moments
+    TABLE via the spec's MERGE form, resumes from the recorded version
+    after a restart, and lands on a fresh recompute."""
+    _mem_ready(spark)
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    state = "arcm.test.moments_state"
+    table = "arcm.test.moments_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {state} (host STRING, docs BIGINT, sum_v BIGINT, "
+        "sum_sq BIGINT, nn BIGINT) USING mem"
+    )
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 10), ("k2", 1, "U", "b", 4)], schema))
+    m = ivm.StreamingViewMaintainer(
+        target, spec=ip.MomentsSpec("host", "n"), state_table=state
+    )
+    m.sync()
+    sink.apply(spark.createDataFrame(
+        [("k1", 2, "U", "a", 12), ("k3", 2, "U", "b", None)], schema))
+    # restart: a FRESH maintainer restores the recorded version
+    m2 = ivm.StreamingViewMaintainer(
+        target, spec=ip.MomentsSpec("host", "n"), state_table=state
+    )
+    assert m2.synced_version == 1
+    m2.sync()
+    got = {
+        r["host"]: (r["docs"], r["sum_v"], r["sum_sq"], r["nn"])
+        for r in spark.table(state).collect()
+    }
+    fresh = {
+        r["host"]: (r["docs"], r["sum_v"], r["sum_sq"], r["nn"])
+        for r in ip.moments_bootstrap(target.read(), "host", "n").collect()
+    }
+    assert got == fresh == {
+        "a": (1, 12, 144, 1),
+        "b": (2, 4, 16, 1),
+    }
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
