@@ -444,3 +444,67 @@ def test_moments_spec_rides_the_maintainer_state_table(spark, tmp_path):
     }
     spark.sql(f"DROP TABLE IF EXISTS {state}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_histogram_spec_rides_the_maintainer_state_table(spark, tmp_path):
+    """HistogramSpec + state_table: bucket counts maintained by the
+    spec's MERGE form land exactly on a fresh log_histogram, and
+    quantile_view over the state TABLE equals the batch estimator."""
+    _mem_ready(spark)
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    state = "arcm.test.hist_state"
+    table = "arcm.test.hist_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {state} (host STRING, e INT, sub BIGINT, "
+        "lo BIGINT, cnt BIGINT) USING mem"
+    )
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 100), ("k2", 1, "U", "a", 9000),
+         ("k3", 1, "U", "b", 7)], schema))
+    m = ivm.StreamingViewMaintainer(
+        target, spec=ip.HistogramSpec("host", "n"), state_table=state
+    )
+    m.sync()
+    sink.apply(spark.createDataFrame(
+        [("k1", 2, "U", "a", 101),   # bucket move within the group
+         ("k3", 2, "D", "b", 7)],    # group's last bucket vanishes
+        schema))
+    m.sync()
+    got = _hist_as_dict(spark.table(state))
+    want = _hist_as_dict(ip.hist_bootstrap(target.read(), "host", "n"))
+    assert got == want and all(c > 0 for _, c in got.values())
+    q = {
+        (r["host"], r["pct"]): r["est"]
+        for r in ip.quantile_view(
+            spark.table(state), [50], "host"
+        ).collect()
+    }
+    from arcane_framework_scala_spark.functions.sketch import (
+        log_hist_quantiles,
+    )
+
+    fresh_q = {
+        (r["host"], r["pct"]): r["est"]
+        for r in log_hist_quantiles(
+            ip.hist_bootstrap(target.read(), "host", "n"), [50], ["host"]
+        ).collect()
+    }
+    assert q == fresh_q
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
