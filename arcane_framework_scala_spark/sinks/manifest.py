@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from arcane_framework_scala_spark.sinks.merge_sink import SnapshotParquetTarget
+from arcane_framework_scala_spark.sources.paths import glob_escape
 from arcane_framework_scala_spark.sinks.table_stats import _parquet_files
 
 MANIFEST_FILE = "_MANIFEST.json"
@@ -169,7 +170,7 @@ def read_range(
     elif not files:
         df = target.spark.read.parquet(vdir).filter(F.lit(False))
     else:
-        df = target.spark.read.parquet(*files)
+        df = target.spark.read.parquet(*[glob_escape(f) for f in files])
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from arcane_framework_scala_spark.operators.merge_apply import merge_apply
+from arcane_framework_scala_spark.sources.paths import glob_escape
 from arcane_framework_scala_spark.queries.merge import MergeDialect, build_merge_query
 from arcane_framework_scala_spark.schema.schema import MERGE_KEY_COLUMN
 
@@ -127,7 +128,7 @@ class SnapshotParquetTarget:
         v = self.current_version()
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        return self.spark.read.parquet(glob_escape(os.path.join(self.path, f"v={v}")))
 
     def versions(self) -> list[int]:
         """Committed snapshot versions, oldest first — the readable
@@ -157,7 +158,7 @@ class SnapshotParquetTarget:
                 f"snapshot v={version} not available under {self.path} "
                 f"(have {self.versions()})"
             )
-        return self.spark.read.parquet(os.path.join(self.path, f"v={version}"))
+        return self.spark.read.parquet(glob_escape(os.path.join(self.path, f"v={version}")))
 
     def version_as_of(self, timestamp: float) -> int:
         """Iceberg ``TIMESTAMP AS OF`` resolution: the newest snapshot
@@ -323,7 +324,7 @@ class SnapshotParquetTarget:
         # has not moved off it (otherwise the intervening batch is lost).
         base = self.current_version()
         target = (
-            self.spark.read.parquet(os.path.join(self.path, f"v={base}"))
+            self.spark.read.parquet(glob_escape(os.path.join(self.path, f"v={base}")))
             if base is not None
             else None
         )
@@ -648,7 +649,7 @@ class DurableCatalogTarget:
 
         pcols = self.snapshots.partition_cols
         base_dir = os.path.join(self.snapshots.path, f"v={base}")
-        base_df = self.spark.read.parquet(base_dir)
+        base_df = self.spark.read.parquet(glob_escape(base_dir))
         have = {c.lower() for c in base_df.columns}
         markers = {c.lower() for c in dialect.non_data_columns}
         if any(
@@ -746,7 +747,7 @@ class DurableCatalogTarget:
         from urllib.parse import unquote, urlparse
 
         base_dir = os.path.join(self.snapshots.path, f"v={base}")
-        base_df = self.spark.read.parquet(base_dir)
+        base_df = self.spark.read.parquet(glob_escape(base_dir))
         have = {c.lower() for c in base_df.columns}
         markers = {c.lower() for c in dialect.non_data_columns}
         if any(
@@ -778,7 +779,9 @@ class DurableCatalogTarget:
             base_df
             if candidates is None
             else (
-                self.spark.read.parquet(*candidates)
+                self.spark.read.parquet(
+                    *[glob_escape(c) for c in candidates]
+                )
                 if candidates
                 else base_df.filter(F.lit(False))
             )
@@ -802,15 +805,22 @@ class DurableCatalogTarget:
         all_files = {
             os.path.relpath(p, base_dir) for p in _parquet_files(base_dir)
         }
-        carry = sorted(all_files - {rel(u) for u in matched_uris})
+        matched_rel = sorted({rel(u) for u in matched_uris})
+        carry = sorted(all_files - set(matched_rel))
         # the rewrite group IS the matched files — hydrate by reading
         # exactly those paths. Never an `isin(<file literals>)` filter:
         # under a uniformly-hashing merge key the matched set approaches
         # |files| and an IN-literal of 10^5+ path strings bloats the plan
         # (the scan below stays O(1) plan nodes at any file count).
+        # Paths are REBUILT from the literal base_dir + decoded rel name
+        # and glob-escaped — input_file_name() URIs are percent-encoded
+        # and Hadoop glob-expands read paths, so feeding them back raw
+        # can duplicate rows between group and carry (ADVICE r8).
         group = (
-            self.spark.read.parquet(*matched_uris)
-            if matched_uris
+            self.spark.read.parquet(
+                *[glob_escape(os.path.join(base_dir, r)) for r in matched_rel]
+            )
+            if matched_rel
             else base_df.filter(F.lit(False))
         )
         if self.catalog.exists():

@@ -225,10 +225,12 @@ def read_delta(
     rels, meta = _replay(path, version, spark)
     schema = _schema_from_meta(meta, path)
     if rels:
+        from arcane_framework_scala_spark.sources.paths import glob_escape
+
         return (
             spark.read.schema(schema)
             .option("basePath", path)
-            .parquet(*[os.path.join(path, rel) for rel in rels])
+            .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
         )
     return spark.createDataFrame([], schema)
 

@@ -264,8 +264,102 @@ class StructuredBlobStream:
 
         return _IdleWatermarkAdvance()
 
-    def run_available(self) -> None:
-        """Process everything currently listable, then stop (backfill-merge
-        §3.2 shape on the streaming engine)."""
-        q = self.start(trigger={"availableNow": True})
-        q.awaitTermination()
+    # -- bounded catch-up (availableNow) with a verified drain ---------
+    #
+    # ``Trigger.AvailableNow`` snapshots the source's file listing ONCE,
+    # when the query starts, and processes only that snapshot. A file
+    # whose directory entry is not yet visible to that single driver-side
+    # listing — observed once under full-suite load, where the committer
+    # rename of just-written source files raced the new query's listing —
+    # is silently deferred to a next trigger that never comes, while the
+    # query still terminates "successfully" with an empty micro-batch.
+    # A poll-loop production deployment would paper over the skipped wave
+    # until its next trigger; a bounded catch-up must not. So the drain
+    # verifies itself: snapshot the listing HERE (before the query ever
+    # starts), then after termination compare it against the file-source
+    # metadata log (the source's own durable record of every file it
+    # committed, ``<ckpt>/sources/0``) and re-drain on shortfall. Files
+    # arriving after run_available() was called are out of contract and
+    # simply make the next drain's snapshot.
+
+    def _listable_files(self) -> set[str]:
+        """The files Spark's file source would consider, right now: a
+        recursive walk honoring the source's hidden-file rule (names
+        starting with ``.`` or ``_`` are invisible, at any depth)."""
+        import os
+
+        found: set[str] = set()
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for name in files:
+                if not name.startswith((".", "_")):
+                    found.add(os.path.abspath(os.path.join(root, name)))
+        return found
+
+    def _source_committed_files(self) -> set[str]:
+        """Every file path the file source has durably committed, read
+        from its metadata log (``v1`` header + one JSON entry per file;
+        ``N.compact`` files carry the full union). Driver-side metadata,
+        O(files seen) — the same log the source itself replays."""
+        import json
+        import os
+        from urllib.parse import unquote, urlparse
+
+        log_dir = os.path.join(self.checkpoint_dir, "sources", "0")
+        committed: set[str] = set()
+        if not os.path.isdir(log_dir):
+            return committed
+        for name in os.listdir(log_dir):
+            stem = name[: -len(".compact")] if name.endswith(".compact") else name
+            if name.startswith(".") or not stem.isdigit():
+                continue
+            with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    entry = json.loads(line)
+                    committed.add(
+                        os.path.abspath(unquote(urlparse(entry["path"]).path))
+                    )
+        return committed
+
+    def run_available(self, *, max_drains: int = 3) -> int:
+        """Process everything listable at call time, then stop
+        (backfill-merge §3.2 shape on the streaming engine). Returns the
+        total input rows ingested. The drain is verified: every file in
+        the pre-start listing snapshot must appear in the source's
+        metadata log afterwards; on shortfall the drain re-runs (a fresh
+        query re-lists) up to ``max_drains`` times, then raises —
+        surfacing the violated contract instead of silently returning
+        with unprocessed input. The verification walks the path with the
+        local filesystem; on object-store URIs the walk is empty and the
+        check is vacuous (the race itself is a local-FS rename artifact —
+        object-store listings are already read-after-write consistent)."""
+        import json
+        import logging
+
+        expected = self._listable_files()
+        total_rows = 0
+        shortfall: set[str] = set()
+        for _attempt in range(max_drains):
+            q = self.start(trigger={"availableNow": True})
+            q.awaitTermination()
+            self.detach_idle_listener()
+            total_rows += sum(
+                json.loads(p.json).get("numInputRows", 0)
+                for p in q.recentProgress
+            )
+            shortfall = expected - self._source_committed_files()
+            if not shortfall:
+                return total_rows
+            logging.getLogger(__name__).warning(
+                "run_available: availableNow drain left %d listable "
+                "file(s) uncommitted (listing-snapshot race); re-draining",
+                len(shortfall),
+            )
+        raise RuntimeError(
+            "run_available: %d file(s) listable before the drain never "
+            "reached the file-source metadata log after %d attempts: %s"
+            % (len(shortfall), max_drains, sorted(shortfall)[:5])
+        )

@@ -652,6 +652,43 @@ def test_file_group_hydration_has_no_file_name_in_literal(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_pruned_merge_survives_glob_metachars_in_table_path(
+    spark, tmp_path
+):
+    """The rewrite-group hydration rebuilds literal paths from base_dir
+    + decoded rel name and glob-escapes them before the multi-path
+    parquet read — input_file_name() URIs are percent-encoded and
+    Hadoop glob-expands read paths, so a table path containing glob
+    metacharacters or spaces used to duplicate rows between the
+    rewrite group and the linked carry set, or fail to resolve
+    (ADVICE r8, merge_sink glob/percent hazard)."""
+    if not _mem_available(spark):
+        pytest.skip("mem catalog jar not loaded in this session")
+    name = f"mem.itest.fgmeta_{uuid.uuid4().hex[:8]}"
+    evil = tmp_path / "fg [glob]{x} dir"
+    target = DurableCatalogTarget(
+        spark, str(evil), name, file_group_pruning=True,
+        max_rows_per_file=20,
+    )
+    try:
+        sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+        rows = [(f"k{i:03d}", 1, "U", i, i * 10) for i in range(60)]
+        sink.apply(spark.createDataFrame(rows, BATCH_SCHEMA))
+        # second merge takes the file-pruned path in the evil dir
+        sink.apply(
+            spark.createDataFrame([("k001", 2, "U", 1, 999)], BATCH_SCHEMA)
+        )
+        got = {
+            r["ARCANE_MERGE_KEY"]: r["score"]
+            for r in target.read().collect()
+        }
+        assert len(got) == 60  # no row duplicated into the new snapshot
+        assert target.read().count() == 60
+        assert got["k001"] == 999 and got["k002"] == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_commit_time_is_stamped_at_the_pointer_flip(spark, tmp_path):
     """version_as_of resolves against COMMIT times: _finalize stamps the
     claimed v=N dir's mtime right after the rename (the rename itself
