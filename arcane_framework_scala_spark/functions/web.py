@@ -450,7 +450,11 @@ _HTML_STEPS: list[tuple[str, str]] = [
     (r"&nbsp;", " "),
     (r"&amp;", "&"),                              # LAST: && double-escapes
     # whitespace normalization: spaces/tabs collapse, newlines tighten,
-    # ends trimmed (regex, not SQL trim — trim() won't take newlines)
+    # ends trimmed (regex, not SQL trim — trim() won't take newlines).
+    # CRLF folds to \n FIRST — crawl HTML is overwhelmingly \r\n, and
+    # the later steps only treat \n as a line break (ADVICE r8: stray
+    # mid-document \r survived otherwise). RE2-safe: no backrefs.
+    (r"\r\n?", "\n"),
     (r"[ \t]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),

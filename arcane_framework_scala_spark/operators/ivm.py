@@ -216,7 +216,16 @@ class StreamingViewMaintainer:
     after every successfully merged delta (the MERGE is additive, not
     idempotent) and restored by a fresh instance — so a restarted
     maintainer resumes from the recorded version instead of
-    re-bootstrapping. A populated state table with NO recorded version
+    re-bootstrapping. **Durability caveat (one-delta exposure):** the
+    state-table MERGE and the TBLPROPERTIES write are two separate
+    catalog operations; a crash BETWEEN them leaves the property one
+    behind the merged state, and the restarted maintainer re-applies
+    that single delta — double-counting exactly the groups it touched.
+    Per-step recording bounds the exposure to one delta (never the whole
+    catch-up), but only a catalog that can commit data + properties in
+    one transaction (e.g. Iceberg snapshot summary properties) closes it
+    completely; on such a catalog, override ``_record_synced_version``
+    to ride the same commit. A populated state table with NO recorded version
     (a pre-upgrade table, or someone else's) makes ``sync`` raise rather
     than merge a full bootstrap on top of existing rows, which would
     silently double every count.

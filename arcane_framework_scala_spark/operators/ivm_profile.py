@@ -12,10 +12,16 @@ state absorbs one per-group delta, O(|delta|), never a base rescan.
 
 NULL semantics match a fresh groupBy: a group whose last non-NULL value
 leaves returns sum_v/sum_sq to NULL via the same ``nn``-auxiliary trick
-:mod:`ivm` uses for SUM. All state is integer (values cast to long);
-at 100 TB scale sum_sq can exceed int64 for wide value domains
-(|v| > ~3e9 or ~9e6 rows/group at |v|=1e6) — switch the state columns
-to DECIMAL(38,0) there; the algebra is unchanged.
+:mod:`ivm` uses for SUM. All state is integer (values cast to long).
+Overflow posture (ADVICE r8): per-row squaring is GUARDED — any value
+with |v| > 3 037 000 499 (floor(sqrt(2^63−1)), the largest long whose
+square fits int64) raises at bootstrap/delta time instead of wrapping.
+Accumulated sums can still exceed int64 for extreme group sizes
+(~9e6 rows/group at |v|=1e6); ``get_session`` pins ANSI mode ON, where
+Spark's SUM raises ARITHMETIC_OVERFLOW rather than wrapping, so the
+divergence is loud, never silent. Only a non-ANSI session could wrap
+silently on ACCUMULATION — run those with DECIMAL(38,0) state columns;
+the algebra is unchanged.
 
 **COUNT(DISTINCT) under deletes.** Not self-maintainable from a scalar:
 deleting a value must only decrement the distinct count when the LAST
@@ -45,6 +51,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+
+#: floor(sqrt(2^63 - 1)): the largest |v| whose square fits in int64.
+#: Values beyond it RAISE at bootstrap/delta time (see module docstring)
+#: — a wrapped square would corrupt the maintained variance in a way the
+#: from-scratch parity check wraps identically on, i.e. undetectably.
+SUM_SQ_SAFE_ABS = 3_037_000_499
+
+
+def _sq_guarded(v):
+    """``v`` with the squaring-overflow guard attached: raises
+    USER_RAISED_EXCEPTION on |v| > :data:`SUM_SQ_SAFE_ABS`, else passes
+    the value through (one JVM-side branch, codegen-friendly)."""
+    return F.when(
+        F.abs(v) > F.lit(SUM_SQ_SAFE_ABS),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ivm_profile: |value| exceeds the int64-safe squaring "
+                    f"bound {SUM_SQ_SAFE_ABS} (got "
+                ),
+                v.cast("string"),
+                F.lit("); use DECIMAL(38,0) state for this domain"),
+            )
+        ).cast("long"),
+    ).otherwise(v)
 
 
 def _sided_values(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
@@ -83,7 +114,7 @@ def moments_bootstrap(
     """Initial materialization: ``(group, docs, sum_v, sum_sq, nn)``.
     ``nn`` (non-NULL value count) is the divisor for avg/var AND the
     auxiliary that returns the sums to NULL when it reaches zero."""
-    v = F.col(val_col).cast("long")
+    v = _sq_guarded(F.col(val_col).cast("long"))
     return df.groupBy(F.col(group_col).alias(group_col)).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(v).alias("sum_v"),
@@ -95,13 +126,14 @@ def moments_bootstrap(
 def moments_delta(cdf: DataFrame, group_col: str, val_col: str) -> DataFrame:
     """Collapse a CDF batch into per-group additive moment deltas
     (insert: +post-image; delete: -pre-image; update: both sides)."""
+    v = _sq_guarded(F.col("__v"))
     return (
         _sided_values(cdf, group_col, val_col)
         .groupBy(group_col)
         .agg(
             F.sum("__sg").alias("d_docs"),
-            F.sum(F.col("__sg") * F.col("__v")).alias("d_sum"),
-            F.sum(F.col("__sg") * F.col("__v") * F.col("__v")).alias("d_sq"),
+            F.sum(F.col("__sg") * v).alias("d_sum"),
+            F.sum(F.col("__sg") * v * v).alias("d_sq"),
             F.sum(
                 F.col("__sg") * F.col("__v").isNotNull().cast("long")
             ).alias("d_nn"),

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,8 +45,10 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 #: reader features we can honor; anything else in the protocol action's
 #: readerFeatures raises (returning rows while ignoring deletion vectors
-#: would silently resurrect deleted data)
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping-none"}
+#: would silently resurrect deleted data). Note: ``columnMapping`` is NOT
+#: here — a column-mapped table must raise (physical parquet names
+#: diverge from the logical schema).
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
 
 
 def _log_dir(path: str) -> str:
@@ -379,7 +382,14 @@ def export_delta(target, out_dir: str) -> int:
         )
     for rel in sorted(prev - set(cur)):
         actions.append(
-            {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
+            {
+                "remove": {
+                    "path": quote(rel, safe="/="),
+                    # retention-based VACUUM in real readers keys off this
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            }
         )
     for rel in sorted(set(cur) - prev):
         actions.append(

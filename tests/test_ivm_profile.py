@@ -388,6 +388,38 @@ def test_derived_avg_and_variance_match_builtins(spark):
         assert abs(var - builtin[host][1]) < 1e-9
 
 
+def test_sum_sq_overflow_guard_raises_instead_of_wrapping(spark):
+    """Values past floor(sqrt(2^63-1)) RAISE at bootstrap and at delta
+    time — a silently wrapped square would corrupt the maintained
+    variance in a way the from-scratch parity recompute wraps
+    identically on, i.e. undetectably (ADVICE r8). In-bound values at
+    the edge still square exactly."""
+    big = ip.SUM_SQ_SAFE_ABS  # largest safe |v|: ONE square fits int64
+    ok = _tbl(spark, [(1, "h", -big), (2, "h", None)])
+    got = {
+        r["host"]: (r["sum_sq"], r["nn"])
+        for r in ip.moments_bootstrap(ok, "host", "n").collect()
+    }
+    assert got["h"] == (big * big, 1)
+    # ACCUMULATED overflow (two edge squares) raises via ANSI SUM — the
+    # session pins ansi on, so even past the per-row guard nothing wraps
+    two = _tbl(spark, [(1, "h", big), (2, "h", -big)])
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        ip.moments_bootstrap(two, "host", "n").collect()
+
+    bad = _tbl(spark, [(1, "h", big + 1)])
+    with pytest.raises(Exception, match="int64-safe squaring bound"):
+        ip.moments_bootstrap(bad, "host", "n").collect()
+    # the delta path carries the same guard (old- AND new-image sides)
+    cdf = spark.createDataFrame(
+        [("insert", None, "h", None, big + 1)],
+        "op string, old_host string, new_host string, "
+        "old_n long, new_n long",
+    )
+    with pytest.raises(Exception, match="int64-safe squaring bound"):
+        ip.moments_delta(cdf, "host", "n").collect()
+
+
 def test_moments_spec_rides_the_maintainer_state_table(spark, tmp_path):
     """MomentsSpec + state_table: the maintainer bootstraps the moments
     TABLE via the spec's MERGE form, resumes from the recorded version

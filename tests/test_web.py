@@ -344,6 +344,40 @@ def test_html_extract_strips_markup_and_matches_duckdb(spark):
     assert duck == got
 
 
+def test_html_extract_normalizes_crlf(spark):
+    """CRLF HTML (the common-crawl case) yields NO stray \\r in the
+    extracted text: \\r\\n and bare \\r fold to \\n before the newline
+    tightening, so the 'whitespace normalized' contract holds for
+    carriage returns mid-document too (ADVICE r8)."""
+    import duckdb
+
+    rows = [
+        (1, "<p>one</p>\r\n<p>two</p>\r\n"),
+        (2, "line a\rline b"),
+        (3, "<div>x</div>\r\n\r\n\r\n<div>y</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["txt"]
+        for r in df.select(
+            "doc_id", web.html_extract(F.col("html")).alias("txt")
+        ).collect()
+    }
+    assert got[1] == "one\ntwo"
+    assert got[2] == "line a\nline b"
+    assert got[3] == "x\ny"
+    assert all("\r" not in v for v in got.values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {web.html_extract_sql('html')} FROM t"
+        ).fetchall()
+    )
+    assert duck == got
+
+
 def test_html_extract_cross_engine_fuzz(spark):
     """Seeded randomized HTML-ish inputs (nested tags, stray brackets,
     partial entities, mixed whitespace incl. \\x0b) — Spark and DuckDB
@@ -359,7 +393,7 @@ def test_html_extract_cross_engine_fuzz(spark):
         "<script>var a=1;</script>", "<style>.c{}</style>",
         "<!-- hidden -->", "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;",
         "&#39;", "&amp", "& loose", "word", "two words", "  ", "\t",
-        "\n", "\x0b", "<h2>", "</h2>", "<ul><li>", "</li></ul>",
+        "\n", "\x0b", "\r\n", "\r", "<h2>", "</h2>", "<ul><li>", "</li></ul>",
         "<em>i</em>", "text > math < text", "<a href='u'>link</a>",
         "<td>", "</tr>", "100%", "a=b",
     ]
