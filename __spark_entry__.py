@@ -2527,6 +2527,145 @@ FROM c, b GROUP BY 1
 """
 
 
+def q_t_ivm_live_deletes(spark, sf_dir):
+    """The live maintainer's DELETE path end-to-end (VERDICT r8 item 5):
+    the same readStream → foreachBatch → MERGE → ``on_batch_merged``
+    loop as ``t_ivm_live_maintain``, but through the SQL Server CT
+    dialect (M1), with wave 2 carrying REAL ``SYS_CHANGE_OPERATION='D'``
+    rows: every doc of the lexicographically-smallest host plus every
+    ``doc_id % 5 == 0`` is deleted (CT-realistically, the delete rows
+    carry NULL data columns — only the key and the change columns), and
+    ``doc_id % 7 == 0`` survivors are updated (+11 chars). The CT
+    deletes flow through the CoW change feed as retractions; the
+    maintained view must equal a fresh groupBy of the final table AND
+    the fully-deleted host's group must have VANISHED (docs reached
+    zero). One bootstrap, then O(|delta|) catch-ups."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.tlivedel"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_tlivedel_run_")
+    incoming = os.path.join(run_dir, "incoming")
+    os.makedirs(incoming)
+
+    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "host", "n_chars")
+    mx = _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    t2 = (mx * 6) // 10
+    w1 = docs.filter(F.col("doc_id") <= t2)
+    gone_host = w1.agg(F.min("host")).first()[0]  # driver scalar
+    dele = (F.col("host") == gone_host) | (F.col("doc_id") % 5 == 0)
+    upd = F.col("doc_id") % 7 == 0
+    wave1 = w1.select(
+        "doc_id", "host", "n_chars",
+        F.lit(1).cast("long").alias("SYS_CHANGE_VERSION"),
+        F.lit("U").alias("SYS_CHANGE_OPERATION"),
+    )
+    # CT delete rows: key + change columns only, data columns NULL
+    wave2 = (
+        w1.filter(dele)
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit(2).cast("long").alias("SYS_CHANGE_VERSION"),
+            F.lit("D").alias("SYS_CHANGE_OPERATION"),
+        )
+        .unionByName(
+            w1.filter(~dele & upd).select(
+                "doc_id",
+                "host",
+                (F.col("n_chars") + F.lit(11)).alias("n_chars"),
+                F.lit(2).cast("long").alias("SYS_CHANGE_VERSION"),
+                F.lit("U").alias("SYS_CHANGE_OPERATION"),
+            )
+        )
+    )
+    mtime = 1_600_000_000
+    for i, wave in enumerate((wave1, wave2)):
+        sub = os.path.join(run_dir, f"q{i}")
+        wave.coalesce(1).write.parquet(sub)
+        for fn in os.listdir(sub):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(incoming, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, fn), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    target = DurableCatalogTarget(spark, os.path.join(run_dir, "t"), table)
+    maintainer = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n_chars"
+    )
+    stream = StructuredBlobStream(
+        spark=spark,
+        path=incoming,
+        schema=(
+            "doc_id bigint, host string, n_chars bigint, "
+            "SYS_CHANGE_VERSION bigint, SYS_CHANGE_OPERATION string"
+        ),
+        primary_keys=["doc_id"],
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=FileWatermarkStore(
+            path=os.path.join(run_dir, "wm.json")
+        ),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        max_files_per_batch=1,  # one trigger per wave file
+        on_batch_merged=lambda _bid: maintainer.sync(),
+    )
+    stream.run_available()
+    stream.detach_idle_listener()
+    if maintainer.bootstraps != 1:
+        raise AssertionError(f"expected 1 bootstrap, got {maintainer.bootstraps}")
+    if maintainer.deltas_applied < 1:
+        raise AssertionError("wave 2 never caught up incrementally")
+    view = maintainer.view()
+    if view.filter(F.col("host") == gone_host).count():
+        raise AssertionError(
+            f"fully-deleted host {gone_host!r} still has a group row"
+        )
+    fresh = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+        raise AssertionError("live-maintained view diverged from recompute")
+    return view.select("host", "docs", "sum_size")
+
+
+_T_IVM_LIVE_DELETES_SQL = """
+WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+c AS (SELECT doc_id, host, n_chars FROM ({canon})),
+w1 AS (SELECT c.* FROM c, b WHERE doc_id <= mx * 6 // 10),
+mh AS (SELECT min(host) AS h FROM w1),
+final AS (
+  SELECT doc_id, host,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 11 ELSE n_chars END
+           AS n_chars
+  FROM w1, mh
+  WHERE NOT (host = h OR doc_id % 5 = 0)
+)
+SELECT host, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_size
+FROM final GROUP BY 1
+"""
+
+
 def q_a24_host_concentration(spark, sf_dir):
     """Skew diagnostic over the host profile: one-row concentration
     report (group count, total weight, top-1/top-10 shares and exact
@@ -8889,28 +9028,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_cluster_quality, sim_pair_dist_stats, tpch_q6/q18ish/q4ish/
 # q22ish, t_funnel, t_retention) wait for r9; max registry staleness
 # after the driver runs this window stays <=4.
-_GATE_WINDOW_R8 = [
-    "s3_tsql_surfaces",
-    # --- r8-born gates ---
-    "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
-    "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
-    "dedup_index_append", "web_html_extract", "s16_delta_log_scan",
-    "s17_xml_ingest",
-    # --- 9 stalest (last green r3) ---
-    "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
-    "sim_ivf_index_topk", "corpus_mixture_sample", "corpus_quality_filter",
-    "corpus_shuffle_shards", "sim_ivf_recall", "t_stream_dedup",
-    # --- 30 stalest of the r4 cohort ---
-    "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_pq_recall",
-    "sim_ivfpq_topk", "corpus_bpe_merges", "corpus_bpe_tokens",
-    "corpus_bpe_pack", "dedup_bloom_probe", "dedup_bloom_fpr",
-    "t_stream_stream_join", "t_stream_static_join", "w4_time_travel",
-    "w5_change_feed", "x5_retention_report", "t_incremental_agg",
-    "corpus_cluster_split", "corpus_negatives", "graph_pagerank",
-    "t_nearest_join", "t_gapfill", "t_grouping_sets", "t_moving_avg",
-    "a8_value_quantiles", "w3_scd2_history", "dedup_incremental_pairs",
-    "dedup_index_pairs", "dedup_canonical_best", "dedup_minhash_quality",
-    "sim_jl_project",
+_GATE_WINDOW_R9 = [
+    "t_ivm_live_deletes",
+    "sim_knn_eval",
+    "sim_text_topk",
+    "sim_bm25_rerank",
+    "sim_cluster_quality",
+    "sim_pair_dist_stats",
+    "tpch_q6",
+    "tpch_q18ish",
+    "tpch_q4ish",
+    "tpch_q22ish",
+    "t_funnel",
+    "t_retention",
+    "t_anomaly",
+    "t_event_pivot",
+    "t_lag_features",
+    "a9_partition_advisor",
+    "a10_regression",
+    "mm_scene_cuts",
+    "mm_audio_segments",
+    "s11_auth_mapping",
+    "a6_shard_estimate",
+    "x1_maintenance_vertical",
+    "s8_blob_enrich",
+    "corpus_jsonl_roundtrip",
+    "corpus_lm_score",
+    "corpus_hashed_features",
+    "corpus_lm_buckets",
+    "corpus_top_terms",
+    "t_debounce",
+    "corpus_bigram_score",
+    "corpus_length_histogram",
+    "dedup_cluster_stats",
+    "corpus_lang_mix",
+    "corpus_dedup_card",
+    "mm_sniff",
+    "dedup_shingle_df_stats",
+    "p11_zorder_key",
+    "s12_binary_ingest",
+    "s13_text_lines",
+    "a11_profile",
+    "a12_histogram",
+    "p12_zorder_layout_report",
+    "a13_winsorize",
+    "t_ewma_pow2",
+    "s15_partitioned_roundtrip",
+    "corpus_shard_manifest",
+    "a14_freshness",
+    "t_dwell_time",
+    "corpus_novelty",
+    "a15_daily_growth",
 ]
 
 
@@ -9131,6 +9299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ivm_profile": q_t_ivm_profile,
         "t_ivm_quantile": q_t_ivm_quantile,
         "t_ivm_live_maintain": q_t_ivm_live_maintain,
+        "t_ivm_live_deletes": q_t_ivm_live_deletes,
         "x6_manifest_plan": q_x6_manifest_plan,
         "x7_snapshot_audit": q_x7_snapshot_audit,
         "m11_file_pruned_merge": q_m11_file_pruned_merge,
@@ -9148,8 +9317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_window_suite": q_a23_window_suite,
         "p13_set_ops": q_p13_set_ops,
     }
-    assert len(_GATE_WINDOW_R8) == 50, len(_GATE_WINDOW_R8)
-    front = {n: full[n] for n in _GATE_WINDOW_R8}
+    assert len(_GATE_WINDOW_R9) == 50, len(_GATE_WINDOW_R9)
+    front = {n: full[n] for n in _GATE_WINDOW_R9}
     return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 
@@ -9201,6 +9370,9 @@ def oracle_sql() -> dict[str, str]:
             canon=_WEB_CANON_INNER_SQL
         ),
         "t_ivm_live_maintain": _T_IVM_LIVE_SQL.format(
+            canon=_WEB_CANON_INNER_SQL
+        ),
+        "t_ivm_live_deletes": _T_IVM_LIVE_DELETES_SQL.format(
             canon=_WEB_CANON_INNER_SQL
         ),
         "t_ivm_quantile": _t_ivm_quantile_sql().format(

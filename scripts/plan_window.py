@@ -64,7 +64,7 @@ def last_green_rounds() -> dict[str, int]:
 #: last driver check (r5), so the row needs a driver re-proof on the
 #: current implementation (VERDICT r7 item 1) even though 3 whole
 #: cohorts are staler. Clear per round once satisfied.
-FORCE = ["s3_tsql_surfaces"]
+FORCE: list[str] = []  # r8 forced s3_tsql_surfaces; its driver row landed
 
 
 def propose(names: list[str], last: dict[str, int]) -> list[str]:

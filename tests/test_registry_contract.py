@@ -59,36 +59,35 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_gate_window_is_the_declared_r8_rotation():
-    """The driver checks the FIRST 50 entries only; r8 is the
-    staleness-ranked rotation (VERDICT r7 items 1+2): the FORCED
-    s3_tsql_surfaces re-proof (a7_* rows postdate its r5 driver check),
-    the 10 r8-born gates (never-checked), the 9 stalest r3-checked
-    rows, and the 30 stalest of the r4 cohort. Pin the families so a
-    refactor reordering the dict doesn't silently drop the rotation."""
+def test_gate_window_is_the_declared_r9_rotation():
+    """The driver checks the FIRST 50 entries only; r9 is the pure
+    staleness rotation (VERDICT r8 item 2): the r9-born delete-path
+    gate (never-checked), the 11 rows deferred from the r8 window,
+    the full remaining r4 cohort, and the stalest of the r5 cohort.
+    Pin the families so a refactor reordering the dict doesn't
+    silently drop the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
     for required in (
-        # forced: A7's driver row (VERDICT r7 item 1)
-        "s3_tsql_surfaces",
-        # r8-born gates (never-checked -> forced into the window)
-        "t_ivm_profile", "t_ivm_quantile", "t_ivm_live_maintain",
-        "x6_manifest_plan", "x7_snapshot_audit", "m11_file_pruned_merge",
-        "dedup_index_append", "web_html_extract", "s16_delta_log_scan",
-        "s17_xml_ingest",
-        # stalest cohort (last green r3)
-        "w1_dedup_latest", "m8_cdc_corpus_vertical", "dedup_canonical",
-        "sim_ivf_index_topk", "corpus_mixture_sample",
-        "corpus_quality_filter", "corpus_shuffle_shards",
-        "sim_ivf_recall", "t_stream_dedup",
-        # r4-cohort families
-        "sim_pq_codes", "sim_ivfpq_topk", "corpus_bpe_merges",
-        "dedup_bloom_probe", "t_stream_stream_join", "w4_time_travel",
-        "w5_change_feed", "x5_retention_report", "t_incremental_agg",
-        "graph_pagerank", "t_gapfill", "t_grouping_sets",
-        "a8_value_quantiles", "w3_scd2_history", "dedup_index_pairs",
-        "sim_jl_project",
+        # r9-born gate (never-checked -> forced into the window)
+        "t_ivm_live_deletes",
+        # the 11 rows deferred from r8 to this window
+        "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
+        "sim_cluster_quality", "sim_pair_dist_stats", "tpch_q6",
+        "tpch_q18ish", "tpch_q4ish", "tpch_q22ish", "t_funnel",
+        "t_retention",
+        # the remaining r4 cohort (extinct after this window)
+        "t_anomaly", "t_event_pivot", "t_lag_features",
+        "a9_partition_advisor", "a10_regression", "mm_scene_cuts",
+        "mm_audio_segments", "s11_auth_mapping", "a6_shard_estimate",
+        # stalest of the r5 cohort
+        "x1_maintenance_vertical", "s8_blob_enrich",
+        "corpus_jsonl_roundtrip", "corpus_lm_score", "t_debounce",
+        "mm_sniff", "p11_zorder_key", "s12_binary_ingest",
+        "a11_profile", "a13_winsorize", "t_ewma_pow2",
+        "corpus_shard_manifest", "a14_freshness", "t_dwell_time",
+        "corpus_novelty", "a15_daily_growth",
     ):
         assert required in first50, required
 
