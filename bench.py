@@ -112,6 +112,29 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
+    # Load guard (VERDICT r8 item 3): a background-contaminated sample
+    # used to be adjudicated post-hoc via interleaved A/Bs; recording the
+    # 1-minute load average (before the session starts — Spark itself
+    # will saturate the box once running) next to calibration_scan_sec
+    # makes contamination machine-detectable. SPARK_GRAFT_BENCH_STRICT=1
+    # (the ledger-sampling ritual) REFUSES to produce a sample on a busy
+    # box instead of writing a number the ledger can't trust.
+    cpus = os.cpu_count() or 1
+    load_before = round(os.getloadavg()[0], 2)
+    load_ratio = round(load_before / cpus, 3)
+    if load_ratio > 0.15:
+        msg = (
+            f"# WARNING: pre-bench load {load_before} on {cpus} cpus "
+            f"(ratio {load_ratio} > 0.15) — sample is contaminated"
+        )
+        print(msg, file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            print(
+                '{"error": "load_guard", "load_before_1m": %s, '
+                '"cpus": %d}' % (load_before, cpus)
+            )
+            sys.exit(3)
+
     import __spark_entry__ as entry_mod
     from arcane_framework_scala_spark import get_session
 
@@ -242,6 +265,9 @@ def main() -> None:
         "headline7_query_stats": stats7,
         "calibration_scan_sec": calib,
         "runs_per_query": runs,
+        "load_before_1m": load_before,
+        "load_after_1m": round(os.getloadavg()[0], 2),
+        "cpus": cpus,
         "sf": sf,
     }
     detail_path = os.path.join(
@@ -263,6 +289,8 @@ def main() -> None:
         "headline7_total": detail["headline7_total"],
         "calibration_scan_sec": calib,
         "runs_per_query": runs,
+        "load_before_1m": load_before,
+        "cpus": cpus,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
