@@ -323,6 +323,7 @@ def export_delta(target, out_dir: str) -> int:
         cur[rel] = {
             "partitionValues": part_values,
             "size": st.st_size,
+            "modificationTime": st.st_mtime_ns // 1_000_000,
             "src": f,
         }
     has_log = bool(os.listdir(log))
@@ -398,6 +399,8 @@ def export_delta(target, out_dir: str) -> int:
                     "path": quote(rel, safe="/="),
                     "partitionValues": cur[rel]["partitionValues"],
                     "size": cur[rel]["size"],
+                    # spec-required field (PROTOCOL.md Add File)
+                    "modificationTime": cur[rel]["modificationTime"],
                     "dataChange": True,
                 }
             }
@@ -470,11 +473,13 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
                 part_values[k] = (
                     None if val == "__HIVE_DEFAULT_PARTITION__" else val
                 )
+        st = os.stat(os.path.join(out_dir, rel))
         return Row(
             add=Row(
                 path=quote(rel, safe="/="),
                 partitionValues=part_values,
-                size=os.path.getsize(os.path.join(out_dir, rel)),
+                size=st.st_size,
+                modificationTime=st.st_mtime_ns // 1_000_000,
                 dataChange=False,
             ),
             metaData=None,
@@ -485,7 +490,7 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
         add=None,
         metaData=Row(
             id=meta.get("id", "exported"),
-            format=Row(provider="parquet"),
+            format=Row(provider="parquet", options={}),
             schemaString=meta["schemaString"],
             partitionColumns=list(meta.get("partitionColumns") or []),
             configuration=dict(meta.get("configuration") or {}),
@@ -500,8 +505,9 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
     ck = spark.createDataFrame(
         [proto_row, meta_row] + [add_row(rel) for rel in rels],
         "add struct<path:string, partitionValues:map<string,string>, "
-        "size:bigint, dataChange:boolean>, "
-        "metaData struct<id:string, format:struct<provider:string>, "
+        "size:bigint, modificationTime:bigint, dataChange:boolean>, "
+        "metaData struct<id:string, "
+        "format:struct<provider:string, options:map<string,string>>, "
         "schemaString:string, partitionColumns:array<string>, "
         "configuration:map<string,string>>, "
         "protocol struct<minReaderVersion:int, minWriterVersion:int>",
