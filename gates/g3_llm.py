@@ -1,0 +1,1890 @@
+"""LLM-data-pipeline gates (dedup, similarity, IVM, text) (split from ``__spark_entry__.py``)."""
+
+from __future__ import annotations
+
+from gates.g2_reference import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (beyond-reference surface)
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    m = tx.quality_metrics(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in m.items()])
+
+
+def _text_quality_sql():
+    m = tx.quality_metrics_sql("text")
+    cols = ", ".join(f"{v} AS {k}" for k, v in m.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id, {tx.token_count_sql('text')} AS ws_tokens,
+       CAST({tx.bpe_ish_token_count_sql('text')} AS INT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_LANG_ID_SQL = f"SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_fingerprint(spark, sf_dir):
+    from arcane_framework_scala_spark.functions._parallel import spread_for_compute
+
+    # md5-per-window is the costliest text op — spread the 1-file scan,
+    # and project the normalization ONCE: the window lambda would
+    # otherwise re-run the regexp per character position (6x CPU)
+    docs = spread_for_compute(_read(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", norm.alias("__norm")).select(
+        "doc_id",
+        tx.fingerprint(F.col("__norm"), pre_normalized=True).alias("fp"),
+    )
+
+
+_FINGERPRINT_SQL = f"SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM documents"
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_signature(spark, sf_dir):
+    return dd.minhash_signature(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Candidate pairs → connected components → (doc_id, cluster_id): the
+    grouping step of near-dedup (one canonical survivor per cluster).
+    Oracle is an exact recursive-CTE closure over the same pairs."""
+    pairs = dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+    return dd.dedup_clusters(pairs)
+
+
+def q_dedup_incremental_pairs(spark, sf_dir):
+    """Incremental CDC dedup: a 20% batch of 'new' documents joins its
+    band signatures against the standing corpus instead of re-running
+    the corpus-wide self-join. Oracle is the exactness invariant itself:
+    full-corpus pairs EXCEPT old-only pairs — a hash match proves the
+    incremental path finds precisely the pairs the batch introduces."""
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dd.minhash_candidate_pairs_incremental(old, new)
+
+
+_DEDUP_INCR_SQL = f"""
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql("documents")}
+)
+EXCEPT
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql("(SELECT * FROM documents WHERE doc_id % 5 != 0)")}
+)
+"""
+
+
+def q_m8_cdc_corpus_vertical(spark, sf_dir):
+    """The two halves of the engine in ONE plan: a CDC batch (100 new
+    docs + 50 updated docs at version 200) MERGEs into the standing
+    corpus (M3 upsert semantics, newer version wins), and the merged
+    corpus flows straight into near-dup candidate analysis — per-doc
+    LSH candidate degree over the post-merge text. Proves merge
+    correctness AND that curation operators compose on a CDC-maintained
+    table, hash-exact."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    key = blob_merge_key("doc_id").alias("ARCANE_MERGE_KEY")
+    std = docs.filter(F.col("doc_id") % 5 != 0).select(
+        key, "doc_id", "text", F.lit(100).cast("long").alias("createdon")
+    )
+    upd = docs.filter(F.col("doc_id") % 10 == 3).select(
+        key, "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(200).cast("long").alias("createdon"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0).select(
+        key, "doc_id", "text", F.lit(200).cast("long").alias("createdon")
+    )
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    # the merged corpus feeds the band pipeline (twice, via the pair
+    # self-join) AND the final projection join — materialize the merge
+    # result once instead of recomputing the full-outer merge subtree
+    # per consumer (un-materialized: 15 scans / 26 exchanges; after: the
+    # merge runs once)
+    merged = materialize(
+        merge_apply(std, upd.unionByName(new), UPSERT_BLOB).drop(
+            "ARCANE_MERGE_KEY"
+        ),
+        eager=False,
+    )
+    pairs = dd.minhash_candidate_pairs(merged)
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    return (
+        merged.join(deg, "doc_id", "left")
+        .select(
+            "doc_id", "createdon", F.md5("text").alias("digest"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+        )
+    )
+
+
+_M8_SQL = f"""
+WITH std AS (
+  SELECT doc_id, text, CAST(100 AS BIGINT) AS createdon
+  FROM documents WHERE doc_id % 5 != 0
+),
+batch AS (
+  SELECT doc_id, text || ' v2' AS text, CAST(200 AS BIGINT) AS createdon
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text, CAST(200 AS BIGINT) AS createdon
+  FROM documents WHERE doc_id % 5 = 0
+),
+merged AS (
+  SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+         coalesce(b.text, s.text) AS text,
+         coalesce(b.createdon, s.createdon) AS createdon
+  FROM std s FULL JOIN batch b ON s.doc_id = b.doc_id
+),
+pairs AS (
+  {dd.minhash_candidate_pairs_sql("merged")}
+),
+deg AS (
+  SELECT id AS doc_id, count(*) AS n_cand
+  FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)
+  GROUP BY id
+)
+SELECT m.doc_id, m.createdon, md5(m.text) AS digest,
+       CAST(coalesce(d.n_cand, 0) AS BIGINT) AS n_cand
+FROM merged m LEFT JOIN deg d ON m.doc_id = d.doc_id
+"""
+
+
+def q_dedup_shingle_df_stats(spark, sf_dir):
+    """Shingle document-frequency histogram (log2 buckets) — the data
+    behind ngram_jaccard's ``max_shingle_df`` prefix-filter knob: how
+    many shingles live at each df tier tells you where the candidate
+    cap must sit before the self-join blows up. One distinct-explode +
+    two keyed aggregations."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dd.char_shingles("text", k=5)).alias("sh")
+    )
+    df_tab = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df"))
+    bucket = F.floor(F.log2(F.col("df"))).cast("int")
+    return (
+        df_tab.select(bucket.alias("log2_df"))
+        .groupBy("log2_df")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    )
+
+
+def _dedup_shingle_df_sql() -> str:
+    sh = dd._char_shingles_sql("text", 5)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh}) AS s FROM documents
+),
+df_tab AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+SELECT CAST(floor(log2(df)) AS INT) AS log2_df,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM df_tab GROUP BY 1
+"""
+
+
+def q_corpus_dedup_card(spark, sf_dir):
+    """The dataset-card dedup summary in one row: corpus size, exact-dup
+    rows beyond the first copy, near-dup members removable by
+    canonicalization, and the surviving count — the headline numbers a
+    curation report leads with. Composes exact_dedup + the connected-
+    components canonical set; each input is its own bounded aggregate,
+    joined as 1-row frames."""
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    exact = dd.exact_dedup(docs).agg(
+        F.sum(F.col("dup_count") - 1).cast("long").alias("exact_dup_docs")
+    )
+    clusters = dd.dedup_clusters(dd.minhash_candidate_pairs(docs))
+    near = clusters.filter(F.col("doc_id") != F.col("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("near_dup_docs")
+    )
+    return (
+        total.join(exact).join(near)
+        .select(
+            "total_docs", "exact_dup_docs", "near_dup_docs",
+            (F.col("total_docs") - F.col("near_dup_docs")).alias(
+                "canonical_docs"
+            ),
+        )
+    )
+
+
+def _corpus_dedup_card_sql() -> str:
+    clusters = dd.dedup_clusters_sql(dd.minhash_candidate_pairs_sql("documents"))
+    return f"""
+WITH total AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+exact AS (
+  SELECT CAST(sum(dup_count - 1) AS BIGINT) AS exact_dup_docs
+  FROM ({dd.exact_dedup_sql("documents")})
+),
+near AS (
+  SELECT CAST(count(*) AS BIGINT) AS near_dup_docs
+  FROM ({clusters}) WHERE doc_id != cluster_id
+)
+SELECT total_docs, exact_dup_docs, near_dup_docs,
+       total_docs - near_dup_docs AS canonical_docs
+FROM total, exact, near
+"""
+
+
+def q_sim_pair_dist_stats(spark, sf_dir):
+    """LSH tuning signal: the similarity DISTRIBUTION over embedding
+    candidate pairs (count + exact p25/50/75/90 of pair cosine) — the
+    number you read before choosing a dedup threshold. Composes the
+    bucketed pair generator with the exact-quantile aggregate; the pair
+    cosine is computed in the pair projection (HOF fold over norms
+    carried as columns), one final 1-row aggregate."""
+    pairs = dd.embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"), dim=64, bits=8, threshold=-1.0
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            F.round(F.expr(f"percentile(sim, {q!r})"), 6).alias(
+                f"p{int(q*100)}"
+            )
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ],
+    )
+
+
+def _sim_pair_dist_sql() -> str:
+    pairs = dd.embedding_near_dup_sql("embeddings", dim=64, bits=8, threshold=-1.0)
+    return f"""
+SELECT count(*) AS n_pairs,
+       round(quantile_cont(sim, 0.25), 6) AS p25,
+       round(quantile_cont(sim, 0.5), 6) AS p50,
+       round(quantile_cont(sim, 0.75), 6) AS p75,
+       round(quantile_cont(sim, 0.9), 6) AS p90
+FROM ({pairs})
+"""
+
+
+def q_dedup_index_pairs(spark, sf_dir):
+    """Incremental dedup against the PERSISTED band index (the dedup
+    sibling of sim_ivf_index_topk): the standing corpus's band table is
+    written partitioned by (band, bucket-prefix); the batch's candidate
+    search reads only the partitions its own buckets touch. Same
+    exactness-invariant oracle as the in-memory incremental path — a
+    hash match proves the stored index loses nothing."""
+    import tempfile
+    import uuid
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"arcane_band_idx_{uuid.uuid4().hex}"
+    )
+    dd.build_band_index(old, idx_path)
+    return dd.minhash_candidate_pairs_indexed(spark, idx_path, new)
+
+
+def q_dedup_index_append(spark, sf_dir):
+    """The MAINTENANCE half of the persisted-index dedup story: the
+    standing corpus's band index is built once, then each CDC batch
+    probes AND appends (``append_band_index`` — partition-aligned
+    append computed from the batch alone, layout params from the stored
+    metadata). Batch 2's probe runs against the GROWN index (base ∪
+    batch 1), and the gate pins it equal to the in-memory incremental
+    path over the grown corpus before returning — so a green row proves
+    index maintenance loses nothing and invents nothing. The oracle is
+    the exactness invariant: pairs(all) minus pairs(all − batch2)."""
+    import tempfile
+    import uuid
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 0))
+    batch2 = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 1))
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"arcane_band_apx_{uuid.uuid4().hex}"
+    )
+    dd.build_band_index(base, idx_path)
+    dd.append_band_index(idx_path, batch1)
+    got = dd.minhash_candidate_pairs_indexed(spark, idx_path, batch2)
+    live = dd.minhash_candidate_pairs_incremental(
+        base.unionByName(batch1), batch2
+    )
+    d1 = got.exceptAll(live).count()
+    d2 = live.exceptAll(got).count()
+    if d1 or d2:
+        raise AssertionError(
+            f"appended-index probe diverged from live path: {d1}/{d2}"
+        )
+    return got
+
+
+_DEDUP_INDEX_APPEND_SQL = f"""
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql("documents")}
+)
+EXCEPT
+SELECT id_a, id_b FROM (
+  {dd.minhash_candidate_pairs_sql(
+      "(SELECT * FROM documents "
+      "WHERE NOT (doc_id % 5 = 0 AND doc_id % 2 = 1))"
+  )}
+)
+"""
+
+
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering contract, computed by the O(log n)-round
+    large-star/small-star contraction instead of label propagation —
+    the variant that stays bounded on long-chain components. Identical
+    oracle (exact recursive closure), so a green row proves the two
+    algorithms agree on real LSH pair graphs, not just unit fixtures."""
+    pairs = dd.minhash_candidate_pairs(_read(spark, sf_dir, "documents"))
+    return dd.dedup_clusters_star(pairs)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End of the near-dup pipeline: the deduplicated corpus itself — one
+    canonical (min-id) survivor per MinHash-LSH connected component, all
+    singletons kept. Returns (doc_id, md5 digest) so the gate hashes
+    cheaply; the oracle anti-joins the exact transitive closure."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(docs)
+    return dd.dedup_canonical(
+        docs.select("doc_id", F.md5("text").alias("digest")), pairs
+    )
+
+
+def q_dedup_span_stats(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee-et-al-style duplicated
+    n-gram spans): per-doc duplicated-token coverage after merging
+    overlapping duplicated windows. n=5 over the synthetic vocabulary
+    keeps random-collision noise out while catching real shared
+    passages."""
+    from arcane_framework_scala_spark.functions.span_dedup import (
+        duplicated_ngram_spans,
+    )
+
+    return duplicated_ngram_spans(_read(spark, sf_dir, "documents"), n=5)
+
+
+def q_m7_real_merge_vertical(spark, sf_dir):
+    """Generated MERGE INTO executed for REAL against the javaext mem
+    catalog (DSv2 SupportsRowLevelOperations — Iceberg's copy-on-write
+    surface), loaded into the driver's bare session via ADD JAR + lazy
+    catalog instantiation. Two sequential CT-dialect batches (bootstrap
+    inserts, then updates/deletes/inserts) over events; the oracle
+    replays the same two-batch merge algebra in SQL."""
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m7"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} (ARCANE_MERGE_KEY STRING, "
+        "SYS_CHANGE_VERSION BIGINT, user_id BIGINT, event_type STRING, "
+        "value_milli BIGINT) USING mem"
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t_hi, t_mid = (mx * 6) // 10, (mx * 3) // 10
+    batch = ev.filter(F.col("event_id") <= t_hi).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    from arcane_framework_scala_spark.queries.merge import build_merge_query
+
+    for pred in (
+        F.col("SYS_CHANGE_VERSION") <= t_mid,
+        F.col("SYS_CHANGE_VERSION") > t_mid,
+    ):
+        view = "arcane_m7_staged"
+        part = batch.filter(pred)
+        part.createOrReplaceTempView(view)
+        spark.sql(
+            build_merge_query(
+                SQL_SERVER_CHANGE_TRACKING, table, view, part.columns,
+                deduplicate=True,
+            )
+        )
+        spark.catalog.dropTempView(view)
+    return spark.table(table)
+
+
+_M7_SQL = f"""
+WITH b AS (
+  SELECT max(event_id) * 6 // 10 AS t_hi,
+         max(event_id) * 3 // 10 AS t_mid
+  FROM events
+),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CASE WHEN event_id <= b.t_mid THEN 1 ELSE 2 END AS batch
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k, batch ORDER BY ver DESC) AS rk
+  FROM src
+),
+b1 AS (SELECT * FROM ranked WHERE batch = 1 AND rk = 1),
+b2 AS (SELECT * FROM ranked WHERE batch = 2 AND rk = 1)
+SELECT coalesce(b2.k, b1.k) AS "ARCANE_MERGE_KEY",
+       CASE WHEN b2.k IS NOT NULL THEN b2.ver ELSE b1.ver END
+         AS "SYS_CHANGE_VERSION",
+       CASE WHEN b2.k IS NOT NULL THEN b2.user_id ELSE b1.user_id END
+         AS user_id,
+       CASE WHEN b2.k IS NOT NULL THEN b2.event_type ELSE b1.event_type END
+         AS event_type,
+       CASE WHEN b2.k IS NOT NULL THEN b2.value_milli ELSE b1.value_milli END
+         AS value_milli
+FROM b1 FULL JOIN b2 ON b1.k = b2.k
+WHERE CASE WHEN b2.k IS NOT NULL THEN NOT b2.del ELSE NOT b1.del END
+"""
+
+
+def q_m8_lakehouse_vertical(spark, sf_dir):
+    """The FULL lakehouse lifecycle on ONE durable copy-on-write table
+    (``DurableCatalogTarget``): three CT-dialect waves merged with real
+    ``MERGE INTO`` through the DSv2 row-level-op surface, each committing
+    a durable parquet snapshot — then X1 compaction, X4 ANALYZE, X3
+    orphan removal and X2 snapshot expiry run on the SAME table, time
+    travel proves compaction was metadata-only, and a T9 crash-replay of
+    the last wave lands byte-identical. This is the unified shape the
+    reference gets from Trino-on-Iceberg (``JdbcMergeServiceClient.
+    scala:62-91`` + ``JdbcOptimizationRequest.scala:4-30``) — one table
+    that merges, versions, and maintains. The oracle replays the
+    three-wave merge algebra in SQL (waves partition disjoint increasing
+    version ranges, so sequential merge == global latest-per-key with
+    delete-last semantics)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        analyze_snapshot,
+        expire_snapshots,
+        optimize_snapshot,
+        remove_orphan_files,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m8"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m8_run_")
+    target = DurableCatalogTarget(
+        # 500-row chunks fragment every snapshot so X1 has work to do
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2, t3 = (mx * 3) // 10, (mx * 6) // 10, (mx * 9) // 10
+    batch = ev.filter(F.col("event_id") <= t3).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    waves = [ver <= t1, (ver > t1) & (ver <= t2), ver > t2]
+    for pred in waves:
+        sink.apply(batch.filter(pred))
+    if target.versions() != [1, 2, 3]:
+        raise AssertionError(f"3 merges -> 3 snapshots, got {target.versions()}")
+    n_rows = target.read().count()
+
+    # X1 compaction (-> v=4) must be metadata-only: time travel to the
+    # pre-compaction snapshot and diff
+    optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
+    pre, post = target.read_version(3), target.read_version(4)
+    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+        raise AssertionError("compaction changed table values")
+
+    stats = analyze_snapshot(target.snapshots)  # X4
+    if stats.records != n_rows:
+        raise AssertionError(f"ANALYZE records {stats.records} != {n_rows}")
+
+    open(os.path.join(run_dir, "t", "_CURRENT.tmp"), "w").write("9")
+    if remove_orphan_files(target.snapshots) != ["_CURRENT.tmp"]:  # X3
+        raise AssertionError("orphan removal missed the crashed pointer tmp")
+
+    if expire_snapshots(target.snapshots, keep_last=2) != [1, 2]:  # X2
+        raise AssertionError("expire should drop exactly v=1 and v=2")
+
+    # T9 crash-replay: the last wave re-merged onto the compacted
+    # snapshot commits v=5 with identical values
+    sink.apply(batch.filter(waves[2]))
+    if target.versions() != [3, 4, 5]:
+        raise AssertionError(f"post-replay history wrong: {target.versions()}")
+    final = target.read()
+    replayed = target.read_version(4)
+    if final.exceptAll(replayed).count() or replayed.exceptAll(final).count():
+        raise AssertionError("replaying wave 3 was not idempotent")
+    # twin: the catalog execution table mirrors the durable snapshot
+    cat = spark.table(table)
+    if cat.exceptAll(final).count() or final.exceptAll(cat).count():
+        raise AssertionError("catalog table diverged from durable snapshot")
+    return final
+
+
+_M8_LAKEHOUSE_SQL = f"""
+WITH b AS (SELECT max(event_id) * 9 // 10 AS t_hi FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, event_type, value_milli
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
+def q_m10_pruned_cow_merge(spark, sf_dir):
+    """Partition-scoped copy-on-write MERGE (the r6 verdict's top item):
+    on a hive-partitioned durable table the rewrite group is PRUNED to
+    the partitions the batch writes into or holds a matched merge key
+    in — Iceberg CoW's file-group pruning, the partition-scoped merge
+    the reference's ``ON … IN (…)`` lists buy
+    (``models/queries/MergeQuerySegment.scala:54-71``). The table is
+    bucket-partitioned on a KEY-DERIVED column (``user_id % 4`` —
+    Iceberg bucket-spec shape), so wave 3, whose rows are all
+    ``user_id % 4 == 0``, provably touches ONE partition; the gate pins
+    that every other bucket's data files are BYTE-IDENTICAL across the
+    snapshot commit (same inode — carried by hard link, zero data
+    movement), not merely value-equal. Waves hold disjoint increasing
+    version ranges, so the sequential MERGE algebra equals global
+    latest-per-key with delete-last semantics — which is what the
+    oracle recomputes over the included row set."""
+    import hashlib
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m10"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m10_run_")
+    target = DurableCatalogTarget(
+        spark,
+        os.path.join(run_dir, "t"),
+        table,
+        partition_cols=["bucket"],
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2, t3 = (mx * 3) // 10, (mx * 6) // 10, (mx * 9) // 10
+    batch = ev.filter(F.col("event_id") <= t3).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    waves = [
+        ver <= t1,
+        (ver > t1) & (ver <= t2),
+        (ver > t2) & (F.col("bucket") == 0),
+    ]
+    sink.apply(batch.filter(waves[0]))
+    sink.apply(batch.filter(waves[1]))
+
+    def dir_hashes(vdir):
+        out = {}
+        for dirpath, _dirs, files in os.walk(vdir):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, vdir)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    v2_dir = os.path.join(run_dir, "t", "v=2")
+    v3_dir = os.path.join(run_dir, "t", "v=3")
+    before = dir_hashes(v2_dir)
+    sink.apply(batch.filter(waves[2]))  # touches bucket=0 ONLY
+    after = dir_hashes(v3_dir)
+    for b in (1, 2, 3):
+        part = f"bucket={b}"
+        pinned = {k: h for k, h in before.items() if k.startswith(part)}
+        carried = {k: h for k, h in after.items() if k.startswith(part)}
+        if not pinned or carried != pinned:
+            raise AssertionError(
+                f"untouched partition {part} was rewritten: "
+                f"{len(pinned)} files before vs {len(carried)} after"
+            )
+        for rel in pinned:  # carried by hard link: the same inode
+            if not os.path.samefile(
+                os.path.join(v2_dir, rel), os.path.join(v3_dir, rel)
+            ):
+                raise AssertionError(f"{part}/{rel} copied, not linked")
+    touched_before = {k for k in before if k.startswith("bucket=0")}
+    touched_after = {k for k in after if k.startswith("bucket=0")}
+    if touched_before & touched_after:
+        raise AssertionError("bucket=0 files were not rewritten")
+    return target.read()
+
+
+_M10_PRUNED_COW_SQL = f"""
+WITH b AS (SELECT max(event_id) AS mx FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         CAST(user_id % 4 AS INTEGER) AS bucket
+  FROM events, b
+  WHERE event_id <= mx * 9 // 10
+    AND (event_id <= mx * 6 // 10 OR user_id % 4 = 0)
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, value_milli, bucket
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
+def q_s16_delta_log_scan(spark, sf_dir):
+    """Jar-free Delta Lake interop (``sources/delta_reader.py``): a
+    Delta table is constructed around plain parquet files by writing
+    REAL ``_delta_log`` protocol commits (protocol/metaData/add/remove
+    JSON actions, delta.io PROTOCOL.md), then read back by replaying
+    the log — no connector jar anywhere. Commit 0 adds the first two
+    event ranges; commit 1 compacts one away (remove + re-add) and adds
+    the third — so the replay must honor removes, and ``VERSION AS OF``
+    0 must still see the pre-compaction table (asserted in-gate). The
+    OUTBOUND half is pinned too: ``export_delta`` publishes two
+    snapshots of a versioned-parquet target as incremental Delta
+    commits, read back through the same protocol with time travel. The
+    final snapshot is the full event projection, which the oracle
+    recomputes relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s16_run_")
+    table = os.path.join(run_dir, "t")
+    os.makedirs(table)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
+
+    def one_file(df, rel):
+        tmp = os.path.join(run_dir, "w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+
+    one_file(ev.filter(F.col("event_id") <= t1), "fA.parquet")
+    one_file(
+        ev.filter((F.col("event_id") > t1) & (F.col("event_id") <= t2)),
+        "fB.parquet",
+    )
+    one_file(
+        ev.filter((F.col("event_id") > t1) & (F.col("event_id") <= t2)),
+        "fB2.parquet",
+    )
+    one_file(ev.filter(F.col("event_id") > t2), "fC.parquet")
+    import json as _json
+
+    schema_json = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": ty, "nullable": True, "metadata": {}}
+                for n, ty in (
+                    ("event_id", "long"),
+                    ("user_id", "long"),
+                    ("event_type", "string"),
+                    ("value_milli", "long"),
+                )
+            ],
+        }
+    )
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+
+    def commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "s16", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": schema_json,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "fA.parquet", "dataChange": True}},
+        {"add": {"path": "fB.parquet", "dataChange": True}},
+    ])
+    commit(1, [
+        {"remove": {"path": "fB.parquet", "dataChange": True}},
+        {"add": {"path": "fB2.parquet", "dataChange": False}},
+        {"add": {"path": "fC.parquet", "dataChange": True}},
+    ])
+    # VERSION AS OF 0: the pre-compaction snapshot, exactly ev <= t2
+    v0 = dr.read_delta(spark, table, version=0)
+    want0 = ev.filter(F.col("event_id") <= t2)
+    if v0.exceptAll(want0).count() or want0.exceptAll(v0).count():
+        raise AssertionError("VERSION AS OF 0 diverged from commit-0 adds")
+    if len(dr.active_files(table)) != 3:
+        raise AssertionError("replay should leave fA, fB2, fC live")
+
+    # export leg (the OUTBOUND half): publish two snapshots of a
+    # SnapshotParquetTarget as incremental Delta commits and read them
+    # back through the same protocol — round-trip + time travel pinned
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(want0)
+    exp = os.path.join(run_dir, "delta_pub")
+    if dr.export_delta(st, exp) != 0:
+        raise AssertionError("first export should be Delta version 0")
+    st.overwrite(ev)
+    if dr.export_delta(st, exp) != 1:
+        raise AssertionError("second export should be Delta version 1")
+    pub = dr.read_delta(spark, exp)
+    if pub.exceptAll(ev).count() or ev.exceptAll(pub).count():
+        raise AssertionError("exported Delta table diverged from source")
+    old = dr.read_delta(spark, exp, version=0)
+    if old.exceptAll(want0).count() or want0.exceptAll(old).count():
+        raise AssertionError("exported VERSION AS OF 0 diverged")
+    return dr.read_delta(spark, table)
+
+
+_S16_DELTA_LOG_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events
+"""
+
+
+def q_s17_xml_ingest(spark, sf_dir):
+    """XML ingestion through Spark's native parser (S10-class format
+    breadth — the enterprise-CDC payload the blob sources don't cover
+    yet): an XML envelope is synthesized around each document IN BOTH
+    ENGINES (fields + an entity-escaped body), Spark parses it back
+    with ``from_xml`` (JVM-side, codegen-friendly; whitespace
+    preservation pinned via ignoreSurroundingSpaces=false), and the
+    gate returns the parsed fields — so the oracle is the INVERSION:
+    parsing must recover exactly the source columns, entity round-trip
+    included. Corpus-robustness hardening (the XML spec, mirrored in
+    the oracle): CR/CRLF is normalized to LF and EVERY XML-1.0-illegal
+    control character to a space BEFORE synthesis (the StAX parser
+    would normalize/reject them anyway), NULL text reads as empty,
+    every interpolated string field is escaped, and the body carries
+    an 'x' prefix so an empty text survives (``<body></body>`` parses
+    to NULL, not '')."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def esc(col):
+        out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+        out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+        return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"\r\n?", "\n"
+        ),
+        r"[\x00-\x08\x0b\x0c\x0e-\x1f]",
+        " ",
+    )
+    xml = F.concat(
+        F.lit("<doc><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"),
+        esc(F.col("lang")),
+        F.lit("</lang><n>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</n><body>x"),
+        esc(norm),
+        F.lit("</body></doc>"),
+    )
+    parsed = docs.select(
+        F.from_xml(
+            xml,
+            "id BIGINT, lang STRING, n BIGINT, body STRING",
+            {"ignoreSurroundingSpaces": "false"},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.n").alias("n_chars"),
+        F.md5("r.body").alias("body_md5"),
+    )
+
+
+_S17_XML_SQL = r"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       md5('x' || regexp_replace(
+              regexp_replace(coalesce(text, ''), '\r\n?', chr(10), 'g'),
+              '[\x00-\x08\x0b\x0c\x0e-\x1f]', ' ', 'g')) AS body_md5
+FROM documents
+"""
+
+
+def q_m11_file_pruned_merge(spark, sf_dir):
+    """File-granular copy-on-write MERGE (VERDICT r7 item 2a — Iceberg's
+    real rewrite unit, ``file_group_pruning=True``): on an UNPARTITIONED
+    durable table that was sort-compacted on the merge key and carries a
+    column-range manifest, a batch touching only the low quarter of the
+    key space (keys < '4' — the SHA-256 hex keys are uniform, so this is
+    a contiguous range of the sorted layout) rewrites ONLY the files
+    whose key range overlaps it: the manifest prunes the planning probe
+    itself, every unmatched file is carried into the new snapshot BY
+    HARD LINK (same inode — pinned), and at least one file is genuinely
+    rewritten. The default stays False (the whole-table path keeps the
+    steady-state mirror elision; see docs/SCALE.md) — this gate is the
+    opt-in path's end-to-end proof. Waves hold disjoint increasing
+    version ranges, so sequential MERGE == global latest-per-key with
+    delete-last over the included rows, which the oracle recomputes."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks import manifest as mf
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+    from arcane_framework_scala_spark.sinks.table_stats import table_stats
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.m11"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_m11_run_")
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, file_group_pruning=True
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t2 = (mx * 6) // 10
+    batch = ev.select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    sink.apply(batch.filter(ver <= t2))  # v=1
+    total = table_stats(os.path.join(run_dir, "t", "v=1")).bytes
+    optimize_snapshot(  # v=2: ~8 files sorted by merge key
+        target.snapshots,
+        target_file_bytes=max(1, total // 8),
+        sort_cols=["ARCANE_MERGE_KEY"],
+    )
+    man = mf.build_manifest(target.snapshots, ["ARCANE_MERGE_KEY"])
+    if len(man) < 3:
+        raise AssertionError(f"sorted layout too coarse: {len(man)} files")
+    # wave 2: the low quarter of the key space — clustered on the layout
+    wave2 = batch.filter((ver > t2) & (F.col("ARCANE_MERGE_KEY") < "4"))
+    sink.apply(wave2)  # v=3 via the file-pruned path
+    v2_dir = os.path.join(run_dir, "t", "v=2")
+    v3_dir = os.path.join(run_dir, "t", "v=3")
+    v2_files = {
+        f for f in os.listdir(v2_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    carried = {
+        f
+        for f in v2_files
+        if os.path.exists(os.path.join(v3_dir, f))
+        and os.path.samefile(
+            os.path.join(v2_dir, f), os.path.join(v3_dir, f)
+        )
+    }
+    if not carried:
+        raise AssertionError("no file carried by hard link — pruning dead")
+    if not v2_files - carried:
+        raise AssertionError("no file rewritten — the merge was a no-op?")
+    # the carried set must be exactly the files whose key range misses
+    # the batch (manifest ranges are authoritative on the sorted layout;
+    # a file WITHOUT usable stats is a candidate by the safe-over-
+    # selection rule, so it may legitimately be rewritten — skip it)
+    untouched = {
+        rel for rel, e in man.items()
+        if (rng := e["ranges"].get("ARCANE_MERGE_KEY")) and rng[0] >= "4"
+    }
+    if not untouched <= carried:
+        raise AssertionError(
+            f"files outside the batch range were rewritten: "
+            f"{sorted(untouched - carried)[:3]}"
+        )
+    return target.read()
+
+
+_M11_FILE_PRUNED_SQL = f"""
+WITH b AS (SELECT max(event_id) AS mx FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events, b
+  WHERE event_id <= mx * 6 // 10
+     OR {mssql_merge_key_sql('user_id')} < '4'
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, value_milli
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
+def q_x6_manifest_plan(spark, sf_dir):
+    """Manifest-planned range reads on the durable snapshot layout
+    (VERDICT r7 items 2b + 7): after a sort-strategy compaction on
+    ``event_id``, ``build_manifest`` sweeps the footers once into the
+    ``_MANIFEST.json`` sidecar, and the TARGET's own ``read_range``
+    plans from it — the gate pins that the range scan opens strictly
+    fewer files than the snapshot holds (and more than zero), i.e.
+    pruning happened at PLANNING time, before any data I/O: Iceberg's
+    manifest min/max pruning on the sandbox layout. The oracle is the
+    plain relational range filter."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks import manifest as mf
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x6_run_")
+    target = SnapshotParquetTarget(
+        spark, os.path.join(run_dir, "t"), max_rows_per_file=2000
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    target.overwrite(ev)  # v=1: fragmented, unsorted
+    from arcane_framework_scala_spark.sinks.table_stats import table_stats
+
+    total = table_stats(os.path.join(run_dir, "t", "v=1")).bytes
+    optimize_snapshot(
+        target, target_file_bytes=max(1, total // 8), sort_cols=["event_id"]
+    )  # v=2: ~8 sorted files, non-overlapping event_id ranges per file
+    man = mf.build_manifest(target, ["event_id"])
+    if len(man) < 2:
+        raise AssertionError(f"sorted snapshot too coarse to prune: {man}")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    lo, hi = (mx * 2) // 10, (mx * 3) // 10
+    planned = mf.plan_files(target, "event_id", lo=lo, hi=hi)
+    if planned is None or not (0 < len(planned) < len(man)):
+        raise AssertionError(
+            f"manifest planning did not prune: {planned and len(planned)} "
+            f"of {len(man)} files"
+        )
+    out = target.read_range("event_id", lo=lo, hi=hi)
+    opened = len(out.inputFiles())
+    if opened != len(planned):
+        raise AssertionError(
+            f"read_range opened {opened} files, planner chose {len(planned)}"
+        )
+    return out
+
+
+_X6_MANIFEST_SQL = """
+WITH b AS (SELECT max(event_id) AS mx FROM events)
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events, b
+WHERE event_id >= mx * 2 // 10 AND event_id <= mx * 3 // 10
+"""
+
+
+def q_x7_snapshot_audit(spark, sf_dir):
+    """Maintenance-surface audit vertical (VERDICT r7 item 2d): on one
+    durable CoW table fed by three CT merge waves, (1) ``history()``
+    lists the commit ledger — versions [1,2,3] with nondecreasing
+    commit times stamped at the pointer flip; (2) ``read_as_of`` at a
+    wall-clock instant captured between wave 2 and wave 3 resolves to
+    snapshot v=2 exactly (time travel by timestamp); (3) the
+    stats-driven ``should_compact`` trigger fires on the fragmented
+    snapshot (500-row files) and is quenched by the compaction it
+    recommends, which adds v=4 without changing values. Returns the
+    as-of state — the table as a reader between the waves saw it —
+    whose algebra the oracle recomputes (latest-per-key with
+    delete-last over the first two waves' version range)."""
+    import tempfile
+    import time
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+        should_compact,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.x7"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_x7_run_")
+    # 5-row files fragment every snapshot so the stats trigger has
+    # small-file pressure to detect (the merged table is ~|users| rows,
+    # which is only ~12 at sf0.001)
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=5
+    )
+    ev = _read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2, t3 = (mx * 3) // 10, (mx * 6) // 10, (mx * 9) // 10
+    batch = ev.filter(F.col("event_id") <= t3).select(
+        mssql_merge_key("user_id").alias("ARCANE_MERGE_KEY"),
+        F.col("event_id").alias("SYS_CHANGE_VERSION"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "SYS_CHANGE_OPERATION"
+        ),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    sink.apply(batch.filter(ver <= t1))
+    sink.apply(batch.filter((ver > t1) & (ver <= t2)))
+    time.sleep(0.05)
+    between = time.time()  # a reader's clock between wave 2 and wave 3
+    time.sleep(0.05)
+    sink.apply(batch.filter(ver > t2))
+
+    hist = target.history()
+    if [v for v, _ in hist] != [1, 2, 3]:
+        raise AssertionError(f"commit ledger wrong: {hist}")
+    times = [ts for _, ts in hist]
+    if times != sorted(times):
+        raise AssertionError(f"commit times not monotonic: {times}")
+    if target.snapshots.version_as_of(between) != 2:
+        raise AssertionError("read_as_of did not resolve to v=2")
+    as_of = target.read_as_of(between)
+    v2 = target.read_version(2)
+    if as_of.exceptAll(v2).count() or v2.exceptAll(as_of).count():
+        raise AssertionError("as-of read differs from read_version(2)")
+
+    # stats-driven compaction trigger: fragmented -> fire; compacted ->
+    # quenched; values unchanged across the rewrite
+    if not should_compact(target.snapshots, target_file_bytes=128 << 20):
+        raise AssertionError("should_compact missed the fragmented layout")
+    optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
+    if should_compact(target.snapshots, target_file_bytes=128 << 20):
+        raise AssertionError("should_compact still firing post-compaction")
+    pre, post = target.read_version(3), target.read_version(4)
+    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+        raise AssertionError("compaction changed table values")
+    return as_of
+
+
+_X7_SNAPSHOT_AUDIT_SQL = f"""
+WITH b AS (SELECT max(event_id) * 6 // 10 AS t_hi FROM events),
+src AS (
+  SELECT {mssql_merge_key_sql('user_id')} AS k,
+         event_id AS ver,
+         event_type = 'error' AS del,
+         user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events, b WHERE event_id <= b.t_hi
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY k ORDER BY ver DESC) AS rk FROM src
+)
+SELECT k AS "ARCANE_MERGE_KEY", ver AS "SYS_CHANGE_VERSION",
+       user_id, event_type, value_milli
+FROM ranked WHERE rk = 1 AND NOT del
+"""
+
+
+def _web_ingest_setup(spark, sf_dir, gate: str):
+    """Shared m9/a21 scaffolding: a fresh durable CoW target (table
+    ``arcm.gate.<gate>``), the canonical-URL-keyed CDC batch projection,
+    and the three disjoint crawl-wave predicates. The wave thresholds
+    aggregate max(doc_id) from the RAW documents scan (not the
+    regexp-heavy canonicalized projection)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = f"arcm.gate.{gate}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix=f"arcane_{gate}_run_")
+    target = DurableCatalogTarget(
+        spark, os.path.join(run_dir, "t"), table, max_rows_per_file=500
+    )
+    batch = _docs_with_urls(spark, sf_dir).select(
+        mssql_merge_key("canon_url").alias("ARCANE_MERGE_KEY"),
+        F.col("doc_id").alias("SYS_CHANGE_VERSION"),
+        F.lit("U").alias("SYS_CHANGE_OPERATION"),
+        "doc_id",
+        "host",
+        "canon_url",
+        "n_chars",
+    )
+    mx = _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    ver = F.col("SYS_CHANGE_VERSION")
+    waves = [ver <= t1, (ver > t1) & (ver <= t2), ver > t2]
+    return target, sink, batch, waves
+
+
+def q_m9_web_ingest_vertical(spark, sf_dir):
+    """Web-crawl ingestion on the durable CoW lakehouse table: documents
+    arrive in three CDC waves (doc_id = crawl order = change version),
+    each wave canonicalizes its URLs inline in the scan
+    (``functions/web.py`` — zero extra shuffles) and real-MERGEs into ONE
+    ``DurableCatalogTarget`` keyed on the canonical URL, so re-crawls of
+    the same page (tracking-param noise collapsed) upsert instead of
+    duplicating. Latest crawl wins; a T9 replay of the last wave lands
+    byte-identical. The oracle replays the algebra: waves partition
+    disjoint increasing doc_id ranges, so sequential MERGE == global
+    latest-crawl-per-canonical-URL."""
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "m9")
+    for pred in waves:
+        sink.apply(batch.filter(pred))
+    if target.versions() != [1, 2, 3]:
+        raise AssertionError(f"3 merges -> 3 snapshots, got {target.versions()}")
+    # T9 replay of the final crawl wave: byte-identical state, new snapshot
+    sink.apply(batch.filter(waves[2]))
+    final = target.read()
+    replayed = target.read_version(3)
+    if final.exceptAll(replayed).count() or replayed.exceptAll(final).count():
+        raise AssertionError("replaying the last crawl wave was not idempotent")
+    return final.select("doc_id", "host", "canon_url", "n_chars")
+
+
+_M9_WEB_INGEST_SQL = """
+WITH ranked AS (
+  SELECT doc_id, host, canon_url, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT doc_id, host, canon_url, n_chars FROM ranked WHERE rk = 1
+"""
+
+
+def q_a21_host_stats_ivm(spark, sf_dir):
+    """Incremental view maintenance over the change data feed: the
+    host-level profile (docs, byte mass) is bootstrapped from crawl
+    wave 1 and then maintained purely from ``changes()`` CDF deltas as
+    waves 2 and 3 MERGE into the durable CoW table — O(|delta|) per
+    wave, never a full-table rescan (the 100 TB answer to per-wave
+    statistics; the reference recomputes stats from the merged table).
+    The gate asserts the maintained view equals a from-scratch groupBy
+    of the final table, and the oracle recomputes it relationally."""
+    from arcane_framework_scala_spark.operators import ivm
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "a21")
+
+    sink.apply(batch.filter(waves[0]))
+    stats = ivm.group_stats_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).localCheckpoint()
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        delta = ivm.group_delta(target.changes(v - 1, v), "host", "n_chars")
+        stats = ivm.apply_group_delta(stats, delta, "host").localCheckpoint()
+
+    recomputed = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    if stats.exceptAll(recomputed).count() or recomputed.exceptAll(stats).count():
+        raise AssertionError("IVM view diverged from full recompute")
+    # nn_size is auxiliary state (it equals count(n_chars), proven by the
+    # exceptAll against the fresh bootstrap above); the view's contract
+    # output stays (host, docs, sum_size)
+    return stats.select("host", "docs", "sum_size")
+
+
+_A21_HOST_STATS_IVM_SQL = """
+WITH ranked AS (
+  SELECT host, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT host, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS sum_size
+FROM ranked WHERE rk = 1 GROUP BY 1
+"""
+
+
+def q_t_ivm_state_merge(spark, sf_dir):
+    """IVM state as a MERGE-maintained catalog TABLE (the production
+    twin of a21's DataFrame path): the host profile bootstraps as an
+    all-insert delta, then every crawl wave's CDF delta upserts the
+    state table with one generated MERGE (additive update,
+    delete-at-zero, insert-positive; the nn_size auxiliary returns
+    sums to NULL when the last non-NULL contributor leaves). O(|delta|)
+    per wave against a groups-sized table — never a base-table rescan.
+    The gate asserts the merged state equals a from-scratch groupBy of
+    the final table; the oracle recomputes it relationally."""
+    from arcane_framework_scala_spark.operators import ivm
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tivm")
+    state = "arcm.gate.tivm_state"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT) "
+        "USING mem"
+    )
+
+    def merge_delta(delta):
+        view = "__tivm_delta"
+        delta.createOrReplaceTempView(view)
+        try:
+            spark.sql(ivm.group_state_merge_sql(state, view))
+        finally:
+            spark.catalog.dropTempView(view)
+
+    sink.apply(batch.filter(waves[0]))
+    boot = ivm.group_stats_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).select(
+        "host",
+        F.col("docs").alias("d_docs"),
+        F.col("sum_size").alias("d_size"),
+        F.col("nn_size").alias("d_nn"),
+    )
+    merge_delta(boot)
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        merge_delta(ivm.group_delta(target.changes(v - 1, v), "host", "n_chars"))
+
+    got = spark.table(state)
+    recomputed = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    if got.exceptAll(recomputed).count() or recomputed.exceptAll(got).count():
+        raise AssertionError("MERGE-maintained IVM state diverged")
+    return got.select("host", "docs", "sum_size")
+
+
+def q_t_ivm_minmax(spark, sf_dir):
+    """Incremental MAX/MIN maintenance under the change feed (the
+    extension past the additive IVM class, VERDICT r6 item 6): the
+    host-level max/min document size is bootstrapped from crawl wave 1
+    and maintained from CDF deltas with the top-2 auxiliary — inserts
+    merge into the auxiliary, a delete/retraction reaching into the
+    top-2/bottom-2 band recomputes ONLY that group (semi-join on the
+    affected set; re-crawl updates retract their pre-images, so band
+    hits genuinely occur). The gate asserts the maintained view equals
+    a from-scratch groupBy of the final table; the oracle recomputes
+    it relationally."""
+    from arcane_framework_scala_spark.operators import ivm_minmax as mm
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tmm")
+    sink.apply(batch.filter(waves[0]))
+    state = mm.minmax_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).localCheckpoint()
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        delta = mm.minmax_delta(target.changes(v - 1, v), "host", "n_chars")
+        state = mm.apply_minmax_delta(
+            state, delta, target.read(), "host", "n_chars"
+        ).localCheckpoint()
+    recomputed = mm.minmax_bootstrap(target.read(), "host", "n_chars")
+    if state.exceptAll(recomputed).count() or recomputed.exceptAll(state).count():
+        raise AssertionError("minmax IVM view diverged from full recompute")
+    # top2/bot2 are auxiliary state (proven against the fresh bootstrap
+    # above); the view's contract output is the aggregate triple
+    return state.select("host", "docs", "max_size", "min_size")
+
+
+_T_IVM_MINMAX_SQL = """
+WITH ranked AS (
+  SELECT host, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT host, count(*) AS docs,
+       CAST(max(n_chars) AS BIGINT) AS max_size,
+       CAST(min(n_chars) AS BIGINT) AS min_size
+FROM ranked WHERE rk = 1 GROUP BY 1
+"""
+
+
+def q_t_ivm_profile(spark, sf_dir):
+    """Incremental AVG/variance-moment + COUNT(DISTINCT) maintenance
+    under the change feed (VERDICT r7 item 6 — the last view-maintenance
+    class): the host-level profile (docs, sum, sum-of-squares, non-NULL
+    count, exact distinct sizes) is bootstrapped from crawl wave 1 and
+    maintained purely from CDF deltas as waves 2 and 3 MERGE into the
+    durable CoW table. The moments are additive (avg = sum_v/nn,
+    var_pop = sum_sq/nn − avg²); the distinct count rides the counting-
+    multiset auxiliary, so a re-crawl retracting one copy of a
+    duplicated size does NOT drop the count until the last copy leaves.
+    O(|delta|) per wave, never a base-table rescan. The gate asserts
+    the maintained profile equals a from-scratch groupBy of the final
+    table; the oracle recomputes it relationally."""
+    from arcane_framework_scala_spark.operators import ivm_profile as ip
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tprof")
+    sink.apply(batch.filter(waves[0]))
+    first = target.read_version(1)
+    moments = ip.moments_bootstrap(first, "host", "n_chars").localCheckpoint()
+    aux = ip.distinct_bootstrap(first, "host", "n_chars").localCheckpoint()
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        cdf = target.changes(v - 1, v)
+        moments = ip.apply_moments_delta(
+            moments, ip.moments_delta(cdf, "host", "n_chars"), "host"
+        ).localCheckpoint()
+        aux = ip.apply_distinct_delta(
+            aux, ip.distinct_delta(cdf, "host", "n_chars"), "host"
+        ).localCheckpoint()
+    prof = ip.profile_view(moments, aux, "host")
+    recomputed = ip.profile_bootstrap_fresh(target.read(), "host", "n_chars")
+    if prof.exceptAll(recomputed).count() or recomputed.exceptAll(prof).count():
+        raise AssertionError("profile IVM view diverged from full recompute")
+    return prof.select(
+        "host", "docs", "sum_v", "sum_sq", "nn", "distinct_vals"
+    )
+
+
+_T_IVM_PROFILE_SQL = """
+WITH ranked AS (
+  SELECT host, n_chars,
+         rank() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) AS rk
+  FROM ({canon})
+)
+SELECT host, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sum_sq,
+       CAST(count(n_chars) AS BIGINT) AS nn,
+       CAST(count(DISTINCT n_chars) AS BIGINT) AS distinct_vals
+FROM ranked WHERE rk = 1 GROUP BY 1
+"""
+
+
+def q_t_ivm_quantile(spark, sf_dir):
+    """Incremental QUANTILE maintenance under the change feed: KMV/HLL
+    sketches are insert-only, but the HDR log-histogram is a pure
+    counting structure — per-(host, bucket) counts absorb ±deltas, so
+    the same counting-multiset maintenance keeps the histogram EXACT
+    under deletes/updates, with bounded state (≤ ~1920 buckets per
+    group regardless of value domain). The host-level size histogram is
+    bootstrapped from crawl wave 1, maintained from CDF deltas through
+    waves 2-3, pinned bucket-for-bucket against a fresh
+    ``log_histogram`` of the final table, and the returned p50/p90
+    estimates use the batch sketch's own integer-exact estimator — so
+    maintained and fresh answers are byte-identical, which the DuckDB
+    oracle recomputes relationally."""
+    from arcane_framework_scala_spark.operators import ivm_profile as ip
+
+    target, sink, batch, waves = _web_ingest_setup(spark, sf_dir, "tquant")
+    sink.apply(batch.filter(waves[0]))
+    hist = ip.hist_bootstrap(
+        target.read_version(1), "host", "n_chars"
+    ).localCheckpoint()
+    for pred, v in ((waves[1], 2), (waves[2], 3)):
+        sink.apply(batch.filter(pred))
+        hist = ip.apply_hist_delta(
+            hist,
+            ip.hist_delta(target.changes(v - 1, v), "host", "n_chars"),
+            "host",
+        ).localCheckpoint()
+    fresh = ip.hist_bootstrap(target.read(), "host", "n_chars")
+    if hist.exceptAll(fresh).count() or fresh.exceptAll(hist).count():
+        raise AssertionError("maintained histogram diverged from fresh sketch")
+    return ip.quantile_view(hist, [50, 90], "host")
+
+
+def _t_ivm_quantile_sql() -> str:
+    from arcane_framework_scala_spark.functions import sketch as sk
+
+    final_corpus = (
+        "(SELECT host, n_chars FROM ("
+        "SELECT host, n_chars, rank() OVER (PARTITION BY canon_url "
+        "ORDER BY doc_id DESC) AS rk FROM ({canon})"
+        ") WHERE rk = 1) __src"
+    )
+    return sk.log_hist_quantiles_sql(
+        sk.log_histogram_sql(final_corpus, "n_chars", ["host"]),
+        [50, 90],
+        ["host"],
+    )
+
+
+def q_t_ivm_live_maintain(spark, sf_dir):
+    """StreamingViewMaintainer riding the REAL stream hook (VERDICT r7
+    item 2c): a Structured Streaming query (readStream → foreachBatch →
+    MERGE into the durable CoW table) carries ``on_batch_merged``, and
+    the maintainer syncs the host profile from the change feed after
+    every micro-batch — ONE bootstrap at the first trigger, then pure
+    O(|delta|) catch-ups (the gate pins bootstraps == 1). Two crawl
+    waves arrive as version-ordered files (mtime = blob version):
+    wave 2 re-crawls the oldest third with +7 chars (an UPDATE whose
+    pre-image the delta must retract) and adds the newest third. The
+    maintained view must equal a fresh groupBy of the final table; the
+    oracle recomputes the final corpus relationally (every doc present
+    exactly once, re-crawled docs at the new size)."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.queries.merge import UPSERT_BLOB
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.tlive"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_tlive_run_")
+    incoming = os.path.join(run_dir, "incoming")
+    os.makedirs(incoming)
+
+    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "host", "n_chars")
+    mx = _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    t1, t2 = (mx * 3) // 10, (mx * 6) // 10
+    w1 = docs.filter(F.col("doc_id") <= t2)
+    w2 = (
+        docs.filter(F.col("doc_id") <= t1)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(7))
+        .unionByName(docs.filter(F.col("doc_id") > t2))
+    )
+    mtime = 1_600_000_000
+    for i, wave in enumerate((w1, w2)):
+        sub = os.path.join(run_dir, f"q{i}")
+        wave.coalesce(1).write.parquet(sub)
+        for fn in os.listdir(sub):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(incoming, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, fn), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    target = DurableCatalogTarget(spark, os.path.join(run_dir, "t"), table)
+    maintainer = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n_chars"
+    )
+    stream = StructuredBlobStream(
+        spark=spark,
+        path=incoming,
+        schema="doc_id bigint, host string, n_chars bigint",
+        primary_keys=["doc_id"],
+        sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+        watermark_store=FileWatermarkStore(
+            path=os.path.join(run_dir, "wm.json")
+        ),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        max_files_per_batch=1,  # one trigger per wave file
+        on_batch_merged=lambda _bid: maintainer.sync(),
+    )
+    stream.run_available()
+    stream.detach_idle_listener()
+    if maintainer.bootstraps != 1:
+        raise AssertionError(f"expected 1 bootstrap, got {maintainer.bootstraps}")
+    if maintainer.deltas_applied < 1:
+        raise AssertionError("wave 2 never caught up incrementally")
+    fresh = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    view = maintainer.view()
+    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+        raise AssertionError("live-maintained view diverged from recompute")
+    return view.select("host", "docs", "sum_size")
+
+
+_T_IVM_LIVE_SQL = """
+WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+c AS (SELECT doc_id, host, n_chars FROM ({canon}))
+SELECT host, count(*) AS docs,
+       CAST(sum(CASE WHEN doc_id <= mx * 3 // 10 THEN n_chars + 7
+                     ELSE n_chars END) AS BIGINT) AS sum_size
+FROM c, b GROUP BY 1
+"""
+
+
+def q_t_ivm_live_deletes(spark, sf_dir):
+    """The live maintainer's DELETE path end-to-end (VERDICT r8 item 5):
+    the same readStream → foreachBatch → MERGE → ``on_batch_merged``
+    loop as ``t_ivm_live_maintain``, but through the SQL Server CT
+    dialect (M1), with wave 2 carrying REAL ``SYS_CHANGE_OPERATION='D'``
+    rows: every doc of the lexicographically-smallest host plus every
+    ``doc_id % 5 == 0`` is deleted (CT-realistically, the delete rows
+    carry NULL data columns — only the key and the change columns), and
+    ``doc_id % 7 == 0`` survivors are updated (+11 chars). The CT
+    deletes flow through the CoW change feed as retractions; the
+    maintained view must equal a fresh groupBy of the final table AND
+    the fully-deleted host's group must have VANISHED (docs reached
+    zero). One bootstrap, then O(|delta|) catch-ups."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators import ivm
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+    from arcane_framework_scala_spark.streaming.structured import (
+        StructuredBlobStream,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    _harden_session(spark)
+    jar = os.path.join(
+        REPO_ROOT, "javaext", "mem-catalog.jar"
+    )
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    table = "arcm.gate.tlivedel"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    run_dir = tempfile.mkdtemp(prefix="arcane_tlivedel_run_")
+    incoming = os.path.join(run_dir, "incoming")
+    os.makedirs(incoming)
+
+    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "host", "n_chars")
+    mx = _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    t2 = (mx * 6) // 10
+    w1 = docs.filter(F.col("doc_id") <= t2)
+    gone_host = w1.agg(F.min("host")).first()[0]  # driver scalar
+    dele = (F.col("host") == gone_host) | (F.col("doc_id") % 5 == 0)
+    upd = F.col("doc_id") % 7 == 0
+    wave1 = w1.select(
+        "doc_id", "host", "n_chars",
+        F.lit(1).cast("long").alias("SYS_CHANGE_VERSION"),
+        F.lit("U").alias("SYS_CHANGE_OPERATION"),
+    )
+    # CT delete rows: key + change columns only, data columns NULL
+    wave2 = (
+        w1.filter(dele)
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit(2).cast("long").alias("SYS_CHANGE_VERSION"),
+            F.lit("D").alias("SYS_CHANGE_OPERATION"),
+        )
+        .unionByName(
+            w1.filter(~dele & upd).select(
+                "doc_id",
+                "host",
+                (F.col("n_chars") + F.lit(11)).alias("n_chars"),
+                F.lit(2).cast("long").alias("SYS_CHANGE_VERSION"),
+                F.lit("U").alias("SYS_CHANGE_OPERATION"),
+            )
+        )
+    )
+    mtime = 1_600_000_000
+    for i, wave in enumerate((wave1, wave2)):
+        sub = os.path.join(run_dir, f"q{i}")
+        wave.coalesce(1).write.parquet(sub)
+        for fn in os.listdir(sub):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(incoming, f"{i:02d}.parquet")
+                os.rename(os.path.join(sub, fn), dst)
+                os.utime(dst, (mtime + i * 1000, mtime + i * 1000))
+
+    target = DurableCatalogTarget(spark, os.path.join(run_dir, "t"), table)
+    maintainer = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n_chars"
+    )
+    stream = StructuredBlobStream(
+        spark=spark,
+        path=incoming,
+        schema=(
+            "doc_id bigint, host string, n_chars bigint, "
+            "SYS_CHANGE_VERSION bigint, SYS_CHANGE_OPERATION string"
+        ),
+        primary_keys=["doc_id"],
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=FileWatermarkStore(
+            path=os.path.join(run_dir, "wm.json")
+        ),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        max_files_per_batch=1,  # one trigger per wave file
+        on_batch_merged=lambda _bid: maintainer.sync(),
+    )
+    stream.run_available()
+    stream.detach_idle_listener()
+    if maintainer.bootstraps != 1:
+        raise AssertionError(f"expected 1 bootstrap, got {maintainer.bootstraps}")
+    if maintainer.deltas_applied < 1:
+        raise AssertionError("wave 2 never caught up incrementally")
+    view = maintainer.view()
+    if view.filter(F.col("host") == gone_host).count():
+        raise AssertionError(
+            f"fully-deleted host {gone_host!r} still has a group row"
+        )
+    fresh = ivm.group_stats_bootstrap(target.read(), "host", "n_chars")
+    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+        raise AssertionError("live-maintained view diverged from recompute")
+    return view.select("host", "docs", "sum_size")
+
+
+_T_IVM_LIVE_DELETES_SQL = """
+WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+c AS (SELECT doc_id, host, n_chars FROM ({canon})),
+w1 AS (SELECT c.* FROM c, b WHERE doc_id <= mx * 6 // 10),
+mh AS (SELECT min(host) AS h FROM w1),
+final AS (
+  SELECT doc_id, host,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 11 ELSE n_chars END
+           AS n_chars
+  FROM w1, mh
+  WHERE NOT (host = h OR doc_id % 5 = 0)
+)
+SELECT host, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_size
+FROM final GROUP BY 1
+"""
+
+
+def q_a24_host_concentration(spark, sf_dir):
+    """Skew diagnostic over the host profile: one-row concentration
+    report (group count, total weight, top-1/top-10 shares and exact
+    Gini, all integer ppm) of documents per host — the number that says
+    whether host caps are needed before the corpus mix is dominated.
+    Operates on the already-reduced group table by contract."""
+    from arcane_framework_scala_spark.functions.stats import (
+        concentration_report,
+    )
+
+    hosts = web.host_stats(_docs_with_urls(spark, sf_dir), size_col="n_chars")
+    return concentration_report(hosts, weight_col="docs")
+
+
+def q_web_html_extract(spark, sf_dir):
+    """HTML → text extraction (the crawl stage before every text
+    operator): markup synthesized around each document IN BOTH ENGINES
+    (tags, a script block with a sneaky embedded tag, comments,
+    entities), then stripped by the RE2-portable regexp chain
+    (``functions/web.py::html_extract``) — scripts/styles/comments out,
+    block closers → newlines, tags dropped, entities decoded,
+    whitespace normalized. Pure narrow projections (whole-stage
+    codegen, zero shuffles, inlineable into a 100 TB scan); the oracle
+    runs the byte-identical DuckDB twin chain."""
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><!-- nav --><head><style>p{x}</style>'
+            '<script>var p="<b>x</b>";</script></head><body><h1>'
+        ),
+        F.col("lang"),
+        F.lit(" &amp; "),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</li></ul></body></html>"),
+    )
+    txt = web.html_extract(html)
+    return docs.select(
+        "doc_id",
+        F.md5(txt).alias("txt_md5"),
+        F.length(txt).alias("n_txt"),
+    )
+
+
+_WEB_HTML_EXTRACT_SQL = f"""
+SELECT doc_id,
+       md5({web.html_extract_sql('html')}) AS txt_md5,
+       CAST(length({web.html_extract_sql('html')}) AS INT) AS n_txt
+FROM (
+  SELECT doc_id,
+         '<html><!-- nav --><head><style>p{{x}}</style>'
+         || '<script>var p="<b>x</b>";</script></head><body><h1>'
+         || lang || ' &amp; ' || source || '</h1><p>' || text
+         || '</p><ul><li>' || CAST(doc_id AS VARCHAR)
+         || '</li></ul></body></html>' AS html
+  FROM documents
+)
+"""
+
+
+def q_web_blocklist(spark, sf_dir):
+    """Blocklist filtering (the robots/licensing gate every crawl
+    pipeline runs first): documents whose domain is ``example.org`` (the
+    whole api.* family) or whose host sits under ``src0.example.com``
+    are dropped via one broadcast anti-join; unparseable (NULL-host)
+    rows are never silently eaten."""
+    blocked = ["example.org", "src0.example.com"]
+    return web.blocklist_filter(
+        _docs_with_urls(spark, sf_dir), blocked
+    ).select("doc_id", "host", "domain", "canon_url")
+
+
+_WEB_BLOCKLIST_SQL = (
+    "SELECT doc_id, host, domain, canon_url "
+    f"FROM ({{canon}}) u "
+    "WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('example.org'), "
+    "('src0.example.com')) b(d) "
+    "WHERE u.domain = b.d OR u.host = b.d OR u.host LIKE '%.' || b.d)"
+)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Dedup normalization (the fold before shingling/MinHash in the
+    Gopher/RefinedWeb recipes): lowercase, digits squashed to 0,
+    punctuation dropped, whitespace collapsed — near-identical
+    boilerplate hashes identically afterwards. Pure narrow regexp
+    column algebra, zero shuffles."""
+    from arcane_framework_scala_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", normalize_for_dedup("text").alias("norm_text")
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Broder containment pairs: C(a,b) = |A∩B| / min(|A|,|B|) over
+    char-5-gram sets — catches SUBSET duplication (a document quoted
+    inside a larger one) that Jaccard misses because the union is
+    dominated by the larger doc. Prefix-filtered candidates, exact
+    intersections, threshold 0.8."""
+    return dd.ngram_containment_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def q_dedup_prefix_recall(spark, sf_dir):
+    """Prices the prefix filter's recall (VERDICT r6 item 5 — the
+    ``dedup_minhash_quality`` companion for the df-cap): per exact-
+    Jaccard decile over MinHash-LSH candidate pairs, how many pairs the
+    ``max_shingle_df`` cap also generates and how many it loses. On this
+    corpus every miss sits in the ≤0.3-Jaccard buckets while the ≥0.9
+    buckets are fully recalled — the documented trade, now measured."""
+    return dd.prefix_filter_recall(_read(spark, sf_dir, "documents"))
+
+
+
+#: chained-star-import contract: export EVERYTHING (incl. _helpers)
+__all__ = [n for n in list(globals()) if not n.startswith("__")]
