@@ -47,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # staleness after the driver runs this window stays <=4.
 _GATE_WINDOW_R9 = [
     "t_ivm_live_deletes",
+    "s18_iceberg_scan",
     "sim_knn_eval",
     "sim_text_topk",
     "sim_bm25_rerank",
@@ -95,7 +96,6 @@ _GATE_WINDOW_R9 = [
     "a14_freshness",
     "t_dwell_time",
     "corpus_novelty",
-    "a15_daily_growth",
 ]
 
 
@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_append": q_dedup_index_append,
         "web_html_extract": q_web_html_extract,
         "s16_delta_log_scan": q_s16_delta_log_scan,
+        "s18_iceberg_scan": q_s18_iceberg_scan,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index_append": _DEDUP_INDEX_APPEND_SQL,
         "web_html_extract": _WEB_HTML_EXTRACT_SQL,
         "s16_delta_log_scan": _S16_DELTA_LOG_SQL,
+        "s18_iceberg_scan": _S18_ICEBERG_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

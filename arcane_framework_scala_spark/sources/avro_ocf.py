@@ -369,11 +369,15 @@ def write_ocf(
     schema: dict,
     records: list,
     codec: str = "deflate",
+    extra_meta: dict[str, str] | None = None,
 ) -> None:
     """Encode ``records`` (dicts/values matching ``schema``) as an Avro
     OCF. One block; the sync marker derives deterministically from the
     schema so repeated writes are byte-identical (determinism rules,
-    docs/DETERMINISM.md). Atomic via tmp+rename."""
+    docs/DETERMINISM.md). ``extra_meta`` adds file-metadata key/values
+    beyond avro.schema/avro.codec (Iceberg manifests require
+    schema/partition-spec/format-version/content keys). Atomic via
+    tmp+rename."""
     import hashlib
 
     if codec not in ("null", "deflate"):
@@ -392,6 +396,7 @@ def write_ocf(
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
         "avro.codec": codec.encode(),
+        **{k: v.encode() for k, v in (extra_meta or {}).items()},
     }
     head.long(len(meta))
     for k, v in meta.items():

@@ -1,0 +1,609 @@
+"""Jar-free Apache Iceberg interop: read + export over the PUBLIC table
+spec (no connector, no catalog service).
+
+The reference's production tables are Iceberg — its merge service
+targets them through Trino
+(``/root/reference/src/main/scala/services/merging/JdbcMergeServiceClient.scala:62-91``)
+— and this container ships no Iceberg runtime jar, so interop rides the
+published table format directly, the same move the r8 Delta layer made
+(``delta_reader.py``): the metadata layer is JSON + Avro, decoded with
+the stdlib-only :mod:`avro_ocf` codec (itself cross-validated against
+the real Java Avro library in tests), and the data scan is ONE
+``spark.read.parquet(*files)`` with the TABLE's schema imposed.
+
+Read surface:
+- ``read_iceberg(spark, path, snapshot_id=..., as_of_ms=...)`` —
+  snapshot reads + time travel by id or wall clock;
+- ``active_files`` / ``table_metadata`` / ``snapshot_log`` — planning
+  metadata without touching data.
+
+Write surface (``export_iceberg``): publish a ``SnapshotParquetTarget``
+snapshot as a format-version-2 Iceberg table — data files hard-linked
+(zero movement, copy fallback), one full manifest per commit, a
+manifest list, ``vN.metadata.json`` and the ``version-hint.text``
+HadoopTables pointer. Repeated exports append snapshots, so an external
+engine sees a faithful version history.
+
+Honest fences (raising, never guessing):
+- v2 ROW-LEVEL DELETES: a snapshot whose manifest list references a
+  live delete manifest (``content=1``), or whose data manifests carry
+  position/equality delete files (``data_file.content != 0``), RAISES —
+  returning rows while ignoring delete files would resurrect deleted
+  data (the same rule ``delta_reader`` applies to deletion vectors).
+- non-parquet data files (ORC/Avro) raise.
+- unsupported metadata (missing schema, unknown types) raises.
+
+Scale: log replay is driver-side metadata work — O(manifest entries at
+the chosen snapshot) — which is exactly the planning work the real
+connector's driver does; the data scan itself is distributed. No
+data-skipping stats are consulted (manifests carry lower/upper bounds
+we deliberately don't prune on yet); at 10^5+ files prefer the real
+connector, same posture as the Delta reader.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import time
+import uuid as uuid_mod
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arcane_framework_scala_spark.sources import avro_ocf
+from arcane_framework_scala_spark.sources.paths import glob_escape
+
+_V_META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+_UUID_META_RE = re.compile(r"^(\d+)-[0-9a-f-]+\.metadata\.json$")
+
+
+class IcebergError(ValueError):
+    pass
+
+
+def _metadata_dir(path: str) -> str:
+    d = os.path.join(path, "metadata")
+    if not os.path.isdir(d):
+        raise IcebergError(f"not an Iceberg table: no metadata/ under {path!r}")
+    return d
+
+
+def table_metadata_file(path: str) -> str:
+    """Resolve the CURRENT metadata JSON: the HadoopTables
+    ``version-hint.text`` pointer when present, else the highest
+    ``vN.metadata.json`` / ``N-<uuid>.metadata.json`` sequence number."""
+    md = _metadata_dir(path)
+    hint = os.path.join(md, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        cand = os.path.join(md, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    best: tuple[int, str] | None = None
+    for name in os.listdir(md):
+        m = _V_META_RE.match(name) or _UUID_META_RE.match(name)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, name)
+    if best is None:
+        raise IcebergError(f"no *.metadata.json under {md!r}")
+    return os.path.join(md, best[1])
+
+
+def table_metadata(path: str) -> dict:
+    with open(table_metadata_file(path)) as f:
+        return json.load(f)
+
+
+def snapshot_log(path: str) -> list[dict]:
+    """The table's snapshots, ascending by timestamp (id, timestamp-ms,
+    summary) — the Iceberg ``snapshots`` metadata-table equivalent."""
+    meta = table_metadata(path)
+    return sorted(
+        meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
+    )
+
+
+def _resolve_snapshot(
+    meta: dict, snapshot_id: int | None, as_of_ms: int | None
+) -> dict | None:
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergError(f"snapshot {snapshot_id} not in the table")
+    if as_of_ms is not None:
+        past = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+        if not past:
+            raise IcebergError(f"no snapshot at or before {as_of_ms}")
+        return max(past, key=lambda s: s["timestamp-ms"])
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        return None
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    raise IcebergError(f"current-snapshot-id {cur} missing from snapshots")
+
+
+# ------------------------------------------------------------- schema
+
+
+def _spark_type(t):
+    from pyspark.sql import types as T
+
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], _spark_type(f["type"]), not f["required"]
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if k == "list":
+            return T.ArrayType(
+                _spark_type(t["element"]), not t.get("element-required", False)
+            )
+        if k == "map":
+            return T.MapType(
+                _spark_type(t["key"]),
+                _spark_type(t["value"]),
+                not t.get("value-required", False),
+            )
+        raise IcebergError(f"unknown nested type {t!r}")
+    if t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s.strip()))
+    if t.startswith("fixed["):
+        return T.BinaryType()
+    simple = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+    }
+    if t in simple:
+        return simple[t]
+    # time / uuid / timestamp_ns: no faithful Spark reading without the
+    # connector's physical-type handling — refuse rather than mis-type
+    raise IcebergError(f"unsupported Iceberg type {t!r} for jar-free read")
+
+
+def _schema_struct(meta: dict):
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return _spark_type({**s, "type": "struct"})
+        raise IcebergError(f"current-schema-id {sid} not in schemas")
+    if "schema" in meta:  # format-version 1
+        return _spark_type({**meta["schema"], "type": "struct"})
+    raise IcebergError("metadata has neither 'schemas' nor 'schema'")
+
+
+# ------------------------------------------------------------- planning
+
+
+def _to_local(uri: str, location: str) -> str:
+    if uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    if uri.startswith("/"):
+        return uri
+    if "://" in uri:
+        raise IcebergError(
+            f"non-local file URI {uri!r} — this sandbox reader only "
+            "resolves file:// and relative paths"
+        )
+    return os.path.join(location, uri)
+
+
+def active_files(
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> list[str]:
+    """Live data-file paths at the chosen snapshot (local absolute),
+    replayed from the manifest list → manifests. Raises on live delete
+    manifests / delete files (see module docstring)."""
+    meta = table_metadata(path)
+    snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
+    if snap is None:
+        return []
+    location = meta.get("location", path)
+    ml_path = _to_local(snap["manifest-list"], location)
+    _, manifests = avro_ocf.read_ocf(ml_path)
+    out: list[str] = []
+    for mf in manifests:
+        content = mf.get("content", 0)  # v1 manifests: data
+        mf_path = _to_local(mf["manifest_path"], location)
+        _, entries = avro_ocf.read_ocf(mf_path)
+        live = [e for e in entries if e.get("status", 0) != 2]
+        if content == 1:
+            if live:
+                raise IcebergError(
+                    f"snapshot {snap['snapshot-id']} carries live DELETE "
+                    f"manifest {mf['manifest_path']!r} — reading the data "
+                    "files while ignoring it would resurrect deleted rows; "
+                    "use the real Iceberg connector for v2 MoR tables"
+                )
+            continue
+        for e in live:
+            df = e["data_file"]
+            if df.get("content", 0) != 0:
+                raise IcebergError(
+                    f"delete file {df['file_path']!r} in a data manifest — "
+                    "v2 row-level deletes need the real connector"
+                )
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise IcebergError(
+                    f"{fmt} data file {df['file_path']!r}: this jar-free "
+                    "reader scans parquet only"
+                )
+            out.append(_to_local(df["file_path"], location))
+    return sorted(set(out))
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read of an Iceberg table without the connector —
+    ``snapshot_id`` / ``as_of_ms`` give time travel. One parquet scan
+    over the live files with the TABLE's schema imposed (Iceberg data
+    files store every column, identity-partition values included, so no
+    hive-layout discovery is needed). An empty table returns an empty
+    DataFrame with the table schema."""
+    meta = table_metadata(path)
+    schema = _schema_struct(meta)
+    files = active_files(path, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[glob_escape(f) for f in files]
+    )
+
+
+# ------------------------------------------------------------- export
+
+#: Avro schema of a v2 manifest-list entry — field names AND field-ids
+#: per the public spec's "Manifest Lists" table (ids in "field-id").
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _manifest_entry_schema() -> dict:
+    """Avro schema of a v2 manifest entry (unpartitioned spec: the
+    required ``partition`` struct is empty — ``r102`` with no fields),
+    names and field-ids per the spec's "Manifests" table."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": []},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+def _iceberg_type(dt) -> object:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        raise IcebergError("nested struct export not implemented")
+    simple = {
+        T.BooleanType(): "boolean",
+        T.IntegerType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.DateType(): "date",
+        T.StringType(): "string",
+        T.BinaryType(): "binary",
+        T.TimestampType(): "timestamptz",
+        T.TimestampNTZType(): "timestamp",
+    }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if dt in simple:
+        return simple[dt]
+    raise IcebergError(f"no Iceberg mapping for Spark type {dt!r}")
+
+
+def export_iceberg(target, out_dir: str) -> int:
+    """Publish the target's CURRENT snapshot as a format-version-2
+    Iceberg table (HadoopTables layout). Data files HARD LINK into
+    ``out_dir/data`` under (inode,size,mtime)-derived names, so a file
+    carried unchanged across snapshots keeps its name and footprint;
+    each export appends ONE snapshot whose single full manifest lists
+    every live file (status 1 added / 0 existing with its original
+    data sequence number). Returns the new snapshot's sequence number
+    (== export ordinal, 1-based). Unpartitioned spec; per-commit full
+    manifests are the sandbox simplification — a real catalog reuses
+    unchanged manifests, the format permits both."""
+    import shutil
+
+    from arcane_framework_scala_spark.sinks.table_stats import (
+        _parquet_files,
+    )
+
+    v = target.current_version()
+    if v is None:
+        raise IcebergError(f"nothing to export: {target.path} has no snapshot")
+    if getattr(target, "partition_cols", None):
+        raise IcebergError(
+            "export_iceberg writes the unpartitioned spec; hive-partitioned "
+            "targets need partition-struct manifests (not implemented)"
+        )
+    vdir = os.path.join(target.path, f"v={v}")
+    md = os.path.join(out_dir, "metadata")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(md, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    prev_meta: dict | None = None
+    try:
+        prev_meta = table_metadata(out_dir)
+    except (IcebergError, FileNotFoundError):
+        pass
+
+    # previous live set (path -> (sequence_number, entry)) by replaying
+    # the export's own latest manifest — no side-channel state
+    prev_entries: dict[str, dict] = {}
+    if prev_meta is not None:
+        snap = _resolve_snapshot(prev_meta, None, None)
+        if snap is not None:
+            ml = _to_local(snap["manifest-list"], out_dir)
+            for mf in avro_ocf.read_ocf(ml)[1]:
+                for e in avro_ocf.read_ocf(
+                    _to_local(mf["manifest_path"], out_dir)
+                )[1]:
+                    if e.get("status", 0) != 2:
+                        prev_entries[e["data_file"]["file_path"]] = e
+
+    cur: dict[str, dict] = {}  # data-relative rel -> stat info
+    rows_per_file: dict[str, int] = {}
+    for f in _parquet_files(vdir):
+        st = os.stat(f)
+        digest = hashlib.md5(
+            f"{st.st_ino}-{st.st_size}-{st.st_mtime_ns}".encode()
+        ).hexdigest()
+        rel = f"data/part-{digest}.parquet"
+        cur[rel] = {"src": f, "size": st.st_size}
+    for rel, info in cur.items():
+        dst = os.path.join(out_dir, rel)
+        if not os.path.exists(dst):
+            try:
+                os.link(info["src"], dst)
+            except OSError:
+                shutil.copy2(info["src"], dst)
+        # exact per-file row count from the footer (driver metadata read)
+        rows_per_file[rel] = _parquet_row_count(dst)
+
+    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+    snap_id = int(
+        hashlib.md5(f"{out_dir}-{seq}".encode()).hexdigest()[:15], 16
+    )
+    now_ms = int(time.time() * 1000)
+
+    abs_uri = lambda rel: "file://" + os.path.join(out_dir, rel)  # noqa: E731
+    entries = []
+    added = existing = 0
+    for rel in sorted(cur):
+        uri = abs_uri(rel)
+        prev = prev_entries.get(uri)
+        if prev is not None:
+            existing += 1
+            entries.append(
+                {
+                    "status": 0,
+                    "snapshot_id": prev.get("snapshot_id"),
+                    "sequence_number": prev.get("sequence_number"),
+                    "file_sequence_number": prev.get("file_sequence_number"),
+                    "data_file": prev["data_file"],
+                }
+            )
+        else:
+            added += 1
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    # explicit rather than inherited: the OCF here is not
+                    # written by a metadata writer that can inherit
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": uri,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows_per_file[rel],
+                        "file_size_in_bytes": cur[rel]["size"],
+                    },
+                }
+            )
+    manifest_rel = f"metadata/m-{snap_id:x}-{seq}.avro"
+    manifest_abs = os.path.join(out_dir, manifest_rel)
+    schema_obj = _iceberg_schema_json(target)
+    avro_ocf.write_ocf(
+        manifest_abs,
+        _manifest_entry_schema(),
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_obj),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    min_seq = min(
+        [e["sequence_number"] for e in entries if e["sequence_number"]]
+        or [seq]
+    )
+    ml_rel = f"metadata/snap-{snap_id}-{seq}.avro"
+    avro_ocf.write_ocf(
+        os.path.join(out_dir, ml_rel),
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": abs_uri(manifest_rel),
+                "manifest_length": os.path.getsize(manifest_abs),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": added,
+                "existing_files_count": existing,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    rows_per_file[r]
+                    for r in cur
+                    if abs_uri(r) not in prev_entries
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == 0
+                ),
+                "deleted_rows_count": 0,
+            }
+        ],
+        extra_meta={"format-version": "2"},
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": abs_uri(ml_rel),
+        "summary": {"operation": "overwrite" if prev_entries else "append"},
+        "schema-id": 0,
+    }
+    prev_snaps = (prev_meta or {}).get("snapshots") or []
+    if prev_snaps:
+        snapshot["parent-snapshot-id"] = (prev_meta or {}).get(
+            "current-snapshot-id"
+        )
+    meta = {
+        "format-version": 2,
+        "table-uuid": (prev_meta or {}).get(
+            "table-uuid",
+            str(uuid_mod.UUID(hashlib.md5(out_dir.encode()).hexdigest())),
+        ),
+        "location": out_dir,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": schema_obj["fields"][-1]["id"],
+        "current-schema-id": 0,
+        "schemas": [schema_obj],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": prev_snaps + [snapshot],
+        "snapshot-log": ((prev_meta or {}).get("snapshot-log") or [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "metadata-log": [],
+    }
+    tmp = os.path.join(md, f".v{seq}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(md, f"v{seq}.metadata.json"))
+    hint_tmp = os.path.join(md, ".version-hint.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(seq))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    return seq
+
+
+def _iceberg_schema_json(target) -> dict:
+    schema = target.read().schema
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType),
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _parquet_row_count(path: str) -> int:
+    """Exact row count from the parquet footer (pyarrow metadata read —
+    no data pages touched)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows

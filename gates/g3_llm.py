@@ -851,6 +851,71 @@ FROM events
 """
 
 
+def q_s18_iceberg_scan(spark, sf_dir):
+    """Jar-free Apache Iceberg interop (``sources/iceberg_reader.py``,
+    r9): the reference's production tables are Iceberg (its merge
+    service targets them through Trino,
+    ``services/merging/JdbcMergeServiceClient.scala:62-91``), and this
+    container ships no connector jar, so interop rides the PUBLIC table
+    spec directly — metadata JSON + Avro manifests decoded by the
+    stdlib OCF codec (``sources/avro_ocf.py``, cross-validated against
+    the real Java Avro library in tests). Two snapshots of a
+    versioned-parquet target are published as format-version-2 Iceberg
+    commits (manifest + manifest list + vN.metadata.json +
+    version-hint), then read back through the same spec: time travel
+    by snapshot id AND wall clock must see the pre-overwrite table,
+    the current snapshot the full one. The final snapshot is the full
+    event projection, which the oracle recomputes relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s18_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t2 = (mx * 6) // 10
+    want0 = ev.filter(F.col("event_id") <= t2)
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(want0)
+    out = os.path.join(run_dir, "iceberg_pub")
+    if ir.export_iceberg(st, out) != 1:
+        raise AssertionError("first export should be Iceberg sequence 1")
+    st.overwrite(ev)
+    if ir.export_iceberg(st, out) != 2:
+        raise AssertionError("second export should be Iceberg sequence 2")
+
+    log = ir.snapshot_log(out)
+    if len(log) != 2:
+        raise AssertionError(f"expected 2 snapshots, got {len(log)}")
+    old = ir.read_iceberg(spark, out, snapshot_id=log[0]["snapshot-id"])
+    if old.exceptAll(want0).count() or want0.exceptAll(old).count():
+        raise AssertionError("snapshot-id time travel diverged")
+    as_of = ir.read_iceberg(spark, out, as_of_ms=log[0]["timestamp-ms"])
+    if as_of.exceptAll(want0).count() or want0.exceptAll(as_of).count():
+        raise AssertionError("as-of-ms time travel diverged")
+    cur = ir.read_iceberg(spark, out)
+    if cur.exceptAll(ev).count() or ev.exceptAll(cur).count():
+        raise AssertionError("current Iceberg snapshot diverged from source")
+    return cur
+
+
+_S18_ICEBERG_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events
+"""
+
+
 def q_s17_xml_ingest(spark, sf_dir):
     """XML ingestion through Spark's native parser (S10-class format
     breadth — the enterprise-CDC payload the blob sources don't cover

@@ -218,3 +218,82 @@ def test_delta_merge_and_vacuum_execute_for_real():
     )
     assert out.returncode == 0, out.stderr[-4000:]
     assert "DELTA_RUNTIME_OK" in out.stdout
+
+
+@pytest.mark.skipif(
+    iceberg_jar() is None,
+    reason="no iceberg-spark-runtime jar on this box — the jar-free "
+    "export (sources/iceberg_reader.py) is conformance-pinned against "
+    "the public spec meanwhile (tests/test_iceberg_reader.py); this "
+    "test round-trips it through the REAL connector when one appears",
+)
+def test_real_connector_reads_our_iceberg_export():
+    """The true-interop check for export_iceberg: a table our jar-free
+    writer produced is registered and read by the REAL Iceberg runtime
+    (HadoopTables path-based read), snapshot history included."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jar = iceberg_jar()
+    script = textwrap.dedent(
+        f"""
+        import sys, tempfile, os
+        sys.path.insert(0, {repo!r})
+        from pyspark.sql import SparkSession
+        from arcane_framework_scala_spark.sinks.merge_sink import (
+            SnapshotParquetTarget,
+        )
+        from arcane_framework_scala_spark.sources import (
+            iceberg_reader as ir,
+        )
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("iceberg-export-roundtrip")
+            .config("spark.ui.enabled", "false")
+            .config("spark.jars", {jar!r})
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions",
+            )
+            .config(
+                "spark.sql.catalog.hadoop_tables",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config("spark.sql.catalog.hadoop_tables.type", "hadoop")
+            .config(
+                "spark.sql.catalog.hadoop_tables.warehouse",
+                tempfile.mkdtemp(prefix="arcane_ice_rt_"),
+            )
+            .getOrCreate()
+        )
+        tmp = tempfile.mkdtemp(prefix="arcane_ice_exp_")
+        t = SnapshotParquetTarget(spark, os.path.join(tmp, "src"))
+        t.overwrite(spark.range(50).selectExpr("id", "id * 2 AS v"))
+        out = os.path.join(tmp, "pub")
+        ir.export_iceberg(t, out)
+        t.overwrite(spark.range(20).selectExpr("id", "id * 3 AS v"))
+        ir.export_iceberg(t, out)
+        # the REAL connector reads the jar-free export, history included
+        cur = spark.read.format("iceberg").load(out)
+        assert cur.count() == 20, cur.count()
+        snaps = spark.read.format("iceberg").load(out + "#snapshots")
+        assert snaps.count() == 2, snaps.count()
+        first = ir.snapshot_log(out)[0]["snapshot-id"]
+        old = (
+            spark.read.format("iceberg")
+            .option("snapshot-id", str(first))
+            .load(out)
+        )
+        assert old.count() == 50, old.count()
+        print("ICEBERG_EXPORT_ROUNDTRIP_OK")
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert "ICEBERG_EXPORT_ROUNDTRIP_OK" in out.stdout

@@ -70,8 +70,11 @@ def test_gate_window_is_the_declared_r9_rotation():
     assert len(names) >= 90
     first50 = set(names[:50])
     for required in (
-        # r9-born gate (never-checked -> forced into the window)
+        # r9-born gates (never-checked -> forced into the window;
+        # each displaced the freshest tail entry of the staleness
+        # proposal, so a15_daily_growth waits for r10)
         "t_ivm_live_deletes",
+        "s18_iceberg_scan",
         # the 11 rows deferred from r8 to this window
         "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
         "sim_cluster_quality", "sim_pair_dist_stats", "tpch_q6",
@@ -87,7 +90,7 @@ def test_gate_window_is_the_declared_r9_rotation():
         "mm_sniff", "p11_zorder_key", "s12_binary_ingest",
         "a11_profile", "a13_winsorize", "t_ewma_pow2",
         "corpus_shard_manifest", "a14_freshness", "t_dwell_time",
-        "corpus_novelty", "a15_daily_growth",
+        "corpus_novelty",
     ):
         assert required in first50, required
 
