@@ -35,9 +35,12 @@ Honest fences (raising, never guessing):
 
 Scale: log replay is driver-side metadata work — O(manifest entries at
 the chosen snapshot) — which is exactly the planning work the real
-connector's driver does; the data scan itself is distributed. No
-data-skipping stats are consulted (manifests carry lower/upper bounds
-we deliberately don't prune on yet); at 10^5+ files prefer the real
+connector's driver does; the data scan itself is distributed. DATA
+SKIPPING is implemented: ``plan_data_files``/``read_iceberg_range``
+prune files whose manifest lower/upper bounds (Appendix D
+single-value serialization) don't overlap the requested range, with
+absent bounds always over-selecting; ``export_iceberg`` writes those
+bounds from the parquet footers. At 10^5+ files prefer the real
 connector, same posture as the Delta reader.
 """
 
@@ -306,10 +309,33 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
+def _bounds_map_schema(name: str, key_id: int, value_id: int) -> list:
+    """Iceberg encodes per-column bounds as a map keyed by field id; in
+    Avro that is the array-of-key/value-records form (int keys can't be
+    Avro map keys), annotated ``logicalType: map`` — the same shape the
+    reference Java writer emits."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": key_id},
+                    {"name": "value", "type": "bytes", "field-id": value_id},
+                ],
+            },
+        },
+    ]
+
+
 def _manifest_entry_schema() -> dict:
     """Avro schema of a v2 manifest entry (unpartitioned spec: the
     required ``partition`` struct is empty — ``r102`` with no fields),
-    names and field-ids per the spec's "Manifests" table."""
+    names and field-ids per the spec's "Manifests" table; optional
+    lower/upper bounds maps (125/128) carry the data-skipping stats."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -324,6 +350,16 @@ def _manifest_entry_schema() -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": _bounds_map_schema("k126_v127", 126, 127),
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": _bounds_map_schema("k129_v130", 129, 130),
+                "field-id": 128,
+            },
         ],
     }
     return {
@@ -349,6 +385,147 @@ def _manifest_entry_schema() -> dict:
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
+
+
+# ------------------------------------------------- bounds (data skipping)
+#
+# Iceberg Appendix D "Single-value serialization": int = 4-byte LE,
+# long = 8-byte LE, float/double = IEEE LE, string = UTF-8. Bounds for
+# other types are neither written nor pruned on (absent bounds always
+# over-select — correct, just unpruned).
+
+_BOUND_CODECS = {
+    "int": (lambda v: int(v).to_bytes(4, "little", signed=True),
+            lambda b: int.from_bytes(b[:4], "little", signed=True)),
+    "long": (lambda v: int(v).to_bytes(8, "little", signed=True),
+             lambda b: int.from_bytes(b[:8], "little", signed=True)),
+    "float": (lambda v: __import__("struct").pack("<f", v),
+              lambda b: __import__("struct").unpack("<f", b[:4])[0]),
+    "double": (lambda v: __import__("struct").pack("<d", v),
+               lambda b: __import__("struct").unpack("<d", b[:8])[0]),
+    "string": (lambda v: str(v).encode("utf-8"),
+               lambda b: b.decode("utf-8")),
+}
+
+
+def _bounds_to_dict(raw) -> dict[int, bytes]:
+    """Normalize a manifest bounds value to {field_id: bytes}: accepts
+    the array-of-key/value-records form (reference writers) AND a plain
+    Avro map with stringified-int keys (some engines)."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return {e["key"]: e["value"] for e in raw}
+
+
+def _field_by_name(meta: dict, col: str) -> dict:
+    schemas = meta.get("schemas") or ([meta["schema"]] if "schema" in meta else [])
+    sid = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id", 0) == sid:
+            for f in s["fields"]:
+                if f["name"] == col:
+                    return f
+    raise IcebergError(f"column {col!r} not in the table schema")
+
+
+def plan_data_files(
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+) -> list[str]:
+    """Manifest-stats scan planning (Iceberg data skipping, driver-side
+    metadata only): the live data files whose [lower, upper] bounds for
+    ``col`` overlap [lo, hi] (None bound = unbounded), plus every file
+    carrying NO bounds for the column (safe over-selection). This is
+    the same planning the real connector performs from the same stats;
+    at 100 TB it is what turns a key-range MERGE probe into a scan of
+    the few matching files."""
+    meta = table_metadata(path)
+    snap = _resolve_snapshot(meta, snapshot_id, None)
+    if snap is None:
+        return []
+    field = _field_by_name(meta, col)
+    fid, ftype = field["id"], field["type"]
+    codec = _BOUND_CODECS.get(ftype) if isinstance(ftype, str) else None
+    location = meta.get("location", path)
+    out: list[str] = []
+    ml = _to_local(snap["manifest-list"], location)
+    for mf in avro_ocf.read_ocf(ml)[1]:
+        if mf.get("content", 0) != 0:
+            continue  # active_files raises on live deletes; plan skips
+        for e in avro_ocf.read_ocf(_to_local(mf["manifest_path"], location))[1]:
+            if e.get("status", 0) == 2:
+                continue
+            df = e["data_file"]
+            keep = True
+            if codec is not None:
+                lb = _bounds_to_dict(df.get("lower_bounds")).get(fid)
+                ub = _bounds_to_dict(df.get("upper_bounds")).get(fid)
+                if lb is not None and ub is not None:
+                    dec = codec[1]
+                    keep = (lo is None or dec(ub) >= lo) and (
+                        hi is None or dec(lb) <= hi
+                    )
+            if keep:
+                out.append(_to_local(df["file_path"], location))
+    return sorted(set(out))
+
+
+def read_iceberg_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Range read through the manifest-stats plan: Spark opens ONLY the
+    overlapping files; the residual filter keeps the result exact (file
+    bounds over-approximate). The Iceberg twin of the snapshot target's
+    ``read_range`` (sinks/manifest.py)."""
+    import pyspark.sql.functions as F
+
+    meta = table_metadata(path)
+    schema = _schema_struct(meta)
+    files = plan_data_files(path, col, lo, hi, snapshot_id=snapshot_id)
+    # delete-manifest refusal still applies to the READ path
+    active_files(path, snapshot_id=snapshot_id)
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[glob_escape(f) for f in files]
+        )
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change data feed between two Iceberg snapshots, derived — one
+    row per changed key with op + pre/post images (the
+    ``operators.diff.snapshot_diff`` shape every IVM spec consumes, so
+    views maintain off an Iceberg table this engine only READS — the
+    same leverage ``delta_changes`` gives the Delta path)."""
+    from arcane_framework_scala_spark.operators.diff import snapshot_diff
+
+    return snapshot_diff(
+        read_iceberg(spark, path, snapshot_id=from_snapshot_id),
+        read_iceberg(spark, path, snapshot_id=to_snapshot_id),
+        keys=keys,
+    )
 
 
 def _iceberg_type(dt) -> object:
@@ -429,12 +606,19 @@ def export_iceberg(target, out_dir: str) -> int:
     cur: dict[str, dict] = {}  # data-relative rel -> stat info
     rows_per_file: dict[str, int] = {}
     for f in _parquet_files(vdir):
+        rows = _parquet_row_count(f)  # footer-only driver read
+        if rows == 0:
+            # Spark's writer leaves empty part files on sparse
+            # partitionings; real Iceberg writers never register
+            # zero-row data files and neither do we
+            continue
         st = os.stat(f)
         digest = hashlib.md5(
             f"{st.st_ino}-{st.st_size}-{st.st_mtime_ns}".encode()
         ).hexdigest()
         rel = f"data/part-{digest}.parquet"
         cur[rel] = {"src": f, "size": st.st_size}
+        rows_per_file[rel] = rows
     for rel, info in cur.items():
         dst = os.path.join(out_dir, rel)
         if not os.path.exists(dst):
@@ -442,8 +626,6 @@ def export_iceberg(target, out_dir: str) -> int:
                 os.link(info["src"], dst)
             except OSError:
                 shutil.copy2(info["src"], dst)
-        # exact per-file row count from the footer (driver metadata read)
-        rows_per_file[rel] = _parquet_row_count(dst)
 
     seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
     snap_id = int(
@@ -452,6 +634,7 @@ def export_iceberg(target, out_dir: str) -> int:
     now_ms = int(time.time() * 1000)
 
     abs_uri = lambda rel: "file://" + os.path.join(out_dir, rel)  # noqa: E731
+    schema_obj = _iceberg_schema_json(target)
     entries = []
     added = existing = 0
     for rel in sorted(cur):
@@ -470,6 +653,9 @@ def export_iceberg(target, out_dir: str) -> int:
             )
         else:
             added += 1
+            lower, upper = _footer_bounds(
+                os.path.join(out_dir, rel), schema_obj
+            )
             entries.append(
                 {
                     "status": 1,
@@ -485,12 +671,13 @@ def export_iceberg(target, out_dir: str) -> int:
                         "partition": {},
                         "record_count": rows_per_file[rel],
                         "file_size_in_bytes": cur[rel]["size"],
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
                     },
                 }
             )
     manifest_rel = f"metadata/m-{snap_id:x}-{seq}.avro"
     manifest_abs = os.path.join(out_dir, manifest_rel)
-    schema_obj = _iceberg_schema_json(target)
     avro_ocf.write_ocf(
         manifest_abs,
         _manifest_entry_schema(),
@@ -607,3 +794,45 @@ def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _footer_bounds(path: str, schema_obj: dict) -> tuple[list, list]:
+    """Per-column [min, max] from the parquet footer, serialized per
+    Appendix D, in the manifest's key/value-record map form. Only the
+    Appendix-D-codeable primitive types get bounds; a column without
+    footer stats in ANY row group gets none (absent bounds over-select,
+    never mis-prune). Driver-side footer read — no data pages."""
+    import pyarrow.parquet as pq
+
+    by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_obj["fields"]
+        if isinstance(f["type"], str) and f["type"] in _BOUND_CODECS
+    }
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    ok: set[str] = set(by_name)
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            name = c.path_in_schema
+            if name not in by_name or name not in ok:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                ok.discard(name)
+                continue
+            mins[name] = (
+                st.min if name not in mins else min(mins[name], st.min)
+            )
+            maxs[name] = (
+                st.max if name not in maxs else max(maxs[name], st.max)
+            )
+    lower, upper = [], []
+    for name in sorted(ok & set(mins)):
+        fid, ftype = by_name[name]
+        enc = _BOUND_CODECS[ftype][0]
+        lower.append({"key": fid, "value": enc(mins[name])})
+        upper.append({"key": fid, "value": enc(maxs[name])})
+    return lower, upper

