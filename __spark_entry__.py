@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW_R9 = [
     "t_ivm_live_deletes",
     "s18_iceberg_scan",
+    "x8_iceberg_prune",
     "sim_knn_eval",
     "sim_text_topk",
     "sim_bm25_rerank",
@@ -95,7 +96,6 @@ _GATE_WINDOW_R9 = [
     "corpus_shard_manifest",
     "a14_freshness",
     "t_dwell_time",
-    "corpus_novelty",
 ]
 
 
@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_html_extract": q_web_html_extract,
         "s16_delta_log_scan": q_s16_delta_log_scan,
         "s18_iceberg_scan": q_s18_iceberg_scan,
+        "x8_iceberg_prune": q_x8_iceberg_prune,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -403,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "web_html_extract": _WEB_HTML_EXTRACT_SQL,
         "s16_delta_log_scan": _S16_DELTA_LOG_SQL,
         "s18_iceberg_scan": _S18_ICEBERG_SQL,
+        "x8_iceberg_prune": _X8_ICEBERG_PRUNE_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

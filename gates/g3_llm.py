@@ -1169,6 +1169,68 @@ WHERE event_id >= mx * 2 // 10 AND event_id <= mx * 3 // 10
 """
 
 
+def q_x8_iceberg_prune(spark, sf_dir):
+    """Iceberg data skipping end-to-end (r9, the scale story for the
+    jar-free path): a key-sorted multi-file snapshot is exported with
+    per-column Appendix-D bounds computed from the parquet footers;
+    ``plan_data_files`` prunes to the range-overlapping files at
+    PLANNING time (driver-side manifest metadata, zero data I/O — the
+    same planning the real connector performs from the same stats);
+    ``read_iceberg_range`` must open exactly the planned set, strictly
+    fewer files than the table holds, and stay exact through the
+    residual filter. The oracle is the plain relational range
+    filter."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.maintenance import (
+        optimize_snapshot,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sinks.table_stats import table_stats
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x8_run_")
+    target = SnapshotParquetTarget(
+        spark, os.path.join(run_dir, "t"), max_rows_per_file=2000
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    target.overwrite(ev)  # v=1: fragmented, unsorted
+    total = table_stats(os.path.join(run_dir, "t", "v=1")).bytes
+    optimize_snapshot(
+        target, target_file_bytes=max(1, total // 8), sort_cols=["event_id"]
+    )  # v=2: ~8 sorted files, non-overlapping event_id ranges per file
+    out_tbl = os.path.join(run_dir, "ice")
+    ir.export_iceberg(target, out_tbl)
+    every = ir.active_files(out_tbl)
+    if len(every) < 2:
+        raise AssertionError(f"sorted snapshot too coarse to prune: {every}")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    lo, hi = (mx * 2) // 10, (mx * 3) // 10
+    planned = ir.plan_data_files(out_tbl, "event_id", lo=lo, hi=hi)
+    if not (0 < len(planned) < len(every)):
+        raise AssertionError(
+            f"manifest bounds did not prune: {len(planned)} of {len(every)}"
+        )
+    out = ir.read_iceberg_range(spark, out_tbl, "event_id", lo, hi)
+    opened = len(out.inputFiles())
+    if opened != len(planned):
+        raise AssertionError(
+            f"range read opened {opened} files, planner chose {len(planned)}"
+        )
+    return out
+
+
+_X8_ICEBERG_PRUNE_SQL = _X6_MANIFEST_SQL
+
+
 def q_x7_snapshot_audit(spark, sf_dir):
     """Maintenance-surface audit vertical (VERDICT r7 item 2d): on one
     durable CoW table fed by three CT merge waves, (1) ``history()``
