@@ -227,10 +227,21 @@ def active_files(
     snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
         return []
+    return sorted(
+        {
+            _to_local(df["file_path"], meta.get("location", path))
+            for df in _live_data_files(meta, snap, path)
+        }
+    )
+
+
+def _live_data_files(meta: dict, snap: dict, path: str) -> list[dict]:
+    """The snapshot's live ``data_file`` dicts, with the delete-file
+    refusals applied (see module docstring)."""
     location = meta.get("location", path)
     ml_path = _to_local(snap["manifest-list"], location)
     _, manifests = avro_ocf.read_ocf(ml_path)
-    out: list[str] = []
+    out: list[dict] = []
     for mf in manifests:
         content = mf.get("content", 0)  # v1 manifests: data
         mf_path = _to_local(mf["manifest_path"], location)
@@ -258,8 +269,30 @@ def active_files(
                     f"{fmt} data file {df['file_path']!r}: this jar-free "
                     "reader scans parquet only"
                 )
-            out.append(_to_local(df["file_path"], location))
-    return sorted(set(out))
+            out.append(df)
+    return out
+
+
+def _identity_partition_names(meta: dict) -> list[str]:
+    """Schema column names of the default spec's identity-transform
+    partition fields (non-identity transforms carry derived values we
+    never inject — data files always store the source column)."""
+    specs = meta.get("partition-specs") or []
+    spec_id = meta.get("default-spec-id", 0)
+    by_id = {}
+    schemas = meta.get("schemas") or ([meta["schema"]] if "schema" in meta else [])
+    sid = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id", 0) == sid:
+            by_id = {f["id"]: f["name"] for f in s["fields"]}
+    out = []
+    for spec in specs:
+        if spec.get("spec-id", 0) != spec_id:
+            continue
+        for f in spec.get("fields", []):
+            if f.get("transform") == "identity" and f.get("source-id") in by_id:
+                out.append(by_id[f["source-id"]])
+    return out
 
 
 def read_iceberg(
@@ -270,18 +303,60 @@ def read_iceberg(
 ) -> DataFrame:
     """Snapshot read of an Iceberg table without the connector —
     ``snapshot_id`` / ``as_of_ms`` give time travel. One parquet scan
-    over the live files with the TABLE's schema imposed (Iceberg data
-    files store every column, identity-partition values included, so no
-    hive-layout discovery is needed). An empty table returns an empty
-    DataFrame with the table schema."""
+    over the live files with the TABLE's schema imposed. Connector-
+    written data files store every column, identity-partition values
+    included; for HIVE-MIGRATED layouts (and this module's own exports
+    of hive-partitioned targets), where the files OMIT the identity
+    partition columns, the reader injects the manifest's partition
+    value per file group — ``coalesce(col, lit(value))``, exact for
+    identity transforms whether or not the file stores the column (the
+    same constant-injection real readers apply to migrated tables).
+    One scan per distinct partition tuple in that case — fine at 10^2
+    partitions, prefer the real connector at 10^4+. An empty table
+    returns an empty DataFrame with the table schema."""
     meta = table_metadata(path)
-    schema = _schema_struct(meta)
-    files = active_files(path, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[glob_escape(f) for f in files]
+    snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
+    if snap is None:
+        return spark.createDataFrame([], _schema_struct(meta))
+    return _scan_with_partition_injection(
+        spark, meta, path, _live_data_files(meta, snap, path)
     )
+
+
+def _scan_with_partition_injection(
+    spark: SparkSession, meta: dict, path: str, dfs: list[dict]
+) -> DataFrame:
+    """Imposed-schema scan of ``dfs`` with identity-partition constants
+    injected per file group (``coalesce(col, lit(value))`` — exact for
+    identity transforms whether or not the data file stores the
+    column). Unpartitioned tables take the single-scan fast path."""
+    import pyspark.sql.functions as F
+
+    schema = _schema_struct(meta)
+    if not dfs:
+        return spark.createDataFrame([], schema)
+    location = meta.get("location", path)
+    part_cols = _identity_partition_names(meta)
+    groups: dict[tuple, set[str]] = {}
+    for df in dfs:
+        pv = df.get("partition") or {}
+        key = tuple((c, pv.get(c)) for c in part_cols if c in pv)
+        groups.setdefault(key, set()).add(
+            _to_local(df["file_path"], location)
+        )
+    out = None
+    for key, files in sorted(
+        groups.items(), key=lambda kv: repr(kv[0])
+    ):
+        scan = spark.read.schema(schema).parquet(
+            *[glob_escape(f) for f in sorted(files)]
+        )
+        for col, value in key:
+            scan = scan.withColumn(
+                col, F.coalesce(F.col(col), F.lit(value))
+            )
+        out = scan if out is None else out.unionByName(scan)
+    return out
 
 
 # ------------------------------------------------------------- export
@@ -331,11 +406,32 @@ def _bounds_map_schema(name: str, key_id: int, value_id: int) -> list:
     ]
 
 
-def _manifest_entry_schema() -> dict:
-    """Avro schema of a v2 manifest entry (unpartitioned spec: the
-    required ``partition`` struct is empty — ``r102`` with no fields),
-    names and field-ids per the spec's "Manifests" table; optional
-    lower/upper bounds maps (125/128) carry the data-skipping stats."""
+#: Iceberg primitive -> Avro primitive for partition-struct fields
+_AVRO_OF_ICEBERG = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+}
+
+
+def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
+    """Avro schema of a v2 manifest entry, names and field-ids per the
+    spec's "Manifests" table; optional lower/upper bounds maps
+    (125/128) carry the data-skipping stats. ``partition_fields``
+    (``[(name, iceberg_type, field_id), ...]``) types the required
+    ``partition`` struct ``r102`` — empty for an unpartitioned spec;
+    every field is a nullable union (hive NULL-sentinel partitions)."""
+    r102_fields = [
+        {
+            "name": name,
+            "type": ["null", _AVRO_OF_ICEBERG[ice_type]],
+            "field-id": fid,
+        }
+        for name, ice_type, fid in (partition_fields or [])
+    ]
     data_file = {
         "type": "record",
         "name": "r2",
@@ -345,7 +441,11 @@ def _manifest_entry_schema() -> dict:
             {"name": "file_format", "type": "string", "field-id": 101},
             {
                 "name": "partition",
-                "type": {"type": "record", "name": "r102", "fields": []},
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": r102_fields,
+                },
                 "field-id": 102,
             },
             {"name": "record_count", "type": "long", "field-id": 103},
@@ -448,31 +548,41 @@ def plan_data_files(
     snap = _resolve_snapshot(meta, snapshot_id, None)
     if snap is None:
         return []
+    location = meta.get("location", path)
+    return sorted(
+        {
+            _to_local(df["file_path"], location)
+            for df in _plan_entries(meta, snap, path, col, lo, hi)
+        }
+    )
+
+
+def _plan_entries(
+    meta: dict, snap: dict, path: str, col: str, lo, hi
+) -> list[dict]:
     field = _field_by_name(meta, col)
     fid, ftype = field["id"], field["type"]
     codec = _BOUND_CODECS.get(ftype) if isinstance(ftype, str) else None
-    location = meta.get("location", path)
-    out: list[str] = []
-    ml = _to_local(snap["manifest-list"], location)
-    for mf in avro_ocf.read_ocf(ml)[1]:
-        if mf.get("content", 0) != 0:
-            continue  # active_files raises on live deletes; plan skips
-        for e in avro_ocf.read_ocf(_to_local(mf["manifest_path"], location))[1]:
-            if e.get("status", 0) == 2:
-                continue
-            df = e["data_file"]
-            keep = True
-            if codec is not None:
-                lb = _bounds_to_dict(df.get("lower_bounds")).get(fid)
-                ub = _bounds_to_dict(df.get("upper_bounds")).get(fid)
-                if lb is not None and ub is not None:
-                    dec = codec[1]
-                    keep = (lo is None or dec(ub) >= lo) and (
-                        hi is None or dec(lb) <= hi
-                    )
-            if keep:
-                out.append(_to_local(df["file_path"], location))
-    return sorted(set(out))
+    is_part = col in _identity_partition_names(meta)
+    out: list[dict] = []
+    for df in _live_data_files(meta, snap, path):
+        keep = True
+        if is_part and col in (df.get("partition") or {}):
+            # identity partition value: an exact [v, v] bound
+            v = df["partition"][col]
+            if v is not None:
+                keep = (lo is None or v >= lo) and (hi is None or v <= hi)
+        elif codec is not None:
+            lb = _bounds_to_dict(df.get("lower_bounds")).get(fid)
+            ub = _bounds_to_dict(df.get("upper_bounds")).get(fid)
+            if lb is not None and ub is not None:
+                dec = codec[1]
+                keep = (lo is None or dec(ub) >= lo) and (
+                    hi is None or dec(lb) <= hi
+                )
+        if keep:
+            out.append(df)
+    return out
 
 
 def read_iceberg_range(
@@ -484,22 +594,19 @@ def read_iceberg_range(
     snapshot_id: int | None = None,
 ) -> DataFrame:
     """Range read through the manifest-stats plan: Spark opens ONLY the
-    overlapping files; the residual filter keeps the result exact (file
+    overlapping files (column bounds; identity-partition values count
+    as exact bounds); the residual filter keeps the result exact (file
     bounds over-approximate). The Iceberg twin of the snapshot target's
     ``read_range`` (sinks/manifest.py)."""
     import pyspark.sql.functions as F
 
     meta = table_metadata(path)
-    schema = _schema_struct(meta)
-    files = plan_data_files(path, col, lo, hi, snapshot_id=snapshot_id)
-    # delete-manifest refusal still applies to the READ path
-    active_files(path, snapshot_id=snapshot_id)
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[glob_escape(f) for f in files]
-        )
+    snap = _resolve_snapshot(meta, snapshot_id, None)
+    if snap is None:
+        return spark.createDataFrame([], _schema_struct(meta))
+    df = _scan_with_partition_injection(
+        spark, meta, path, _plan_entries(meta, snap, path, col, lo, hi)
+    )
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -560,9 +667,15 @@ def export_iceberg(target, out_dir: str) -> int:
     each export appends ONE snapshot whose single full manifest lists
     every live file (status 1 added / 0 existing with its original
     data sequence number). Returns the new snapshot's sequence number
-    (== export ordinal, 1-based). Unpartitioned spec; per-commit full
-    manifests are the sandbox simplification — a real catalog reuses
-    unchanged manifests, the format permits both."""
+    (== export ordinal, 1-based). A hive-partitioned target exports as
+    an IDENTITY-partitioned spec: the hive layout is preserved under
+    ``data/`` and each file's typed partition values land in the
+    manifest's ``r102`` struct — the data files themselves omit the
+    partition columns, exactly the shape of a Hive-MIGRATED Iceberg
+    table, which readers (ours included) resolve by injecting the
+    manifest constants. Per-commit full manifests are the sandbox
+    simplification — a real catalog reuses unchanged manifests, the
+    format permits both."""
     import shutil
 
     from arcane_framework_scala_spark.sinks.table_stats import (
@@ -572,11 +685,7 @@ def export_iceberg(target, out_dir: str) -> int:
     v = target.current_version()
     if v is None:
         raise IcebergError(f"nothing to export: {target.path} has no snapshot")
-    if getattr(target, "partition_cols", None):
-        raise IcebergError(
-            "export_iceberg writes the unpartitioned spec; hive-partitioned "
-            "targets need partition-struct manifests (not implemented)"
-        )
+    part_cols = list(getattr(target, "partition_cols", []) or [])
     vdir = os.path.join(target.path, f"v={v}")
     md = os.path.join(out_dir, "metadata")
     data_dir = os.path.join(out_dir, "data")
@@ -603,6 +712,28 @@ def export_iceberg(target, out_dir: str) -> int:
                     if e.get("status", 0) != 2:
                         prev_entries[e["data_file"]["file_path"]] = e
 
+    schema_obj = _iceberg_schema_json(target)
+    ice_type_of = {f["name"]: f["type"] for f in schema_obj["fields"]}
+    field_id_of = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    for c in part_cols:
+        if ice_type_of.get(c) not in _AVRO_OF_ICEBERG:
+            raise IcebergError(
+                f"partition column {c!r} has type {ice_type_of.get(c)!r} — "
+                "identity-partition export covers the Avro-primitive types"
+            )
+
+    def _typed(col: str, raw: str | None):
+        if raw is None:
+            return None
+        t = ice_type_of[col]
+        if t in ("int", "long"):
+            return int(raw)
+        if t in ("float", "double"):
+            return float(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        return raw
+
     cur: dict[str, dict] = {}  # data-relative rel -> stat info
     rows_per_file: dict[str, int] = {}
     for f in _parquet_files(vdir):
@@ -616,11 +747,31 @@ def export_iceberg(target, out_dir: str) -> int:
         digest = hashlib.md5(
             f"{st.st_ino}-{st.st_size}-{st.st_mtime_ns}".encode()
         ).hexdigest()
-        rel = f"data/part-{digest}.parquet"
-        cur[rel] = {"src": f, "size": st.st_size}
+        # hive subdirs carry the identity partition values: keep the
+        # layout under data/ and lift the DECODED, TYPED values into
+        # the manifest partition struct
+        rel_dir = os.path.dirname(os.path.relpath(f, vdir))
+        part_values: dict[str, object] = {}
+        for seg in rel_dir.split(os.sep) if rel_dir else []:
+            k, _, val = seg.partition("=")
+            if k in ice_type_of:
+                val = unquote(val)
+                part_values[k] = _typed(
+                    k,
+                    None if val == "__HIVE_DEFAULT_PARTITION__" else val,
+                )
+        rel = os.path.join(
+            "data", rel_dir, f"part-{digest}.parquet"
+        ) if rel_dir else f"data/part-{digest}.parquet"
+        cur[rel] = {
+            "src": f,
+            "size": st.st_size,
+            "partition": part_values,
+        }
         rows_per_file[rel] = rows
     for rel, info in cur.items():
         dst = os.path.join(out_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
         if not os.path.exists(dst):
             try:
                 os.link(info["src"], dst)
@@ -634,7 +785,18 @@ def export_iceberg(target, out_dir: str) -> int:
     now_ms = int(time.time() * 1000)
 
     abs_uri = lambda rel: "file://" + os.path.join(out_dir, rel)  # noqa: E731
-    schema_obj = _iceberg_schema_json(target)
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": field_id_of[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
+    part_schema_fields = [
+        (c, ice_type_of[c], 1000 + i) for i, c in enumerate(part_cols)
+    ]
     entries = []
     added = existing = 0
     for rel in sorted(cur):
@@ -668,7 +830,7 @@ def export_iceberg(target, out_dir: str) -> int:
                         "content": 0,
                         "file_path": uri,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": cur[rel]["partition"],
                         "record_count": rows_per_file[rel],
                         "file_size_in_bytes": cur[rel]["size"],
                         "lower_bounds": lower or None,
@@ -680,11 +842,11 @@ def export_iceberg(target, out_dir: str) -> int:
     manifest_abs = os.path.join(out_dir, manifest_rel)
     avro_ocf.write_ocf(
         manifest_abs,
-        _manifest_entry_schema(),
+        _manifest_entry_schema(part_schema_fields),
         entries,
         extra_meta={
             "schema": json.dumps(schema_obj),
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -751,8 +913,8 @@ def export_iceberg(target, out_dir: str) -> int:
         "current-schema-id": 0,
         "schemas": [schema_obj],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(part_cols),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {},

@@ -491,3 +491,47 @@ def test_iceberg_changes_feeds_ivm(spark, tmp_path):
     )
     assert view.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(view).count() == 0
+
+
+def test_partitioned_export_injects_and_prunes(spark, tmp_path):
+    """A hive-partitioned target exports as an identity-partitioned
+    spec: the manifest carries typed partition structs (the hive-dir
+    values, NULL sentinel included), the reader injects the constants
+    per file group (the data files omit the partition column — the
+    Hive-migrated-table shape), and partition values act as exact
+    bounds in planning."""
+    t = SnapshotParquetTarget(
+        spark, str(tmp_path / "src"), partition_cols=["p"]
+    )
+    rows = (
+        [(i, "eu", float(i)) for i in range(30)]
+        + [(i, "us", float(i)) for i in range(30, 50)]
+        + [(99, None, 9.9)]
+    )
+    t.overwrite(spark.createDataFrame(rows, "id long, p string, x double"))
+    out = str(tmp_path / "ice")
+    ir.export_iceberg(t, out)
+
+    meta = ir.table_metadata(out)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [("p", "identity")]
+
+    got = ir.read_iceberg(spark, out)
+    back = {(r["id"], r["p"]) for r in got.collect()}
+    assert back == {(i, "eu") for i in range(30)} | {
+        (i, "us") for i in range(30, 50)
+    } | {(99, None)}
+
+    # identity-partition value is an exact planning bound
+    every = ir.active_files(out)
+    planned = ir.plan_data_files(out, "p", lo="us", hi="us")
+    assert planned and len(planned) < len(every)
+    us = ir.read_iceberg_range(spark, out, "p", "us", "us")
+    assert {r["id"] for r in us.collect()} == set(range(30, 50))
+    assert set(
+        f.replace("file:", "").replace("//", "/") and f
+        for f in us.inputFiles()
+    )  # non-empty scan
+    # data-column bounds still prune inside the partitioned layout
+    sub = ir.read_iceberg_range(spark, out, "id", 5, 9)
+    assert sorted(r["id"] for r in sub.collect()) == list(range(5, 10))
