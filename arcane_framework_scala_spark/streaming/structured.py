@@ -138,7 +138,14 @@ class StructuredBlobStream:
             .option("recursiveFileLookup", "true")
         )
         df = reader.load(self.path)
-        version = F.col("_metadata.file_modification_time").cast("long")
+        # MICROSECOND resolution, not cast-to-long (= epoch SECONDS):
+        # two waves written within the same second would otherwise get
+        # EQUAL versions and the dialect's strictly-greater update guard
+        # (s.version > t.version) would silently reject every update of
+        # the second wave — the r9 root cause of the stream-hook flake
+        # (fast warm-suite runs landed both waves in one second; slow
+        # isolated runs never did, so it looked load-dependent).
+        version = F.unix_micros(F.col("_metadata.file_modification_time"))
         return df.select(
             "*",
             blob_merge_key(*self.primary_keys).alias(MERGE_KEY_COLUMN),
@@ -327,7 +334,10 @@ class StructuredBlobStream:
     def run_available(self, *, max_drains: int = 3) -> int:
         """Process everything listable at call time, then stop
         (backfill-merge §3.2 shape on the streaming engine). Returns the
-        total input rows ingested. The drain is verified: every file in
+        total input rows read — Spark counts every source re-read inside
+        foreachBatch (emptiness probe, max-version, merge), so the value
+        is >= the logical row count and 0 exactly when nothing was
+        ingested. The drain is verified: every file in
         the pre-start listing snapshot must appear in the source's
         metadata log afterwards; on shortfall the drain re-runs (a fresh
         query re-lists) up to ``max_drains`` times, then raises —

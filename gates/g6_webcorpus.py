@@ -1404,7 +1404,8 @@ def q_t1_stream_trigger_vertical(spark, sf_dir):
             # phase 2: wave 1 (full orders snapshot) merges in its trigger
             stage(orders, "w1", V1)
             wait_until(
-                lambda: store.read().version == str(V1), "wave-1 commit"
+                lambda: store.read().version == str(V1 * 1_000_000),
+                "wave-1 commit"
             )
 
             # phase 3: wave 2 (every third key updated) upserts over wave 1
@@ -1416,7 +1417,8 @@ def q_t1_stream_trigger_vertical(spark, sf_dir):
                 V2,
             )
             wait_until(
-                lambda: store.read().version == str(V2), "wave-2 commit"
+                lambda: store.read().version == str(V2 * 1_000_000),
+                "wave-2 commit"
             )
         finally:
             query.stop()
@@ -1432,7 +1434,9 @@ def q_t1_stream_trigger_vertical(spark, sf_dir):
         return target.read().select(
             "o_orderkey",
             F.col("o_orderstatus").alias("status"),
-            F.col("createdon").cast("long").alias("version"),
+            # stream versions are MICROSECONDS (same-second-wave fix,
+            # r9); the frozen oracle speaks epoch seconds
+            F.expr("createdon DIV 1000000").alias("version"),
         )
 
     try:
@@ -1558,7 +1562,9 @@ def q_t3_shaped_trigger_vertical(spark, sf_dir):
         final = stream.sink.target.read().select(
             "o_orderkey",
             F.col("o_orderstatus").alias("status"),
-            F.col("createdon").cast("long").alias("version"),
+            # stream versions are MICROSECONDS (same-second-wave fix,
+            # r9); the frozen oracle speaks epoch seconds
+            F.expr("createdon DIV 1000000").alias("version"),
         )
         return stream, final
 

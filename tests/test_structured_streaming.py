@@ -322,6 +322,54 @@ def test_shaper_sizes_the_trigger_cap(spark, tmp_path):
     assert stream(None, static_cap=7)._shaped_max_files() == 7
 
 
+def test_same_second_waves_still_apply_updates(spark, tmp_path):
+    """Two waves whose files carry mtimes INSIDE the same epoch second
+    must still merge in order: the stream version is microseconds
+    (unix_micros), not a to-long cast that truncates to seconds — with
+    second-granularity versions the dialect's strictly-greater update
+    guard silently rejected every second-wave update (the r9 root cause
+    of the load-dependent stream-hook flake: warm-suite runs land both
+    waves in one second, isolated runs never do)."""
+    import os
+    import time
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, v double"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [(1, 11.0), (3, 30.0)], "k bigint, v double"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    # pin BOTH waves into the same epoch second, 200ms apart
+    base = int(time.time()) - 10
+    for sub, frac in (("b1", 0.2), ("b2", 0.4)):
+        for fn in os.listdir(f"{src}/{sub}"):
+            if not fn.startswith((".", "_")):
+                os.utime(
+                    f"{src}/{sub}/{fn}", (base + frac, base + frac)
+                )
+    target = SnapshotParquetTarget(spark, str(tmp_path / "t"))
+    stream = StructuredBlobStream(
+        spark=spark,
+        path=src,
+        schema="k bigint, v double",
+        primary_keys=["k"],
+        sink=MergeSink(target=target, dialect=UPSERT_BLOB),
+        watermark_store=FileWatermarkStore(path=str(tmp_path / "wm.json")),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_batch=1,  # b1 and b2 in separate micro-batches
+    )
+    rows = stream.run_available()
+    stream.detach_idle_listener()
+    # numInputRows counts every source re-read inside foreachBatch
+    # (isEmpty + max-version + merge), so >= the 4 logical rows
+    assert rows >= 4
+    got = {r["k"]: r["v"] for r in target.read().collect()}
+    # k=1's second-wave update MUST win despite the same-second mtimes
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}
+
+
 def test_streaming_view_maintainer_rides_the_batch_hook(
     spark, sf_dir, tmp_path
 ):
