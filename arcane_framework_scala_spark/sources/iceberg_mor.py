@@ -1,0 +1,622 @@
+"""Iceberg v2 merge-on-read, jar-free: row-level delete APPLICATION on
+read, delete-commit writers, and MoR compaction — over the PUBLIC table
+spec only (delete-file semantics per the spec's "Row-level deletes" and
+"Sequence numbers" sections; the reference engine consumes such tables
+through Trino, ``services/merging/JdbcMergeServiceClient.scala``).
+
+Application plan (Spark-first, fully distributed):
+
+- the data scan materializes each row's PHYSICAL coordinates —
+  ``_metadata.file_path`` + ``_metadata.row_index`` (the exact pair
+  Iceberg's ``pos`` means; ``row_index`` is the engine facility Delta
+  deletion vectors ride too);
+- a driver-built (metadata-sized) broadcast map translates the scan's
+  encoded path back to the manifest's file URI and attaches the file's
+  DATA SEQUENCE NUMBER; an unmapped path RAISES via a row-level
+  ``assert_true`` filter (loud failure, never a silent resurrect/drop);
+- POSITION deletes: one ``left_anti`` join on
+  ``(file URI, pos)`` gated by ``delete.seq >= data.seq``;
+- EQUALITY deletes: per distinct ``equality_ids`` set, one null-safe
+  ``left_anti`` join on the identified columns gated by the spec's
+  STRICT visibility rule ``delete.seq > data.seq`` — rows added in the
+  same or a later commit than the delete survive.
+
+No hints are forced on the anti-joins: delete files are usually tiny
+(AQE broadcasts them), but a backlogged MoR table can carry GBs of
+deletes and a shuffled anti-join is then the right physical plan —
+Catalyst/AQE decides from runtime sizes.
+
+Write surface:
+
+- :func:`commit_position_deletes` — predicate → one sorted
+  ``(file_path, pos)`` parquet delete file + a delete manifest +
+  a new snapshot whose manifest list REUSES the previous manifests
+  verbatim (the real catalog's metadata-only commit shape: O(1)
+  manifest writes per delete commit, untouched data never rewritten);
+- :func:`commit_equality_deletes` — key rows → an equality delete file
+  (``content=2``, ``equality_ids``) with the same manifest reuse;
+- :func:`rewrite_data_files` — MoR compaction (the
+  ``rewrite_data_files`` maintenance action): applies all live deletes
+  ONCE and commits a replace snapshot of fresh data files with footer
+  bounds, dropping every delete manifest from the new manifest list;
+  earlier snapshots stay time-travelable with their deletes.
+
+Global (partition-unscoped) delete files are written against an
+UNPARTITIONED partition spec, added to ``partition-specs`` on first
+use — the spec's own shape for path/key-global deletes. Scale posture
+matches the reader: manifest replay and the path map are driver-side
+metadata, all row work is distributed; at 10^5+ files prefer the real
+connector.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from urllib.parse import quote
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arcane_framework_scala_spark.sources import avro_ocf
+from arcane_framework_scala_spark.sources import iceberg_reader as ir
+from arcane_framework_scala_spark.sources.paths import glob_escape
+
+#: RFC 3986 pchar set (minus pct-escapes) — what ``Path.toUri`` leaves
+#: unencoded; everything else is percent-encoded, matching the
+#: ``_metadata.file_path`` strings Spark reports.
+_URI_PATH_SAFE = "/!$&'()*+,;=:@-._~"
+
+
+def _metadata_path_guesses(local: str) -> set[str]:
+    """Candidate ``_metadata.file_path`` spellings for a local path:
+    the Hadoop-URI percent-encoded form and the raw form. The read
+    path verifies coverage per row (assert, not assume)."""
+    return {"file:" + quote(local, safe=_URI_PATH_SAFE), "file:" + local}
+
+
+def _group_by_seq(entries: list[dict], location: str) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for e in entries:
+        out.setdefault(int(e["seq"]), []).append(
+            ir._to_local(e["df"]["file_path"], location)
+        )
+    return out
+
+
+def _field_name_by_id(meta: dict, fid: int) -> str:
+    for f in _current_schema_obj(meta)["fields"]:
+        if f["id"] == fid:
+            return f["name"]
+    raise ir.IcebergError(f"equality_ids references unknown field id {fid}")
+
+
+def _current_schema_obj(meta: dict) -> dict:
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if "schema" in meta else []
+    )
+    sid = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id", 0) == sid:
+            return s
+    raise ir.IcebergError("current schema not found in metadata")
+
+
+def _mor_frame(
+    spark: SparkSession,
+    meta: dict,
+    path: str,
+    ent: dict,
+    keep_lineage: bool = False,
+) -> DataFrame:
+    """The snapshot's LIVE rows with all row-level deletes applied;
+    ``keep_lineage=True`` retains ``__ice_uri`` (manifest-form file
+    URI) and ``__ice_pos`` — what a position-delete writer needs."""
+    import pyspark.sql.functions as F
+
+    schema = ir._schema_struct(meta)
+    location = meta.get("location", path)
+    data_entries = ent["data"]
+    if not data_entries:
+        out = spark.createDataFrame([], schema)
+        if keep_lineage:
+            out = out.withColumn("__ice_uri", F.lit(None).cast("string"))
+            out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
+        return out
+    base = ir._scan_with_partition_injection(
+        spark, meta, path, [e["df"] for e in data_entries],
+        with_lineage=True,
+    )
+    map_rows = []
+    for e in data_entries:
+        uri = e["df"]["file_path"]
+        local = ir._to_local(uri, location)
+        for guess in _metadata_path_guesses(local):
+            map_rows.append((guess, uri, int(e["seq"])))
+    map_df = spark.createDataFrame(
+        map_rows, "__ice_meta string, __ice_uri string, __ice_seq long"
+    )
+    joined = base.join(
+        F.broadcast(map_df),
+        base["__ice_file"] == map_df["__ice_meta"],
+        "left",
+    ).drop("__ice_meta")
+    # a filter (not a projected column — projections prune) that passes
+    # every mapped row and RAISES on an unmapped physical path
+    joined = joined.filter(
+        F.assert_true(
+            F.col("__ice_seq").isNotNull(),
+            F.concat(
+                F.lit("iceberg_mor: data file path not in the manifest "
+                      "map (URI encoding drift?): "),
+                F.col("__ice_file"),
+            ),
+        ).isNull()
+    )
+
+    if ent["pos"]:
+        pos_df = None
+        for seq, files in sorted(_group_by_seq(ent["pos"], location).items()):
+            d = (
+                spark.read.parquet(*[glob_escape(f) for f in sorted(files)])
+                .select(
+                    F.col("file_path").alias("__d_file"),
+                    F.col("pos").alias("__d_pos"),
+                )
+                .withColumn("__d_seq", F.lit(int(seq)))
+            )
+            pos_df = d if pos_df is None else pos_df.unionByName(d)
+        joined = joined.join(
+            pos_df,
+            (joined["__ice_uri"] == pos_df["__d_file"])
+            & (joined["__ice_pos"] == pos_df["__d_pos"])
+            & (pos_df["__d_seq"] >= joined["__ice_seq"]),
+            "left_anti",
+        )
+
+    if ent["eq"]:
+        by_ids: dict[tuple, list[dict]] = {}
+        for e in ent["eq"]:
+            if not e["equality_ids"]:
+                raise ir.IcebergError(
+                    f"equality delete file {e['df']['file_path']!r} "
+                    "carries no equality_ids"
+                )
+            by_ids.setdefault(tuple(sorted(e["equality_ids"])), []).append(e)
+        for ids, group in sorted(by_ids.items()):
+            names = [_field_name_by_id(meta, fid) for fid in ids]
+            dd = None
+            for seq, files in sorted(_group_by_seq(group, location).items()):
+                d = (
+                    spark.read.parquet(
+                        *[glob_escape(f) for f in sorted(files)]
+                    )
+                    .select(
+                        *[F.col(n).alias(f"__eq_{n}") for n in names]
+                    )
+                    .withColumn("__eq_seq", F.lit(int(seq)))
+                )
+                dd = d if dd is None else dd.unionByName(d)
+            cond = dd["__eq_seq"] > joined["__ice_seq"]
+            for n in names:
+                cond = cond & joined[n].eqNullSafe(dd[f"__eq_{n}"])
+            joined = joined.join(dd, cond, "left_anti")
+
+    keep = [f.name for f in schema.fields]
+    if keep_lineage:
+        keep += ["__ice_uri", "__ice_pos"]
+    return joined.select(*keep)
+
+
+def apply_row_deletes(
+    spark: SparkSession, meta: dict, path: str, ent: dict
+) -> DataFrame:
+    """Public MoR read entry used by :func:`iceberg_reader.read_iceberg`
+    when the chosen snapshot carries live delete files."""
+    return _mor_frame(spark, meta, path, ent, keep_lineage=False)
+
+
+# ------------------------------------------------------------- commits
+
+
+def _next_ids(meta: dict, out_dir: str) -> tuple[int, int]:
+    seq = meta.get("last-sequence-number", 0) + 1
+    snap_id = int(
+        hashlib.md5(f"{out_dir}-{seq}".encode()).hexdigest()[:15], 16
+    )
+    return seq, snap_id
+
+
+def _prev_manifest_list_rows(meta: dict, out_dir: str) -> list[dict]:
+    snap = ir._resolve_snapshot(meta, None, None)
+    if snap is None:
+        return []
+    ml = ir._to_local(snap["manifest-list"], meta.get("location", out_dir))
+    return avro_ocf.read_ocf(ml)[1]
+
+
+def _ensure_unpartitioned_spec(meta: dict) -> tuple[dict, int]:
+    """The spec-id of an UNPARTITIONED partition spec, adding one to
+    ``partition-specs`` when the table has none (the spec's shape for
+    global delete files)."""
+    specs = list(meta.get("partition-specs") or [])
+    if not specs:
+        specs = [{"spec-id": 0, "fields": []}]
+    for s in specs:
+        if not s.get("fields"):
+            return {**meta, "partition-specs": specs}, s.get("spec-id", 0)
+    new_id = max(s.get("spec-id", 0) for s in specs) + 1
+    return (
+        {**meta, "partition-specs": specs + [{"spec-id": new_id, "fields": []}]},
+        new_id,
+    )
+
+
+def _write_single_parquet(
+    spark_df: DataFrame, out_dir: str, dst_rel: str
+) -> tuple[str, int, int] | None:
+    """Write ``spark_df`` as ONE parquet file at ``out_dir/dst_rel``;
+    returns (abs path, rows, bytes) or None when the frame is empty.
+    Single-file is the sandbox shape — real writers shard delete files
+    per partition; the manifest format carries either."""
+    stage = os.path.join(out_dir, f".stage-{os.path.basename(dst_rel)}")
+    shutil.rmtree(stage, ignore_errors=True)
+    spark_df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = None
+    for name in os.listdir(stage):
+        if name.endswith(".parquet"):
+            part = os.path.join(stage, name)
+            break
+    rows = ir._parquet_row_count(part) if part else 0
+    if rows == 0:
+        shutil.rmtree(stage, ignore_errors=True)
+        return None
+    dst = os.path.join(out_dir, dst_rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(part, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    return dst, rows, os.path.getsize(dst)
+
+
+def _finalize_snapshot(
+    out_dir: str,
+    meta: dict,
+    ml_rows: list[dict],
+    seq: int,
+    snap_id: int,
+    operation: str,
+) -> None:
+    ml_rel = f"metadata/snap-{snap_id}-{seq}.avro"
+    avro_ocf.write_ocf(
+        os.path.join(out_dir, ml_rel),
+        ir.MANIFEST_LIST_SCHEMA,
+        ml_rows,
+        extra_meta={"format-version": "2"},
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": "file://" + os.path.join(out_dir, ml_rel),
+        "summary": {"operation": operation},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    if meta.get("current-snapshot-id") not in (None, -1):
+        snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = (meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    md = os.path.join(out_dir, "metadata")
+    tmp = os.path.join(md, f".v{seq}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, os.path.join(md, f"v{seq}.metadata.json"))
+    hint_tmp = os.path.join(md, ".version-hint.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(seq))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
+def _delete_entry(
+    snap_id: int,
+    seq: int,
+    uri: str,
+    rows: int,
+    size: int,
+    content: int,
+    equality_ids: list[int] | None = None,
+) -> dict:
+    df: dict = {
+        "content": content,
+        "file_path": uri,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": rows,
+        "file_size_in_bytes": size,
+        "lower_bounds": None,
+        "upper_bounds": None,
+    }
+    if equality_ids is not None:
+        df["equality_ids"] = equality_ids
+    return {
+        "status": 1,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": df,
+    }
+
+
+def _commit_delete_file(
+    out_dir: str,
+    meta: dict,
+    seq: int,
+    snap_id: int,
+    entry: dict,
+    rows: int,
+) -> int:
+    """Shared tail of both delete writers: ONE new delete manifest, the
+    previous manifests REUSED verbatim in the new manifest list, one
+    metadata commit."""
+    meta, unpart_id = _ensure_unpartitioned_spec(meta)
+    manifest_rel = f"metadata/m-{snap_id:x}-{seq}-deletes.avro"
+    manifest_abs = os.path.join(out_dir, manifest_rel)
+    schema = ir._manifest_entry_schema(
+        [], equality_ids_field="equality_ids" in entry["data_file"]
+    )
+    avro_ocf.write_ocf(
+        manifest_abs,
+        schema,
+        [entry],
+        extra_meta={
+            "schema": json.dumps(_current_schema_obj(meta)),
+            "partition-spec": "[]",
+            "partition-spec-id": str(unpart_id),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    ml_rows = _prev_manifest_list_rows(meta, out_dir) + [
+        {
+            "manifest_path": "file://" + manifest_abs,
+            "manifest_length": os.path.getsize(manifest_abs),
+            "partition_spec_id": unpart_id,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    _finalize_snapshot(out_dir, meta, ml_rows, seq, snap_id, "delete")
+    return seq
+
+
+def commit_position_deletes(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> int | None:
+    """Commit a POSITION-delete snapshot: the live rows matching the
+    SQL ``predicate`` (evaluated over the current merge-on-read state,
+    so already-deleted rows are never re-listed) become one sorted
+    ``(file_path, pos)`` delete file. Untouched data files are never
+    rewritten — the commit is metadata + O(matched rows). Returns the
+    new sequence number, or None when nothing matched (no commit)."""
+    import pyspark.sql.functions as F
+
+    meta = ir.table_metadata(table_dir)
+    snap = ir._resolve_snapshot(meta, None, None)
+    if snap is None:
+        raise ir.IcebergError(f"{table_dir}: table has no snapshot")
+    ent = ir._live_entries(meta, snap, table_dir)
+    live = _mor_frame(spark, meta, table_dir, ent, keep_lineage=True)
+    hits = (
+        live.filter(F.expr(predicate))
+        .select(
+            F.col("__ice_uri").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
+        )
+        .sortWithinPartitions("file_path", "pos")
+    )
+    seq, snap_id = _next_ids(meta, table_dir)
+    written = _write_single_parquet(
+        hits, table_dir, f"data/delete-pos-{snap_id:x}-{seq}.parquet"
+    )
+    if written is None:
+        return None
+    dst, rows, size = written
+    entry = _delete_entry(snap_id, seq, "file://" + dst, rows, size, 1)
+    return _commit_delete_file(table_dir, meta, seq, snap_id, entry, rows)
+
+
+def commit_equality_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    rows_df: DataFrame,
+    equality_cols: list[str],
+) -> int | None:
+    """Commit an EQUALITY-delete snapshot: distinct ``equality_cols``
+    tuples from ``rows_df`` become one ``content=2`` delete file whose
+    manifest entry carries the columns' field ids. Per the spec it
+    deletes matching rows from STRICTLY OLDER commits only — data
+    appended at or after this sequence number survives. Returns the
+    new sequence number, or None when ``rows_df`` is empty."""
+    meta = ir.table_metadata(table_dir)
+    if ir._resolve_snapshot(meta, None, None) is None:
+        raise ir.IcebergError(f"{table_dir}: table has no snapshot")
+    ids = [
+        _current_field_id(meta, c) for c in equality_cols
+    ]
+    seq, snap_id = _next_ids(meta, table_dir)
+    written = _write_single_parquet(
+        rows_df.select(*equality_cols).distinct(),
+        table_dir,
+        f"data/delete-eq-{snap_id:x}-{seq}.parquet",
+    )
+    if written is None:
+        return None
+    dst, rows, size = written
+    entry = _delete_entry(
+        snap_id, seq, "file://" + dst, rows, size, 2, equality_ids=ids
+    )
+    return _commit_delete_file(table_dir, meta, seq, snap_id, entry, rows)
+
+
+def _current_field_id(meta: dict, name: str) -> int:
+    for f in _current_schema_obj(meta)["fields"]:
+        if f["name"] == name:
+            return f["id"]
+    raise ir.IcebergError(f"column {name!r} not in the table schema")
+
+
+def rewrite_data_files(spark: SparkSession, table_dir: str) -> int:
+    """MoR compaction (the ``rewrite_data_files`` maintenance action):
+    apply every live delete ONCE and commit a ``replace`` snapshot of
+    fresh data files — footer bounds written for data skipping, all
+    delete manifests dropped from the new manifest list. Earlier
+    snapshots remain time-travelable with their deletes. The new
+    layout is unpartitioned WITHIN the existing spec (all partition
+    values null; every column is stored in the files, so reads stay
+    exact and column-stat pruning still applies). Returns the new
+    sequence number."""
+    meta = ir.table_metadata(table_dir)
+    snap = ir._resolve_snapshot(meta, None, None)
+    if snap is None:
+        raise ir.IcebergError(f"{table_dir}: table has no snapshot")
+    ent = ir._live_entries(meta, snap, table_dir)
+    cur = _mor_frame(spark, meta, table_dir, ent, keep_lineage=False)
+    seq, snap_id = _next_ids(meta, table_dir)
+    ml_row = _stage_data_manifest(table_dir, meta, seq, snap_id, cur, "rw")
+    _finalize_snapshot(table_dir, meta, [ml_row], seq, snap_id, "replace")
+    return seq
+
+
+def append_rows(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Commit an APPEND snapshot: ``df`` lands as fresh data files at
+    the NEW sequence number while every previous manifest — data AND
+    delete — is reused verbatim in the new manifest list. Carried data
+    files keep their deletes; the appended rows, being strictly newer
+    than every live equality delete, are untouched by them (and by
+    position deletes, which name older files only). This is the direct
+    table-write path the exporter (overwrite-shaped, target-is-truth)
+    deliberately does not provide. Returns the new sequence number."""
+    meta = ir.table_metadata(table_dir)
+    if ir._resolve_snapshot(meta, None, None) is None:
+        raise ir.IcebergError(f"{table_dir}: table has no snapshot")
+    seq, snap_id = _next_ids(meta, table_dir)
+    ml_row = _stage_data_manifest(table_dir, meta, seq, snap_id, df, "ap")
+    ml_rows = _prev_manifest_list_rows(meta, table_dir) + [ml_row]
+    _finalize_snapshot(table_dir, meta, ml_rows, seq, snap_id, "append")
+    return seq
+
+
+def _stage_data_manifest(
+    table_dir: str,
+    meta: dict,
+    seq: int,
+    snap_id: int,
+    frame: DataFrame,
+    prefix: str,
+) -> dict:
+    """Write ``frame`` as data files under ``data/`` plus ONE data
+    manifest (footer bounds included); returns the manifest-list row.
+    Files land unpartitioned within the existing default spec (all
+    partition values null, every column stored — reads stay exact,
+    column-stat pruning still applies)."""
+    stage = os.path.join(table_dir, f".stage-{prefix}-{seq}")
+    shutil.rmtree(stage, ignore_errors=True)
+    frame.write.mode("overwrite").parquet(stage)
+
+    schema_obj = _current_schema_obj(meta)
+    spec_fields = []
+    for s in meta.get("partition-specs") or []:
+        if s.get("spec-id", 0) == meta.get("default-spec-id", 0):
+            spec_fields = s.get("fields", [])
+    name_of = {f["id"]: f["name"] for f in schema_obj["fields"]}
+    type_of = {f["name"]: f["type"] for f in schema_obj["fields"]}
+    part_schema_fields = []
+    for f in spec_fields:
+        nm = f.get("name") or name_of.get(f.get("source-id"), "p")
+        src_type = type_of.get(name_of.get(f.get("source-id"), ""), "string")
+        if src_type not in ir._AVRO_OF_ICEBERG:
+            src_type = "string"  # values are null; only the union shape matters
+        part_schema_fields.append((nm, src_type, f.get("field-id", 1000)))
+
+    entries = []
+    added_rows = 0
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(stage, name)
+        rows = ir._parquet_row_count(src)
+        if rows == 0:
+            continue
+        rel = f"data/{prefix}-{snap_id:x}-{seq}-{i:05d}.parquet"
+        i += 1
+        dst = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+        lower, upper = ir._footer_bounds(dst, schema_obj)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + dst,
+                    "file_format": "PARQUET",
+                    "partition": {nm: None for nm, _, _ in part_schema_fields},
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                },
+            }
+        )
+        added_rows += rows
+    shutil.rmtree(stage, ignore_errors=True)
+
+    manifest_rel = f"metadata/m-{snap_id:x}-{seq}.avro"
+    manifest_abs = os.path.join(table_dir, manifest_rel)
+    avro_ocf.write_ocf(
+        manifest_abs,
+        ir._manifest_entry_schema(part_schema_fields),
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_obj),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(meta.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    return {
+        "manifest_path": "file://" + manifest_abs,
+        "manifest_length": os.path.getsize(manifest_abs),
+        "partition_spec_id": meta.get("default-spec-id", 0),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }

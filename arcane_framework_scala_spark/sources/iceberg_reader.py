@@ -24,13 +24,15 @@ manifest list, ``vN.metadata.json`` and the ``version-hint.text``
 HadoopTables pointer. Repeated exports append snapshots, so an external
 engine sees a faithful version history.
 
-Honest fences (raising, never guessing):
-- v2 ROW-LEVEL DELETES: a snapshot whose manifest list references a
-  live delete manifest (``content=1``), or whose data manifests carry
-  position/equality delete files (``data_file.content != 0``), RAISES —
-  returning rows while ignoring delete files would resurrect deleted
-  data (the same rule ``delta_reader`` applies to deletion vectors).
-- non-parquet data files (ORC/Avro) raise.
+v2 ROW-LEVEL DELETES (merge-on-read) are APPLIED, not refused (r9):
+position deletes anti-join on (file URI, ``_metadata.row_index``) and
+equality deletes null-safe anti-join on the identified columns, both
+under the spec's sequence-number visibility rules — see
+:mod:`iceberg_mor` for the application plan and the delete-commit /
+compaction writers. Honest fences that REMAIN (raising, never
+guessing):
+- non-parquet data or delete files (ORC/Avro) raise;
+- unknown ``data_file.content`` values raise;
 - unsupported metadata (missing schema, unknown types) raises.
 
 Scale: log replay is driver-side metadata work — O(manifest entries at
@@ -235,42 +237,68 @@ def active_files(
     )
 
 
-def _live_data_files(meta: dict, snap: dict, path: str) -> list[dict]:
-    """The snapshot's live ``data_file`` dicts, with the delete-file
-    refusals applied (see module docstring)."""
+def _live_entries(meta: dict, snap: dict, path: str) -> dict:
+    """Replay the snapshot's manifest list into live entries, keyed by
+    content kind: ``{"data": [...], "pos": [...], "eq": [...]}``. Each
+    element is ``{"df": data_file-dict, "seq": data-sequence-number}``
+    (``eq`` elements add ``equality_ids``). Sequence-number inheritance
+    per the spec: an entry with a null ``sequence_number`` takes the
+    manifest-list row's (added entries written by metadata writers that
+    rely on inheritance). Non-parquet files and unknown ``content``
+    values raise — never guess."""
     location = meta.get("location", path)
     ml_path = _to_local(snap["manifest-list"], location)
     _, manifests = avro_ocf.read_ocf(ml_path)
-    out: list[dict] = []
+    out: dict = {"data": [], "pos": [], "eq": []}
     for mf in manifests:
-        content = mf.get("content", 0)  # v1 manifests: data
+        mcontent = mf.get("content", 0)  # v1 manifests: data
+        mseq = mf.get("sequence_number", 0)
         mf_path = _to_local(mf["manifest_path"], location)
         _, entries = avro_ocf.read_ocf(mf_path)
-        live = [e for e in entries if e.get("status", 0) != 2]
-        if content == 1:
-            if live:
-                raise IcebergError(
-                    f"snapshot {snap['snapshot-id']} carries live DELETE "
-                    f"manifest {mf['manifest_path']!r} — reading the data "
-                    "files while ignoring it would resurrect deleted rows; "
-                    "use the real Iceberg connector for v2 MoR tables"
-                )
-            continue
-        for e in live:
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise IcebergError(
-                    f"delete file {df['file_path']!r} in a data manifest — "
-                    "v2 row-level deletes need the real connector"
-                )
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mseq
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergError(
-                    f"{fmt} data file {df['file_path']!r}: this jar-free "
+                    f"{fmt} file {df['file_path']!r}: this jar-free "
                     "reader scans parquet only"
                 )
-            out.append(df)
+            c = df.get("content", 0)
+            if c == 0:
+                if mcontent == 1:
+                    raise IcebergError(
+                        f"data file {df['file_path']!r} inside a DELETE "
+                        "manifest — malformed metadata"
+                    )
+                out["data"].append({"df": df, "seq": int(seq)})
+            elif c == 1:
+                out["pos"].append({"df": df, "seq": int(seq)})
+            elif c == 2:
+                out["eq"].append(
+                    {
+                        "df": df,
+                        "seq": int(seq),
+                        "equality_ids": list(df.get("equality_ids") or []),
+                    }
+                )
+            else:
+                raise IcebergError(
+                    f"unknown data_file.content={c!r} for "
+                    f"{df['file_path']!r} — refusing to guess"
+                )
     return out
+
+
+def _live_data_files(meta: dict, snap: dict, path: str) -> list[dict]:
+    """The snapshot's live ``data_file`` dicts (data content only —
+    row-level delete files, when present, are applied by the read
+    path, see :func:`read_iceberg`)."""
+    return [e["df"] for e in _live_entries(meta, snap, path)["data"]]
 
 
 def _identity_partition_names(meta: dict) -> list[str]:
@@ -313,28 +341,49 @@ def read_iceberg(
     same constant-injection real readers apply to migrated tables).
     One scan per distinct partition tuple in that case — fine at 10^2
     partitions, prefer the real connector at 10^4+. An empty table
-    returns an empty DataFrame with the table schema."""
+    returns an empty DataFrame with the table schema. A v2
+    merge-on-read snapshot (live position/equality delete files) is
+    applied distributedly — see :mod:`iceberg_mor`."""
     meta = table_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
         return spark.createDataFrame([], _schema_struct(meta))
+    ent = _live_entries(meta, snap, path)
+    if ent["pos"] or ent["eq"]:
+        from arcane_framework_scala_spark.sources.iceberg_mor import (
+            apply_row_deletes,
+        )
+
+        return apply_row_deletes(spark, meta, path, ent)
     return _scan_with_partition_injection(
-        spark, meta, path, _live_data_files(meta, snap, path)
+        spark, meta, path, [e["df"] for e in ent["data"]]
     )
 
 
 def _scan_with_partition_injection(
-    spark: SparkSession, meta: dict, path: str, dfs: list[dict]
+    spark: SparkSession,
+    meta: dict,
+    path: str,
+    dfs: list[dict],
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Imposed-schema scan of ``dfs`` with identity-partition constants
     injected per file group (``coalesce(col, lit(value))`` — exact for
     identity transforms whether or not the data file stores the
-    column). Unpartitioned tables take the single-scan fast path."""
+    column). Unpartitioned tables take the single-scan fast path.
+    ``with_lineage=True`` materializes ``__ice_file``
+    (``_metadata.file_path``) and ``__ice_pos``
+    (``_metadata.row_index``) — the physical row coordinates the MoR
+    delete application joins on."""
     import pyspark.sql.functions as F
 
     schema = _schema_struct(meta)
     if not dfs:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if with_lineage:
+            out = out.withColumn("__ice_file", F.lit(None).cast("string"))
+            out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
+        return out
     location = meta.get("location", path)
     part_cols = _identity_partition_names(meta)
     groups: dict[tuple, set[str]] = {}
@@ -351,6 +400,12 @@ def _scan_with_partition_injection(
         scan = spark.read.schema(schema).parquet(
             *[glob_escape(f) for f in sorted(files)]
         )
+        if with_lineage:
+            scan = scan.select(
+                "*",
+                F.col("_metadata.file_path").alias("__ice_file"),
+                F.col("_metadata.row_index").alias("__ice_pos"),
+            )
         for col, value in key:
             scan = scan.withColumn(
                 col, F.coalesce(F.col(col), F.lit(value))
@@ -417,13 +472,18 @@ _AVRO_OF_ICEBERG = {
 }
 
 
-def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list | None = None,
+    equality_ids_field: bool = False,
+) -> dict:
     """Avro schema of a v2 manifest entry, names and field-ids per the
     spec's "Manifests" table; optional lower/upper bounds maps
     (125/128) carry the data-skipping stats. ``partition_fields``
     (``[(name, iceberg_type, field_id), ...]``) types the required
     ``partition`` struct ``r102`` — empty for an unpartitioned spec;
-    every field is a nullable union (hive NULL-sentinel partitions)."""
+    every field is a nullable union (hive NULL-sentinel partitions).
+    ``equality_ids_field=True`` adds the nullable ``equality_ids``
+    list (135/136) an equality-delete entry carries."""
     r102_fields = [
         {
             "name": name,
@@ -462,6 +522,17 @@ def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
             },
         ],
     }
+    if equality_ids_field:
+        data_file["fields"].append(
+            {
+                "name": "equality_ids",
+                "type": [
+                    "null",
+                    {"type": "array", "items": "int", "element-id": 136},
+                ],
+                "field-id": 135,
+            }
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -549,23 +620,27 @@ def plan_data_files(
     if snap is None:
         return []
     location = meta.get("location", path)
+    ent = _live_entries(meta, snap, path)
     return sorted(
         {
-            _to_local(df["file_path"], location)
-            for df in _plan_entries(meta, snap, path, col, lo, hi)
+            _to_local(e["df"]["file_path"], location)
+            for e in _plan_filter(meta, ent["data"], col, lo, hi)
         }
     )
 
 
-def _plan_entries(
-    meta: dict, snap: dict, path: str, col: str, lo, hi
+def _plan_filter(
+    meta: dict, entries: list[dict], col: str, lo, hi
 ) -> list[dict]:
+    """The subset of data ENTRY dicts (``{"df", "seq"}``) whose manifest
+    bounds / identity-partition values for ``col`` overlap [lo, hi]."""
     field = _field_by_name(meta, col)
     fid, ftype = field["id"], field["type"]
     codec = _BOUND_CODECS.get(ftype) if isinstance(ftype, str) else None
     is_part = col in _identity_partition_names(meta)
     out: list[dict] = []
-    for df in _live_data_files(meta, snap, path):
+    for e in entries:
+        df = e["df"]
         keep = True
         if is_part and col in (df.get("partition") or {}):
             # identity partition value: an exact [v, v] bound
@@ -581,7 +656,7 @@ def _plan_entries(
                     hi is None or dec(lb) <= hi
                 )
         if keep:
-            out.append(df)
+            out.append(e)
     return out
 
 
@@ -597,16 +672,29 @@ def read_iceberg_range(
     overlapping files (column bounds; identity-partition values count
     as exact bounds); the residual filter keeps the result exact (file
     bounds over-approximate). The Iceberg twin of the snapshot target's
-    ``read_range`` (sinks/manifest.py)."""
+    ``read_range`` (sinks/manifest.py). On a merge-on-read snapshot the
+    live delete files are applied to the pruned subset first (deletes
+    only ever REMOVE rows, so pruning before application is exact)."""
     import pyspark.sql.functions as F
 
     meta = table_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id, None)
     if snap is None:
         return spark.createDataFrame([], _schema_struct(meta))
-    df = _scan_with_partition_injection(
-        spark, meta, path, _plan_entries(meta, snap, path, col, lo, hi)
-    )
+    ent = _live_entries(meta, snap, path)
+    kept = _plan_filter(meta, ent["data"], col, lo, hi)
+    if ent["pos"] or ent["eq"]:
+        from arcane_framework_scala_spark.sources.iceberg_mor import (
+            apply_row_deletes,
+        )
+
+        df = apply_row_deletes(
+            spark, meta, path, {**ent, "data": kept}
+        )
+    else:
+        df = _scan_with_partition_injection(
+            spark, meta, path, [e["df"] for e in kept]
+        )
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:

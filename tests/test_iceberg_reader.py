@@ -283,9 +283,11 @@ def test_carried_files_keep_identity_and_sequence(spark, tmp_path):
         assert os.path.exists(os.path.join(out, "data", f))
 
 
-def test_live_delete_manifest_refuses(spark, tmp_path):
-    """A v2 snapshot with a live delete manifest (content=1) must RAISE
-    — scanning the data files alone would resurrect deleted rows."""
+def test_data_file_inside_delete_manifest_refuses(spark, tmp_path):
+    """Row-level deletes are APPLIED since r9 (iceberg_mor), so a
+    delete manifest no longer refuses — but MALFORMED metadata still
+    must: a ``content=0`` data file inside a ``content=1`` delete
+    manifest raises rather than guessing which role wins."""
     t = _target(spark, tmp_path, [(1, "a", 1.0)])
     out = str(tmp_path / "ice")
     ir.export_iceberg(t, out)
@@ -293,7 +295,8 @@ def test_live_delete_manifest_refuses(spark, tmp_path):
     snap = meta["snapshots"][0]
     ml_path = ir._to_local(snap["manifest-list"], out)
     schema, mls = avro_ocf.read_ocf(ml_path)
-    # forge a delete manifest: reuse the data manifest but mark content=1
+    # forge: reuse the data manifest (content=0 entries) but mark the
+    # manifest-list row content=1 — contradictory metadata
     forged = dict(mls[0])
     forged["content"] = 1
     avro_ocf.write_ocf(ml_path, schema, mls + [forged])
@@ -301,7 +304,7 @@ def test_live_delete_manifest_refuses(spark, tmp_path):
         ir.read_iceberg(spark, out)
 
 
-def test_delete_data_file_and_orc_refuse(spark, tmp_path):
+def test_unknown_content_and_orc_refuse(spark, tmp_path):
     t = _target(spark, tmp_path, [(1, "a", 1.0)])
     out = str(tmp_path / "ice")
     ir.export_iceberg(t, out)
@@ -312,7 +315,7 @@ def test_delete_data_file_and_orc_refuse(spark, tmp_path):
     mf_path = ir._to_local(mls[0]["manifest_path"], out)
     schema, entries = avro_ocf.read_ocf(mf_path)
     for patch, msg in (
-        ({"content": 1}, "delete file"),
+        ({"content": 3}, "refusing to guess"),
         ({"file_format": "ORC"}, "parquet only"),
     ):
         forged = [
