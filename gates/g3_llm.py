@@ -1231,6 +1231,122 @@ def q_x8_iceberg_prune(spark, sf_dir):
 _X8_ICEBERG_PRUNE_SQL = _X6_MANIFEST_SQL
 
 
+def q_x9_iceberg_mor(spark, sf_dir):
+    """Iceberg v2 MERGE-ON-READ lifecycle (r9, ``sources/
+    iceberg_mor.py`` — removes the r8 fence that refused delete files):
+    the 60% event prefix is exported as snapshot 1, then (2) a POSITION
+    delete of every click row — sorted ``(file_path, pos)`` parquet +
+    delete manifest, previous manifests reused verbatim, untouched data
+    never rewritten; (3) an EQUALITY delete keyed on ``user_id`` for
+    the ``user_id % 10 = 3`` cohort (``content=2`` + ``equality_ids``);
+    (4) a direct APPEND of the remaining 40% — whose rows the spec's
+    sequence-number rules must leave UNTOUCHED even where keys match
+    the equality delete (strictly-older visibility) and positions
+    collide with deleted ones; (5) ``rewrite_data_files`` compaction,
+    after which the live snapshot carries zero delete manifests yet the
+    grouped aggregate is byte-identical, and the MoR snapshot remains
+    time-travelable WITH its deletes. The oracle recomputes the
+    surviving set relationally. Application is fully distributed:
+    position deletes anti-join on ``(file URI, _metadata.row_index)``,
+    equality deletes null-safe anti-join gated by ``del.seq >
+    data.seq``."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x9_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(4))
+    out_tbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, out_tbl) != 1:
+        raise AssertionError("export should open the table at sequence 1")
+    if im.commit_position_deletes(
+        spark, out_tbl, "event_type = 'click'"
+    ) != 2:
+        raise AssertionError("position-delete commit should be sequence 2")
+    if im.commit_equality_deletes(
+        spark,
+        out_tbl,
+        ev.filter("user_id % 10 = 3").select("user_id"),
+        ["user_id"],
+    ) != 3:
+        raise AssertionError("equality-delete commit should be sequence 3")
+    if im.append_rows(spark, out_tbl, ev.filter(F.col("event_id") > t1)) != 4:
+        raise AssertionError("append commit should be sequence 4")
+
+    def summary(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_milli").alias("sum_vm"),
+            F.countDistinct("user_id").alias("users"),
+        )
+
+    # time travel to the position-delete-only snapshot: clicks gone,
+    # eq cohort still present, appended rows absent
+    log = ir.snapshot_log(out_tbl)
+    s2 = ir.read_iceberg(
+        spark, out_tbl, snapshot_id=log[1]["snapshot-id"]
+    )
+    want_s2 = ev.filter(
+        (F.col("event_id") <= t1) & (F.col("event_type") != "click")
+    )
+    if s2.exceptAll(want_s2).count() or want_s2.exceptAll(s2).count():
+        raise AssertionError("MoR time travel (pos deletes only) diverged")
+
+    cur = ir.read_iceberg(spark, out_tbl)
+    before = summary(cur)
+
+    # compaction folds the deletes in exactly once; history stays live
+    if im.rewrite_data_files(spark, out_tbl) != 5:
+        raise AssertionError("compaction should be sequence 5")
+    meta = ir.table_metadata(out_tbl)
+    ent = ir._live_entries(
+        meta, ir._resolve_snapshot(meta, None, None), out_tbl
+    )
+    if ent["pos"] or ent["eq"]:
+        raise AssertionError("compaction left live delete manifests")
+    after = summary(ir.read_iceberg(spark, out_tbl))
+    if after.exceptAll(before).count() or before.exceptAll(after).count():
+        raise AssertionError("compaction changed the table contents")
+    s2b = ir.read_iceberg(
+        spark, out_tbl, snapshot_id=log[1]["snapshot-id"]
+    )
+    if s2b.exceptAll(want_s2).count():
+        raise AssertionError("post-compaction history lost its deletes")
+    return after
+
+
+_X9_ICEBERG_MOR_SQL = """
+WITH t AS (SELECT max(event_id) * 6 // 10 AS t1 FROM events),
+     base AS (SELECT event_id, user_id, event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS vm
+              FROM events),
+     kept AS (
+       SELECT * FROM base, t
+       WHERE event_id <= t1
+         AND event_type <> 'click' AND user_id % 10 <> 3
+       UNION ALL
+       SELECT * FROM base, t WHERE event_id > t1)
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM kept GROUP BY event_type
+"""
+
+
 def q_x7_snapshot_audit(spark, sf_dir):
     """Maintenance-surface audit vertical (VERDICT r7 item 2d): on one
     durable CoW table fed by three CT merge waves, (1) ``history()``
