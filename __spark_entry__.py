@@ -50,6 +50,7 @@ _GATE_WINDOW_R9 = [
     "s18_iceberg_scan",
     "x8_iceberg_prune",
     "x9_iceberg_mor",
+    "x10_iceberg_transforms",
     "sim_knn_eval",
     "sim_text_topk",
     "sim_bm25_rerank",
@@ -95,7 +96,6 @@ _GATE_WINDOW_R9 = [
     "t_ewma_pow2",
     "s15_partitioned_roundtrip",
     "corpus_shard_manifest",
-    "a14_freshness",
 ]
 
 
@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_iceberg_scan": q_s18_iceberg_scan,
         "x8_iceberg_prune": q_x8_iceberg_prune,
         "x9_iceberg_mor": q_x9_iceberg_mor,
+        "x10_iceberg_transforms": q_x10_iceberg_transforms,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "s18_iceberg_scan": _S18_ICEBERG_SQL,
         "x8_iceberg_prune": _X8_ICEBERG_PRUNE_SQL,
         "x9_iceberg_mor": _X9_ICEBERG_MOR_SQL,
+        "x10_iceberg_transforms": _X10_ICEBERG_TRANSFORMS_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

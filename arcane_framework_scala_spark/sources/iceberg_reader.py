@@ -633,21 +633,60 @@ def _plan_filter(
     meta: dict, entries: list[dict], col: str, lo, hi
 ) -> list[dict]:
     """The subset of data ENTRY dicts (``{"df", "seq"}``) whose manifest
-    bounds / identity-partition values for ``col`` overlap [lo, hi]."""
+    evidence for ``col`` overlaps [lo, hi]. Three independent evidence
+    sources compose (a file is pruned when ANY excludes it; absent
+    evidence always over-selects):
+
+    - identity-partition values (exact [v, v] bounds);
+    - TRANSFORM partition values (``iceberg_transforms``): bucket
+      prunes point probes (lo == hi → one bucket survives per spec
+      field), order-preserving transforms (truncate, year/month/day/
+      hour) prune ranges through their monotonicity;
+    - per-column Appendix-D footer bounds."""
     field = _field_by_name(meta, col)
     fid, ftype = field["id"], field["type"]
     codec = _BOUND_CODECS.get(ftype) if isinstance(ftype, str) else None
     is_part = col in _identity_partition_names(meta)
+    tf_fields: list[tuple[str, str]] = []
+    for s in meta.get("partition-specs") or []:
+        if s.get("spec-id", 0) != meta.get("default-spec-id", 0):
+            continue
+        for f in s.get("fields", []):
+            t = f.get("transform", "identity")
+            if f.get("source-id") == fid and t != "identity":
+                tf_fields.append((f.get("name"), t))
+    if tf_fields:
+        from arcane_framework_scala_spark.sources import (
+            iceberg_transforms as tf,
+        )
     out: list[dict] = []
     for e in entries:
         df = e["df"]
         keep = True
-        if is_part and col in (df.get("partition") or {}):
+        pv_map = df.get("partition") or {}
+        if is_part and col in pv_map:
             # identity partition value: an exact [v, v] bound
-            v = df["partition"][col]
+            v = pv_map[col]
             if v is not None:
                 keep = (lo is None or v >= lo) and (hi is None or v <= hi)
-        elif codec is not None:
+        for name, transform in tf_fields:
+            if not keep:
+                break
+            pv = pv_map.get(name)
+            if pv is None:
+                continue
+            if tf.is_order_preserving(transform):
+                if lo is not None and pv < tf.transform_value(
+                    transform, lo, ftype
+                ):
+                    keep = False
+                if hi is not None and pv > tf.transform_value(
+                    transform, hi, ftype
+                ):
+                    keep = False
+            elif lo is not None and hi is not None and lo == hi:
+                keep = pv == tf.transform_value(transform, lo, ftype)
+        if keep and codec is not None:
             lb = _bounds_to_dict(df.get("lower_bounds")).get(fid)
             ub = _bounds_to_dict(df.get("upper_bounds")).get(fid)
             if lb is not None and ub is not None:

@@ -1347,6 +1347,92 @@ FROM kept GROUP BY event_type
 """
 
 
+def q_x10_iceberg_transforms(spark, sf_dir):
+    """Iceberg HIDDEN PARTITIONING end-to-end (r9, ``sources/
+    iceberg_transforms.py``): events are written as a new Iceberg table
+    under ``bucket[8](user_id) × day(ts)`` — bucketing is the spec's
+    Murmur3-x86-32 (seed 0, 8-byte-LE long form; Appendix-B test
+    vectors pinned in tests; Spark's ``hash()`` is deliberately NOT
+    used, wrong seed and byte widths), computed once at write as numpy
+    lane arithmetic in an Arrow ``pandas_udf``; data files keep only
+    SOURCE columns, derived values live in the manifests. The planner
+    then prunes WITHOUT any derived column in the query: a point probe
+    on ``user_id`` keeps ~1/8 of the files (bucket evidence, asserted),
+    a 10-day ``ts`` window keeps ~1/3 (day-ordinal order preservation,
+    asserted), and both legs stay exact through the residual filter —
+    the oracle recomputes them relationally with no partitioning at
+    all. This is the 100 TB story: point lookups and time windows scan
+    1/N of a table nobody reorganized for the query."""
+    import tempfile
+    from datetime import timedelta
+
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+    from arcane_framework_scala_spark.sources import (
+        iceberg_transforms as tfm,
+    )
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x10_run_")
+    # _read normalizes ts to epoch NANOS (house canonical); the Iceberg
+    # table stores a µs TIMESTAMP (the spec type) — ns are exactly
+    # µs*1000 in this corpus, so `div 1000` is lossless
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tsu"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    out_tbl = os.path.join(run_dir, "ice")
+    if tfm.write_iceberg_partitioned(
+        spark, ev, out_tbl, [("user_id", "bucket[8]"), ("tsu", "day")]
+    ) != 1:
+        raise AssertionError("create should be sequence 1")
+
+    u, t0 = ev.agg(F.min("user_id"), F.min("tsu")).first()
+    every = ir.active_files(out_tbl)
+    if len(every) < 16:
+        raise AssertionError(f"layout too coarse to prove pruning: {every}")
+
+    planned_u = ir.plan_data_files(out_tbl, "user_id", u, u)
+    if not (0 < len(planned_u) <= len(every) // 4):
+        raise AssertionError(
+            f"bucket probe kept {len(planned_u)} of {len(every)} files"
+        )
+    lo, hi = t0 + timedelta(days=10), t0 + timedelta(days=20)
+    planned_t = ir.plan_data_files(out_tbl, "tsu", lo, hi)
+    if not (0 < len(planned_t) < len(every)):
+        raise AssertionError(
+            f"day window kept {len(planned_t)} of {len(every)} files"
+        )
+
+    cols = ["event_id", "user_id", "event_type", "value_milli"]
+    leg_u = ir.read_iceberg_range(spark, out_tbl, "user_id", u, u).select(
+        F.lit("u").alias("leg"), *cols
+    )
+    leg_t = ir.read_iceberg_range(spark, out_tbl, "tsu", lo, hi).select(
+        F.lit("t").alias("leg"), *cols
+    )
+    if len(leg_u.inputFiles()) != len(planned_u):
+        raise AssertionError("bucket leg opened more files than planned")
+    return leg_u.unionByName(leg_t)
+
+
+_X10_ICEBERG_TRANSFORMS_SQL = """
+WITH b AS (SELECT min(user_id) AS u, min(epoch_ns(ts)) AS t0 FROM events),
+     base AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn,
+                     CAST(floor(value * 1000) AS BIGINT) AS value_milli
+              FROM events)
+SELECT 'u' AS leg, event_id, user_id, event_type, value_milli
+FROM base, b WHERE user_id = u
+UNION ALL
+SELECT 't' AS leg, event_id, user_id, event_type, value_milli
+FROM base, b
+WHERE tsn >= t0 + 10 * 86400 * CAST(1000000000 AS BIGINT)
+  AND tsn <= t0 + 20 * 86400 * CAST(1000000000 AS BIGINT)
+"""
+
+
 def q_x7_snapshot_audit(spark, sf_dir):
     """Maintenance-surface audit vertical (VERDICT r7 item 2d): on one
     durable CoW table fed by three CT merge waves, (1) ``history()``

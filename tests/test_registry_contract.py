@@ -72,12 +72,13 @@ def test_gate_window_is_the_declared_r9_rotation():
     for required in (
         # r9-born gates (never-checked -> forced into the window;
         # each displaced the freshest tail entry of the staleness
-        # proposal — t_dwell_time, corpus_novelty and a15_daily_growth
-        # wait for r10)
+        # proposal — t_dwell_time, a14_freshness, corpus_novelty and
+        # a15_daily_growth wait for r10)
         "t_ivm_live_deletes",
         "s18_iceberg_scan",
         "x8_iceberg_prune",
         "x9_iceberg_mor",
+        "x10_iceberg_transforms",
         # the 11 rows deferred from r8 to this window
         "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
         "sim_cluster_quality", "sim_pair_dist_stats", "tpch_q6",
@@ -92,7 +93,7 @@ def test_gate_window_is_the_declared_r9_rotation():
         "corpus_jsonl_roundtrip", "corpus_lm_score", "t_debounce",
         "mm_sniff", "p11_zorder_key", "s12_binary_ingest",
         "a11_profile", "a13_winsorize", "t_ewma_pow2",
-        "corpus_shard_manifest", "a14_freshness",
+        "corpus_shard_manifest",
     ):
         assert required in first50, required
 
