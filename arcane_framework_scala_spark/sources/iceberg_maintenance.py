@@ -1,0 +1,126 @@
+"""Iceberg table maintenance, jar-free: snapshot expiry and orphan-file
+removal over the public table format — the ``expire_snapshots`` /
+``remove_orphan_files`` actions the reference's lakehouse maintenance
+performs through its catalog (mirroring this repo's own
+``sinks/maintenance.py`` X2/X3 operators for the parquet target).
+
+Crash ordering is the load-bearing detail: the new metadata (without
+the expired snapshots) is PUBLISHED FIRST, file deletion second — a
+crash between the two leaves harmless orphans, never a live snapshot
+with dangling references. All work is driver-side metadata
+(O(manifest entries across touched snapshots)); data files are only
+ever ``os.remove``'d, never read.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from arcane_framework_scala_spark.sources import avro_ocf
+from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+
+def _snapshot_files(meta: dict, snap: dict, table_dir: str) -> set[str]:
+    """Every local path the snapshot references: its manifest list, all
+    manifests, and every data/delete file named by ANY entry (status-2
+    tombstone references included — a manifest that names a path keeps
+    it alive until the manifest itself is expired)."""
+    location = meta.get("location", table_dir)
+    out: set[str] = set()
+    ml = ir._to_local(snap["manifest-list"], location)
+    out.add(ml)
+    for mf in avro_ocf.read_ocf(ml)[1]:
+        mfp = ir._to_local(mf["manifest_path"], location)
+        out.add(mfp)
+        for e in avro_ocf.read_ocf(mfp)[1]:
+            out.add(ir._to_local(e["data_file"]["file_path"], location))
+    return out
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Expire historical snapshots (the current one is always kept):
+    keep the newest ``keep_last`` and/or everything newer than
+    ``older_than_ms``; drop the rest from the metadata, then delete
+    every manifest list, manifest, and data/delete file referenced
+    ONLY by expired snapshots. Returns
+    ``{"snapshots_removed", "files_removed"}``."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("pass keep_last and/or older_than_ms")
+    meta = ir.table_metadata(table_dir)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
+    )
+    if not snaps:
+        return {"snapshots_removed": 0, "files_removed": 0}
+    keep_ids = {meta.get("current-snapshot-id")}
+    if keep_last is not None:
+        keep_ids |= {s["snapshot-id"] for s in snaps[-keep_last:]}
+    if older_than_ms is not None:
+        keep_ids |= {
+            s["snapshot-id"]
+            for s in snaps
+            if s["timestamp-ms"] > older_than_ms
+        }
+    kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    removed = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not removed:
+        return {"snapshots_removed": 0, "files_removed": 0}
+
+    keep_paths: set[str] = set()
+    for s in kept:
+        keep_paths |= _snapshot_files(meta, s, table_dir)
+    drop_paths: set[str] = set()
+    for s in removed:
+        drop_paths |= _snapshot_files(meta, s, table_dir)
+    drop = drop_paths - keep_paths
+
+    new_meta = {
+        **meta,
+        "snapshots": [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids],
+        "snapshot-log": [
+            l
+            for l in meta.get("snapshot-log") or []
+            if l["snapshot-id"] in keep_ids
+        ],
+    }
+    ir.write_metadata(table_dir, new_meta)  # publish BEFORE deleting
+    files_removed = 0
+    for p in sorted(drop):
+        try:
+            os.remove(p)
+            files_removed += 1
+        except FileNotFoundError:
+            pass
+    return {"snapshots_removed": len(removed), "files_removed": files_removed}
+
+
+def remove_orphan_files(table_dir: str, older_than_s: float = 0.0) -> list[str]:
+    """Delete ``data/``-dir files referenced by NO snapshot and older
+    than ``older_than_s`` (the age window keeps in-flight staged writes
+    safe, same rule as ``sinks/maintenance.py`` X3). Metadata files are
+    never touched here. Returns the removed paths."""
+    meta = ir.table_metadata(table_dir)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        referenced |= _snapshot_files(meta, s, table_dir)
+    cutoff = time.time() - older_than_s
+    removed: list[str] = []
+    data_dir = os.path.join(table_dir, "data")
+    for root, _dirs, files in os.walk(data_dir):
+        for name in files:
+            p = os.path.join(root, name)
+            if p in referenced:
+                continue
+            try:
+                if os.stat(p).st_mtime > cutoff:
+                    continue
+                os.remove(p)
+                removed.append(p)
+            except FileNotFoundError:
+                pass
+    return sorted(removed)

@@ -314,15 +314,7 @@ def _finalize_snapshot(
     new_meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    md = os.path.join(out_dir, "metadata")
-    tmp = os.path.join(md, f".v{seq}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=1)
-    os.replace(tmp, os.path.join(md, f"v{seq}.metadata.json"))
-    hint_tmp = os.path.join(md, ".version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write(str(seq))
-    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    ir.write_metadata(out_dir, new_meta)
 
 
 def _delete_entry(
@@ -486,11 +478,10 @@ def rewrite_data_files(spark: SparkSession, table_dir: str) -> int:
     apply every live delete ONCE and commit a ``replace`` snapshot of
     fresh data files — footer bounds written for data skipping, all
     delete manifests dropped from the new manifest list. Earlier
-    snapshots remain time-travelable with their deletes. The new
-    layout is unpartitioned WITHIN the existing spec (all partition
-    values null; every column is stored in the files, so reads stay
-    exact and column-stat pruning still applies). Returns the new
-    sequence number."""
+    snapshots remain time-travelable with their deletes. The rewrite
+    honors the table's default partition spec (derived values
+    recomputed, files per partition tuple), so the compacted layout
+    stays prunable. Returns the new sequence number."""
     meta = ir.table_metadata(table_dir)
     snap = ir._resolve_snapshot(meta, None, None)
     if snap is None:
@@ -532,12 +523,18 @@ def _stage_data_manifest(
 ) -> dict:
     """Write ``frame`` as data files under ``data/`` plus ONE data
     manifest (footer bounds included); returns the manifest-list row.
-    Files land unpartitioned within the existing default spec (all
-    partition values null, every column stored — reads stay exact,
-    column-stat pruning still applies)."""
-    stage = os.path.join(table_dir, f".stage-{prefix}-{seq}")
-    shutil.rmtree(stage, ignore_errors=True)
-    frame.write.mode("overwrite").parquet(stage)
+    The table's DEFAULT SPEC is honored: derived partition values are
+    computed per row (``iceberg_transforms``), files land per partition
+    tuple, and each file's typed tuple reaches the manifest — so
+    appends and compactions stay prunable, and the manifest-list row
+    carries real ``partitions`` field summaries. Data files always keep
+    every SOURCE column (the derived columns are write-time only)."""
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.sources import (
+        iceberg_transforms as tfm,
+    )
+    from urllib.parse import unquote
 
     schema_obj = _current_schema_obj(meta)
     spec_fields = []
@@ -547,48 +544,91 @@ def _stage_data_manifest(
     name_of = {f["id"]: f["name"] for f in schema_obj["fields"]}
     type_of = {f["name"]: f["type"] for f in schema_obj["fields"]}
     part_schema_fields = []
+    staged = frame
     for f in spec_fields:
-        nm = f.get("name") or name_of.get(f.get("source-id"), "p")
-        src_type = type_of.get(name_of.get(f.get("source-id"), ""), "string")
-        if src_type not in ir._AVRO_OF_ICEBERG:
-            src_type = "string"  # values are null; only the union shape matters
-        part_schema_fields.append((nm, src_type, f.get("field-id", 1000)))
+        src = name_of.get(f.get("source-id"))
+        if src is None or src not in type_of:
+            raise ir.IcebergError(
+                f"spec field {f!r} sources an unknown column"
+            )
+        transform = f.get("transform", "identity")
+        nm = f.get("name") or src
+        rtype = tfm._result_type(transform, type_of[src])
+        if rtype not in ("int", "long", "string", "boolean"):
+            raise ir.IcebergError(
+                f"append under a {transform!r}({type_of[src]}) spec "
+                f"field is unsupported (result type {rtype!r})"
+            )
+        part_schema_fields.append((nm, rtype, f.get("field-id", 1000)))
+        staged = staged.withColumn(
+            f"__part_{nm}",
+            tfm.transform_col(transform, F.col(src), type_of[src]),
+        )
+
+    stage = os.path.join(table_dir, f".stage-{prefix}-{seq}")
+    shutil.rmtree(stage, ignore_errors=True)
+    writer = staged.write.mode("overwrite")
+    if part_schema_fields:
+        writer = writer.partitionBy(
+            *[f"__part_{nm}" for nm, _, _ in part_schema_fields]
+        )
+    writer.parquet(stage)
+
+    rtype_of = {nm: t for nm, t, _ in part_schema_fields}
+
+    def _typed(nm: str, raw: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        t = rtype_of[nm]
+        if t in ("int", "long"):
+            return int(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        return unquote(raw)
 
     entries = []
     added_rows = 0
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(stage, name)
-        rows = ir._parquet_row_count(src)
-        if rows == 0:
-            continue
-        rel = f"data/{prefix}-{snap_id:x}-{seq}-{i:05d}.parquet"
-        i += 1
-        dst = os.path.join(table_dir, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.replace(src, dst)
-        lower, upper = ir._footer_bounds(dst, schema_obj)
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": "file://" + dst,
-                    "file_format": "PARQUET",
-                    "partition": {nm: None for nm, _, _ in part_schema_fields},
-                    "record_count": rows,
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "lower_bounds": lower or None,
-                    "upper_bounds": upper or None,
-                },
-            }
-        )
-        added_rows += rows
+    for root, _dirs, files in sorted(os.walk(stage)):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rows = ir._parquet_row_count(src)
+            if rows == 0:
+                continue
+            rel_dir = os.path.relpath(root, stage)
+            part_values: dict[str, object] = {}
+            for seg in rel_dir.split(os.sep) if rel_dir != "." else []:
+                k, _, val = seg.partition("=")
+                k = k.removeprefix("__part_")
+                if k in rtype_of:
+                    part_values[k] = _typed(k, val)
+            rel = f"data/{prefix}-{snap_id:x}-{seq}-{i:05d}.parquet"
+            i += 1
+            dst = os.path.join(table_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            lower, upper = ir._footer_bounds(dst, schema_obj)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": "file://" + dst,
+                        "file_format": "PARQUET",
+                        "partition": part_values,
+                        "record_count": rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
+                    },
+                }
+            )
+            added_rows += rows
     shutil.rmtree(stage, ignore_errors=True)
 
     manifest_rel = f"metadata/m-{snap_id:x}-{seq}.avro"
@@ -619,4 +659,5 @@ def _stage_data_manifest(
         "added_rows_count": added_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": ir._partition_summaries(entries, part_schema_fields),
     }

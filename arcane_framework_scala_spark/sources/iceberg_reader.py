@@ -105,6 +105,37 @@ def table_metadata(path: str) -> dict:
         return json.load(f)
 
 
+def next_metadata_version(path: str) -> int:
+    """The next vN.metadata.json ordinal — METADATA versions are
+    independent of snapshot sequence numbers (expiry and property
+    changes write metadata without committing a snapshot)."""
+    md = _metadata_dir(path)
+    best = 0
+    for name in os.listdir(md):
+        m = _V_META_RE.match(name) or _UUID_META_RE.match(name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def write_metadata(path: str, meta: dict) -> int:
+    """Atomically publish ``meta`` as the table's current metadata:
+    next vN.metadata.json + the HadoopTables version-hint pointer.
+    Returns the metadata version written."""
+    md = os.path.join(path, "metadata")
+    os.makedirs(md, exist_ok=True)
+    v = next_metadata_version(path)
+    tmp = os.path.join(md, f".v{v}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(md, f"v{v}.metadata.json"))
+    hint_tmp = os.path.join(md, ".version-hint.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(v))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    return v
+
+
 def snapshot_log(path: str) -> list[dict]:
     """The table's snapshots, ascending by timestamp (id, timestamp-ms,
     summary) — the Iceberg ``snapshots`` metadata-table equivalent."""
@@ -194,11 +225,37 @@ def _schema_struct(meta: dict):
         sid = meta.get("current-schema-id", 0)
         for s in meta["schemas"]:
             if s.get("schema-id") == sid:
+                _check_schema_evolution(meta, s)
                 return _spark_type({**s, "type": "struct"})
         raise IcebergError(f"current-schema-id {sid} not in schemas")
     if "schema" in meta:  # format-version 1
         return _spark_type({**meta["schema"], "type": "struct"})
     raise IcebergError("metadata has neither 'schemas' nor 'schema'")
+
+
+def _check_schema_evolution(meta: dict, current: dict) -> None:
+    """Honest fence for schema evolution this reader cannot resolve:
+    real readers map file columns by FIELD ID, so a RENAMED or RETYPED
+    column still reads from files written under the old schema. This
+    reader imposes the current schema BY NAME — a rename would silently
+    null-fill old files and a retype would mis-read them, so both
+    RAISE. Added/dropped columns are safe by name (null-fill for added
+    is exactly the spec's semantics) and pass."""
+    cur = {f["id"]: f for f in current["fields"]}
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == current.get("schema-id"):
+            continue
+        for f in s.get("fields", []):
+            c = cur.get(f["id"])
+            if c is None:
+                continue  # dropped later — name-imposed reads unaffected
+            if c["name"] != f["name"] or c["type"] != f["type"]:
+                raise IcebergError(
+                    f"schema evolution renamed/retyped field id "
+                    f"{f['id']} ({f['name']!r}:{f['type']!r} -> "
+                    f"{c['name']!r}:{c['type']!r}) — field-id-based file "
+                    "resolution needs the real connector"
+                )
 
 
 # ------------------------------------------------------------- planning
@@ -237,7 +294,13 @@ def active_files(
     )
 
 
-def _live_entries(meta: dict, snap: dict, path: str) -> dict:
+def _live_entries(
+    meta: dict,
+    snap: dict,
+    path: str,
+    data_manifest_filter=None,
+    stats: dict | None = None,
+) -> dict:
     """Replay the snapshot's manifest list into live entries, keyed by
     content kind: ``{"data": [...], "pos": [...], "eq": [...]}``. Each
     element is ``{"df": data_file-dict, "seq": data-sequence-number}``
@@ -245,7 +308,11 @@ def _live_entries(meta: dict, snap: dict, path: str) -> dict:
     per the spec: an entry with a null ``sequence_number`` takes the
     manifest-list row's (added entries written by metadata writers that
     rely on inheritance). Non-parquet files and unknown ``content``
-    values raise — never guess."""
+    values raise — never guess. ``data_manifest_filter(mf_row)`` is the
+    FIRST-LEVEL prune: a data manifest it rejects (judged from the
+    manifest-list row's ``partitions`` field summaries) is never
+    decoded; delete manifests always are. ``stats`` (when given)
+    accumulates ``manifests_total`` / ``manifests_decoded``."""
     location = meta.get("location", path)
     ml_path = _to_local(snap["manifest-list"], location)
     _, manifests = avro_ocf.read_ocf(ml_path)
@@ -253,6 +320,18 @@ def _live_entries(meta: dict, snap: dict, path: str) -> dict:
     for mf in manifests:
         mcontent = mf.get("content", 0)  # v1 manifests: data
         mseq = mf.get("sequence_number", 0)
+        if stats is not None and mcontent == 0:
+            stats["manifests_total"] = stats.get("manifests_total", 0) + 1
+        if (
+            mcontent == 0
+            and data_manifest_filter is not None
+            and not data_manifest_filter(mf)
+        ):
+            continue
+        if stats is not None and mcontent == 0:
+            stats["manifests_decoded"] = (
+                stats.get("manifests_decoded", 0) + 1
+            )
         mf_path = _to_local(mf["manifest_path"], location)
         _, entries = avro_ocf.read_ocf(mf_path)
         for e in entries:
@@ -435,8 +514,89 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            # per-spec-field summaries (contains_null + Appendix-D
+            # bounds) — the FIRST-LEVEL prune: the planner skips whole
+            # manifests before decoding a single entry
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "field-id": 507,
+        },
     ],
 }
+
+
+def _partition_summaries(
+    entries: list[dict], part_schema_fields: list
+) -> list[dict] | None:
+    """The manifest-list ``field_summary`` array for a data manifest —
+    one record per spec field IN SPEC ORDER, bounds in Appendix-D
+    serialization over the entries' partition values. Types without a
+    bound codec get null bounds (over-select, never mis-prune)."""
+    if not part_schema_fields:
+        return None
+    out = []
+    for name, ice_type, _fid in part_schema_fields:
+        vals = []
+        has_null = False
+        for e in entries:
+            v = (e["data_file"].get("partition") or {}).get(name)
+            if v is None:
+                has_null = True
+            else:
+                vals.append(v)
+        codec = _BOUND_CODECS.get(ice_type)
+        if vals and codec:
+            out.append(
+                {
+                    "contains_null": has_null,
+                    "contains_nan": None,
+                    "lower_bound": codec[0](min(vals)),
+                    "upper_bound": codec[0](max(vals)),
+                }
+            )
+        else:
+            out.append(
+                {
+                    "contains_null": has_null,
+                    "contains_nan": None,
+                    "lower_bound": None,
+                    "upper_bound": None,
+                }
+            )
+    return out
 
 
 def _bounds_map_schema(name: str, key_id: int, value_id: int) -> list:
@@ -615,18 +775,104 @@ def plan_data_files(
     the same planning the real connector performs from the same stats;
     at 100 TB it is what turns a key-range MERGE probe into a scan of
     the few matching files."""
+    return plan_report(path, col, lo, hi, snapshot_id)["files"]
+
+
+def plan_report(
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+) -> dict:
+    """:func:`plan_data_files` with its planning telemetry: the kept
+    file paths plus how many data manifests the manifest-list
+    ``partitions`` summaries let the planner SKIP WITHOUT DECODING —
+    the O(manifests) first level that keeps planning tractable when a
+    table holds thousands of manifests."""
     meta = table_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id, None)
     if snap is None:
-        return []
+        return {"files": [], "manifests_total": 0, "manifests_decoded": 0}
     location = meta.get("location", path)
-    ent = _live_entries(meta, snap, path)
-    return sorted(
-        {
-            _to_local(e["df"]["file_path"], location)
-            for e in _plan_filter(meta, ent["data"], col, lo, hi)
-        }
+    stats: dict = {}
+    ent = _live_entries(
+        meta,
+        snap,
+        path,
+        data_manifest_filter=_manifest_range_filter(meta, col, lo, hi),
+        stats=stats,
     )
+    return {
+        "files": sorted(
+            {
+                _to_local(e["df"]["file_path"], location)
+                for e in _plan_filter(meta, ent["data"], col, lo, hi)
+            }
+        ),
+        "manifests_total": stats.get("manifests_total", 0),
+        "manifests_decoded": stats.get("manifests_decoded", 0),
+    }
+
+
+def _manifest_range_filter(meta: dict, col: str, lo, hi):
+    """True iff a manifest-list row may hold files overlapping [lo, hi]
+    on ``col``, judged from its ``partitions`` field summaries under
+    that manifest's OWN spec (``partition_spec_id``). Absent summaries,
+    unknown specs, and codec-less types always pass — over-select,
+    never mis-prune."""
+    field = _field_by_name(meta, col)
+    fid, ftype = field["id"], field["type"]
+    specs = {
+        s.get("spec-id", 0): s for s in meta.get("partition-specs") or []
+    }
+
+    def ok(mf: dict) -> bool:
+        parts = mf.get("partitions")
+        if not parts:
+            return True
+        spec = specs.get(mf.get("partition_spec_id", 0))
+        if spec is None:
+            return True
+        from arcane_framework_scala_spark.sources import (
+            iceberg_transforms as tf,
+        )
+
+        for pos, f in enumerate(spec.get("fields", [])):
+            if f.get("source-id") != fid or pos >= len(parts):
+                continue
+            s = parts[pos]
+            lb, ub = s.get("lower_bound"), s.get("upper_bound")
+            if lb is None or ub is None:
+                continue
+            transform = f.get("transform", "identity")
+            rtype = _transform_result_type(transform, ftype)
+            codec = _BOUND_CODECS.get(rtype)
+            if codec is None:
+                continue
+            lo_s, hi_s = codec[1](lb), codec[1](ub)
+            if tf.is_order_preserving(transform):
+                if lo is not None and hi_s < tf.transform_value(
+                    transform, lo, ftype
+                ):
+                    return False
+                if hi is not None and lo_s > tf.transform_value(
+                    transform, hi, ftype
+                ):
+                    return False
+            elif lo is not None and hi is not None and lo == hi:
+                t = tf.transform_value(transform, lo, ftype)
+                if not (lo_s <= t <= hi_s):
+                    return False
+        return True
+
+    return ok
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    if transform == "identity" or transform.startswith("truncate["):
+        return src_type
+    return "int"  # bucket + temporal ordinals
 
 
 def _plan_filter(
@@ -720,7 +966,12 @@ def read_iceberg_range(
     snap = _resolve_snapshot(meta, snapshot_id, None)
     if snap is None:
         return spark.createDataFrame([], _schema_struct(meta))
-    ent = _live_entries(meta, snap, path)
+    ent = _live_entries(
+        meta,
+        snap,
+        path,
+        data_manifest_filter=_manifest_range_filter(meta, col, lo, hi),
+    )
     kept = _plan_filter(meta, ent["data"], col, lo, hi)
     if ent["pos"] or ent["eq"]:
         from arcane_framework_scala_spark.sources.iceberg_mor import (
@@ -1010,6 +1261,9 @@ def export_iceberg(target, out_dir: str) -> int:
                     if e["status"] == 0
                 ),
                 "deleted_rows_count": 0,
+                "partitions": _partition_summaries(
+                    entries, part_schema_fields
+                ),
             }
         ],
         extra_meta={"format-version": "2"},
@@ -1051,14 +1305,7 @@ def export_iceberg(target, out_dir: str) -> int:
         + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
         "metadata-log": [],
     }
-    tmp = os.path.join(md, f".v{seq}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, os.path.join(md, f"v{seq}.metadata.json"))
-    hint_tmp = os.path.join(md, ".version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write(str(seq))
-    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    write_metadata(out_dir, meta)
     return seq
 
 

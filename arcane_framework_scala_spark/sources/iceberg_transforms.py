@@ -447,6 +447,9 @@ def write_iceberg_partitioned(
                 "added_rows_count": added_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": ir._partition_summaries(
+                    entries, part_schema_fields
+                ),
             }
         ],
         extra_meta={"format-version": "2"},
@@ -482,14 +485,7 @@ def write_iceberg_partitioned(
         "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
         "metadata-log": [],
     }
-    tmp = os.path.join(md, ".v1.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, os.path.join(md, "v1.metadata.json"))
-    hint_tmp = os.path.join(md, ".version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write("1")
-    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    ir.write_metadata(out_dir, meta)
     return seq
 
 
