@@ -51,6 +51,7 @@ _GATE_WINDOW_R9 = [
     "x8_iceberg_prune",
     "x9_iceberg_mor",
     "x10_iceberg_transforms",
+    "x11_iceberg_expire",
     "sim_knn_eval",
     "sim_text_topk",
     "sim_bm25_rerank",
@@ -95,7 +96,6 @@ _GATE_WINDOW_R9 = [
     "a13_winsorize",
     "t_ewma_pow2",
     "s15_partitioned_roundtrip",
-    "corpus_shard_manifest",
 ]
 
 
@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_iceberg_prune": q_x8_iceberg_prune,
         "x9_iceberg_mor": q_x9_iceberg_mor,
         "x10_iceberg_transforms": q_x10_iceberg_transforms,
+        "x11_iceberg_expire": q_x11_iceberg_expire,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -409,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "x8_iceberg_prune": _X8_ICEBERG_PRUNE_SQL,
         "x9_iceberg_mor": _X9_ICEBERG_MOR_SQL,
         "x10_iceberg_transforms": _X10_ICEBERG_TRANSFORMS_SQL,
+        "x11_iceberg_expire": _X11_ICEBERG_EXPIRE_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

@@ -1433,6 +1433,123 @@ WHERE tsn >= t0 + 10 * 86400 * CAST(1000000000 AS BIGINT)
 """
 
 
+def q_x11_iceberg_expire(spark, sf_dir):
+    """Iceberg maintenance vertical (r9, ``sources/
+    iceberg_maintenance.py`` + manifest-level planning): a
+    ``bucket[8](user_id) × truncate(event_id)`` table grows by two
+    partition-aware appends (each commit's manifest-list row carries
+    the spec's ``partitions`` field summaries) and one position-delete
+    commit; (1) a high-range probe must SKIP whole manifests without
+    decoding an entry (``plan_report`` telemetry pinned — the
+    O(manifests) planning level); (2) ``expire_snapshots(keep_last=1)``
+    removes the three historical snapshots AND their now-unreferenced
+    files, with the metadata published BEFORE deletion (crash-safe
+    ordering) — the current read must be byte-identical and the
+    expired snapshot id must raise; (3) an ancient orphan parquet is
+    swept by age-windowed ``remove_orphan_files`` while a fresh
+    in-flight file survives. The oracle recomputes the surviving rows
+    relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sources import (
+        iceberg_maintenance as imx,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+    from arcane_framework_scala_spark.sources import (
+        iceberg_transforms as tfm,
+    )
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x11_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1, t2 = mx // 3, (2 * mx) // 3
+    w = max(1, (mx + 1) // 8)
+
+    out_tbl = os.path.join(run_dir, "ice")
+    if tfm.write_iceberg_partitioned(
+        spark,
+        ev.filter(F.col("event_id") <= t1),
+        out_tbl,
+        [("user_id", "bucket[8]"), ("event_id", f"truncate[{w}]")],
+    ) != 1:
+        raise AssertionError("create should be sequence 1")
+    if im.append_rows(
+        spark,
+        out_tbl,
+        ev.filter((F.col("event_id") > t1) & (F.col("event_id") <= t2)),
+    ) != 2:
+        raise AssertionError("append should be sequence 2")
+    if im.commit_position_deletes(
+        spark, out_tbl, f"event_type = 'click' AND event_id <= {t2}"
+    ) != 3:
+        raise AssertionError("delete commit should be sequence 3")
+    if im.append_rows(spark, out_tbl, ev.filter(F.col("event_id") > t2)) != 4:
+        raise AssertionError("append should be sequence 4")
+
+    rep = ir.plan_report(out_tbl, "event_id", t2 + 1, None)
+    if not (0 < rep["manifests_decoded"] < rep["manifests_total"]):
+        raise AssertionError(
+            f"manifest summaries did not prune: decoded "
+            f"{rep['manifests_decoded']} of {rep['manifests_total']}"
+        )
+
+    def summary(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_milli").alias("sum_vm"),
+            F.countDistinct("user_id").alias("users"),
+        )
+
+    log = ir.snapshot_log(out_tbl)
+    before = summary(ir.read_iceberg(spark, out_tbl))
+    stats = imx.expire_snapshots(out_tbl, keep_last=1)
+    if stats["snapshots_removed"] != 3 or stats["files_removed"] <= 0:
+        raise AssertionError(f"unexpected expiry stats: {stats}")
+    after = summary(ir.read_iceberg(spark, out_tbl))
+    if after.exceptAll(before).count() or before.exceptAll(after).count():
+        raise AssertionError("expiry changed the current state")
+    try:
+        ir.read_iceberg(spark, out_tbl, snapshot_id=log[0]["snapshot-id"])
+        raise AssertionError("expired snapshot should be unreachable")
+    except ir.IcebergError:
+        pass
+
+    orphan = os.path.join(out_tbl, "data", "orphan-x11.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    os.utime(orphan, (1, 1))
+    fresh = os.path.join(out_tbl, "data", "fresh-x11.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"junk")
+    removed = imx.remove_orphan_files(out_tbl, older_than_s=3600)
+    if removed != [orphan] or not os.path.exists(fresh):
+        raise AssertionError(f"orphan sweep wrong: {removed}")
+    return after
+
+
+_X11_ICEBERG_EXPIRE_SQL = """
+WITH t AS (SELECT max(event_id) * 2 // 3 AS t2 FROM events),
+     base AS (SELECT event_id, user_id, event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS vm
+              FROM events),
+     kept AS (
+       SELECT * FROM base, t
+       WHERE event_id <= t2 AND event_type <> 'click'
+       UNION ALL
+       SELECT * FROM base, t WHERE event_id > t2)
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM kept GROUP BY event_type
+"""
+
+
 def q_x7_snapshot_audit(spark, sf_dir):
     """Maintenance-surface audit vertical (VERDICT r7 item 2d): on one
     durable CoW table fed by three CT merge waves, (1) ``history()``
