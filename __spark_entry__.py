@@ -52,6 +52,7 @@ _GATE_WINDOW_R9 = [
     "x9_iceberg_mor",
     "x10_iceberg_transforms",
     "x11_iceberg_expire",
+    "s19_delta_dv",
     "sim_knn_eval",
     "sim_text_topk",
     "sim_bm25_rerank",
@@ -95,7 +96,6 @@ _GATE_WINDOW_R9 = [
     "p12_zorder_layout_report",
     "a13_winsorize",
     "t_ewma_pow2",
-    "s15_partitioned_roundtrip",
 ]
 
 
@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_iceberg_mor": q_x9_iceberg_mor,
         "x10_iceberg_transforms": q_x10_iceberg_transforms,
         "x11_iceberg_expire": q_x11_iceberg_expire,
+        "s19_delta_dv": q_s19_delta_dv,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "x9_iceberg_mor": _X9_ICEBERG_MOR_SQL,
         "x10_iceberg_transforms": _X10_ICEBERG_TRANSFORMS_SQL,
         "x11_iceberg_expire": _X11_ICEBERG_EXPIRE_SQL,
+        "s19_delta_dv": _S19_DELTA_DV_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

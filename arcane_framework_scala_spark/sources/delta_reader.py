@@ -25,9 +25,13 @@ and partition pruning/pushdown work as on any parquet table. Readers at
 10^5+ files should prefer the real connector (data-skipping stats in
 the log are not consulted here); correctness is identical.
 
-Limitations (documented, raised loudly): deletion vectors and column
-mapping (reader features past protocol v1 table features) are not
-supported — tables using them raise instead of returning wrong rows.
+DELETION VECTORS are APPLIED since r9 (``delta_dv``: roaring-bitmap
+codec from the public formats, descriptor resolution, per-file
+anti-join on ``_metadata.row_index``; ``delta_dv.delete_where`` writes
+them). Remaining limitations (documented, raised loudly): column
+mapping is not supported (physical parquet names diverge from the
+logical schema), and checkpointing a table with live DVs raises —
+tables using either raise instead of returning wrong rows.
 """
 
 from __future__ import annotations
@@ -44,11 +48,11 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 #: reader features we can honor; anything else in the protocol action's
-#: readerFeatures raises (returning rows while ignoring deletion vectors
-#: would silently resurrect deleted data). Note: ``columnMapping`` is NOT
-#: here — a column-mapped table must raise (physical parquet names
-#: diverge from the logical schema).
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+#: readerFeatures raises. ``deletionVectors`` joined the set in r9 (the
+#: read path APPLIES them — see ``delta_dv``). Note: ``columnMapping``
+#: is NOT here — a column-mapped table must raise (physical parquet
+#: names diverge from the logical schema).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 def _log_dir(path: str) -> str:
@@ -94,15 +98,26 @@ def _check_protocol(action: dict) -> None:
 def _replay(
     path: str, version: int | None = None, spark: SparkSession | None = None
 ) -> tuple[list[str], dict | None]:
+    """:func:`_replay_full` reduced to the classic contract: (sorted
+    live table-relative file paths, newest metaData action dict)."""
+    live, meta = _replay_full(path, version, spark)
+    return sorted(live), meta
+
+
+def _replay_full(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+) -> tuple[dict[str, dict], dict | None]:
     """ONE pass over the log (checkpoint + later commits) up to
-    ``version`` (default: latest) → (live table-relative file paths,
-    newest metaData action dict). Every public reader builds on this so
-    the log and any checkpoint parquet are parsed exactly once per
-    call. Raises on unknown reader requirements, on a version the log
-    does not contain, and on a TRUNCATED log (earliest commits cleaned
-    with no usable single-file checkpoint — multi-part/v2 checkpoint
-    layouts are not implemented, and starting the replay mid-history
-    would silently return a partial table)."""
+    ``version`` (default: latest) → (live table-relative file path ->
+    its full ``add`` action dict — ``deletionVector`` descriptor
+    included when present, newest metaData action dict). Every public
+    reader builds on this so the log and any checkpoint parquet are
+    parsed exactly once per call. Raises on unknown reader
+    requirements, on a version the log does not contain, and on a
+    TRUNCATED log (earliest commits cleaned with no usable single-file
+    checkpoint — multi-part/v2 checkpoint layouts are not implemented,
+    and starting the replay mid-history would silently return a
+    partial table)."""
     versions = commit_versions(path)
     ckpt_any = _latest_checkpoint(path, None)
     if not versions and ckpt_any is None:
@@ -121,11 +136,11 @@ def _replay(
             f"version {version} not in the Delta log (have "
             f"{versions[0] if versions else ckpt_any}..{max_head})"
         )
-    live: dict[str, bool] = {}
+    live: dict[str, dict] = {}
     meta: dict | None = None
 
-    def apply_add(rel: str) -> None:
-        live[unquote(rel)] = True
+    def apply_add(action: dict) -> None:
+        live[unquote(action["path"])] = action
 
     def apply_remove(rel: str) -> None:
         live.pop(unquote(rel), None)
@@ -145,7 +160,7 @@ def _replay(
                 elif meta_only:
                     continue
                 elif "add" in action:
-                    apply_add(action["add"]["path"])
+                    apply_add(action["add"])
                 elif "remove" in action:
                     apply_remove(action["remove"]["path"])
 
@@ -187,9 +202,9 @@ def _replay(
             if rows:
                 meta = rows[-1]["metaData"].asDict(recursive=True)
         for r in (
-            ck.filter(F.col("add").isNotNull()).select("add.path").collect()
+            ck.filter(F.col("add").isNotNull()).select("add").collect()
         ):
-            apply_add(r["path"])
+            apply_add(r["add"].asDict(recursive=True))
         start = ckpt + 1
     for v in versions:
         if start <= v <= head:
@@ -200,7 +215,7 @@ def _replay(
         for v in versions:
             if v < start:
                 scan_commit(v, meta_only=True)
-    return sorted(live), meta
+    return live, meta
 
 
 def active_files(
@@ -224,18 +239,104 @@ def read_delta(
     values that look numeric) and ``basePath`` set, so hive-style
     partition columns come back through Spark's partition discovery
     and partition pruning applies as usual. An empty table returns an
-    empty DataFrame with the log's schema."""
-    rels, meta = _replay(path, version, spark)
+    empty DataFrame with the log's schema. Live DELETION VECTORS are
+    APPLIED (r9, ``delta_dv``): deleted positions anti-join on
+    ``(file, _metadata.row_index)`` — the same physical-coordinate
+    machinery the Iceberg MoR path rides."""
+    live, meta = _replay_full(path, version, spark)
     schema = _schema_from_meta(meta, path)
-    if rels:
-        from arcane_framework_scala_spark.sources.paths import glob_escape
+    rels = sorted(live)
+    if not rels:
+        return spark.createDataFrame([], schema)
+    from arcane_framework_scala_spark.sources.paths import glob_escape
 
-        return (
-            spark.read.schema(schema)
-            .option("basePath", path)
-            .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
+    base = (
+        spark.read.schema(schema)
+        .option("basePath", path)
+        .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
+    )
+    if not any(a.get("deletionVector") for a in live.values()):
+        return base
+    import pyspark.sql.functions as F
+
+    return _scan_with_lineage(spark, path, live, schema).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
+
+
+def _scan_with_lineage(spark: SparkSession, path: str, live: dict, schema):
+    """The live rows WITH physical coordinates (``__dl_rel`` =
+    table-relative file path, ``__dl_pos`` = row index in file) and all
+    deletion vectors APPLIED: a driver-built (metadata-sized) broadcast
+    path map with a loud per-row assert on unmapped files (never a
+    silent resurrect), then ONE ``left_anti`` join against the decoded
+    positions. Decoding expands each roaring bitmap to an int64 array —
+    O(deleted rows), bounded by the DVs themselves; at GB-scale DV
+    backlogs prefer the real connector or rewrite the files."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.sources import delta_dv as dvmod
+    from arcane_framework_scala_spark.sources.iceberg_mor import (
+        _metadata_path_guesses,
+    )
+    from arcane_framework_scala_spark.sources.paths import glob_escape
+
+    rels = sorted(live)
+    base = (
+        spark.read.schema(schema)
+        .option("basePath", path)
+        .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("__dl_file"),
+            F.col("_metadata.row_index").alias("__dl_pos"),
         )
-    return spark.createDataFrame([], schema)
+    )
+    map_rows = []
+    for rel in rels:
+        for g in _metadata_path_guesses(os.path.join(path, rel)):
+            map_rows.append((g, rel))
+    map_df = spark.createDataFrame(
+        map_rows, "__dl_meta string, __dl_rel string"
+    )
+    joined = base.join(
+        F.broadcast(map_df), base["__dl_file"] == map_df["__dl_meta"], "left"
+    ).drop("__dl_meta", "__dl_file")
+    joined = joined.filter(
+        F.assert_true(
+            F.col("__dl_rel").isNotNull(),
+            F.concat(
+                F.lit("delta_dv: data file path not in the map (URI "
+                      "encoding drift?): "),
+                F.input_file_name(),
+            ),
+        ).isNull()
+    )
+    frames = []
+    for rel in rels:
+        desc = live[rel].get("deletionVector")
+        if not desc:
+            continue
+        positions = dvmod.read_dv(path, desc)
+        if desc.get("cardinality") not in (None, len(positions)):
+            raise ValueError(
+                f"DV cardinality mismatch for {rel!r}: descriptor "
+                f"{desc.get('cardinality')} != decoded {len(positions)}"
+            )
+        if len(positions):
+            frames.append(
+                pd.DataFrame({"__dv_file": rel, "__dv_pos": positions})
+            )
+    if frames:
+        pos_df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+        joined = joined.join(
+            pos_df,
+            (joined["__dl_rel"] == pos_df["__dv_file"])
+            & (joined["__dl_pos"] == pos_df["__dv_pos"]),
+            "left_anti",
+        )
+    return joined
 
 
 def _schema_from_meta(meta: dict | None, path: str):
@@ -459,9 +560,18 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
     if not versions:
         raise ValueError(f"nothing to checkpoint under {out_dir!r}")
     head = versions[-1]
-    rels, meta = _replay(out_dir, spark=spark)
+    live, meta = _replay_full(out_dir, spark=spark)
+    rels = sorted(live)
     if meta is None:
         raise ValueError(f"no metaData action found in {out_dir!r}")
+    if any(a.get("deletionVector") for a in live.values()):
+        raise ValueError(
+            "checkpointing a table with live deletion vectors is not "
+            "implemented (the add schema here omits the deletionVector "
+            "column and a checkpoint without it would resurrect deleted "
+            "rows) — rewrite the DV'd files first (delta_dv.delete_where "
+            "commits are checkpoint-safe only after compaction)"
+        )
     from pyspark.sql import Row
 
     def add_row(rel: str) -> Row:

@@ -1347,6 +1347,95 @@ FROM kept GROUP BY event_type
 """
 
 
+def q_s19_delta_dv(spark, sf_dir):
+    """Delta Lake DELETION VECTORS end-to-end (r9, ``sources/
+    delta_dv.py`` — removes the r8 reader-feature refusal): the 60%
+    event prefix exports as a Delta table, then two ``delete_where``
+    commits land as per-file roaring bitmaps (the public
+    RoaringFormatSpec layout inside PROTOCOL.md's DV file framing:
+    1-byte version, [int32-BE size][data][CRC-32], base85 "u"
+    descriptors) — each commit re-adds only the TOUCHED files with a
+    merged descriptor (the spec's superset rule, pinned by the
+    overlapping second predicate), upgrades the protocol to
+    readerVersion 3 + deletionVectors, and never rewrites data. The
+    read anti-joins decoded positions on ``(file,
+    _metadata.row_index)``; VERSION AS OF sees each stage and the
+    derived change feed reports exactly the deleted keys. The oracle
+    recomputes the surviving rows relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import delta_dv as dvm
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s19_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+    base = ev.filter(F.col("event_id") <= t1)
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(base.repartition(4))
+    out_tbl = os.path.join(run_dir, "delta")
+    if dr.export_delta(st, out_tbl) != 0:
+        raise AssertionError("export should be Delta version 0")
+    if dvm.delete_where(spark, out_tbl, "event_type = 'click'") != 1:
+        raise AssertionError("first DV commit should be version 1")
+    if dvm.delete_where(spark, out_tbl, "user_id % 10 = 3") != 2:
+        raise AssertionError("second DV commit should be version 2")
+
+    # VERSION AS OF: v0 full, v1 clicks-only deleted
+    v0 = dr.read_delta(spark, out_tbl, version=0)
+    if v0.exceptAll(base).count() or base.exceptAll(v0).count():
+        raise AssertionError("VERSION AS OF 0 diverged")
+    v1 = dr.read_delta(spark, out_tbl, version=1)
+    want1 = base.filter(F.col("event_type") != "click")
+    if v1.exceptAll(want1).count() or want1.exceptAll(v1).count():
+        raise AssertionError("VERSION AS OF 1 diverged")
+
+    # derived CDF between the DV commits: exactly the newly deleted keys
+    ch = dr.delta_changes(spark, out_tbl, 1, 2, ["event_id"])
+    n_ops = ch.filter(F.col("op") != "delete").count()
+    want_del = want1.filter(F.col("user_id") % 10 == 3).count()
+    if n_ops or ch.count() != want_del:
+        raise AssertionError(
+            f"CDF mismatch: {ch.count()} rows ({n_ops} non-delete), "
+            f"want {want_del} deletes"
+        )
+
+    return (
+        dr.read_delta(spark, out_tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_milli").alias("sum_vm"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+_S19_DELTA_DV_SQL = """
+WITH t AS (SELECT max(event_id) * 6 // 10 AS t1 FROM events),
+     kept AS (
+       SELECT event_id, user_id, event_type,
+              CAST(floor(value * 1000) AS BIGINT) AS vm
+       FROM events, t
+       WHERE event_id <= t1
+         AND event_type <> 'click' AND user_id % 10 <> 3)
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM kept GROUP BY event_type
+"""
+
+
 def q_x10_iceberg_transforms(spark, sf_dir):
     """Iceberg HIDDEN PARTITIONING end-to-end (r9, ``sources/
     iceberg_transforms.py``): events are written as a new Iceberg table

@@ -1,0 +1,167 @@
+"""Delta deletion vectors (sources/delta_dv.py): roaring-bitmap codec
+pinned at byte level against the public RoaringFormatSpec / delta
+PROTOCOL.md layouts, DV file I/O with size+CRC verification, and the
+read/write lifecycle through delta_reader."""
+
+import os
+import struct
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.sinks.merge_sink import (
+    SnapshotParquetTarget,
+)
+from arcane_framework_scala_spark.sources import delta_dv as dv
+from arcane_framework_scala_spark.sources import delta_reader as dr
+
+
+# ------------------------------------------------------------- codec
+
+
+def test_roaring_roundtrip_all_container_shapes():
+    rng = np.random.RandomState(7)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([0], dtype=np.int64),
+        np.array([0, 1, 5, 65535, 65536, 70000], dtype=np.int64),
+        np.arange(100000, dtype=np.int64),  # dense -> bitmap containers
+        np.array([2**32 + 5, 2**33 + 1, 7], dtype=np.int64),  # multi-map
+        rng.choice(10**7, 50000, replace=False).astype(np.int64),
+        np.array([4096] * 3, dtype=np.int64),  # duplicates collapse
+    ]
+    for case in cases:
+        got = dv.deserialize_positions(dv.serialize_positions(case))
+        assert np.array_equal(got, np.unique(case))
+
+
+def test_portable_layout_byte_fixture():
+    """{1,2,3} serialized: delta magic, one 32-bit map, cookie 12346,
+    one array container keyed 0 with card 3 — every offset per the
+    public RoaringFormatSpec."""
+    b = dv.serialize_positions(np.array([1, 2, 3], dtype=np.int64))
+    magic, n = struct.unpack_from("<iq", b, 0)
+    cookie, nc = struct.unpack_from("<ii", b, 12)
+    key, cm1 = struct.unpack_from("<HH", b, 20)
+    (off,) = struct.unpack_from("<i", b, 24)
+    vals = struct.unpack_from("<3H", b, 12 + off)
+    assert (magic, n) == (1681511377, 1)
+    assert (cookie, nc, key, cm1 + 1, off) == (12346, 1, 0, 3, 16)
+    assert vals == (1, 2, 3)
+
+
+def test_run_container_cookie_12347_decodes():
+    """Hand-built run-container bitmap (cookie 12347, runs [5..9] and
+    [20..22]) — the shape real writers emit for dense runs."""
+    rb = (
+        struct.pack("<i", (0 << 16) | 12347)
+        + bytes([1])  # run bitset: container 0 is a run container
+        + struct.pack("<HH", 0, 7)  # key 0, cardinality 8
+        + struct.pack("<HHHHH", 2, 5, 4, 20, 2)  # 2 runs
+    )
+    arr = struct.pack("<iq", dv.MAGIC, 1) + rb
+    assert list(dv.deserialize_positions(arr)) == [5, 6, 7, 8, 9, 20, 21, 22]
+
+
+def test_dv_file_crc_and_size_checks(tmp_path):
+    pos = np.array([3, 5, 9], dtype=np.int64)
+    desc = dv.write_dv_file(str(tmp_path), pos)
+    assert desc["storageType"] == "u"
+    assert desc["cardinality"] == 3
+    assert np.array_equal(dv.read_dv(str(tmp_path), desc), pos)
+    # corrupt one data byte: CRC must catch it
+    path = dv.resolve_dv_path(str(tmp_path), desc)
+    blob = bytearray(open(path, "rb").read())
+    blob[7] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(dv.DeletionVectorError, match="checksum|size"):
+        dv.read_dv(str(tmp_path), desc)
+
+
+def test_inline_dv_descriptor():
+    import base64
+
+    data = dv.serialize_positions(np.array([1, 4], dtype=np.int64))
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(data).decode(),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    assert list(dv.read_dv("/nowhere", desc)) == [1, 4]
+
+
+# ---------------------------------------------------------- lifecycle
+
+
+def _export(spark, tmp_path, n=200):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") % 3).alias("p")
+    )
+    st = SnapshotParquetTarget(
+        spark, str(tmp_path / "pub"), partition_cols=["p"]
+    )
+    st.overwrite(df)
+    out = str(tmp_path / "delta [x]")
+    assert dr.export_delta(st, out) == 0
+    return out
+
+
+def _ids(spark, out, **kw):
+    return {r.id for r in dr.read_delta(spark, out, **kw).collect()}
+
+
+def test_delete_where_roundtrip_and_merge(spark, tmp_path):
+    out = _export(spark, tmp_path)
+    assert dv.delete_where(spark, out, "id % 4 = 0") == 1
+    want = {i for i in range(200) if i % 4}
+    assert _ids(spark, out) == want
+    # superset rule: the second DV on a file carries BOTH deletes
+    assert dv.delete_where(spark, out, "k = 3 AND id < 100") == 2
+    want = {i for i in want if not (i % 7 == 3 and i < 100)}
+    assert _ids(spark, out) == want
+    # no-op predicate -> no commit
+    assert dv.delete_where(spark, out, "id = -1") is None
+    assert dr.commit_versions(out)[-1] == 2
+    # time travel sees each stage
+    assert _ids(spark, out, version=0) == set(range(200))
+    assert _ids(spark, out, version=1) == {i for i in range(200) if i % 4}
+    # protocol upgraded with the feature, and our reader accepts it
+    meta_protocol = [
+        a
+        for a in open(
+            os.path.join(out, "_delta_log", f"{1:020d}.json")
+        ).read().splitlines()
+        if "protocol" in a
+    ]
+    assert "deletionVectors" in meta_protocol[0]
+
+
+def test_unknown_reader_feature_still_raises(spark, tmp_path):
+    out = _export(spark, tmp_path, n=10)
+    assert dv.delete_where(spark, out, "id = 1") == 1
+    # forge an unsupported feature into the protocol action
+    p = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    s = open(p).read().replace(
+        '"readerFeatures": ["deletionVectors"]',
+        '"readerFeatures": ["deletionVectors", "v2Checkpoint"]',
+    )
+    open(p, "w").write(s)
+    with pytest.raises(ValueError, match="reader features"):
+        dr.read_delta(spark, out)
+
+
+def test_checkpoint_with_live_dvs_refuses(spark, tmp_path):
+    out = _export(spark, tmp_path, n=20)
+    assert dv.delete_where(spark, out, "id < 5") == 1
+    with pytest.raises(ValueError, match="deletion vectors"):
+        dr.export_checkpoint(spark, out)
+
+
+def test_derived_cdf_sees_dv_deletes(spark, tmp_path):
+    out = _export(spark, tmp_path, n=60)
+    assert dv.delete_where(spark, out, "id % 5 = 0") == 1
+    ch = dr.delta_changes(spark, out, 0, 1, ["id"])
+    rows = {(r["id"], r["op"]) for r in ch.collect()}
+    assert rows == {(i, "delete") for i in range(0, 60, 5)}

@@ -164,14 +164,24 @@ def test_checkpoint_collapses_history(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
+    """columnMapping still refuses (physical names diverge from the
+    logical schema); deletionVectors is SUPPORTED since r9 and must
+    pass the protocol check."""
     t = str(tmp_path / "u")
     os.makedirs(t)
     _commit(t, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+    ] + _meta_actions()[1:])
+    with pytest.raises(ValueError, match="columnMapping"):
+        dr.active_files(t)
+    t2 = str(tmp_path / "u2")
+    os.makedirs(t2)
+    _commit(t2, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"]}},
     ] + _meta_actions()[1:])
-    with pytest.raises(ValueError, match="deletionVectors"):
-        dr.active_files(t)
+    assert dr.active_files(t2) == []
 
 
 def test_url_encoded_paths_and_empty_table(spark, tmp_path):
