@@ -1,0 +1,149 @@
+"""Delta table maintenance, jar-free: deletion-vector PURGE (the
+REORG TABLE ... APPLY (PURGE) action) and retention-based VACUUM —
+the Delta twins of ``iceberg_maintenance`` (expiry/orphans) and
+``iceberg_mor.rewrite_data_files`` (MoR compaction).
+
+Purge is what un-fences checkpointing: ``export_checkpoint`` refuses a
+table with live DVs (its add schema omits the DV column), so the
+lifecycle is delete_where* → purge → checkpoint. Vacuum follows the
+real semantics: only files unreferenced by the CURRENT version AND
+older than the retention window are deleted — time travel to versions
+older than the window is sacrificed, exactly as documented for the
+real VACUUM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+from arcane_framework_scala_spark.sources import delta_dv as dvm
+from arcane_framework_scala_spark.sources import delta_reader as dr
+
+
+def purge_deletion_vectors(
+    spark: SparkSession, table_path: str
+) -> int | None:
+    """Rewrite every DV'd file WITHOUT its deleted rows and commit
+    remove+add (clean) actions — untouched files never move; after the
+    commit the table carries zero live DVs and checkpointing works
+    again. Returns the new version, or None when no live DV exists."""
+    import pyspark.sql.functions as F
+
+    live, meta = dr._replay_full(table_path, None, spark)
+    dv_rels = {
+        rel: a for rel, a in live.items() if a.get("deletionVector")
+    }
+    if not dv_rels:
+        return None
+    schema = dr._schema_from_meta(meta, table_path)
+    part_cols = (meta or {}).get("partitionColumns") or []
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for rel, a in sorted(dv_rels.items()):
+        kept = dr._scan_with_lineage(
+            spark, table_path, {rel: a}, schema
+        ).select(*[F.col(f.name) for f in schema.fields])
+        if part_cols:
+            kept = kept.drop(*part_cols)  # Delta files omit partition cols
+        stage = os.path.join(table_path, f".stage-purge-{now_ms}")
+        shutil.rmtree(stage, ignore_errors=True)
+        kept.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            (n for n in os.listdir(stage) if n.endswith(".parquet")), None
+        )
+        import hashlib
+
+        tag = hashlib.md5(rel.encode()).hexdigest()[:8]
+        rel_dir = os.path.dirname(rel)
+        new_rel = (
+            os.path.join(rel_dir, f"purge-{tag}-{now_ms}.parquet")
+            if rel_dir
+            else f"purge-{tag}-{now_ms}.parquet"
+        )
+        dst = os.path.join(table_path, new_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "deletionVector": a["deletionVector"],
+                }
+            }
+        )
+        from urllib.parse import quote
+
+        actions.append(
+            {
+                "add": {
+                    "path": quote(new_rel, safe="/="),
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    versions = dr.commit_versions(table_path)
+    ckpt = dr._latest_checkpoint(table_path, None)
+    head = max(
+        versions[-1] if versions else -1, ckpt if ckpt is not None else -1
+    )
+    next_v = head + 1
+    log = dr._log_dir(table_path)
+    tmp = os.path.join(log, f".{next_v:020d}.json.tmp")
+    with open(tmp, "w") as f:
+        for act in actions:
+            f.write(json.dumps(act) + "\n")
+    os.replace(tmp, os.path.join(log, f"{next_v:020d}.json"))
+    return next_v
+
+
+def vacuum(
+    spark: SparkSession, table_path: str, older_than_s: float = 7 * 86400
+) -> list[str]:
+    """Delete data and DV files unreferenced by the CURRENT version and
+    older than the retention window (mtime-based, like the real
+    VACUUM's default). ``_delta_log`` is never touched; time travel to
+    versions whose files fall outside the window stops working — the
+    documented trade. Returns the removed paths."""
+    live, _meta = dr._replay_full(table_path, None, spark)
+    keep: set[str] = set()
+    for rel, a in live.items():
+        keep.add(os.path.normpath(os.path.join(table_path, rel)))
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") != "i":
+            keep.add(
+                os.path.normpath(dvm.resolve_dv_path(table_path, desc))
+            )
+    cutoff = time.time() - older_than_s
+    removed: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [
+            d for d in dirs if d != "_delta_log" and not d.startswith(".")
+        ]
+        for name in files:
+            if not (
+                name.endswith(".parquet")
+                or name.startswith("deletion_vector_")
+            ):
+                continue
+            p = os.path.normpath(os.path.join(root, name))
+            if p in keep:
+                continue
+            try:
+                if os.stat(p).st_mtime > cutoff:
+                    continue
+                os.remove(p)
+                removed.append(p)
+            except FileNotFoundError:
+                pass
+    return sorted(removed)

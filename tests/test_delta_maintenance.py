@@ -1,0 +1,79 @@
+"""Delta maintenance (sources/delta_maintenance.py): DV purge
+(un-fences checkpointing) and retention VACUUM."""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.sinks.merge_sink import (
+    SnapshotParquetTarget,
+)
+from arcane_framework_scala_spark.sources import delta_dv as dv
+from arcane_framework_scala_spark.sources import delta_maintenance as dmx
+from arcane_framework_scala_spark.sources import delta_reader as dr
+
+
+def _export(spark, tmp_path, n=120, partition=True):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") % 3).alias("p")
+    )
+    st = SnapshotParquetTarget(
+        spark, str(tmp_path / "pub"),
+        partition_cols=["p"] if partition else None,
+    )
+    st.overwrite(df)
+    out = str(tmp_path / "delta")
+    assert dr.export_delta(st, out) == 0
+    return out
+
+
+def _ids(spark, out, **kw):
+    return {r.id for r in dr.read_delta(spark, out, **kw).collect()}
+
+
+def test_purge_rewrites_dv_files_and_unfences_checkpoint(spark, tmp_path):
+    out = _export(spark, tmp_path)
+    assert dv.delete_where(spark, out, "id % 4 = 0") == 1
+    want = {i for i in range(120) if i % 4}
+    v = dmx.purge_deletion_vectors(spark, out)
+    assert v == 2
+    # contents identical, zero live DVs, partition column survives
+    assert _ids(spark, out) == want
+    live, _ = dr._replay_full(out, None, spark)
+    assert not any(a.get("deletionVector") for a in live.values())
+    got_p = {
+        (r.id, r.p) for r in dr.read_delta(spark, out).collect()
+    }
+    assert got_p == {(i, i % 3) for i in want}
+    # checkpoint now works (the DV fence lifted by the purge)
+    assert dr.export_checkpoint(spark, out) == 2
+    assert _ids(spark, out) == want
+    # purge with no DVs is a no-op
+    assert dmx.purge_deletion_vectors(spark, out) is None
+
+
+def test_vacuum_removes_aged_unreferenced_files(spark, tmp_path):
+    out = _export(spark, tmp_path, partition=False)
+    assert dv.delete_where(spark, out, "id < 10") == 1
+    assert dmx.purge_deletion_vectors(spark, out) == 2
+    want = _ids(spark, out)
+    # age every file, then vacuum: the replaced originals + the orphaned
+    # DV file go; everything live survives
+    for root, dirs, files in os.walk(out):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for n in files:
+            os.utime(os.path.join(root, n), (1, 1))
+    removed = dmx.vacuum(spark, out, older_than_s=3600)
+    assert removed, "expected the pre-purge files to be vacuumed"
+    assert any("deletion_vector_" in p for p in removed)
+    assert _ids(spark, out) == want
+    # a fresh unreferenced file is protected by the window
+    fresh = os.path.join(out, "fresh.parquet")
+    open(fresh, "wb").write(b"x")
+    assert dmx.vacuum(spark, out, older_than_s=3600) == []
+    assert os.path.exists(fresh)
+    # time travel into the vacuumed window is gone (documented trade)
+    with pytest.raises(Exception):
+        _ids(spark, out, version=0)
