@@ -80,6 +80,8 @@ def test_gate_window_is_the_declared_r9_rotation():
         "x9_iceberg_mor",
         "x10_iceberg_transforms",
         "x11_iceberg_expire",
+        "s19_delta_dv",
+        "t_ivm_iceberg_feed",
         # the 11 rows deferred from r8 to this window
         "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
         "sim_cluster_quality", "sim_pair_dist_stats", "tpch_q6",
@@ -93,7 +95,7 @@ def test_gate_window_is_the_declared_r9_rotation():
         "x1_maintenance_vertical", "s8_blob_enrich",
         "corpus_jsonl_roundtrip", "corpus_lm_score", "t_debounce",
         "mm_sniff", "p11_zorder_key", "s12_binary_ingest",
-        "a11_profile", "a13_winsorize", "t_ewma_pow2",
+        "a11_profile", "a13_winsorize",
     ):
         assert required in first50, required
 
