@@ -40,6 +40,12 @@ def purge_deletion_vectors(
     }
     if not dv_rels:
         return None
+    if dr._column_mapping_pairs(meta):
+        raise ValueError(
+            "purge on a column-mapped table is not implemented — the "
+            "rewritten files would need PHYSICAL column names; use the "
+            "real connector"
+        )
     schema = dr._schema_from_meta(meta, table_path)
     part_cols = (meta or {}).get("partitionColumns") or []
     now_ms = int(time.time() * 1000)

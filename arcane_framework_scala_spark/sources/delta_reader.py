@@ -28,10 +28,12 @@ the log are not consulted here); correctness is identical.
 DELETION VECTORS are APPLIED since r9 (``delta_dv``: roaring-bitmap
 codec from the public formats, descriptor resolution, per-file
 anti-join on ``_metadata.row_index``; ``delta_dv.delete_where`` writes
-them). Remaining limitations (documented, raised loudly): column
-mapping is not supported (physical parquet names diverge from the
-logical schema), and checkpointing a table with live DVs raises —
-tables using either raise instead of returning wrong rows.
+them), and NAME-mode COLUMN MAPPING is resolved at schema level (the
+scan imposes each field's ``delta.columnMapping.physicalName`` and
+aliases back to the logical name). Remaining limitations (documented,
+raised loudly): ID-mode mapping and nested mapped types (parquet
+field-id resolution), checkpointing a table with live DVs, and purging
+DVs on a mapped table — each raises instead of returning wrong rows.
 """
 
 from __future__ import annotations
@@ -49,10 +51,15 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 #: reader features we can honor; anything else in the protocol action's
 #: readerFeatures raises. ``deletionVectors`` joined the set in r9 (the
-#: read path APPLIES them — see ``delta_dv``). Note: ``columnMapping``
-#: is NOT here — a column-mapped table must raise (physical parquet
-#: names diverge from the logical schema).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+#: read path APPLIES them — see ``delta_dv``) and so did
+#: ``columnMapping`` (NAME mode resolved at schema level —
+#: ``_column_mapping_pairs``; ID mode and nested mapped types still
+#: raise there).
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+}
 
 
 def _log_dir(path: str) -> str:
@@ -85,7 +92,13 @@ def _latest_checkpoint(path: str, version: int | None) -> int | None:
 
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
-    if p.get("minReaderVersion", 1) > 1:
+    v = p.get("minReaderVersion", 1)
+    if v == 2:
+        # the legacy column-mapping reader version carries no
+        # table-features list; the mapping MODE is validated where the
+        # schema is resolved (_column_mapping_pairs: name ok, id raises)
+        return
+    if v > 1:
         feats = set(p.get("readerFeatures") or [])
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported or not feats:
@@ -243,28 +256,38 @@ def read_delta(
     APPLIED (r9, ``delta_dv``): deleted positions anti-join on
     ``(file, _metadata.row_index)`` — the same physical-coordinate
     machinery the Iceberg MoR path rides."""
+    import pyspark.sql.functions as F
+
     live, meta = _replay_full(path, version, spark)
     schema = _schema_from_meta(meta, path)
+    pairs = _column_mapping_pairs(meta)
     rels = sorted(live)
     if not rels:
         return spark.createDataFrame([], schema)
-    from arcane_framework_scala_spark.sources.paths import glob_escape
-
-    base = (
-        spark.read.schema(schema)
-        .option("basePath", path)
-        .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
-    )
     if not any(a.get("deletionVector") for a in live.values()):
-        return base
-    import pyspark.sql.functions as F
+        from arcane_framework_scala_spark.sources.paths import glob_escape
 
-    return _scan_with_lineage(spark, path, live, schema).select(
+        scan_schema = _physical_schema(meta, pairs) if pairs else schema
+        base = (
+            spark.read.schema(scan_schema)
+            .option("basePath", path)
+            .parquet(
+                *[glob_escape(os.path.join(path, rel)) for rel in rels]
+            )
+        )
+        if pairs:
+            base = base.select(
+                *[F.col(ph).alias(lg) for ph, lg in pairs]
+            )
+        return base
+    return _scan_with_lineage(spark, path, live, schema, pairs).select(
         *[F.col(f.name) for f in schema.fields]
     )
 
 
-def _scan_with_lineage(spark: SparkSession, path: str, live: dict, schema):
+def _scan_with_lineage(
+    spark: SparkSession, path: str, live: dict, schema, pairs=None
+):
     """The live rows WITH physical coordinates (``__dl_rel`` =
     table-relative file path, ``__dl_pos`` = row index in file) and all
     deletion vectors APPLIED: a driver-built (metadata-sized) broadcast
@@ -283,12 +306,27 @@ def _scan_with_lineage(spark: SparkSession, path: str, live: dict, schema):
     from arcane_framework_scala_spark.sources.paths import glob_escape
 
     rels = sorted(live)
+    scan_schema = schema
+    if pairs:
+        from pyspark.sql.types import StructField, StructType
+
+        phys_of = {lg: ph for ph, lg in pairs}
+        scan_schema = StructType(
+            [
+                StructField(phys_of[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
     base = (
-        spark.read.schema(schema)
+        spark.read.schema(scan_schema)
         .option("basePath", path)
         .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
         .select(
-            "*",
+            *(
+                [F.col(ph).alias(lg) for ph, lg in pairs]
+                if pairs
+                else ["*"]
+            ),
             F.col("_metadata.file_path").alias("__dl_file"),
             F.col("_metadata.row_index").alias("__dl_pos"),
         )
@@ -345,6 +383,56 @@ def _schema_from_meta(meta: dict | None, path: str):
     if meta is None or not meta.get("schemaString"):
         raise ValueError(f"no metaData action found in {path!r}")
     return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _column_mapping_pairs(meta: dict | None) -> list[tuple[str, str]] | None:
+    """``[(physical, logical)]`` for a NAME-mode column-mapped table
+    (r9): physical parquet names come from each field's
+    ``delta.columnMapping.physicalName`` metadata; the scan imposes
+    the physical schema and immediately aliases back to logical.
+    Returns None for an unmapped table. ID mode (parquet field-id
+    resolution) and nested mapped types still RAISE — mis-mapping
+    would silently misname data."""
+    mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return None
+    if mode != "name":
+        raise ValueError(
+            f"columnMapping mode {mode!r} needs parquet field-id "
+            "resolution — use the real connector"
+        )
+    pairs: list[tuple[str, str]] = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if isinstance(f.get("type"), dict):
+            raise ValueError(
+                "column mapping over nested types is not implemented — "
+                "use the real connector"
+            )
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if not phys:
+            raise ValueError(
+                f"column-mapped field {f['name']!r} lacks "
+                "delta.columnMapping.physicalName"
+            )
+        pairs.append((phys, f["name"]))
+    return pairs
+
+
+def _physical_schema(meta: dict, pairs: list[tuple[str, str]]):
+    from pyspark.sql.types import StructField, StructType
+
+    logical = _schema_from_meta(meta, "<mapped>")
+    phys_of = {lg: ph for ph, lg in pairs}
+    return StructType(
+        [
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in logical.fields
+        ]
+    )
 
 
 def table_metadata(

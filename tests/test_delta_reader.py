@@ -164,16 +164,17 @@ def test_checkpoint_collapses_history(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    """columnMapping still refuses (physical names diverge from the
-    logical schema); deletionVectors is SUPPORTED since r9 and must
-    pass the protocol check."""
+    """Genuinely unimplemented features (v2Checkpoint) still refuse;
+    deletionVectors and columnMapping are SUPPORTED since r9 and must
+    pass the protocol check (mapping MODE is validated at schema
+    level)."""
     t = str(tmp_path / "u")
     os.makedirs(t)
     _commit(t, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["columnMapping"]}},
+                      "readerFeatures": ["v2Checkpoint"]}},
     ] + _meta_actions()[1:])
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         dr.active_files(t)
     t2 = str(tmp_path / "u2")
     os.makedirs(t2)
