@@ -225,7 +225,6 @@ def _schema_struct(meta: dict):
         sid = meta.get("current-schema-id", 0)
         for s in meta["schemas"]:
             if s.get("schema-id") == sid:
-                _check_schema_evolution(meta, s)
                 return _spark_type({**s, "type": "struct"})
         raise IcebergError(f"current-schema-id {sid} not in schemas")
     if "schema" in meta:  # format-version 1
@@ -233,29 +232,138 @@ def _schema_struct(meta: dict):
     raise IcebergError("metadata has neither 'schemas' nor 'schema'")
 
 
-def _check_schema_evolution(meta: dict, current: dict) -> None:
-    """Honest fence for schema evolution this reader cannot resolve:
-    real readers map file columns by FIELD ID, so a RENAMED or RETYPED
-    column still reads from files written under the old schema. This
-    reader imposes the current schema BY NAME — a rename would silently
-    null-fill old files and a retype would mis-read them, so both
-    RAISE. Added/dropped columns are safe by name (null-fill for added
-    is exactly the spec's semantics) and pass."""
+#: legal primitive promotions (old file type -> current type) the
+#: evolution reader resolves with a cast; anything else raises
+_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def _evolution_info(meta: dict) -> dict | None:
+    """Field-id rename/promotion history when the table's schema
+    evolved (r9 — replaces the old blanket raise): real readers map
+    file columns by FIELD ID; this jar-free reader resolves each
+    file's ACTUAL column names from its parquet footer and aliases /
+    casts to the current schema, which is exact for flat schemas.
+    Returns None when no field was renamed or retyped (the by-name
+    read is already correct — adds/drops null-fill per the spec), else
+    ``{field_id: {"name", "type", "alts": [(old_name, old_type), …]}}``
+    for the changed ids. An unsupported retype (outside int→long /
+    float→double) raises."""
+    schemas = meta.get("schemas") or []
+    if len(schemas) <= 1:
+        return None
+    sid = meta.get("current-schema-id", 0)
+    current = next(
+        (s for s in schemas if s.get("schema-id", 0) == sid), None
+    )
+    if current is None:
+        raise IcebergError(f"current-schema-id {sid} not in schemas")
     cur = {f["id"]: f for f in current["fields"]}
-    for s in meta.get("schemas") or []:
+    hist: dict[int, list[tuple[str, object]]] = {}
+    for s in schemas:
         if s.get("schema-id") == current.get("schema-id"):
             continue
         for f in s.get("fields", []):
             c = cur.get(f["id"])
             if c is None:
-                continue  # dropped later — name-imposed reads unaffected
-            if c["name"] != f["name"] or c["type"] != f["type"]:
-                raise IcebergError(
-                    f"schema evolution renamed/retyped field id "
-                    f"{f['id']} ({f['name']!r}:{f['type']!r} -> "
-                    f"{c['name']!r}:{c['type']!r}) — field-id-based file "
-                    "resolution needs the real connector"
-                )
+                continue  # dropped later — by-name reads unaffected
+            if c["name"] == f["name"] and c["type"] == f["type"]:
+                continue
+            if c["type"] != f["type"]:
+                if not (
+                    isinstance(f["type"], str)
+                    and isinstance(c["type"], str)
+                    and (f["type"], c["type"]) in _PROMOTIONS
+                ):
+                    raise IcebergError(
+                        f"schema evolution retyped field id {f['id']} "
+                        f"({f['type']!r} -> {c['type']!r}) outside the "
+                        "int->long / float->double promotions — needs "
+                        "the real connector"
+                    )
+            hist.setdefault(f["id"], []).append((f["name"], f["type"]))
+    if not hist:
+        return None
+    return {
+        fid: {
+            "name": cur[fid]["name"],
+            "type": cur[fid]["type"],
+            "alts": alts,
+        }
+        for fid, alts in hist.items()
+    }
+
+
+def _scan_evolved(
+    spark: SparkSession, meta: dict, path: str, dfs: list[dict], evo: dict
+) -> DataFrame:
+    """Read a rename/promotion-evolved table: each live file's REAL
+    column names come from its parquet footer (driver-side, O(files) —
+    the same class as the planning reads), files group by their
+    resolution signature, each group scans under ITS stored schema and
+    aliases/casts to the current one, and the groups union. Fences:
+    identity-partitioned evolved tables raise (the injected constants
+    are keyed by spec-field names whose history this reader does not
+    track)."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    if _identity_partition_names(meta):
+        raise IcebergError(
+            "schema-evolved IDENTITY-partitioned table — partition-value "
+            "injection across renames needs the real connector"
+        )
+    schema = _schema_struct(meta)
+    if not dfs:
+        return spark.createDataFrame([], schema)
+    location = meta.get("location", path)
+    sid = meta.get("current-schema-id", 0)
+    current = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+    )
+    groups: dict[tuple, list[str]] = {}
+    for df in dfs:
+        local = _to_local(df["file_path"], location)
+        in_file = set(pq.read_schema(local).names)
+        sig = []
+        for f in current["fields"]:
+            if f["name"] in in_file:
+                sig.append((f["name"], f["name"], f["type"], f["type"]))
+                continue
+            alt = next(
+                (
+                    (n, t)
+                    for n, t in (evo.get(f["id"], {}) or {}).get("alts", [])
+                    if n in in_file
+                ),
+                None,
+            )
+            if alt is None:
+                sig.append((None, f["name"], f["type"], f["type"]))
+            else:
+                sig.append((alt[0], f["name"], alt[1], f["type"]))
+        groups.setdefault(tuple(sig), []).append(local)
+    from pyspark.sql.types import StructField, StructType
+
+    out = None
+    for sig, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        read_fields = [
+            StructField(src, _spark_type(src_t), True)
+            for src, _dst, src_t, _cur_t in sig
+            if src is not None
+        ]
+        scan = spark.read.schema(StructType(read_fields)).parquet(
+            *[glob_escape(f) for f in sorted(files)]
+        )
+        cols = []
+        for src, dst, _src_t, cur_t in sig:
+            target = _spark_type(cur_t)
+            if src is None:
+                cols.append(F.lit(None).cast(target).alias(dst))
+            else:
+                cols.append(F.col(src).cast(target).alias(dst))
+        scan = scan.select(*cols)
+        out = scan if out is None else out.unionByName(scan)
+    return out
 
 
 # ------------------------------------------------------------- planning
@@ -428,12 +536,23 @@ def read_iceberg(
     if snap is None:
         return spark.createDataFrame([], _schema_struct(meta))
     ent = _live_entries(meta, snap, path)
+    evo = _evolution_info(meta)
     if ent["pos"] or ent["eq"]:
+        if evo:
+            raise IcebergError(
+                "merge-on-read over a renamed/promoted schema is not "
+                "implemented (compose rewrite_data_files first, or use "
+                "the real connector)"
+            )
         from arcane_framework_scala_spark.sources.iceberg_mor import (
             apply_row_deletes,
         )
 
         return apply_row_deletes(spark, meta, path, ent)
+    if evo:
+        return _scan_evolved(
+            spark, meta, path, [e["df"] for e in ent["data"]], evo
+        )
     return _scan_with_partition_injection(
         spark, meta, path, [e["df"] for e in ent["data"]]
     )
@@ -973,13 +1092,24 @@ def read_iceberg_range(
         data_manifest_filter=_manifest_range_filter(meta, col, lo, hi),
     )
     kept = _plan_filter(meta, ent["data"], col, lo, hi)
+    evo = _evolution_info(meta)
     if ent["pos"] or ent["eq"]:
+        if evo:
+            raise IcebergError(
+                "merge-on-read over a renamed/promoted schema is not "
+                "implemented (compose rewrite_data_files first, or use "
+                "the real connector)"
+            )
         from arcane_framework_scala_spark.sources.iceberg_mor import (
             apply_row_deletes,
         )
 
         df = apply_row_deletes(
             spark, meta, path, {**ent, "data": kept}
+        )
+    elif evo:
+        df = _scan_evolved(
+            spark, meta, path, [e["df"] for e in kept], evo
         )
     else:
         df = _scan_with_partition_injection(

@@ -127,9 +127,12 @@ def test_remove_orphan_files(spark, tmp_path):
     }
 
 
-def test_schema_rename_fence(spark, tmp_path):
-    """A renamed field id across schemas must RAISE — this reader
-    resolves file columns by name and would null-fill the old files."""
+def test_schema_rename_resolves_by_field_id(spark, tmp_path):
+    """A RENAMED field id resolves (r9): old files' real column names
+    come from their parquet footers and alias to the current schema —
+    the same result field-id resolution gives a real reader."""
+    from arcane_framework_scala_spark.sources import iceberg_mor as im2
+
     t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
     t.overwrite(_frame(spark, 0, 10))
     out = str(tmp_path / "ice")
@@ -148,9 +151,40 @@ def test_schema_rename_fence(spark, tmp_path):
     meta["schemas"] = [old, renamed]
     meta["current-schema-id"] = 1
     json.dump(meta, open(mf, "w"))
-    with pytest.raises(ir.IcebergError, match="renamed/retyped"):
-        ir.read_iceberg(spark, out)
-    # an ADDED column (new field id) is fine: null-fill is the spec
+    got = ir.read_iceberg(spark, out)
+    assert sorted(got.columns) == ["id", "uid"]
+    assert {(r.id, r.uid) for r in got.collect()} == {
+        (i, i % 10) for i in range(10)
+    }
+    # post-rename appends (files store the NEW name) unify with the old
+    assert (
+        im2.append_rows(
+            spark,
+            out,
+            spark.range(10, 15).select(
+                F.col("id"), (F.col("id") % 10).alias("uid")
+            ),
+        )
+        == 2
+    )
+    got2 = ir.read_iceberg(spark, out)
+    assert {(r.id, r.uid) for r in got2.collect()} == {
+        (i, i % 10) for i in range(15)
+    }
+    # range planning still prunes across the rename (bounds key on
+    # field ids, not names)
+    sub = ir.read_iceberg_range(spark, out, "id", 11, 13)
+    assert {r.id for r in sub.collect()} == {11, 12, 13}
+
+
+def test_schema_added_column_null_fills(spark, tmp_path):
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(_frame(spark, 0, 10))
+    out = str(tmp_path / "ice")
+    ir.export_iceberg(t, out)
+    mf = ir.table_metadata_file(out)
+    meta = json.load(open(mf))
+    old = meta["schemas"][0]
     meta["schemas"] = [
         old,
         {
@@ -165,3 +199,49 @@ def test_schema_rename_fence(spark, tmp_path):
     got = ir.read_iceberg(spark, out)
     assert got.count() == 10
     assert got.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_schema_promotion_and_retype_fence(spark, tmp_path):
+    """int->long promotion resolves with a cast; any other retype
+    still raises."""
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(
+        spark.range(8).select(
+            F.col("id"), (F.col("id") % 3).cast("int").alias("v")
+        )
+    )
+    out = str(tmp_path / "ice")
+    ir.export_iceberg(t, out)
+    mf = ir.table_metadata_file(out)
+    meta = json.load(open(mf))
+    old = meta["schemas"][0]
+    promoted = {
+        **old,
+        "schema-id": 1,
+        "fields": [
+            {**f, "type": ("long" if f["name"] == "v" else f["type"])}
+            for f in old["fields"]
+        ],
+    }
+    meta["schemas"] = [old, promoted]
+    meta["current-schema-id"] = 1
+    json.dump(meta, open(mf, "w"))
+    got = ir.read_iceberg(spark, out)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {(r.id, r.v) for r in got.collect()} == {
+        (i, i % 3) for i in range(8)
+    }
+    # long -> int narrowing is NOT a legal promotion
+    narrowed = {
+        **old,
+        "schema-id": 2,
+        "fields": [
+            {**f, "type": ("int" if f["name"] == "id" else f["type"])}
+            for f in old["fields"]
+        ],
+    }
+    meta["schemas"] = [old, promoted, narrowed]
+    meta["current-schema-id"] = 2
+    json.dump(meta, open(mf, "w"))
+    with pytest.raises(ir.IcebergError, match="retyped"):
+        ir.read_iceberg(spark, out)
