@@ -54,6 +54,7 @@ _GATE_WINDOW_R9 = [
     "x11_iceberg_expire",
     "s19_delta_dv",
     "t_ivm_iceberg_feed",
+    "x12_iceberg_evolution",
     "sim_knn_eval",
     "sim_text_topk",
     "sim_bm25_rerank",
@@ -95,7 +96,6 @@ _GATE_WINDOW_R9 = [
     "a11_profile",
     "a12_histogram",
     "p12_zorder_layout_report",
-    "a13_winsorize",
 ]
 
 
@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_iceberg_expire": q_x11_iceberg_expire,
         "s19_delta_dv": q_s19_delta_dv,
         "t_ivm_iceberg_feed": q_t_ivm_iceberg_feed,
+        "x12_iceberg_evolution": q_x12_iceberg_evolution,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "x11_iceberg_expire": _X11_ICEBERG_EXPIRE_SQL,
         "s19_delta_dv": _S19_DELTA_DV_SQL,
         "t_ivm_iceberg_feed": _T_IVM_ICEBERG_FEED_SQL,
+        "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

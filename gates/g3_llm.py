@@ -1347,6 +1347,98 @@ FROM kept GROUP BY event_type
 """
 
 
+def q_x12_iceberg_evolution(spark, sf_dir):
+    """Iceberg SCHEMA EVOLUTION reads (r9 — replaces the r9-early
+    blanket rename fence): the 60% event prefix is exported with
+    OLD-WORLD names/types (``uid_old`` int), the table's schema then
+    evolves — rename to ``user_id`` AND an int→long promotion, exactly
+    the field-id-tracked changes the spec allows — and the remaining
+    40% appends under the NEW schema. The reader resolves each file's
+    REAL stored columns from its parquet footer (the by-name stand-in
+    for the field-id resolution real readers do), aliases/casts old
+    files to the current schema, and the unified scan must aggregate
+    identically to the never-evolved relational oracle. Pinned along
+    the way: the evolved dtype is long, and range planning still
+    prunes across the rename (bounds key on field IDS, not names)."""
+    import json as _json
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x12_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("int").alias("uid_old"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(3))
+    out_tbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, out_tbl) != 1:
+        raise AssertionError("export should be sequence 1")
+
+    mf = ir.table_metadata_file(out_tbl)
+    meta = _json.load(open(mf))
+    old = meta["schemas"][0]
+    new = {
+        **old,
+        "schema-id": 1,
+        "fields": [
+            {
+                **f,
+                "name": ("user_id" if f["name"] == "uid_old" else f["name"]),
+                "type": ("long" if f["name"] == "uid_old" else f["type"]),
+            }
+            for f in old["fields"]
+        ],
+    }
+    meta["schemas"] = [old, new]
+    meta["current-schema-id"] = 1
+    _json.dump(meta, open(mf, "w"))
+
+    if im.append_rows(
+        spark,
+        out_tbl,
+        ev.filter(F.col("event_id") > t1).select(
+            "event_id",
+            F.col("uid_old").cast("long").alias("user_id"),
+            "event_type",
+            "value_milli",
+        ),
+    ) != 2:
+        raise AssertionError("post-evolution append should be sequence 2")
+
+    cur = ir.read_iceberg(spark, out_tbl)
+    if dict(cur.dtypes)["user_id"] != "bigint":
+        raise AssertionError("promotion did not surface as long")
+    probe = ir.read_iceberg_range(spark, out_tbl, "event_id", t1 + 1, mx)
+    if len(probe.inputFiles()) >= len(ir.active_files(out_tbl)):
+        raise AssertionError("range planning stopped pruning post-rename")
+
+    return cur.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("value_milli").alias("sum_vm"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+_X12_ICEBERG_EVOLUTION_SQL = """
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY event_type
+"""
+
+
 def q_t_ivm_iceberg_feed(spark, sf_dir):
     """Incremental view maintenance OFF AN ICEBERG TABLE this engine
     only READS (r9 — the cross-story the interop exists for): a view

@@ -82,6 +82,7 @@ def test_gate_window_is_the_declared_r9_rotation():
         "x11_iceberg_expire",
         "s19_delta_dv",
         "t_ivm_iceberg_feed",
+        "x12_iceberg_evolution",
         # the 11 rows deferred from r8 to this window
         "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
         "sim_cluster_quality", "sim_pair_dist_stats", "tpch_q6",
@@ -95,7 +96,7 @@ def test_gate_window_is_the_declared_r9_rotation():
         "x1_maintenance_vertical", "s8_blob_enrich",
         "corpus_jsonl_roundtrip", "corpus_lm_score", "t_debounce",
         "mm_sniff", "p11_zorder_key", "s12_binary_ingest",
-        "a11_profile", "a13_winsorize",
+        "a11_profile",
     ):
         assert required in first50, required
 
