@@ -48,6 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CHECKPOINT_PART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 #: reader features we can honor; anything else in the protocol action's
 #: readerFeatures raises. ``deletionVectors`` joined the set in r9 (the
@@ -79,15 +82,49 @@ def commit_versions(path: str) -> list[int]:
 
 
 def _latest_checkpoint(path: str, version: int | None) -> int | None:
-    """Newest checkpoint version usable for a read at ``version``."""
+    """Newest checkpoint version usable for a read at ``version`` —
+    single-file checkpoints plus CLASSIC MULTI-PART sets
+    (``V.checkpoint.<part>.<parts>.parquet``, r9); a multi-part set
+    counts only when EVERY part is present (an interrupted writer's
+    partial set is ignored, matching real readers)."""
     best = None
+    parts_seen: dict[tuple[int, int], set[int]] = {}
     for name in os.listdir(_log_dir(path)):
         m = _CHECKPOINT_RE.match(name)
         if m:
             v = int(m.group(1))
             if version is None or v <= version:
                 best = v if best is None or v > best else best
+            continue
+        m = _CHECKPOINT_PART_RE.match(name)
+        if m:
+            v, part, total = (int(m.group(i)) for i in (1, 2, 3))
+            parts_seen.setdefault((v, total), set()).add(part)
+    for (v, total), got in parts_seen.items():
+        if got == set(range(1, total + 1)) and (
+            version is None or v <= version
+        ):
+            best = v if best is None or v > best else best
     return best
+
+
+def _checkpoint_files(path: str, version: int) -> list[str]:
+    """The parquet file(s) of the checkpoint at ``version`` — one for
+    a single-file checkpoint, every part of a complete multi-part."""
+    log = _log_dir(path)
+    single = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        os.path.join(log, n)
+        for n in os.listdir(log)
+        if (m := _CHECKPOINT_PART_RE.match(n)) and int(m.group(1)) == version
+    )
+    if not parts:
+        raise ValueError(
+            f"checkpoint {version} vanished from {log!r} mid-replay"
+        )
+    return parts
 
 
 def _check_protocol(action: dict) -> None:
@@ -182,10 +219,10 @@ def _replay_full(
     if ckpt is None and versions and versions[0] != 0:
         raise ValueError(
             f"Delta log under {path!r} is truncated (earliest commit is "
-            f"{versions[0]}) and no single-file checkpoint covers it — "
-            "multi-part / v2 checkpoints are not implemented by this "
-            "jar-free reader; replaying a partial history would return "
-            "wrong rows"
+            f"{versions[0]}) and no complete checkpoint (single-file or "
+            "classic multi-part) covers it — v2 checkpoints are not "
+            "implemented by this jar-free reader; replaying a partial "
+            "history would return wrong rows"
         )
     if ckpt is not None:
         from pyspark.sql import functions as F
@@ -196,8 +233,10 @@ def _replay_full(
                 "reading a checkpointed Delta log needs a SparkSession — "
                 "pass one (read_delta does) or set an active session"
             )
+        from arcane_framework_scala_spark.sources.paths import glob_escape
+
         ck = spark.read.parquet(
-            os.path.join(_log_dir(path), f"{ckpt:020d}.checkpoint.parquet")
+            *[glob_escape(p) for p in _checkpoint_files(path, ckpt)]
         )
         if "protocol" in ck.columns:
             for r in (

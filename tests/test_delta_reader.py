@@ -465,3 +465,81 @@ def test_export_delta_copies_when_links_are_refused(spark, tmp_path,
     assert dr.export_delta(t, out) == 0
     assert copies  # the fallback actually ran
     assert _rows(dr.read_delta(spark, out)) == {(1, "a")}
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """Classic multi-part checkpoints (V.checkpoint.<part>.<parts>.
+    parquet, r9): a complete set replays like a single file; an
+    INCOMPLETE set is ignored (interrupted writer), and with the early
+    commits cleaned that means a loud truncation error, never a
+    partial table."""
+    t = str(tmp_path / "mp")
+    os.makedirs(t)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    _one_file(spark, mk([(1, "a")]), t, "f1.parquet")
+    _one_file(spark, mk([(2, "b")]), t, "f2.parquet")
+    _commit(t, 0, _meta_actions() + [
+        {"add": {"path": "f1.parquet", "dataChange": True}},
+    ])
+    _commit(t, 1, [
+        {"add": {"path": "f2.parquet", "dataChange": True}},
+    ])
+    # hand-build a 2-part checkpoint at version 1: metaData+protocol in
+    # part 1, the adds split across both parts
+    from pyspark.sql import Row
+
+    meta = _meta_actions()
+    log = os.path.join(t, "_delta_log")
+
+    ck_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,"
+        "configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+
+    def _write_part(rows, part, parts):
+        import shutil
+        stage = os.path.join(t, f".ck{part}")
+        spark.createDataFrame(rows, ck_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(
+            n for n in os.listdir(stage) if n.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(stage, src),
+            os.path.join(
+                log,
+                f"{1:020d}.checkpoint.{part:010d}.{parts:010d}.parquet",
+            ),
+        )
+        shutil.rmtree(stage)
+
+    add_row = lambda p: Row(
+        add=Row(path=p, partitionValues={}, size=1,
+                modificationTime=0, dataChange=True),
+        metaData=None, protocol=None)
+    meta_row = Row(
+        add=None,
+        metaData=Row(
+            id="m", format=Row(provider="parquet", options={}),
+            schemaString=meta[1]["metaData"]["schemaString"],
+            partitionColumns=[], configuration={}),
+        protocol=Row(minReaderVersion=1, minWriterVersion=2))
+    _write_part([meta_row, add_row("f1.parquet")], 1, 2)
+    _write_part([add_row("f2.parquet")], 2, 2)
+    # clean the pre-checkpoint commits: replay must ride the parts
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert _rows(dr.read_delta(spark, t)) == {(1, "a"), (2, "b")}
+    # remove one part: the set is incomplete -> truncation raises
+    os.remove(
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    _commit(t, 2, [{"add": {"path": "f1.parquet", "dataChange": True}}])
+    with pytest.raises(ValueError, match="truncated"):
+        dr.read_delta(spark, t)
