@@ -51,6 +51,12 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_PART_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
+#: V2 checkpoints carry a UUID token (canonical hyphenated form — the
+#: hyphen requirement keeps this from shadowing a lone multi-part token)
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F]+(?:-[0-9a-fA-F-]+)+)"
+    r"\.(parquet|json)$"
+)
 
 #: reader features we can honor; anything else in the protocol action's
 #: readerFeatures raises. ``deletionVectors`` joined the set in r9 (the
@@ -62,6 +68,7 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
+    "v2Checkpoint",  # r9: UUID-named top file + _sidecars replay
 }
 
 
@@ -90,7 +97,7 @@ def _latest_checkpoint(path: str, version: int | None) -> int | None:
     best = None
     parts_seen: dict[tuple[int, int], set[int]] = {}
     for name in os.listdir(_log_dir(path)):
-        m = _CHECKPOINT_RE.match(name)
+        m = _CHECKPOINT_RE.match(name) or _CHECKPOINT_V2_RE.match(name)
         if m:
             v = int(m.group(1))
             if version is None or v <= version:
@@ -106,6 +113,66 @@ def _latest_checkpoint(path: str, version: int | None) -> int | None:
         ):
             best = v if best is None or v > best else best
     return best
+
+
+def _v2_checkpoint_file(path: str, version: int) -> str | None:
+    """The v2 checkpoint file at ``version`` (UUID-named json or
+    parquet), newest name winning when several exist — all are valid
+    per the protocol, the choice just needs to be deterministic."""
+    log = _log_dir(path)
+    cands = sorted(
+        n
+        for n in os.listdir(log)
+        if (m := _CHECKPOINT_V2_RE.match(n)) and int(m.group(1)) == version
+    )
+    return os.path.join(log, cands[-1]) if cands else None
+
+
+def _read_v2_checkpoint(
+    path: str, top: str, spark, on_action
+) -> None:
+    """Replay a V2 CHECKPOINT (r9): the top file (json action lines or
+    a parquet action table) carries ``checkpointMetadata`` plus either
+    inline add/remove actions or ``sidecar`` references into
+    ``_delta_log/_sidecars/`` — each sidecar parquet holding the
+    actions themselves. ``on_action(dict)`` receives every action in
+    order; remove TOMBSTONES in a checkpoint describe already-deleted
+    files kept for vacuum bookkeeping and are forwarded (they are
+    no-ops against an empty live set)."""
+    from arcane_framework_scala_spark.sources.paths import glob_escape
+
+    sidecars: list[str] = []
+
+    def _dispatch(action: dict) -> None:
+        if "sidecar" in action and action["sidecar"]:
+            sidecars.append(action["sidecar"]["path"])
+        elif "checkpointMetadata" in action:
+            pass  # version/tags — nothing to replay
+        else:
+            on_action(action)
+
+    if top.endswith(".json"):
+        with open(top) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _dispatch(json.loads(line))
+    else:
+        df = spark.read.parquet(glob_escape(top))
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            _dispatch({k: v for k, v in d.items() if v is not None})
+    for rel in sidecars:
+        sc = os.path.join(_log_dir(path), "_sidecars", rel)
+        if not os.path.exists(sc):
+            raise ValueError(
+                f"v2 checkpoint sidecar {rel!r} missing under "
+                f"{_log_dir(path)!r}/_sidecars — refusing a partial replay"
+            )
+        df = spark.read.parquet(glob_escape(sc))
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            on_action({k: v for k, v in d.items() if v is not None})
 
 
 def _checkpoint_files(path: str, version: int) -> list[str]:
@@ -234,6 +301,31 @@ def _replay_full(
                 "pass one (read_delta does) or set an active session"
             )
         from arcane_framework_scala_spark.sources.paths import glob_escape
+
+        v2 = _v2_checkpoint_file(path, ckpt)
+        if v2 is not None:
+
+            def _on(action: dict) -> None:
+                nonlocal meta
+                if "protocol" in action:
+                    _check_protocol(action)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    apply_add(action["add"])
+                elif "remove" in action:
+                    apply_remove(action["remove"]["path"])
+
+            _read_v2_checkpoint(path, v2, spark, _on)
+            start = ckpt + 1
+            for v in versions:
+                if start <= v <= head:
+                    scan_commit(v)
+            if meta is None and start > 0:
+                for v in versions:
+                    if v < start:
+                        scan_commit(v, meta_only=True)
+            return live, meta
 
         ck = spark.read.parquet(
             *[glob_escape(p) for p in _checkpoint_files(path, ckpt)]

@@ -164,17 +164,16 @@ def test_checkpoint_collapses_history(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    """Genuinely unimplemented features (v2Checkpoint) still refuse;
-    deletionVectors and columnMapping are SUPPORTED since r9 and must
-    pass the protocol check (mapping MODE is validated at schema
-    level)."""
+    """Genuinely unimplemented features (typeWidening) still refuse;
+    deletionVectors, columnMapping and v2Checkpoint are SUPPORTED
+    since r9 and must pass the protocol check."""
     t = str(tmp_path / "u")
     os.makedirs(t)
     _commit(t, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"]}},
     ] + _meta_actions()[1:])
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         dr.active_files(t)
     t2 = str(tmp_path / "u2")
     os.makedirs(t2)
@@ -543,3 +542,111 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     _commit(t, 2, [{"add": {"path": "f1.parquet", "dataChange": True}}])
     with pytest.raises(ValueError, match="truncated"):
         dr.read_delta(spark, t)
+
+
+def test_v2_checkpoint_json_with_sidecars(spark, tmp_path):
+    """V2 checkpoint replay (r9): a UUID-named JSON top file carrying
+    checkpointMetadata + sidecar references; the adds live in
+    _delta_log/_sidecars parquet files. A missing sidecar refuses."""
+    t = str(tmp_path / "v2")
+    os.makedirs(t)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    _one_file(spark, mk([(1, "a")]), t, "f1.parquet")
+    _one_file(spark, mk([(2, "b")]), t, "f2.parquet")
+    _one_file(spark, mk([(3, "c")]), t, "f3.parquet")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+
+    # sidecar parquet with the two live adds
+    import shutil
+
+    from pyspark.sql import Row
+
+    add_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>"
+    )
+    add_row = lambda p: Row(
+        add=Row(path=p, partitionValues={}, size=1,
+                modificationTime=0, dataChange=True))
+    stage = os.path.join(t, ".sc")
+    spark.createDataFrame(
+        [add_row("f1.parquet"), add_row("f2.parquet")], add_schema
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.replace(
+        os.path.join(stage, part),
+        os.path.join(log, "_sidecars", "sc-1.parquet"),
+    )
+    shutil.rmtree(stage)
+
+    uuid = "3a0887cb-1a20-4aa1-8277-2e5b2e2b2a9d"
+    with open(
+        os.path.join(log, f"{1:020d}.checkpoint.{uuid}.json"), "w"
+    ) as f:
+        for a in [
+            {"checkpointMetadata": {"version": 1, "tags": {}}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"]}},
+            _meta_actions()[1],
+            {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    # post-checkpoint commit; pre-checkpoint commits never existed
+    _commit(t, 2, [{"add": {"path": "f3.parquet", "dataChange": True}}])
+    assert _rows(dr.read_delta(spark, t)) == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # missing sidecar: loud refusal, never a partial table
+    os.remove(os.path.join(log, "_sidecars", "sc-1.parquet"))
+    with pytest.raises(ValueError, match="sidecar"):
+        dr.read_delta(spark, t)
+
+
+def test_v2_checkpoint_parquet_inline_adds(spark, tmp_path):
+    """The parquet-top v2 variant with INLINE adds (no sidecars)."""
+    t = str(tmp_path / "v2p")
+    os.makedirs(t)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    _one_file(spark, mk([(7, "x")]), t, "g1.parquet")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log)
+
+    import shutil
+
+    from pyspark.sql import Row
+
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,"
+        "configuration:map<string,string>>, "
+        "checkpointMetadata struct<version:long>"
+    )
+    rows = [
+        Row(add=None,
+            metaData=Row(id="m",
+                         format=Row(provider="parquet", options={}),
+                         schemaString=SCHEMA_JSON, partitionColumns=[],
+                         configuration={}),
+            checkpointMetadata=None),
+        Row(add=Row(path="g1.parquet", partitionValues={}, size=1,
+                    modificationTime=0, dataChange=True),
+            metaData=None, checkpointMetadata=None),
+        Row(add=None, metaData=None,
+            checkpointMetadata=Row(version=0)),
+    ]
+    stage = os.path.join(t, ".ck")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    uuid = "0f61a1c1-74cc-4f24-a0c9-84b3f2f9c6d2"
+    os.replace(
+        os.path.join(stage, part),
+        os.path.join(log, f"{0:020d}.checkpoint.{uuid}.parquet"),
+    )
+    shutil.rmtree(stage)
+    assert _rows(dr.read_delta(spark, t)) == {(7, "x")}
