@@ -69,6 +69,8 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",  # r9: UUID-named top file + _sidecars replay
+    "typeWidening",  # r9: per-file-group narrow scans upcast
+    "typeWidening-preview",
 }
 
 
@@ -395,6 +397,13 @@ def read_delta(
     rels = sorted(live)
     if not rels:
         return spark.createDataFrame([], schema)
+    if _type_widening_active(meta):
+        if pairs or any(a.get("deletionVector") for a in live.values()):
+            raise ValueError(
+                "type widening composed with column mapping / deletion "
+                "vectors is not implemented — use the real connector"
+            )
+        return _scan_widened(spark, path, rels, meta, schema)
     if not any(a.get("deletionVector") for a in live.values()):
         from arcane_framework_scala_spark.sources.paths import glob_escape
 
@@ -514,6 +523,127 @@ def _schema_from_meta(meta: dict | None, path: str):
     if meta is None or not meta.get("schemaString"):
         raise ValueError(f"no metaData action found in {path!r}")
     return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+#: legal Delta type widenings (file-stored type -> current type) this
+#: reader resolves with a per-file-group cast; the spec's
+#: date->timestampNTZ and decimal re-scales are NOT here and raise
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "int"), ("byte", "long"),
+    ("short", "int"), ("short", "long"),
+    ("int", "long"), ("int", "double"),
+    ("float", "double"),
+}
+
+#: parquet footer (arrow) type string -> Delta primitive name
+_ARROW_TO_DELTA = {
+    "int8": "byte",
+    "int16": "short",
+    "int32": "int",
+    "int64": "long",
+    "float": "float",
+    "double": "double",
+}
+
+
+def _type_widening_active(meta: dict | None) -> bool:
+    """True when any schema field carries ``delta.typeChanges``
+    metadata — the typeWidening table feature's marker that older
+    files store a NARROWER physical type than the current schema."""
+    if meta is None or not meta.get("schemaString"):
+        return False
+    return any(
+        "delta.typeChanges" in (f.get("metadata") or {})
+        for f in json.loads(meta["schemaString"])["fields"]
+    )
+
+
+def _scan_widened(
+    spark: SparkSession, path: str, rels: list[str], meta: dict, schema
+):
+    """Read a TYPE-WIDENED table (r9): each file's physical column
+    types come from its parquet footer (driver-side, O(files) — the
+    planning cost class), files group by their narrow-type signature,
+    each group scans under its STORED types and upcasts to the current
+    schema, groups union. Partition columns (absent from the files)
+    keep their logical types through basePath discovery. A type pair
+    outside the spec's legal widenings raises."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from arcane_framework_scala_spark.sources.paths import glob_escape
+
+    part_cols = set((meta or {}).get("partitionColumns") or [])
+    logical = {f.name: f for f in schema.fields}
+    narrow_spark = {
+        "byte": "tinyint",
+        "short": "smallint",
+        "int": "int",
+        "long": "bigint",
+        "float": "float",
+        "double": "double",
+    }
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        local = os.path.join(path, rel)
+        fsch = pq.read_schema(local)
+        by_name = {fsch.field(i).name: str(fsch.field(i).type) for i in range(len(fsch.names))}
+        sig = []
+        for f in schema.fields:
+            if f.name in part_cols or f.name not in by_name:
+                sig.append((f.name, None))  # logical type (partition/absent)
+                continue
+            stored = _ARROW_TO_DELTA.get(by_name[f.name])
+            cur = f.dataType.simpleString()
+            cur_delta = {
+                "tinyint": "byte", "smallint": "short", "int": "int",
+                "bigint": "long", "float": "float", "double": "double",
+            }.get(cur, cur)
+            if stored is None or stored == cur_delta:
+                sig.append((f.name, None))
+                continue
+            if (stored, cur_delta) not in _WIDENINGS:
+                raise ValueError(
+                    f"file {rel!r} stores {f.name!r} as {stored!r} but "
+                    f"the schema says {cur_delta!r} — not a legal type "
+                    "widening; use the real connector"
+                )
+            sig.append((f.name, stored))
+        groups.setdefault(tuple(sig), []).append(rel)
+
+    out = None
+    for sig, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        fields = []
+        for f in schema.fields:
+            stored = dict(sig)[f.name]
+            if stored is None:
+                fields.append(f)
+            else:
+                from pyspark.sql.types import _parse_datatype_string
+
+                fields.append(
+                    StructField(
+                        f.name,
+                        _parse_datatype_string(narrow_spark[stored]),
+                        f.nullable,
+                    )
+                )
+        scan = (
+            spark.read.schema(StructType(fields))
+            .option("basePath", path)
+            .parquet(
+                *[glob_escape(os.path.join(path, r)) for r in sorted(files)]
+            )
+            .select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
+        out = scan if out is None else out.unionByName(scan)
+    return out
 
 
 def _column_mapping_pairs(meta: dict | None) -> list[tuple[str, str]] | None:

@@ -145,7 +145,7 @@ def test_unknown_reader_feature_still_raises(spark, tmp_path):
     p = os.path.join(out, "_delta_log", f"{1:020d}.json")
     s = open(p).read().replace(
         '"readerFeatures": ["deletionVectors"]',
-        '"readerFeatures": ["deletionVectors", "v2Checkpoint"]',
+        '"readerFeatures": ["deletionVectors", "variantType"]',
     )
     open(p, "w").write(s)
     with pytest.raises(ValueError, match="reader features"):

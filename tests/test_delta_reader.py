@@ -164,16 +164,16 @@ def test_checkpoint_collapses_history(spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(spark, tmp_path):
-    """Genuinely unimplemented features (typeWidening) still refuse;
-    deletionVectors, columnMapping and v2Checkpoint are SUPPORTED
-    since r9 and must pass the protocol check."""
+    """Genuinely unimplemented features (variantType) still refuse;
+    deletionVectors, columnMapping, v2Checkpoint and typeWidening are
+    SUPPORTED since r9 and must pass the protocol check."""
     t = str(tmp_path / "u")
     os.makedirs(t)
     _commit(t, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"]}},
+                      "readerFeatures": ["variantType"]}},
     ] + _meta_actions()[1:])
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         dr.active_files(t)
     t2 = str(tmp_path / "u2")
     os.makedirs(t2)
@@ -650,3 +650,87 @@ def test_v2_checkpoint_parquet_inline_adds(spark, tmp_path):
     )
     shutil.rmtree(stage)
     assert _rows(dr.read_delta(spark, t)) == {(7, "x")}
+
+
+def test_type_widening_reads_narrow_files(spark, tmp_path):
+    """typeWidening (r9): files written before the widen store int32;
+    the current schema says long — per-file-group narrow scans upcast,
+    and post-widen long files unify. Illegal narrowings refuse."""
+    t = str(tmp_path / "tw")
+    os.makedirs(t)
+    _one_file(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, v int"),
+        t, "old.parquet",
+    )
+    _one_file(
+        spark,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        t, "new.parquet",
+    )
+    widened_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long"}
+                        ]
+                    },
+                },
+                {
+                    "name": "v", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long"}
+                        ]
+                    },
+                },
+            ],
+        }
+    )
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"]}},
+        {"metaData": {"id": "t",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": widened_schema,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "old.parquet", "dataChange": True}},
+        {"add": {"path": "new.parquet", "dataChange": True}},
+    ])
+    got = dr.read_delta(spark, t)
+    assert dict(got.dtypes) == {"id": "bigint", "v": "bigint"}
+    assert _rows(got) == {(1, 10), (2, 20), (3, 30)}
+    # a file storing WIDER than the schema (long vs int) must refuse
+    t2 = str(tmp_path / "tw2")
+    os.makedirs(t2)
+    _one_file(
+        spark,
+        spark.createDataFrame([(9, 90)], "id long, v long"),
+        t2, "wide.parquet",
+    )
+    narrow_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "integer", "nullable": True,
+                 "metadata": {"delta.typeChanges": []}},
+                {"name": "v", "type": "integer", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(t2, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"]}},
+        {"metaData": {"id": "t2",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": narrow_schema,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "wide.parquet", "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="not a legal type widening"):
+        dr.read_delta(spark, t2).collect()
