@@ -291,12 +291,7 @@ def delete_where(spark, table_path: str, predicate: str) -> int | None:
         actions.append({"remove": remove})
         actions.append({"add": add})
 
-    log = dr._log_dir(table_path)
-    tmp = os.path.join(log, f".{next_v:020d}.json.tmp")
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, os.path.join(log, f"{next_v:020d}.json"))
+    dr.commit_actions(table_path, next_v, actions)
     return next_v
 
 

@@ -104,12 +104,7 @@ def purge_deletion_vectors(
         versions[-1] if versions else -1, ckpt if ckpt is not None else -1
     )
     next_v = head + 1
-    log = dr._log_dir(table_path)
-    tmp = os.path.join(log, f".{next_v:020d}.json.tmp")
-    with open(tmp, "w") as f:
-        for act in actions:
-            f.write(json.dumps(act) + "\n")
-    os.replace(tmp, os.path.join(log, f"{next_v:020d}.json"))
+    dr.commit_actions(table_path, next_v, actions)
     return next_v
 
 

@@ -81,6 +81,32 @@ def _log_dir(path: str) -> str:
     return d
 
 
+def commit_actions(path: str, version: int, actions: list[dict]) -> None:
+    """Publish a commit JSON with PUT-IF-ABSENT semantics (r9): the
+    staged file hard-links to the final name, which FAILS if the
+    version already exists — the optimistic-concurrency rule every
+    real Delta writer relies on; an ``os.replace`` here would silently
+    clobber a concurrent writer's commit."""
+    log = _log_dir(path)
+    tmp = os.path.join(log, f".{version:020d}.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    dst = os.path.join(log, f"{version:020d}.json")
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise ValueError(
+            f"concurrent Delta commit: version {version} already exists "
+            f"under {log!r} — re-read the log and retry the operation"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
 def commit_versions(path: str) -> list[int]:
     """Commit versions present in the log, ascending."""
     return sorted(
@@ -855,11 +881,7 @@ def export_delta(target, out_dir: str) -> int:
                 }
             }
         )
-    tmp = os.path.join(log, f".{next_v:020d}.json.tmp")
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, os.path.join(log, f"{next_v:020d}.json"))
+    commit_actions(out_dir, next_v, actions)
     return next_v
 
 

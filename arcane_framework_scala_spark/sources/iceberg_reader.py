@@ -120,15 +120,29 @@ def next_metadata_version(path: str) -> int:
 
 def write_metadata(path: str, meta: dict) -> int:
     """Atomically publish ``meta`` as the table's current metadata:
-    next vN.metadata.json + the HadoopTables version-hint pointer.
-    Returns the metadata version written."""
+    next vN.metadata.json with PUT-IF-ABSENT semantics (a concurrent
+    committer racing to the same version fails loudly instead of being
+    clobbered — the HadoopTables optimistic-concurrency rule), then
+    the version-hint pointer flip. Returns the metadata version."""
     md = os.path.join(path, "metadata")
     os.makedirs(md, exist_ok=True)
     v = next_metadata_version(path)
-    tmp = os.path.join(md, f".v{v}.metadata.json.tmp")
+    tmp = os.path.join(md, f".v{v}.metadata.json.tmp-{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
-    os.replace(tmp, os.path.join(md, f"v{v}.metadata.json"))
+    dst = os.path.join(md, f"v{v}.metadata.json")
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise IcebergError(
+            f"concurrent Iceberg commit: metadata version {v} already "
+            f"exists under {md!r} — re-read the table and retry"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
     hint_tmp = os.path.join(md, ".version-hint.tmp")
     with open(hint_tmp, "w") as f:
         f.write(str(v))
