@@ -206,8 +206,11 @@ def write_dv_file(table_path: str, positions: np.ndarray) -> dict:
     uid = uuid_mod.UUID(bytes=__import__("hashlib").md5(data).digest())
     fname = f"deletion_vector_{uid}.bin"
     abspath = os.path.join(table_path, fname)
+    # CRC-32 is the full unsigned 32-bit value, stored as 4 raw
+    # big-endian bytes (Java writes the same bit pattern as a signed
+    # int — masking to 31 bits would reject half of real files)
     blob = bytes([1]) + struct.pack(">i", len(data)) + data + struct.pack(
-        ">i", zlib.crc32(data) & 0x7FFFFFFF
+        ">I", zlib.crc32(data) & 0xFFFFFFFF
     )
     tmp = abspath + ".tmp"
     with open(tmp, "wb") as f:
@@ -328,7 +331,7 @@ def read_dv(table_path: str, descriptor: dict) -> np.ndarray:
             f"descriptor {descriptor['sizeInBytes']}"
         )
     data = blob[off + 4 : off + 4 + size]
-    (crc,) = struct.unpack_from(">i", blob, off + 4 + size)
-    if (zlib.crc32(data) & 0x7FFFFFFF) != crc:
+    (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
         raise DeletionVectorError(f"DV checksum mismatch in {path!r}")
     return deserialize_positions(data)

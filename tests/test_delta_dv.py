@@ -165,3 +165,23 @@ def test_derived_cdf_sees_dv_deletes(spark, tmp_path):
     ch = dr.delta_changes(spark, out, 0, 1, ["id"])
     rows = {(r["id"], r["op"]) for r in ch.collect()}
     assert rows == {(i, "delete") for i in range(0, 60, 5)}
+
+
+def test_dv_crc_is_full_unsigned_32bit(tmp_path):
+    """A payload whose CRC-32 has the TOP BIT SET must verify — the
+    checksum is the full unsigned value (Java writes the same bit
+    pattern as a signed int); a 31-bit mask would reject half of all
+    real files."""
+    import zlib
+
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        pos = rng.choice(10**6, rng.randint(1, 50), replace=False)
+        data = dv.serialize_positions(pos.astype(np.int64))
+        if zlib.crc32(data) >= 2**31:
+            break
+    else:
+        pytest.skip("no high-bit CRC found (vanishingly unlikely)")
+    desc = dv.write_dv_file(str(tmp_path), pos.astype(np.int64))
+    got = dv.read_dv(str(tmp_path), desc)
+    assert np.array_equal(got, np.unique(pos))
