@@ -28,9 +28,9 @@ def _snapshot_files(meta: dict, snap: dict, table_dir: str) -> set[str]:
     it alive until the manifest itself is expired)."""
     location = meta.get("location", table_dir)
     out: set[str] = set()
-    ml = ir._to_local(snap["manifest-list"], location)
-    out.add(ml)
-    for mf in avro_ocf.read_ocf(ml)[1]:
+    if snap.get("manifest-list"):
+        out.add(ir._to_local(snap["manifest-list"], location))
+    for mf in ir._manifest_rows(snap, location):
         mfp = ir._to_local(mf["manifest_path"], location)
         out.add(mfp)
         for e in avro_ocf.read_ocf(mfp)[1]:

@@ -233,6 +233,11 @@ def _prev_manifest_list_rows(meta: dict, out_dir: str) -> list[dict]:
     snap = ir._resolve_snapshot(meta, None, None)
     if snap is None:
         return []
+    if not snap.get("manifest-list"):
+        raise ir.IcebergError(
+            "write operations on a v1 embedded-manifests table are not "
+            "supported — this writer commits manifest lists"
+        )
     ml = ir._to_local(snap["manifest-list"], meta.get("location", out_dir))
     return avro_ocf.read_ocf(ml)[1]
 

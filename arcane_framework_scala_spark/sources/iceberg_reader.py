@@ -436,8 +436,7 @@ def _live_entries(
     decoded; delete manifests always are. ``stats`` (when given)
     accumulates ``manifests_total`` / ``manifests_decoded``."""
     location = meta.get("location", path)
-    ml_path = _to_local(snap["manifest-list"], location)
-    _, manifests = avro_ocf.read_ocf(ml_path)
+    manifests = _manifest_rows(snap, location)
     out: dict = {"data": [], "pos": [], "eq": []}
     for mf in manifests:
         mcontent = mf.get("content", 0)  # v1 manifests: data
@@ -493,6 +492,25 @@ def _live_entries(
                     f"{df['file_path']!r} — refusing to guess"
                 )
     return out
+
+
+def _manifest_rows(snap: dict, location: str) -> list[dict]:
+    """The snapshot's manifest-list rows. Format-v1 writers could
+    embed the manifest paths DIRECTLY in the snapshot (``manifests``,
+    no manifest-list file) — those synthesize data-content rows with
+    sequence number 0 (v1 has no sequence numbers)."""
+    if snap.get("manifest-list"):
+        ml_path = _to_local(snap["manifest-list"], location)
+        return avro_ocf.read_ocf(ml_path)[1]
+    if snap.get("manifests"):
+        return [
+            {"manifest_path": p, "content": 0, "sequence_number": 0}
+            for p in snap["manifests"]
+        ]
+    raise IcebergError(
+        f"snapshot {snap.get('snapshot-id')} has neither manifest-list "
+        "nor manifests"
+    )
 
 
 def _live_data_files(meta: dict, snap: dict, path: str) -> list[dict]:

@@ -538,3 +538,23 @@ def test_partitioned_export_injects_and_prunes(spark, tmp_path):
     # data-column bounds still prune inside the partitioned layout
     sub = ir.read_iceberg_range(spark, out, "id", 5, 9)
     assert sorted(r["id"] for r in sub.collect()) == list(range(5, 10))
+
+
+def test_v1_embedded_manifests_snapshot(spark, tmp_path):
+    """Format-v1 writers could embed manifest paths DIRECTLY in the
+    snapshot (no manifest-list file) — reads resolve those too."""
+    t = _target(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    out = str(tmp_path / "ice")
+    ir.export_iceberg(t, out)
+    meta = json.load(open(ir.table_metadata_file(out)))
+    snap = meta["snapshots"][0]
+    # decode the real manifest list, then rewrite the snapshot the v1
+    # way: embedded manifests, no manifest-list pointer
+    ml = ir._to_local(snap["manifest-list"], out)
+    mf_paths = [m["manifest_path"] for m in avro_ocf.read_ocf(ml)[1]]
+    snap.pop("manifest-list")
+    snap["manifests"] = mf_paths
+    json.dump(meta, open(ir.table_metadata_file(out), "w"))
+    got = ir.read_iceberg(spark, out)
+    assert {(r.id, r.v) for r in got.collect()} == {(1, "a"), (2, "b")}
+    assert ir.active_files(out)  # planning rides the embedded manifests too
