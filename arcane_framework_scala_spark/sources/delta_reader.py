@@ -94,7 +94,7 @@ def commit_actions(path: str, version: int, actions: list[dict]) -> None:
             f.write(json.dumps(a) + "\n")
     dst = os.path.join(log, f"{version:020d}.json")
     try:
-        os.link(tmp, dst)
+        _put_if_absent(tmp, dst)
     except FileExistsError:
         raise ValueError(
             f"concurrent Delta commit: version {version} already exists "
@@ -105,6 +105,26 @@ def commit_actions(path: str, version: int, actions: list[dict]) -> None:
             os.remove(tmp)
         except FileNotFoundError:
             pass
+
+
+def _put_if_absent(tmp: str, dst: str) -> None:
+    """Publish ``tmp`` at ``dst`` failing on an existing ``dst``:
+    hard-link when the filesystem allows it (atomic full-content
+    publish), else O_EXCL create + copy (same fallback discipline as
+    the data-file link paths)."""
+    try:
+        os.link(tmp, dst)
+        return
+    except FileExistsError:
+        raise
+    except OSError:
+        pass
+    fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with open(tmp, "rb") as src:
+            os.write(fd, src.read())
+    finally:
+        os.close(fd)
 
 
 def commit_versions(path: str) -> list[int]:

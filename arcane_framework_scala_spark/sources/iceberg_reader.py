@@ -132,7 +132,11 @@ def write_metadata(path: str, meta: dict) -> int:
         json.dump(meta, f, indent=1)
     dst = os.path.join(md, f"v{v}.metadata.json")
     try:
-        os.link(tmp, dst)
+        from arcane_framework_scala_spark.sources.delta_reader import (
+            _put_if_absent,
+        )
+
+        _put_if_absent(tmp, dst)
     except FileExistsError:
         raise IcebergError(
             f"concurrent Iceberg commit: metadata version {v} already "
