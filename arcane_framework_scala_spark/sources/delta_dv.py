@@ -91,9 +91,12 @@ def _serialize_rb32(values: np.ndarray) -> bytes:
 def _deserialize_rb32(buf: bytes, base: int) -> tuple[np.ndarray, int]:
     """Decode one 32-bit RoaringBitmap at ``base``; returns (sorted
     uint32 values, bytes consumed)."""
-    (cookie,) = struct.unpack_from("<i", buf, base)
+    # unsigned: a run-cookie with >= 0x8000 containers sets bit 31 and a
+    # signed read would go negative (n computed from a sign-extended
+    # shift misparses the stream)
+    (cookie,) = struct.unpack_from("<I", buf, base)
     if (cookie & 0xFFFF) == _COOKIE_RUN:
-        n = (cookie >> 16) + 1
+        n = ((cookie >> 16) & 0xFFFF) + 1
         p = base + 4
         run_bits = buf[p : p + (n + 7) // 8]
         p += (n + 7) // 8
@@ -199,10 +202,20 @@ def deserialize_positions(data: bytes) -> np.ndarray:
 
 def write_dv_file(table_path: str, positions: np.ndarray) -> dict:
     """Write ONE deletion vector into a fresh "u"-addressed DV file;
-    returns the ``deletionVector`` descriptor dict for the add action.
+    returns the ``deletionVector`` descriptor dict for the add action."""
+    return write_dv_blob(
+        table_path,
+        serialize_positions(positions),
+        int(len(np.unique(positions))),
+    )
+
+
+def write_dv_blob(table_path: str, data: bytes, cardinality: int) -> dict:
+    """Publish an already-serialized RoaringBitmapArray as a DV file —
+    the driver-side tail of the distributed ``delete_where`` build
+    (executors serialize, the driver only writes metadata-sized blobs).
     The UUID is content-derived (deterministic replays re-produce the
     same file, a commit retry is idempotent)."""
-    data = serialize_positions(positions)
     uid = uuid_mod.UUID(bytes=__import__("hashlib").md5(data).digest())
     fname = f"deletion_vector_{uid}.bin"
     abspath = os.path.join(table_path, fname)
@@ -221,7 +234,55 @@ def write_dv_file(table_path: str, positions: np.ndarray) -> dict:
         "pathOrInlineDv": base64.b85encode(uid.bytes).decode(),
         "offset": 1,
         "sizeInBytes": len(data),
-        "cardinality": int(len(np.unique(positions))),
+        "cardinality": int(cardinality),
+    }
+
+
+#: legacy (pre-table-features) protocol versions imply named features
+#: when upgrading to readerVersion 3 / writerVersion 7 — delta.io
+#: PROTOCOL.md "Table Features": the upgrade must carry them forward or
+#: the table silently loses requirements (e.g. columnMapping on a
+#: legacy minReaderVersion-2 table)
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def _merged_protocol(old: dict | None) -> dict | None:
+    """Protocol action that ADDS ``deletionVectors`` while preserving
+    every requirement the table already declares: max of the version
+    pair, union of explicit features plus the features IMPLIED by a
+    legacy (list-free) version. Returns None when the table already
+    declares deletionVectors — no protocol action belongs in the
+    commit then."""
+    old = old or {}
+    r = old.get("minReaderVersion", 1)
+    w = old.get("minWriterVersion", 2)
+    rfeats = set(old.get("readerFeatures") or ())
+    wfeats = set(old.get("writerFeatures") or ())
+    if "deletionVectors" in rfeats and "deletionVectors" in wfeats:
+        return None
+    if r < 3:
+        for v, fs in _LEGACY_READER_FEATURES.items():
+            if v <= r:
+                rfeats.update(fs)
+    if w < 7:
+        for v, fs in _LEGACY_WRITER_FEATURES.items():
+            if v <= w:
+                wfeats.update(fs)
+    rfeats.add("deletionVectors")
+    # the spec requires every reader feature to appear in writerFeatures
+    wfeats |= rfeats
+    return {
+        "minReaderVersion": max(3, r),
+        "minWriterVersion": max(7, w),
+        "readerFeatures": sorted(rfeats),
+        "writerFeatures": sorted(wfeats),
     }
 
 
@@ -232,30 +293,66 @@ def delete_where(spark, table_path: str, predicate: str) -> int | None:
     file is re-added with its merged descriptor (the spec's superset
     rule: a file's new DV contains every previously deleted position)
     and the old entry removed — untouched files are never rewritten,
-    the commit is metadata + O(deleted rows). The first DV commit
-    upgrades the table protocol to readerVersion 3 / writerVersion 7
-    with the ``deletionVectors`` feature, as the spec requires.
-    Returns the new version, or None when nothing matched."""
-    import json
+    the commit is metadata-sized. The bitmaps are built DISTRIBUTED
+    (r10): positions group by file executor-side and each file's
+    roaring bitmap serializes inside ``applyInPandas`` — the driver
+    collects one (file, bitmap-bytes) row per touched file, O(files ×
+    compressed-bitmap bytes), never O(deleted rows) (a 10⁹-row delete
+    used to be ~16 GB of driver pandas; now it is the DV bytes
+    themselves). The first DV commit upgrades the protocol by MERGING
+    ``deletionVectors`` into the table's existing requirements
+    (:func:`_merged_protocol`) — never clobbering legacy-implied
+    features like columnMapping. Returns the new version, or None when
+    nothing matched."""
     import time
 
     import pyspark.sql.functions as F
 
     from arcane_framework_scala_spark.sources import delta_reader as dr
 
-    live, meta = dr._replay_full(table_path, None, spark)
+    st = dr._replay_state(table_path, None, spark)
+    live, meta = st["live"], st["meta"]
     if not live:
         raise DeletionVectorError(f"{table_path}: empty table")
     schema = dr._schema_from_meta(meta, table_path)
     frame = dr._scan_with_lineage(
         spark, table_path, live, schema, dr._column_mapping_pairs(meta)
     )
-    hits = (
-        frame.filter(F.expr(predicate))
-        .select("__dl_rel", "__dl_pos")
-        .toPandas()
+    hits = frame.filter(F.expr(predicate)).select("__dl_rel", "__dl_pos")
+
+    old_descs = {
+        rel: a["deletionVector"]
+        for rel, a in live.items()
+        if a.get("deletionVector")
+    }
+    bc = spark.sparkContext.broadcast((table_path, old_descs))
+
+    def _build(pdf):
+        import pandas as pd
+
+        rel = pdf["__dl_rel"].iloc[0]
+        pos = pdf["__dl_pos"].to_numpy(dtype=np.int64)
+        tpath, descs = bc.value
+        old = descs.get(rel)
+        if old is not None:
+            # superset rule: union with the file's current DV (read
+            # executor-side — same shared-storage reach as the scan)
+            pos = np.union1d(pos, read_dv(tpath, old))
+        data = serialize_positions(pos)
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "data": [data],
+                "cardinality": [int(len(np.unique(pos)))],
+            }
+        )
+
+    built = (
+        hits.groupBy("__dl_rel")
+        .applyInPandas(_build, "rel string, data binary, cardinality long")
+        .collect()
     )
-    if hits.empty:
+    if not built:
         return None
     versions = dr.commit_versions(table_path)
     ckpt = dr._latest_checkpoint(table_path, None)
@@ -264,23 +361,17 @@ def delete_where(spark, table_path: str, predicate: str) -> int | None:
     )
     next_v = head + 1
 
-    actions: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
-            }
-        }
-    ]
+    actions: list[dict] = []
+    merged = _merged_protocol(st["protocol"])
+    if merged is not None:
+        actions.append({"protocol": merged})
     now_ms = int(time.time() * 1000)
-    for rel, grp in hits.groupby("__dl_rel"):
-        new_pos = grp["__dl_pos"].to_numpy(dtype=np.int64)
-        old = live[rel].get("deletionVector")
-        if old:
-            new_pos = np.union1d(new_pos, read_dv(table_path, old))
-        desc = write_dv_file(table_path, new_pos)
+    for row in sorted(built, key=lambda r: r["rel"]):
+        rel = row["rel"]
+        desc = write_dv_blob(
+            table_path, bytes(row["data"]), row["cardinality"]
+        )
+        old = old_descs.get(rel)
         add = dict(live[rel])
         remove = {
             "path": add["path"],

@@ -112,11 +112,18 @@ def vacuum(
     spark: SparkSession, table_path: str, older_than_s: float = 7 * 86400
 ) -> list[str]:
     """Delete data and DV files unreferenced by the CURRENT version and
-    older than the retention window (mtime-based, like the real
-    VACUUM's default). ``_delta_log`` is never touched; time travel to
-    versions whose files fall outside the window stops working — the
-    documented trade. Returns the removed paths."""
-    live, _meta = dr._replay_full(table_path, None, spark)
+    whose remove tombstone's ``deletionTimestamp`` is older than the
+    retention window — the real VACUUM's rule: a file is retained for
+    the window AFTER its removal from the log, never judged by its own
+    mtime (a years-old file removed a second ago must survive, or time
+    travel inside the window and any concurrent reader of the
+    just-replaced version breaks). A file with no tombstone at all
+    (orphaned stage debris) falls back to its mtime. ``_delta_log`` is
+    never touched; time travel to versions whose files fall outside the
+    window stops working — the documented trade. Returns the removed
+    paths."""
+    st = dr._replay_state(table_path, None, spark)
+    live = st["live"]
     keep: set[str] = set()
     for rel, a in live.items():
         keep.add(os.path.normpath(os.path.join(table_path, rel)))
@@ -125,6 +132,19 @@ def vacuum(
             keep.add(
                 os.path.normpath(dvm.resolve_dv_path(table_path, desc))
             )
+    # tombstone deletionTimestamp (ms) keyed by resolved path — a
+    # remove that carried its DV descriptor covers the DV file too
+    removed_at_ms: dict[str, int] = {}
+    for rel, a in st["tombstones"].items():
+        ts = a.get("deletionTimestamp")
+        if ts is None:
+            continue
+        p = os.path.normpath(os.path.join(table_path, rel))
+        removed_at_ms[p] = max(removed_at_ms.get(p, 0), int(ts))
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") not in (None, "i"):
+            dvp = os.path.normpath(dvm.resolve_dv_path(table_path, desc))
+            removed_at_ms[dvp] = max(removed_at_ms.get(dvp, 0), int(ts))
     cutoff = time.time() - older_than_s
     removed: list[str] = []
     for root, dirs, files in os.walk(table_path):
@@ -141,7 +161,13 @@ def vacuum(
             if p in keep:
                 continue
             try:
-                if os.stat(p).st_mtime > cutoff:
+                ts = removed_at_ms.get(p)
+                age_ok = (
+                    ts / 1000.0 <= cutoff
+                    if ts is not None
+                    else os.stat(p).st_mtime <= cutoff
+                )
+                if not age_ok:
                     continue
                 os.remove(p)
                 removed.append(p)

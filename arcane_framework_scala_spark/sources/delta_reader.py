@@ -272,17 +272,30 @@ def _replay(
 def _replay_full(
     path: str, version: int | None = None, spark: SparkSession | None = None
 ) -> tuple[dict[str, dict], dict | None]:
+    """:func:`_replay_state` reduced to the classic pair:
+    (live add-action map, newest metaData action dict)."""
+    st = _replay_state(path, version, spark)
+    return st["live"], st["meta"]
+
+
+def _replay_state(
+    path: str, version: int | None = None, spark: SparkSession | None = None
+) -> dict:
     """ONE pass over the log (checkpoint + later commits) up to
-    ``version`` (default: latest) → (live table-relative file path ->
-    its full ``add`` action dict — ``deletionVector`` descriptor
-    included when present, newest metaData action dict). Every public
-    reader builds on this so the log and any checkpoint parquet are
-    parsed exactly once per call. Raises on unknown reader
-    requirements, on a version the log does not contain, and on a
-    TRUNCATED log (earliest commits cleaned with no usable single-file
-    checkpoint — multi-part/v2 checkpoint layouts are not implemented,
-    and starting the replay mid-history would silently return a
-    partial table)."""
+    ``version`` (default: latest) → ``{"live": {rel -> full add-action
+    dict, deletionVector descriptor included}, "meta": newest metaData
+    action, "protocol": newest protocol action (None if the log never
+    carried one), "tombstones": {rel -> newest remove action for files
+    NOT currently live}}``. Every public reader builds on this so the
+    log and any checkpoint parquet are parsed exactly once per call.
+    Tombstones power retention decisions (vacuum gates deletion on the
+    remove's ``deletionTimestamp``, not the data file's mtime); the
+    protocol powers feature-preserving upgrades (``delete_where`` must
+    merge, never clobber, an existing feature set). Raises on unknown
+    reader requirements, on a version the log does not contain, and on
+    a TRUNCATED log (earliest commits cleaned with no usable
+    checkpoint — starting the replay mid-history would silently return
+    a partial table)."""
     versions = commit_versions(path)
     ckpt_any = _latest_checkpoint(path, None)
     if not versions and ckpt_any is None:
@@ -302,16 +315,20 @@ def _replay_full(
             f"{versions[0] if versions else ckpt_any}..{max_head})"
         )
     live: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     meta: dict | None = None
+    protocol: dict | None = None
 
     def apply_add(action: dict) -> None:
         live[unquote(action["path"])] = action
 
-    def apply_remove(rel: str) -> None:
-        live.pop(unquote(rel), None)
+    def apply_remove(action: dict) -> None:
+        rel = unquote(action["path"])
+        live.pop(rel, None)
+        tombstones[rel] = action
 
     def scan_commit(v: int, meta_only: bool = False) -> None:
-        nonlocal meta
+        nonlocal meta, protocol
         with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
             for line in f:
                 line = line.strip()
@@ -320,6 +337,7 @@ def _replay_full(
                 action = json.loads(line)
                 if "protocol" in action:
                     _check_protocol(action)
+                    protocol = action["protocol"]
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif meta_only:
@@ -327,7 +345,7 @@ def _replay_full(
                 elif "add" in action:
                     apply_add(action["add"])
                 elif "remove" in action:
-                    apply_remove(action["remove"]["path"])
+                    apply_remove(action["remove"])
 
     start = 0
     ckpt = _latest_checkpoint(path, head)
@@ -354,15 +372,16 @@ def _replay_full(
         if v2 is not None:
 
             def _on(action: dict) -> None:
-                nonlocal meta
+                nonlocal meta, protocol
                 if "protocol" in action:
                     _check_protocol(action)
+                    protocol = action["protocol"]
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
                     apply_add(action["add"])
                 elif "remove" in action:
-                    apply_remove(action["remove"]["path"])
+                    apply_remove(action["remove"])
 
             _read_v2_checkpoint(path, v2, spark, _on)
             start = ckpt + 1
@@ -373,7 +392,14 @@ def _replay_full(
                 for v in versions:
                     if v < start:
                         scan_commit(v, meta_only=True)
-            return live, meta
+            return {
+                "live": live,
+                "meta": meta,
+                "protocol": protocol,
+                "tombstones": {
+                    r: a for r, a in tombstones.items() if r not in live
+                },
+            }
 
         ck = spark.read.parquet(
             *[glob_escape(p) for p in _checkpoint_files(path, ckpt)]
@@ -385,6 +411,11 @@ def _replay_full(
                 .collect()
             ):
                 _check_protocol({"protocol": r["protocol"].asDict()})
+                protocol = {
+                    k: v
+                    for k, v in r["protocol"].asDict(recursive=True).items()
+                    if v is not None
+                }
         if "metaData" in ck.columns:
             rows = (
                 ck.filter(F.col("metaData").isNotNull())
@@ -397,6 +428,18 @@ def _replay_full(
             ck.filter(F.col("add").isNotNull()).select("add").collect()
         ):
             apply_add(r["add"].asDict(recursive=True))
+        if "remove" in ck.columns:
+            # checkpoints RETAIN remove tombstones until expired — they
+            # carry the deletionTimestamp vacuum's retention gates on
+            for r in (
+                ck.filter(F.col("remove").isNotNull())
+                .select("remove")
+                .collect()
+            ):
+                a = r["remove"].asDict(recursive=True)
+                rel = unquote(a["path"])
+                if rel not in live:
+                    tombstones[rel] = a
         start = ckpt + 1
     for v in versions:
         if start <= v <= head:
@@ -407,7 +450,14 @@ def _replay_full(
         for v in versions:
             if v < start:
                 scan_commit(v, meta_only=True)
-    return live, meta
+    return {
+        "live": live,
+        "meta": meta,
+        "protocol": protocol,
+        "tombstones": {
+            r: a for r, a in tombstones.items() if r not in live
+        },
+    }
 
 
 def active_files(

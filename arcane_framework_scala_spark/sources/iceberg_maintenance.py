@@ -99,11 +99,16 @@ def expire_snapshots(
     return {"snapshots_removed": len(removed), "files_removed": files_removed}
 
 
-def remove_orphan_files(table_dir: str, older_than_s: float = 0.0) -> list[str]:
+def remove_orphan_files(
+    table_dir: str, older_than_s: float = 3 * 86400
+) -> list[str]:
     """Delete ``data/``-dir files referenced by NO snapshot and older
     than ``older_than_s`` (the age window keeps in-flight staged writes
-    safe, same rule as ``sinks/maintenance.py`` X3). Metadata files are
-    never touched here. Returns the removed paths."""
+    safe, same rule as ``sinks/maintenance.py`` X3 — a concurrent
+    writer that has ``os.replace``'d its data file into ``data/`` but
+    not yet published metadata must not lose it, so the default is the
+    real action's 3-day window, never zero). Metadata files are never
+    touched here. Returns the removed paths."""
     meta = ir.table_metadata(table_dir)
     referenced: set[str] = set()
     for s in meta.get("snapshots") or []:

@@ -112,23 +112,34 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    # Load guard (VERDICT r8 item 3): a background-contaminated sample
-    # used to be adjudicated post-hoc via interleaved A/Bs; recording the
-    # 1-minute load average (before the session starts — Spark itself
-    # will saturate the box once running) next to calibration_scan_sec
-    # makes contamination machine-detectable. SPARK_GRAFT_BENCH_STRICT=1
-    # (the ledger-sampling ritual) REFUSES to produce a sample on a busy
-    # box instead of writing a number the ledger can't trust.
+    # Load guard, STRICT BY DEFAULT since r10 (VERDICT r9 item 2: the r9
+    # ledger record was taken at load ratio 0.19 and every section came
+    # out 15-30% inflated — a contaminated number must never be able to
+    # become the record). Behavior: poll-wait up to
+    # $SPARK_GRAFT_BENCH_WAIT_S (default 900 s) for the 1-minute load
+    # ratio to drop to <= 0.15, then REFUSE if still busy — unless
+    # SPARK_GRAFT_BENCH_STRICT=0 explicitly opts into a contaminated
+    # sample (it still carries load_before_1m for post-hoc reading).
     cpus = os.cpu_count() or 1
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "900"))
+    deadline = time.time() + wait_budget
     load_before = round(os.getloadavg()[0], 2)
+    while load_before / cpus > 0.15 and time.time() < deadline:
+        print(
+            f"# waiting for idle box: 1m load {load_before} on {cpus} "
+            f"cpus (ratio {round(load_before / cpus, 3)} > 0.15)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load_before = round(os.getloadavg()[0], 2)
     load_ratio = round(load_before / cpus, 3)
     if load_ratio > 0.15:
-        msg = (
+        print(
             f"# WARNING: pre-bench load {load_before} on {cpus} cpus "
-            f"(ratio {load_ratio} > 0.15) — sample is contaminated"
+            f"(ratio {load_ratio} > 0.15) — sample is contaminated",
+            file=sys.stderr,
         )
-        print(msg, file=sys.stderr)
-        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT", "1") != "0":
             print(
                 '{"error": "load_guard", "load_before_1m": %s, '
                 '"cpus": %d}' % (load_before, cpus)

@@ -123,6 +123,19 @@ def test_name_mapping_with_deletion_vectors(spark, tmp_path):
     t = _mapped_table(spark, tmp_path)
     # the predicate speaks LOGICAL names
     assert dv.delete_where(spark, t, "bucketed = 2 AND part = 0") == 1
+    # the protocol upgrade must CARRY the legacy reader-v2 columnMapping
+    # requirement forward — dropping it leaves a spec-invalid table
+    # (mapping mode set but the protocol no longer declaring it)
+    proto = next(
+        json.loads(ln)["protocol"]
+        for ln in open(
+            os.path.join(t, "_delta_log", f"{1:020d}.json")
+        ).read().splitlines()
+        if '"protocol"' in ln
+    )
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
     rows = {(r.uid, r.bucketed, r.part) for r in dr.read_delta(spark, t).collect()}
     assert rows == {
         (i, i % 5, i % 2)

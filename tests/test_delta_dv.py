@@ -64,6 +64,24 @@ def test_run_container_cookie_12347_decodes():
     assert list(dv.deserialize_positions(arr)) == [5, 6, 7, 8, 9, 20, 21, 22]
 
 
+def test_run_cookie_with_high_bit_container_count_decodes():
+    """A run-format bitmap with >= 0x8000 containers packs (n-1)<<16
+    into the cookie's TOP BIT — a signed int32 read goes negative and
+    misparses; the cookie must be read unsigned."""
+    n = 0x8001  # (n-1) << 16 sets bit 31
+    out = bytearray(struct.pack("<I", ((n - 1) << 16) | 12347))
+    out += b"\xff" * ((n + 7) // 8)  # every container is a run container
+    for k in range(n):
+        out += struct.pack("<HH", k, 0)  # key k, cardinality 1
+    out += b"\x00" * (4 * n)  # offsets (present at n >= 4; reader skips)
+    for _ in range(n):
+        out += struct.pack("<HHH", 1, 0, 0)  # 1 run: [0..0]
+    arr = struct.pack("<iq", dv.MAGIC, 1) + bytes(out)
+    got = dv.deserialize_positions(arr)
+    assert len(got) == n
+    assert np.array_equal(got, (np.arange(n, dtype=np.int64) << 16))
+
+
 def test_dv_file_crc_and_size_checks(tmp_path):
     pos = np.array([3, 5, 9], dtype=np.int64)
     desc = dv.write_dv_file(str(tmp_path), pos)
@@ -136,6 +154,122 @@ def test_delete_where_roundtrip_and_merge(spark, tmp_path):
         if "protocol" in a
     ]
     assert "deletionVectors" in meta_protocol[0]
+
+
+def test_distributed_build_pins_byte_identical_dv_files(spark, tmp_path):
+    """The r10 distributed delete_where (per-file applyInPandas bitmap
+    build) must produce byte-for-byte the files the driver-side build
+    produced: content-derived UUID names, serialize_positions payloads,
+    one DV per touched file."""
+    out = _export(spark, tmp_path, n=300)  # 3 partitions -> >= 3 files
+    assert dv.delete_where(spark, out, "id % 4 = 0") == 1
+    live, _ = dr._replay_full(out, None, spark)
+    touched = {
+        rel: a["deletionVector"]
+        for rel, a in live.items()
+        if a.get("deletionVector")
+    }
+    assert len(touched) >= 3, "expected a multi-file delete"
+    import zlib
+
+    for rel, desc in touched.items():
+        # reconstruct the expected positions for THIS file from a fresh
+        # lineage scan of the pre-delete version
+        frame = dr._scan_with_lineage(
+            spark, out, {rel: {**live[rel], "deletionVector": None}},
+            dr.table_schema(out),
+        )
+        pos = np.sort(
+            np.array(
+                [
+                    r["__dl_pos"]
+                    for r in frame.filter("id % 4 = 0")
+                    .select("__dl_pos")
+                    .collect()
+                ],
+                dtype=np.int64,
+            )
+        )
+        expected = dv.serialize_positions(pos)
+        # descriptor must carry the exact metadata of that payload
+        assert desc["sizeInBytes"] == len(expected)
+        assert desc["cardinality"] == len(pos)
+        # and the on-disk file must be the canonical blob byte-for-byte
+        path = dv.resolve_dv_path(out, desc)
+        blob = open(path, "rb").read()
+        assert blob == (
+            bytes([1])
+            + struct.pack(">i", len(expected))
+            + expected
+            + struct.pack(">I", zlib.crc32(expected) & 0xFFFFFFFF)
+        )
+        # content-derived name: md5 of the payload
+        import hashlib
+        import uuid as uuid_mod
+
+        uid = uuid_mod.UUID(bytes=hashlib.md5(expected).digest())
+        assert path.endswith(f"deletion_vector_{uid}.bin")
+
+
+def test_second_dv_commit_omits_protocol_action(spark, tmp_path):
+    """Once the table declares deletionVectors, later delete_where
+    commits must NOT re-emit a protocol action (replay takes the newest
+    protocol — re-emitting would be where feature-dropping bugs live)."""
+    out = _export(spark, tmp_path, n=40)
+    assert dv.delete_where(spark, out, "id = 1") == 1
+    assert dv.delete_where(spark, out, "id = 2") == 2
+    lines = open(
+        os.path.join(out, "_delta_log", f"{2:020d}.json")
+    ).read().splitlines()
+    assert not any('"protocol"' in ln for ln in lines)
+    assert _ids(spark, out) == set(range(40)) - {1, 2}
+
+
+def test_protocol_merge_preserves_legacy_features():
+    """Upgrading a legacy protocol to table-features must carry the
+    legacy-implied features forward (PROTOCOL.md): a minReaderVersion-2
+    / minWriterVersion-5 table keeps columnMapping, a plain 1/2 table
+    gains appendOnly+invariants, and richer existing feature lists
+    merge instead of being clobbered."""
+    p = dv._merged_protocol(
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+    )
+    assert p == {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "deletionVectors"],
+        "writerFeatures": sorted(
+            [
+                "appendOnly", "invariants", "checkConstraints",
+                "changeDataFeed", "generatedColumns", "columnMapping",
+                "deletionVectors",
+            ]
+        ),
+    }
+    p2 = dv._merged_protocol(
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz", "domainMetadata"],
+        }
+    )
+    assert p2["readerFeatures"] == ["deletionVectors", "timestampNtz"]
+    assert p2["writerFeatures"] == [
+        "deletionVectors", "domainMetadata", "timestampNtz",
+    ]
+    # already declared -> no action at all
+    assert (
+        dv._merged_protocol(
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        )
+        is None
+    )
 
 
 def test_unknown_reader_feature_still_raises(spark, tmp_path):

@@ -54,22 +54,46 @@ def test_purge_rewrites_dv_files_and_unfences_checkpoint(spark, tmp_path):
     assert dmx.purge_deletion_vectors(spark, out) is None
 
 
-def test_vacuum_removes_aged_unreferenced_files(spark, tmp_path):
+def test_vacuum_gates_on_tombstone_not_file_mtime(spark, tmp_path):
     out = _export(spark, tmp_path, partition=False)
     assert dv.delete_where(spark, out, "id < 10") == 1
     assert dmx.purge_deletion_vectors(spark, out) == 2
     want = _ids(spark, out)
-    # age every file, then vacuum: the replaced originals + the orphaned
-    # DV file go; everything live survives
+    # age every DATA file: the retention decision must come from the
+    # remove tombstone's deletionTimestamp, NOT the file's own mtime —
+    # a years-old file removed from the log a second ago is still
+    # inside the window (time travel / concurrent readers depend on it)
     for root, dirs, files in os.walk(out):
         dirs[:] = [d for d in dirs if d != "_delta_log"]
         for n in files:
             os.utime(os.path.join(root, n), (1, 1))
+    assert dmx.vacuum(spark, out, older_than_s=3600) == []
+    # now age the TOMBSTONES (rewrite deletionTimestamp in the log) —
+    # the replaced originals + the orphaned DV file become deletable
+    import json
+
+    log = os.path.join(out, "_delta_log")
+    for name in os.listdir(log):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(log, name)
+        lines = []
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "remove" in a:
+                    a["remove"]["deletionTimestamp"] = 1_000
+                lines.append(json.dumps(a))
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
     removed = dmx.vacuum(spark, out, older_than_s=3600)
     assert removed, "expected the pre-purge files to be vacuumed"
     assert any("deletion_vector_" in p for p in removed)
     assert _ids(spark, out) == want
-    # a fresh unreferenced file is protected by the window
+    # a fresh unreferenced file with NO tombstone: mtime fallback
+    # protects it inside the window
     fresh = os.path.join(out, "fresh.parquet")
     open(fresh, "wb").write(b"x")
     assert dmx.vacuum(spark, out, older_than_s=3600) == []
