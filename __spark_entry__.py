@@ -39,63 +39,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_m3_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
-# r9 GATE WINDOW (VERDICT r8 item 2): scripts/plan_window.py --emit
-# verbatim, pure staleness order — the r9-born delete-path gate
-# (never-checked -> contract-forced into the window), the 11 rows
-# deferred from the r8 window, the full remaining r4 cohort (extinct
-# after this window), and the stalest of the r5 cohort. Max registry
-# staleness after the driver runs this window stays <=4.
-_GATE_WINDOW_R9 = [
-    "t_ivm_live_deletes",
-    "s18_iceberg_scan",
-    "x8_iceberg_prune",
-    "x9_iceberg_mor",
-    "x10_iceberg_transforms",
-    "x11_iceberg_expire",
-    "s19_delta_dv",
-    "t_ivm_iceberg_feed",
-    "x12_iceberg_evolution",
-    "sim_knn_eval",
-    "sim_text_topk",
-    "sim_bm25_rerank",
-    "sim_cluster_quality",
-    "sim_pair_dist_stats",
-    "tpch_q6",
-    "tpch_q18ish",
-    "tpch_q4ish",
-    "tpch_q22ish",
-    "t_funnel",
-    "t_retention",
-    "t_anomaly",
-    "t_event_pivot",
-    "t_lag_features",
-    "a9_partition_advisor",
-    "a10_regression",
-    "mm_scene_cuts",
-    "mm_audio_segments",
-    "s11_auth_mapping",
-    "a6_shard_estimate",
-    "x1_maintenance_vertical",
-    "s8_blob_enrich",
-    "corpus_jsonl_roundtrip",
-    "corpus_lm_score",
-    "corpus_hashed_features",
-    "corpus_lm_buckets",
-    "corpus_top_terms",
-    "t_debounce",
-    "corpus_bigram_score",
-    "corpus_length_histogram",
-    "dedup_cluster_stats",
-    "corpus_lang_mix",
-    "corpus_dedup_card",
-    "mm_sniff",
-    "dedup_shingle_df_stats",
-    "p11_zorder_key",
-    "s12_binary_ingest",
-    "s13_text_lines",
-    "a11_profile",
-    "a12_histogram",
-    "p12_zorder_layout_report",
+# r10 GATE WINDOW (VERDICT r9 item 3): scripts/plan_window.py --emit
+# verbatim, pure staleness order — the 28-row r5 cohort first (extinct
+# after this window), then the stalest r6 rows. r10-born gates are
+# appended by displacing the freshest tail entries of the proposal
+# (never-checked gates MUST sit inside the window — the registry
+# contract test enforces it). Max registry staleness after the driver
+# runs this window stays <=4.
+_GATE_WINDOW_R10 = [
+    "a13_winsorize",
+    "t_ewma_pow2",
+    "s15_partitioned_roundtrip",
+    "corpus_shard_manifest",
+    "a14_freshness",
+    "t_dwell_time",
+    "corpus_novelty",
+    "a15_daily_growth",
+    "corpus_dup_by_source",
+    "t_active_users",
+    "dedup_semantic",
+    "corpus_dsir_select",
+    "corpus_quality_classifier",
+    "t4_shaper_chain",
+    "t12_metrics_wire",
+    "t10_graceful_stop",
+    "dedup_exact",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "k1_staging_writer",
+    "m6_shard_resume",
+    "w2_backfill_dedup",
+    "sim_ivfpq_index_topk",
+    "corpus_fuzzy_contamination",
+    "dedup_semantic_prefit",
+    "a16_category_drift",
+    "sim_ivfpq_index_rerank",
+    "m8_lakehouse_vertical",
+    "t1_stream_trigger_vertical",
+    "a17_hll_distinct",
+    "a18_cms_heavy_hitters",
+    "a19_kmv_overlap",
+    "a20_log_hist_quantiles",
+    "m4_overwrite_backfill",
+    "a3_table_stats",
+    "m5_shard_combine",
+    "s7_cdm_csv_parse",
+    "o4_watermark_rows",
+    "t_stream_hll",
+    "t_hll_state_merge",
+    "s2_backfill_scan",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "sim_cosine_topk",
+    "s9_json_explode",
+    "s10_blob_csv",
+    "p1_field_filter",
+    "p6_name_normalize",
+    "a2_agg_version_stats",
 ]
 
 
@@ -342,8 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_window_suite": q_a23_window_suite,
         "p13_set_ops": q_p13_set_ops,
     }
-    assert len(_GATE_WINDOW_R9) == 50, len(_GATE_WINDOW_R9)
-    front = {n: full[n] for n in _GATE_WINDOW_R9}
+    assert len(_GATE_WINDOW_R10) == 50, len(_GATE_WINDOW_R10)
+    front = {n: full[n] for n in _GATE_WINDOW_R10}
     return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 

@@ -59,44 +59,35 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_gate_window_is_the_declared_r9_rotation():
-    """The driver checks the FIRST 50 entries only; r9 is the pure
-    staleness rotation (VERDICT r8 item 2): the r9-born delete-path
-    gate (never-checked), the 11 rows deferred from the r8 window,
-    the full remaining r4 cohort, and the stalest of the r5 cohort.
-    Pin the families so a refactor reordering the dict doesn't
-    silently drop the rotation."""
+def test_gate_window_is_the_declared_r10_rotation():
+    """The driver checks the FIRST 50 entries only; r10 is the pure
+    staleness rotation (VERDICT r9 item 3): the full remaining r5
+    cohort (extinct after this window), then the stalest r6 rows.
+    r10-born gates displace the freshest tail entries. Pin the
+    families so a refactor reordering the dict doesn't silently drop
+    the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
     for required in (
-        # r9-born gates (never-checked -> forced into the window;
-        # each displaced the freshest tail entry of the staleness
-        # proposal — t_dwell_time, a14_freshness, corpus_novelty and
-        # a15_daily_growth wait for r10)
-        "t_ivm_live_deletes",
-        "s18_iceberg_scan",
-        "x8_iceberg_prune",
-        "x9_iceberg_mor",
-        "x10_iceberg_transforms",
-        "x11_iceberg_expire",
-        "s19_delta_dv",
-        "t_ivm_iceberg_feed",
-        "x12_iceberg_evolution",
-        # the 11 rows deferred from r8 to this window
-        "sim_knn_eval", "sim_text_topk", "sim_bm25_rerank",
-        "sim_cluster_quality", "sim_pair_dist_stats", "tpch_q6",
-        "tpch_q18ish", "tpch_q4ish", "tpch_q22ish", "t_funnel",
-        "t_retention",
-        # the remaining r4 cohort (extinct after this window)
-        "t_anomaly", "t_event_pivot", "t_lag_features",
-        "a9_partition_advisor", "a10_regression", "mm_scene_cuts",
-        "mm_audio_segments", "s11_auth_mapping", "a6_shard_estimate",
-        # stalest of the r5 cohort
-        "x1_maintenance_vertical", "s8_blob_enrich",
-        "corpus_jsonl_roundtrip", "corpus_lm_score", "t_debounce",
-        "mm_sniff", "p11_zorder_key", "s12_binary_ingest",
-        "a11_profile",
+        # the 28-row r5 cohort (staleness 5 -> extinct after r10)
+        "a13_winsorize", "t_ewma_pow2", "s15_partitioned_roundtrip",
+        "corpus_shard_manifest", "a14_freshness", "t_dwell_time",
+        "corpus_novelty", "a15_daily_growth", "corpus_dup_by_source",
+        "t_active_users", "dedup_semantic", "corpus_dsir_select",
+        "corpus_quality_classifier", "t4_shaper_chain",
+        "t12_metrics_wire", "t10_graceful_stop", "dedup_exact",
+        "tpch_q1", "tpch_q3", "tpch_q5ish", "k1_staging_writer",
+        "m6_shard_resume", "w2_backfill_dedup", "sim_ivfpq_index_topk",
+        "corpus_fuzzy_contamination", "dedup_semantic_prefit",
+        "a16_category_drift", "sim_ivfpq_index_rerank",
+        # stalest r6 rows
+        "m8_lakehouse_vertical", "t1_stream_trigger_vertical",
+        "a17_hll_distinct", "a18_cms_heavy_hitters", "a19_kmv_overlap",
+        "a20_log_hist_quantiles", "m4_overwrite_backfill",
+        "a3_table_stats", "m5_shard_combine", "s7_cdm_csv_parse",
+        "o4_watermark_rows", "t_stream_hll", "t_hll_state_merge",
+        "s2_backfill_scan", "dedup_minhash_lsh_pairs", "dedup_clusters",
     ):
         assert required in first50, required
 
