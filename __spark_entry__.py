@@ -95,8 +95,8 @@ _GATE_WINDOW_R10 = [
     "s9_json_explode",
     "s10_blob_csv",
     "p1_field_filter",
-    "p6_name_normalize",
-    "a2_agg_version_stats",
+    "x13_iceberg_evolved_mor",
+    "s20_delta_id_mapping",
 ]
 
 
@@ -330,8 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_iceberg_transforms": q_x10_iceberg_transforms,
         "x11_iceberg_expire": q_x11_iceberg_expire,
         "s19_delta_dv": q_s19_delta_dv,
+        "s20_delta_id_mapping": q_s20_delta_id_mapping,
         "t_ivm_iceberg_feed": q_t_ivm_iceberg_feed,
         "x12_iceberg_evolution": q_x12_iceberg_evolution,
+        "x13_iceberg_evolved_mor": q_x13_iceberg_evolved_mor,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -416,8 +418,10 @@ def oracle_sql() -> dict[str, str]:
         "x10_iceberg_transforms": _X10_ICEBERG_TRANSFORMS_SQL,
         "x11_iceberg_expire": _X11_ICEBERG_EXPIRE_SQL,
         "s19_delta_dv": _S19_DELTA_DV_SQL,
+        "s20_delta_id_mapping": _S20_DELTA_ID_MAPPING_SQL,
         "t_ivm_iceberg_feed": _T_IVM_ICEBERG_FEED_SQL,
         "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,
+        "x13_iceberg_evolved_mor": _X13_ICEBERG_EVOLVED_MOR_SQL,
         "s17_xml_ingest": _S17_XML_SQL,
         "t3_shaped_trigger_vertical": _T1_STREAM_SQL,
         "a24_host_concentration": stats_mod.concentration_report_sql(

@@ -315,9 +315,7 @@ def delete_where(spark, table_path: str, predicate: str) -> int | None:
     if not live:
         raise DeletionVectorError(f"{table_path}: empty table")
     schema = dr._schema_from_meta(meta, table_path)
-    frame = dr._scan_with_lineage(
-        spark, table_path, live, schema, dr._column_mapping_pairs(meta)
-    )
+    frame = dr._lineage_frame(spark, table_path, live, meta, schema)
     hits = frame.filter(F.expr(predicate)).select("__dl_rel", "__dl_pos")
 
     old_descs = {

@@ -40,7 +40,7 @@ def purge_deletion_vectors(
     }
     if not dv_rels:
         return None
-    if dr._column_mapping_pairs(meta):
+    if dr._mapping_mode(meta) != "none":
         raise ValueError(
             "purge on a column-mapped table is not implemented — the "
             "rewritten files would need PHYSICAL column names; use the "

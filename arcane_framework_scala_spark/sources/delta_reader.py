@@ -61,9 +61,10 @@ _CHECKPOINT_V2_RE = re.compile(
 #: reader features we can honor; anything else in the protocol action's
 #: readerFeatures raises. ``deletionVectors`` joined the set in r9 (the
 #: read path APPLIES them — see ``delta_dv``) and so did
-#: ``columnMapping`` (NAME mode resolved at schema level —
-#: ``_column_mapping_pairs``; ID mode and nested mapped types still
-#: raise there).
+#: ``columnMapping`` — NAME mode resolved at schema level
+#: (``_column_mapping_pairs``), ID mode per file from parquet footer
+#: field ids (r10, ``_id_scan_groups``); nested mapped types still
+#: raise.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
@@ -248,7 +249,8 @@ def _check_protocol(action: dict) -> None:
     if v == 2:
         # the legacy column-mapping reader version carries no
         # table-features list; the mapping MODE is validated where the
-        # schema is resolved (_column_mapping_pairs: name ok, id raises)
+        # schema is resolved (name: _column_mapping_pairs, id:
+        # _id_scan_groups; nested types raise in both)
         return
     if v > 1:
         feats = set(p.get("readerFeatures") or [])
@@ -489,36 +491,59 @@ def read_delta(
 
     live, meta = _replay_full(path, version, spark)
     schema = _schema_from_meta(meta, path)
-    pairs = _column_mapping_pairs(meta)
+    mode = _mapping_mode(meta)
     rels = sorted(live)
     if not rels:
         return spark.createDataFrame([], schema)
+    has_dv = any(a.get("deletionVector") for a in live.values())
     if _type_widening_active(meta):
-        if pairs or any(a.get("deletionVector") for a in live.values()):
+        if mode != "none" or has_dv:
             raise ValueError(
                 "type widening composed with column mapping / deletion "
                 "vectors is not implemented — use the real connector"
             )
         return _scan_widened(spark, path, rels, meta, schema)
-    if not any(a.get("deletionVector") for a in live.values()):
-        from arcane_framework_scala_spark.sources.paths import glob_escape
-
-        scan_schema = _physical_schema(meta, pairs) if pairs else schema
-        base = (
-            spark.read.schema(scan_schema)
-            .option("basePath", path)
-            .parquet(
-                *[glob_escape(os.path.join(path, rel)) for rel in rels]
-            )
-        )
-        if pairs:
-            base = base.select(
-                *[F.col(ph).alias(lg) for ph, lg in pairs]
-            )
-        return base
-    return _scan_with_lineage(spark, path, live, schema, pairs).select(
+    if mode == "id":
+        # per-file field-id resolution (r10): files group by their
+        # physical-column binding; each group scans/aliases like a
+        # NAME-mode table; groups union (with DVs, each group rides
+        # the lineage path so only ITS vectors apply to it)
+        out = None
+        for pairs, grels in _id_scan_groups(meta, path, rels):
+            if has_dv:
+                frame = _scan_with_lineage(
+                    spark, path, {r: live[r] for r in grels}, schema, pairs
+                ).select(*[F.col(f.name) for f in schema.fields])
+            else:
+                frame = _scan_plain(spark, path, grels, meta, schema, pairs)
+            out = frame if out is None else out.unionByName(frame)
+        return out
+    pairs = _column_mapping_pairs(meta)
+    if not has_dv:
+        return _scan_plain(spark, path, rels, meta, schema, pairs)
+    return _lineage_frame(spark, path, live, meta, schema).select(
         *[F.col(f.name) for f in schema.fields]
     )
+
+
+def _scan_plain(
+    spark: SparkSession, path: str, rels: list[str], meta, schema, pairs
+):
+    """One imposed-schema parquet scan over ``rels`` (no DVs): impose
+    the physical names when mapped, alias straight back to logical."""
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.sources.paths import glob_escape
+
+    scan_schema = _physical_schema(meta, pairs) if pairs else schema
+    base = (
+        spark.read.schema(scan_schema)
+        .option("basePath", path)
+        .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
+    )
+    if pairs:
+        base = base.select(*[F.col(ph).alias(lg) for ph, lg in pairs])
+    return base
 
 
 def _scan_with_lineage(
@@ -742,23 +767,35 @@ def _scan_widened(
     return out
 
 
+def _mapping_mode(meta: dict | None) -> str:
+    """The table's ``delta.columnMapping.mode`` (``none``/``name``/
+    ``id``)."""
+    return (
+        ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        or "none"
+    )
+
+
 def _column_mapping_pairs(meta: dict | None) -> list[tuple[str, str]] | None:
     """``[(physical, logical)]`` for a NAME-mode column-mapped table
     (r9): physical parquet names come from each field's
     ``delta.columnMapping.physicalName`` metadata; the scan imposes
     the physical schema and immediately aliases back to logical.
-    Returns None for an unmapped table. ID mode (parquet field-id
-    resolution) and nested mapped types still RAISE — mis-mapping
-    would silently misname data."""
-    mode = ((meta or {}).get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if mode in ("none", ""):
+    Returns None for an unmapped table. ID mode resolves PER FILE
+    (r10, :func:`_id_scan_groups`) — callers must branch on
+    :func:`_mapping_mode` first; calling this with an id-mapped meta
+    raises so a forgotten branch fails loudly instead of mis-mapping.
+    Nested mapped types RAISE in both modes."""
+    mode = _mapping_mode(meta)
+    if mode == "none":
         return None
     if mode != "name":
         raise ValueError(
-            f"columnMapping mode {mode!r} needs parquet field-id "
-            "resolution — use the real connector"
+            f"columnMapping mode {mode!r} resolves per file "
+            "(_id_scan_groups) — this uniform-pairs path would misname "
+            "data"
         )
     pairs: list[tuple[str, str]] = []
     for f in json.loads(meta["schemaString"])["fields"]:
@@ -777,6 +814,101 @@ def _column_mapping_pairs(meta: dict | None) -> list[tuple[str, str]] | None:
             )
         pairs.append((phys, f["name"]))
     return pairs
+
+
+def _id_mapping_fields(meta: dict) -> list[dict]:
+    """``[{'name', 'id', 'physical'}]`` per logical field of an
+    ID-mapped table (``delta.columnMapping.id`` +
+    ``physicalName`` field metadata); nested mapped types raise."""
+    out = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if isinstance(f.get("type"), dict):
+            raise ValueError(
+                "column mapping over nested types is not implemented — "
+                "use the real connector"
+            )
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        phys = md.get("delta.columnMapping.physicalName")
+        if fid is None or not phys:
+            raise ValueError(
+                f"id-mapped field {f['name']!r} lacks "
+                "delta.columnMapping.id / physicalName"
+            )
+        out.append({"name": f["name"], "id": int(fid), "physical": phys})
+    return out
+
+
+def _id_scan_groups(
+    meta: dict, path: str, rels: list[str]
+) -> list[tuple[list[tuple[str, str]], list[str]]]:
+    """ID-mode column resolution (r10): live files group by their
+    per-field physical-column binding — each group is
+    ``([(src_physical, logical)], rels)``. The parquet footer's
+    ``PARQUET:field_id`` metadata is authoritative (what Databricks
+    writes on every id-mapped table); a file WITHOUT ids (written
+    before the mapping upgrade, when physicalName was assigned = the
+    then-logical name) falls back to its physicalName. A field id
+    absent from an id-carrying footer means the column post-dates the
+    file — the imposed schema's physicalName misses and Spark
+    null-fills, it can never bind another column's data. Footer reads
+    are driver-side O(files), the planning cost class (same posture as
+    the Iceberg evolved scan); partition fields always bind to their
+    physicalName (the hive DIR name). Raises if two fields resolve to
+    the same source column (a spec-invalid table — scanning would
+    silently duplicate one column's data)."""
+    import pyarrow.parquet as pq
+
+    fields = _id_mapping_fields(meta)
+    part = set((meta or {}).get("partitionColumns") or [])
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        fsch = pq.read_schema(os.path.join(path, rel))
+        ids: dict[int, str] = {}
+        for i in range(len(fsch.names)):
+            fld = fsch.field(i)
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                try:
+                    ids[int(raw.decode())] = fld.name
+                except ValueError:
+                    pass
+        sig = []
+        for f in fields:
+            if f["name"] in part or not ids:
+                sig.append((f["physical"], f["name"]))
+            else:
+                sig.append((ids.get(f["id"], f["physical"]), f["name"]))
+        srcs = [s for s, _ in sig]
+        if len(set(srcs)) != len(srcs):
+            raise ValueError(
+                f"id-mapped file {rel!r} binds two fields to the same "
+                f"source column ({srcs}) — spec-invalid table, use the "
+                "real connector"
+            )
+        groups.setdefault(tuple(sig), []).append(rel)
+    return [(list(sig), g) for sig, g in sorted(groups.items())]
+
+
+def _lineage_frame(spark, path: str, live: dict, meta: dict | None, schema):
+    """Live rows WITH physical coordinates and DVs applied, mapping-
+    mode aware: the single entry point write paths (``delete_where``)
+    and readers use so NAME- and ID-mapped tables ride the same
+    machinery."""
+    if _mapping_mode(meta) == "id":
+        frames = [
+            _scan_with_lineage(
+                spark, path, {r: live[r] for r in grels}, schema, pairs
+            )
+            for pairs, grels in _id_scan_groups(meta, path, sorted(live))
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+    return _scan_with_lineage(
+        spark, path, live, schema, _column_mapping_pairs(meta)
+    )
 
 
 def _physical_schema(meta: dict, pairs: list[tuple[str, str]]):

@@ -125,10 +125,28 @@ def _mor_frame(
             out = out.withColumn("__ice_uri", F.lit(None).cast("string"))
             out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
         return out
-    base = ir._scan_with_partition_injection(
-        spark, meta, path, [e["df"] for e in data_entries],
-        with_lineage=True,
-    )
+    evo = ir._evolution_info(meta)
+    if evo and ent["eq"]:
+        raise ir.IcebergError(
+            "EQUALITY deletes over a renamed/promoted schema are not "
+            "implemented (the delete files store columns under their "
+            "write-time names) — compose rewrite_data_files first, or "
+            "use the real connector"
+        )
+    if evo:
+        # r10: position deletes COMPOSE with schema evolution — the
+        # evolved per-file-resolution scan carries the same physical
+        # row coordinates, and position deletes join on (path, pos)
+        # with no schema dependency at all
+        base = ir._scan_evolved(
+            spark, meta, path, [e["df"] for e in data_entries], evo,
+            with_lineage=True,
+        )
+    else:
+        base = ir._scan_with_partition_injection(
+            spark, meta, path, [e["df"] for e in data_entries],
+            with_lineage=True,
+        )
     map_rows = []
     for e in data_entries:
         uri = e["df"]["file_path"]

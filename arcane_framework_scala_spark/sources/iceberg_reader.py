@@ -299,6 +299,15 @@ def _evolution_info(meta: dict) -> dict | None:
                         "the real connector"
                     )
             hist.setdefault(f["id"], []).append((f["name"], f["type"]))
+    # a current name claimed by a DIFFERENT field id anywhere in the
+    # history (swap, or reuse of a dropped field's name) must also
+    # route through the evolved scan even when no live field was
+    # renamed/promoted: the by-name fast path would bind an old file's
+    # column to the wrong field
+    collisions = _name_collisions(meta)
+    for f in current["fields"]:
+        if f["name"] in collisions:
+            hist.setdefault(f["id"], [])
     if not hist:
         return None
     return {
@@ -311,17 +320,76 @@ def _evolution_info(meta: dict) -> dict | None:
     }
 
 
+#: arrow physical type (footer) -> iceberg primitive — used when a
+#: field-id-resolved column's STORED type must be recovered from the
+#: file itself (its name may match no schema in the rename history)
+_ARROW_TO_ICEBERG = {
+    "int32": "int",
+    "int64": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _footer_field_ids(fsch) -> dict[int, str] | None:
+    """``{field_id: column_name}`` from a parquet footer's
+    ``PARQUET:field_id`` metadata (what real Iceberg writers store and
+    real readers resolve by) — None when the file carries no ids (our
+    own Spark exporter, plain parquet imports)."""
+    out: dict[int, str] = {}
+    for i in range(len(fsch.names)):
+        f = fsch.field(i)
+        md = f.metadata or {}
+        raw = md.get(b"PARQUET:field_id")
+        if raw is None:
+            continue
+        try:
+            out[int(raw.decode())] = f.name
+        except ValueError:
+            continue
+    return out or None
+
+
+def _name_collisions(meta: dict) -> set[str]:
+    """Names claimed by MORE THAN ONE field id across the ENTIRE
+    schema history (dropped fields included) — by-name resolution of
+    such a name can bind an old file's column to the wrong field
+    (swap a<->b, a new field reusing a dropped field's old name)."""
+    owners: dict[str, set[int]] = {}
+    for s in meta.get("schemas") or []:
+        for f in s.get("fields", []):
+            owners.setdefault(f["name"], set()).add(f["id"])
+    return {n for n, ids in owners.items() if len(ids) > 1}
+
+
 def _scan_evolved(
-    spark: SparkSession, meta: dict, path: str, dfs: list[dict], evo: dict
+    spark: SparkSession,
+    meta: dict,
+    path: str,
+    dfs: list[dict],
+    evo: dict,
+    with_lineage: bool = False,
 ) -> DataFrame:
-    """Read a rename/promotion-evolved table: each live file's REAL
-    column names come from its parquet footer (driver-side, O(files) —
-    the same class as the planning reads), files group by their
-    resolution signature, each group scans under ITS stored schema and
-    aliases/casts to the current one, and the groups union. Fences:
-    identity-partitioned evolved tables raise (the injected constants
-    are keyed by spec-field names whose history this reader does not
-    track)."""
+    """Read a rename/promotion-evolved table: when a file's parquet
+    footer carries ``PARQUET:field_id`` metadata (every real Iceberg
+    writer's output) each column resolves BY FIELD ID — exact under
+    any rename pattern, including name swaps and reuse. Files without
+    ids (this repo's own exporter) fall back to name resolution against
+    the rename history, which RAISES if any name is claimed by more
+    than one field id (by-name binding would silently read the wrong
+    column — the exact failure field ids exist to prevent). Footer
+    reads are driver-side, O(files) — the same class as the planning
+    reads; files group by their resolution signature, each group scans
+    under ITS stored schema and aliases/casts to the current one, and
+    the groups union. Fences: identity-partitioned evolved tables raise
+    (the injected constants are keyed by spec-field names whose history
+    this reader does not track)."""
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
 
@@ -338,12 +406,80 @@ def _scan_evolved(
     current = next(
         s for s in meta["schemas"] if s.get("schema-id", 0) == sid
     )
+    ambiguous = _name_collisions(meta)
     groups: dict[tuple, list[str]] = {}
     for df in dfs:
         local = _to_local(df["file_path"], location)
-        in_file = set(pq.read_schema(local).names)
+        fsch = pq.read_schema(local)
+        ids = _footer_field_ids(fsch)
+        in_file = set(fsch.names)
         sig = []
+        if ids is not None:
+            arrow_of = {
+                fsch.field(i).name: str(fsch.field(i).type)
+                for i in range(len(fsch.names))
+            }
+            for f in current["fields"]:
+                src = ids.get(f["id"])
+                if src is None:
+                    sig.append((None, f["name"], f["type"], f["type"]))
+                    continue
+                if src == f["name"]:
+                    src_t = f["type"]
+                elif any(
+                    src == n
+                    for n, _t in (evo.get(f["id"], {}) or {}).get(
+                        "alts", []
+                    )
+                ):
+                    src_t = next(
+                        t
+                        for n, t in evo[f["id"]]["alts"]
+                        if n == src
+                    )
+                else:
+                    src_t = _ARROW_TO_ICEBERG.get(arrow_of[src])
+                    if src_t is None:
+                        raise IcebergError(
+                            f"cannot recover the stored Iceberg type of "
+                            f"{src!r} ({arrow_of[src]}) in {local!r} — "
+                            "needs the real connector"
+                        )
+                if src_t != f["type"] and (
+                    not isinstance(src_t, str)
+                    or not isinstance(f["type"], str)
+                    or (src_t, f["type"]) not in _PROMOTIONS
+                ):
+                    raise IcebergError(
+                        f"file {local!r} stores field id {f['id']} as "
+                        f"{src_t!r} but the schema says {f['type']!r} — "
+                        "not a legal promotion"
+                    )
+                sig.append((src, f["name"], src_t, f["type"]))
+            groups.setdefault(tuple(sig), []).append(local)
+            continue
         for f in current["fields"]:
+            if f["name"] in in_file or any(
+                n in in_file
+                for n, _t in (evo.get(f["id"], {}) or {}).get("alts", [])
+            ):
+                hit = (
+                    f["name"]
+                    if f["name"] in in_file
+                    else next(
+                        n
+                        for n, _t in evo[f["id"]]["alts"]
+                        if n in in_file
+                    )
+                )
+                if hit in ambiguous:
+                    raise IcebergError(
+                        f"column {hit!r} in {local!r} is claimed by more "
+                        "than one field id across the schema history and "
+                        "the file carries no PARQUET:field_id metadata — "
+                        "by-name resolution would bind it to the wrong "
+                        "field; needs the real connector"
+                    )
             if f["name"] in in_file:
                 sig.append((f["name"], f["name"], f["type"], f["type"]))
                 continue
@@ -379,6 +515,11 @@ def _scan_evolved(
                 cols.append(F.lit(None).cast(target).alias(dst))
             else:
                 cols.append(F.col(src).cast(target).alias(dst))
+        if with_lineage:
+            # physical row coordinates for MoR delete application —
+            # the same pair _scan_with_partition_injection materializes
+            cols.append(F.col("_metadata.file_path").alias("__ice_file"))
+            cols.append(F.col("_metadata.row_index").alias("__ice_pos"))
         scan = scan.select(*cols)
         out = scan if out is None else out.unionByName(scan)
     return out
@@ -574,12 +715,10 @@ def read_iceberg(
     ent = _live_entries(meta, snap, path)
     evo = _evolution_info(meta)
     if ent["pos"] or ent["eq"]:
-        if evo:
-            raise IcebergError(
-                "merge-on-read over a renamed/promoted schema is not "
-                "implemented (compose rewrite_data_files first, or use "
-                "the real connector)"
-            )
+        # r10: POSITION deletes compose with schema evolution inside
+        # _mor_frame (evolved lineage scan + schema-free (path, pos)
+        # anti-join); equality deletes over a renamed/promoted schema
+        # still raise there
         from arcane_framework_scala_spark.sources.iceberg_mor import (
             apply_row_deletes,
         )
@@ -1130,12 +1269,8 @@ def read_iceberg_range(
     kept = _plan_filter(meta, ent["data"], col, lo, hi)
     evo = _evolution_info(meta)
     if ent["pos"] or ent["eq"]:
-        if evo:
-            raise IcebergError(
-                "merge-on-read over a renamed/promoted schema is not "
-                "implemented (compose rewrite_data_files first, or use "
-                "the real connector)"
-            )
+        # position deletes compose with evolution inside _mor_frame;
+        # equality deletes over a renamed schema raise there
         from arcane_framework_scala_spark.sources.iceberg_mor import (
             apply_row_deletes,
         )

@@ -1439,6 +1439,121 @@ FROM events GROUP BY event_type
 """
 
 
+def q_x13_iceberg_evolved_mor(spark, sf_dir):
+    """Iceberg SCHEMA EVOLUTION composed with LIVE merge-on-read
+    deletes (r10, VERDICT r9 item 5 — lifts the 'compact first' fence;
+    real tables evolve while carrying deletes and the reference's Trino
+    runtime handles that): x12's evolution story (60% exported under
+    OLD names/types — ``uid_old`` int; rename to ``user_id`` + int→long
+    promotion; 40% appended under the NEW schema) now takes TWO
+    position-delete commits ON TOP — both predicates speaking the
+    CURRENT (renamed) column names, the second evaluated over the
+    already-deleted MoR state (superset discipline). The read composes
+    the evolved per-file resolution scan (footer names → alias/cast,
+    carrying ``_metadata`` row coordinates) with the schema-free
+    ``(path, pos)`` anti-join; time travel to the pre-delete snapshot
+    still sees every row through the evolved scan. Equality deletes
+    over a renamed schema stay fenced (delete files store write-time
+    column names). The oracle recomputes the surviving rows
+    relationally on the never-evolved source."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x13_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("int").alias("uid_old"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(3))
+    out_tbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, out_tbl) != 1:
+        raise AssertionError("export should be sequence 1")
+
+    import json as _json
+
+    mf = ir.table_metadata_file(out_tbl)
+    meta = _json.load(open(mf))
+    old = meta["schemas"][0]
+    new = {
+        **old,
+        "schema-id": 1,
+        "fields": [
+            {
+                **f,
+                "name": ("user_id" if f["name"] == "uid_old" else f["name"]),
+                "type": ("long" if f["name"] == "uid_old" else f["type"]),
+            }
+            for f in old["fields"]
+        ],
+    }
+    meta["schemas"] = [old, new]
+    meta["current-schema-id"] = 1
+    _json.dump(meta, open(mf, "w"))
+
+    if im.append_rows(
+        spark,
+        out_tbl,
+        ev.filter(F.col("event_id") > t1).select(
+            "event_id",
+            F.col("uid_old").cast("long").alias("user_id"),
+            "event_type",
+            "value_milli",
+        ),
+    ) != 2:
+        raise AssertionError("post-evolution append should be sequence 2")
+
+    # two live position-delete commits over the EVOLVED table
+    if im.commit_position_deletes(
+        spark, out_tbl, "event_type = 'click'"
+    ) != 3:
+        raise AssertionError("first delete should be sequence 3")
+    if im.commit_position_deletes(
+        spark, out_tbl, "user_id % 10 = 3"
+    ) != 4:
+        raise AssertionError("second delete should be sequence 4")
+
+    cur = ir.read_iceberg(spark, out_tbl)
+    if dict(cur.dtypes)["user_id"] != "bigint":
+        raise AssertionError("promotion did not survive the MoR path")
+    # time travel to the pre-delete snapshot: evolved scan, no deletes
+    log = ir.snapshot_log(out_tbl)
+    pre = ir.read_iceberg(
+        spark, out_tbl, snapshot_id=log[1]["snapshot-id"]
+    )
+    if pre.count() != ev.count():
+        raise AssertionError("pre-delete snapshot lost rows")
+
+    return cur.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("value_milli").alias("sum_vm"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+_X13_ICEBERG_EVOLVED_MOR_SQL = """
+WITH kept AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+  WHERE event_type <> 'click' AND user_id % 10 <> 3)
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM kept GROUP BY event_type
+"""
+
+
 def q_t_ivm_iceberg_feed(spark, sf_dir):
     """Incremental view maintenance OFF AN ICEBERG TABLE this engine
     only READS (r9 — the cross-story the interop exists for): a view
@@ -1600,6 +1715,185 @@ def q_s19_delta_dv(spark, sf_dir):
             F.countDistinct("user_id").alias("users"),
         )
     )
+
+
+def q_s20_delta_id_mapping(spark, sf_dir):
+    """Delta ID-MODE COLUMN MAPPING end-to-end (r10, ``delta_reader.
+    _id_scan_groups`` — lifts the r9 'id mode raises' fence, the most
+    likely real-table fence per the r9 verdict: column-mapped
+    Databricks tables default to ID mode): a customer extract exports
+    as plain Delta, the table then UPGRADES to ID-mode mapping with
+    LOGICAL RENAMES (physicalName = the pre-upgrade column names, per
+    the real upgrade path), and a post-upgrade append lands a file
+    whose column NAMES are deliberately swapped relative to their
+    physicalNames — only the parquet footer's ``PARQUET:field_id``
+    metadata binds them correctly, exactly the resolution the spec
+    mandates for ID mode. A ``delete_where`` speaking LOGICAL names
+    then lands deletion vectors across BOTH file shapes (pre-upgrade
+    fallback group + id-resolved group) through the per-group lineage
+    scan, and the protocol upgrade MERGES deletionVectors into the
+    legacy reader-2 columnMapping requirement instead of clobbering
+    it. The oracle recomputes the surviving rows relationally."""
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import delta_dv as dvm
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s20_run_")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("c_bal"),
+    )
+    mx = cust.agg(F.max("c_custkey")).first()[0]
+    k = (mx * 6) // 10
+    base = cust.filter(F.col("c_custkey") <= k)
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(base.repartition(2))
+    out_tbl = os.path.join(run_dir, "delta")
+    if dr.export_delta(st, out_tbl) != 0:
+        raise AssertionError("export should be Delta version 0")
+
+    # v1: upgrade to ID-mode mapping + logical renames (physicalName =
+    # pre-upgrade names, mapping ids 1..3 — the real upgrade path)
+    phys = ["c_custkey", "c_nationkey", "c_bal"]
+    logical = ["cust_id", "nation", "bal_cents"]
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": lg,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": ph,
+                    },
+                }
+                for i, (lg, ph) in enumerate(zip(logical, phys))
+            ],
+        }
+    )
+    meta0 = dr.table_metadata(out_tbl)
+    dr.commit_actions(
+        out_tbl,
+        1,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    **meta0,
+                    "schemaString": schema_str,
+                    "configuration": {
+                        **(meta0.get("configuration") or {}),
+                        "delta.columnMapping.mode": "id",
+                    },
+                }
+            },
+        ],
+    )
+    upgraded = dr.read_delta(spark, out_tbl)
+    if sorted(upgraded.columns) != sorted(logical):
+        raise AssertionError(f"logical rename lost: {upgraded.columns}")
+    if upgraded.count() != base.count():
+        raise AssertionError("physicalName fallback lost rows")
+
+    # v2: post-upgrade append with column NAMES SWAPPED relative to
+    # physicalName — footer field ids are the only correct binding
+    tail = (
+        cust.filter(F.col("c_custkey") > k)
+        .toPandas()
+        .rename(
+            columns={
+                "c_custkey": "c_nationkey",
+                "c_nationkey": "c_custkey",
+                "c_bal": "zz",
+            }
+        )
+    )
+    swapped_ids = {"c_nationkey": 1, "c_custkey": 2, "zz": 3}
+    t = pa.Table.from_pandas(tail, preserve_index=False)
+    t = t.cast(
+        pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    f.type,
+                    metadata={
+                        b"PARQUET:field_id": str(swapped_ids[f.name]).encode()
+                    },
+                )
+                for f in t.schema
+            ]
+        )
+    )
+    rel = "part-swapped-00000.parquet"
+    pq.write_table(t, os.path.join(out_tbl, rel))
+    dr.commit_actions(
+        out_tbl,
+        2,
+        [
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(out_tbl, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    if dr.read_delta(spark, out_tbl).count() != cust.count():
+        raise AssertionError("id-resolved append lost rows")
+
+    # v3: DVs across both file shapes, predicate in LOGICAL names
+    if dvm.delete_where(spark, out_tbl, "cust_id % 7 = 0") != 3:
+        raise AssertionError("DV commit should be version 3")
+    proto = None
+    for ln in open(
+        os.path.join(out_tbl, "_delta_log", f"{3:020d}.json")
+    ).read().splitlines():
+        a = _json.loads(ln)
+        if "protocol" in a:
+            proto = a["protocol"]
+    if proto is None or "columnMapping" not in proto.get(
+        "readerFeatures", []
+    ):
+        raise AssertionError(
+            f"protocol merge dropped columnMapping: {proto}"
+        )
+
+    return (
+        dr.read_delta(spark, out_tbl)
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("bal_cents").alias("sum_bal"),
+            F.countDistinct("cust_id").alias("custs"),
+        )
+    )
+
+
+_S20_DELTA_ID_MAPPING_SQL = """
+WITH all_rows AS (
+  SELECT c_custkey AS cust_id, c_nationkey AS nation,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer)
+SELECT nation, COUNT(*) AS cnt, CAST(SUM(bal_cents) AS BIGINT) AS sum_bal,
+       COUNT(DISTINCT cust_id) AS custs
+FROM all_rows WHERE cust_id % 7 <> 0 GROUP BY nation
+"""
 
 
 _S19_DELTA_DV_SQL = """

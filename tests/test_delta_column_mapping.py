@@ -148,10 +148,165 @@ def test_name_mapping_with_deletion_vectors(spark, tmp_path):
         dmx.purge_deletion_vectors(spark, t)
 
 
-def test_id_mode_and_missing_physical_raise(spark, tmp_path):
+def test_id_mode_physicalname_fallback_reads(spark, tmp_path):
+    """ID mode over files WITHOUT footer field ids (written before the
+    mapping upgrade, when physicalName was assigned = the then-current
+    name): resolution falls back to physicalName and reads correctly."""
     t = _mapped_table(spark, tmp_path, mode="id")
-    with pytest.raises(ValueError, match="field-id"):
-        dr.read_delta(spark, t)
+    got = dr.read_delta(spark, t)
+    rows = {(r.uid, r.bucketed, r.part) for r in got.collect()}
+    assert rows == {(i, i % 5, i % 2) for i in range(60)}
+
+
+def _write_pa(path, cols, ids=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(cols)
+    if ids:
+        t = t.cast(
+            pa.schema(
+                [
+                    pa.field(
+                        f.name,
+                        f.type,
+                        metadata={
+                            b"PARQUET:field_id": str(ids[f.name]).encode()
+                        },
+                    )
+                    for f in t.schema
+                ]
+            )
+        )
+    pq.write_table(t, path)
+
+
+def _id_table(spark, tmp_path):
+    """An upgraded-then-renamed ID-mapped table with three file shapes:
+    A pre-upgrade (no footer ids, physicalName-named columns), B
+    post-rename (ids, a new column), C adversarial (column NAMES
+    swapped relative to their ids — only id-resolution reads it
+    right)."""
+    table = str(tmp_path / "idmapped")
+    os.makedirs(table, exist_ok=True)
+    _write_pa(
+        os.path.join(table, "a.parquet"),
+        {"uid": list(range(5)), "val": [i + 10 for i in range(5)]},
+    )
+    _write_pa(
+        os.path.join(table, "b.parquet"),
+        {"uid": [5, 6], "val": [15, 16], "col-score": [0.5, 0.6]},
+        ids={"uid": 1, "val": 2, "col-score": 3},
+    )
+    # names swapped vs physicalName; field ids carry the truth
+    _write_pa(
+        os.path.join(table, "c.parquet"),
+        {"val": [7, 8], "uid": [17, 18]},
+        ids={"val": 1, "uid": 2},
+    )
+    fields = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "user_id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "uid",
+                    },
+                },
+                {
+                    "name": "val",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "val",
+                    },
+                },
+                {
+                    "name": "score",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-score",
+                    },
+                },
+            ],
+        }
+    )
+    adds = [
+        {
+            "add": {
+                "path": n,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table, n)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for n in ("a.parquet", "b.parquet", "c.parquet")
+    ]
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": fields,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            },
+        ]
+        + adds,
+    )
+    return table
+
+
+def _expected_id_rows():
+    rows = {(i, i + 10, None) for i in range(5)}
+    rows |= {(5, 15, 0.5), (6, 16, 0.6)}
+    rows |= {(7, 17, None), (8, 18, None)}
+    return rows
+
+
+def test_id_mode_resolves_by_footer_field_id(spark, tmp_path):
+    t = _id_table(spark, tmp_path)
+    got = dr.read_delta(spark, t)
+    assert [f.name for f in got.schema.fields] == ["user_id", "val", "score"]
+    rows = {(r.user_id, r.val, r.score) for r in got.collect()}
+    assert rows == _expected_id_rows()
+
+
+def test_id_mode_composes_with_deletion_vectors(spark, tmp_path):
+    t = _id_table(spark, tmp_path)
+    # logical predicate; touches all three resolution groups
+    assert dv.delete_where(spark, t, "user_id % 2 = 0") == 1
+    rows = {
+        (r.user_id, r.val, r.score)
+        for r in dr.read_delta(spark, t).collect()
+    }
+    assert rows == {r for r in _expected_id_rows() if r[0] % 2 == 1}
+    # second delete on the already-DV'd id table (superset rule rides
+    # the same per-group lineage machinery)
+    assert dv.delete_where(spark, t, "val = 15") == 2
+    rows = {
+        (r.user_id, r.val, r.score)
+        for r in dr.read_delta(spark, t).collect()
+    }
+    assert rows == {
+        r for r in _expected_id_rows() if r[0] % 2 == 1 and r[1] != 15
+    }
+
+
+def test_missing_physical_raises(spark, tmp_path):
     # name mode but a field without physicalName
     t2 = str(tmp_path / "bad")
     os.makedirs(t2, exist_ok=True)
