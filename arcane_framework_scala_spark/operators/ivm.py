@@ -196,6 +196,11 @@ class AdditiveGroupStatsSpec:
     def merge_sql(self, table: str, view: str) -> str:
         return group_state_merge_sql(table, view, self.group_col)
 
+    def merge_sql_versioned(self, table: str, view: str, version: int) -> str:
+        return group_state_merge_sql_versioned(
+            table, view, version, self.group_col
+        )
+
 
 class StreamingViewMaintainer:
     """Ride a CoW target's change feed to keep a grouped view current —
@@ -213,19 +218,22 @@ class StreamingViewMaintainer:
 
     With ``state_table`` the synced version is DURABLE too: it rides the
     state table's TBLPROPERTIES (``arcane.ivm_synced_version``), written
-    after every successfully merged delta (the MERGE is additive, not
-    idempotent) and restored by a fresh instance — so a restarted
-    maintainer resumes from the recorded version instead of
-    re-bootstrapping. **Durability caveat (one-delta exposure):** the
-    state-table MERGE and the TBLPROPERTIES write are two separate
-    catalog operations; a crash BETWEEN them leaves the property one
-    behind the merged state, and the restarted maintainer re-applies
-    that single delta — double-counting exactly the groups it touched.
-    Per-step recording bounds the exposure to one delta (never the whole
-    catch-up), but only a catalog that can commit data + properties in
-    one transaction (e.g. Iceberg snapshot summary properties) closes it
-    completely; on such a catalog, override ``_record_synced_version``
-    to ride the same commit. A populated state table with NO recorded version
+    after every successfully merged delta and restored by a fresh
+    instance — so a restarted maintainer resumes from the recorded
+    version instead of re-bootstrapping.
+
+    **Crash-exactly-once (r10, closes the r9 one-delta exposure):**
+    give the state table a ``last_v BIGINT`` column and the MERGE
+    becomes IDEMPOTENT — every clause carries the strictly-greater
+    version guard (``t.last_v < s.d_v``, the same T9 discipline the CDC
+    merge dialects use), so a crash between a merged delta and its
+    recorded version re-applies that delta as a pure no-op on restart:
+    updated/inserted groups sit at ``last_v = v`` and skip, deleted
+    groups see a non-positive ``d_docs`` and never re-insert. The
+    maintainer detects the column and switches to
+    ``spec.merge_sql_versioned`` automatically; a 4-column state table
+    keeps the old additive MERGE with the documented one-delta
+    re-apply exposure. A populated state table with NO recorded version
     (a pre-upgrade table, or someone else's) makes ``sync`` raise rather
     than merge a full bootstrap on top of existing rows, which would
     silently double every count.
@@ -261,9 +269,22 @@ class StreamingViewMaintainer:
         self.spec = spec
         self.state_table = state_table
         self.state: DataFrame | None = None
+        self._versioned = self._detect_versioned()
         self.synced_version: int | None = self._restore_synced_version()
         self.bootstraps = 0
         self.deltas_applied = 0
+
+    def _detect_versioned(self) -> bool:
+        """True when the state table carries ``last_v`` AND the spec has
+        a versioned MERGE form — the crash-exactly-once mode."""
+        if self.state_table is None or not hasattr(
+            self.spec, "merge_sql_versioned"
+        ):
+            return False
+        spark = self.target.spark
+        if not spark.catalog.tableExists(self.state_table):
+            return False
+        return "last_v" in spark.table(self.state_table).columns
 
     def _restore_synced_version(self) -> int | None:
         if self.state_table is None:
@@ -286,11 +307,17 @@ class StreamingViewMaintainer:
             f"('{self.SYNC_PROPERTY}'='{version}')"
         )
 
-    def _merge_into_table(self, delta: DataFrame) -> None:
+    def _merge_into_table(self, delta: DataFrame, version: int) -> None:
         view = "__ivm_stream_delta"
         delta.createOrReplaceTempView(view)
         try:
-            delta.sparkSession.sql(self.spec.merge_sql(self.state_table, view))
+            if self._versioned:
+                sql = self.spec.merge_sql_versioned(
+                    self.state_table, view, version
+                )
+            else:
+                sql = self.spec.merge_sql(self.state_table, view)
+            delta.sparkSession.sql(sql)
         finally:
             delta.sparkSession.catalog.dropTempView(view)
 
@@ -324,7 +351,7 @@ class StreamingViewMaintainer:
                 )
             boot = self.spec.bootstrap(self.target.read_version(cur))
             if self.state_table is not None:
-                self._merge_into_table(self.spec.bootstrap_as_delta(boot))
+                self._merge_into_table(self.spec.bootstrap_as_delta(boot), cur)
             else:
                 self.state = boot.localCheckpoint()
             self.synced_version = cur
@@ -334,7 +361,7 @@ class StreamingViewMaintainer:
         for v in range(self.synced_version + 1, cur + 1):
             delta = self.spec.delta(self.target.changes(v - 1, v))
             if self.state_table is not None:
-                self._merge_into_table(delta)
+                self._merge_into_table(delta, v)
             else:
                 self.state = self.spec.apply(
                     self.state, delta, self.target, v
@@ -349,7 +376,9 @@ class StreamingViewMaintainer:
 
     def view(self) -> DataFrame:
         if self.state_table is not None:
-            return self.target.spark.table(self.state_table)
+            out = self.target.spark.table(self.state_table)
+            # the bookkeeping column is not part of the maintained view
+            return out.drop("last_v") if self._versioned else out
         if self.state is None:
             raise ValueError("maintainer has not synced yet")
         return self.state
@@ -387,4 +416,42 @@ def group_state_merge_sql(
         f"WHEN NOT MATCHED AND s.d_docs > 0 THEN "
         f"INSERT ({group_col}, docs, sum_size, nn_size) "
         f"VALUES (s.{group_col}, s.d_docs, s.d_size, s.d_nn)"
+    )
+
+
+def group_state_merge_sql_versioned(
+    target_table: str,
+    delta_view: str,
+    version: int,
+    group_col: str = "host",
+) -> str:
+    """:func:`group_state_merge_sql` made IDEMPOTENT (r10): the state
+    table carries ``last_v`` (the last delta version that touched each
+    group) and every MATCHED clause takes the strictly-greater guard
+    ``t.last_v < s.d_v`` — re-applying an already-merged delta (a crash
+    landed between the MERGE and the synced-version record) is a pure
+    no-op: touched groups sit at ``last_v = v`` and skip, groups the
+    delta deleted see a non-positive ``d_docs`` and never re-insert,
+    groups it inserted are MATCHED with an exhausted guard. This is the
+    same version-guard discipline the CDC merge dialects use (T9
+    idempotent replay), applied to the view-maintenance state."""
+    add_size = (
+        "CASE WHEN t.nn_size + s.d_nn = 0 THEN NULL "
+        "ELSE coalesce(t.sum_size, CAST(0 AS BIGINT)) "
+        "+ coalesce(s.d_size, CAST(0 AS BIGINT)) END"
+    )
+    v = int(version)
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING (SELECT {group_col}, d_docs, d_size, d_nn, "
+        f"CAST({v} AS BIGINT) AS d_v FROM {delta_view}) s\n"
+        f"ON t.{group_col} <=> s.{group_col}\n"
+        f"WHEN MATCHED AND t.last_v < s.d_v AND t.docs + s.d_docs <= 0 "
+        f"THEN DELETE\n"
+        f"WHEN MATCHED AND t.last_v < s.d_v THEN UPDATE SET "
+        f"docs = t.docs + s.d_docs, sum_size = {add_size}, "
+        f"nn_size = t.nn_size + s.d_nn, last_v = s.d_v\n"
+        f"WHEN NOT MATCHED AND s.d_docs > 0 THEN "
+        f"INSERT ({group_col}, docs, sum_size, nn_size, last_v) "
+        f"VALUES (s.{group_col}, s.d_docs, s.d_size, s.d_nn, s.d_v)"
     )

@@ -33,7 +33,7 @@ def _snapshot_files(meta: dict, snap: dict, table_dir: str) -> set[str]:
     for mf in ir._manifest_rows(snap, location):
         mfp = ir._to_local(mf["manifest_path"], location)
         out.add(mfp)
-        for e in avro_ocf.read_ocf(mfp)[1]:
+        for e in avro_ocf.read_ocf_cached(mfp)[1]:
             out.add(ir._to_local(e["data_file"]["file_path"], location))
     return out
 

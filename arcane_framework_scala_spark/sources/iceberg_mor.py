@@ -257,7 +257,7 @@ def _prev_manifest_list_rows(meta: dict, out_dir: str) -> list[dict]:
             "supported — this writer commits manifest lists"
         )
     ml = ir._to_local(snap["manifest-list"], meta.get("location", out_dir))
-    return avro_ocf.read_ocf(ml)[1]
+    return avro_ocf.read_ocf_cached(ml)[1]
 
 
 def _ensure_unpartitioned_spec(meta: dict) -> tuple[dict, int]:

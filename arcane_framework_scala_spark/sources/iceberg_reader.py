@@ -599,7 +599,7 @@ def _live_entries(
                 stats.get("manifests_decoded", 0) + 1
             )
         mf_path = _to_local(mf["manifest_path"], location)
-        _, entries = avro_ocf.read_ocf(mf_path)
+        _, entries = avro_ocf.read_ocf_cached(mf_path)
         for e in entries:
             if e.get("status", 0) == 2:
                 continue
@@ -646,7 +646,7 @@ def _manifest_rows(snap: dict, location: str) -> list[dict]:
     sequence number 0 (v1 has no sequence numbers)."""
     if snap.get("manifest-list"):
         ml_path = _to_local(snap["manifest-list"], location)
-        return avro_ocf.read_ocf(ml_path)[1]
+        return avro_ocf.read_ocf_cached(ml_path)[1]
     if snap.get("manifests"):
         return [
             {"manifest_path": p, "content": 0, "sequence_number": 0}
@@ -1384,8 +1384,8 @@ def export_iceberg(target, out_dir: str) -> int:
         snap = _resolve_snapshot(prev_meta, None, None)
         if snap is not None:
             ml = _to_local(snap["manifest-list"], out_dir)
-            for mf in avro_ocf.read_ocf(ml)[1]:
-                for e in avro_ocf.read_ocf(
+            for mf in avro_ocf.read_ocf_cached(ml)[1]:
+                for e in avro_ocf.read_ocf_cached(
                     _to_local(mf["manifest_path"], out_dir)
                 )[1]:
                     if e.get("status", 0) != 2:

