@@ -3,13 +3,14 @@ REORG TABLE ... APPLY (PURGE) action) and retention-based VACUUM —
 the Delta twins of ``iceberg_maintenance`` (expiry/orphans) and
 ``iceberg_mor.rewrite_data_files`` (MoR compaction).
 
-Purge is what un-fences checkpointing: ``export_checkpoint`` refuses a
-table with live DVs (its add schema omits the DV column), so the
-lifecycle is delete_where* → purge → checkpoint. Vacuum follows the
-real semantics: only files unreferenced by the CURRENT version AND
-older than the retention window are deleted — time travel to versions
-older than the window is sacrificed, exactly as documented for the
-real VACUUM.
+Purge rewrites DV'd files clean (the REORG action's semantics): since
+r10 checkpoints carry live DV descriptors directly, purge is about
+reclaiming the deleted rows' storage and simplifying reads — not a
+checkpoint prerequisite anymore. Vacuum follows the real semantics:
+only files unreferenced by the CURRENT version whose remove tombstone
+is older than the retention window are deleted — time travel to
+versions older than the window is sacrificed, exactly as documented
+for the real VACUUM.
 """
 
 from __future__ import annotations

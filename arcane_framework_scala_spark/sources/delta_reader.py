@@ -28,12 +28,14 @@ the log are not consulted here); correctness is identical.
 DELETION VECTORS are APPLIED since r9 (``delta_dv``: roaring-bitmap
 codec from the public formats, descriptor resolution, per-file
 anti-join on ``_metadata.row_index``; ``delta_dv.delete_where`` writes
-them), and NAME-mode COLUMN MAPPING is resolved at schema level (the
-scan imposes each field's ``delta.columnMapping.physicalName`` and
-aliases back to the logical name). Remaining limitations (documented,
-raised loudly): ID-mode mapping and nested mapped types (parquet
-field-id resolution), checkpointing a table with live DVs, and purging
-DVs on a mapped table — each raises instead of returning wrong rows.
+them). COLUMN MAPPING: NAME mode resolves at schema level (the scan
+imposes each field's ``delta.columnMapping.physicalName`` and aliases
+back to the logical name), ID mode per file from parquet footer field
+ids (r10, ``_id_scan_groups``). Checkpoints carry live DV descriptors,
+the current protocol, and remove tombstones (r10). Remaining
+limitations (documented, raised loudly): nested mapped types and
+purging DVs on a mapped table — each raises instead of returning
+wrong rows.
 """
 
 from __future__ import annotations
@@ -1119,13 +1121,16 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
     for real readers that consult it first). Returns the checkpointed
     version.
 
-    Protocol shape: the parquet carries the ``protocol`` row, the FULL
-    ``metaData`` (id/format/schemaString/partitionColumns/
-    configuration) and, per live file, ``add`` with the URL-ENCODED
-    path (the same encoding the commit JSONs use — a raw filesystem
-    path would be double-unquoted on replay), partitionValues, size and
-    dataChange=false — the fields spec readers require of a
-    checkpoint."""
+    Protocol shape: the parquet carries the table's CURRENT ``protocol``
+    (features included — a checkpoint that hardcoded 1/2 would silently
+    downgrade a deletionVectors/columnMapping table on replay), the
+    FULL ``metaData``, per live file ``add`` with the URL-ENCODED path
+    (the same encoding the commit JSONs use — a raw filesystem path
+    would be double-unquoted on replay), partitionValues, size,
+    dataChange=false and — r10, lifting the purge-first fence — the
+    file's ``deletionVector`` descriptor when one is live, plus the
+    current ``remove`` tombstones (vacuum's retention input survives
+    log cleaning)."""
     import shutil
     from urllib.parse import quote
 
@@ -1133,19 +1138,23 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
     if not versions:
         raise ValueError(f"nothing to checkpoint under {out_dir!r}")
     head = versions[-1]
-    live, meta = _replay_full(out_dir, spark=spark)
+    st = _replay_state(out_dir, spark=spark)
+    live, meta = st["live"], st["meta"]
     rels = sorted(live)
     if meta is None:
         raise ValueError(f"no metaData action found in {out_dir!r}")
-    if any(a.get("deletionVector") for a in live.values()):
-        raise ValueError(
-            "checkpointing a table with live deletion vectors is not "
-            "implemented (the add schema here omits the deletionVector "
-            "column and a checkpoint without it would resurrect deleted "
-            "rows) — rewrite the DV'd files first (delta_dv.delete_where "
-            "commits are checkpoint-safe only after compaction)"
-        )
     from pyspark.sql import Row
+
+    def dv_row(desc: dict | None):
+        if not desc:
+            return None
+        return Row(
+            storageType=desc.get("storageType"),
+            pathOrInlineDv=desc.get("pathOrInlineDv"),
+            offset=desc.get("offset"),
+            sizeInBytes=desc.get("sizeInBytes"),
+            cardinality=desc.get("cardinality"),
+        )
 
     def add_row(rel: str) -> Row:
         part_values = {}
@@ -1156,14 +1165,29 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
                 part_values[k] = (
                     None if val == "__HIVE_DEFAULT_PARTITION__" else val
                 )
-        st = os.stat(os.path.join(out_dir, rel))
+        fst = os.stat(os.path.join(out_dir, rel))
         return Row(
             add=Row(
                 path=quote(rel, safe="/="),
                 partitionValues=part_values,
-                size=st.st_size,
-                modificationTime=st.st_mtime_ns // 1_000_000,
+                size=fst.st_size,
+                modificationTime=fst.st_mtime_ns // 1_000_000,
                 dataChange=False,
+                deletionVector=dv_row(live[rel].get("deletionVector")),
+            ),
+            remove=None,
+            metaData=None,
+            protocol=None,
+        )
+
+    def remove_row(rel: str, a: dict) -> Row:
+        return Row(
+            add=None,
+            remove=Row(
+                path=quote(rel, safe="/="),
+                deletionTimestamp=a.get("deletionTimestamp"),
+                dataChange=bool(a.get("dataChange", True)),
+                deletionVector=dv_row(a.get("deletionVector")),
             ),
             metaData=None,
             protocol=None,
@@ -1171,6 +1195,7 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
 
     meta_row = Row(
         add=None,
+        remove=None,
         metaData=Row(
             id=meta.get("id", "exported"),
             format=Row(provider="parquet", options={}),
@@ -1180,20 +1205,43 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
         ),
         protocol=None,
     )
+    proto = st["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
     proto_row = Row(
         add=None,
+        remove=None,
         metaData=None,
-        protocol=Row(minReaderVersion=1, minWriterVersion=2),
+        protocol=Row(
+            minReaderVersion=proto.get("minReaderVersion", 1),
+            minWriterVersion=proto.get("minWriterVersion", 2),
+            readerFeatures=proto.get("readerFeatures"),
+            writerFeatures=proto.get("writerFeatures"),
+        ),
+    )
+    dv_struct = (
+        "struct<storageType:string, pathOrInlineDv:string, offset:int, "
+        "sizeInBytes:int, cardinality:bigint>"
+    )
+    rows = (
+        [proto_row, meta_row]
+        + [add_row(rel) for rel in rels]
+        + [
+            remove_row(rel, a)
+            for rel, a in sorted(st["tombstones"].items())
+        ]
     )
     ck = spark.createDataFrame(
-        [proto_row, meta_row] + [add_row(rel) for rel in rels],
+        rows,
         "add struct<path:string, partitionValues:map<string,string>, "
-        "size:bigint, modificationTime:bigint, dataChange:boolean>, "
+        "size:bigint, modificationTime:bigint, dataChange:boolean, "
+        f"deletionVector:{dv_struct}>, "
+        "remove struct<path:string, deletionTimestamp:bigint, "
+        f"dataChange:boolean, deletionVector:{dv_struct}>, "
         "metaData struct<id:string, "
         "format:struct<provider:string, options:map<string,string>>, "
         "schemaString:string, partitionColumns:array<string>, "
         "configuration:map<string,string>>, "
-        "protocol struct<minReaderVersion:int, minWriterVersion:int>",
+        "protocol struct<minReaderVersion:int, minWriterVersion:int, "
+        "readerFeatures:array<string>, writerFeatures:array<string>>",
     )
     tmp = os.path.join(out_dir, "_delta_log", "__ck_tmp")
     ck.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1208,6 +1256,6 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
     shutil.rmtree(tmp)
     lc_tmp = os.path.join(out_dir, "_delta_log", ".last_checkpoint.tmp")
     with open(lc_tmp, "w") as f:
-        json.dump({"version": head, "size": len(rels) + 2}, f)
+        json.dump({"version": head, "size": len(rows)}, f)
     os.replace(lc_tmp, os.path.join(out_dir, "_delta_log", "_last_checkpoint"))
     return head

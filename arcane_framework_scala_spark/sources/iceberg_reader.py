@@ -385,19 +385,17 @@ def _scan_evolved(
     than one field id (by-name binding would silently read the wrong
     column — the exact failure field ids exist to prevent). Footer
     reads are driver-side, O(files) — the same class as the planning
-    reads; files group by their resolution signature, each group scans
-    under ITS stored schema and aliases/casts to the current one, and
-    the groups union. Fences: identity-partitioned evolved tables raise
-    (the injected constants are keyed by spec-field names whose history
-    this reader does not track)."""
+    reads; files group by their resolution signature (identity
+    partition tuple included), each group scans under ITS stored
+    schema and aliases/casts to the current one, and the groups union.
+    Identity-partitioned evolved layouts inject their manifest
+    partition constants BY SOURCE-ID (r10 — spec fields keep their
+    creation-time name forever, so the manifest partition struct is
+    keyed by the OLD name while the schema column carries the renamed
+    one; resolving through ``source-id`` is what real readers do)."""
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
 
-    if _identity_partition_names(meta):
-        raise IcebergError(
-            "schema-evolved IDENTITY-partitioned table — partition-value "
-            "injection across renames needs the real connector"
-        )
     schema = _schema_struct(meta)
     if not dfs:
         return spark.createDataFrame([], schema)
@@ -406,9 +404,27 @@ def _scan_evolved(
     current = next(
         s for s in meta["schemas"] if s.get("schema-id", 0) == sid
     )
+    cur_by_id = {f["id"]: f for f in current["fields"]}
+    # identity spec fields: (manifest partition-struct key, source-id)
+    id_parts: list[tuple[str, int]] = []
+    spec_id = meta.get("default-spec-id", 0)
+    for spec in meta.get("partition-specs") or []:
+        if spec.get("spec-id", 0) != spec_id:
+            continue
+        for f in spec.get("fields", []):
+            if (
+                f.get("transform") == "identity"
+                and f.get("source-id") in cur_by_id
+            ):
+                id_parts.append((f["name"], f["source-id"]))
     ambiguous = _name_collisions(meta)
     groups: dict[tuple, list[str]] = {}
     for df in dfs:
+        pv = df.get("partition") or {}
+        pkey = tuple(
+            (src_id, pv.get(spec_name))
+            for spec_name, src_id in id_parts
+        )
         local = _to_local(df["file_path"], location)
         fsch = pq.read_schema(local)
         ids = _footer_field_ids(fsch)
@@ -456,7 +472,7 @@ def _scan_evolved(
                         "not a legal promotion"
                     )
                 sig.append((src, f["name"], src_t, f["type"]))
-            groups.setdefault(tuple(sig), []).append(local)
+            groups.setdefault((tuple(sig), pkey), []).append(local)
             continue
         for f in current["fields"]:
             if f["name"] in in_file or any(
@@ -495,11 +511,13 @@ def _scan_evolved(
                 sig.append((None, f["name"], f["type"], f["type"]))
             else:
                 sig.append((alt[0], f["name"], alt[1], f["type"]))
-        groups.setdefault(tuple(sig), []).append(local)
+        groups.setdefault((tuple(sig), pkey), []).append(local)
     from pyspark.sql.types import StructField, StructType
 
     out = None
-    for sig, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+    for (sig, pkey), files in sorted(
+        groups.items(), key=lambda kv: repr(kv[0])
+    ):
         read_fields = [
             StructField(src, _spark_type(src_t), True)
             for src, _dst, src_t, _cur_t in sig
@@ -521,6 +539,15 @@ def _scan_evolved(
             cols.append(F.col("_metadata.file_path").alias("__ice_file"))
             cols.append(F.col("_metadata.row_index").alias("__ice_pos"))
         scan = scan.select(*cols)
+        # identity-partition constants, resolved source-id -> CURRENT
+        # name (exact whether or not the file stores the column — the
+        # same coalesce real readers apply to migrated layouts)
+        for (src_id, value) in pkey:
+            name = cur_by_id[src_id]["name"]
+            target = _spark_type(cur_by_id[src_id]["type"])
+            scan = scan.withColumn(
+                name, F.coalesce(F.col(name), F.lit(value).cast(target))
+            )
         out = scan if out is None else out.unionByName(scan)
     return out
 

@@ -146,11 +146,13 @@ def test_checkpoint_parquet_and_last_checkpoint_sidecar(spark, tmp_path):
     assert os.path.exists(ck_path)
     ck = spark.read.parquet(ck_path)
 
-    # field shapes (schema-level conformance)
+    # field shapes (schema-level conformance; r10 adds the remove
+    # tombstone column, the add.deletionVector descriptor and the
+    # protocol feature lists — all spec checkpoint columns)
     names = {f.name: f for f in ck.schema.fields}
-    assert set(names) == {"add", "metaData", "protocol"}
+    assert set(names) == {"add", "remove", "metaData", "protocol"}
     add_fields = {f.name for f in names["add"].dataType.fields}
-    assert add_fields == ADD_KEYS
+    assert add_fields == ADD_KEYS | {"deletionVector"}
     meta_fields = {f.name for f in names["metaData"].dataType.fields}
     assert meta_fields == METADATA_KEYS
     fmt_fields = {
@@ -159,7 +161,9 @@ def test_checkpoint_parquet_and_last_checkpoint_sidecar(spark, tmp_path):
     }
     assert fmt_fields == {"provider", "options"}
     proto_fields = {f.name for f in names["protocol"].dataType.fields}
-    assert proto_fields == PROTOCOL_KEYS
+    assert proto_fields == PROTOCOL_KEYS | {
+        "readerFeatures", "writerFeatures",
+    }
 
     # row shapes
     protos = ck.filter("protocol is not null").collect()
@@ -167,6 +171,8 @@ def test_checkpoint_parquet_and_last_checkpoint_sidecar(spark, tmp_path):
     assert protos[0]["protocol"].asDict() == {
         "minReaderVersion": 1,
         "minWriterVersion": 2,
+        "readerFeatures": None,
+        "writerFeatures": None,
     }
     metas = ck.filter("metaData is not null").collect()
     assert len(metas) == 1

@@ -14,6 +14,7 @@ from arcane_framework_scala_spark.sinks.merge_sink import (
     SnapshotParquetTarget,
 )
 from arcane_framework_scala_spark.sources import delta_dv as dv
+from arcane_framework_scala_spark.sources import delta_maintenance as dmx
 from arcane_framework_scala_spark.sources import delta_reader as dr
 
 
@@ -286,11 +287,53 @@ def test_unknown_reader_feature_still_raises(spark, tmp_path):
         dr.read_delta(spark, out)
 
 
-def test_checkpoint_with_live_dvs_refuses(spark, tmp_path):
-    out = _export(spark, tmp_path, n=20)
-    assert dv.delete_where(spark, out, "id < 5") == 1
-    with pytest.raises(ValueError, match="deletion vectors"):
-        dr.export_checkpoint(spark, out)
+def test_checkpoint_with_live_dvs_roundtrips(spark, tmp_path):
+    """r10 (lifts the purge-first fence): a checkpoint carries live DV
+    descriptors, the CURRENT protocol (features included) and the
+    remove tombstones — replay from the checkpoint ALONE reproduces the
+    DV-applied state, keeps the feature declarations, and keeps
+    vacuum's retention input."""
+    out = _export(spark, tmp_path, n=60)
+    assert dv.delete_where(spark, out, "id < 15") == 1
+    assert dr.export_checkpoint(spark, out) == 1
+    want = set(range(15, 60))
+    assert _ids(spark, out) == want
+    # clean EVERY commit json: the checkpoint must stand alone
+    log = os.path.join(out, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(log, n))
+    assert _ids(spark, out) == want
+    st = dr._replay_state(out, spark=spark)
+    assert "deletionVectors" in (st["protocol"] or {}).get(
+        "readerFeatures", []
+    )
+    # and the table keeps working: a SECOND delete on top of the
+    # checkpointed DV state (superset rule across the checkpoint)
+    assert dv.delete_where(spark, out, "id % 2 = 0") == 2
+    want = {i for i in want if i % 2}
+    assert _ids(spark, out) == want
+
+    # purge produces NET removes (old files replaced by clean ones);
+    # the next checkpoint must RETAIN those tombstones so vacuum's
+    # retention input survives log cleaning
+    assert dmx.purge_deletion_vectors(spark, out) == 3
+    assert dr.export_checkpoint(spark, out) == 3
+    for n in os.listdir(os.path.join(out, "_delta_log")):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(out, "_delta_log", n))
+    assert _ids(spark, out) == want
+    st2 = dr._replay_state(out, spark=spark)
+    assert st2["tombstones"], "checkpoint dropped the remove tombstones"
+    assert all(
+        a.get("deletionTimestamp") for a in st2["tombstones"].values()
+    )
+    # fresh tombstones + aged files -> vacuum retains inside the window
+    for root, dirs, files in os.walk(out):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for n in files:
+            os.utime(os.path.join(root, n), (1, 1))
+    assert dmx.vacuum(spark, out, older_than_s=3600) == []
 
 
 def test_derived_cdf_sees_dv_deletes(spark, tmp_path):

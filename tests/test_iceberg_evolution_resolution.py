@@ -262,3 +262,44 @@ def test_equality_deletes_over_evolution_still_raise(spark, tmp_path):
     )
     with pytest.raises(ir.IcebergError, match="EQUALITY deletes"):
         ir.read_iceberg(spark, out).collect()
+
+
+def test_evolved_identity_partitioned_injects_by_source_id(spark, tmp_path):
+    """r10 (lifts the identity-partition evolution fence): spec fields
+    keep their creation-time name, so after renaming the partition
+    SOURCE column the manifest partition struct is still keyed by the
+    OLD name — injection must resolve source-id -> current name. Files
+    here OMIT the partition column entirely (hive-migrated layout), so
+    a broken injection shows up as an all-null column, not a subtle
+    skew."""
+    t = SnapshotParquetTarget(
+        spark, str(tmp_path / "pub"), partition_cols=["p"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "v long, p long"
+        )
+    )
+    out = str(tmp_path / "ice")
+    assert ir.export_iceberg(t, out) == 1
+    mf = ir.table_metadata_file(out)
+    old_fields = json.load(open(mf))["schemas"][0]["fields"]
+    renames = {"v": "val", "p": "bucket"}
+    _evolve(
+        out,
+        [{**f, "name": renames.get(f["name"], f["name"])} for f in old_fields],
+    )
+    got = ir.read_iceberg(spark, out)
+    assert sorted(got.columns) == ["bucket", "val"]
+    rows = {(r["val"], r["bucket"]) for r in got.collect()}
+    assert rows == {(i, i % 3) for i in range(12)}
+    # and it composes with live position deletes (predicate speaks the
+    # renamed partition name)
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+
+    assert im.commit_position_deletes(spark, out, "bucket = 1") == 2
+    rows = {
+        (r["val"], r["bucket"])
+        for r in ir.read_iceberg(spark, out).collect()
+    }
+    assert rows == {(i, i % 3) for i in range(12) if i % 3 != 1}
