@@ -29,13 +29,13 @@ DELETION VECTORS are APPLIED since r9 (``delta_dv``: roaring-bitmap
 codec from the public formats, descriptor resolution, per-file
 anti-join on ``_metadata.row_index``; ``delta_dv.delete_where`` writes
 them). COLUMN MAPPING: NAME mode resolves at schema level (the scan
-imposes each field's ``delta.columnMapping.physicalName`` and aliases
-back to the logical name), ID mode per file from parquet footer field
-ids (r10, ``_id_scan_groups``). Checkpoints carry live DV descriptors,
-the current protocol, and remove tombstones (r10). Remaining
-limitations (documented, raised loudly): nested mapped types and
-purging DVs on a mapped table — each raises instead of returning
-wrong rows.
+imposes the physical schema — nested struct fields included — and
+rebuilds the logical surface, ``_mapping_plan``), ID mode per file
+from parquet footer field ids (r10, ``_id_scan_groups``). Checkpoints
+carry live DV descriptors, the current protocol, and remove tombstones
+(r10). Remaining limitations (documented, raised loudly): mapped
+structs inside arrays/maps, and purging DVs on a mapped table — each
+raises instead of returning wrong rows.
 """
 
 from __future__ import annotations
@@ -64,9 +64,9 @@ _CHECKPOINT_V2_RE = re.compile(
 #: readerFeatures raises. ``deletionVectors`` joined the set in r9 (the
 #: read path APPLIES them — see ``delta_dv``) and so did
 #: ``columnMapping`` — NAME mode resolved at schema level
-#: (``_column_mapping_pairs``), ID mode per file from parquet footer
-#: field ids (r10, ``_id_scan_groups``); nested mapped types still
-#: raise.
+#: (``_mapping_plan``, nested structs rebuilt recursively), ID mode per
+#: file from parquet footer field ids (r10, ``_id_scan_groups``);
+#: mapped structs inside arrays/maps still raise.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
@@ -251,7 +251,7 @@ def _check_protocol(action: dict) -> None:
     if v == 2:
         # the legacy column-mapping reader version carries no
         # table-features list; the mapping MODE is validated where the
-        # schema is resolved (name: _column_mapping_pairs, id:
+        # schema is resolved (name: _mapping_plan, id:
         # _id_scan_groups; nested types raise in both)
         return
     if v > 1:
@@ -512,44 +512,43 @@ def read_delta(
         # the lineage path so only ITS vectors apply to it)
         out = None
         for pairs, grels in _id_scan_groups(meta, path, rels):
+            plan = _pairs_plan(schema, pairs)
             if has_dv:
                 frame = _scan_with_lineage(
-                    spark, path, {r: live[r] for r in grels}, schema, pairs
+                    spark, path, {r: live[r] for r in grels}, schema, plan
                 ).select(*[F.col(f.name) for f in schema.fields])
             else:
-                frame = _scan_plain(spark, path, grels, meta, schema, pairs)
+                frame = _scan_plain(spark, path, grels, schema, plan)
             out = frame if out is None else out.unionByName(frame)
         return out
-    pairs = _column_mapping_pairs(meta)
+    plan = _mapping_plan(meta)
     if not has_dv:
-        return _scan_plain(spark, path, rels, meta, schema, pairs)
+        return _scan_plain(spark, path, rels, schema, plan)
     return _lineage_frame(spark, path, live, meta, schema).select(
         *[F.col(f.name) for f in schema.fields]
     )
 
 
 def _scan_plain(
-    spark: SparkSession, path: str, rels: list[str], meta, schema, pairs
+    spark: SparkSession, path: str, rels: list[str], schema, plan
 ):
     """One imposed-schema parquet scan over ``rels`` (no DVs): impose
-    the physical names when mapped, alias straight back to logical."""
-    import pyspark.sql.functions as F
-
+    the physical schema when mapped, rebuild the logical surface."""
     from arcane_framework_scala_spark.sources.paths import glob_escape
 
-    scan_schema = _physical_schema(meta, pairs) if pairs else schema
+    scan_schema = plan[0] if plan else schema
     base = (
         spark.read.schema(scan_schema)
         .option("basePath", path)
         .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
     )
-    if pairs:
-        base = base.select(*[F.col(ph).alias(lg) for ph, lg in pairs])
+    if plan:
+        base = base.select(*plan[1])
     return base
 
 
 def _scan_with_lineage(
-    spark: SparkSession, path: str, live: dict, schema, pairs=None
+    spark: SparkSession, path: str, live: dict, schema, plan=None
 ):
     """The live rows WITH physical coordinates (``__dl_rel`` =
     table-relative file path, ``__dl_pos`` = row index in file) and all
@@ -569,27 +568,13 @@ def _scan_with_lineage(
     from arcane_framework_scala_spark.sources.paths import glob_escape
 
     rels = sorted(live)
-    scan_schema = schema
-    if pairs:
-        from pyspark.sql.types import StructField, StructType
-
-        phys_of = {lg: ph for ph, lg in pairs}
-        scan_schema = StructType(
-            [
-                StructField(phys_of[f.name], f.dataType, f.nullable)
-                for f in schema.fields
-            ]
-        )
+    scan_schema = plan[0] if plan else schema
     base = (
         spark.read.schema(scan_schema)
         .option("basePath", path)
         .parquet(*[glob_escape(os.path.join(path, rel)) for rel in rels])
         .select(
-            *(
-                [F.col(ph).alias(lg) for ph, lg in pairs]
-                if pairs
-                else ["*"]
-            ),
+            *(plan[1] if plan else ["*"]),
             F.col("_metadata.file_path").alias("__dl_file"),
             F.col("_metadata.row_index").alias("__dl_pos"),
         )
@@ -780,42 +765,114 @@ def _mapping_mode(meta: dict | None) -> str:
     )
 
 
-def _column_mapping_pairs(meta: dict | None) -> list[tuple[str, str]] | None:
-    """``[(physical, logical)]`` for a NAME-mode column-mapped table
-    (r9): physical parquet names come from each field's
-    ``delta.columnMapping.physicalName`` metadata; the scan imposes
-    the physical schema and immediately aliases back to logical.
-    Returns None for an unmapped table. ID mode resolves PER FILE
-    (r10, :func:`_id_scan_groups`) — callers must branch on
-    :func:`_mapping_mode` first; calling this with an id-mapped meta
-    raises so a forgotten branch fails loudly instead of mis-mapping.
-    Nested mapped types RAISE in both modes."""
+def _phys_name(f: dict) -> str:
+    phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+    if not phys:
+        raise ValueError(
+            f"column-mapped field {f['name']!r} lacks "
+            "delta.columnMapping.physicalName"
+        )
+    return phys
+
+
+def _physical_field_json(f: dict) -> dict:
+    """A schemaString field renamed to its physical identity,
+    RECURSIVELY for struct types (r10 — every nested field of a mapped
+    table carries its own physicalName). Structs inside arrays/maps
+    still raise: rebuilding those logically needs ``transform``
+    lambdas this reader does not generate."""
+    t = f["type"]
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            t = {**t, "fields": [_physical_field_json(c) for c in t["fields"]]}
+        elif k == "array":
+            if isinstance(t.get("elementType"), dict):
+                raise ValueError(
+                    "column mapping over structs inside arrays/maps is "
+                    f"not implemented ({f['name']!r}) — use the real "
+                    "connector"
+                )
+        elif k == "map":
+            if isinstance(t.get("keyType"), dict) or isinstance(
+                t.get("valueType"), dict
+            ):
+                raise ValueError(
+                    "column mapping over structs inside arrays/maps is "
+                    f"not implemented ({f['name']!r}) — use the real "
+                    "connector"
+                )
+        else:
+            raise ValueError(f"unsupported nested type {k!r}")
+    return {**f, "name": _phys_name(f), "type": t}
+
+
+def _logical_expr(col, f: dict):
+    """Rebuild a physical column expression into its LOGICAL shape:
+    primitives pass through; structs rebuild field-by-field under
+    logical names, preserving NULL structs (a bare ``F.struct`` would
+    resurrect a null struct as a struct of nulls)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    t = f["type"]
+    if isinstance(t, dict) and t.get("type") == "struct":
+        children = [
+            _logical_expr(col.getField(_phys_name(c)), c).alias(c["name"])
+            for c in t["fields"]
+        ]
+        logical_t = StructType.fromJson(t)
+        return F.when(col.isNull(), F.lit(None).cast(logical_t)).otherwise(
+            F.struct(*children)
+        )
+    return col
+
+
+def _mapping_plan(meta: dict | None):
+    """None for an unmapped table, else ``(scan_schema, select_exprs)``
+    for a NAME-mode table: the physical schema to impose (names
+    physical at EVERY nesting level) and the expressions that rebuild
+    the logical surface — flat columns alias back, nested structs
+    rebuild recursively (r10; structs inside arrays/maps raise). ID
+    mode resolves PER FILE (:func:`_id_scan_groups`) — callers must
+    branch on :func:`_mapping_mode` first; calling this with an
+    id-mapped meta raises so a forgotten branch fails loudly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
     mode = _mapping_mode(meta)
     if mode == "none":
         return None
     if mode != "name":
         raise ValueError(
             f"columnMapping mode {mode!r} resolves per file "
-            "(_id_scan_groups) — this uniform-pairs path would misname "
-            "data"
+            "(_id_scan_groups) — this uniform plan would misname data"
         )
-    pairs: list[tuple[str, str]] = []
-    for f in json.loads(meta["schemaString"])["fields"]:
-        if isinstance(f.get("type"), dict):
-            raise ValueError(
-                "column mapping over nested types is not implemented — "
-                "use the real connector"
-            )
-        phys = (f.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName"
-        )
-        if not phys:
-            raise ValueError(
-                f"column-mapped field {f['name']!r} lacks "
-                "delta.columnMapping.physicalName"
-            )
-        pairs.append((phys, f["name"]))
-    return pairs
+    fields = json.loads(meta["schemaString"])["fields"]
+    scan_schema = StructType.fromJson(
+        {"type": "struct", "fields": [_physical_field_json(f) for f in fields]}
+    )
+    exprs = [
+        _logical_expr(F.col(_phys_name(f)), f).alias(f["name"])
+        for f in fields
+    ]
+    return scan_schema, exprs
+
+
+def _pairs_plan(schema, pairs: list[tuple[str, str]]):
+    """Flat ``[(physical, logical)]`` pairs (the ID-mode per-file
+    groups) as a plan: imposed physical schema + alias expressions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    phys_of = {lg: ph for ph, lg in pairs}
+    scan_schema = StructType(
+        [
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return scan_schema, [F.col(ph).alias(lg) for ph, lg in pairs]
 
 
 def _id_mapping_fields(meta: dict) -> list[dict]:
@@ -900,7 +957,11 @@ def _lineage_frame(spark, path: str, live: dict, meta: dict | None, schema):
     if _mapping_mode(meta) == "id":
         frames = [
             _scan_with_lineage(
-                spark, path, {r: live[r] for r in grels}, schema, pairs
+                spark,
+                path,
+                {r: live[r] for r in grels},
+                schema,
+                _pairs_plan(schema, pairs),
             )
             for pairs, grels in _id_scan_groups(meta, path, sorted(live))
         ]
@@ -909,20 +970,7 @@ def _lineage_frame(spark, path: str, live: dict, meta: dict | None, schema):
             out = out.unionByName(f)
         return out
     return _scan_with_lineage(
-        spark, path, live, schema, _column_mapping_pairs(meta)
-    )
-
-
-def _physical_schema(meta: dict, pairs: list[tuple[str, str]]):
-    from pyspark.sql.types import StructField, StructType
-
-    logical = _schema_from_meta(meta, "<mapped>")
-    phys_of = {lg: ph for ph, lg in pairs}
-    return StructType(
-        [
-            StructField(phys_of[f.name], f.dataType, f.nullable)
-            for f in logical.fields
-        ]
+        spark, path, live, schema, _mapping_plan(meta)
     )
 
 

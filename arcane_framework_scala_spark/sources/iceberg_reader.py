@@ -231,11 +231,53 @@ def _spark_type(t):
         "timestamptz": T.TimestampType(),
         "timestamp": T.TimestampNTZType(),
     }
+    if t == "uuid":
+        # surfaced as the canonical lowercase string — the same mapping
+        # the Spark connector uses (Spark has no UUID type); the SCAN
+        # imposes BinaryType on the fixed[16] storage and converts
+        # (_uuid_to_string), handled by every scan path
+        return T.StringType()
     if t in simple:
         return simple[t]
-    # time / uuid / timestamp_ns: no faithful Spark reading without the
-    # connector's physical-type handling — refuse rather than mis-type
+    # time / timestamp_ns: no faithful Spark reading without a lossless
+    # target type (no TIME type; TimestampType is µs and would silently
+    # truncate ns) — refuse rather than mis-type, same as the connector
     raise IcebergError(f"unsupported Iceberg type {t!r} for jar-free read")
+
+
+def _uuid_field_names(meta: dict) -> list[str]:
+    """Top-level uuid columns of the CURRENT schema — the scan reads
+    their fixed[16] storage as binary and converts."""
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if "schema" in meta else []
+    )
+    sid = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id", 0) == sid:
+            return [
+                f["name"] for f in s.get("fields", []) if f["type"] == "uuid"
+            ]
+    return []
+
+
+def _uuid_to_string(col):
+    """fixed[16] bytes -> canonical lowercase 8-4-4-4-12 uuid string
+    (pure JVM-side string algebra, codegen'd — no UDF)."""
+    import pyspark.sql.functions as F
+
+    h = F.lower(F.hex(col))
+    return F.when(
+        col.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        )
+    )
 
 
 def _schema_struct(meta: dict):
@@ -324,6 +366,7 @@ def _evolution_info(meta: dict) -> dict | None:
 #: field-id-resolved column's STORED type must be recovered from the
 #: file itself (its name may match no schema in the rename history)
 _ARROW_TO_ICEBERG = {
+    "fixed_size_binary[16]": "uuid",
     "int32": "int",
     "int64": "long",
     "float": "float",
@@ -518,8 +561,14 @@ def _scan_evolved(
     for (sig, pkey), files in sorted(
         groups.items(), key=lambda kv: repr(kv[0])
     ):
+        from pyspark.sql.types import BinaryType
+
         read_fields = [
-            StructField(src, _spark_type(src_t), True)
+            StructField(
+                src,
+                BinaryType() if src_t == "uuid" else _spark_type(src_t),
+                True,
+            )
             for src, _dst, src_t, _cur_t in sig
             if src is not None
         ]
@@ -527,10 +576,12 @@ def _scan_evolved(
             *[glob_escape(f) for f in sorted(files)]
         )
         cols = []
-        for src, dst, _src_t, cur_t in sig:
+        for src, dst, src_t, cur_t in sig:
             target = _spark_type(cur_t)
             if src is None:
                 cols.append(F.lit(None).cast(target).alias(dst))
+            elif cur_t == "uuid":
+                cols.append(_uuid_to_string(F.col(src)).alias(dst))
             else:
                 cols.append(F.col(src).cast(target).alias(dst))
         if with_lineage:
@@ -786,6 +837,24 @@ def _scan_with_partition_injection(
         return out
     location = meta.get("location", path)
     part_cols = _identity_partition_names(meta)
+    uuid_cols = _uuid_field_names(meta)
+    if uuid_cols and set(uuid_cols) & set(part_cols):
+        raise IcebergError(
+            "identity-partitioning on a uuid column is not implemented "
+            "by this jar-free reader"
+        )
+    scan_schema = schema
+    if uuid_cols:
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        scan_schema = StructType(
+            [
+                StructField(f.name, BinaryType(), f.nullable)
+                if f.name in uuid_cols
+                else f
+                for f in schema.fields
+            ]
+        )
     groups: dict[tuple, set[str]] = {}
     for df in dfs:
         pv = df.get("partition") or {}
@@ -797,7 +866,7 @@ def _scan_with_partition_injection(
     for key, files in sorted(
         groups.items(), key=lambda kv: repr(kv[0])
     ):
-        scan = spark.read.schema(schema).parquet(
+        scan = spark.read.schema(scan_schema).parquet(
             *[glob_escape(f) for f in sorted(files)]
         )
         if with_lineage:
@@ -806,6 +875,9 @@ def _scan_with_partition_injection(
                 F.col("_metadata.file_path").alias("__ice_file"),
                 F.col("_metadata.row_index").alias("__ice_pos"),
             )
+        for c in uuid_cols:
+            # fixed[16] -> canonical string (the connector's mapping)
+            scan = scan.withColumn(c, _uuid_to_string(F.col(c)))
         for col, value in key:
             scan = scan.withColumn(
                 col, F.coalesce(F.col(col), F.lit(value))

@@ -1,7 +1,9 @@
-"""Delta NAME-mode column mapping (r9): physical parquet names resolved
-from delta.columnMapping.physicalName field metadata, composed with
-partitions and deletion vectors; ID mode and nested mapped types still
-raise."""
+"""Delta column mapping: NAME mode (r9 — physical parquet names from
+delta.columnMapping.physicalName metadata, nested structs rebuilt
+recursively since r10), ID mode (r10 — per-file parquet footer
+field-id resolution with physicalName fallback), both composed with
+partitions and deletion vectors; mapped structs inside arrays/maps
+still raise."""
 
 import json
 import os
@@ -343,3 +345,199 @@ def test_missing_physical_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="physicalName"):
         dr.read_delta(spark, t2)
+
+
+def _nested_mapped_table(spark, tmp_path):
+    """NAME-mode mapping over a NESTED struct: physical names at every
+    level (col-*), logical names only in the log schema. One row
+    carries a NULL struct — the rebuild must preserve it (a bare
+    F.struct would resurrect it as a struct of nulls)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    table = str(tmp_path / "nested")
+    os.makedirs(table, exist_ok=True)
+    phys_schema = StructType(
+        [
+            StructField("col-k", LongType()),
+            StructField(
+                "col-top",
+                StructType(
+                    [
+                        StructField("col-a", LongType()),
+                        StructField(
+                            "col-in",
+                            StructType(
+                                [StructField("col-b", StringType())]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [(i, (i * 2, (f"s{i}",))) for i in range(5)] + [(5, None)]
+    df = spark.createDataFrame(rows, phys_schema)
+    stage = os.path.join(table, ".stage")
+    df.coalesce(1).write.parquet(stage)
+    adds = []
+    for n in sorted(os.listdir(stage)):
+        if n.endswith(".parquet"):
+            os.replace(os.path.join(stage, n), os.path.join(table, n))
+            adds.append(
+                {
+                    "add": {
+                        "path": n,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, n)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+
+    def fld(name, typ, ph, fid):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": ph,
+            },
+        }
+
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("k", "long", "col-k", 1),
+                fld(
+                    "top",
+                    {
+                        "type": "struct",
+                        "fields": [
+                            fld("a", "long", "col-a", 3),
+                            fld(
+                                "inner",
+                                {
+                                    "type": "struct",
+                                    "fields": [
+                                        fld("b", "string", "col-b", 5)
+                                    ],
+                                },
+                                "col-in",
+                                4,
+                            ),
+                        ],
+                    },
+                    "col-top",
+                    2,
+                ),
+            ],
+        }
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+        ]
+        + adds,
+    )
+    return table
+
+
+def test_nested_struct_name_mapping_reads_logical(spark, tmp_path):
+    t = _nested_mapped_table(spark, tmp_path)
+    got = dr.read_delta(spark, t)
+    assert got.schema.simpleString() == (
+        "struct<k:bigint,top:struct<a:bigint,inner:struct<b:string>>>"
+    )
+    rows = {
+        (
+            r["k"],
+            None
+            if r["top"] is None
+            else (r["top"]["a"], r["top"]["inner"]["b"]),
+        )
+        for r in got.collect()
+    }
+    assert rows == {(i, (i * 2, f"s{i}")) for i in range(5)} | {(5, None)}
+
+
+def test_nested_struct_mapping_composes_with_dvs(spark, tmp_path):
+    t = _nested_mapped_table(spark, tmp_path)
+    # predicate in fully LOGICAL nested names
+    assert dv.delete_where(spark, t, "top.a = 4") == 1
+    got = {
+        r["k"] for r in dr.read_delta(spark, t).collect()
+    }
+    assert got == {0, 1, 3, 4, 5}
+
+
+def test_struct_inside_array_still_raises(spark, tmp_path):
+    t = str(tmp_path / "arr")
+    os.makedirs(t, exist_ok=True)
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "xs",
+                    "type": {
+                        "type": "array",
+                        "elementType": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "a",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.columnMapping.id": 2,
+                                        "delta.columnMapping.physicalName": "col-a",
+                                    },
+                                }
+                            ],
+                        },
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-xs",
+                    },
+                }
+            ],
+        }
+    )
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {"add": {"path": "f.parquet", "dataChange": True}},
+        ],
+    )
+    with pytest.raises(ValueError, match="arrays/maps"):
+        dr.read_delta(spark, t)

@@ -415,7 +415,9 @@ def test_empty_and_malformed_tables(spark, tmp_path):
     df = ir.read_iceberg(spark, out)
     assert df.count() == 0 and df.schema.simpleString() == "struct<id:bigint>"
 
-    meta["schemas"][0]["fields"][0]["type"] = "uuid"
+    # r10: uuid reads as string (test_iceberg_types.py); time still has
+    # no lossless Spark target and must keep raising
+    meta["schemas"][0]["fields"][0]["type"] = "time"
     with open(os.path.join(out, "metadata", "v2.metadata.json"), "w") as f:
         json.dump(meta, f)
     with pytest.raises(ir.IcebergError, match="unsupported Iceberg type"):
