@@ -31,8 +31,12 @@ def purge_deletion_vectors(
 ) -> int | None:
     """Rewrite every DV'd file WITHOUT its deleted rows and commit
     remove+add (clean) actions — untouched files never move; after the
-    commit the table carries zero live DVs and checkpointing works
-    again. Returns the new version, or None when no live DV exists."""
+    commit the table carries zero live DVs. NAME-mapped tables rewrite
+    under PHYSICAL column names (r10 — the imposed physical schema IS
+    the file layout, so the surviving rows round-trip byte-compatible
+    with the original writer's columns); ID-mapped tables still raise
+    (a faithful rewrite would need parquet field-id stamping). Returns
+    the new version, or None when no live DV exists."""
     import pyspark.sql.functions as F
 
     live, meta = dr._replay_full(table_path, None, spark)
@@ -41,22 +45,39 @@ def purge_deletion_vectors(
     }
     if not dv_rels:
         return None
-    if dr._mapping_mode(meta) != "none":
+    mode = dr._mapping_mode(meta)
+    if mode == "id":
         raise ValueError(
-            "purge on a column-mapped table is not implemented — the "
-            "rewritten files would need PHYSICAL column names; use the "
-            "real connector"
+            "purge on an ID-column-mapped table is not implemented — "
+            "rewritten files would need parquet field-id stamping; use "
+            "the real connector"
         )
     schema = dr._schema_from_meta(meta, table_path)
+    plan = dr._mapping_plan(meta)
     part_cols = (meta or {}).get("partitionColumns") or []
+    if plan is not None:
+        # keep the files PHYSICAL: impose the physical schema and write
+        # those columns back unchanged (no logical rebuild)
+        fields = json.loads(meta["schemaString"])["fields"]
+        phys_of = {f["name"]: dr._phys_name(f) for f in fields}
+        phys_schema = plan[0]
+        plan = (
+            phys_schema,
+            [F.col(f.name) for f in phys_schema.fields],
+        )
+        keep_cols = [f.name for f in phys_schema.fields]
+        drop_cols = [phys_of[c] for c in part_cols]
+    else:
+        keep_cols = [f.name for f in schema.fields]
+        drop_cols = list(part_cols)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     for rel, a in sorted(dv_rels.items()):
         kept = dr._scan_with_lineage(
-            spark, table_path, {rel: a}, schema
-        ).select(*[F.col(f.name) for f in schema.fields])
-        if part_cols:
-            kept = kept.drop(*part_cols)  # Delta files omit partition cols
+            spark, table_path, {rel: a}, schema, plan
+        ).select(*keep_cols)
+        if drop_cols:
+            kept = kept.drop(*drop_cols)  # Delta files omit partition cols
         stage = os.path.join(table_path, f".stage-purge-{now_ms}")
         shutil.rmtree(stage, ignore_errors=True)
         kept.coalesce(1).write.mode("overwrite").parquet(stage)

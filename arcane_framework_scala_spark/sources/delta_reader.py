@@ -34,8 +34,8 @@ rebuilds the logical surface, ``_mapping_plan``), ID mode per file
 from parquet footer field ids (r10, ``_id_scan_groups``). Checkpoints
 carry live DV descriptors, the current protocol, and remove tombstones
 (r10). Remaining limitations (documented, raised loudly): mapped
-structs inside arrays/maps, and purging DVs on a mapped table — each
-raises instead of returning wrong rows.
+struct MAP KEYS, and DV purge on ID-mapped tables (needs parquet
+field-id stamping) — each raises instead of returning wrong rows.
 """
 
 from __future__ import annotations
@@ -66,7 +66,8 @@ _CHECKPOINT_V2_RE = re.compile(
 #: ``columnMapping`` — NAME mode resolved at schema level
 #: (``_mapping_plan``, nested structs rebuilt recursively), ID mode per
 #: file from parquet footer field ids (r10, ``_id_scan_groups``);
-#: mapped structs inside arrays/maps still raise.
+#: arrays/maps of mapped structs rebuild through transform lambdas;
+#: mapped struct MAP KEYS still raise.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
@@ -775,57 +776,75 @@ def _phys_name(f: dict) -> str:
     return phys
 
 
+def _physical_type_json(t, ctx: str):
+    """A schemaString TYPE with every nested struct field renamed to
+    its physical identity — recursing through structs, array elements
+    and map values (r10). Struct MAP KEYS raise (Delta itself forbids
+    them; a mapped one would be unreachable for the rebuild)."""
+    if not isinstance(t, dict):
+        return t
+    k = t.get("type")
+    if k == "struct":
+        return {**t, "fields": [_physical_field_json(c) for c in t["fields"]]}
+    if k == "array":
+        return {**t, "elementType": _physical_type_json(t["elementType"], ctx)}
+    if k == "map":
+        if isinstance(t.get("keyType"), dict):
+            raise ValueError(
+                f"column mapping over struct MAP KEYS ({ctx!r}) is not "
+                "implemented — use the real connector"
+            )
+        return {**t, "valueType": _physical_type_json(t["valueType"], ctx)}
+    raise ValueError(f"unsupported nested type {k!r}")
+
+
 def _physical_field_json(f: dict) -> dict:
     """A schemaString field renamed to its physical identity,
-    RECURSIVELY for struct types (r10 — every nested field of a mapped
-    table carries its own physicalName). Structs inside arrays/maps
-    still raise: rebuilding those logically needs ``transform``
-    lambdas this reader does not generate."""
-    t = f["type"]
-    if isinstance(t, dict):
-        k = t.get("type")
-        if k == "struct":
-            t = {**t, "fields": [_physical_field_json(c) for c in t["fields"]]}
-        elif k == "array":
-            if isinstance(t.get("elementType"), dict):
-                raise ValueError(
-                    "column mapping over structs inside arrays/maps is "
-                    f"not implemented ({f['name']!r}) — use the real "
-                    "connector"
-                )
-        elif k == "map":
-            if isinstance(t.get("keyType"), dict) or isinstance(
-                t.get("valueType"), dict
-            ):
-                raise ValueError(
-                    "column mapping over structs inside arrays/maps is "
-                    f"not implemented ({f['name']!r}) — use the real "
-                    "connector"
-                )
-        else:
-            raise ValueError(f"unsupported nested type {k!r}")
-    return {**f, "name": _phys_name(f), "type": t}
+    RECURSIVELY (r10 — every nested field of a mapped table carries its
+    own physicalName), structs inside arrays/maps included."""
+    return {
+        **f,
+        "name": _phys_name(f),
+        "type": _physical_type_json(f["type"], f["name"]),
+    }
 
 
-def _logical_expr(col, f: dict):
-    """Rebuild a physical column expression into its LOGICAL shape:
+def _logical_value(expr, t):
+    """Rebuild a physical VALUE expression into its LOGICAL shape:
     primitives pass through; structs rebuild field-by-field under
     logical names, preserving NULL structs (a bare ``F.struct`` would
-    resurrect a null struct as a struct of nulls)."""
+    resurrect a null struct as a struct of nulls); arrays/maps rebuild
+    their elements/values through ``transform``/``transform_values``
+    lambdas (both NULL-propagating)."""
     import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
 
-    t = f["type"]
-    if isinstance(t, dict) and t.get("type") == "struct":
+    if not isinstance(t, dict):
+        return expr
+    k = t.get("type")
+    if k == "struct":
         children = [
-            _logical_expr(col.getField(_phys_name(c)), c).alias(c["name"])
+            _logical_value(expr.getField(_phys_name(c)), c["type"]).alias(
+                c["name"]
+            )
             for c in t["fields"]
         ]
         logical_t = StructType.fromJson(t)
-        return F.when(col.isNull(), F.lit(None).cast(logical_t)).otherwise(
+        return F.when(expr.isNull(), F.lit(None).cast(logical_t)).otherwise(
             F.struct(*children)
         )
-    return col
+    if k == "array":
+        return F.transform(expr, lambda x: _logical_value(x, t["elementType"]))
+    if k == "map":
+        return F.transform_values(
+            expr, lambda _k, v: _logical_value(v, t["valueType"])
+        )
+    return expr
+
+
+def _logical_expr(col, f: dict):
+    """:func:`_logical_value` over a top-level schemaString field."""
+    return _logical_value(col, f["type"])
 
 
 def _mapping_plan(meta: dict | None):

@@ -144,10 +144,32 @@ def test_name_mapping_with_deletion_vectors(spark, tmp_path):
         for i in range(60)
         if not (i % 5 == 2 and i % 2 == 0)
     }
-    # purge on a mapped table is fenced (rewritten files would need
-    # physical names)
-    with pytest.raises(ValueError, match="column-mapped"):
-        dmx.purge_deletion_vectors(spark, t)
+    # purge on a NAME-mapped table rewrites under PHYSICAL names (r10)
+    v = dmx.purge_deletion_vectors(spark, t)
+    assert v == 2
+    live, _ = dr._replay_full(t, None, spark)
+    assert not any(a.get("deletionVector") for a in live.values())
+    rows2 = {
+        (r.uid, r.bucketed, r.part)
+        for r in dr.read_delta(spark, t).collect()
+    }
+    assert rows2 == rows
+    # the rewritten files carry PHYSICAL column names (a logical-name
+    # file would be unreadable to the original writer)
+    import pyarrow.parquet as pq
+
+    purged = [
+        rel for rel in live if os.path.basename(rel).startswith("purge-")
+    ]
+    assert purged
+    for rel in purged:
+        names = set(pq.read_schema(os.path.join(t, rel)).names)
+        assert names == {"col-aaa", "col-bbb"}  # col-ppp is the hive dir
+    # purge on an ID-mapped table still raises (field-id stamping)
+    t_id = _id_table(spark, tmp_path)
+    assert dv.delete_where(spark, t_id, "user_id = 1") == 1
+    with pytest.raises(ValueError, match="ID-column-mapped"):
+        dmx.purge_deletion_vectors(spark, t_id)
 
 
 def test_id_mode_physicalname_fallback_reads(spark, tmp_path):
@@ -486,8 +508,130 @@ def test_nested_struct_mapping_composes_with_dvs(spark, tmp_path):
     assert got == {0, 1, 3, 4, 5}
 
 
-def test_struct_inside_array_still_raises(spark, tmp_path):
-    t = str(tmp_path / "arr")
+def test_struct_inside_array_now_reads(spark, tmp_path):
+    """r10: arrays of mapped structs rebuild through transform lambdas
+    (physical inner names -> logical), null elements preserved."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    table = str(tmp_path / "arrmap")
+    os.makedirs(table, exist_ok=True)
+    phys = StructType(
+        [
+            StructField("col-k", LongType()),
+            StructField(
+                "col-xs",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("col-a", LongType()),
+                            StructField("col-b", StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (0, [(1, "x"), (2, "y")]),
+        (1, [None, (3, "z")]),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, phys)
+    stage = os.path.join(table, ".stage")
+    df.coalesce(1).write.parquet(stage)
+    adds = []
+    for n in sorted(os.listdir(stage)):
+        if n.endswith(".parquet"):
+            os.replace(os.path.join(stage, n), os.path.join(table, n))
+            adds.append(
+                {
+                    "add": {
+                        "path": n,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, n)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+
+    def fld(name, typ, ph, fid):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": ph,
+            },
+        }
+
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("k", "long", "col-k", 1),
+                fld(
+                    "xs",
+                    {
+                        "type": "array",
+                        "elementType": {
+                            "type": "struct",
+                            "fields": [
+                                fld("a", "long", "col-a", 3),
+                                fld("b", "string", "col-b", 4),
+                            ],
+                        },
+                        "containsNull": True,
+                    },
+                    "col-xs",
+                    2,
+                ),
+            ],
+        }
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+        ]
+        + adds,
+    )
+    got = dr.read_delta(spark, table)
+    assert got.schema.simpleString() == (
+        "struct<k:bigint,xs:array<struct<a:bigint,b:string>>>"
+    )
+    out = {
+        r["k"]: (
+            None
+            if r["xs"] is None
+            else tuple(
+                None if e is None else (e["a"], e["b"]) for e in r["xs"]
+            )
+        )
+        for r in got.collect()
+    }
+    assert out == {
+        0: ((1, "x"), (2, "y")),
+        1: (None, (3, "z")),
+        2: None,
+    }
+
+
+def test_struct_map_keys_still_raise(spark, tmp_path):
+    t = str(tmp_path / "mapkey")
     os.makedirs(t, exist_ok=True)
     schema_str = json.dumps(
         {
@@ -496,8 +640,8 @@ def test_struct_inside_array_still_raises(spark, tmp_path):
                 {
                     "name": "xs",
                     "type": {
-                        "type": "array",
-                        "elementType": {
+                        "type": "map",
+                        "keyType": {
                             "type": "struct",
                             "fields": [
                                 {
@@ -511,7 +655,8 @@ def test_struct_inside_array_still_raises(spark, tmp_path):
                                 }
                             ],
                         },
-                        "containsNull": True,
+                        "valueType": "long",
+                        "valueContainsNull": True,
                     },
                     "nullable": True,
                     "metadata": {
@@ -539,5 +684,5 @@ def test_struct_inside_array_still_raises(spark, tmp_path):
             {"add": {"path": "f.parquet", "dataChange": True}},
         ],
     )
-    with pytest.raises(ValueError, match="arrays/maps"):
+    with pytest.raises(ValueError, match="MAP KEYS"):
         dr.read_delta(spark, t)
