@@ -31,12 +31,13 @@ def purge_deletion_vectors(
 ) -> int | None:
     """Rewrite every DV'd file WITHOUT its deleted rows and commit
     remove+add (clean) actions — untouched files never move; after the
-    commit the table carries zero live DVs. NAME-mapped tables rewrite
-    under PHYSICAL column names (r10 — the imposed physical schema IS
-    the file layout, so the surviving rows round-trip byte-compatible
-    with the original writer's columns); ID-mapped tables still raise
-    (a faithful rewrite would need parquet field-id stamping). Returns
-    the new version, or None when no live DV exists."""
+    commit the table carries zero live DVs. Column-mapped tables (r10)
+    rewrite under PHYSICAL column names WITH parquet field ids stamped
+    (Spark writes ``PARQUET:field_id`` from the ``parquet.field.id``
+    column metadata), so the new files are byte-compatible with the
+    original writer's layout in BOTH name and id modes — id-mode
+    resolution reads them back by footer id like any Databricks file.
+    Returns the new version, or None when no live DV exists."""
     import pyspark.sql.functions as F
 
     live, meta = dr._replay_full(table_path, None, spark)
@@ -46,38 +47,83 @@ def purge_deletion_vectors(
     if not dv_rels:
         return None
     mode = dr._mapping_mode(meta)
-    if mode == "id":
-        raise ValueError(
-            "purge on an ID-column-mapped table is not implemented — "
-            "rewritten files would need parquet field-id stamping; use "
-            "the real connector"
-        )
     schema = dr._schema_from_meta(meta, table_path)
-    plan = dr._mapping_plan(meta)
     part_cols = (meta or {}).get("partitionColumns") or []
-    if plan is not None:
-        # keep the files PHYSICAL: impose the physical schema and write
-        # those columns back unchanged (no logical rebuild)
+    part_set = set(part_cols)
+
+    def _phys_cols_with_ids():
+        """Non-partition output columns: physicalName aliases carrying
+        parquet.field.id metadata (field ids stamp into the footers)."""
         fields = json.loads(meta["schemaString"])["fields"]
-        phys_of = {f["name"]: dr._phys_name(f) for f in fields}
-        phys_schema = plan[0]
-        plan = (
+        cols = []
+        for f in fields:
+            if f["name"] in part_set:
+                continue
+            md = f.get("metadata") or {}
+            fid = md.get("delta.columnMapping.id")
+            phys = dr._phys_name(f)
+            cols.append(
+                F.col(phys).alias(
+                    phys,
+                    metadata=(
+                        {"parquet.field.id": int(fid)}
+                        if fid is not None
+                        else {}
+                    ),
+                )
+            )
+        return cols
+
+    if mode == "id":
+        # per-file resolution groups (footer ids / physicalName
+        # fallback), rewritten columns NORMALIZED to physicalName + id
+        fields = dr._id_mapping_fields(meta)
+        id_groups: dict[str, list] = {}
+        for pairs, grels in dr._id_scan_groups(
+            meta, table_path, sorted(dv_rels)
+        ):
+            for r in grels:
+                id_groups[r] = pairs
+        out_cols = [
+            F.col(f["name"]).alias(
+                f["physical"], metadata={"parquet.field.id": f["id"]}
+            )
+            for f in fields
+            if f["name"] not in part_set
+        ]
+
+        def kept_frame(rel, a):
+            plan = dr._pairs_plan(schema, id_groups[rel])
+            return dr._scan_with_lineage(
+                spark, table_path, {rel: a}, schema, plan
+            ).select(*out_cols)
+
+    elif mode == "name":
+        name_plan = dr._mapping_plan(meta)
+        phys_schema = name_plan[0]
+        scan_plan = (
             phys_schema,
             [F.col(f.name) for f in phys_schema.fields],
         )
-        keep_cols = [f.name for f in phys_schema.fields]
-        drop_cols = [phys_of[c] for c in part_cols]
+        out_cols = _phys_cols_with_ids()
+
+        def kept_frame(rel, a):
+            return dr._scan_with_lineage(
+                spark, table_path, {rel: a}, schema, scan_plan
+            ).select(*out_cols)
+
     else:
-        keep_cols = [f.name for f in schema.fields]
-        drop_cols = list(part_cols)
+
+        def kept_frame(rel, a):
+            frame = dr._scan_with_lineage(
+                spark, table_path, {rel: a}, schema
+            ).select(*[F.col(f.name) for f in schema.fields])
+            return frame.drop(*part_cols) if part_cols else frame
+
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     for rel, a in sorted(dv_rels.items()):
-        kept = dr._scan_with_lineage(
-            spark, table_path, {rel: a}, schema, plan
-        ).select(*keep_cols)
-        if drop_cols:
-            kept = kept.drop(*drop_cols)  # Delta files omit partition cols
+        kept = kept_frame(rel, a)
         stage = os.path.join(table_path, f".stage-purge-{now_ms}")
         shutil.rmtree(stage, ignore_errors=True)
         kept.coalesce(1).write.mode("overwrite").parquet(stage)

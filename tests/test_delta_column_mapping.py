@@ -8,6 +8,7 @@ still raise."""
 import json
 import os
 
+import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 import pytest
 
@@ -165,11 +166,34 @@ def test_name_mapping_with_deletion_vectors(spark, tmp_path):
     for rel in purged:
         names = set(pq.read_schema(os.path.join(t, rel)).names)
         assert names == {"col-aaa", "col-bbb"}  # col-ppp is the hive dir
-    # purge on an ID-mapped table still raises (field-id stamping)
+    # purge on an ID-mapped table rewrites with FIELD IDS stamped into
+    # the new footers (r10) — id-mode resolution reads them back like
+    # any Databricks-written file
     t_id = _id_table(spark, tmp_path)
     assert dv.delete_where(spark, t_id, "user_id = 1") == 1
-    with pytest.raises(ValueError, match="ID-column-mapped"):
-        dmx.purge_deletion_vectors(spark, t_id)
+    assert dmx.purge_deletion_vectors(spark, t_id) == 2
+    live_id, _ = dr._replay_full(t_id, None, spark)
+    assert not any(a.get("deletionVector") for a in live_id.values())
+    rows_id = {
+        (r.user_id, r.val, r.score)
+        for r in dr.read_delta(spark, t_id).collect()
+    }
+    assert rows_id == {r for r in _expected_id_rows() if r[0] != 1}
+    purged_id = [
+        rel
+        for rel in live_id
+        if os.path.basename(rel).startswith("purge-")
+    ]
+    assert purged_id
+    for rel in purged_id:
+        s = pq.read_schema(os.path.join(t_id, rel))
+        got_ids = {
+            s.field(i).name: (s.field(i).metadata or {}).get(
+                b"PARQUET:field_id"
+            )
+            for i in range(len(s.names))
+        }
+        assert got_ids == {"uid": b"1", "val": b"2", "col-score": b"3"}
 
 
 def test_id_mode_physicalname_fallback_reads(spark, tmp_path):
