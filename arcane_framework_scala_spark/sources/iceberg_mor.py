@@ -126,13 +126,6 @@ def _mor_frame(
             out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
         return out
     evo = ir._evolution_info(meta)
-    if evo and ent["eq"]:
-        raise ir.IcebergError(
-            "EQUALITY deletes over a renamed/promoted schema are not "
-            "implemented (the delete files store columns under their "
-            "write-time names) — compose rewrite_data_files first, or "
-            "use the real connector"
-        )
     if evo:
         # r10: position deletes COMPOSE with schema evolution — the
         # evolved per-file-resolution scan carries the same physical
@@ -203,20 +196,64 @@ def _mor_frame(
                     "carries no equality_ids"
                 )
             by_ids.setdefault(tuple(sorted(e["equality_ids"])), []).append(e)
+        cur_type_of = {
+            f["id"]: f["type"]
+            for f in _current_schema_obj(meta)["fields"]
+        }
         for ids, group in sorted(by_ids.items()):
             names = [_field_name_by_id(meta, fid) for fid in ids]
             dd = None
-            for seq, files in sorted(_group_by_seq(group, location).items()):
-                d = (
-                    spark.read.parquet(
-                        *[glob_escape(f) for f in sorted(files)]
+            if evo:
+                # r10 (lifts the eq+evolution fence for real writers):
+                # resolve each DELETE FILE's columns by ITS OWN footer
+                # field ids — the delete file stores write-time names,
+                # and only ids bind them across renames; values upcast
+                # through the same legal promotions as the data scan.
+                # Id-less delete files (this repo's own eq writer) keep
+                # the honest raise.
+                import pyarrow.parquet as pq
+
+                for e in sorted(
+                    group, key=lambda e: e["df"]["file_path"]
+                ):
+                    local = ir._to_local(e["df"]["file_path"], location)
+                    fids = ir._footer_field_ids(pq.read_schema(local))
+                    if fids is None or any(
+                        fid not in fids for fid in ids
+                    ):
+                        raise ir.IcebergError(
+                            "EQUALITY deletes over a renamed/promoted "
+                            f"schema need footer field ids; {local!r} "
+                            "carries none — compose rewrite_data_files "
+                            "first, or use the real connector"
+                        )
+                    d = (
+                        spark.read.parquet(glob_escape(local))
+                        .select(
+                            *[
+                                F.col(fids[fid])
+                                .cast(ir._spark_type(cur_type_of[fid]))
+                                .alias(f"__eq_{n}")
+                                for fid, n in zip(ids, names)
+                            ]
+                        )
+                        .withColumn("__eq_seq", F.lit(int(e["seq"])))
                     )
-                    .select(
-                        *[F.col(n).alias(f"__eq_{n}") for n in names]
+                    dd = d if dd is None else dd.unionByName(d)
+            else:
+                for seq, files in sorted(
+                    _group_by_seq(group, location).items()
+                ):
+                    d = (
+                        spark.read.parquet(
+                            *[glob_escape(f) for f in sorted(files)]
+                        )
+                        .select(
+                            *[F.col(n).alias(f"__eq_{n}") for n in names]
+                        )
+                        .withColumn("__eq_seq", F.lit(int(seq)))
                     )
-                    .withColumn("__eq_seq", F.lit(int(seq)))
-                )
-                dd = d if dd is None else dd.unionByName(d)
+                    dd = d if dd is None else dd.unionByName(d)
             cond = dd["__eq_seq"] > joined["__ice_seq"]
             for n in names:
                 cond = cond & joined[n].eqNullSafe(dd[f"__eq_{n}"])

@@ -247,7 +247,11 @@ def test_position_deletes_compose_with_evolution(spark, tmp_path):
     assert dict(got.dtypes)["rid"] == "bigint"
 
 
-def test_equality_deletes_over_evolution_still_raise(spark, tmp_path):
+def test_idless_equality_deletes_over_evolution_still_raise(
+    spark, tmp_path
+):
+    """An equality delete file WITHOUT footer field ids cannot be
+    bound across renames — honest raise (write-time names only)."""
     from arcane_framework_scala_spark.sources import iceberg_mor as im
 
     out = _evolved_appended_table(spark, tmp_path)
@@ -262,6 +266,72 @@ def test_equality_deletes_over_evolution_still_raise(spark, tmp_path):
     )
     with pytest.raises(ir.IcebergError, match="EQUALITY deletes"):
         ir.read_iceberg(spark, out).collect()
+
+
+def test_equality_deletes_with_field_ids_compose_with_evolution(
+    spark, tmp_path
+):
+    """r10: a REAL writer's equality delete file carries footer field
+    ids — resolution binds its columns by id across the rename (the
+    file here stores the OLD column name + the field id, so only
+    id-binding reads it right) and the stored int upcasts through the
+    promotion."""
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+
+    out = _evolved_appended_table(spark, tmp_path)
+    # delete rid in {3, 101}: one pre-evolution row, one appended row
+    assert (
+        im.commit_equality_deletes(
+            spark,
+            out,
+            spark.createDataFrame([(3,), (101,)], "rid long"),
+            ["rid"],
+        )
+        == 3
+    )
+    # restamp the delete file as a real old-schema writer would have
+    # produced it: OLD column name, stored as int, field id attached
+    mf = ir.table_metadata_file(out)
+    meta = json.load(open(mf))
+    cur = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    rid_fid = next(f["id"] for f in cur["fields"] if f["name"] == "rid")
+    data = os.path.join(out, "data")
+    eq_files = [
+        n for n in os.listdir(data) if n.startswith("delete-eq-")
+    ]
+    assert len(eq_files) == 1
+    pth = os.path.join(data, eq_files[0])
+    t = pq.read_table(pth)
+    t = t.rename_columns(["old_id"]).cast(
+        pa.schema(
+            [
+                pa.field(
+                    "old_id",
+                    pa.int32(),
+                    metadata={
+                        b"PARQUET:field_id": str(rid_fid).encode()
+                    },
+                )
+            ]
+        )
+    )
+    os.remove(pth)
+    pq.write_table(t, pth)
+    rows = {
+        (r["rid"], r["v"], r["g"])
+        for r in ir.read_iceberg(spark, out).collect()
+    }
+    # strict-visibility rule: the delete (seq 3) removes STRICTLY older
+    # rows — both targets predate it (seqs 1 and 2), both go
+    want = {(i, i + 100, i % 3) for i in range(20) if i != 3}
+    want |= {(100 + i, i, i % 3) for i in range(5) if i != 1}
+    assert rows == want
+    # promotion survives alongside (rid is long)
+    assert dict(ir.read_iceberg(spark, out).dtypes)["rid"] == "bigint"
 
 
 def test_evolved_identity_partitioned_injects_by_source_id(spark, tmp_path):
