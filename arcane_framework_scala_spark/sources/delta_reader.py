@@ -500,12 +500,23 @@ def read_delta(
         return spark.createDataFrame([], schema)
     has_dv = any(a.get("deletionVector") for a in live.values())
     if _type_widening_active(meta):
-        if mode != "none" or has_dv:
+        if mode != "none":
             raise ValueError(
-                "type widening composed with column mapping / deletion "
-                "vectors is not implemented — use the real connector"
+                "type widening composed with column mapping is not "
+                "implemented — use the real connector"
             )
-        return _scan_widened(spark, path, rels, meta, schema)
+        # r10: widening composes with DVs — each narrow-type group
+        # rides the lineage path so only ITS vectors apply to it
+        out = None
+        for plan, grels in _widened_plans(path, rels, meta, schema):
+            if has_dv:
+                frame = _scan_with_lineage(
+                    spark, path, {r: live[r] for r in grels}, schema, plan
+                ).select(*[F.col(f.name) for f in schema.fields])
+            else:
+                frame = _scan_plain(spark, path, grels, schema, plan)
+            out = frame if out is None else out.unionByName(frame)
+        return out
     if mode == "id":
         # per-file field-id resolution (r10): files group by their
         # physical-column binding; each group scans/aliases like a
@@ -667,24 +678,24 @@ def _type_widening_active(meta: dict | None) -> bool:
     )
 
 
-def _scan_widened(
-    spark: SparkSession, path: str, rels: list[str], meta: dict, schema
-):
-    """Read a TYPE-WIDENED table (r9): each file's physical column
-    types come from its parquet footer (driver-side, O(files) — the
-    planning cost class), files group by their narrow-type signature,
-    each group scans under its STORED types and upcasts to the current
-    schema, groups union. Partition columns (absent from the files)
-    keep their logical types through basePath discovery. A type pair
-    outside the spec's legal widenings raises."""
+def _widened_plans(
+    path: str, rels: list[str], meta: dict, schema
+) -> list[tuple[tuple, list[str]]]:
+    """TYPE-WIDENING resolution (r9, plan form since r10): each file's
+    stored column types come from its parquet footer (driver-side,
+    O(files) — the planning cost class), files group by narrow-type
+    signature. Returns ``[(plan, rels)]`` where plan = (narrow scan
+    schema, upcast select exprs) — the shared shape _scan_plain and
+    _scan_with_lineage consume, so widened tables read with AND without
+    deletion vectors. A type pair outside the spec's legal widenings
+    raises."""
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
-    from pyspark.sql.types import StructField, StructType
-
-    from arcane_framework_scala_spark.sources.paths import glob_escape
+    from pyspark.sql.types import (
+        StructField, StructType, _parse_datatype_string,
+    )
 
     part_cols = set((meta or {}).get("partitionColumns") or [])
-    logical = {f.name: f for f in schema.fields}
     narrow_spark = {
         "byte": "tinyint",
         "short": "smallint",
@@ -697,7 +708,10 @@ def _scan_widened(
     for rel in rels:
         local = os.path.join(path, rel)
         fsch = pq.read_schema(local)
-        by_name = {fsch.field(i).name: str(fsch.field(i).type) for i in range(len(fsch.names))}
+        by_name = {
+            fsch.field(i).name: str(fsch.field(i).type)
+            for i in range(len(fsch.names))
+        }
         sig = []
         for f in schema.fields:
             if f.name in part_cols or f.name not in by_name:
@@ -721,7 +735,7 @@ def _scan_widened(
             sig.append((f.name, stored))
         groups.setdefault(tuple(sig), []).append(rel)
 
-    out = None
+    out = []
     for sig, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         fields = []
         for f in schema.fields:
@@ -729,8 +743,6 @@ def _scan_widened(
             if stored is None:
                 fields.append(f)
             else:
-                from pyspark.sql.types import _parse_datatype_string
-
                 fields.append(
                     StructField(
                         f.name,
@@ -738,20 +750,11 @@ def _scan_widened(
                         f.nullable,
                     )
                 )
-        scan = (
-            spark.read.schema(StructType(fields))
-            .option("basePath", path)
-            .parquet(
-                *[glob_escape(os.path.join(path, r)) for r in sorted(files)]
-            )
-            .select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-        )
-        out = scan if out is None else out.unionByName(scan)
+        exprs = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        out.append(((StructType(fields), exprs), sorted(files)))
     return out
 
 
@@ -973,6 +976,24 @@ def _lineage_frame(spark, path: str, live: dict, meta: dict | None, schema):
     mode aware: the single entry point write paths (``delete_where``)
     and readers use so NAME- and ID-mapped tables ride the same
     machinery."""
+    if _type_widening_active(meta):
+        if _mapping_mode(meta) != "none":
+            raise ValueError(
+                "type widening composed with column mapping is not "
+                "implemented — use the real connector"
+            )
+        frames = [
+            _scan_with_lineage(
+                spark, path, {r: live[r] for r in grels}, schema, plan
+            )
+            for plan, grels in _widened_plans(
+                path, sorted(live), meta, schema
+            )
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     if _mapping_mode(meta) == "id":
         frames = [
             _scan_with_lineage(

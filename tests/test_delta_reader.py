@@ -734,3 +734,26 @@ def test_type_widening_reads_narrow_files(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="not a legal type widening"):
         dr.read_delta(spark, t2).collect()
+
+    # r10: widening COMPOSES with deletion vectors — the delete lands
+    # across BOTH narrow-type groups (predicate speaks the widened
+    # type) and the protocol merge keeps typeWidening declared
+    from arcane_framework_scala_spark.sources import delta_dv as dvm
+
+    assert dvm.delete_where(spark, t, "v = 20") == 1
+    got2 = dr.read_delta(spark, t)
+    assert dict(got2.dtypes) == {"id": "bigint", "v": "bigint"}
+    assert _rows(got2) == {(1, 10), (3, 30)}
+    assert dvm.delete_where(spark, t, "id = 3") == 2
+    assert _rows(dr.read_delta(spark, t)) == {(1, 10)}
+    proto = json.loads(
+        next(
+            ln
+            for ln in open(
+                os.path.join(t, "_delta_log", f"{1:020d}.json")
+            ).read().splitlines()
+            if '"protocol"' in ln
+        )
+    )["protocol"]
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
