@@ -434,7 +434,15 @@ def group_state_merge_sql_versioned(
     delta deleted see a non-positive ``d_docs`` and never re-insert,
     groups it inserted are MATCHED with an exhausted guard. This is the
     same version-guard discipline the CDC merge dialects use (T9
-    idempotent replay), applied to the view-maintenance state."""
+    idempotent replay), applied to the view-maintenance state.
+
+    A NULL ``last_v`` (the documented upgrade path: ``ALTER TABLE ADD
+    COLUMN last_v`` on a populated pre-versioned state table leaves
+    existing rows NULL) counts as "never version-stamped" and must
+    PASS the guard — a bare ``t.last_v < s.d_v`` is NULL→false and
+    would silently freeze those groups forever. First touch stamps
+    them with the delta's version and they join the idempotent
+    regime."""
     add_size = (
         "CASE WHEN t.nn_size + s.d_nn = 0 THEN NULL "
         "ELSE coalesce(t.sum_size, CAST(0 AS BIGINT)) "
@@ -446,9 +454,10 @@ def group_state_merge_sql_versioned(
         f"USING (SELECT {group_col}, d_docs, d_size, d_nn, "
         f"CAST({v} AS BIGINT) AS d_v FROM {delta_view}) s\n"
         f"ON t.{group_col} <=> s.{group_col}\n"
-        f"WHEN MATCHED AND t.last_v < s.d_v AND t.docs + s.d_docs <= 0 "
-        f"THEN DELETE\n"
-        f"WHEN MATCHED AND t.last_v < s.d_v THEN UPDATE SET "
+        f"WHEN MATCHED AND (t.last_v IS NULL OR t.last_v < s.d_v) "
+        f"AND t.docs + s.d_docs <= 0 THEN DELETE\n"
+        f"WHEN MATCHED AND (t.last_v IS NULL OR t.last_v < s.d_v) "
+        f"THEN UPDATE SET "
         f"docs = t.docs + s.d_docs, sum_size = {add_size}, "
         f"nn_size = t.nn_size + s.d_nn, last_v = s.d_v\n"
         f"WHEN NOT MATCHED AND s.d_docs > 0 THEN "

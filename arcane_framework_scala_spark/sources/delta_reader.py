@@ -931,8 +931,11 @@ def _id_scan_groups(
     before the mapping upgrade, when physicalName was assigned = the
     then-logical name) falls back to its physicalName. A field id
     absent from an id-carrying footer means the column post-dates the
-    file — the imposed schema's physicalName misses and Spark
-    null-fills, it can never bind another column's data. Footer reads
+    file — it binds to a sentinel source name guaranteed absent from
+    the file so Spark null-fills (r11, ADVICE r10: falling back to
+    physicalName here could silently capture a column with that
+    physical name owned by a DROPPED field id the duplicate-source
+    guard can no longer see). Footer reads
     are driver-side O(files), the planning cost class (same posture as
     the Iceberg evolved scan); partition fields always bind to their
     physicalName (the hive DIR name). Raises if two fields resolve to
@@ -958,8 +961,12 @@ def _id_scan_groups(
         for f in fields:
             if f["name"] in part or not ids:
                 sig.append((f["physical"], f["name"]))
+            elif f["id"] in ids:
+                sig.append((ids[f["id"]], f["name"]))
             else:
-                sig.append((ids.get(f["id"], f["physical"]), f["name"]))
+                # id-carrying footer, field id absent: column-absent →
+                # forced null-fill (never bind by physicalName here)
+                sig.append((f"__dl_absent_{f['id']}", f["name"]))
         srcs = [s for s, _ in sig]
         if len(set(srcs)) != len(srcs):
             raise ValueError(
@@ -1269,12 +1276,36 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
         )
 
     def remove_row(rel: str, a: dict) -> Row:
+        # extendedFileMetadata block (r11, ADVICE r10 conformance):
+        # real Delta writers stamp partitionValues + size on removes;
+        # recover them from the remove action when it carried them,
+        # else from the tombstoned file itself (hive path segments /
+        # on-disk size while the not-yet-vacuumed file still exists)
+        pv = a.get("partitionValues")
+        if pv is None:
+            pv = {}
+            for seg in os.path.dirname(rel).split(os.sep):
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    val = unquote(val)
+                    pv[k] = (
+                        None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    )
+        size = a.get("size")
+        if size is None:
+            try:
+                size = os.stat(os.path.join(out_dir, rel)).st_size
+            except OSError:
+                size = None
         return Row(
             add=None,
             remove=Row(
                 path=quote(rel, safe="/="),
                 deletionTimestamp=a.get("deletionTimestamp"),
                 dataChange=bool(a.get("dataChange", True)),
+                extendedFileMetadata=True,
+                partitionValues=pv,
+                size=size,
                 deletionVector=dv_row(a.get("deletionVector")),
             ),
             metaData=None,
@@ -1323,7 +1354,9 @@ def export_checkpoint(spark: SparkSession, out_dir: str) -> int:
         "size:bigint, modificationTime:bigint, dataChange:boolean, "
         f"deletionVector:{dv_struct}>, "
         "remove struct<path:string, deletionTimestamp:bigint, "
-        f"dataChange:boolean, deletionVector:{dv_struct}>, "
+        "dataChange:boolean, extendedFileMetadata:boolean, "
+        "partitionValues:map<string,string>, size:bigint, "
+        f"deletionVector:{dv_struct}>, "
         "metaData struct<id:string, "
         "format:struct<provider:string, options:map<string,string>>, "
         "schemaString:string, partitionColumns:array<string>, "

@@ -483,22 +483,30 @@ def _scan_evolved(
                 if src is None:
                     sig.append((None, f["name"], f["type"], f["type"]))
                     continue
-                if src == f["name"]:
-                    src_t = f["type"]
-                elif any(
-                    src == n
-                    for n, _t in (evo.get(f["id"], {}) or {}).get(
-                        "alts", []
-                    )
-                ):
-                    src_t = next(
-                        t
-                        for n, t in evo[f["id"]]["alts"]
-                        if n == src
-                    )
-                else:
-                    src_t = _ARROW_TO_ICEBERG.get(arrow_of[src])
-                    if src_t is None:
+                # the footer's physical type is the exact stored type
+                # (r11, ADVICE r10): prefer it even when the name
+                # matches the current schema, so a promoted-but-not-
+                # renamed column (int32 stored, long current) takes the
+                # REAL promotion-legality check instead of riding
+                # Spark's implicit parquet widening
+                src_t = _ARROW_TO_ICEBERG.get(arrow_of[src])
+                if src_t is None:
+                    # arrow type outside the primitive map (timestamps,
+                    # decimals, nested): recover from the schema history
+                    if src == f["name"]:
+                        src_t = f["type"]
+                    elif any(
+                        src == n
+                        for n, _t in (evo.get(f["id"], {}) or {}).get(
+                            "alts", []
+                        )
+                    ):
+                        src_t = next(
+                            t
+                            for n, t in evo[f["id"]]["alts"]
+                            if n == src
+                        )
+                    else:
                         raise IcebergError(
                             f"cannot recover the stored Iceberg type of "
                             f"{src!r} ({arrow_of[src]}) in {local!r} — "

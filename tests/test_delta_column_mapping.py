@@ -710,3 +710,41 @@ def test_struct_map_keys_still_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="MAP KEYS"):
         dr.read_delta(spark, t)
+
+
+def test_id_mode_missing_id_nullfills_never_binds_physicalname(
+    spark, tmp_path
+):
+    """r11 (ADVICE r10): a footer that CARRIES field ids but lacks a
+    mapped field's id means the column post-dates (or was rewritten
+    away from) the file — it must null-fill. Falling back to
+    physicalName would silently bind a column with that physical name
+    owned by a DROPPED field id (the duplicate-source guard can't see
+    it because the rightful owner is gone from the current schema)."""
+    t = _id_table(spark, tmp_path)
+    # d.parquet: ids present; carries a column NAMED 'col-score' that
+    # belongs to dropped field id 9 — NOT current 'score' (id 3)
+    _write_pa(
+        os.path.join(t, "d.parquet"),
+        {"uid": [100], "val": [200], "col-score": [99.5]},
+        ids={"uid": 1, "val": 2, "col-score": 9},
+    )
+    _commit(
+        t,
+        1,
+        [
+            {
+                "add": {
+                    "path": "d.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(t, "d.parquet")),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    got = dr.read_delta(spark, t)
+    rows = {(r.user_id, r.val, r.score) for r in got.collect()}
+    # the stale 99.5 must NOT surface as 'score'
+    assert rows == _expected_id_rows() | {(100, 200, None)}

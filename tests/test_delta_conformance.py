@@ -225,3 +225,48 @@ def test_checkpoint_only_log_replays_through_the_sidecar(spark, tmp_path):
         for r in dr.read_delta(spark, out).collect()
     }
     assert got2 == {(3, "c", "z")}
+
+
+def test_checkpoint_remove_tombstones_carry_extended_file_metadata(
+    spark, tmp_path
+):
+    """r11 (ADVICE r10): real Delta writers stamp removes in the
+    checkpoint with extendedFileMetadata=true + partitionValues + size
+    (PROTOCOL.md Remove File); external readers consuming the exported
+    checkpoint expect them. Partition values recover from the hive
+    path segments, size from the not-yet-vacuumed file."""
+    rows = [(1, "a b", "x"), (2, "k", "y")]
+    target = _partitioned_target(spark, tmp_path, rows)
+    out = str(tmp_path / "exp")
+    dr.export_delta(target, out)
+    target.overwrite(
+        spark.createDataFrame([(2, "k", "y")], "id long, p string, v string")
+    )
+    dr.export_delta(target, out)
+    head = dr.export_checkpoint(spark, out)
+    ck = spark.read.parquet(
+        os.path.join(out, "_delta_log", f"{head:020d}.checkpoint.parquet")
+    )
+    rm_fields = {
+        f.name for f in dict(
+            (f.name, f) for f in ck.schema.fields
+        )["remove"].dataType.fields
+    }
+    assert rm_fields == REMOVE_KEYS | {
+        "extendedFileMetadata", "partitionValues", "size", "deletionVector",
+    }
+    removes = [r["remove"] for r in ck.filter("remove is not null").collect()]
+    assert removes, "checkpoint lost the tombstones"
+    from urllib.parse import unquote
+
+    for rm in removes:
+        assert rm["extendedFileMetadata"] is True
+        rel = unquote(rm["path"])
+        # hive segment p=a%20b -> {'p': 'a b'}
+        want_p = next(
+            seg.partition("=")[2]
+            for seg in os.path.dirname(rel).split(os.sep)
+            if "=" in seg
+        )
+        assert rm["partitionValues"] == {"p": unquote(want_p)}
+        assert rm["size"] == os.path.getsize(os.path.join(out, rel))

@@ -373,3 +373,70 @@ def test_evolved_identity_partitioned_injects_by_source_id(spark, tmp_path):
         for r in ir.read_iceberg(spark, out).collect()
     }
     assert rows == {(i, i % 3) for i in range(12) if i % 3 != 1}
+
+
+def test_promoted_not_renamed_with_ids_takes_exact_stored_type(
+    spark, tmp_path
+):
+    """r11 (ADVICE r10): the id path used to assume stored type ==
+    current type whenever the footer NAME matched the current name,
+    bypassing the promotion-legality check (reads only worked because
+    Spark's parquet reader widens). The stored type must come from the
+    footer's physical type even on a name match: a legal
+    promoted-but-not-renamed column (int32 stored, long current) reads
+    exactly, and an ILLEGAL narrowing (int64 stored, current int)
+    raises instead of riding implicit widening."""
+    out = _export(
+        spark, tmp_path, [(i, i * 3) for i in range(7)], "k int, v long"
+    )
+    mf = ir.table_metadata_file(out)
+    old_fields = json.load(open(mf))["schemas"][0]["fields"]
+    ids = {f["name"]: f["id"] for f in old_fields}
+    # promote k int -> long WITHOUT renaming it
+    _evolve(
+        out,
+        [
+            {**f, "type": ("long" if f["name"] == "k" else f["type"])}
+            for f in old_fields
+        ],
+    )
+    _stamp_field_ids(out, ids)
+    got = ir.read_iceberg(spark, out)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert {(r["k"], r["v"]) for r in got.collect()} == {
+        (i, i * 3) for i in range(7)
+    }
+
+    # a file whose STORED type disagrees with a clean schema history
+    # (v stored as string, every schema says long — a corrupt/foreign
+    # file): the history-level retype check can't see it; before the
+    # fix the name-matched 'v' skipped stored-type recovery and the
+    # mismatch surfaced only as a Spark runtime read error. Now it's
+    # a plan-time promotion-legality raise.
+    out2 = _export(
+        spark,
+        tmp_path / "n",
+        [(i, str(i)) for i in range(4)],
+        "a int, v string",
+    )
+    mf2 = ir.table_metadata_file(out2)
+    meta2 = json.load(open(mf2))
+    old2 = meta2["schemas"][0]["fields"]
+    ids2 = {f["name"]: f["id"] for f in old2}
+    lied = [
+        {**f, "type": ("long" if f["name"] == "v" else f["type"])}
+        for f in old2
+    ]
+    meta2["schemas"][0]["fields"] = lied
+    json.dump(meta2, open(mf2, "w"))
+    # rename 'a' so the evolved-resolution path engages; v stays long
+    _evolve(
+        out2,
+        [
+            {**f, "name": ("a2" if f["name"] == "a" else f["name"])}
+            for f in lied
+        ],
+    )
+    _stamp_field_ids(out2, ids2)
+    with pytest.raises(ir.IcebergError, match="not a legal promotion"):
+        ir.read_iceberg(spark, out2).collect()

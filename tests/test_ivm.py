@@ -451,3 +451,82 @@ def test_versioned_state_table_survives_crash_between_merge_and_record(
     assert "c" not in {r["host"] for r in view2.collect()}
     spark.sql(f"DROP TABLE IF EXISTS {state}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_null_last_v_rows_pass_the_version_guard(spark, tmp_path):
+    """r11 (ADVICE r10, medium): the documented upgrade path — ``ALTER
+    TABLE ADD COLUMN last_v`` on a populated pre-versioned state table —
+    leaves existing rows with NULL last_v. A bare ``t.last_v < s.d_v``
+    is NULL→false, so every MATCHED clause would skip those groups
+    FOREVER (silent maintenance freeze). The guard must treat NULL as
+    "never stamped" and apply the delta, stamping the row."""
+    import os
+
+    import pytest
+
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+
+    state = "arcm.test.null_lastv_state"
+    table = "arcm.test.null_lastv_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    target = DurableCatalogTarget(spark, str(tmp_path / "t"), table)
+    sink = MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING)
+    schema = (
+        "ARCANE_MERGE_KEY string, SYS_CHANGE_VERSION long, "
+        "SYS_CHANGE_OPERATION string, host string, n long"
+    )
+    sink.apply(spark.createDataFrame(
+        [("k1", 1, "U", "a", 10), ("k2", 2, "U", "b", 5)], schema))
+
+    # simulate the upgraded table: rows reflect the CURRENT target
+    # snapshot, but pre-date the versioned regime (last_v NULL), and
+    # the sync property points at the snapshot they reflect
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(host STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT, "
+        "last_v BIGINT) USING mem"
+    )
+    spark.sql(
+        f"INSERT INTO {state} VALUES "
+        "('a', 1, 10, 1, NULL), ('b', 1, 5, 1, NULL)"
+    )
+    v0 = target.snapshots.current_version()
+    spark.sql(
+        f"ALTER TABLE {state} SET TBLPROPERTIES "
+        f"('{ivm.StreamingViewMaintainer.SYNC_PROPERTY}'='{v0}')"
+    )
+
+    # wave 2 touches BOTH pre-upgrade groups: update in 'a', delete 'b'
+    sink.apply(spark.createDataFrame(
+        [("k1", 3, "U", "a", 20), ("k2", 4, "D", None, None)], schema))
+    m = ivm.StreamingViewMaintainer(
+        target, group_col="host", size_col="n", state_table=state
+    )
+    assert m._versioned
+    m.sync()
+    fresh = ivm.group_stats_bootstrap(target.read(), "host", "n")
+    view = m.view().select("host", "docs", "sum_size", "nn_size")
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
+    got = {r["host"]: (r["docs"], r["sum_size"]) for r in view.collect()}
+    assert got == {"a": (1, 20)}  # 'b' deleted-to-zero, 'a' updated
+    # first touch STAMPS the row — it joins the idempotent regime
+    stamped = spark.table(state).where("host = 'a'").collect()[0]
+    assert stamped["last_v"] is not None
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
