@@ -39,64 +39,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_m3_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
-# r10 GATE WINDOW (VERDICT r9 item 3): scripts/plan_window.py --emit
-# verbatim, pure staleness order — the 28-row r5 cohort first (extinct
-# after this window), then the stalest r6 rows. r10-born gates are
+# r11 GATE WINDOW (VERDICT r10 item 1): scripts/plan_window.py --emit
+# verbatim, pure staleness order — the 30-row r6 cohort first (extinct
+# after this window), then the stalest r7 rows. r11-born gates are
 # appended by displacing the freshest tail entries of the proposal
 # (never-checked gates MUST sit inside the window — the registry
 # contract test enforces it). Max registry staleness after the driver
 # runs this window stays <=4.
-_GATE_WINDOW_R10 = [
-    "a13_winsorize",
-    "t_ewma_pow2",
-    "s15_partitioned_roundtrip",
-    "corpus_shard_manifest",
-    "a14_freshness",
-    "t_dwell_time",
-    "corpus_novelty",
-    "a15_daily_growth",
-    "corpus_dup_by_source",
-    "t_active_users",
-    "dedup_semantic",
-    "corpus_dsir_select",
-    "corpus_quality_classifier",
-    "t4_shaper_chain",
-    "t12_metrics_wire",
-    "t10_graceful_stop",
-    "dedup_exact",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5ish",
-    "k1_staging_writer",
-    "m6_shard_resume",
-    "w2_backfill_dedup",
-    "sim_ivfpq_index_topk",
-    "corpus_fuzzy_contamination",
-    "dedup_semantic_prefit",
-    "a16_category_drift",
-    "sim_ivfpq_index_rerank",
-    "m8_lakehouse_vertical",
-    "t1_stream_trigger_vertical",
-    "a17_hll_distinct",
-    "a18_cms_heavy_hitters",
-    "a19_kmv_overlap",
-    "a20_log_hist_quantiles",
-    "m4_overwrite_backfill",
-    "a3_table_stats",
-    "m5_shard_combine",
-    "s7_cdm_csv_parse",
-    "o4_watermark_rows",
-    "t_stream_hll",
-    "t_hll_state_merge",
-    "s2_backfill_scan",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "sim_cosine_topk",
-    "s9_json_explode",
-    "s10_blob_csv",
-    "p1_field_filter",
-    "x13_iceberg_evolved_mor",
-    "s20_delta_id_mapping",
+_GATE_WINDOW_R11 = [
+    "p6_name_normalize",
+    "a2_agg_version_stats",
+    "p7_json_extract",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_span_stats",
+    "sim_tfidf_rerank",
+    "dedup_span_clean",
+    "sim_rrf_hybrid",
+    "sim_lsh_buckets",
+    "sim_lsh_neighbors",
+    "mm_image_features",
+    "mm_audio_features",
+    "web_url_canonical",
+    "web_host_stats",
+    "web_host_cap",
+    "web_url_dedup",
+    "corpus_line_dedup",
+    "corpus_line_dedup_clean",
+    "corpus_top_ngrams",
+    "m9_web_ingest_vertical",
+    "a21_host_stats_ivm",
+    "a22_grouping_cube",
+    "a23_window_suite",
+    "p13_set_ops",
+    "s1_mssql_changes",
+    "s6_cdm_vertical",
+    "m1_merge_sqlserver",
+    "m2_merge_synapse",
+    "m3_merge_upsert",
+    "m7_real_merge_vertical",
+    "t1_polling_vertical",
+    "t2_crash_replay",
+    "t7_stream_merge_vertical",
+    "t9_replay_idempotent",
+    "corpus_pipeline_e2e",
+    "dedup_clusters_star",
+    "mm_frame_sample",
+    "s9_avro_json",
+    "sim_ivf_topk",
+    "sim_kmeans_centroids",
+    "sim_ivf_trained_topk",
+    "sim_quantize_int8",
+    "dedup_embedding_cosine",
+    "t_window_agg",
 ]
 
 
@@ -345,8 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_window_suite": q_a23_window_suite,
         "p13_set_ops": q_p13_set_ops,
     }
-    assert len(_GATE_WINDOW_R10) == 50, len(_GATE_WINDOW_R10)
-    front = {n: full[n] for n in _GATE_WINDOW_R10}
+    assert len(_GATE_WINDOW_R11) == 50, len(_GATE_WINDOW_R11)
+    front = {n: full[n] for n in _GATE_WINDOW_R11}
     return {**front, **{n: f for n, f in full.items() if n not in front}}
 
 

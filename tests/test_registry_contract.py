@@ -47,7 +47,7 @@ def _driver_green() -> set[str]:
 
     root = os.path.join(os.path.dirname(__file__), "..")
     green: set[str] = set()
-    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(p) as f:
             for name, row in json.load(f).items():
                 if (
@@ -59,35 +59,36 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_gate_window_is_the_declared_r10_rotation():
-    """The driver checks the FIRST 50 entries only; r10 is the pure
-    staleness rotation (VERDICT r9 item 3): the full remaining r5
-    cohort (extinct after this window), then the stalest r6 rows.
-    r10-born gates displace the freshest tail entries. Pin the
+def test_gate_window_is_the_declared_r11_rotation():
+    """The driver checks the FIRST 50 entries only; r11 is the pure
+    staleness rotation (VERDICT r10 item 1): the full remaining r6
+    cohort (extinct after this window), then the stalest r7 rows.
+    r11-born gates displace the freshest tail entries. Pin the
     families so a refactor reordering the dict doesn't silently drop
     the rotation."""
     names = list(entry_mod.queries())
     assert len(names) >= 90
     first50 = set(names[:50])
     for required in (
-        # the 28-row r5 cohort (staleness 5 -> extinct after r10)
-        "a13_winsorize", "t_ewma_pow2", "s15_partitioned_roundtrip",
-        "corpus_shard_manifest", "a14_freshness", "t_dwell_time",
-        "corpus_novelty", "a15_daily_growth", "corpus_dup_by_source",
-        "t_active_users", "dedup_semantic", "corpus_dsir_select",
-        "corpus_quality_classifier", "t4_shaper_chain",
-        "t12_metrics_wire", "t10_graceful_stop", "dedup_exact",
-        "tpch_q1", "tpch_q3", "tpch_q5ish", "k1_staging_writer",
-        "m6_shard_resume", "w2_backfill_dedup", "sim_ivfpq_index_topk",
-        "corpus_fuzzy_contamination", "dedup_semantic_prefit",
-        "a16_category_drift", "sim_ivfpq_index_rerank",
-        # stalest r6 rows
-        "m8_lakehouse_vertical", "t1_stream_trigger_vertical",
-        "a17_hll_distinct", "a18_cms_heavy_hitters", "a19_kmv_overlap",
-        "a20_log_hist_quantiles", "m4_overwrite_backfill",
-        "a3_table_stats", "m5_shard_combine", "s7_cdm_csv_parse",
-        "o4_watermark_rows", "t_stream_hll", "t_hll_state_merge",
-        "s2_backfill_scan", "dedup_minhash_lsh_pairs", "dedup_clusters",
+        # the 30-row r6 cohort (staleness 5 -> extinct after r11)
+        "p6_name_normalize", "a2_agg_version_stats", "p7_json_extract",
+        "text_quality", "token_counts", "lang_id", "doc_fingerprint",
+        "dedup_minhash_signature", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_span_stats", "sim_tfidf_rerank",
+        "dedup_span_clean", "sim_rrf_hybrid", "sim_lsh_buckets",
+        "sim_lsh_neighbors", "mm_image_features", "mm_audio_features",
+        "web_url_canonical", "web_host_stats", "web_host_cap",
+        "web_url_dedup", "corpus_line_dedup", "corpus_line_dedup_clean",
+        "corpus_top_ngrams", "m9_web_ingest_vertical",
+        "a21_host_stats_ivm", "a22_grouping_cube", "a23_window_suite",
+        "p13_set_ops",
+        # stalest r7 rows
+        "s1_mssql_changes", "s6_cdm_vertical", "m1_merge_sqlserver",
+        "m2_merge_synapse", "m3_merge_upsert", "m7_real_merge_vertical",
+        "t1_polling_vertical", "t2_crash_replay",
+        "t7_stream_merge_vertical", "t9_replay_idempotent",
+        "corpus_pipeline_e2e", "dedup_clusters_star", "mm_frame_sample",
+        "s9_avro_json", "sim_ivf_topk", "sim_kmeans_centroids",
     ):
         assert required in first50, required
 
