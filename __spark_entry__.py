@@ -96,7 +96,9 @@ _GATE_WINDOW_R11 = [
     "sim_ivf_trained_topk",
     "sim_quantize_int8",
     "dedup_embedding_cosine",
-    "t_window_agg",
+    # r11-born gates displace the proposal's freshest tail entries
+    # (t_window_agg out): never-checked gates must sit in the window
+    "t_ivm_delta_feed",
 ]
 
 
@@ -332,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s19_delta_dv": q_s19_delta_dv,
         "s20_delta_id_mapping": q_s20_delta_id_mapping,
         "t_ivm_iceberg_feed": q_t_ivm_iceberg_feed,
+        "t_ivm_delta_feed": q_t_ivm_delta_feed,
         "x12_iceberg_evolution": q_x12_iceberg_evolution,
         "x13_iceberg_evolved_mor": q_x13_iceberg_evolved_mor,
         "s17_xml_ingest": q_s17_xml_ingest,
@@ -420,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "s19_delta_dv": _S19_DELTA_DV_SQL,
         "s20_delta_id_mapping": _S20_DELTA_ID_MAPPING_SQL,
         "t_ivm_iceberg_feed": _T_IVM_ICEBERG_FEED_SQL,
+        "t_ivm_delta_feed": _T_IVM_DELTA_FEED_SQL,
         "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,
         "x13_iceberg_evolved_mor": _X13_ICEBERG_EVOLVED_MOR_SQL,
         "s17_xml_ingest": _S17_XML_SQL,

@@ -1152,7 +1152,12 @@ def export_delta(target, out_dir: str) -> int:
                     "partitionColumns": list(
                         getattr(target, "partition_cols", []) or []
                     ),
-                    "configuration": {},
+                    # carry the table's configuration forward — a
+                    # schema-drift metaData re-emit must not silently
+                    # drop properties like delta.enableChangeDataFeed
+                    "configuration": dict(
+                        (prev_meta or {}).get("configuration") or {}
+                    ),
                 }
             }
         )

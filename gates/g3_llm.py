@@ -2895,5 +2895,100 @@ def q_dedup_prefix_recall(spark, sf_dir):
 
 
 
+def q_t_ivm_delta_feed(spark, sf_dir):
+    """Incremental view maintenance OFF A CDF-ENABLED DELTA TABLE this
+    engine only READS (r11, VERDICT r10 item 2 — the cross-format twin
+    of ``t_ivm_iceberg_feed``): a view bootstraps from the
+    enable-CDF version of a jar-free Delta export, the table then
+    changes through a DELETION-VECTOR delete (no cdc files — the feed
+    derives from the remove→add pair's DV DIFF), a copy-on-write
+    UPDATE (which WRITES ``_change_data`` cdc files with pre/post
+    images, the branch real Databricks writers take), and a blind
+    APPEND (derived inserts). ``delta_cdf`` reads the feed across all
+    three commit shapes, ``cdf_to_diff`` adapts it to the
+    snapshot_diff shape, and the maintainer catches up in O(|delta|) —
+    never rescanning the base table. The maintained view must equal a
+    fresh groupBy of the CURRENT version (checked Spark-side both
+    ways); the oracle recomputes it relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators.ivm import (
+        apply_group_delta,
+        group_delta,
+        group_stats_bootstrap,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import delta_cdf as dcdf
+    from arcane_framework_scala_spark.sources import delta_dv as dvm
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_tidf_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(3))
+    out_tbl = os.path.join(run_dir, "delta")
+    if dr.export_delta(st, out_tbl) != 0:
+        raise AssertionError("export should be Delta version 0")
+    v1 = dcdf.enable_cdf(spark, out_tbl)
+    boot = group_stats_bootstrap(
+        dr.read_delta(spark, out_tbl), "event_type", "value_milli"
+    )
+
+    if dvm.delete_where(spark, out_tbl, "event_type = 'click'") != 2:
+        raise AssertionError("DV delete should be version 2")
+    if dcdf.update_where(
+        spark, out_tbl, "user_id % 10 = 3",
+        {"value_milli": "value_milli + 1000"},
+    ) != 3:
+        raise AssertionError("CoW update should be version 3")
+    v4 = dcdf.append_rows(
+        spark, out_tbl, ev.filter(F.col("event_id") > t1)
+    )
+    if v4 != 4:
+        raise AssertionError("append should be version 4")
+
+    feed = dcdf.delta_cdf(spark, out_tbl, v1, v4)
+    diff = dcdf.cdf_to_diff(feed, keys=["event_id"])
+    view = apply_group_delta(
+        boot, group_delta(diff, "event_type", "value_milli"), "event_type"
+    )
+    fresh = group_stats_bootstrap(
+        dr.read_delta(spark, out_tbl), "event_type", "value_milli"
+    )
+    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+        raise AssertionError("maintained view diverged from fresh groupBy")
+    return view
+
+
+_T_IVM_DELTA_FEED_SQL = """
+WITH t AS (SELECT max(event_id) * 6 // 10 AS t1 FROM events),
+     base AS (SELECT event_id, user_id, event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS vm
+              FROM events),
+     kept AS (
+       SELECT event_id, event_type,
+              CASE WHEN user_id % 10 = 3 THEN vm + 1000 ELSE vm END AS vm
+       FROM base, t
+       WHERE event_id <= t1 AND event_type <> 'click'
+       UNION ALL
+       SELECT event_id, event_type, vm FROM base, t WHERE event_id > t1)
+SELECT event_type, COUNT(*) AS docs, CAST(SUM(vm) AS BIGINT) AS sum_size,
+       COUNT(vm) AS nn_size
+FROM kept GROUP BY event_type
+"""
+
+
+
 #: chained-star-import contract: export EVERYTHING (incl. _helpers)
 __all__ = [n for n in list(globals()) if not n.startswith("__")]

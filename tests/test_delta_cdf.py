@@ -1,0 +1,271 @@
+"""Delta change-data-feed (r11, VERDICT r10 item 2): cdc-file reads,
+derived add/remove/DV-diff feeds, the copy-on-write UPDATE writer, and
+the snapshot_diff adapter that lets IVM maintain views off a
+CDF-enabled Delta table in O(|delta|)."""
+
+import json
+import os
+
+import pytest
+
+from arcane_framework_scala_spark.operators.ivm import (
+    apply_group_delta,
+    group_delta,
+    group_stats_bootstrap,
+)
+from arcane_framework_scala_spark.sinks.merge_sink import (
+    SnapshotParquetTarget,
+)
+from arcane_framework_scala_spark.sources import delta_cdf as cdf
+from arcane_framework_scala_spark.sources import delta_dv as dv
+from arcane_framework_scala_spark.sources import delta_reader as dr
+
+
+def _export(spark, tmp_path, rows, schema="k long, g string, n long"):
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(spark.createDataFrame(rows, schema).repartition(2))
+    out = str(tmp_path / "delta")
+    assert dr.export_delta(t, out) == 0
+    return out
+
+
+def _commit_actions(out, v):
+    p = os.path.join(out, "_delta_log", f"{v:020d}.json")
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+BASE = [(i, "a" if i % 2 else "b", i * 10) for i in range(12)]
+
+
+def test_enable_cdf_sets_property_and_writer_requirement(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    v = cdf.enable_cdf(spark, out)
+    assert v == 1
+    st = dr._replay_state(out, None, spark)
+    assert st["meta"]["configuration"][cdf.CDF_PROP] == "true"
+    # legacy protocol (1/2) upgrades to writer version 4 (changeDataFeed)
+    assert st["protocol"]["minWriterVersion"] == 4
+    # idempotent: enabling again is a no-op returning the head
+    assert cdf.enable_cdf(spark, out) == 1
+
+
+def test_enable_cdf_on_table_features_protocol_adds_the_feature(
+    spark, tmp_path
+):
+    out = _export(spark, tmp_path, BASE)
+    assert dv.delete_where(spark, out, "k = 0") == 1  # upgrades to 3/7
+    cdf.enable_cdf(spark, out)
+    st = dr._replay_state(out, None, spark)
+    assert "changeDataFeed" in st["protocol"]["writerFeatures"]
+    assert "deletionVectors" in st["protocol"]["writerFeatures"]
+
+
+def test_cdf_requires_the_property(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    with pytest.raises(cdf.ChangeDataFeedError, match="enableChangeDataFeed"):
+        cdf.delta_cdf(spark, out, -1, 0)
+
+
+def test_append_rows_derives_inserts(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, out)
+    v = cdf.append_rows(
+        spark,
+        out,
+        spark.createDataFrame(
+            [(100, "c", 7), (101, "c", None)], "k long, g string, n long"
+        ),
+    )
+    feed = cdf.delta_cdf(spark, out, 1, v)
+    rows = {
+        (r.k, r.g, r.n, r[cdf.CHANGE_TYPE], r[cdf.COMMIT_VERSION])
+        for r in feed.collect()
+    }
+    assert rows == {
+        (100, "c", 7, "insert", v),
+        (101, "c", None, "insert", v),
+    }
+    # and the table itself grew
+    assert dr.read_delta(spark, out).count() == len(BASE) + 2
+
+
+def test_dv_delete_feeds_only_the_deleted_rows(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, out)
+    v2 = dv.delete_where(spark, out, "k < 3")
+    feed = cdf.delta_cdf(spark, out, 1, v2)
+    rows = {(r.k, r[cdf.CHANGE_TYPE]) for r in feed.collect()}
+    assert rows == {(0, "delete"), (1, "delete"), (2, "delete")}
+
+    # an OVERLAPPING second delete must feed only the NEWLY deleted
+    # rows (the superset DV carries k<3 forever; the diff excludes it)
+    v3 = dv.delete_where(spark, out, "k < 5")
+    feed2 = cdf.delta_cdf(spark, out, v2, v3)
+    rows2 = {(r.k, r[cdf.CHANGE_TYPE]) for r in feed2.collect()}
+    assert rows2 == {(3, "delete"), (4, "delete")}
+    # the whole range composes
+    both = cdf.delta_cdf(spark, out, 1, v3)
+    assert both.filter("_change_type = 'delete'").count() == 5
+
+
+def test_full_file_remove_feeds_deletes(spark, tmp_path):
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(
+        spark.createDataFrame(BASE, "k long, g string, n long").repartition(2)
+    )
+    out = str(tmp_path / "delta")
+    assert dr.export_delta(t, out) == 0
+    cdf.enable_cdf(spark, out)
+    # shrink the published table -> export commits remove actions
+    keep = [r for r in BASE if r[0] >= 6]
+    t.overwrite(
+        spark.createDataFrame(keep, "k long, g string, n long").repartition(1)
+    )
+    v = dr.export_delta(t, out)
+    feed = cdf.delta_cdf(spark, out, 1, v)
+    got = {(r.k, r[cdf.CHANGE_TYPE]) for r in feed.collect()}
+    # the overwrite rewrote every file: old rows delete, kept rows
+    # re-insert — the NET change is what matters downstream
+    assert {(k, "delete") for k, _g, _n in BASE} <= got
+    assert {(k, "insert") for k, _g, _n in keep} <= got
+
+
+def test_update_where_rewrites_and_writes_cdc(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, out)
+    v = cdf.update_where(spark, out, "g = 'a'", {"n": "n + 1"})
+    assert v == 2
+    # table state: odd keys bumped
+    got = {(r.k, r.n) for r in dr.read_delta(spark, out).collect()}
+    assert got == {
+        (k, n + 1 if g == "a" else n) for k, g, n in BASE
+    }
+    # the commit carries cdc actions and a _change_data file
+    actions = _commit_actions(out, v)
+    cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdc_actions and all(
+        a["path"].startswith("_change_data/") and a["dataChange"] is False
+        for a in cdc_actions
+    )
+    # removes carry extendedFileMetadata per PROTOCOL.md
+    rms = [a["remove"] for a in actions if "remove" in a]
+    assert rms and all(r["extendedFileMetadata"] is True for r in rms)
+    # the feed is exactly the pre/post images (never the rewritten
+    # files' unchanged rows)
+    feed = cdf.delta_cdf(spark, out, 1, v)
+    pre = {
+        (r.k, r.n)
+        for r in feed.filter("_change_type = 'update_preimage'").collect()
+    }
+    post = {
+        (r.k, r.n)
+        for r in feed.filter("_change_type = 'update_postimage'").collect()
+    }
+    assert pre == {(k, n) for k, g, n in BASE if g == "a"}
+    assert post == {(k, n + 1) for k, g, n in BASE if g == "a"}
+    assert feed.count() == len(pre) + len(post)
+
+
+def test_update_where_nothing_matched_returns_none(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    assert cdf.update_where(spark, out, "k > 999", {"n": "0"}) is None
+
+
+def test_update_where_respects_live_dvs(spark, tmp_path):
+    out = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, out)
+    dv.delete_where(spark, out, "k = 1")
+    v = cdf.update_where(spark, out, "g = 'a'", {"n": "n + 1"})
+    # k=1 was dead before the update: not in the table, not in the feed
+    got = {(r.k, r.n) for r in dr.read_delta(spark, out).collect()}
+    assert (1, 11) not in got and (1, 10) not in got
+    feed = cdf.delta_cdf(spark, out, 2, v)
+    assert feed.filter("k = 1").count() == 0
+    # rewritten files fold the DV in: the new adds carry no vector
+    acts = _commit_actions(out, v)
+    assert all(
+        a["add"].get("deletionVector") is None
+        for a in acts
+        if "add" in a
+    )
+
+
+def test_update_where_refuses_partition_assignment(spark, tmp_path):
+    t = SnapshotParquetTarget(
+        spark, str(tmp_path / "pub"), partition_cols=["g"]
+    )
+    t.overwrite(spark.createDataFrame(BASE, "k long, g string, n long"))
+    out = str(tmp_path / "delta")
+    dr.export_delta(t, out)
+    with pytest.raises(cdf.ChangeDataFeedError, match="partition columns"):
+        cdf.update_where(spark, out, "k = 0", {"g": "'z'"})
+
+
+def test_update_where_partitioned_keeps_layout(spark, tmp_path):
+    t = SnapshotParquetTarget(
+        spark, str(tmp_path / "pub"), partition_cols=["g"]
+    )
+    t.overwrite(spark.createDataFrame(BASE, "k long, g string, n long"))
+    out = str(tmp_path / "delta")
+    dr.export_delta(t, out)
+    cdf.enable_cdf(spark, out)
+    v = cdf.update_where(spark, out, "g = 'a' and k < 5", {"n": "n * 100"})
+    got = {(r.k, r.g, r.n) for r in dr.read_delta(spark, out).collect()}
+    assert got == {
+        (k, g, n * 100 if (g == "a" and k < 5) else n) for k, g, n in BASE
+    }
+    acts = _commit_actions(out, v)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(
+        a["partitionValues"] == {"g": "a"} and a["path"].startswith("g=a/")
+        for a in adds
+    )
+    # only the g=a files were touched
+    rms = [a["remove"] for a in acts if "remove" in a]
+    assert rms and all(r["partitionValues"] == {"g": "a"} for r in rms)
+    feed = cdf.delta_cdf(spark, out, 1, v)
+    assert {r.g for r in feed.collect()} == {"a"}
+
+
+def test_schema_change_inside_range_raises(spark, tmp_path):
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(spark.createDataFrame(BASE, "k long, g string, n long"))
+    out = str(tmp_path / "delta")
+    dr.export_delta(t, out)
+    cdf.enable_cdf(spark, out)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1, "x")], "k long, g string, n long, extra string"
+        )
+    )
+    v = dr.export_delta(t, out)
+    with pytest.raises(cdf.ChangeDataFeedError, match="schema changed"):
+        cdf.delta_cdf(spark, out, 1, v).collect()
+
+
+def test_cdf_to_diff_shapes_and_ivm_maintenance(spark, tmp_path):
+    """End-to-end IVM off the feed: bootstrap at the enable version,
+    then a DV delete + an UPDATE + an append maintain the grouped view
+    in O(|delta|); the result must equal a fresh groupBy."""
+    out = _export(spark, tmp_path, BASE)
+    v1 = cdf.enable_cdf(spark, out)
+    boot = group_stats_bootstrap(dr.read_delta(spark, out), "g", "n")
+
+    dv.delete_where(spark, out, "k in (2, 4)")
+    cdf.update_where(spark, out, "k = 7", {"n": "n + 5"})
+    v4 = cdf.append_rows(
+        spark,
+        out,
+        spark.createDataFrame([(200, "c", 9)], "k long, g string, n long"),
+    )
+
+    feed = cdf.delta_cdf(spark, out, v1, v4)
+    diff = cdf.cdf_to_diff(feed, keys=["k"])
+    assert set(diff.columns) == {"k", "op", "old_g", "old_n", "new_g", "new_n"}
+    ops = {r.op for r in diff.collect()}
+    assert ops == {"insert", "delete", "update"}
+    view = apply_group_delta(boot, group_delta(diff, "g", "n"), "g")
+    fresh = group_stats_bootstrap(dr.read_delta(spark, out), "g", "n")
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
