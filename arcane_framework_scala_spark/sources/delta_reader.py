@@ -500,15 +500,18 @@ def read_delta(
         return spark.createDataFrame([], schema)
     has_dv = any(a.get("deletionVector") for a in live.values())
     if _type_widening_active(meta):
-        if mode != "none":
-            raise ValueError(
-                "type widening composed with column mapping is not "
-                "implemented — use the real connector"
-            )
         # r10: widening composes with DVs — each narrow-type group
-        # rides the lineage path so only ITS vectors apply to it
+        # rides the lineage path so only ITS vectors apply to it;
+        # r11: and with BOTH column-mapping modes (the per-group
+        # (scan schema, exprs) plan shape composes the pairings)
+        if mode == "name":
+            plans = _widened_mapping_plans(path, rels, meta, schema)
+        elif mode == "id":
+            plans = _id_widened_plans(meta, path, rels, schema)
+        else:
+            plans = _widened_plans(path, rels, meta, schema)
         out = None
-        for plan, grels in _widened_plans(path, rels, meta, schema):
+        for plan, grels in plans:
             if has_dv:
                 frame = _scan_with_lineage(
                     spark, path, {r: live[r] for r in grels}, schema, plan
@@ -758,6 +761,191 @@ def _widened_plans(
     return out
 
 
+#: Delta primitive name <-> Spark simpleString (the widenable set)
+_DELTA_TO_SPARK = {
+    "byte": "tinyint", "short": "smallint", "int": "int",
+    "long": "bigint", "float": "float", "double": "double",
+}
+_SPARK_TO_DELTA = {v: k for k, v in _DELTA_TO_SPARK.items()}
+
+
+def _narrow_sig(
+    path: str, rel: str, wanted: list[tuple[str, str]]
+) -> tuple:
+    """``((src_column, stored_narrow_or_None), …)`` for one file: the
+    parquet footer's physical type per wanted source column (None when
+    absent / already at the current width). Raises on a stored→current
+    pair outside the spec's legal widenings."""
+    import pyarrow.parquet as pq
+
+    fsch = pq.read_schema(os.path.join(path, rel))
+    by_name = {
+        fsch.field(i).name: str(fsch.field(i).type)
+        for i in range(len(fsch.names))
+    }
+    sig = []
+    for src, cur_delta in wanted:
+        if src not in by_name:
+            sig.append((src, None))
+            continue
+        stored = _ARROW_TO_DELTA.get(by_name[src])
+        if stored is None or stored == cur_delta:
+            sig.append((src, None))
+            continue
+        if (stored, cur_delta) not in _WIDENINGS:
+            raise ValueError(
+                f"file {rel!r} stores {src!r} as {stored!r} but the "
+                f"schema says {cur_delta!r} — not a legal type "
+                "widening; use the real connector"
+            )
+        sig.append((src, stored))
+    return tuple(sig)
+
+
+def _widened_mapping_plans(
+    path: str, rels: list[str], meta: dict, schema
+) -> list[tuple[tuple, list[str]]]:
+    """Type widening COMPOSED with NAME-mode column mapping (r11,
+    VERDICT r10 item 3 — the last fenced Delta pairing): the mapping
+    plan already imposes physical names; widening additionally narrows
+    some of those physical columns per file. One footer read per file
+    (driver O(files), the planning cost class) groups files by their
+    stored-narrow signature over PHYSICAL names; each group's plan is
+    the mapping scan schema with the group's narrow types imposed and
+    the logical rebuild with an explicit upcast on widened fields.
+    Only FLAT primitive fields widen (``delta.typeChanges`` on nested
+    fields stays fenced via the primitive-only ``wanted`` set)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        StructField, StructType, _parse_datatype_string,
+    )
+
+    base_scan, _ = _mapping_plan(meta)
+    fields = json.loads(meta["schemaString"])["fields"]
+    part = set((meta or {}).get("partitionColumns") or [])
+    sch_of = {f.name: f for f in schema.fields}
+    wanted = []
+    for f in fields:
+        if isinstance(f["type"], dict) or f["name"] in part:
+            continue
+        cur_delta = _SPARK_TO_DELTA.get(
+            sch_of[f["name"]].dataType.simpleString()
+        )
+        if cur_delta is not None:
+            wanted.append((_phys_name(f), cur_delta))
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        groups.setdefault(_narrow_sig(path, rel, wanted), []).append(rel)
+    out = []
+    for sig, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        stored_of = {s: n for s, n in sig if n is not None}
+        scan_fields = [
+            StructField(
+                bf.name,
+                _parse_datatype_string(_DELTA_TO_SPARK[stored_of[bf.name]])
+                if bf.name in stored_of
+                else bf.dataType,
+                bf.nullable,
+            )
+            for bf in base_scan.fields
+        ]
+        exprs = []
+        for f in fields:
+            phys = _phys_name(f)
+            col = F.col(phys)
+            if phys in stored_of:
+                exprs.append(
+                    col.cast(sch_of[f["name"]].dataType).alias(f["name"])
+                )
+            else:
+                exprs.append(_logical_expr(col, f).alias(f["name"]))
+        out.append(((StructType(scan_fields), exprs), sorted(files)))
+    return out
+
+
+def _id_widened_plans(
+    meta: dict, path: str, rels: list[str], schema
+) -> list[tuple[tuple, list[str]]]:
+    """Type widening COMPOSED with ID-mode column mapping (r11): one
+    footer read per file yields BOTH the field-id binding and the
+    stored physical types; files group by the combined signature and
+    each group scans under its (binding, narrow-type) schema with an
+    upcast-and-alias projection. The missing-id null-fill and
+    duplicate-source rules match :func:`_id_scan_groups` exactly."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        StructField, StructType, _parse_datatype_string,
+    )
+
+    fields = _id_mapping_fields(meta)
+    part = set((meta or {}).get("partitionColumns") or [])
+    sch_of = {f.name: f for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        fsch = pq.read_schema(os.path.join(path, rel))
+        ids: dict[int, str] = {}
+        arrow_of: dict[str, str] = {}
+        for i in range(len(fsch.names)):
+            fld = fsch.field(i)
+            arrow_of[fld.name] = str(fld.type)
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                try:
+                    ids[int(raw.decode())] = fld.name
+                except ValueError:
+                    pass
+        sig = []
+        for f in fields:
+            if f["name"] in part or not ids:
+                src = f["physical"]
+            elif f["id"] in ids:
+                src = ids[f["id"]]
+            else:
+                src = f"__dl_absent_{f['id']}"
+            stored = None
+            if f["name"] not in part and src in arrow_of:
+                cur_delta = _SPARK_TO_DELTA.get(
+                    sch_of[f["name"]].dataType.simpleString()
+                )
+                s = _ARROW_TO_DELTA.get(arrow_of[src])
+                if cur_delta is not None and s is not None and s != cur_delta:
+                    if (s, cur_delta) not in _WIDENINGS:
+                        raise ValueError(
+                            f"file {rel!r} stores {f['name']!r} as {s!r} "
+                            f"but the schema says {cur_delta!r} — not a "
+                            "legal type widening; use the real connector"
+                        )
+                    stored = s
+            sig.append((src, f["name"], stored))
+        srcs = [s for s, _lg, _n in sig]
+        if len(set(srcs)) != len(srcs):
+            raise ValueError(
+                f"id-mapped file {rel!r} binds two fields to the same "
+                f"source column ({srcs}) — spec-invalid table, use the "
+                "real connector"
+            )
+        groups.setdefault(tuple(sig), []).append(rel)
+    out = []
+    for sig, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        scan_fields = []
+        exprs = []
+        for src, lg, stored in sig:
+            lf = sch_of[lg]
+            scan_fields.append(
+                StructField(
+                    src,
+                    _parse_datatype_string(_DELTA_TO_SPARK[stored])
+                    if stored
+                    else lf.dataType,
+                    lf.nullable,
+                )
+            )
+            exprs.append(F.col(src).cast(lf.dataType).alias(lg))
+        out.append(((StructType(scan_fields), exprs), sorted(files)))
+    return out
+
+
 def _mapping_mode(meta: dict | None) -> str:
     """The table's ``delta.columnMapping.mode`` (``none``/``name``/
     ``id``)."""
@@ -984,18 +1172,18 @@ def _lineage_frame(spark, path: str, live: dict, meta: dict | None, schema):
     and readers use so NAME- and ID-mapped tables ride the same
     machinery."""
     if _type_widening_active(meta):
-        if _mapping_mode(meta) != "none":
-            raise ValueError(
-                "type widening composed with column mapping is not "
-                "implemented — use the real connector"
-            )
+        mode = _mapping_mode(meta)
+        if mode == "name":
+            plans = _widened_mapping_plans(path, sorted(live), meta, schema)
+        elif mode == "id":
+            plans = _id_widened_plans(meta, path, sorted(live), schema)
+        else:
+            plans = _widened_plans(path, sorted(live), meta, schema)
         frames = [
             _scan_with_lineage(
                 spark, path, {r: live[r] for r in grels}, schema, plan
             )
-            for plan, grels in _widened_plans(
-                path, sorted(live), meta, schema
-            )
+            for plan, grels in plans
         ]
         out = frames[0]
         for f in frames[1:]:

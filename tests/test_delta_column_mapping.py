@@ -748,3 +748,210 @@ def test_id_mode_missing_id_nullfills_never_binds_physicalname(
     rows = {(r.user_id, r.val, r.score) for r in got.collect()}
     # the stale 99.5 must NOT surface as 'score'
     assert rows == _expected_id_rows() | {(100, 200, None)}
+
+
+def _write_typed(path, cols):
+    """cols: {name: (values, pa_type)} — explicit physical types, with
+    optional per-column field ids via a 3-tuple (values, type, id)."""
+    import pyarrow as pa
+
+    fields, arrays = [], []
+    for name, spec in cols.items():
+        vals, typ = spec[0], spec[1]
+        md = None
+        if len(spec) > 2:
+            md = {b"PARQUET:field_id": str(spec[2]).encode()}
+        fields.append(pa.field(name, typ, metadata=md))
+        arrays.append(pa.array(vals, type=typ))
+    pq.write_table(pa.table(arrays, schema=pa.schema(fields)), path)
+
+
+def _widened_name_table(spark, tmp_path):
+    """NAME-mapped table whose old file stores int32 under the
+    physical names while the current (renamed) schema says long with
+    delta.typeChanges — the r10 fence pairing."""
+    import pyarrow as pa
+
+    table = str(tmp_path / "wname")
+    os.makedirs(table, exist_ok=True)
+    _write_typed(
+        os.path.join(table, "old.parquet"),
+        {
+            "col-u": ([0, 1, 2], pa.int32()),
+            "col-v": ([10, 11, 12], pa.int32()),
+        },
+    )
+    _write_typed(
+        os.path.join(table, "new.parquet"),
+        {
+            "col-u": ([3, 4], pa.int64()),
+            "col-v": ([13, 14], pa.int64()),
+        },
+    )
+    fields = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "user_id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-u",
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long"}
+                        ],
+                    },
+                },
+                {
+                    "name": "val",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-v",
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long"}
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    adds = [
+        {
+            "add": {
+                "path": n,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table, n)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for n in ("old.parquet", "new.parquet")
+    ]
+    _commit(
+        table,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening", "columnMapping"],
+                    "writerFeatures": ["typeWidening", "columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "wn",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": fields,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+        ]
+        + adds,
+    )
+    return table
+
+
+def test_widening_composes_with_name_mapping(spark, tmp_path):
+    """r11 (VERDICT r10 item 3): the last fenced Delta pairing — a
+    widened NAME-mapped table reads logical names at the widened types
+    across both file generations, and deletion vectors compose on
+    top (the lineage path rides the same per-group plans)."""
+    t = _widened_name_table(spark, tmp_path)
+    got = dr.read_delta(spark, t)
+    assert [f.name for f in got.schema.fields] == ["user_id", "val"]
+    assert dict(got.dtypes) == {"user_id": "bigint", "val": "bigint"}
+    assert {(r.user_id, r.val) for r in got.collect()} == {
+        (0, 10), (1, 11), (2, 12), (3, 13), (4, 14),
+    }
+    # DV compose: logical predicate spans both narrow-type groups
+    assert dv.delete_where(spark, t, "user_id % 2 = 0") == 1
+    rows = {(r.user_id, r.val) for r in dr.read_delta(spark, t).collect()}
+    assert rows == {(1, 11), (3, 13)}
+
+
+def test_widening_composes_with_id_mapping(spark, tmp_path):
+    """r11: widened ID-mapped table — an old file with footer field
+    ids, SWAPPED column names AND narrow types resolves by id and
+    upcasts; a current-width file unifies; DVs compose on top."""
+    import pyarrow as pa
+
+    t = str(tmp_path / "wid")
+    os.makedirs(t, exist_ok=True)
+    # names swapped relative to physicalName; ids carry the truth;
+    # types narrower than the current schema
+    _write_typed(
+        os.path.join(t, "old.parquet"),
+        {
+            "val": ([0, 1, 2], pa.int32(), 1),   # actually user_id (id 1)
+            "uid": ([20, 21, 22], pa.int32(), 2),  # actually val (id 2)
+        },
+    )
+    _write_typed(
+        os.path.join(t, "new.parquet"),
+        {
+            "uid": ([3, 4], pa.int64(), 1),
+            "val": ([23, 24], pa.int64(), 2),
+        },
+    )
+    fields = _schema_string(
+        [("user_id", "uid", "long"), ("val", "val", "long")]
+    )
+    # stamp typeChanges on both fields
+    parsed = json.loads(fields)
+    for f in parsed["fields"]:
+        f["metadata"]["delta.typeChanges"] = [
+            {"fromType": "integer", "toType": "long"}
+        ]
+    fields = json.dumps(parsed)
+    adds = [
+        {
+            "add": {
+                "path": n,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, n)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for n in ("old.parquet", "new.parquet")
+    ]
+    _commit(
+        t,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening", "columnMapping"],
+                    "writerFeatures": ["typeWidening", "columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "wi",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": fields,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            },
+        ]
+        + adds,
+    )
+    got = dr.read_delta(spark, t)
+    assert dict(got.dtypes) == {"user_id": "bigint", "val": "bigint"}
+    assert {(r.user_id, r.val) for r in got.collect()} == {
+        (0, 20), (1, 21), (2, 22), (3, 23), (4, 24),
+    }
+    # illegal: a file storing WIDER than the schema under its id
+    assert dv.delete_where(spark, t, "val >= 23") == 1
+    rows = {(r.user_id, r.val) for r in dr.read_delta(spark, t).collect()}
+    assert rows == {(0, 20), (1, 21), (2, 22)}
