@@ -104,6 +104,68 @@ def _current_schema_obj(meta: dict) -> dict:
     raise ir.IcebergError("current schema not found in metadata")
 
 
+def _write_time_names(
+    meta: dict, seq: int, local: str, ids: tuple, cur_type_of: dict
+) -> dict[int, str]:
+    """``{field_id: column_name}`` under the schema that was CURRENT
+    when the delete file was written (r11): its data sequence number
+    names the snapshot that committed it; that snapshot's ``schema-id``
+    names the schema whose field names the id-less file stores. Each
+    equality field's write-time type must equal the current type or
+    promote legally (the same int→long / float→double set the data
+    scan enforces). Raises when the snapshot or its schema is no
+    longer recorded — binding by ANY other schema could silently read
+    the wrong column."""
+    snap = next(
+        (
+            s
+            for s in meta.get("snapshots") or []
+            if s.get("sequence-number") == int(seq)
+        ),
+        None,
+    )
+    if snap is None or "schema-id" not in snap:
+        raise ir.IcebergError(
+            f"EQUALITY delete file {local!r} carries no footer field "
+            f"ids and its snapshot (sequence {seq}) records no "
+            "schema-id — the write-time column names are unrecoverable; "
+            "compose rewrite_data_files first, or use the real connector"
+        )
+    wt = next(
+        (
+            s
+            for s in meta.get("schemas") or []
+            if s.get("schema-id", 0) == snap["schema-id"]
+        ),
+        None,
+    )
+    if wt is None:
+        raise ir.IcebergError(
+            f"EQUALITY delete file {local!r}: write-time schema "
+            f"{snap['schema-id']} is no longer recorded in the metadata"
+        )
+    wt_by_id = {f["id"]: f for f in wt["fields"]}
+    for fid in ids:
+        f = wt_by_id.get(fid)
+        if f is None:
+            raise ir.IcebergError(
+                f"EQUALITY delete file {local!r}: field id {fid} is not "
+                f"in its write-time schema {snap['schema-id']}"
+            )
+        wt_t, cur_t = f["type"], cur_type_of[fid]
+        if wt_t != cur_t and (
+            not isinstance(wt_t, str)
+            or not isinstance(cur_t, str)
+            or (wt_t, cur_t) not in ir._PROMOTIONS
+        ):
+            raise ir.IcebergError(
+                f"EQUALITY delete file {local!r} stores field id {fid} "
+                f"as {wt_t!r} but the current schema says {cur_t!r} — "
+                "not a legal promotion"
+            )
+    return {f["id"]: f["name"] for f in wt["fields"]}
+
+
 def _mor_frame(
     spark: SparkSession,
     meta: dict,
@@ -218,14 +280,25 @@ def _mor_frame(
                 ):
                     local = ir._to_local(e["df"]["file_path"], location)
                     fids = ir._footer_field_ids(pq.read_schema(local))
-                    if fids is None or any(
-                        fid not in fids for fid in ids
-                    ):
+                    if fids is None:
+                        # r11 (VERDICT r10 item 4): an ID-LESS delete
+                        # file binds by its WRITE-TIME schema — the
+                        # file's data sequence number identifies the
+                        # snapshot current when it was written, and
+                        # THAT schema's name→id mapping names its
+                        # columns. Values then promote to the current
+                        # types under the same legality rules as the
+                        # data scan. Files whose snapshot (or its
+                        # schema) is no longer recorded still raise.
+                        fids = _write_time_names(
+                            meta, e["seq"], local, ids, cur_type_of
+                        )
+                    if any(fid not in fids for fid in ids):
                         raise ir.IcebergError(
-                            "EQUALITY deletes over a renamed/promoted "
-                            f"schema need footer field ids; {local!r} "
-                            "carries none — compose rewrite_data_files "
-                            "first, or use the real connector"
+                            "EQUALITY delete file "
+                            f"{local!r} does not name every "
+                            f"equality_ids field ({sorted(ids)}) — "
+                            "use the real connector"
                         )
                     d = (
                         spark.read.parquet(glob_escape(local))

@@ -247,14 +247,19 @@ def test_position_deletes_compose_with_evolution(spark, tmp_path):
     assert dict(got.dtypes)["rid"] == "bigint"
 
 
-def test_idless_equality_deletes_over_evolution_still_raise(
+def test_idless_equality_deletes_bind_by_write_time_schema(
     spark, tmp_path
 ):
-    """An equality delete file WITHOUT footer field ids cannot be
-    bound across renames — honest raise (write-time names only)."""
+    """r11 (VERDICT r10 item 4, lifts the last eq+evolution fence): an
+    equality delete file WITHOUT footer field ids stores its
+    WRITE-TIME column names — the file's data sequence number names
+    the snapshot that committed it, that snapshot's recorded
+    ``schema-id`` names the schema, and THAT schema's name→id mapping
+    binds the columns across any later rename."""
     from arcane_framework_scala_spark.sources import iceberg_mor as im
 
     out = _evolved_appended_table(spark, tmp_path)
+    # written under the CURRENT (post-rename) schema: column 'rid'
     assert (
         im.commit_equality_deletes(
             spark,
@@ -264,7 +269,70 @@ def test_idless_equality_deletes_over_evolution_still_raise(
         )
         == 3
     )
-    with pytest.raises(ir.IcebergError, match="EQUALITY deletes"):
+    rows = {
+        (r["rid"], r["v"], r["g"])
+        for r in ir.read_iceberg(spark, out).collect()
+    }
+    want = {(i, i + 100, i % 3) for i in range(20)}
+    want |= {(100 + i, i, i % 3) for i in range(5) if i != 1}
+    assert rows == want
+
+
+def test_idless_equality_delete_written_under_the_old_schema(
+    spark, tmp_path
+):
+    """The genuinely-renamed case: the delete file stores the OLD
+    column name (``old_id``) because its snapshot records the OLD
+    schema-id — only write-time binding reads it right. And a delete
+    whose snapshot records NO schema-id still raises (the write-time
+    names are unrecoverable)."""
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+
+    out = _evolved_appended_table(spark, tmp_path)
+    assert (
+        im.commit_equality_deletes(
+            spark,
+            out,
+            spark.createDataFrame([(3,)], "rid long"),
+            ["rid"],
+        )
+        == 3
+    )
+    # rewrite the fixture as an old-schema writer: file column renamed
+    # to 'old_id' stored as int32, snapshot restamped to schema-id 0
+    data = os.path.join(out, "data")
+    eq_files = [n for n in os.listdir(data) if n.startswith("delete-eq-")]
+    assert len(eq_files) == 1
+    pth = os.path.join(data, eq_files[0])
+    t = pq.read_table(pth)
+    t = t.rename_columns(["old_id"]).cast(
+        pa.schema([pa.field("old_id", pa.int32())])
+    )
+    os.remove(pth)
+    pq.write_table(t, pth)
+    mf = ir.table_metadata_file(out)
+    meta = json.load(open(mf))
+    for s in meta["snapshots"]:
+        if s.get("sequence-number") == 3:
+            s["schema-id"] = 0
+    json.dump(meta, open(mf, "w"))
+
+    rows = {
+        (r["rid"], r["v"], r["g"])
+        for r in ir.read_iceberg(spark, out).collect()
+    }
+    # rid=3 predates the delete (seq 1 < 3) — removed; the appended
+    # file's rows (seq 2) survive except none match
+    want = {(i, i + 100, i % 3) for i in range(20) if i != 3}
+    want |= {(100 + i, i, i % 3) for i in range(5)}
+    assert rows == want
+
+    # no recorded schema-id -> unrecoverable -> honest raise
+    meta = json.load(open(mf))
+    for s in meta["snapshots"]:
+        s.pop("schema-id", None)
+    json.dump(meta, open(mf, "w"))
+    with pytest.raises(ir.IcebergError, match="no schema-id"):
         ir.read_iceberg(spark, out).collect()
 
 
