@@ -367,7 +367,9 @@ def _prev_manifest_list_rows(meta: dict, out_dir: str) -> list[dict]:
             "supported — this writer commits manifest lists"
         )
     ml = ir._to_local(snap["manifest-list"], meta.get("location", out_dir))
-    return avro_ocf.read_ocf_cached(ml)[1]
+    # list() — cached records are SHARED (and frozen to a tuple under
+    # the debug flag); callers concatenate their new row onto this
+    return list(avro_ocf.read_ocf_cached(ml)[1])
 
 
 def _ensure_unpartitioned_spec(meta: dict) -> tuple[dict, int]:

@@ -9,6 +9,11 @@ from arcane_framework_scala_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# run the whole suite with deep-frozen OCF cache entries (r11): any
+# caller mutating a shared cached manifest record raises HERE instead
+# of silently corrupting later plans in production
+os.environ.setdefault("SPARK_GRAFT_OCF_FREEZE", "1")
+
 #: In-memory DSv2 catalog with row-level-operation (MERGE INTO) support —
 #: the sandbox stand-in for Iceberg/Delta, compiled from javaext/.
 MEM_CATALOG_JAR = os.path.join(
