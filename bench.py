@@ -238,6 +238,40 @@ def main() -> None:
     calib = calibration()
     print(f"# calibration_scan: {calib}s", file=sys.stderr)
 
+    # Second probe (r11, VERDICT r10 item 6): the scan probe is
+    # IO-light and under-corrects CPU-frequency dips on the iterative
+    # CPU-bound fits (dsir/semantic/classifier were the three noisiest
+    # adjusted ratios of r10). This one is pure fixed-size JVM compute
+    # (sha2 over a synthetic range, no files): normalize CPU-bound
+    # query families by THIS number, IO/scan-shaped ones by the scan.
+    def calibration_cpu() -> float:
+        from pyspark.sql import functions as F
+
+        r = spark.range(0, 8_000_000, 1, int(os.environ.get(
+            "SPARK_GRAFT_CPUS", "32"
+        )))
+        samples = []
+        for i in range(4):
+            t0 = time.time()
+            r.select(
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.col("id").cast("string"), 256), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias("s")
+            ).write.format("noop").mode("overwrite").save()
+            if i:  # first run discarded (codegen warm-up)
+                samples.append(time.time() - t0)
+        samples.sort()
+        return round(samples[len(samples) // 2], 3)
+
+    calib_cpu = calibration_cpu()
+    print(f"# calibration_cpu: {calib_cpu}s", file=sys.stderr)
+
     timings, stats1 = measure(HEADLINE)
     timings2, stats2 = measure(HEADLINE2)
     timings3, stats3 = measure(HEADLINE3)
@@ -275,6 +309,7 @@ def main() -> None:
         "headline7_queries": timings7,
         "headline7_query_stats": stats7,
         "calibration_scan_sec": calib,
+        "calibration_cpu_sec": calib_cpu,
         "runs_per_query": runs,
         "load_before_1m": load_before,
         "load_after_1m": round(os.getloadavg()[0], 2),
@@ -299,6 +334,7 @@ def main() -> None:
         "headline6_total": detail["headline6_total"],
         "headline7_total": detail["headline7_total"],
         "calibration_scan_sec": calib,
+        "calibration_cpu_sec": calib_cpu,
         "runs_per_query": runs,
         "load_before_1m": load_before,
         "cpus": cpus,
