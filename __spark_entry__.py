@@ -94,11 +94,12 @@ _GATE_WINDOW_R11 = [
     "sim_ivf_topk",
     "sim_kmeans_centroids",
     "sim_ivf_trained_topk",
-    "sim_quantize_int8",
-    "dedup_embedding_cosine",
     # r11-born gates displace the proposal's freshest tail entries
-    # (t_window_agg out): never-checked gates must sit in the window
+    # (sim_quantize_int8, dedup_embedding_cosine, t_window_agg out):
+    # never-checked gates must sit in the window
     "t_ivm_delta_feed",
+    "x14_iceberg_idless_eqdelete",
+    "s21_delta_widened_mapping",
 ]
 
 
@@ -337,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ivm_delta_feed": q_t_ivm_delta_feed,
         "x12_iceberg_evolution": q_x12_iceberg_evolution,
         "x13_iceberg_evolved_mor": q_x13_iceberg_evolved_mor,
+        "x14_iceberg_idless_eqdelete": q_x14_iceberg_idless_eqdelete,
+        "s21_delta_widened_mapping": q_s21_delta_widened_mapping,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -424,6 +427,8 @@ def oracle_sql() -> dict[str, str]:
         "s20_delta_id_mapping": _S20_DELTA_ID_MAPPING_SQL,
         "t_ivm_iceberg_feed": _T_IVM_ICEBERG_FEED_SQL,
         "t_ivm_delta_feed": _T_IVM_DELTA_FEED_SQL,
+        "x14_iceberg_idless_eqdelete": _X14_ICEBERG_IDLESS_EQDELETE_SQL,
+        "s21_delta_widened_mapping": _S21_DELTA_WIDENED_MAPPING_SQL,
         "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,
         "x13_iceberg_evolved_mor": _X13_ICEBERG_EVOLVED_MOR_SQL,
         "s17_xml_ingest": _S17_XML_SQL,

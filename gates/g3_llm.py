@@ -2990,5 +2990,282 @@ FROM kept GROUP BY event_type
 
 
 
+def q_x14_iceberg_idless_eqdelete(spark, sf_dir):
+    """EQUALITY deletes WITHOUT footer field ids over an EVOLVED table
+    (r11, VERDICT r10 item 4 — lifts the last eq+evolution fence): a
+    table exports under OLD names (``uid_old`` int), evolves (rename
+    to ``user_id`` + int→long promotion), appends under the new
+    schema, then takes TWO id-less equality-delete commits — one whose
+    file stores the CURRENT column name (its snapshot records
+    schema-id 1), one rewritten to the shape an OLD-schema writer
+    would have produced (column ``uid_old`` stored as int32, snapshot
+    restamped to schema-id 0). Each file binds by its WRITE-TIME
+    schema: the delete's data sequence number names the committing
+    snapshot, the snapshot's schema-id names the schema, and that
+    schema's name→id mapping names the columns — across the rename,
+    with values promoting int→long. The oracle recomputes the
+    surviving rows relationally."""
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x14_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("int").alias("uid_old"),
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(2))
+    out_tbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, out_tbl) != 1:
+        raise AssertionError("export should be sequence 1")
+
+    # evolve: rename uid_old -> user_id, promote int -> long
+    mf = ir.table_metadata_file(out_tbl)
+    meta = _json.load(open(mf))
+    old = meta["schemas"][0]
+    meta["schemas"] = [
+        old,
+        {
+            **old,
+            "schema-id": 1,
+            "fields": [
+                {
+                    **f,
+                    "name": (
+                        "user_id" if f["name"] == "uid_old" else f["name"]
+                    ),
+                    "type": (
+                        "long" if f["name"] == "uid_old" else f["type"]
+                    ),
+                }
+                for f in old["fields"]
+            ],
+        },
+    ]
+    meta["current-schema-id"] = 1
+    _json.dump(meta, open(mf, "w"))
+
+    if im.append_rows(
+        spark,
+        out_tbl,
+        ev.filter(F.col("event_id") > t1).select(
+            "event_id",
+            F.col("uid_old").cast("long").alias("user_id"),
+            "event_type",
+            "value_milli",
+        ),
+    ) != 2:
+        raise AssertionError("append should be sequence 2")
+
+    # id-less delete #1: CURRENT names (snapshot records schema-id 1)
+    keys1 = (
+        ir.read_iceberg(spark, out_tbl)
+        .filter(F.col("user_id") % 7 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    if im.commit_equality_deletes(spark, out_tbl, keys1, ["user_id"]) != 3:
+        raise AssertionError("first eq delete should be sequence 3")
+
+    # id-less delete #2, then rewritten as an OLD-schema writer's file
+    keys2 = (
+        ir.read_iceberg(spark, out_tbl)
+        .filter(F.col("user_id") % 10 == 3)
+        .select("user_id")
+        .distinct()
+    )
+    if im.commit_equality_deletes(spark, out_tbl, keys2, ["user_id"]) != 4:
+        raise AssertionError("second eq delete should be sequence 4")
+    data = os.path.join(out_tbl, "data")
+    pth = os.path.join(
+        data,
+        next(
+            n
+            for n in os.listdir(data)
+            if n.startswith("delete-eq-") and n.endswith("-4.parquet")
+        ),
+    )
+    t = pq.read_table(pth)
+    t = t.rename_columns(["uid_old"]).cast(
+        pa.schema([pa.field("uid_old", pa.int32())])
+    )
+    os.remove(pth)
+    pq.write_table(t, pth)
+    # each commit wrote a NEW metadata json — restamp the LATEST one
+    mf = ir.table_metadata_file(out_tbl)
+    meta = _json.load(open(mf))
+    for s in meta["snapshots"]:
+        if s.get("sequence-number") == 4:
+            s["schema-id"] = 0
+    _json.dump(meta, open(mf, "w"))
+
+    cur = ir.read_iceberg(spark, out_tbl)
+    if dict(cur.dtypes)["user_id"] != "bigint":
+        raise AssertionError("promotion did not survive the eq-MoR path")
+    return cur.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("value_milli").alias("sum_vm"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+_X14_ICEBERG_IDLESS_EQDELETE_SQL = """
+WITH kept AS (
+  SELECT event_id, CAST(user_id AS INTEGER) AS user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+  WHERE user_id % 7 <> 0 AND user_id % 10 <> 3)
+SELECT event_type, COUNT(*) AS cnt, CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM kept GROUP BY event_type
+"""
+
+
+
+def q_s21_delta_widened_mapping(spark, sf_dir):
+    """TYPE WIDENING composed with COLUMN MAPPING (r11, VERDICT r10
+    item 3 — the last fenced Delta pairing): a customer extract lands
+    as a NAME-mapped table whose pre-widen file stores int32 under the
+    physical column names while the current schema says long with
+    ``delta.typeChanges``, plus a post-widen int64 file. The read
+    imposes each file group\'s narrow physical schema and rebuilds the
+    logical surface with an upcast; a ``delete_where`` speaking
+    LOGICAL names then lands deletion vectors across BOTH narrow-type
+    groups through the same per-group lineage plans. The oracle
+    recomputes the surviving rows relationally."""
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_scala_spark.sources import delta_dv as dvm
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_s21_run_")
+    out_tbl = os.path.join(run_dir, "delta")
+    os.makedirs(os.path.join(out_tbl, "_delta_log"))
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_nationkey").cast("long").alias("n"),
+    )
+    mx = cust.agg(F.max("k")).first()[0]
+    t1 = (mx * 6) // 10
+    old_pdf = cust.filter(F.col("k") <= t1).toPandas()
+    new_pdf = cust.filter(F.col("k") > t1).toPandas()
+
+    def _write(name, pdf, typ):
+        t = pa.table(
+            {
+                "col-k": pa.array(pdf["k"], type=typ),
+                "col-n": pa.array(pdf["n"], type=typ),
+            }
+        )
+        pq.write_table(t, os.path.join(out_tbl, name))
+
+    # pre-widen file: int32 under the PHYSICAL names; post-widen: int64
+    _write("old.parquet", old_pdf, pa.int32())
+    _write("new.parquet", new_pdf, pa.int64())
+
+    fields = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": lg,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": ph,
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long"}
+                        ],
+                    },
+                }
+                for i, (lg, ph) in enumerate(
+                    [("cust_id", "col-k"), ("nation", "col-n")]
+                )
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening", "columnMapping"],
+                "writerFeatures": ["typeWidening", "columnMapping"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "s21",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": fields,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": n,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(out_tbl, n)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for n in ("old.parquet", "new.parquet")
+    ]
+    dr.commit_actions(out_tbl, 0, actions)
+
+    got = dr.read_delta(spark, out_tbl)
+    if dict(got.dtypes) != {"cust_id": "bigint", "nation": "bigint"}:
+        raise AssertionError(f"widened mapped types wrong: {got.dtypes}")
+    if got.count() != cust.count():
+        raise AssertionError("widened mapped read lost rows")
+
+    # DVs across BOTH narrow-type groups, predicate in LOGICAL names
+    if dvm.delete_where(spark, out_tbl, "cust_id % 3 = 0") != 1:
+        raise AssertionError("delete_where should commit version 1")
+
+    return (
+        dr.read_delta(spark, out_tbl)
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("cust_id").alias("sum_k"),
+        )
+    )
+
+
+_S21_DELTA_WIDENED_MAPPING_SQL = """
+SELECT c_nationkey AS nation, COUNT(*) AS cnt,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_k
+FROM customer
+WHERE c_custkey % 3 <> 0
+GROUP BY c_nationkey
+"""
+
+
+
 #: chained-star-import contract: export EVERYTHING (incl. _helpers)
 __all__ = [n for n in list(globals()) if not n.startswith("__")]
