@@ -93,13 +93,13 @@ _GATE_WINDOW_R11 = [
     "s9_avro_json",
     "sim_ivf_topk",
     "sim_kmeans_centroids",
-    "sim_ivf_trained_topk",
     # r11-born gates displace the proposal's freshest tail entries
-    # (sim_quantize_int8, dedup_embedding_cosine, t_window_agg out):
-    # never-checked gates must sit in the window
+    # (sim_ivf_trained_topk, sim_quantize_int8, dedup_embedding_cosine,
+    # t_window_agg out): never-checked gates must sit in the window
     "t_ivm_delta_feed",
     "x14_iceberg_idless_eqdelete",
     "s21_delta_widened_mapping",
+    "t_ivm_iceberg_changelog",
 ]
 
 
@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s20_delta_id_mapping": q_s20_delta_id_mapping,
         "t_ivm_iceberg_feed": q_t_ivm_iceberg_feed,
         "t_ivm_delta_feed": q_t_ivm_delta_feed,
+        "t_ivm_iceberg_changelog": q_t_ivm_iceberg_changelog,
         "x12_iceberg_evolution": q_x12_iceberg_evolution,
         "x13_iceberg_evolved_mor": q_x13_iceberg_evolved_mor,
         "x14_iceberg_idless_eqdelete": q_x14_iceberg_idless_eqdelete,
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "t_ivm_delta_feed": _T_IVM_DELTA_FEED_SQL,
         "x14_iceberg_idless_eqdelete": _X14_ICEBERG_IDLESS_EQDELETE_SQL,
         "s21_delta_widened_mapping": _S21_DELTA_WIDENED_MAPPING_SQL,
+        "t_ivm_iceberg_changelog": _T_IVM_ICEBERG_CHANGELOG_SQL,
         "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,
         "x13_iceberg_evolved_mor": _X13_ICEBERG_EVOLVED_MOR_SQL,
         "s17_xml_ingest": _S17_XML_SQL,

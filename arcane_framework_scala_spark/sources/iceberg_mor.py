@@ -796,3 +796,170 @@ def _stage_data_manifest(
         "deleted_rows_count": 0,
         "partitions": ir._partition_summaries(entries, part_schema_fields),
     }
+
+
+# ---------------------------------------------------- incremental changelog
+
+
+def iceberg_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+) -> DataFrame:
+    """INCREMENTAL change feed between two snapshots (r11) — the
+    manifest-derived twin of ``delta_cdf.delta_cdf`` and the jar-free
+    equivalent of the real connector's changelog scan. Unlike
+    ``iceberg_reader.iceberg_changes`` (a key-based full-outer diff of
+    the two snapshot reads — O(table)), this derives each intermediate
+    snapshot's changes from what its commit ADDED:
+
+    - data files added at sequence s → their live-at-s rows as
+      ``insert`` (same-sequence position deletes already applied);
+    - data files removed at s → their live-at-(s-1) rows as ``delete``
+      (a ``replace``/compaction snapshot is skipped whole — no logical
+      change, exactly what the connector's changelog does);
+    - CARRIED files change only through delete files added at s: the
+      targeted subset (the files position-delete pairs name; every
+      carried file when an equality delete lands) is scanned at BOTH
+      states and anti-joined on physical ``(uri, pos)`` lineage — rows
+      present before and gone after are the ``delete`` rows, exact
+      under any combination of position/equality deletes and any
+      writer's re-listing behavior.
+
+    Cost class: O(files changed per commit + rows changed), never a
+    base-table scan — except an equality-delete commit, which must
+    scan the carried files at both states (the same cost the real
+    connector's changelog pays; equality deletes name no files).
+    Output: the table's columns + ``_change_type`` ('insert'/'delete')
+    + ``_commit_version`` (the sequence number) — feed it through
+    ``delta_cdf.cdf_to_diff`` for the IVM snapshot_diff shape."""
+    import pyspark.sql.functions as F
+
+    meta = ir.table_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: s.get("sequence-number", 0),
+    )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id not in by_id or to_snapshot_id not in by_id:
+        raise ir.IcebergError("snapshot id not in the table")
+    seq_from = by_id[from_snapshot_id].get("sequence-number", 0)
+    seq_to = by_id[to_snapshot_id].get("sequence-number", 0)
+    if seq_to <= seq_from:
+        raise ir.IcebergError(
+            f"empty changelog range (sequence {seq_from} -> {seq_to})"
+        )
+    schema = ir._schema_struct(meta)
+    cols = [f.name for f in schema.fields]
+
+    def restricted(ent: dict, paths: set) -> dict:
+        return {
+            "data": [e for e in ent["data"] if e["df"]["file_path"] in paths],
+            "pos": ent["pos"],
+            "eq": ent["eq"],
+        }
+
+    prev = by_id[from_snapshot_id]
+    out: DataFrame | None = None
+
+    def emit(frame: DataFrame, kind: str, seq: int) -> None:
+        nonlocal out
+        f = frame.select(
+            *cols,
+            F.lit(kind).alias("_change_type"),
+            F.lit(int(seq)).cast("long").alias("_commit_version"),
+        )
+        out = f if out is None else out.unionByName(f)
+
+    for snap in snaps:
+        s_seq = snap.get("sequence-number", 0)
+        if not seq_from < s_seq <= seq_to:
+            continue
+        if (snap.get("summary") or {}).get("operation") == "replace":
+            prev = snap  # compaction/rewrite: no logical change
+            continue
+        ent_prev = ir._live_entries(meta, prev, path)
+        ent_cur = ir._live_entries(meta, snap, path)
+        prev_paths = {e["df"]["file_path"] for e in ent_prev["data"]}
+        cur_paths = {e["df"]["file_path"] for e in ent_cur["data"]}
+        added = cur_paths - prev_paths
+        removed = prev_paths - cur_paths
+        carried = prev_paths & cur_paths
+
+        new_pos = [e for e in ent_cur["pos"] if e["seq"] == s_seq]
+        new_eq = [e for e in ent_cur["eq"] if e["seq"] == s_seq]
+        if new_eq:
+            targeted = set(carried)
+        else:
+            targeted = set()
+            if new_pos:
+                from arcane_framework_scala_spark.sources.paths import (
+                    glob_escape,
+                )
+
+                locs = [
+                    ir._to_local(
+                        e["df"]["file_path"], meta.get("location", path)
+                    )
+                    for e in new_pos
+                ]
+                hit = (
+                    spark.read.parquet(*[glob_escape(p) for p in locs])
+                    .select("file_path")
+                    .distinct()
+                    .collect()
+                )  # O(touched files) driver — the planning cost class
+                targeted = {r["file_path"] for r in hit} & carried
+
+        if added:
+            emit(
+                _mor_frame(
+                    spark, meta, path, restricted(ent_cur, added)
+                ),
+                "insert",
+                s_seq,
+            )
+        if removed:
+            emit(
+                _mor_frame(
+                    spark, meta, path, restricted(ent_prev, removed)
+                ),
+                "delete",
+                s_seq,
+            )
+        if targeted:
+            before = _mor_frame(
+                spark,
+                meta,
+                path,
+                restricted(ent_prev, targeted),
+                keep_lineage=True,
+            )
+            after = _mor_frame(
+                spark,
+                meta,
+                path,
+                restricted(ent_cur, targeted),
+                keep_lineage=True,
+            ).select(
+                F.col("__ice_uri").alias("__a_uri"),
+                F.col("__ice_pos").alias("__a_pos"),
+            )
+            gone = before.join(
+                after,
+                (before["__ice_uri"] == after["__a_uri"])
+                & (before["__ice_pos"] == after["__a_pos"]),
+                "left_anti",
+            )
+            emit(gone, "delete", s_seq)
+        prev = snap
+
+    if out is None:
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        empty = schema.add(
+            StructField("_change_type", StringType(), True)
+        ).add(StructField("_commit_version", LongType(), True))
+        return spark.createDataFrame([], empty)
+    return out

@@ -3267,5 +3267,90 @@ GROUP BY c_nationkey
 
 
 
+def q_t_ivm_iceberg_changelog(spark, sf_dir):
+    """IVM off the INCREMENTAL Iceberg changelog (r11 — upgrades the
+    r9 ``t_ivm_iceberg_feed`` story from an O(table) key-based
+    snapshot diff to the manifest-derived O(|delta|) feed, the same
+    cost class ``delta_cdf`` gives the Delta side): the table changes
+    through a position-delete commit and an append;
+    ``iceberg_changelog`` derives each commit\'s inserts/deletes from
+    what its manifests ADDED (never rescanning untouched files), the
+    shared ``cdf_to_diff`` adapter shapes them, and the maintainer
+    catches up. The maintained view must equal a fresh groupBy of the
+    current snapshot; the oracle recomputes it relationally."""
+    import tempfile
+
+    from arcane_framework_scala_spark.operators.ivm import (
+        apply_group_delta,
+        group_delta,
+        group_stats_bootstrap,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import delta_cdf as dcdf
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_ticl_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(3))
+    out_tbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, out_tbl) != 1:
+        raise AssertionError("export should be sequence 1")
+    boot = group_stats_bootstrap(
+        ir.read_iceberg(spark, out_tbl), "event_type", "value_milli"
+    )
+
+    if im.commit_position_deletes(
+        spark, out_tbl, "event_type = 'click'"
+    ) != 2:
+        raise AssertionError("delete should be sequence 2")
+    if im.append_rows(spark, out_tbl, ev.filter(F.col("event_id") > t1)) != 3:
+        raise AssertionError("append should be sequence 3")
+
+    log = ir.snapshot_log(out_tbl)
+    feed = im.iceberg_changelog(
+        spark, out_tbl, log[0]["snapshot-id"], log[-1]["snapshot-id"]
+    )
+    diff = dcdf.cdf_to_diff(feed, keys=["event_id"])
+    view = apply_group_delta(
+        boot, group_delta(diff, "event_type", "value_milli"), "event_type"
+    )
+    fresh = group_stats_bootstrap(
+        ir.read_iceberg(spark, out_tbl), "event_type", "value_milli"
+    )
+    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+        raise AssertionError("maintained view diverged from fresh groupBy")
+    return view
+
+
+_T_IVM_ICEBERG_CHANGELOG_SQL = """
+WITH t AS (SELECT max(event_id) * 6 // 10 AS t1 FROM events),
+     base AS (SELECT event_id, event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS vm
+              FROM events),
+     kept AS (
+       SELECT * FROM base, t
+       WHERE event_id <= t1 AND event_type <> 'click'
+       UNION ALL
+       SELECT * FROM base, t WHERE event_id > t1)
+SELECT event_type, COUNT(*) AS docs, CAST(SUM(vm) AS BIGINT) AS sum_size,
+       COUNT(vm) AS nn_size
+FROM kept GROUP BY event_type
+"""
+
+
+
 #: chained-star-import contract: export EVERYTHING (incl. _helpers)
 __all__ = [n for n in list(globals()) if not n.startswith("__")]

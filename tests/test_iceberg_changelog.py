@@ -1,0 +1,121 @@
+"""Incremental Iceberg changelog (r11): manifest-derived per-commit
+inserts/deletes — the O(|delta|) twin of delta_cdf, replacing the
+O(table) key-based snapshot diff for IVM feeds."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from arcane_framework_scala_spark.sinks.merge_sink import (
+    SnapshotParquetTarget,
+)
+from arcane_framework_scala_spark.sources import delta_cdf as dcdf
+from arcane_framework_scala_spark.sources import iceberg_mor as im
+from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+
+BASE = [(i, "a" if i % 2 else "b", i * 10) for i in range(12)]
+
+
+def _table(spark, tmp_path):
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(
+        spark.createDataFrame(BASE, "k long, g string, n long").repartition(2)
+    )
+    out = str(tmp_path / "ice")
+    assert ir.export_iceberg(t, out) == 1
+    return out
+
+
+def _snap_ids(out):
+    return [s["snapshot-id"] for s in ir.snapshot_log(out)]
+
+
+def _changes(spark, out, frm, to):
+    return {
+        (r.k, r.g, r.n, r["_change_type"], r["_commit_version"])
+        for r in im.iceberg_changelog(spark, out, frm, to).collect()
+    }
+
+
+def test_changelog_pos_delete_append_eq_delete(spark, tmp_path):
+    out = _table(spark, tmp_path)
+    assert im.commit_position_deletes(spark, out, "k < 3") == 2
+    assert (
+        im.append_rows(
+            spark,
+            out,
+            spark.createDataFrame([(100, "c", 7)], "k long, g string, n long"),
+        )
+        == 3
+    )
+    assert (
+        im.commit_equality_deletes(
+            spark, out, spark.createDataFrame([(5,), (100,)], "k long"), ["k"]
+        )
+        == 4
+    )
+    ids = _snap_ids(out)
+    got = _changes(spark, out, ids[0], ids[-1])
+    want = {(k, g, n, "delete", 2) for k, g, n in BASE if k < 3}
+    want |= {(100, "c", 7, "insert", 3)}
+    # strict eq visibility: k=5 (seq 1) goes; k=100 (seq 3 < 4) goes too
+    want |= {(5, "a", 50, "delete", 4)}
+    # k=100 was inserted at seq 3 and eq-deleted at 4 — both rows appear
+    # (the feed is additive; net effect is zero for that key)
+    want |= {(100, "c", 7, "delete", 4)}
+    assert got == want
+
+    # the feed folds into the final state via the CDF->diff adapter
+    boot = ir.read_iceberg(spark, out, snapshot_id=ids[0])
+    feed = im.iceberg_changelog(spark, out, ids[0], ids[-1])
+    diff = dcdf.cdf_to_diff(feed, keys=["k"])
+    from arcane_framework_scala_spark.operators.ivm import (
+        apply_group_delta,
+        group_delta,
+        group_stats_bootstrap,
+    )
+
+    view = apply_group_delta(
+        group_stats_bootstrap(boot, "g", "n"),
+        group_delta(diff, "g", "n"),
+        "g",
+    )
+    fresh = group_stats_bootstrap(ir.read_iceberg(spark, out), "g", "n")
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
+
+
+def test_changelog_overlapping_pos_deletes_emit_only_new_rows(
+    spark, tmp_path
+):
+    out = _table(spark, tmp_path)
+    assert im.commit_position_deletes(spark, out, "k < 3") == 2
+    assert im.commit_position_deletes(spark, out, "k < 5") == 3
+    ids = _snap_ids(out)
+    got = _changes(spark, out, ids[1], ids[2])
+    assert got == {
+        (k, g, n, "delete", 3) for k, g, n in BASE if 3 <= k < 5
+    }
+
+
+def test_changelog_skips_replace_compaction(spark, tmp_path):
+    out = _table(spark, tmp_path)
+    assert im.commit_position_deletes(spark, out, "k = 0") == 2
+    assert im.rewrite_data_files(spark, out) == 3
+    ids = _snap_ids(out)
+    # the compaction snapshot contributes nothing
+    assert (
+        im.iceberg_changelog(spark, out, ids[1], ids[2]).count() == 0
+    )
+    # and a post-compaction delete still feeds correctly
+    assert im.commit_position_deletes(spark, out, "k = 4") == 4
+    ids = _snap_ids(out)
+    got = _changes(spark, out, ids[1], ids[-1])
+    assert got == {(4, "b", 40, "delete", 4)}
+
+
+def test_changelog_empty_range_raises(spark, tmp_path):
+    out = _table(spark, tmp_path)
+    ids = _snap_ids(out)
+    with pytest.raises(ir.IcebergError, match="empty changelog"):
+        im.iceberg_changelog(spark, out, ids[0], ids[0])
