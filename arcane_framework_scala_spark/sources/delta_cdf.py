@@ -508,15 +508,50 @@ def delta_cdf(
             )
             from pyspark.sql.types import StringType, StructField, StructType
 
-            cdc_schema = StructType(
-                [StructField(f.name, f.dataType, True) for f in data_fields]
-                + [StructField(CHANGE_TYPE, StringType(), True)]
-            )
+            # column-mapped tables: cdc files carry PHYSICAL column
+            # names (real writers lay them out exactly like data
+            # files) — resolve through the same plan machinery the
+            # data scan uses; binding by logical names would silently
+            # null-fill every mapped column (r11 hardening)
+            mode = dr._mapping_mode(meta)
+            if mode != "none" and part_cols:
+                raise ChangeDataFeedError(
+                    "cdc files of a column-mapped AND partitioned "
+                    "table are not implemented — use the real connector"
+                )
+            ct_field = StructField(CHANGE_TYPE, StringType(), True)
             for act in cdc:
                 rel = dr.unquote(act["path"])
-                frame = spark.read.schema(cdc_schema).parquet(
-                    glob_escape(os.path.join(path, rel))
-                )
+                local = os.path.join(path, rel)
+                if mode == "name":
+                    phys_schema, exprs = dr._mapping_plan(meta)
+                    cdc_schema = StructType(
+                        list(phys_schema.fields) + [ct_field]
+                    )
+                    frame = spark.read.schema(cdc_schema).parquet(
+                        glob_escape(local)
+                    ).select(*exprs, CHANGE_TYPE)
+                elif mode == "id":
+                    groups = dr._id_scan_groups(meta, path, [rel])
+                    pairs = groups[0][0]
+                    scan_schema, exprs = dr._pairs_plan(schema, pairs)
+                    cdc_schema = StructType(
+                        list(scan_schema.fields) + [ct_field]
+                    )
+                    frame = spark.read.schema(cdc_schema).parquet(
+                        glob_escape(local)
+                    ).select(*exprs, CHANGE_TYPE)
+                else:
+                    cdc_schema = StructType(
+                        [
+                            StructField(f.name, f.dataType, True)
+                            for f in data_fields
+                        ]
+                        + [ct_field]
+                    )
+                    frame = spark.read.schema(cdc_schema).parquet(
+                        glob_escape(local)
+                    )
                 pv = act.get("partitionValues") or {}
                 for f in schema.fields:
                     if f.name in pv:

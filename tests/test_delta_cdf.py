@@ -269,3 +269,113 @@ def test_cdf_to_diff_shapes_and_ivm_maintenance(spark, tmp_path):
     fresh = group_stats_bootstrap(dr.read_delta(spark, out), "g", "n")
     assert view.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(view).count() == 0
+
+
+def test_cdf_on_name_mapped_table_cdc_and_derived(spark, tmp_path):
+    """r11 hardening: cdc files of a column-mapped table carry
+    PHYSICAL column names (real writers lay them out like data files)
+    — the reader resolves them through the mapping plan instead of
+    null-filling; and the DERIVED path (a DV delete) rides the mapped
+    lineage machinery."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(t, "_delta_log"))
+
+    def _write(name, cols):
+        pq.write_table(pa.table(cols), os.path.join(t, name))
+
+    _write("a.parquet", {"col-u": [0, 1, 2, 3], "col-v": [10, 11, 12, 13]})
+    fields = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": lg,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": ph,
+                    },
+                }
+                for i, (lg, ph) in enumerate(
+                    [("user_id", "col-u"), ("val", "col-v")]
+                )
+            ],
+        }
+    )
+    dr.commit_actions(
+        t,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            },
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": fields,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        cdf.CDF_PROP: "true",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "a.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(t, "a.parquet")),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+
+    # an external writer's UPDATE commit: cdc file with PHYSICAL names
+    os.makedirs(os.path.join(t, "_change_data"))
+    _write(
+        "_change_data/cdc-0.parquet",
+        {
+            "col-u": [1, 1],
+            "col-v": [11, 99],
+            "_change_type": ["update_preimage", "update_postimage"],
+        },
+    )
+    dr.commit_actions(
+        t,
+        1,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-0.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "dataChange": False,
+                }
+            },
+            # data rewrite rides alongside (same path remove+add is NOT
+            # used here; the cdc action wins regardless)
+        ],
+    )
+    feed = cdf.delta_cdf(spark, t, 0, 1)
+    rows = {(r.user_id, r.val, r[cdf.CHANGE_TYPE]) for r in feed.collect()}
+    assert rows == {
+        (1, 11, "update_preimage"),
+        (1, 99, "update_postimage"),
+    }
+
+    # derived path on the mapped table: a DV delete speaks LOGICAL
+    # names and feeds only the deleted rows
+    v2 = dv.delete_where(spark, t, "user_id = 2")
+    feed2 = cdf.delta_cdf(spark, t, 1, v2)
+    rows2 = {(r.user_id, r.val, r[cdf.CHANGE_TYPE]) for r in feed2.collect()}
+    assert rows2 == {(2, 12, "delete")}
