@@ -698,3 +698,39 @@ def cdf_to_diff(cdf: DataFrame, keys: list[str]) -> DataFrame:
         *[F.col(f"new_{c}") for c in compare],
     )
     return plain.unionByName(upd)
+
+
+class DeltaCdfTarget:
+    """A CDF-enabled Delta table as an IVM maintenance TARGET (r11):
+    adapts the feed to the interface ``StreamingViewMaintainer``
+    drives (``snapshots.current_version()`` / ``read_version`` /
+    ``changes``), so a maintainer — state table, durable synced
+    version, crash-exactly-once ``last_v`` MERGE and all — runs
+    unchanged against a Delta table this engine only READS.
+    ``changes`` is the true per-commit feed through
+    :func:`cdf_to_diff`, O(|delta|) per wave, never a snapshot diff."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.snapshots = self  # current_version() lives on the target
+
+    def current_version(self) -> int | None:
+        head = _head(self.path)
+        return head if head >= 0 else None
+
+    def read(self) -> DataFrame:
+        return dr.read_delta(self.spark, self.path)
+
+    def read_version(self, version: int) -> DataFrame:
+        return dr.read_delta(self.spark, self.path, version=version)
+
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        # localCheckpoint: Spark's row-level MERGE refuses a source
+        # whose lineage contains a Python map (the DV-diff
+        # mapInPandas is flagged non-deterministic); the feed is
+        # |delta|-sized, so materializing it is the cheap, correct cut
+        return cdf_to_diff(
+            delta_cdf(self.spark, self.path, v_from, v_to), self.keys
+        ).localCheckpoint()

@@ -379,3 +379,61 @@ def test_cdf_on_name_mapped_table_cdc_and_derived(spark, tmp_path):
     feed2 = cdf.delta_cdf(spark, t, 1, v2)
     rows2 = {(r.user_id, r.val, r[cdf.CHANGE_TYPE]) for r in feed2.collect()}
     assert rows2 == {(2, 12, "delete")}
+
+
+def test_streaming_maintainer_runs_off_a_delta_cdf_target(spark, tmp_path):
+    """r11: the full IVM runtime (durable synced version, versioned
+    crash-exactly-once state MERGE) drives off a CDF-enabled Delta
+    table through DeltaCdfTarget — DV delete, CoW update and append
+    all flow through the per-commit feed, O(|delta|) per sync."""
+    import os as _os
+
+    import pytest
+
+    from arcane_framework_scala_spark.operators import ivm
+
+    jar = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not _os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+
+    out = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, out)
+    state = "arcm.test.delta_cdf_state"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    spark.sql(
+        f"CREATE TABLE {state} "
+        "(g STRING, docs BIGINT, sum_size BIGINT, nn_size BIGINT, "
+        "last_v BIGINT) USING mem"
+    )
+    target = cdf.DeltaCdfTarget(spark, out, keys=["k"])
+    m = ivm.StreamingViewMaintainer(
+        target, group_col="g", size_col="n", state_table=state
+    )
+    assert m._versioned
+    m.sync()  # bootstrap at the enable-CDF version
+
+    dv.delete_where(spark, out, "k in (2, 4)")
+    cdf.update_where(spark, out, "k = 7", {"n": "n + 5"})
+    cdf.append_rows(
+        spark,
+        out,
+        spark.createDataFrame([(200, "c", 9)], "k long, g string, n long"),
+    )
+    m.sync()
+    fresh = ivm.group_stats_bootstrap(dr.read_delta(spark, out), "g", "n")
+    view = m.view().select("g", "docs", "sum_size", "nn_size")
+    assert view.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(view).count() == 0
+    # resumed maintainer restores the durable version and is a no-op
+    m2 = ivm.StreamingViewMaintainer(
+        target, group_col="g", size_col="n", state_table=state
+    )
+    assert m2.synced_version == m.synced_version
+    m2.sync()
+    assert m2.deltas_applied == 0
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
