@@ -734,3 +734,94 @@ class DeltaCdfTarget:
         return cdf_to_diff(
             delta_cdf(self.spark, self.path, v_from, v_to), self.keys
         ).localCheckpoint()
+
+
+def cdf_to_cdc_batch(feed: DataFrame, keys: list[str]) -> DataFrame:
+    """Shape a change feed into the CDC batch the MERGE pipeline
+    consumes (``ARCANE_MERGE_KEY`` P3 hash, ``SYS_CHANGE_VERSION`` =
+    the commit version, ``SYS_CHANGE_OPERATION`` U/D + the data
+    columns): deletes map to ``D``, inserts and update POST-images to
+    ``U``; update pre-images drop (the post-image carries the row).
+    With this, a CDF-enabled Delta table IS a CDC source for the
+    reference's merge dialects — the same shape ``MsSqlSource``
+    emits."""
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.functions.merge_key import (
+        mssql_merge_key,
+    )
+
+    data_cols = [
+        c
+        for c in feed.columns
+        if c not in (CHANGE_TYPE, COMMIT_VERSION)
+    ]
+    ct = F.col(CHANGE_TYPE)
+    return feed.filter(ct != "update_preimage").select(
+        mssql_merge_key(*keys).alias("ARCANE_MERGE_KEY"),
+        F.col(COMMIT_VERSION).alias("SYS_CHANGE_VERSION"),
+        F.when(ct == "delete", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("SYS_CHANGE_OPERATION"),
+        *data_cols,
+    )
+
+
+class DeltaCdfSource:
+    """A CDF-enabled Delta table as a POLLING CDC SOURCE (r11): the
+    same ``current_version()`` / ``changes(since)`` contract
+    ``MsSqlSource`` implements, so the reference's whole streaming
+    pipeline — ``StreamRunner`` poll loop, version-guarded MERGE,
+    watermark store, maintenance schedule, graceful stop — runs with a
+    Delta table in the CHANGETABLE seat. The FIRST poll (no watermark
+    yet) emits a BACKFILL batch — the full snapshot as ``U`` rows at
+    the head version (the feed only exists from the enablement commit,
+    and a new consumer needs the base anyway: the reference's
+    backfill-then-stream pattern, S2→T1). Every later poll emits ONE
+    micro-batch holding the feed of versions ``(watermark, head]``
+    shaped by :func:`cdf_to_cdc_batch`; replays are version-guarded
+    no-ops downstream (T9)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, keys: list[str]
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+
+    def current_version(self) -> dict:
+        return {"version": max(_head(self.path), 0)}
+
+    def changes(self, since: dict | None):
+        import pyspark.sql.functions as F
+
+        from arcane_framework_scala_spark.functions.merge_key import (
+            mssql_merge_key,
+        )
+        from arcane_framework_scala_spark.sources.base import MicroBatch
+
+        head = _head(self.path)
+        if since is None:
+            snap = dr.read_delta(self.spark, self.path)
+            yield MicroBatch(
+                df=snap.select(
+                    mssql_merge_key(*self.keys).alias("ARCANE_MERGE_KEY"),
+                    F.lit(head).cast("long").alias("SYS_CHANGE_VERSION"),
+                    F.lit("U").alias("SYS_CHANGE_OPERATION"),
+                    *snap.columns,
+                ),
+                watermark={"version": head},
+                units=head + 1,
+            )
+            return
+        last = int(since.get("version", 0))
+        if head <= last:
+            return
+        feed = delta_cdf(self.spark, self.path, last, head)
+        # localCheckpoint: the sink's row-level MERGE refuses a source
+        # with Python-map (DV-diff) lineage; the feed is |delta|-sized
+        yield MicroBatch(
+            df=cdf_to_cdc_batch(feed, self.keys).localCheckpoint(),
+            watermark={"version": head},
+            units=head - last,
+        )

@@ -437,3 +437,75 @@ def test_streaming_maintainer_runs_off_a_delta_cdf_target(spark, tmp_path):
     m2.sync()
     assert m2.deltas_applied == 0
     spark.sql(f"DROP TABLE IF EXISTS {state}")
+
+
+def test_stream_runner_polls_a_delta_cdf_source(spark, tmp_path):
+    """r11: a CDF-enabled Delta table in the CHANGETABLE seat — the
+    reference's whole polling pipeline (StreamRunner, version-guarded
+    MERGE dialect, watermark store) replicates the table into another
+    target: inserts, a CoW update, and a DV delete all arrive as CDC
+    rows; an idle poll advances only the watermark; replaying a batch
+    is a version-guarded no-op."""
+    import os as _os
+
+    import pytest
+
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        DurableCatalogTarget,
+        MergeSink,
+    )
+    from arcane_framework_scala_spark.streaming import (
+        StreamRunner,
+        StreamSettings,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    jar = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "javaext", "mem-catalog.jar",
+    )
+    if not _os.path.exists(jar):
+        pytest.skip("mem-catalog.jar not built")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.arcm", "arcanespark.mem.MemCatalog")
+
+    src = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, src)
+    table = "arcm.test.cdf_stream_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    target = DurableCatalogTarget(spark, str(tmp_path / "tgt"), table)
+    runner = StreamRunner(
+        source=cdf.DeltaCdfSource(spark, src, keys=["k"]),
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=FileWatermarkStore(
+            str(tmp_path / "wm.json")
+        ),
+        settings=StreamSettings(poll_interval_seconds=0.01),
+    )
+    # poll 1: the whole history so far (base insert feed)
+    assert runner.run_once() == 1
+    got = {(r.k, r.g, r.n) for r in target.read().collect()}
+    assert got == set(BASE)
+
+    # poll 2: idle — watermark-only advance, no batch
+    assert runner.run_once() == 0
+
+    # poll 3: a DV delete + a CoW update + an append, one batch
+    dv.delete_where(spark, src, "k in (0, 1)")
+    cdf.update_where(spark, src, "k = 7", {"n": "n + 5"})
+    cdf.append_rows(
+        spark,
+        src,
+        spark.createDataFrame([(300, "z", 1)], "k long, g string, n long"),
+    )
+    assert runner.run_once() == 1
+    got = {(r.k, r.g, r.n) for r in target.read().collect()}
+    want = {(k, g, n + 5 if k == 7 else n) for k, g, n in BASE if k > 1}
+    want |= {(300, "z", 1)}
+    assert got == want
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
