@@ -2959,7 +2959,11 @@ def q_t_ivm_delta_feed(spark, sf_dir):
         raise AssertionError("append should be version 4")
 
     feed = dcdf.delta_cdf(spark, out_tbl, v1, v4)
-    diff = dcdf.cdf_to_diff(feed, keys=["event_id"])
+    # localCheckpoint, as the production maintainer (DeltaCdfTarget)
+    # does: the feed is |delta|-sized and its DV-diff mapInPandas is
+    # per-FILE Arrow work — materializing cuts the Python lineage out
+    # of every downstream plan (and Spark's MERGE requires it anyway)
+    diff = dcdf.cdf_to_diff(feed, keys=["event_id"]).localCheckpoint()
     view = apply_group_delta(
         boot, group_delta(diff, "event_type", "value_milli"), "event_type"
     )
