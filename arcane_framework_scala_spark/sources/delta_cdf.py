@@ -512,13 +512,21 @@ def delta_cdf(
             # names (real writers lay them out exactly like data
             # files) — resolve through the same plan machinery the
             # data scan uses; binding by logical names would silently
-            # null-fill every mapped column (r11 hardening)
+            # null-fill every mapped column (r11 hardening). When the
+            # mapped table is ALSO partitioned, the cdc action's
+            # partitionValues are keyed by PHYSICAL names too
+            # (PROTOCOL.md: partition values use the physical column
+            # identity under column mapping) — resolve them back to
+            # the logical field before injecting.
             mode = dr._mapping_mode(meta)
-            if mode != "none" and part_cols:
-                raise ChangeDataFeedError(
-                    "cdc files of a column-mapped AND partitioned "
-                    "table are not implemented — use the real connector"
-                )
+            pv_key = {f.name: f.name for f in schema.fields}
+            if mode != "none":
+                for fj in json.loads(meta["schemaString"])["fields"]:
+                    ph = (fj.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName"
+                    )
+                    if ph:
+                        pv_key[fj["name"]] = ph
             ct_field = StructField(CHANGE_TYPE, StringType(), True)
             for act in cdc:
                 rel = dr.unquote(act["path"])
@@ -554,10 +562,13 @@ def delta_cdf(
                     )
                 pv = act.get("partitionValues") or {}
                 for f in schema.fields:
-                    if f.name in pv:
+                    key = pv_key.get(f.name, f.name)
+                    if key in pv or f.name in pv:
                         frame = frame.withColumn(
                             f.name,
-                            F.lit(pv[f.name]).cast(f.dataType),
+                            F.lit(pv.get(key, pv.get(f.name))).cast(
+                                f.dataType
+                            ),
                         )
                 emit(frame.select(*cols, CHANGE_TYPE, vlit))
         else:

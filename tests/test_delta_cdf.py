@@ -509,3 +509,148 @@ def test_stream_runner_polls_a_delta_cdf_source(spark, tmp_path):
     want |= {(300, "z", 1)}
     assert got == want
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdf_on_mapped_partitioned_table_cdc(spark, tmp_path):
+    """r11 fence lift: cdc files of a column-mapped AND partitioned
+    table read correctly — the file carries PHYSICAL data-column names
+    only, and the cdc action's partitionValues are keyed by the
+    partition column's PHYSICAL name (PROTOCOL.md: partition values
+    use the physical identity under column mapping). NAME and ID mode
+    both resolve; the partition value re-injects under its LOGICAL
+    name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for mode, stamp_ids in (("name", False), ("id", True)):
+        t = str(tmp_path / f"mapped_part_{mode}")
+        os.makedirs(os.path.join(t, "_delta_log"))
+
+        fields = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": lg,
+                        "type": ty,
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": i + 1,
+                            "delta.columnMapping.physicalName": ph,
+                        },
+                    }
+                    for i, (lg, ph, ty) in enumerate(
+                        [
+                            ("user_id", "col-u", "long"),
+                            ("val", "col-v", "long"),
+                            ("region", "col-r", "string"),
+                        ]
+                    )
+                ],
+            }
+        )
+        # data file: physical names, data columns only (hive layout)
+        ddir = os.path.join(t, "col-r=emea")
+        os.makedirs(ddir)
+        cols = {"col-u": [0, 1], "col-v": [10, 11]}
+        if stamp_ids:
+            tbl = pa.table(cols)
+            tbl = tbl.cast(
+                pa.schema(
+                    [
+                        pa.field(
+                            n,
+                            tbl.schema.field(n).type,
+                            metadata={b"PARQUET:field_id": str(i + 1).encode()},
+                        )
+                        for i, n in enumerate(["col-u", "col-v"])
+                    ]
+                )
+            )
+        else:
+            tbl = pa.table(cols)
+        pq.write_table(tbl, os.path.join(ddir, "a.parquet"))
+        dr.commit_actions(
+            t,
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {
+                    "metaData": {
+                        "id": "m",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": fields,
+                        "partitionColumns": ["region"],
+                        "configuration": {
+                            "delta.columnMapping.mode": mode,
+                            cdf.CDF_PROP: "true",
+                        },
+                    }
+                },
+                {
+                    "add": {
+                        "path": "col-r=emea/a.parquet",
+                        "partitionValues": {"col-r": "emea"},
+                        "size": os.path.getsize(
+                            os.path.join(ddir, "a.parquet")
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                },
+            ],
+        )
+        # an external writer's UPDATE commit: cdc file, PHYSICAL data
+        # column names + _change_type; partitionValues keyed physically
+        cdir = os.path.join(t, "_change_data", "col-r=emea")
+        os.makedirs(cdir)
+        ccols = {
+            "col-u": [1, 1],
+            "col-v": [11, 99],
+            "_change_type": ["update_preimage", "update_postimage"],
+        }
+        if stamp_ids:
+            ctbl = pa.table(ccols)
+            md = {"col-u": 1, "col-v": 2}
+            ctbl = ctbl.cast(
+                pa.schema(
+                    [
+                        pa.field(
+                            n,
+                            ctbl.schema.field(n).type,
+                            metadata=(
+                                {b"PARQUET:field_id": str(md[n]).encode()}
+                                if n in md
+                                else None
+                            ),
+                        )
+                        for n in ccols
+                    ]
+                )
+            )
+        else:
+            ctbl = pa.table(ccols)
+        pq.write_table(ctbl, os.path.join(cdir, "cdc-0.parquet"))
+        dr.commit_actions(
+            t,
+            1,
+            [
+                {
+                    "cdc": {
+                        "path": "_change_data/col-r=emea/cdc-0.parquet",
+                        "partitionValues": {"col-r": "emea"},
+                        "size": 1,
+                        "dataChange": False,
+                    }
+                }
+            ],
+        )
+        feed = cdf.delta_cdf(spark, t, 0, 1)
+        rows = {
+            (r.user_id, r.val, r.region, r[cdf.CHANGE_TYPE])
+            for r in feed.collect()
+        }
+        assert rows == {
+            (1, 11, "emea", "update_preimage"),
+            (1, 99, "emea", "update_postimage"),
+        }, mode
