@@ -92,14 +92,16 @@ _GATE_WINDOW_R11 = [
     "mm_frame_sample",
     "s9_avro_json",
     "sim_ivf_topk",
-    "sim_kmeans_centroids",
     # r11-born gates displace the proposal's freshest tail entries
     # (sim_ivf_trained_topk, sim_quantize_int8, dedup_embedding_cosine,
-    # t_window_agg out): never-checked gates must sit in the window
+    # t_window_agg, sim_kmeans_centroids out — all r7-green, staleness
+    # exactly 4 after r11, first in line for r12): never-checked gates
+    # must sit in the window
     "t_ivm_delta_feed",
     "x14_iceberg_idless_eqdelete",
     "s21_delta_widened_mapping",
     "t_ivm_iceberg_changelog",
+    "t_iceberg_cdc_poll",
 ]
 
 
@@ -337,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ivm_iceberg_feed": q_t_ivm_iceberg_feed,
         "t_ivm_delta_feed": q_t_ivm_delta_feed,
         "t_ivm_iceberg_changelog": q_t_ivm_iceberg_changelog,
+        "t_iceberg_cdc_poll": q_t_iceberg_cdc_poll,
         "x12_iceberg_evolution": q_x12_iceberg_evolution,
         "x13_iceberg_evolved_mor": q_x13_iceberg_evolved_mor,
         "x14_iceberg_idless_eqdelete": q_x14_iceberg_idless_eqdelete,
@@ -431,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "x14_iceberg_idless_eqdelete": _X14_ICEBERG_IDLESS_EQDELETE_SQL,
         "s21_delta_widened_mapping": _S21_DELTA_WIDENED_MAPPING_SQL,
         "t_ivm_iceberg_changelog": _T_IVM_ICEBERG_CHANGELOG_SQL,
+        "t_iceberg_cdc_poll": _T_ICEBERG_CDC_POLL_SQL,
         "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,
         "x13_iceberg_evolved_mor": _X13_ICEBERG_EVOLVED_MOR_SQL,
         "s17_xml_ingest": _S17_XML_SQL,

@@ -531,6 +531,15 @@ def delta_cdf(
             for act in cdc:
                 rel = dr.unquote(act["path"])
                 local = os.path.join(path, rel)
+                if not os.path.exists(local):
+                    # VACUUM removes cdc files with the same retention
+                    # as stale data files — a feed over an older range
+                    # must fail loudly, not with a scan-time 404
+                    raise ChangeDataFeedError(
+                        f"cdc file {rel!r} (version {v}) has been "
+                        "vacuumed — the change feed for this range is "
+                        "no longer available; re-seed from a snapshot"
+                    )
                 if mode == "name":
                     phys_schema, exprs = dr._mapping_plan(meta)
                     cdc_schema = StructType(

@@ -963,3 +963,101 @@ def iceberg_changelog(
         ).add(StructField("_commit_version", LongType(), True))
         return spark.createDataFrame([], empty)
     return out
+
+
+class IcebergCdcSource:
+    """An Iceberg table as a POLLING CDC SOURCE (r11) — the Iceberg
+    twin of ``delta_cdf.DeltaCdfSource`` and the cross-format closure
+    of the reference's CHANGETABLE contract (reference
+    ``src/main/scala/services/mssql/base/MsSqlStreamingSource.scala``,
+    ``services/mssql/MsSqlStreamingDataProvider.scala``): the same
+    ``current_version()`` / ``changes(since)`` surface, so
+    ``StreamRunner``, the version-guarded MERGE dialects, watermark
+    stores and graceful stop all run with an Iceberg table in the
+    CHANGETABLE seat. The FIRST poll emits a BACKFILL batch (full
+    snapshot as ``U`` rows at the head sequence — the reference's
+    backfill-then-stream pattern, S2→T1); later polls ship the
+    :func:`iceberg_changelog` feed of ``(watermark, head]`` shaped by
+    ``delta_cdf.cdf_to_cdc_batch`` — ``SYS_CHANGE_VERSION`` is the
+    commit's SEQUENCE NUMBER, so downstream replays stay
+    version-guarded no-ops (T9).
+
+    The runner's watermark is one scalar string compared by equality;
+    this source encodes ``"<sequence>:<snapshot-id>"`` — the sequence
+    gives the unit count, the snapshot id anchors the changelog. A
+    watermark whose snapshot has been EXPIRED from the table raises
+    (via :func:`iceberg_changelog`) rather than guessing a restart
+    point — re-seed with a fresh backfill, exactly what the real
+    connector demands."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+
+    def _head(self) -> tuple[int | None, int]:
+        meta = ir.table_metadata(self.path)
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            return None, 0
+        for s in meta.get("snapshots") or []:
+            if s["snapshot-id"] == cur:
+                return cur, int(s.get("sequence-number", 0))
+        raise ir.IcebergError(
+            f"current-snapshot-id {cur} missing from snapshots"
+        )
+
+    @staticmethod
+    def _encode(sid: int, seq: int) -> str:
+        return f"{seq}:{sid}"
+
+    @staticmethod
+    def _decode(version: str) -> tuple[int, int]:
+        seq, _, sid = str(version).partition(":")
+        return int(sid), int(seq)
+
+    def current_version(self) -> dict:
+        sid, seq = self._head()
+        if sid is None:
+            return {"version": ""}
+        return {"version": self._encode(sid, seq)}
+
+    def changes(self, since: dict | None):
+        import pyspark.sql.functions as F
+
+        from arcane_framework_scala_spark.functions.merge_key import (
+            mssql_merge_key,
+        )
+        from arcane_framework_scala_spark.sources.base import MicroBatch
+        from arcane_framework_scala_spark.sources.delta_cdf import (
+            cdf_to_cdc_batch,
+        )
+
+        sid, seq = self._head()
+        if sid is None:
+            return  # no snapshot yet — nothing to backfill or stream
+        head = self._encode(sid, seq)
+        if since is None or not since.get("version"):
+            snap = ir.read_iceberg(self.spark, self.path)
+            yield MicroBatch(
+                df=snap.select(
+                    mssql_merge_key(*self.keys).alias("ARCANE_MERGE_KEY"),
+                    F.lit(seq).cast("long").alias("SYS_CHANGE_VERSION"),
+                    F.lit("U").alias("SYS_CHANGE_OPERATION"),
+                    *snap.columns,
+                ),
+                watermark={"version": head},
+                units=seq,
+            )
+            return
+        last_id, last_seq = self._decode(since["version"])
+        if sid == last_id or seq <= last_seq:
+            return
+        feed = iceberg_changelog(self.spark, self.path, last_id, sid)
+        # localCheckpoint: |delta|-sized, and it cuts the carried-file
+        # anti-join lineage before the sink's row-level MERGE re-plans
+        yield MicroBatch(
+            df=cdf_to_cdc_batch(feed, self.keys).localCheckpoint(),
+            watermark={"version": head},
+            units=seq - last_seq,
+        )

@@ -740,4 +740,101 @@ FROM ({_LINEITEM_ENRICHED_SQL})
 
 
 #: chained-star-import contract: export EVERYTHING (incl. _helpers)
+
+
+def q_t_iceberg_cdc_poll(spark, sf_dir):
+    """An ICEBERG table in the CHANGETABLE seat (r11 — the cross-format
+    closure of the polling contract; ``DeltaCdfSource``'s Iceberg
+    twin): ``IcebergCdcSource`` drives the reference's whole streaming
+    pipeline — ``StreamRunner`` poll loop, the version-guarded M1 MERGE
+    dialect, a file watermark store — replicating the table into a
+    parquet target. Poll 1 backfills the snapshot as U rows; the table
+    then changes through a MoR POSITION-DELETE commit and an APPEND;
+    poll 2 ships both commits as ONE CDC batch off the incremental
+    ``iceberg_changelog`` (O(|delta|), untouched files never
+    rescanned); poll 3 is idle and must apply nothing. The replicated
+    table's per-type stats must equal the relational recompute."""
+    import tempfile
+
+    from arcane_framework_scala_spark.queries.merge import (
+        SQL_SERVER_CHANGE_TRACKING,
+    )
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        MergeSink,
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+    from arcane_framework_scala_spark.streaming.runner import (
+        StreamRunner,
+        StreamSettings,
+    )
+    from arcane_framework_scala_spark.streaming.watermark import (
+        FileWatermarkStore,
+    )
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_ticp_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    t1 = (mx * 6) // 10
+
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.filter(F.col("event_id") <= t1).repartition(3))
+    out_tbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, out_tbl) != 1:
+        raise AssertionError("export should be sequence 1")
+
+    target = SnapshotParquetTarget(spark, os.path.join(run_dir, "tgt"))
+    runner = StreamRunner(
+        source=im.IcebergCdcSource(spark, out_tbl, keys=["event_id"]),
+        sink=MergeSink(target=target, dialect=SQL_SERVER_CHANGE_TRACKING),
+        watermark_store=FileWatermarkStore(
+            path=os.path.join(run_dir, "wm.json")
+        ),
+        settings=StreamSettings(poll_interval_seconds=0.01),
+    )
+    if runner.run_once() != 1:
+        raise AssertionError("poll 1 should backfill one batch")
+    if im.commit_position_deletes(
+        spark, out_tbl, "event_type = 'click'"
+    ) != 2:
+        raise AssertionError("delete should be sequence 2")
+    if im.append_rows(spark, out_tbl, ev.filter(F.col("event_id") > t1)) != 3:
+        raise AssertionError("append should be sequence 3")
+    if runner.run_once() != 1:
+        raise AssertionError("poll 2 should ship one CDC batch")
+    if runner.run_once() != 0:
+        raise AssertionError("poll 3 should be idle")
+
+    return (
+        target.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value_milli").cast("long").alias("sum_vm"),
+        )
+    )
+
+
+_T_ICEBERG_CDC_POLL_SQL = """
+WITH t AS (SELECT max(event_id) * 6 // 10 AS t1 FROM events),
+     base AS (SELECT event_id, event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS vm
+              FROM events),
+     kept AS (
+       SELECT * FROM base, t
+       WHERE event_id <= t1 AND event_type <> 'click'
+       UNION ALL
+       SELECT * FROM base, t WHERE event_id > t1)
+SELECT event_type, COUNT(*) AS n_rows, CAST(SUM(vm) AS BIGINT) AS sum_vm
+FROM kept GROUP BY event_type
+"""
+
+
 __all__ = [n for n in list(globals()) if not n.startswith("__")]

@@ -654,3 +654,38 @@ def test_cdf_on_mapped_partitioned_table_cdc(spark, tmp_path):
             (1, 11, "emea", "update_preimage"),
             (1, 99, "emea", "update_postimage"),
         }, mode
+
+
+def test_vacuum_covers_cdc_files_and_cdf_raises_cleanly(spark, tmp_path):
+    """Change data files follow the same retention as stale data files:
+    VACUUM removes a cdc file once it ages past the window (mtime ≈
+    its commit time — cdc files are written then committed and never
+    rewritten), keeps younger ones, and a feed over a vacuumed range
+    raises a clean ChangeDataFeedError instead of a scan-time 404."""
+    import time as _time
+
+    from arcane_framework_scala_spark.sources.delta_maintenance import (
+        vacuum,
+    )
+
+    src = _export(spark, tmp_path, [(1, "a", 10), (7, "b", 70)])
+    cdf.enable_cdf(spark, src)
+    v1 = cdf.update_where(spark, src, "k = 7", {"n": "n + 1"})
+    cdc_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(src, "_change_data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert cdc_files
+    # younger than the window: retained
+    assert vacuum(spark, src, older_than_s=3600) == []
+    assert all(os.path.exists(p) for p in cdc_files)
+    # age the files past a zero-width window: removed
+    old = _time.time() - 10
+    for p in cdc_files:
+        os.utime(p, (old, old))
+    removed = vacuum(spark, src, older_than_s=1)
+    assert set(removed) >= {os.path.normpath(p) for p in cdc_files}
+    with pytest.raises(cdf.ChangeDataFeedError, match="vacuumed"):
+        cdf.delta_cdf(spark, src, v1 - 1, v1).collect()
