@@ -1061,3 +1061,79 @@ class IcebergCdcSource:
             watermark={"version": head},
             units=seq - last_seq,
         )
+
+
+class IcebergChangelogTarget:
+    """An Iceberg table as an IVM maintenance TARGET (r11) — the
+    Iceberg twin of ``delta_cdf.DeltaCdfTarget``, completing the
+    {Delta, Iceberg} × {polling source, IVM target} matrix: adapts
+    snapshots + :func:`iceberg_changelog` to the interface
+    ``StreamingViewMaintainer`` drives (``snapshots.current_version()``
+    / ``read_version`` / ``changes``), so a maintainer — state table,
+    durable synced version, crash-exactly-once ``last_v`` MERGE — runs
+    unchanged against an Iceberg table this engine only READS.
+    Versions are SEQUENCE NUMBERS (monotonic, exactly what the
+    maintainer's strictly-greater guard needs); ``changes`` is the
+    per-commit manifest-derived feed through ``cdf_to_diff``,
+    O(|delta|) per sync, never a snapshot diff. A version whose
+    snapshot has been EXPIRED raises — resuming across an expiry needs
+    a re-bootstrap, the same posture the real connector takes."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.snapshots = self  # current_version() lives on the target
+
+    def _meta_by_seq(self) -> tuple[dict, dict[int, dict]]:
+        meta = ir.table_metadata(self.path)
+        return meta, {
+            int(s.get("sequence-number", 0)): s
+            for s in meta.get("snapshots") or []
+        }
+
+    def _snap_at(self, version: int) -> dict:
+        _, by_seq = self._meta_by_seq()
+        snap = by_seq.get(int(version))
+        if snap is None:
+            raise ir.IcebergError(
+                f"no snapshot at sequence {version} — expired from the "
+                "table; re-bootstrap the maintainer"
+            )
+        return snap
+
+    def current_version(self) -> int | None:
+        meta, by_seq = self._meta_by_seq()
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            return None
+        for seq, s in by_seq.items():
+            if s["snapshot-id"] == cur:
+                return seq
+        raise ir.IcebergError(
+            f"current-snapshot-id {cur} missing from snapshots"
+        )
+
+    def read(self) -> DataFrame:
+        return ir.read_iceberg(self.spark, self.path)
+
+    def read_version(self, version: int) -> DataFrame:
+        return ir.read_iceberg(
+            self.spark, self.path,
+            snapshot_id=self._snap_at(version)["snapshot-id"],
+        )
+
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        from arcane_framework_scala_spark.sources.delta_cdf import (
+            cdf_to_diff,
+        )
+
+        feed = iceberg_changelog(
+            self.spark,
+            self.path,
+            self._snap_at(v_from)["snapshot-id"],
+            self._snap_at(v_to)["snapshot-id"],
+        )
+        # localCheckpoint: |delta|-sized; cuts the carried-file
+        # anti-join lineage before the state table's row-level MERGE
+        return cdf_to_diff(feed, self.keys).localCheckpoint()
