@@ -797,17 +797,30 @@ class DeltaCdfSource:
     yet) emits a BACKFILL batch — the full snapshot as ``U`` rows at
     the head version (the feed only exists from the enablement commit,
     and a new consumer needs the base anyway: the reference's
-    backfill-then-stream pattern, S2→T1). Every later poll emits ONE
-    micro-batch holding the feed of versions ``(watermark, head]``
-    shaped by :func:`cdf_to_cdc_batch`; replays are version-guarded
-    no-ops downstream (T9)."""
+    backfill-then-stream pattern, S2→T1). Every later poll emits the
+    feed of versions ``(watermark, head]`` shaped by
+    :func:`cdf_to_cdc_batch`; replays are version-guarded no-ops
+    downstream (T9). ``max_versions_per_batch`` caps how many commits
+    one micro-batch covers — a backlogged feed (a consumer down for
+    hours) then lands as several bounded batches, EACH advancing the
+    watermark after its merge, instead of one giant merge: the
+    reference's T3 trigger-cap discipline applied to the version axis
+    (a crash mid-backlog resumes from the last merged slice, not the
+    start)."""
 
     def __init__(
-        self, spark: SparkSession, path: str, keys: list[str]
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        max_versions_per_batch: int | None = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
+        if max_versions_per_batch is not None and max_versions_per_batch < 1:
+            raise ValueError("max_versions_per_batch must be >= 1")
+        self.max_versions_per_batch = max_versions_per_batch
 
     def current_version(self) -> dict:
         return {"version": max(_head(self.path), 0)}
@@ -837,11 +850,17 @@ class DeltaCdfSource:
         last = int(since.get("version", 0))
         if head <= last:
             return
-        feed = delta_cdf(self.spark, self.path, last, head)
-        # localCheckpoint: the sink's row-level MERGE refuses a source
-        # with Python-map (DV-diff) lineage; the feed is |delta|-sized
-        yield MicroBatch(
-            df=cdf_to_cdc_batch(feed, self.keys).localCheckpoint(),
-            watermark={"version": head},
-            units=head - last,
-        )
+        step = self.max_versions_per_batch or (head - last)
+        lo = last
+        while lo < head:
+            hi = min(lo + step, head)
+            feed = delta_cdf(self.spark, self.path, lo, hi)
+            # localCheckpoint: the sink's row-level MERGE refuses a
+            # source with Python-map (DV-diff) lineage; the feed is
+            # |delta|-sized
+            yield MicroBatch(
+                df=cdf_to_cdc_batch(feed, self.keys).localCheckpoint(),
+                watermark={"version": hi},
+                units=hi - lo,
+            )
+            lo = hi

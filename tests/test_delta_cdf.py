@@ -689,3 +689,37 @@ def test_vacuum_covers_cdc_files_and_cdf_raises_cleanly(spark, tmp_path):
     assert set(removed) >= {os.path.normpath(p) for p in cdc_files}
     with pytest.raises(cdf.ChangeDataFeedError, match="vacuumed"):
         cdf.delta_cdf(spark, src, v1 - 1, v1).collect()
+
+
+def test_cdf_source_version_cap_slices_the_backlog(spark, tmp_path):
+    """max_versions_per_batch: three commits land as three bounded
+    micro-batches in ONE poll, each advancing the watermark — a crash
+    after batch 1 resumes from that slice, not the backlog start."""
+    from arcane_framework_scala_spark.sources.base import MicroBatch  # noqa: F401
+
+    src = _export(spark, tmp_path, BASE)
+    cdf.enable_cdf(spark, src)
+    head0 = cdf.update_where(spark, src, "k = 7", {"n": "n + 1"})
+    dv.delete_where(spark, src, "k = 0")
+    cdf.append_rows(
+        spark, src,
+        spark.createDataFrame([(400, "q", 4)], "k long, g string, n long"),
+    )
+    source = cdf.DeltaCdfSource(
+        spark, src, keys=["k"], max_versions_per_batch=1
+    )
+    batches = list(source.changes({"version": head0 - 1}))
+    assert [b.watermark["version"] for b in batches] == [
+        head0, head0 + 1, head0 + 2,
+    ]
+    assert all(b.units == 1 for b in batches)
+    # slice contents: commit-by-commit feeds
+    ops0 = {(r.k, r.SYS_CHANGE_OPERATION) for r in batches[0].df.collect()}
+    assert ops0 == {(7, "U")}
+    ops1 = {(r.k, r.SYS_CHANGE_OPERATION) for r in batches[1].df.collect()}
+    assert ops1 == {(0, "D")}
+    ops2 = {(r.k, r.SYS_CHANGE_OPERATION) for r in batches[2].df.collect()}
+    assert ops2 == {(400, "U")}
+
+    with pytest.raises(ValueError, match="max_versions_per_batch"):
+        cdf.DeltaCdfSource(spark, src, keys=["k"], max_versions_per_batch=0)

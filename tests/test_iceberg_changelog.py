@@ -261,3 +261,42 @@ def test_streaming_maintainer_runs_off_an_iceberg_changelog_target(
     m2.sync()
     assert m2.deltas_applied == 0
     spark.sql(f"DROP TABLE IF EXISTS {state}")
+
+
+def test_iceberg_cdc_source_version_cap_slices_the_backlog(spark, tmp_path):
+    """max_versions_per_batch on the Iceberg side: three commits land
+    as three bounded micro-batches in one poll, each watermark a real
+    snapshot id at its sequence."""
+    out = _table(spark, tmp_path)
+    assert im.commit_position_deletes(spark, out, "k = 0") == 2
+    assert im.commit_equality_deletes(
+        spark, out, spark.createDataFrame([(5,)], "k long"), ["k"]
+    ) == 3
+    assert im.append_rows(
+        spark, out,
+        spark.createDataFrame([(400, "q", 4)], "k long, g string, n long"),
+    ) == 4
+    ids = _snap_ids(out)
+    source = im.IcebergCdcSource(
+        spark, out, keys=["k"], max_versions_per_batch=1
+    )
+    batches = list(source.changes({"version": f"1:{ids[0]}"}))
+    assert [b.watermark["version"] for b in batches] == [
+        f"2:{ids[1]}", f"3:{ids[2]}", f"4:{ids[3]}",
+    ]
+    assert all(b.units == 1 for b in batches)
+    ops0 = {(r.k, r.SYS_CHANGE_OPERATION) for r in batches[0].df.collect()}
+    assert ops0 == {(0, "D")}
+    ops1 = {(r.k, r.SYS_CHANGE_OPERATION) for r in batches[1].df.collect()}
+    assert ops1 == {(5, "D")}
+    ops2 = {(r.k, r.SYS_CHANGE_OPERATION) for r in batches[2].df.collect()}
+    assert ops2 == {(400, "U")}
+    # a cap of 2 takes the first two commits in one slice
+    source2 = im.IcebergCdcSource(
+        spark, out, keys=["k"], max_versions_per_batch=2
+    )
+    b2 = list(source2.changes({"version": f"1:{ids[0]}"}))
+    assert [b.watermark["version"] for b in b2] == [
+        f"3:{ids[2]}", f"4:{ids[3]}",
+    ]
+    assert [b.units for b in b2] == [2, 1]
