@@ -427,6 +427,37 @@ def _dv_positions_df(spark, path: str, pairs) -> DataFrame:
     )
 
 
+def _additive_evolution(prev_meta: dict, new_meta: dict) -> bool:
+    """True when ``new_meta`` differs from ``prev_meta`` only by
+    APPENDING nullable top-level fields to the schema: the prior
+    fields must be byte-identical (no rename, retype, reorder, drop or
+    mapping-metadata change), partition columns and the column-mapping
+    mode must be unchanged. This is the one evolution a CDF range can
+    absorb without per-version schemas — the whole feed reads in the
+    END schema and pre-evolution rows null-fill the new columns."""
+    try:
+        old_f = json.loads(prev_meta.get("schemaString") or "{}").get(
+            "fields", []
+        )
+        new_f = json.loads(new_meta.get("schemaString") or "{}").get(
+            "fields", []
+        )
+    except (TypeError, ValueError):
+        return False
+    if (prev_meta.get("partitionColumns") or []) != (
+        new_meta.get("partitionColumns") or []
+    ):
+        return False
+    mode = "delta.columnMapping.mode"
+    if (prev_meta.get("configuration") or {}).get(mode, "none") != (
+        new_meta.get("configuration") or {}
+    ).get(mode, "none"):
+        return False
+    if len(new_f) < len(old_f) or new_f[: len(old_f)] != old_f:
+        return False
+    return all(f.get("nullable", False) for f in new_f[len(old_f):])
+
+
 def delta_cdf(
     spark: SparkSession, path: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -461,15 +492,14 @@ def delta_cdf(
 
     # state at v_from: per-file DVs when the range starts (so paired
     # remove→add commits diff against the right base) and the START
-    # schema — a metaData action changing it mid-range must raise
+    # schema — a metaData action changing it mid-range may only ADD
+    # nullable columns (the whole feed then reads in the END schema,
+    # older rows null-filling the new columns — the same semantics the
+    # real connector's CDF takes for additive evolution); any other
+    # change (rename/drop/retype/repartition/mapping-mode flip) raises
     st_from = dr._replay_state(path, v_from, spark)
     state = dict(st_from["live"])
-    start_schema_str = (st_from["meta"] or {}).get("schemaString")
-    if meta.get("schemaString") != start_schema_str:
-        raise ChangeDataFeedError(
-            f"schema changed between versions {v_from} and {v_to} — "
-            "per-version schemas need the real connector"
-        )
+    cur_meta = st_from["meta"] or {}
 
     out: DataFrame | None = None
 
@@ -484,12 +514,13 @@ def delta_cdf(
         actions = _commit_actions_of(path, v)
         for a in actions:
             if "metaData" in a:
-                if a["metaData"].get("schemaString") != start_schema_str:
+                if not _additive_evolution(cur_meta, a["metaData"]):
                     raise ChangeDataFeedError(
-                        f"schema changed at version {v} inside the CDF "
-                        "range — per-version schemas need the real "
-                        "connector"
+                        f"non-additive schema change at version {v} "
+                        "inside the CDF range — per-version schemas "
+                        "need the real connector"
                     )
+                cur_meta = a["metaData"]
         cdc = [a["cdc"] for a in actions if "cdc" in a]
         adds = {
             dr.unquote(a["add"]["path"]): a["add"]

@@ -228,7 +228,12 @@ def test_update_where_partitioned_keeps_layout(spark, tmp_path):
     assert {r.g for r in feed.collect()} == {"a"}
 
 
-def test_schema_change_inside_range_raises(spark, tmp_path):
+def test_schema_change_inside_range(spark, tmp_path):
+    """r11 fence narrowing: an ADDITIVE schema change (appended
+    nullable column) inside a CDF range reads in the END schema —
+    pre-evolution rows null-fill the new column, the same semantics
+    the real connector's CDF takes. Anything else (here: a retype)
+    still raises."""
     t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
     t.overwrite(spark.createDataFrame(BASE, "k long, g string, n long"))
     out = str(tmp_path / "delta")
@@ -240,8 +245,23 @@ def test_schema_change_inside_range_raises(spark, tmp_path):
         )
     )
     v = dr.export_delta(t, out)
-    with pytest.raises(cdf.ChangeDataFeedError, match="schema changed"):
-        cdf.delta_cdf(spark, out, 1, v).collect()
+    feed = cdf.delta_cdf(spark, out, 1, v)
+    rows = {
+        (r.k, r.extra, r[cdf.CHANGE_TYPE]) for r in feed.collect()
+    }
+    want = {(k, None, "delete") for k, _, _ in BASE}
+    want |= {(1, "x", "insert")}
+    assert rows == want
+
+    # non-additive: retyping a column still needs the real connector
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", "s", "x")], "k long, g string, n string, extra string"
+        )
+    )
+    v2 = dr.export_delta(t, out)
+    with pytest.raises(cdf.ChangeDataFeedError, match="non-additive"):
+        cdf.delta_cdf(spark, out, v, v2).collect()
 
 
 def test_cdf_to_diff_shapes_and_ivm_maintenance(spark, tmp_path):
