@@ -107,6 +107,18 @@ HEADLINE7 = [
     "corpus_top_ngrams",
 ]
 
+#: eighth section (r11): the cross-format CDC verticals — each builds a
+#: real lakehouse table, mutates it through DV/CoW/MoR commits and
+#: consumes the per-commit change feed end-to-end (IVM maintenance off
+#: Delta CDF and the Iceberg changelog; the full polling pipeline with
+#: an Iceberg table in the CHANGETABLE seat). Lifecycle verticals like
+#: m8, not single-operator numbers.
+HEADLINE8 = [
+    "t_ivm_delta_feed",
+    "t_ivm_iceberg_changelog",
+    "t_iceberg_cdc_poll",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -279,6 +291,7 @@ def main() -> None:
     timings5, stats5 = measure(HEADLINE5)
     timings6, stats6 = measure(HEADLINE6)
     timings7, stats7 = measure(HEADLINE7)
+    timings8, stats8 = measure(HEADLINE8)
     # The driver records only the LAST ~2.3 KB of stdout; r4's combined
     # line (medians + min/max stats) overflowed that and truncated its own
     # "value" field (VERDICT r4 item 5). So: the FINAL stdout line is a
@@ -308,6 +321,9 @@ def main() -> None:
         "headline7_total": round(sum(timings7.values()), 3),
         "headline7_queries": timings7,
         "headline7_query_stats": stats7,
+        "headline8_total": round(sum(timings8.values()), 3),
+        "headline8_queries": timings8,
+        "headline8_query_stats": stats8,
         "calibration_scan_sec": calib,
         "calibration_cpu_sec": calib_cpu,
         "runs_per_query": runs,
@@ -333,6 +349,7 @@ def main() -> None:
         "headline5_total": detail["headline5_total"],
         "headline6_total": detail["headline6_total"],
         "headline7_total": detail["headline7_total"],
+        "headline8_total": detail["headline8_total"],
         "calibration_scan_sec": calib,
         "calibration_cpu_sec": calib_cpu,
         "runs_per_query": runs,
