@@ -190,6 +190,22 @@ def main() -> None:
     # MEDIAN of the n timed runs plus the spread.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+    # Per-query calibration tick (r11, after two same-day samples showed
+    # DIFFERENT query families inflated 2-3x with clean start-of-run
+    # guards and low per-query cv): transient host noise spans a whole
+    # query's ~10 s run window, so a single start-of-run probe cannot
+    # normalize it. One scan-probe iteration AFTER each query stamps the
+    # box speed in that query's own time window (~0.3 s each); post-hoc
+    # comparisons divide by the MATCHING tick, not the global probe.
+    li_cal = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def cal_tick() -> float:
+        t0 = time.time()
+        li_cal.groupBy("l_returnflag").agg(
+            {"l_quantity": "sum", "l_extendedprice": "avg"}
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
     def measure(names: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
         medians: dict[str, float] = {}
         stats: dict[str, dict] = {}
@@ -219,11 +235,13 @@ def main() -> None:
                 "max": round(samples[-1], 3),
                 "cv": round(cv, 3),
                 "warmup": round(warm, 3),
+                "cal_tick": cal_tick(),
             }
             print(
                 f"# {name}: {stats[name]['median']}s "
                 f"[{stats[name]['min']}..{stats[name]['max']}] "
                 f"cv={stats[name]['cv']} "
+                f"cal_tick={stats[name]['cal_tick']} "
                 f"(warmup {stats[name]['warmup']}s discarded)",
                 file=sys.stderr,
             )
