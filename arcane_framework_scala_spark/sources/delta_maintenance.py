@@ -213,6 +213,39 @@ def vacuum(
         if desc and desc.get("storageType") not in (None, "i"):
             dvp = os.path.normpath(dvm.resolve_dv_path(table_path, desc))
             removed_at_ms[dvp] = max(removed_at_ms.get(dvp, 0), int(ts))
+    # cdc files (_change_data, CDF): bound to their COMMIT's timestamp,
+    # never their own mtime — a recent commit's feed must survive an old
+    # file mtime (restored/copied files), and an old commit's feed dies
+    # with the retention window even if the file was touched since.
+    # ``delta_cdf`` raises ChangeDataFeedError for ranges whose cdc
+    # files are gone — the real VACUUM's documented trade. Commits the
+    # log no longer holds (cleaned past a checkpoint) leave their cdc
+    # debris to the mtime fallback below.
+    log_dir = os.path.join(table_path, "_delta_log")
+    for name in os.listdir(log_dir):
+        if not dr._COMMIT_RE.match(name):
+            continue
+        commit_ts = None
+        cdc_rels: list[str] = []
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    commit_ts = a["commitInfo"].get("timestamp", commit_ts)
+                elif "cdc" in a:
+                    cdc_rels.append(dr.unquote(a["cdc"]["path"]))
+        if not cdc_rels:
+            continue
+        if commit_ts is None:
+            commit_ts = int(
+                os.stat(os.path.join(log_dir, name)).st_mtime * 1000
+            )
+        for rel in cdc_rels:
+            p = os.path.normpath(os.path.join(table_path, rel))
+            removed_at_ms[p] = max(removed_at_ms.get(p, 0), int(commit_ts))
     cutoff = time.time() - older_than_s
     removed: list[str] = []
     for root, dirs, files in os.walk(table_path):

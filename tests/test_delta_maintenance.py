@@ -101,3 +101,57 @@ def test_vacuum_gates_on_tombstone_not_file_mtime(spark, tmp_path):
     # time travel into the vacuumed window is gone (documented trade)
     with pytest.raises(Exception):
         _ids(spark, out, version=0)
+
+
+def test_vacuum_binds_cdc_files_to_their_commit_timestamp(
+    spark, tmp_path
+):
+    """_change_data files are vacuumed by their COMMIT's age (the real
+    VACUUM's CDF rule), never their own mtime; a vacuumed range's feed
+    then raises ChangeDataFeedError instead of a scan-time 404."""
+    import json
+
+    from arcane_framework_scala_spark.sources import delta_cdf as cdf
+
+    rows = [(i, "a" if i % 2 else "b", i * 10) for i in range(12)]
+    t = SnapshotParquetTarget(spark, str(tmp_path / "pub"))
+    t.overwrite(spark.createDataFrame(rows, "k long, g string, n long"))
+    out = str(tmp_path / "delta")
+    assert dr.export_delta(t, out) == 0
+    cdf.enable_cdf(spark, out)
+    v = cdf.update_where(spark, out, "g = 'a'", {"n": "n + 1"})
+    cdc_files = [
+        os.path.join(root, n)
+        for root, _, files in os.walk(os.path.join(out, "_change_data"))
+        for n in files
+        if n.endswith(".parquet")
+    ]
+    assert cdc_files
+    # age the cdc FILES: the commit is recent, so they must survive —
+    # pre-r11 mtime-fallback vacuum would delete them here
+    for p in cdc_files:
+        os.utime(p, (1, 1))
+    assert dmx.vacuum(spark, out, older_than_s=3600) == []
+    assert all(os.path.exists(p) for p in cdc_files)
+    assert cdf.delta_cdf(spark, out, v - 1, v).count() == 12
+    # a commitInfo timestamp takes precedence over the log file mtime:
+    # ancient log mtime + recent commitInfo → still inside the window
+    log = os.path.join(out, "_delta_log")
+    vfile = os.path.join(log, f"{v:020d}.json")
+    with open(vfile) as f:
+        lines = [line for line in f if line.strip()]
+    now_ms = int(time.time() * 1000)
+    with open(vfile, "a") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": now_ms}}) + "\n")
+    os.utime(vfile, (1, 1))
+    assert dmx.vacuum(spark, out, older_than_s=3600) == []
+    assert all(os.path.exists(p) for p in cdc_files)
+    # age the COMMIT itself (drop commitInfo; the log mtime governs):
+    # the feed's files fall outside the window and are reclaimed
+    with open(vfile, "w") as f:
+        f.writelines(lines)
+    os.utime(vfile, (1, 1))
+    removed = dmx.vacuum(spark, out, older_than_s=3600)
+    assert set(removed) >= {os.path.normpath(p) for p in cdc_files}
+    with pytest.raises(cdf.ChangeDataFeedError, match="vacuumed"):
+        cdf.delta_cdf(spark, out, v - 1, v).count()
