@@ -91,17 +91,18 @@ _GATE_WINDOW_R11 = [
     "dedup_clusters_star",
     "mm_frame_sample",
     "s9_avro_json",
-    "sim_ivf_topk",
     # r11-born gates displace the proposal's freshest tail entries
     # (sim_ivf_trained_topk, sim_quantize_int8, dedup_embedding_cosine,
-    # t_window_agg, sim_kmeans_centroids out — all r7-green, staleness
-    # exactly 4 after r11, first in line for r12): never-checked gates
-    # must sit in the window
+    # t_window_agg, sim_kmeans_centroids, sim_ivf_topk out — all
+    # r7-green, staleness exactly 4 after r11, first in line for r12;
+    # sim_ivf_topk additionally runs in bench h1 every round): never-
+    # checked gates must sit in the window
     "t_ivm_delta_feed",
     "x14_iceberg_idless_eqdelete",
     "s21_delta_widened_mapping",
     "t_ivm_iceberg_changelog",
     "t_iceberg_cdc_poll",
+    "x15_restore_rollback",
 ]
 
 
@@ -344,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_iceberg_evolved_mor": q_x13_iceberg_evolved_mor,
         "x14_iceberg_idless_eqdelete": q_x14_iceberg_idless_eqdelete,
         "s21_delta_widened_mapping": q_s21_delta_widened_mapping,
+        "x15_restore_rollback": q_x15_restore_rollback,
         "s17_xml_ingest": q_s17_xml_ingest,
         "t3_shaped_trigger_vertical": q_t3_shaped_trigger_vertical,
         "a24_host_concentration": q_a24_host_concentration,
@@ -433,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "t_ivm_delta_feed": _T_IVM_DELTA_FEED_SQL,
         "x14_iceberg_idless_eqdelete": _X14_ICEBERG_IDLESS_EQDELETE_SQL,
         "s21_delta_widened_mapping": _S21_DELTA_WIDENED_MAPPING_SQL,
+        "x15_restore_rollback": _X15_RESTORE_ROLLBACK_SQL,
         "t_ivm_iceberg_changelog": _T_IVM_ICEBERG_CHANGELOG_SQL,
         "t_iceberg_cdc_poll": _T_ICEBERG_CDC_POLL_SQL,
         "x12_iceberg_evolution": _X12_ICEBERG_EVOLUTION_SQL,

@@ -275,3 +275,93 @@ def vacuum(
             except FileNotFoundError:
                 pass
     return sorted(removed)
+
+
+def restore_table(
+    spark: SparkSession, table_path: str, version: int
+) -> int | None:
+    """RESTORE TABLE ... TO VERSION AS OF — a NEW commit that re-adds
+    the target version's files (their DV descriptors as of that
+    version) and removes files only the current head holds, exactly
+    the real RestoreTableCommand's diff-of-snapshots plan; history is
+    never rewritten, so time travel to the pre-restore head still
+    works and a CDF feed derives insert/delete rows from the commit's
+    dataChange actions. Metadata (schema, partitioning, table
+    configuration) is restored alongside the data when it changed,
+    matching the reference connector's engine-side RESTORE (the
+    reference maintains tables through its JDBC merge client —
+    src/main/scala/services/merging/JdbcMergeServiceClient.scala —
+    where RESTORE is the engine's own). Raises when a file the target
+    version needs has been vacuumed. Returns the new version, or None
+    when the table already matches the target."""
+    st_h = dr._replay_state(table_path, None, spark)
+    head = max(dr.commit_versions(table_path))
+    if version >= head:
+        raise ValueError(
+            f"RESTORE target {version} is not older than head {head}"
+        )
+    st_t = dr._replay_state(table_path, version, spark)
+    live_t, live_h = st_t["live"], st_h["live"]
+
+    missing = []
+    for rel, a in live_t.items():
+        if not os.path.exists(os.path.join(table_path, rel)):
+            missing.append(rel)
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") != "i":
+            dvp = dvm.resolve_dv_path(table_path, desc)
+            if not os.path.exists(dvp):
+                missing.append(os.path.relpath(dvp, table_path))
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE {table_path!r} to version {version}: "
+            f"{len(missing)} file(s) it references have been vacuumed "
+            f"(first: {missing[0]!r})"
+        )
+
+    actions: list[dict] = []
+    if (st_t["meta"] or {}) != (st_h["meta"] or {}):
+        actions.append({"metaData": st_t["meta"]})
+    now_ms = int(time.time() * 1000)
+    for rel in sorted(live_t):
+        a = live_t[rel]
+        h = live_h.get(rel)
+        if h is None or h.get("deletionVector") != a.get(
+            "deletionVector"
+        ):
+            add = dict(a)
+            add["dataChange"] = True
+            if h is not None:
+                # same path, different DV state: pair remove→add so
+                # replay (and the derived CDF diff) sees a rewrite
+                rm = {
+                    "path": h["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "extendedFileMetadata": True,
+                    "partitionValues": h.get("partitionValues") or {},
+                    "size": h.get("size"),
+                }
+                if h.get("deletionVector"):
+                    rm["deletionVector"] = h["deletionVector"]
+                actions.append({"remove": rm})
+            actions.append({"add": add})
+    for rel in sorted(live_h):
+        if rel in live_t:
+            continue
+        h = live_h[rel]
+        rm = {
+            "path": h["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "extendedFileMetadata": True,
+            "partitionValues": h.get("partitionValues") or {},
+            "size": h.get("size"),
+        }
+        if h.get("deletionVector"):
+            rm["deletionVector"] = h["deletionVector"]
+        actions.append({"remove": rm})
+    if not actions:
+        return None
+    dr.commit_actions(table_path, head + 1, actions)
+    return head + 1

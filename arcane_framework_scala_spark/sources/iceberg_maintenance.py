@@ -129,3 +129,57 @@ def remove_orphan_files(
             except FileNotFoundError:
                 pass
     return sorted(removed)
+
+
+def rollback_to_snapshot(table_dir: str, snapshot_id: int) -> int:
+    """``rollback_to_snapshot`` — point ``current-snapshot-id`` back at
+    an ANCESTOR of the current snapshot (the spec's rollback rule; for
+    arbitrary existing snapshots use :func:`set_current_snapshot`).
+    Pure metadata: no snapshot is deleted, so time travel to the
+    rolled-over states keeps working until ``expire_snapshots`` drops
+    them (they are no longer ancestors of current, exactly the real
+    engine's post-rollback expiry behavior). Appends the change to
+    ``snapshot-log`` per the spec ("a log of how the table's current
+    snapshot changed"). Returns the new metadata version."""
+    meta = ir.table_metadata(table_dir)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not in the table's history"
+        )
+    cur = meta.get("current-snapshot-id")
+    if snapshot_id == cur:
+        raise ValueError(f"snapshot {snapshot_id} is already current")
+    ancestors = set()
+    c = cur
+    while c is not None and c in snaps:
+        ancestors.add(c)
+        c = snaps[c].get("parent-snapshot-id")
+    if snapshot_id not in ancestors:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"snapshot {cur} — rollback only rewinds history; use "
+            "set_current_snapshot for arbitrary states"
+        )
+    return set_current_snapshot(table_dir, snapshot_id)
+
+
+def set_current_snapshot(table_dir: str, snapshot_id: int) -> int:
+    """Point ``current-snapshot-id`` at ANY existing snapshot (the
+    engine's ``set_current_snapshot`` action — no ancestry check).
+    Metadata-only; appends a ``snapshot-log`` entry."""
+    meta = ir.table_metadata(table_dir)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not in the table's history"
+        )
+    now_ms = int(time.time() * 1000)
+    new_meta = {
+        **meta,
+        "current-snapshot-id": snapshot_id,
+        "last-updated-ms": now_ms,
+        "snapshot-log": (meta.get("snapshot-log") or [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+    }
+    return ir.write_metadata(table_dir, new_meta)

@@ -3356,5 +3356,126 @@ FROM kept GROUP BY event_type
 
 
 
+def q_x15_restore_rollback(spark, sf_dir):
+    """Time-travel WRITE surfaces (r11): Delta RESTORE TABLE TO VERSION
+    AS OF and Iceberg rollback_to_snapshot, the maintenance actions the
+    reference reaches through its catalog-side merge client
+    (src/main/scala/services/merging/JdbcMergeServiceClient.scala).
+    Delta leg: export events, enable CDF, DV-delete the clicks, append
+    junk rows — then RESTORE to the pre-delete version; the restore is
+    a NEW diff commit (re-adds + removes), so every earlier version
+    still time-travels and the junk rows feed back out of the derived
+    CDF as deletes. Iceberg leg: export, position-delete
+    ``user_id % 7 = 0``, append junk — then roll the current snapshot
+    back to the post-delete state, pure metadata; the junk snapshot
+    stays readable by id until expiry. The oracle recomputes both final
+    states relationally: restored Delta == the whole events slice,
+    rolled-back Iceberg == events minus the deleted users."""
+    import tempfile
+
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+    from arcane_framework_scala_spark.sources import delta_cdf as dcdf
+    from arcane_framework_scala_spark.sources import (
+        delta_maintenance as dmx,
+    )
+    from arcane_framework_scala_spark.sources import delta_dv as ddv
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+    from arcane_framework_scala_spark.sources import (
+        iceberg_maintenance as imx,
+    )
+    from arcane_framework_scala_spark.sources import iceberg_mor as im
+    from arcane_framework_scala_spark.sources import iceberg_reader as ir
+
+    _harden_session(spark)
+    run_dir = tempfile.mkdtemp(prefix="arcane_x15_run_")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    junk = spark.range(3).select(
+        (F.col("id") - 1_000_000).alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("junk").alias("event_type"),
+        F.lit(0).cast("long").alias("value_milli"),
+    )
+
+    # ---- Delta leg: delete + junk append, then RESTORE past both ----
+    st = SnapshotParquetTarget(spark, os.path.join(run_dir, "pub"))
+    st.overwrite(ev.repartition(3))
+    dtbl = os.path.join(run_dir, "delta")
+    if dr.export_delta(st, dtbl) != 0:
+        raise AssertionError("export should be version 0")
+    if dcdf.enable_cdf(spark, dtbl) != 1:
+        raise AssertionError("enable_cdf should be version 1")
+    if ddv.delete_where(spark, dtbl, "event_type = 'click'") != 2:
+        raise AssertionError("DV delete should be version 2")
+    if dcdf.append_rows(spark, dtbl, junk) != 3:
+        raise AssertionError("junk append should be version 3")
+    if dmx.restore_table(spark, dtbl, 1) != 4:
+        raise AssertionError("restore should commit version 4")
+    # history intact: the junk state still time-travels, and the
+    # restore commit's derived CDF carries the junk back OUT
+    if dr.read_delta(spark, dtbl, version=3).filter(
+        "event_type = 'junk'"
+    ).count() != 3:
+        raise AssertionError("pre-restore version lost the junk rows")
+    feed = dcdf.delta_cdf(spark, dtbl, 3, 4)
+    if feed.filter(
+        "_change_type = 'delete' AND event_type = 'junk'"
+    ).count() != 3:
+        raise AssertionError("restore CDF must delete the junk rows")
+    restored = dr.read_delta(spark, dtbl)
+
+    # ---- Iceberg leg: pos-delete + junk append, then rollback ----
+    itbl = os.path.join(run_dir, "ice")
+    if ir.export_iceberg(st, itbl) != 1:
+        raise AssertionError("export should be sequence 1")
+    if im.commit_position_deletes(spark, itbl, "user_id % 7 = 0") != 2:
+        raise AssertionError("pos-delete should be sequence 2")
+    if im.append_rows(spark, itbl, junk) != 3:
+        raise AssertionError("junk append should be sequence 3")
+    log = ir.snapshot_log(itbl)
+    head_id = log[-1]["snapshot-id"]
+    imx.rollback_to_snapshot(itbl, log[-2]["snapshot-id"])
+    # the detached head stays readable by id until expiry
+    if ir.read_iceberg(spark, itbl, snapshot_id=head_id).filter(
+        "event_type = 'junk'"
+    ).count() != 3:
+        raise AssertionError("rolled-over head lost the junk rows")
+    rolled = ir.read_iceberg(spark, itbl)
+
+    def agg(df, tag):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_milli").alias("sum_vm"),
+            F.countDistinct("user_id").alias("users"),
+        ).select(F.lit(tag).alias("leg"), "*")
+
+    return agg(restored, "delta_restore").unionByName(
+        agg(rolled, "iceberg_rollback")
+    )
+
+
+_X15_RESTORE_ROLLBACK_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT 'delta_restore' AS leg, event_type, COUNT(*) AS cnt,
+       CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM ev GROUP BY event_type
+UNION ALL
+SELECT 'iceberg_rollback' AS leg, event_type, COUNT(*) AS cnt,
+       CAST(SUM(vm) AS BIGINT) AS sum_vm,
+       COUNT(DISTINCT user_id) AS users
+FROM ev WHERE user_id % 7 <> 0 GROUP BY event_type
+"""
+
+
 #: chained-star-import contract: export EVERYTHING (incl. _helpers)
 __all__ = [n for n in list(globals()) if not n.startswith("__")]

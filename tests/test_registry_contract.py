@@ -88,12 +88,14 @@ def test_gate_window_is_the_declared_r11_rotation():
         "t1_polling_vertical", "t2_crash_replay",
         "t7_stream_merge_vertical", "t9_replay_idempotent",
         "corpus_pipeline_e2e", "dedup_clusters_star", "mm_frame_sample",
-        "s9_avro_json", "sim_ivf_topk",
+        "s9_avro_json",
         # r11-born gates (displace the freshest r7 tail entries;
-        # sim_kmeans_centroids went out for t_iceberg_cdc_poll)
+        # sim_kmeans_centroids went out for t_iceberg_cdc_poll,
+        # sim_ivf_topk — benched every round in h1 — for
+        # x15_restore_rollback)
         "t_ivm_delta_feed", "x14_iceberg_idless_eqdelete",
         "s21_delta_widened_mapping", "t_ivm_iceberg_changelog",
-        "t_iceberg_cdc_poll",
+        "t_iceberg_cdc_poll", "x15_restore_rollback",
     ):
         assert required in first50, required
 
