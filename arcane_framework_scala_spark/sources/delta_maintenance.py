@@ -365,3 +365,63 @@ def restore_table(
         return None
     dr.commit_actions(table_path, head + 1, actions)
     return head + 1
+
+
+def cleanup_expired_logs(
+    table_path: str, older_than_s: float = 30 * 86400
+) -> list[str]:
+    """Delta's METADATA retention (``delta.logRetentionDuration``, the
+    log-cleanup pass real writers run after checkpointing): delete
+    commit JSONs and superseded checkpoint files STRICTLY BELOW the
+    newest usable checkpoint once they age past the window. Replay of
+    the current table starts from the checkpoint, so reads and new
+    commits are unaffected; time travel and change feeds into the
+    cleaned range stop working — replay raises its truncated-log
+    error, ``delta_cdf`` its cleaned-actions error — the documented
+    trade, same shape as VACUUM's. A commit's age is its
+    ``commitInfo.timestamp`` when present, else the JSON's mtime;
+    checkpoint files age by mtime. ``_last_checkpoint``, v2-checkpoint
+    sidecars, and everything at or above the checkpoint version are
+    never touched. Without any checkpoint the log is the only source
+    of truth and nothing is cleaned. Returns the removed paths."""
+    log = dr._log_dir(table_path)
+    ckpt = dr._latest_checkpoint(table_path, None)
+    if ckpt is None:
+        return []
+    cutoff_ms = (time.time() - older_than_s) * 1000
+    removed: list[str] = []
+    for name in sorted(os.listdir(log)):
+        full = os.path.join(log, name)
+        cm = dr._COMMIT_RE.match(name)
+        if cm:
+            if int(cm.group(1)) >= ckpt:
+                continue
+            age_ms = None
+            with open(full) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a and a["commitInfo"].get(
+                        "timestamp"
+                    ):
+                        age_ms = a["commitInfo"]["timestamp"]
+                        break
+            if age_ms is None:
+                age_ms = os.stat(full).st_mtime * 1000
+            if age_ms > cutoff_ms:
+                continue
+            os.remove(full)
+            removed.append(full)
+            continue
+        km = (
+            dr._CHECKPOINT_RE.match(name)
+            or dr._CHECKPOINT_V2_RE.match(name)
+            or dr._CHECKPOINT_PART_RE.match(name)
+        )
+        if km and int(km.group(1)) < ckpt:
+            if os.stat(full).st_mtime * 1000 <= cutoff_ms:
+                os.remove(full)
+                removed.append(full)
+    return sorted(removed)

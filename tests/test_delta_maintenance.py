@@ -155,3 +155,51 @@ def test_vacuum_binds_cdc_files_to_their_commit_timestamp(
     assert set(removed) >= {os.path.normpath(p) for p in cdc_files}
     with pytest.raises(cdf.ChangeDataFeedError, match="vacuumed"):
         cdf.delta_cdf(spark, out, v - 1, v).count()
+
+
+def test_cleanup_expired_logs_retains_from_the_checkpoint(
+    spark, tmp_path
+):
+    """Log cleanup deletes commit JSONs strictly below an aged
+    checkpoint; replay and new commits keep working off the
+    checkpoint, time travel and CDF into the cleaned range raise."""
+    from arcane_framework_scala_spark.sources import delta_cdf as cdf
+
+    out = _export(spark, tmp_path, partition=False)
+    cdf.enable_cdf(spark, out)
+    assert dv.delete_where(spark, out, "id < 10") == 2
+    assert cdf.append_rows(
+        spark,
+        out,
+        spark.range(200, 210).select(
+            F.col("id"), (F.col("id") % 7).alias("k"),
+            (F.col("id") % 3).alias("p"),
+        ),
+    ) == 3
+    want = _ids(spark, out)
+    # no checkpoint -> nothing cleaned, ever
+    assert dmx.cleanup_expired_logs(out, older_than_s=0) == []
+    ck = dr.export_checkpoint(spark, out)
+    assert ck == 3
+    # everything is recent -> retention protects the whole log
+    assert dmx.cleanup_expired_logs(out, older_than_s=3600) == []
+    # age every log file; commits < checkpoint go, >= checkpoint stay
+    log = os.path.join(out, "_delta_log")
+    for n in os.listdir(log):
+        os.utime(os.path.join(log, n), (1, 1))
+    removed = dmx.cleanup_expired_logs(out, older_than_s=3600)
+    assert len(removed) == 3  # commits 0,1,2
+    names = sorted(os.path.basename(p) for p in removed)
+    assert names == [f"{v:020d}.json" for v in (0, 1, 2)]
+    # current state intact, new commits still possible
+    assert _ids(spark, out) == want
+    assert dv.delete_where(spark, out, "id >= 205") == 4
+    assert _ids(spark, out) == {i for i in want if i < 205}
+    # time travel into the cleaned range raises the truncated error
+    with pytest.raises(Exception):
+        _ids(spark, out, version=1)
+    # the change feed over a cleaned commit raises, not a 404
+    with pytest.raises(Exception):
+        cdf.delta_cdf(spark, out, 1, 2).count()
+    # idempotent: nothing left below the checkpoint
+    assert dmx.cleanup_expired_logs(out, older_than_s=3600) == []
