@@ -183,3 +183,39 @@ def set_current_snapshot(table_dir: str, snapshot_id: int) -> int:
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
     }
     return ir.write_metadata(table_dir, new_meta)
+
+
+def expire_metadata_files(table_dir: str) -> list[str]:
+    """Delete previous ``vN.metadata.json`` files that the CURRENT
+    metadata's ``metadata-log`` no longer references (written before
+    metadata-log tracking, or fallen off the
+    ``write.metadata.previous-versions-max`` cap without
+    delete-after-commit enabled) — the on-demand sweep matching the
+    write-time pruning in :func:`iceberg_reader.write_metadata`. The
+    current file and every logged previous file are kept, so rollback
+    of the metadata pointer within the logged window stays possible.
+    Returns the removed paths."""
+    import json
+    import re
+
+    cur_file = ir.table_metadata_file(table_dir)
+    with open(cur_file) as f:
+        meta = json.load(f)
+    referenced = {os.path.abspath(cur_file)}
+    for e in meta.get("metadata-log") or []:
+        uri = e.get("metadata-file") or ""
+        p = uri[len("file://"):] if uri.startswith("file://") else uri
+        if p:
+            referenced.add(os.path.abspath(p))
+    md = os.path.dirname(cur_file)
+    pat = re.compile(r"^v(\d+)\.metadata\.json$|^(\d+)-[0-9a-f-]+\.metadata\.json$")
+    removed: list[str] = []
+    for name in sorted(os.listdir(md)):
+        if not pat.match(name):
+            continue
+        full = os.path.abspath(os.path.join(md, name))
+        if full in referenced:
+            continue
+        os.remove(full)
+        removed.append(full)
+    return removed

@@ -123,9 +123,41 @@ def write_metadata(path: str, meta: dict) -> int:
     next vN.metadata.json with PUT-IF-ABSENT semantics (a concurrent
     committer racing to the same version fails loudly instead of being
     clobbered — the HadoopTables optimistic-concurrency rule), then
-    the version-hint pointer flip. Returns the metadata version."""
+    the version-hint pointer flip. Returns the metadata version.
+
+    Spec bookkeeping (r11): the OUTGOING metadata file is appended to
+    ``metadata-log`` (timestamp + location pairs, capped at
+    ``write.metadata.previous-versions-max``, spec default 100), and
+    when ``write.metadata.delete-after-commit.enabled`` is ``true``
+    previous metadata files beyond the cap are deleted after the
+    commit — exactly TableMetadata's previous-file tracking, so
+    long-lived tables never accumulate unbounded vN.metadata.json."""
     md = os.path.join(path, "metadata")
     os.makedirs(md, exist_ok=True)
+    props = meta.get("properties") or {}
+    try:
+        prev_max = int(
+            props.get("write.metadata.previous-versions-max", 100)
+        )
+    except (TypeError, ValueError):
+        prev_max = 100
+    dropped: list[str] = []
+    try:
+        cur_file = table_metadata_file(path)
+        with open(cur_file) as f:
+            cur = json.load(f)
+        mlog = list(meta.get("metadata-log") or [])
+        mlog.append(
+            {
+                "timestamp-ms": cur.get("last-updated-ms")
+                or int(os.stat(cur_file).st_mtime * 1000),
+                "metadata-file": "file://" + os.path.abspath(cur_file),
+            }
+        )
+        dropped = [e["metadata-file"] for e in mlog[:-prev_max]]
+        meta = {**meta, "metadata-log": mlog[-prev_max:]}
+    except (IcebergError, FileNotFoundError):
+        pass  # first metadata write — no previous file to track
     v = next_metadata_version(path)
     tmp = os.path.join(md, f".v{v}.metadata.json.tmp-{os.getpid()}")
     with open(tmp, "w") as f:
@@ -151,6 +183,20 @@ def write_metadata(path: str, meta: dict) -> int:
     with open(hint_tmp, "w") as f:
         f.write(str(v))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    if (
+        str(
+            props.get("write.metadata.delete-after-commit.enabled", "")
+        ).lower()
+        == "true"
+    ):
+        # AFTER the pointer flip (crash before it leaves the old chain
+        # intact); only files that just fell off the capped log go
+        for uri in dropped:
+            p = uri[len("file://"):] if uri.startswith("file://") else uri
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
     return v
 
 

@@ -245,3 +245,52 @@ def test_schema_promotion_and_retype_fence(spark, tmp_path):
     json.dump(meta, open(mf, "w"))
     with pytest.raises(ir.IcebergError, match="retyped"):
         ir.read_iceberg(spark, out)
+
+
+def test_metadata_log_tracks_previous_files_and_prunes(spark, tmp_path):
+    """write_metadata appends the outgoing file to metadata-log (spec
+    TableMetadata previous-file tracking), caps it at
+    write.metadata.previous-versions-max, deletes beyond-cap files
+    when delete-after-commit is enabled, and expire_metadata_files
+    sweeps unreferenced leftovers on demand."""
+    out = _table(spark, tmp_path)  # 4 snapshots -> 4 metadata versions
+    meta = ir.table_metadata(out)
+    mlog = meta.get("metadata-log") or []
+    assert len(mlog) == 3  # v1..v3 outgoing files tracked
+    md = os.path.dirname(ir.table_metadata_file(out))
+    for e in mlog:
+        p = e["metadata-file"].removeprefix("file://")
+        assert os.path.exists(p)
+        assert e["timestamp-ms"] > 0
+    # cap + delete-after-commit: cap at 2, enable deletion, commit
+    meta = ir.table_metadata(out)
+    props = dict(meta.get("properties") or {})
+    props["write.metadata.previous-versions-max"] = "2"
+    props["write.metadata.delete-after-commit.enabled"] = "true"
+    ir.write_metadata(out, {**meta, "properties": props})
+    assert im.append_rows(spark, out, _frame(spark, 300, 320)) == 5
+    meta2 = ir.table_metadata(out)
+    mlog2 = meta2["metadata-log"]
+    assert len(mlog2) == 2  # capped
+    survivors = {
+        e["metadata-file"].removeprefix("file://") for e in mlog2
+    }
+    all_meta = {
+        os.path.join(md, n)
+        for n in os.listdir(md)
+        if n.endswith(".metadata.json")
+    }
+    cur = ir.table_metadata_file(out)
+    # beyond-cap files were deleted at commit; current + logged remain
+    assert all_meta == survivors | {cur}
+    # the table still reads fine through the pruned chain
+    got = {r.id for r in ir.read_iceberg(spark, out).collect()}
+    assert got == (set(range(300)) - set(range(5))) | set(range(300, 320))
+    # on-demand sweep: plant a stale unreferenced metadata file
+    stale = os.path.join(md, "v1.metadata.json")
+    assert not os.path.exists(stale)
+    with open(stale, "w") as f:
+        f.write("{}")
+    removed = imx.expire_metadata_files(out)
+    assert removed == [os.path.abspath(stale)]
+    assert imx.expire_metadata_files(out) == []
