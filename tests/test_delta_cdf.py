@@ -678,10 +678,11 @@ def test_cdf_on_mapped_partitioned_table_cdc(spark, tmp_path):
 
 def test_vacuum_covers_cdc_files_and_cdf_raises_cleanly(spark, tmp_path):
     """Change data files follow the same retention as stale data files:
-    VACUUM removes a cdc file once it ages past the window (mtime ≈
-    its commit time — cdc files are written then committed and never
-    rewritten), keeps younger ones, and a feed over a vacuumed range
-    raises a clean ChangeDataFeedError instead of a scan-time 404."""
+    VACUUM removes a cdc file once its COMMIT ages past the window
+    (since r11 the binding is the commit's timestamp, never the file's
+    own mtime — see test_delta_maintenance's binding test), keeps
+    younger ones, and a feed over a vacuumed range raises a clean
+    ChangeDataFeedError instead of a scan-time 404."""
     import time as _time
 
     from arcane_framework_scala_spark.sources.delta_maintenance import (
@@ -701,10 +702,10 @@ def test_vacuum_covers_cdc_files_and_cdf_raises_cleanly(spark, tmp_path):
     # younger than the window: retained
     assert vacuum(spark, src, older_than_s=3600) == []
     assert all(os.path.exists(p) for p in cdc_files)
-    # age the files past a zero-width window: removed
+    # age the COMMIT past a zero-width window: its feed is reclaimed
     old = _time.time() - 10
-    for p in cdc_files:
-        os.utime(p, (old, old))
+    vfile = os.path.join(src, "_delta_log", f"{v1:020d}.json")
+    os.utime(vfile, (old, old))
     removed = vacuum(spark, src, older_than_s=1)
     assert set(removed) >= {os.path.normpath(p) for p in cdc_files}
     with pytest.raises(cdf.ChangeDataFeedError, match="vacuumed"):
