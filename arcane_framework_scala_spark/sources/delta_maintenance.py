@@ -425,3 +425,58 @@ def cleanup_expired_logs(
                 os.remove(full)
                 removed.append(full)
     return sorted(removed)
+
+
+def version_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """The version a ``TIMESTAMP AS OF`` resolves to: the LATEST commit
+    whose timestamp is <= ``ts_ms`` (commitInfo.timestamp when the
+    writer recorded one, else the commit JSON's mtime), with
+    non-decreasing adjustment across versions — the same
+    monotonization real Delta applies so a clock-skewed commit can
+    never make a later version look earlier. Raises when ``ts_ms``
+    predates the first commit."""
+    log = dr._log_dir(table_path)
+    pairs: list[tuple[int, int]] = []
+    for name in sorted(os.listdir(log)):
+        m = dr._COMMIT_RE.match(name)
+        if not m:
+            continue
+        full = os.path.join(log, name)
+        t = None
+        with open(full) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    t = int(a["commitInfo"]["timestamp"])
+                    break
+        if t is None:
+            t = int(os.stat(full).st_mtime * 1000)
+        pairs.append((int(m.group(1)), t))
+    if not pairs:
+        raise ValueError(f"no commit JSONs under {table_path!r} to resolve")
+    best = None
+    mono = 0
+    for v, t in pairs:
+        mono = max(mono, t)
+        if mono <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the table's first commit "
+            f"({pairs[0][1]})"
+        )
+    return best
+
+
+def restore_table_to_timestamp(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> int | None:
+    """RESTORE TABLE ... TO TIMESTAMP AS OF — resolve the timestamp to
+    a version with the monotonized commit-time rule and delegate to
+    :func:`restore_table`."""
+    return restore_table(
+        spark, table_path, version_at_timestamp(table_path, ts_ms)
+    )

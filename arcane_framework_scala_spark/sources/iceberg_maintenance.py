@@ -219,3 +219,32 @@ def expire_metadata_files(table_dir: str) -> list[str]:
         os.remove(full)
         removed.append(full)
     return removed
+
+
+def rollback_to_timestamp(table_dir: str, ts_ms: int) -> int:
+    """Roll back to the LAST ancestor snapshot committed at or before
+    ``ts_ms`` (the engine's ``rollback_to_timestamp``): the ancestry
+    chain of the current snapshot is walked and the newest member with
+    ``timestamp-ms`` <= the cutoff becomes current. Raises when every
+    ancestor is newer."""
+    meta = ir.table_metadata(table_dir)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    c = meta.get("current-snapshot-id")
+    best = None
+    while c is not None and c in snaps:
+        s = snaps[c]
+        if s["timestamp-ms"] <= ts_ms and (
+            best is None or s["timestamp-ms"] > best["timestamp-ms"]
+        ):
+            best = s
+        c = s.get("parent-snapshot-id")
+    if best is None:
+        raise ValueError(
+            f"no ancestor snapshot at or before {ts_ms} — the table's "
+            "history starts later"
+        )
+    if best["snapshot-id"] == meta.get("current-snapshot-id"):
+        raise ValueError(
+            f"snapshot {best['snapshot-id']} is already current"
+        )
+    return set_current_snapshot(table_dir, best["snapshot-id"])

@@ -179,3 +179,74 @@ def test_iceberg_expire_after_rollback_drops_detached_heads(
     assert mid in ids and head not in ids
     got = {r.id for r in ir.read_iceberg(spark, out).collect()}
     assert got == set(range(5, 100))
+
+
+def test_delta_restore_to_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF resolution: latest commit at-or-before the
+    cutoff, commit times monotonized, pre-history timestamps raise."""
+    import json
+    import time
+
+    out = _export_delta(spark, tmp_path)
+    assert dv.delete_where(spark, out, "id < 20") == 1
+    # stamp explicit commitInfo timestamps so resolution is exact:
+    # v0 @ 1000, v1 @ 5000
+    log = os.path.join(out, "_delta_log")
+    for v, ts in ((0, 1000), (1, 5000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        with open(p, "a") as f:
+            f.write(
+                json.dumps({"commitInfo": {"timestamp": ts}}) + "\n"
+            )
+    with pytest.raises(ValueError, match="predates"):
+        dmx.version_at_timestamp(out, 999)
+    assert dmx.version_at_timestamp(out, 1000) == 0
+    assert dmx.version_at_timestamp(out, 4999) == 0
+    assert dmx.version_at_timestamp(out, 5000) == 1
+    assert dmx.version_at_timestamp(out, int(time.time() * 1000)) == 1
+    # restore to the v0 timestamp rewinds the delete
+    v = dmx.restore_table_to_timestamp(spark, out, 1000)
+    assert v == 2
+    assert _ids(spark, out) == set(range(60))
+
+
+def test_delta_version_at_timestamp_monotonizes(spark, tmp_path):
+    """A clock-skewed commit (later version, earlier timestamp) must
+    never make a later version resolve before an earlier one."""
+    import json
+
+    out = _export_delta(spark, tmp_path)
+    assert dv.delete_where(spark, out, "id < 10") == 1
+    assert dv.delete_where(spark, out, "id < 15") == 2
+    log = os.path.join(out, "_delta_log")
+    # v0 @ 2000, v1 @ 9000, v2 @ 3000 (skewed backwards)
+    for v, ts in ((0, 2000), (1, 9000), (2, 3000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        with open(p, "a") as f:
+            f.write(
+                json.dumps({"commitInfo": {"timestamp": ts}}) + "\n"
+            )
+    # v2's effective time is max(9000, 3000) = 9000: ts 8999 -> v1...
+    # but v1 and v2 share effective 9000, so 9000 resolves to v2
+    assert dmx.version_at_timestamp(out, 8999) == 0
+    assert dmx.version_at_timestamp(out, 9000) == 2
+
+
+def test_iceberg_rollback_to_timestamp(spark, tmp_path):
+    out = _iceberg_table(spark, tmp_path)
+    meta = ir.table_metadata(out)
+    snaps = sorted(
+        meta["snapshots"], key=lambda s: s["sequence-number"]
+    )
+    first, mid, head = (s["snapshot-id"] for s in snaps)
+    ts_mid = next(
+        s["timestamp-ms"] for s in snaps if s["snapshot-id"] == mid
+    )
+    with pytest.raises(ValueError, match="starts later"):
+        imx.rollback_to_timestamp(out, snaps[0]["timestamp-ms"] - 1)
+    imx.rollback_to_timestamp(out, ts_mid)
+    assert ir.table_metadata(out)["current-snapshot-id"] == mid
+    got = {r.id for r in ir.read_iceberg(spark, out).collect()}
+    assert got == set(range(5, 100))
+    with pytest.raises(ValueError, match="already current"):
+        imx.rollback_to_timestamp(out, ts_mid)
