@@ -326,21 +326,30 @@ def update_where(
     actions: list[dict] = []
     cdc_files: list[tuple[str, dict]] = []
     if _cdf_enabled(meta):
-        pre = tframe.filter(pred).select(
-            *cols, F.lit("update_preimage").alias(CHANGE_TYPE)
+        # pre- and post-image in ONE scan of the touched files: each
+        # matching row explodes into its two cdc rows (the two-filtered-
+        # scans formulation read the files twice for the same bytes)
+        typ = {f.name: f.dataType for f in schema.fields}
+        pre_s = F.struct(
+            *[F.col(c).alias(c) for c in cols],
+            F.lit("update_preimage").alias(CHANGE_TYPE),
         )
-        post = tframe.filter(pred).select(
+        post_s = F.struct(
             *[
                 (
-                    F.expr(assignments[c]).alias(c)
+                    F.expr(assignments[c]).cast(typ[c]).alias(c)
                     if c in assignments
-                    else F.col(c)
+                    else F.col(c).alias(c)
                 )
                 for c in cols
             ],
             F.lit("update_postimage").alias(CHANGE_TYPE),
         )
-        images = pre.unionByName(post)
+        images = (
+            tframe.filter(pred)
+            .select(F.explode(F.array(pre_s, post_s)).alias("__img"))
+            .select("__img.*")
+        )
         if part_cols:
             # cdc files partition like the table (PROTOCOL.md: the
             # cdc action carries partitionValues, the file holds only

@@ -598,12 +598,22 @@ def _scan_with_lineage(
     for rel in rels:
         for g in _metadata_path_guesses(os.path.join(path, rel)):
             map_rows.append((g, rel))
-    map_df = spark.createDataFrame(
-        map_rows, "__dl_meta string, __dl_rel string"
-    )
-    joined = base.join(
-        F.broadcast(map_df), base["__dl_file"] == map_df["__dl_meta"], "left"
-    ).drop("__dl_meta", "__dl_file")
+    from arcane_framework_scala_spark.sources.paths import path_map_lookup
+
+    rel_expr = path_map_lookup(map_rows, F.col("__dl_file"))
+    if rel_expr is not None:
+        # small table: the path map rides a codegen'd literal-map
+        # lookup — no BroadcastExchange, no extra join in the plan
+        joined = base.withColumn("__dl_rel", rel_expr).drop("__dl_file")
+    else:
+        map_df = spark.createDataFrame(
+            map_rows, "__dl_meta string, __dl_rel string"
+        )
+        joined = base.join(
+            F.broadcast(map_df),
+            base["__dl_file"] == map_df["__dl_meta"],
+            "left",
+        ).drop("__dl_meta", "__dl_file")
     joined = joined.filter(
         F.assert_true(
             F.col("__dl_rel").isNotNull(),

@@ -208,14 +208,29 @@ def _mor_frame(
         local = ir._to_local(uri, location)
         for guess in _metadata_path_guesses(local):
             map_rows.append((guess, uri, int(e["seq"])))
-    map_df = spark.createDataFrame(
-        map_rows, "__ice_meta string, __ice_uri string, __ice_seq long"
+    from arcane_framework_scala_spark.sources.paths import path_map_lookup
+
+    uri_expr = path_map_lookup(
+        [(g, u) for g, u, _ in map_rows], F.col("__ice_file")
     )
-    joined = base.join(
-        F.broadcast(map_df),
-        base["__ice_file"] == map_df["__ice_meta"],
-        "left",
-    ).drop("__ice_meta")
+    if uri_expr is not None:
+        # small table: both lookups ride codegen'd literal maps — no
+        # BroadcastExchange, no extra join in the plan
+        seq_expr = path_map_lookup(
+            [(g, s) for g, _, s in map_rows], F.col("__ice_file")
+        )
+        joined = base.withColumn("__ice_uri", uri_expr).withColumn(
+            "__ice_seq", seq_expr
+        )
+    else:
+        map_df = spark.createDataFrame(
+            map_rows, "__ice_meta string, __ice_uri string, __ice_seq long"
+        )
+        joined = base.join(
+            F.broadcast(map_df),
+            base["__ice_file"] == map_df["__ice_meta"],
+            "left",
+        ).drop("__ice_meta")
     # a filter (not a projected column — projections prune) that passes
     # every mapped row and RAISES on an unmapped physical path
     joined = joined.filter(

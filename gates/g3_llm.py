@@ -552,8 +552,12 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
     # X1 compaction (-> v=4) must be metadata-only: time travel to the
     # pre-compaction snapshot and diff
     optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
-    pre, post = target.read_version(3), target.read_version(4)
-    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+    # localCheckpoint each compared side once, then ONE count over the
+    # union of both exceptAll directions: the fragmented (500-row-file)
+    # snapshots are read once each instead of twice per direction (r11)
+    pre = target.read_version(3).localCheckpoint()
+    post = target.read_version(4).localCheckpoint()
+    if pre.exceptAll(post).unionAll(post.exceptAll(pre)).count():
         raise AssertionError("compaction changed table values")
 
     stats = analyze_snapshot(target.snapshots)  # X4
@@ -572,13 +576,15 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
     sink.apply(batch.filter(waves[2]))
     if target.versions() != [3, 4, 5]:
         raise AssertionError(f"post-replay history wrong: {target.versions()}")
-    final = target.read()
-    replayed = target.read_version(4)
-    if final.exceptAll(replayed).count() or replayed.exceptAll(final).count():
+    # final participates in BOTH remaining checks and the sink: one
+    # checkpointed read serves all of them (was 5 executions)
+    final = target.read().localCheckpoint()
+    replayed = target.read_version(4).localCheckpoint()
+    if final.exceptAll(replayed).unionAll(replayed.exceptAll(final)).count():
         raise AssertionError("replaying wave 3 was not idempotent")
     # twin: the catalog execution table mirrors the durable snapshot
-    cat = spark.table(table)
-    if cat.exceptAll(final).count() or final.exceptAll(cat).count():
+    cat = spark.table(table).localCheckpoint()
+    if cat.exceptAll(final).unionAll(final.exceptAll(cat)).count():
         raise AssertionError("catalog table diverged from durable snapshot")
     return final
 
@@ -2959,18 +2965,23 @@ def q_t_ivm_delta_feed(spark, sf_dir):
         raise AssertionError("append should be version 4")
 
     feed = dcdf.delta_cdf(spark, out_tbl, v1, v4)
-    # localCheckpoint, as the production maintainer (DeltaCdfTarget)
-    # does: the feed is |delta|-sized and its DV-diff mapInPandas is
-    # per-FILE Arrow work — materializing cuts the Python lineage out
-    # of every downstream plan (and Spark's MERGE requires it anyway)
-    diff = dcdf.cdf_to_diff(feed, keys=["event_id"]).localCheckpoint()
+    diff = dcdf.cdf_to_diff(feed, keys=["event_id"])
+    # localCheckpoint the MAINTAINED VIEW (a groups-sized aggregate):
+    # one execution materializes the whole feed chain — the DV-diff
+    # mapInPandas, the cdf full-outer pairing, the delta groupBy — and
+    # the equality checks + the sink then reuse those few rows instead
+    # of re-running the feed three more times (r11; the production
+    # maintainer equivalently checkpoints the |delta| feed before its
+    # MERGE)
     view = apply_group_delta(
         boot, group_delta(diff, "event_type", "value_milli"), "event_type"
-    )
+    ).localCheckpoint()
     fresh = group_stats_bootstrap(
         dr.read_delta(spark, out_tbl), "event_type", "value_milli"
-    )
-    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+    ).localCheckpoint()
+    # both sides are checkpointed aggregates: ONE count over the union
+    # of both exceptAll directions replaces two separate actions
+    if view.exceptAll(fresh).unionAll(fresh.exceptAll(view)).count():
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view
 
@@ -3328,13 +3339,16 @@ def q_t_ivm_iceberg_changelog(spark, sf_dir):
         spark, out_tbl, log[0]["snapshot-id"], log[-1]["snapshot-id"]
     )
     diff = dcdf.cdf_to_diff(feed, keys=["event_id"])
+    # localCheckpoint + single-count check, exactly as the Delta twin:
+    # one execution each of the changelog chain and the fresh groupBy,
+    # reused by the equality check and the sink (r11)
     view = apply_group_delta(
         boot, group_delta(diff, "event_type", "value_milli"), "event_type"
-    )
+    ).localCheckpoint()
     fresh = group_stats_bootstrap(
         ir.read_iceberg(spark, out_tbl), "event_type", "value_milli"
-    )
-    if view.exceptAll(fresh).count() or fresh.exceptAll(view).count():
+    ).localCheckpoint()
+    if view.exceptAll(fresh).unionAll(fresh.exceptAll(view)).count():
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view
 

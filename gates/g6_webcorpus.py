@@ -3812,11 +3812,18 @@ def q_a17_hll_distinct(spark, sf_dir):
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("tok"),
     )
-    per_lang_regs = sk.hll_sketch(toks, "tok", ["lang"]).localCheckpoint(
+    # HLL registers are duplicate-insensitive (groupBy-max of hashes),
+    # and every exact column here is a COUNT DISTINCT — so the whole
+    # gate derives from ONE tokenize+dedup pass over the corpus instead
+    # of re-running the explode scan per consumer (5 passes before r11).
+    # The checkpoint holds |distinct (lang, tok)| rows, far smaller than
+    # the raw token stream.
+    pairs = toks.distinct().localCheckpoint(eager=False)
+    per_lang_regs = sk.hll_sketch(pairs, "tok", ["lang"]).localCheckpoint(
         eager=False
     )
-    exact_lang = toks.groupBy("lang").agg(
-        F.countDistinct("tok").alias("exact_n")
+    exact_lang = pairs.groupBy("lang").agg(
+        F.count("tok").alias("exact_n")
     )
     part_lang = (
         sk.hll_estimate(per_lang_regs, ["lang"])
@@ -3827,12 +3834,16 @@ def q_a17_hll_distinct(spark, sf_dir):
         )
     )
     merged = sk.hll_merge(per_lang_regs.select("idx", "r"))
-    direct = sk.hll_sketch(toks, "tok")
-    if merged.exceptAll(direct).count() or direct.exceptAll(merged).count():
+    # same registers as a sketch of the raw stream: duplicates across
+    # langs do not move a max-register
+    direct = sk.hll_sketch(pairs, "tok").localCheckpoint(eager=False)
+    if merged.exceptAll(direct).unionAll(direct.exceptAll(merged)).count():
         raise AssertionError("HLL shard merge != direct global sketch")
     part_all = (
         sk.hll_estimate(merged)
-        .crossJoin(toks.agg(F.countDistinct("tok").alias("exact_n")))
+        .crossJoin(
+            pairs.agg(F.countDistinct("tok").alias("exact_n"))
+        )
         .select(
             F.lit("ALL_TOKENS").alias("scope"), "n_registers", "est_micro",
             "exact_n",
