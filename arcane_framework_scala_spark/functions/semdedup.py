@@ -75,6 +75,111 @@ from arcane_framework_scala_spark.functions.similarity import (
 __all__ = ["semantic_dedup", "semantic_dedup_sql"]
 
 
+def _ge_round_threshold(threshold: float, scale: int = 6) -> float:
+    """Smallest double ``S`` with ``round(S, scale) >= threshold`` under
+    Spark's Round semantics (shortest-repr decimal, HALF_UP, back to the
+    nearest double) — so for EVERY double x:
+    ``x >= S  ⟺  round(x, scale) >= threshold`` (NaN handled by the
+    caller; Spark compares NaN greater than any value).
+
+    Used by the Arrow pair pass to replace the JVM
+    ``round(sim, 6) >= t`` predicate with one vectorized compare while
+    keeping the kept-pair set BIT-IDENTICAL: Round is monotone
+    non-decreasing over doubles (shortest-repr preserves order, decimal
+    quantize is a monotone step, BigDecimal→double is monotone), so the
+    predicate is a half-line and bit-level bisection finds its edge."""
+    import math
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    t = float(threshold)
+
+    def rounded_ge(x: float) -> bool:
+        if math.isnan(x):
+            return True
+        if math.isinf(x):
+            return x > 0
+        # BigDecimal.valueOf(double) == Decimal(shortest repr);
+        # .setScale(scale, HALF_UP).toDouble == float(quantize)
+        return float(
+            Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+        ) >= t
+
+    def key(x: float) -> int:  # order-preserving double → int64
+        i = struct.unpack("<q", struct.pack("<d", x))[0]
+        return i if i >= 0 else i ^ 0x7FFFFFFFFFFFFFFF
+
+    def unkey(i: int) -> float:
+        i = i if i >= 0 else i ^ 0x7FFFFFFFFFFFFFFF
+        return struct.unpack("<d", struct.pack("<q", i))[0]
+
+    # rounding moves a double by < 10^-scale, so bracket by 2×10^-scale
+    lo, hi = t - 2.0 * 10.0 ** (-scale), t + 2.0 * 10.0 ** (-scale)
+    if rounded_ge(lo) or not rounded_ge(hi):  # pragma: no cover
+        raise AssertionError("round-threshold bracket failed")
+    lo_k, hi_k = key(lo), key(hi)
+    while lo_k + 1 < hi_k:
+        mid = (lo_k + hi_k) // 2
+        if rounded_ge(unkey(mid)):
+            hi_k = mid
+        else:
+            lo_k = mid
+    return unkey(hi_k)
+
+
+def _cell_pair_dups_fn(vid_dtype: str, smin: float):
+    """Per-(cell, block) duplicate finder for :func:`semantic_dedup`'s
+    Arrow pair pass (guide §4.2/§8: ship each cell's vectors ONCE and
+    compute the |cell|² pair work vectorized in native code, instead of
+    exploding pairs through an interpreted JVM higher-order fold).
+
+    Bit-exactness contract (pinned in tests/test_semdedup_arrow.py):
+    the JVM pair expression is
+    ``round(aggregate(zip_with(a, b, *), 0.0, +) / (vn_a * vn_b), 6) >= t``
+    with Spark NaN-largest comparison semantics. This function
+    reproduces it exactly: the dot is the same left fold
+    ``((0.0 + p_0) + p_1) + …`` — computed as a sequential per-dimension
+    vectorized accumulation (numpy elementwise adds in the identical
+    IEEE order) — the denominator is the same ``vn_a * vn_b`` product,
+    and the round-compare is the precomputed half-line ``s >= smin``
+    (see :func:`_ge_round_threshold`) with ``isnan(s)`` kept, matching
+    Spark's NaN-compares-greater rule."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        roles = pdf["__role"].values
+        a_idx = np.flatnonzero(roles != "b")
+        b_idx = np.flatnonzero(roles != "a")
+        out: list = []
+        if len(a_idx) and len(b_idx):
+            vecs = np.stack(pdf["__vec"].values).astype(
+                np.float64, copy=False
+            )
+            vns = pdf["__vn"].values.astype(np.float64, copy=False)
+            vids = pdf["vid"].values
+            va, vb = vecs[a_idx], vecs[b_idx]
+            na, nb = vns[a_idx], vns[b_idx]
+            ia, ib = vids[a_idx], vids[b_idx]
+            dim = va.shape[1]
+            # chunk the a-side so the pair matrix stays ~4M cells
+            step = max(1, (1 << 22) // max(len(b_idx), 1))
+            for s0 in range(0, len(a_idx), step):
+                A = va[s0:s0 + step]
+                acc = np.zeros((A.shape[0], vb.shape[0]))
+                for d in range(dim):  # the exact left fold over dims
+                    acc += A[:, d, None] * vb[None, :, d]
+                sim = acc / (na[s0:s0 + step, None] * nb[None, :])
+                keep = (sim >= smin) | np.isnan(sim)
+                keep &= ib[None, :] < ia[s0:s0 + step, None]
+                out.append(ia[s0:s0 + step][keep.any(axis=1)])
+        hits = np.unique(np.concatenate(out)) if out else []
+        return pd.DataFrame({"vid": pd.Series(hits, dtype=vid_dtype)})
+
+    return fn
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 8,
@@ -171,43 +276,53 @@ def semantic_dedup(
     # localCheckpoint of ``assigned``, reused by all three consumers.
     # Output is byte-identical on both paths (hypothesis twin pins it).
     max_nb = blocks.agg(F.max("__nb")).first()[0] or 1
+    # Pair pass (r11, guide §4.2/§8): each (cell, block) group ships its
+    # vectors ONCE through Arrow and the |group|² similarity matrix is
+    # computed vectorized in numpy — replacing the self-join whose
+    # per-pair ``aggregate(zip_with(...))`` fold ran interpreted in the
+    # JVM (higher-order functions are CodegenFallback; measured ~8M
+    # mult-adds/s vs numpy's memory-bandwidth rate). The kept-pair set
+    # is BIT-IDENTICAL by construction: same IEEE fold order, same
+    # vn_a*vn_b denominator, the round-compare as an exact half-line,
+    # Spark's NaN-largest rule kept (see _cell_pair_dups_fn; equivalence
+    # vs the expression path pinned in tests/test_semdedup_arrow.py).
+    vid_spark_t = dict(assigned.dtypes)["vid"]
+    pd_dtype = {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "double": "float64", "float": "float32",
+    }.get(vid_spark_t, "object")
+    fn = _cell_pair_dups_fn(pd_dtype, _ge_round_threshold(threshold))
     if max_nb <= 1:
-        a = assigned.alias("a")
-        b = assigned.alias("b")
-        block_match = F.lit(True)
+        # one copy per row; the group is the whole cell
+        inp = assigned.select(
+            "cell", "vid", "__vec", "__vn",
+            F.lit("ab").alias("__role"), F.lit(0).alias("__blk"),
+        )
     else:
         # a keeps its own hash block; b is replicated to every block of
         # its cell, so pair (a, b) meets exactly once — in a's block.
         a = (
             assigned.join(F.broadcast(blocks), "cell")
-            .withColumn("__blk", F.pmod(F.hash("vid"), F.col("__nb")))
-            .drop("__nb")
-            .alias("a")
+            .select(
+                "cell", "vid", "__vec", "__vn",
+                F.lit("a").alias("__role"),
+                F.pmod(F.hash("vid"), F.col("__nb")).alias("__blk"),
+            )
         )
         b = (
             assigned.join(F.broadcast(blocks), "cell")
-            .withColumn(
-                "__blk",
-                F.explode(F.sequence(F.lit(0), F.col("__nb") - F.lit(1))),
+            .select(
+                "cell", "vid", "__vec", "__vn",
+                F.lit("b").alias("__role"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("__nb") - F.lit(1))
+                ).alias("__blk"),
             )
-            .drop("__nb")
-            .alias("b")
         )
-        block_match = F.col("a.__blk") == F.col("b.__blk")
-    pair_sim = F.round(
-        _dot(F.col("a.__vec"), F.col("b.__vec"))
-        / (F.col("a.__vn") * F.col("b.__vn")),
-        6,
-    )
+        inp = a.unionByName(b)
     dups = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & block_match
-            & (F.col("b.vid") < F.col("a.vid")),
-        )
-        .filter(pair_sim >= F.lit(threshold))
-        .select(F.col("a.vid").alias("vid"))
+        inp.groupBy("cell", "__blk")
+        .applyInPandas(fn, f"vid {vid_spark_t}")
         .distinct()
     )
     return (

@@ -3953,11 +3953,20 @@ def q_a19_kmv_overlap(spark, sf_dir):
     from arcane_framework_scala_spark.functions.dedup import char_shingles
 
     docs = _read(spark, sf_dir, "documents")
-    sh = docs.select(
+    # KMV sketches are duplicate-insensitive (k smallest DISTINCT hashes)
+    # and every exact column is a COUNT DISTINCT — so the whole gate
+    # derives from ONE shingle+dedup pass over the two sources instead
+    # of re-running the char-5 explode per consumer (5 passes before
+    # r11; the same restructure a17 took). The checkpoint holds
+    # |distinct (source, shingle)| rows, far smaller than the raw
+    # shingle stream; the source filter is applied BEFORE the explode
+    # so only the two compared sources are ever shingled.
+    sh = docs.filter(F.col("source").isin("src0", "src1")).select(
         "source", F.explode(char_shingles("text", 5)).alias("g")
     )
-    A = sh.filter(F.col("source") == "src0").select("g")
-    B = sh.filter(F.col("source") == "src1").select("g")
+    pairs = sh.distinct().localCheckpoint(eager=False)
+    A = pairs.filter(F.col("source") == "src0").select("g")
+    B = pairs.filter(F.col("source") == "src1").select("g")
     sa = sk.kmv_sketch(A, "g").localCheckpoint(eager=False)
     sb = sk.kmv_sketch(B, "g").localCheckpoint(eager=False)
 
@@ -3969,19 +3978,17 @@ def q_a19_kmv_overlap(spark, sf_dir):
             "exact_n",
         )
 
+    # A/B are already distinct sets, so exact distinct counts are plain
+    # counts and the overlap join needs no re-dedup
     part_a = scoped(
         sk.kmv_estimate(sa), "n_sample", "src0",
-        A.agg(F.countDistinct("g").alias("exact_n")),
+        A.agg(F.count("g").alias("exact_n")),
     )
     part_b = scoped(
         sk.kmv_estimate(sb), "n_sample", "src1",
-        B.agg(F.countDistinct("g").alias("exact_n")),
+        B.agg(F.count("g").alias("exact_n")),
     )
-    exact_o = (
-        A.distinct()
-        .join(B.distinct(), "g")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-    )
+    exact_o = A.join(B, "g").agg(F.count(F.lit(1)).alias("exact_n"))
     part_o = scoped(sk.kmv_intersect(sa, sb), "n_common", "overlap", exact_o)
     return part_a.unionByName(part_b).unionByName(part_o)
 
