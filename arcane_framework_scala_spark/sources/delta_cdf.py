@@ -431,9 +431,11 @@ def _dv_positions_df(spark, path: str, pairs) -> DataFrame:
                 {"rel": rel_out, "pos": pos_out, "kind": kind_out}
             )
 
-    return src.repartition("rel").mapInPandas(
-        gen, "rel string, pos long, kind string"
-    )
+    # no repartition: the input is already ONE self-contained row per
+    # touched file (createDataFrame spreads rows round-robin), and the
+    # decode needs no grouping — a keyed repartition here only added a
+    # shuffle stage to every DV-commit feed read (r11)
+    return src.mapInPandas(gen, "rel string, pos long, kind string")
 
 
 def _additive_evolution(prev_meta: dict, new_meta: dict) -> bool:

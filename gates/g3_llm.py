@@ -2973,12 +2973,20 @@ def q_t_ivm_delta_feed(spark, sf_dir):
     # of re-running the feed three more times (r11; the production
     # maintainer equivalently checkpoints the |delta| feed before its
     # MERGE)
-    view = apply_group_delta(
+    # the maintained view (feed chain) and the fresh groupBy are
+    # INDEPENDENT jobs — materialize them concurrently so the fresh
+    # scan back-fills executors idled by the feed chain's tail
+    # (guide §2.6; r11)
+    from concurrent.futures import ThreadPoolExecutor
+
+    view_q = apply_group_delta(
         boot, group_delta(diff, "event_type", "value_milli"), "event_type"
-    ).localCheckpoint()
-    fresh = group_stats_bootstrap(
+    )
+    fresh_q = group_stats_bootstrap(
         dr.read_delta(spark, out_tbl), "event_type", "value_milli"
-    ).localCheckpoint()
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        view, fresh = pool.map(lambda d: d.localCheckpoint(), (view_q, fresh_q))
     # both sides are checkpointed aggregates: ONE count over the union
     # of both exceptAll directions replaces two separate actions
     if view.exceptAll(fresh).unionAll(fresh.exceptAll(view)).count():
@@ -3341,13 +3349,19 @@ def q_t_ivm_iceberg_changelog(spark, sf_dir):
     diff = dcdf.cdf_to_diff(feed, keys=["event_id"])
     # localCheckpoint + single-count check, exactly as the Delta twin:
     # one execution each of the changelog chain and the fresh groupBy,
-    # reused by the equality check and the sink (r11)
-    view = apply_group_delta(
+    # reused by the equality check and the sink (r11); the two
+    # materializations are independent jobs — run them concurrently
+    # (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    view_q = apply_group_delta(
         boot, group_delta(diff, "event_type", "value_milli"), "event_type"
-    ).localCheckpoint()
-    fresh = group_stats_bootstrap(
+    )
+    fresh_q = group_stats_bootstrap(
         ir.read_iceberg(spark, out_tbl), "event_type", "value_milli"
-    ).localCheckpoint()
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        view, fresh = pool.map(lambda d: d.localCheckpoint(), (view_q, fresh_q))
     if view.exceptAll(fresh).unionAll(fresh.exceptAll(view)).count():
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view

@@ -2627,11 +2627,21 @@ def q_sim_ivfpq_index_rerank(spark, sf_dir):
         tempfile.gettempdir(), f"arcane_ivfpqrr_{uuid.uuid4().hex}"
     )
     emb = _read(spark, sf_dir, "embeddings")
-    build_ivfpq_index(
-        emb, base + "/pq", n_centroids=8,
-        codebooks=_pq_codebook(spark, sf_dir),
-    )
-    sim.build_ivf_index(emb, base + "/vec", n_centroids=8)
+    # the two index builds are independent write jobs — run them
+    # concurrently so the vec build back-fills the pq build's task tail
+    # (guide §2.6; r11)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cb = _pq_codebook(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fpq = pool.submit(
+            build_ivfpq_index, emb, base + "/pq", n_centroids=8,
+            codebooks=cb,
+        )
+        fvec = pool.submit(
+            sim.build_ivf_index, emb, base + "/vec", n_centroids=8
+        )
+        fpq.result(), fvec.result()
     return ivfpq_index_rerank(
         spark, base + "/pq", base + "/vec",
         emb.filter(F.col("vec_id").isin(_COSINE_QUERY_IDS)),
