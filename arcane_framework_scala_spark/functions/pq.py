@@ -598,19 +598,38 @@ def build_ivfpq_index(
         if codebooks is not None
         else pq_fit(embeddings, m, ksub, iters, dim, id_col, vec_col)
     )
-    cbx = _with_cnsq(cb).localCheckpoint(eager=False)
+    # EAGER checkpoint (k·m rows): the codebook feeds two of the three
+    # concurrent write jobs below — settling it first makes the overlap
+    # race-free (a lazy checkpoint materialized by two jobs at once can
+    # double-compute)
+    cbx = _with_cnsq(cb).localCheckpoint(eager=True)
     codes = pq_encode(
         embeddings, cbx.select("sub", "centroid_id", "cvec"),
         m, dim, id_col, vec_col,
     ).withColumnRenamed(id_col, "vid")
-    (
-        codes.join(assigned, "vid")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(out_path + "/codes")
-    )
-    cent.write.mode("overwrite").parquet(out_path + "/cells")
-    cbx.write.mode("overwrite").parquet(out_path + "/codebooks")
+    # the three index tables are INDEPENDENT write jobs — submit them
+    # from a pool so the tiny cells/codebooks writes back-fill executors
+    # idled by the codes job's task tail (guide §2.6; r11)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_codes() -> None:
+        (
+            codes.join(assigned, "vid")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(out_path + "/codes")
+        )
+
+    def _w_cells() -> None:
+        cent.write.mode("overwrite").parquet(out_path + "/cells")
+
+    def _w_cb() -> None:
+        cbx.write.mode("overwrite").parquet(out_path + "/codebooks")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_w_codes, _w_cells, _w_cb)]
+        for f in futs:
+            f.result()
 
 
 def _coarse_probes(

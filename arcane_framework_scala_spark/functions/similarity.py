@@ -384,10 +384,23 @@ def build_ivf_index(
         .filter(F.col("__crk") == 1)
         .select("centroid_id", id_col, vec_col, "vec_norm")
     )
-    lists.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        out_path + "/lists"
-    )
-    cent_src.write.mode("overwrite").parquet(out_path + "/codebook")
+    # lists and codebook are INDEPENDENT write jobs (both hang off the
+    # embeddings scan) — run them concurrently so the k-row codebook
+    # write back-fills the lists job's task tail (guide §2.6; r11)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_lists() -> None:
+        lists.write.partitionBy("centroid_id").mode("overwrite").parquet(
+            out_path + "/lists"
+        )
+
+    def _w_cb() -> None:
+        cent_src.write.mode("overwrite").parquet(out_path + "/codebook")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(f) for f in (_w_lists, _w_cb)]
+        for f in futs:
+            f.result()
 
 
 def ivf_index_topk(

@@ -303,13 +303,20 @@ def test_global_anti_pattern_sweep(spark, queries):
         "s11_orc",       # same: round-trip through a temp ORC dir
     )
     PYTHON_OK_PREFIX = "mm_"  # multimodal: Arrow mapInPandas IS the design
+    # r11: SemDeDup's within-cell pair pass is the grouped Arrow kernel
+    # (ONE FlatMapGroupsInPandas, functions/semdedup.py) — allowed by
+    # name with an exact count so any OTHER Python node still fails
+    ARROW_PAIR_PASS = {"dedup_semantic", "dedup_semantic_prefit"}
     checked = 0
     for name, fn in queries.items():
         if name.startswith(SKIP_PREFIXES):
             continue
         a = audit_plan(fn(spark, SF_DIR))
         assert a.cartesian_products == 0, (name, a.plan)
-        if not name.startswith(PYTHON_OK_PREFIX):
+        if name in ARROW_PAIR_PASS:
+            assert a.python_nodes == 1, (name, a.plan)
+            assert "FlatMapGroupsInPandas" in a.plan, (name, a.plan)
+        elif not name.startswith(PYTHON_OK_PREFIX):
             assert a.python_nodes == 0, (name, a.plan)
         # a Window node with no PARTITION BY spec = everything in one task
         for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", a.plan):
@@ -375,11 +382,22 @@ def test_r4_semdedup_and_dsir_plan_shapes(spark, queries):
     broadcast 1-row aggregate, never a global rank window."""
     a = audit_plan(queries["dedup_semantic"](spark, SF_DIR))
     assert a.cartesian_products == 0, a.plan
-    assert a.python_nodes == 0, a.plan
+    # r11: the within-cell pair pass is the grouped Arrow kernel
+    # (ONE FlatMapGroupsInPandas — functions/semdedup.py
+    # _cell_pair_dups_fn, equivalence pinned in tests/test_semdedup_arrow
+    # .py); any OTHER Python node creeping in is still a regression
+    assert a.python_nodes == 1, a.plan
+    assert "FlatMapGroupsInPandas" in a.plan, a.plan
     a = audit_plan(queries["corpus_dsir_select"](spark, SF_DIR))
     assert a.cartesian_products == 0, a.plan
     assert a.python_nodes == 0, a.plan
-    assert a.broadcast_joins >= 2, a.plan
+    # r11: the doc-sized weight table is materialized once (the old plan
+    # re-ran the whole feats chain for the threshold aggregate AND the
+    # selection join — 6 text passes); the audited selection plan is now
+    # the checkpointed weights × ONE broadcast 1-row threshold (a 1-row
+    # build side plans as BroadcastNestedLoopJoin — keyless, bounded)
+    assert "BroadcastExchange" in a.plan, a.plan
+    assert a.nested_loop_joins <= 1, a.plan
     assert "row_number" not in a.plan, a.plan
 
 
@@ -397,14 +415,18 @@ def test_r5_additions_plan_shapes(spark, queries):
     assert a.python_nodes == 0, a.plan
     assert a.broadcast_joins >= 1, a.plan
 
+    # r11: the pair pass is the grouped Arrow kernel — exactly ONE
+    # FlatMapGroupsInPandas per plan (see test_r4 note); the B=1 /
+    # guard-path distinction (explode(sequence) fan-out) is unchanged
     for sf in (SF_DIR, "/root/testdata/sf0.1"):
         a = audit_plan(queries["dedup_semantic"](spark, sf))
         assert a.cartesian_products == 0, a.plan
-        assert a.python_nodes == 0, a.plan
+        assert a.python_nodes == 1, a.plan
+        assert "FlatMapGroupsInPandas" in a.plan, a.plan
         assert "sequence" not in a.plan.lower(), a.plan  # B=1 fast path
 
     # guard path, forced: cap below the densest cell → blocks join +
-    # explode(sequence) planned, still no cartesian / Python
+    # explode(sequence) planned, still no cartesian, still one kernel
     from arcane_framework_scala_spark.functions.semdedup import semantic_dedup
 
     emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
@@ -413,11 +435,12 @@ def test_r5_additions_plan_shapes(spark, queries):
     )
     assert "sequence" in a.plan.lower(), a.plan
     assert a.cartesian_products == 0, a.plan
-    assert a.python_nodes == 0, a.plan
+    assert a.python_nodes == 1, a.plan
 
     a = audit_plan(queries["dedup_semantic_prefit"](spark, SF_DIR))
     assert a.cartesian_products == 0, a.plan
-    assert a.python_nodes == 0, a.plan
+    assert a.python_nodes == 1, a.plan
+    assert "FlatMapGroupsInPandas" in a.plan, a.plan
 
 
 def test_semantic_prefit_cost_is_fit_free(spark):
@@ -455,8 +478,10 @@ def test_semantic_prefit_cost_is_fit_free(spark):
 
     assert shape(pp) == shape(fp)
     # the timed query reads the checkpoint, not the corpus (the fit and
-    # assignment live in the already-run materialization job)
-    assert pp.count("ExistingRDD") == 3, pp
+    # assignment live in the already-run materialization job). r11: the
+    # Arrow pair kernel replaced the two self-join reads with ONE grouped
+    # read, so the checkpoint is scanned twice (pair input + keep join)
+    assert pp.count("ExistingRDD") == 2, pp
     assert "Scan parquet" not in pp, pp
 
 
