@@ -45,9 +45,15 @@ def jl_project(
     """(id_col, pos, proj_micro): the ``out_dim`` projected coordinates
     per vector in fixed-point micro units."""
     planes = hyperplanes(dim, out_dim, seed)
+    from arcane_framework_scala_spark.functions.similarity import (
+        _lit_num_array,
+    )
+
     projs = [
         F.floor(
-            _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
+            # one parsed expression per plane, not dim py4j F.lit calls
+            # (~0.5 s of driver time per jl_project before r11)
+            _dot(F.col(vec_col), _lit_num_array(plane))
             * F.lit(float(_FP))
         ).cast("long")
         for plane in planes

@@ -149,9 +149,13 @@ def hll_estimate(
         / s.cast("double")
     ).cast("long")
     v = (F.lit(HLL_M) - F.col("n_registers")).cast("int")
-    lin = F.element_at(
-        F.array(*[F.lit(x) for x in _LIN_MICRO]), v
-    ).cast("long")
+    from arcane_framework_scala_spark.functions.similarity import (
+        _lit_num_array,
+    )
+
+    # one parsed expression, not 512 py4j F.lit round trips (~0.5 s of
+    # pure driver time per estimate call before r11; values identical)
+    lin = F.element_at(_lit_num_array(_LIN_MICRO), v).cast("long")
     est = F.when(
         (v > 0) & (raw <= F.lit(_SMALL_RANGE_MICRO)), lin
     ).otherwise(raw)

@@ -554,9 +554,15 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
     optimize_snapshot(target.snapshots, target_file_bytes=128 << 20)
     # localCheckpoint each compared side once, then ONE count over the
     # union of both exceptAll directions: the fragmented (500-row-file)
-    # snapshots are read once each instead of twice per direction (r11)
-    pre = target.read_version(3).localCheckpoint()
-    post = target.read_version(4).localCheckpoint()
+    # snapshots are read once each instead of twice per direction (r11);
+    # the two snapshot reads are independent jobs — overlap them so the
+    # second back-fills the first one's task tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pre, post = pool.map(
+            lambda v: target.read_version(v).localCheckpoint(), (3, 4)
+        )
     if pre.exceptAll(post).unionAll(post.exceptAll(pre)).count():
         raise AssertionError("compaction changed table values")
 
@@ -577,13 +583,18 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
     if target.versions() != [3, 4, 5]:
         raise AssertionError(f"post-replay history wrong: {target.versions()}")
     # final participates in BOTH remaining checks and the sink: one
-    # checkpointed read serves all of them (was 5 executions)
-    final = target.read().localCheckpoint()
-    replayed = target.read_version(4).localCheckpoint()
+    # checkpointed read serves all of them (was 5 executions). The three
+    # post-replay reads (current, pre-replay snapshot, catalog twin) are
+    # independent jobs — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        final, replayed, cat = pool.map(
+            lambda fn: fn().localCheckpoint(),
+            (target.read, lambda: target.read_version(4),
+             lambda: spark.table(table)),
+        )
     if final.exceptAll(replayed).unionAll(replayed.exceptAll(final)).count():
         raise AssertionError("replaying wave 3 was not idempotent")
     # twin: the catalog execution table mirrors the durable snapshot
-    cat = spark.table(table).localCheckpoint()
     if cat.exceptAll(final).unionAll(final.exceptAll(cat)).count():
         raise AssertionError("catalog table diverged from durable snapshot")
     return final
