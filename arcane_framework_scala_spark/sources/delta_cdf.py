@@ -306,26 +306,27 @@ def update_where(
     rewritten = tframe.select(*updated_cols)
     data_cols = [c for c in cols if c not in part_cols]
 
-    if part_cols:
-        # keep the hive layout: one job, partitionBy writes each
-        # rewritten row under its (unchanged) partition directory
-        from urllib.parse import quote
+    def _stage_data() -> list[dict]:
+        if part_cols:
+            # keep the hive layout: one job, partitionBy writes each
+            # rewritten row under its (unchanged) partition directory
+            from urllib.parse import quote
 
-        adds = []
-        for rel, pv in _stage_partitioned(
-            rewritten, path, "", part_cols, "part-"
-        ):
-            a = _add_action(path, rel)
-            a["path"] = quote(rel, safe="/=")
-            a["partitionValues"] = pv
-            adds.append(a)
-    else:
+            adds = []
+            for rel, pv in _stage_partitioned(
+                rewritten, path, "", part_cols, "part-"
+            ):
+                a = _add_action(path, rel)
+                a["path"] = quote(rel, safe="/=")
+                a["partitionValues"] = pv
+                adds.append(a)
+            return adds
         add_rels = _stage_parquet(spark, rewritten.select(*cols), path, "")
-        adds = [_add_action(path, r) for r in add_rels]
+        return [_add_action(path, r) for r in add_rels]
 
-    actions: list[dict] = []
-    cdc_files: list[tuple[str, dict]] = []
-    if _cdf_enabled(meta):
+    def _stage_cdc() -> list[tuple[str, dict]]:
+        if not _cdf_enabled(meta):
+            return []
         # pre- and post-image in ONE scan of the touched files: each
         # matching row explodes into its two cdc rows (the two-filtered-
         # scans formulation read the files twice for the same bytes)
@@ -354,14 +355,27 @@ def update_where(
             # cdc files partition like the table (PROTOCOL.md: the
             # cdc action carries partitionValues, the file holds only
             # the data columns + _change_type)
-            cdc_files = _stage_partitioned(
+            return _stage_partitioned(
                 images, path, _CDC_DIR, part_cols, "cdc-"
             )
-        else:
-            cdc_files = [
-                (rel, {})
-                for rel in _stage_parquet(spark, images, path, _CDC_DIR)
-            ]
+        return [
+            (rel, {})
+            for rel in _stage_parquet(spark, images, path, _CDC_DIR)
+        ]
+
+    # the rewritten-data write and the cdc-images write are INDEPENDENT
+    # jobs over the same touched files — run them concurrently so the
+    # cdc job back-fills the rewrite's task tail (guide §2.6; r11). Both
+    # stage into writer-unique temp dirs, so there is no path conflict.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fd = _pool.submit(_stage_data)
+        _fc = _pool.submit(_stage_cdc)
+        adds = _fd.result()
+        cdc_files = _fc.result()
+
+    actions: list[dict] = []
     now_ms = int(time.time() * 1000)
     for rel in sorted(touched_set):
         old = live[rel]
