@@ -33,6 +33,8 @@ Accuracy is measured, not assumed: pytest pins recall vs
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
@@ -710,11 +712,33 @@ def ivfpq_index_topk(
     cent = spark.read.parquet(index_path + "/cells")
     cbx = spark.read.parquet(index_path + "/codebooks")
     codes = spark.read.parquet(index_path + "/codes")
-    # m and subvector width from the codebook itself (metadata-scale)
-    meta = cbx.agg(
-        (F.max("sub") + 1).alias("m"), F.max(F.size("cvec")).alias("d")
-    ).collect()[0]
-    m, d = int(meta["m"]), int(meta["d"])
+    # m and subvector width from the codebook itself (k·m rows —
+    # metadata-scale). Read it driver-side via pyarrow instead of a
+    # Spark aggregate job: one fewer job per search, the same
+    # planning-cost class as the jar-free readers' footer reads (r11).
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    _files = sorted(
+        _glob.glob(os.path.join(index_path, "codebooks", "*.parquet"))
+    )
+    if _files:
+        m = 0
+        d = 0
+        for _f in _files:
+            t = _pq.ParquetFile(_f).read(columns=["sub", "cvec"])
+            subs = t.column("sub").to_pylist()
+            if subs:
+                m = max(m, max(subs) + 1)
+            for cv in t.column("cvec").to_pylist():
+                if cv is not None:
+                    d = max(d, len(cv))
+    else:  # non-local index storage: fall back to the aggregate job
+        meta = cbx.agg(
+            (F.max("sub") + 1).alias("m"), F.max(F.size("cvec")).alias("d")
+        ).collect()[0]
+        m, d = int(meta["m"]), int(meta["d"])
 
     # planning-time partition pruning: probed cells only (reuse the
     # caller's probe plan when provided — ADVICE r5)
