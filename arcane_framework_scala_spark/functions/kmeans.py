@@ -25,12 +25,17 @@ chain from :func:`kmeans_centroids_sql`):
 - **Empty cells** keep their previous centroid (standard Lloyd fallback).
 - **Fixed iteration count** — no float-threshold stopping rule to flap.
 
-Scale: everything stays in the DataFrame plan — no driver collect. Per
-iteration: one broadcast-hash assignment join (codebook is k×dim), one
-(cid, pos) aggregation whose shuffle carries k·dim map-side partials per
-partition (not N·dim rows), and a k-row codebook rebuild. Train on a
-sample at 100 TB (any deterministic filter works as the sampler); the
-plan shape is iteration-count linear.
+Scale: the corpus never crosses the driver boundary. Per iteration: one
+broadcast assignment join (codebook is k×dim), one (cid, pos)
+aggregation whose shuffle carries k·dim map-side partials per partition
+(not N·dim rows), and a k·dim int64 collect of the fixed-point means —
+METADATA-scale, the same per-round driver round trip Spark MLlib's
+KMeans makes (r11: this replaced a per-iteration codebook-rebuild
+subplan of two more exchanges, a join and a localCheckpoint; values are
+bit-identical because the floor/sum/`div` all stay JVM expressions and
+only final int64s are collected). Train on a sample at 100 TB (any
+deterministic filter works as the sampler); the plan shape is
+iteration-count linear.
 """
 
 from __future__ import annotations
@@ -74,6 +79,8 @@ def kmeans_fit(
         eager=False,
     )
 
+    spark = df.sparkSession
+
     def with_float_view(cmicro_df: DataFrame) -> DataFrame:
         cvec = F.transform(
             F.col("cmicro"), lambda x: x.cast("double") / F.lit(float(_FP))
@@ -82,8 +89,21 @@ def kmeans_fit(
             "cn", _norm(F.col("cvec"))
         )
 
-    cent = with_float_view(
-        emb.filter(F.col("vid") < k).select(
+    def cent_frame(micro: dict[int, list[int]]) -> DataFrame:
+        # LocalRelation of the k·dim fixed-point centroids: the float
+        # view (cvec = cmicro / 1e6, cn) stays the IDENTICAL JVM
+        # expression chain, so no float ever crosses the driver boundary
+        rows = [(cid, micro[cid]) for cid in sorted(micro)]
+        return with_float_view(
+            spark.createDataFrame(rows, "cid long, cmicro array<long>")
+        )
+
+    # Init: the k lowest-id vectors, floored to micro IN THE JVM (the
+    # same F.floor(x·1e6) expression as before) and collected — k·dim
+    # int64s, metadata-scale.
+    init = (
+        emb.filter(F.col("vid") < k)
+        .select(
             F.col("vid").cast("long").alias("cid"),
             F.transform(
                 F.col("vec"),
@@ -92,8 +112,11 @@ def kmeans_fit(
                 ),
             ).alias("cmicro"),
         )
+        .collect()
     )
+    micro = {int(r["cid"]): list(r["cmicro"]) for r in init}
     for _ in range(iters):
+        cent = cent_frame(micro)
         sims = emb.join(F.broadcast(cent)).select(
             "vid",
             "vec",
@@ -128,30 +151,24 @@ def kmeans_fit(
             ).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
-        means = stats.select("cid", "pos", F.expr("s div n").alias("m"))
-        newc = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cmicro")
-        )
-        cent = with_float_view(
-            cent.alias("p")
-            .join(newc.alias("nw"), "cid", "left")
-            .select(
-                "cid",
-                F.coalesce(F.col("nw.cmicro"), F.col("p.cmicro")).alias(
-                    "cmicro"
-                ),
-            )
-        )
-        # prev centroids feed BOTH the assignment join and the empty-cell
-        # fallback, so an uncached lineage doubles per iteration (2^iters
-        # subtree copies). A lazy localCheckpoint truncates it; the next
-        # iteration's broadcast build materializes the k rows, so no
-        # dedicated job per iteration and still no driver collect.
-        cent = cent.localCheckpoint(eager=False)
-    return cent.select(
+        # the update is k·dim int64 means — METADATA-scale, the same
+        # shape Spark MLlib's KMeans collects every Lloyd round. `div`
+        # stays the JVM expression (engine-exact integral division);
+        # collecting it replaces the old per-iteration codebook-rebuild
+        # subplan (groupBy(cid) + left join prev + localCheckpoint —
+        # 2 extra exchanges and a checkpoint per round) with one driver
+        # round trip. Empty cells keep their previous centroid exactly
+        # as the old coalesce did (r11; values bit-identical, pinned by
+        # the unchanged DuckDB oracle chain).
+        means = stats.select(
+            "cid", "pos", F.expr("s div n").alias("m")
+        ).collect()
+        upd: dict[int, dict[int, int]] = {}
+        for r in means:
+            upd.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["m"])
+        for cid, by_pos in upd.items():
+            micro[cid] = [by_pos[p] for p in sorted(by_pos)]
+    return cent_frame(micro).select(
         F.col("cid").alias("centroid_id"),
         F.col("cmicro"),
         F.col("cvec").alias(vec_col),
