@@ -2997,10 +2997,20 @@ def q_t_ivm_delta_feed(spark, sf_dir):
         dr.read_delta(spark, out_tbl), "event_type", "value_milli"
     )
     with ThreadPoolExecutor(max_workers=2) as pool:
-        view, fresh = pool.map(lambda d: d.localCheckpoint(), (view_q, fresh_q))
-    # both sides are checkpointed aggregates: ONE count over the union
-    # of both exceptAll directions replaces two separate actions
-    if view.exceptAll(fresh).unionAll(fresh.exceptAll(view)).count():
+        f_view = pool.submit(view_q.localCheckpoint)
+        f_fresh = pool.submit(fresh_q.collect)
+        view = f_view.result()
+        fresh_rows = f_fresh.result()
+    # both sides are GROUPS-sized (one row per event_type): multiset-
+    # compare driver-side — the old exceptAll-both-ways count planned a
+    # whole multi-exchange job over 4-row tables for the same answer
+    # (r11; exceptAll IS multiset difference, Counter equality is the
+    # identical predicate)
+    from collections import Counter
+
+    if Counter(map(tuple, view.collect())) != Counter(
+        map(tuple, fresh_rows)
+    ):
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view
 
@@ -3372,8 +3382,20 @@ def q_t_ivm_iceberg_changelog(spark, sf_dir):
         ir.read_iceberg(spark, out_tbl), "event_type", "value_milli"
     )
     with ThreadPoolExecutor(max_workers=2) as pool:
-        view, fresh = pool.map(lambda d: d.localCheckpoint(), (view_q, fresh_q))
-    if view.exceptAll(fresh).unionAll(fresh.exceptAll(view)).count():
+        f_view = pool.submit(view_q.localCheckpoint)
+        f_fresh = pool.submit(fresh_q.collect)
+        view = f_view.result()
+        fresh_rows = f_fresh.result()
+    # both sides are GROUPS-sized (one row per event_type): multiset-
+    # compare driver-side — the old exceptAll-both-ways count planned a
+    # whole multi-exchange job over 4-row tables for the same answer
+    # (r11; exceptAll IS multiset difference, Counter equality is the
+    # identical predicate)
+    from collections import Counter
+
+    if Counter(map(tuple, view.collect())) != Counter(
+        map(tuple, fresh_rows)
+    ):
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view
 
