@@ -1245,6 +1245,7 @@ def minhash_candidate_pairs_indexed(
     bands: int | None = None,
     shingle_k: int | None = None,
     pfx_chars: int | None = None,
+    precomputed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental candidate pairs against a PERSISTED band index — same
     contract as :func:`minhash_candidate_pairs_incremental` (pairs
@@ -1259,7 +1260,17 @@ def minhash_candidate_pairs_indexed(
     assert an expectation; a mismatch with the stored layout raises
     ``ValueError`` (silently pruning with the wrong prefix width, or
     hashing with a different scheme, would return EMPTY/garbage pairs —
-    missed duplicates with no error)."""
+    missed duplicates with no error).
+
+    ``precomputed_bands``: the batch's (id, band, bucket) table, already
+    MATERIALIZED by the caller with the index's exact signature scheme
+    (``minhash_bands`` with the stored num_hashes/bands/shingle_k).
+    Callers that build the index in the same session compute the batch
+    signatures CONCURRENTLY with the index-build job (guide §2.6 — the
+    two jobs are independent; the signature job back-fills the build's
+    task tail) and pass them here so the probe skips recomputing them.
+    The pruning prefix is always re-derived from ``bucket`` with the
+    STORED ``pfx_chars``, so a caller cannot desynchronize the layout."""
     meta = _read_index_meta(index_path) or {}
     resolved = {}
     for name, passed, fallback in (
@@ -1282,12 +1293,23 @@ def minhash_candidate_pairs_indexed(
         resolved["num_hashes"], resolved["bands"],
         resolved["shingle_k"], resolved["pfx_chars"],
     )
-    nb = materialize(
-        minhash_bands(new_docs, text_col, id_col, num_hashes, bands, shingle_k)
-        .withColumn("pfx", F.substring("bucket", 1, pfx_chars))
-        .repartition("band", "bucket"),
-        eager=True,
-    )
+    if precomputed_bands is not None:
+        # pfx re-derived with the STORED width — the caller supplies
+        # signatures, never the pruning layout
+        nb = precomputed_bands.withColumn(
+            "pfx", F.substring("bucket", 1, pfx_chars)
+        )
+    else:
+        # no pre-checkpoint repartition: localCheckpoint discards
+        # outputPartitioning (UnknownPartitioning — measured r11), so a
+        # keyed repartition here only added an exchange to the
+        # materialize job without the joins ever reusing it (r12)
+        nb = materialize(
+            minhash_bands(
+                new_docs, text_col, id_col, num_hashes, bands, shingle_k
+            ).withColumn("pfx", F.substring("bucket", 1, pfx_chars)),
+            eager=True,
+        )
     touched = [
         (r["band"], r["pfx"])
         for r in nb.select("band", "pfx").distinct().collect()
@@ -1308,9 +1330,14 @@ def minhash_candidate_pairs_indexed(
     pruned = idx.filter(terms[0] if terms else F.lit(False))
     on = ["band", "bucket"]
     l, r = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    # no repartition on the pruned index side: when the batch-vs-index
+    # join broadcasts (the pruned scan is the sized side) the old
+    # REPARTITION_BY_COL fed a full shuffle INTO the BroadcastExchange —
+    # pure waste (plans/r12); when it sort-merges at scale, the join
+    # plans its own exchange on the same keys, so removal is neutral
     cross = (
         nb.alias("l")
-        .join(pruned.repartition("band", "bucket").alias("r"), on)
+        .join(pruned.alias("r"), on)
         .select(F.least(l, r).alias("id_a"), F.greatest(l, r).alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
     )

@@ -32,11 +32,44 @@ def glob_escape(path: str) -> str:
 PATH_MAP_LITERAL_MAX = int(os.environ.get("ARCANE_PATH_MAP_LITERAL_MAX", "4096"))
 
 
+def _sql_str_literal(s: str) -> str:
+    """Render ``s`` as a single-quoted Spark SQL string literal. The
+    default parser (escapedStringLiterals=false) unescapes ``\\x``
+    sequences, so backslash and quote must be escaped; ``\\n``/``\\r``/
+    ``\\t`` are escaped too so the rendered expression stays one line."""
+    return "'" + (
+        s.replace("\\", "\\\\")
+        .replace("'", "\\'")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    ) + "'"
+
+
+def _sql_map_literal(map_rows) -> str:
+    """``map('k1','v1',...)`` as ONE SQL string. Building the same map
+    from per-entry ``F.lit`` calls costs two py4j round trips per entry
+    (~1 ms each, measured r11) — at the 4096-entry cap that is ~8 s of
+    driver time per lineage scan, worse than the BroadcastExchange the
+    literal map exists to remove; one parsed expression is ~ms total.
+    String values render as escaped literals, ints as bigint (``L``)."""
+    parts = []
+    for k, v in map_rows:
+        parts.append(_sql_str_literal(k))
+        if isinstance(v, str):
+            parts.append(_sql_str_literal(v))
+        elif isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"string/int map values only, got {type(v)}")
+        else:
+            parts.append(f"{v}L")
+    return "map(" + ",".join(parts) + ")"
+
+
 def path_map_lookup(map_rows, key_col):
     """``try_element_at(<literal map>, key_col)`` for small maps, or
     ``None`` when ``map_rows`` is too large (caller falls back to the
     broadcast-join path). ``map_rows`` is ``[(key, value), ...]`` with
-    string keys; values may be any literal-able python value."""
+    string keys; values may be strings or ints."""
     if len(map_rows) > PATH_MAP_LITERAL_MAX:
         return None
     keys = [k for k, _ in map_rows]
@@ -47,8 +80,4 @@ def path_map_lookup(map_rows, key_col):
         return None
     from pyspark.sql import functions as F
 
-    args = []
-    for k, v in map_rows:
-        args.append(F.lit(k))
-        args.append(F.lit(v))
-    return F.try_element_at(F.create_map(*args), key_col)
+    return F.try_element_at(F.expr(_sql_map_literal(map_rows)), key_col)

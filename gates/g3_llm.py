@@ -8,6 +8,27 @@ from gates.g2_reference import *  # noqa: F401,F403
 # LLM-data-pipeline queries (beyond-reference surface)
 # ---------------------------------------------------------------------------
 
+#: Hard ceiling for the IVM gates' driver-side view-vs-fresh multiset
+#: compares: both sides are GROUPS-sized by construction (one row per
+#: event_type), but a future cardinality regression must fail loudly
+#: instead of collecting unbounded data to the driver (r12, VERDICT r11
+#: "What's wrong" 3).
+_IVM_COMPARE_MAX = 10_000
+
+
+def _bounded_rows(df, what: str) -> list:
+    """``df.collect()`` guarded by ``_IVM_COMPARE_MAX``: takes one row
+    past the cap and raises when it arrives, so the compare never holds
+    more than cap+1 rows driver-side."""
+    rows = df.take(_IVM_COMPARE_MAX + 1)
+    if len(rows) > _IVM_COMPARE_MAX:
+        raise AssertionError(
+            f"{what} exceeded {_IVM_COMPARE_MAX} rows — the driver-side "
+            "multiset compare assumes a GROUPS-sized frame"
+        )
+    return rows
+
+
 def q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     m = tx.quality_metrics(F.col("text"))
@@ -305,6 +326,9 @@ def q_dedup_index_pairs(spark, sf_dir):
     hash match proves the stored index loses nothing."""
     import tempfile
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    from arcane_framework_scala_spark.plans.materialize import materialize
 
     docs = _read(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 5 != 0)
@@ -312,8 +336,18 @@ def q_dedup_index_pairs(spark, sf_dir):
     idx_path = os.path.join(
         tempfile.gettempdir(), f"arcane_band_idx_{uuid.uuid4().hex}"
     )
-    dd.build_band_index(old, idx_path)
-    return dd.minhash_candidate_pairs_indexed(spark, idx_path, new)
+    # the index BUILD (corpus signatures + partitioned write) and the
+    # batch's signature materialization are independent jobs — run them
+    # concurrently so the batch job back-fills the build's task tail
+    # (guide §2.6; r12). Signature params = the build's own defaults,
+    # the exact values build_band_index persists to _INDEX_META.json.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_build = pool.submit(dd.build_band_index, old, idx_path)
+        nb = materialize(dd.minhash_bands(new), eager=True)
+        f_build.result()
+    return dd.minhash_candidate_pairs_indexed(
+        spark, idx_path, new, precomputed_bands=nb
+    )
 
 
 def q_dedup_index_append(spark, sf_dir):
@@ -2998,18 +3032,19 @@ def q_t_ivm_delta_feed(spark, sf_dir):
     )
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_view = pool.submit(view_q.localCheckpoint)
-        f_fresh = pool.submit(fresh_q.collect)
+        f_fresh = pool.submit(_bounded_rows, fresh_q, "fresh groupBy")
         view = f_view.result()
         fresh_rows = f_fresh.result()
     # both sides are GROUPS-sized (one row per event_type): multiset-
     # compare driver-side — the old exceptAll-both-ways count planned a
     # whole multi-exchange job over 4-row tables for the same answer
     # (r11; exceptAll IS multiset difference, Counter equality is the
-    # identical predicate)
+    # identical predicate). _bounded_rows enforces the GROUPS-sized
+    # assumption instead of trusting the comment (r12, VERDICT r11).
     from collections import Counter
 
-    if Counter(map(tuple, view.collect())) != Counter(
-        map(tuple, fresh_rows)
+    if Counter(map(tuple, _bounded_rows(view, "maintained view"))) != (
+        Counter(map(tuple, fresh_rows))
     ):
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view
@@ -3383,18 +3418,19 @@ def q_t_ivm_iceberg_changelog(spark, sf_dir):
     )
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_view = pool.submit(view_q.localCheckpoint)
-        f_fresh = pool.submit(fresh_q.collect)
+        f_fresh = pool.submit(_bounded_rows, fresh_q, "fresh groupBy")
         view = f_view.result()
         fresh_rows = f_fresh.result()
     # both sides are GROUPS-sized (one row per event_type): multiset-
     # compare driver-side — the old exceptAll-both-ways count planned a
     # whole multi-exchange job over 4-row tables for the same answer
     # (r11; exceptAll IS multiset difference, Counter equality is the
-    # identical predicate)
+    # identical predicate). _bounded_rows enforces the GROUPS-sized
+    # assumption instead of trusting the comment (r12, VERDICT r11).
     from collections import Counter
 
-    if Counter(map(tuple, view.collect())) != Counter(
-        map(tuple, fresh_rows)
+    if Counter(map(tuple, _bounded_rows(view, "maintained view"))) != (
+        Counter(map(tuple, fresh_rows))
     ):
         raise AssertionError("maintained view diverged from fresh groupBy")
     return view

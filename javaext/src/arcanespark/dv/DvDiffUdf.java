@@ -1,0 +1,227 @@
+package arcanespark.dv;
+
+import java.io.IOException;
+import java.io.RandomAccessFile;
+import java.nio.ByteBuffer;
+import java.nio.ByteOrder;
+import java.util.ArrayList;
+import java.util.Base64;
+import java.util.List;
+import java.util.zip.CRC32;
+
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.RowFactory;
+import org.apache.spark.sql.api.java.UDF2;
+
+/**
+ * Deletion-vector DIFF decoded in the JVM (r12): the executor-side twin
+ * of {@code delta_dv.read_dv} + {@code np.setdiff1d}, removing the
+ * Python worker round trip from every DV-commit change-feed read
+ * (optimization guide section 4 — eliminate the JVM/Python boundary on
+ * the hot path). Same public formats as the Python codec, nothing else:
+ * delta.io PROTOCOL.md "Deletion Vectors" (DV file framing: 1-byte
+ * format version, per-vector [int32 BE size][data][int32 BE CRC-32]) and
+ * the RoaringBitmap project's RoaringFormatSpec (portable 32-bit
+ * serialization, cookies 12346/12347) wrapped in Delta's portable
+ * 64-bit RoaringBitmapArray (int32 LE magic 1681511377, int64 LE bitmap
+ * count, concatenated 32-bit bitmaps keyed by the high 32 bits).
+ *
+ * <p>Inputs are driver-resolved SPECS, one per descriptor (the driver
+ * already owns descriptor JSON and path resolution at O(files) cost):
+ * {@code null} (no vector), {@code "F|<offset>|<size>|<abs path>"}
+ * (a DV file slice; size/CRC verified like the Python reader) or
+ * {@code "I|<base64 data>"} (an inline vector, transport-encoded by the
+ * driver). Output: the DIFF as rows {@code (pos BIGINT, kind STRING)} —
+ * {@code del} for positions only in the new vector, {@code ins} for
+ * positions released by it — sorted ascending within each kind, del
+ * rows first: byte-for-byte the order the Python kernel emitted.
+ */
+public final class DvDiffUdf implements UDF2<String, String, List<Row>> {
+
+  private static final int MAGIC = 1681511377;
+  private static final int COOKIE_NO_RUN = 12346;
+  private static final int COOKIE_RUN = 12347;
+  private static final int NO_OFFSET_THRESHOLD = 4;
+  private static final int ARRAY_MAX = 4096;
+
+  @Override
+  public List<Row> call(String oldSpec, String newSpec) throws IOException {
+    long[] oldPos = readSpec(oldSpec);
+    long[] newPos = readSpec(newSpec);
+    List<Row> out = new ArrayList<>();
+    diff(newPos, oldPos, "del", out); // newly deleted
+    diff(oldPos, newPos, "ins", out); // released (restored)
+    return out;
+  }
+
+  /** Merge-walk a \ b over the two SORTED arrays, appending (pos, kind). */
+  private static void diff(long[] a, long[] b, String kind, List<Row> out) {
+    int i = 0, j = 0;
+    while (i < a.length) {
+      if (j >= b.length || a[i] < b[j]) {
+        out.add(RowFactory.create(a[i], kind));
+        i++;
+      } else if (a[i] == b[j]) {
+        i++;
+        j++;
+      } else {
+        j++;
+      }
+    }
+  }
+
+  private static long[] readSpec(String spec) throws IOException {
+    if (spec == null || spec.isEmpty()) {
+      return new long[0];
+    }
+    if (spec.startsWith("I|")) {
+      return deserializePositions(Base64.getDecoder().decode(spec.substring(2)));
+    }
+    if (!spec.startsWith("F|")) {
+      throw new IllegalArgumentException("bad DV spec: " + spec);
+    }
+    int p1 = spec.indexOf('|', 2);
+    int p2 = spec.indexOf('|', p1 + 1);
+    long offset = Long.parseLong(spec.substring(2, p1));
+    int size = Integer.parseInt(spec.substring(p1 + 1, p2));
+    String path = spec.substring(p2 + 1);
+    byte versionByte;
+    byte[] frame = new byte[4 + size + 4];
+    try (RandomAccessFile f = new RandomAccessFile(path, "r")) {
+      f.seek(0);
+      versionByte = f.readByte();
+      f.seek(offset);
+      f.readFully(frame);
+    }
+    if (versionByte != 1) {
+      throw new IOException("unsupported DV file version " + versionByte + " in " + path);
+    }
+    ByteBuffer bb = ByteBuffer.wrap(frame).order(ByteOrder.BIG_ENDIAN);
+    int storedSize = bb.getInt(0);
+    if (storedSize != size) {
+      throw new IOException(
+          "DV size mismatch at " + path + ": header " + storedSize + " != descriptor " + size);
+    }
+    CRC32 crc = new CRC32();
+    crc.update(frame, 4, size);
+    long storedCrc = Integer.toUnsignedLong(bb.getInt(4 + size));
+    if (crc.getValue() != storedCrc) {
+      throw new IOException("DV checksum mismatch in " + path);
+    }
+    byte[] data = new byte[size];
+    System.arraycopy(frame, 4, data, 0, size);
+    return deserializePositions(data);
+  }
+
+  /** Delta portable RoaringBitmapArray -> sorted int64 positions. */
+  static long[] deserializePositions(byte[] data) {
+    ByteBuffer bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN);
+    int magic = bb.getInt();
+    if (magic != MAGIC) {
+      throw new IllegalArgumentException("bad RoaringBitmapArray magic " + magic);
+    }
+    long nMaps = bb.getLong();
+    List<long[]> chunks = new ArrayList<>();
+    int total = 0;
+    for (long k = 0; k < nMaps; k++) {
+      long[] vals = deserializeRb32(bb);
+      for (int i = 0; i < vals.length; i++) {
+        vals[i] |= (k << 32);
+      }
+      chunks.add(vals);
+      total += vals.length;
+    }
+    long[] out = new long[total];
+    int at = 0;
+    for (long[] c : chunks) {
+      System.arraycopy(c, 0, out, at, c.length);
+      at += c.length;
+    }
+    return out;
+  }
+
+  /**
+   * Decode one 32-bit portable RoaringBitmap at the buffer's position
+   * (advancing it); returns sorted values as unsigned-int longs.
+   */
+  private static long[] deserializeRb32(ByteBuffer bb) {
+    int cookie = bb.getInt();
+    int n;
+    byte[] runBits = new byte[0];
+    boolean hasOffsets;
+    if ((cookie & 0xFFFF) == COOKIE_RUN) {
+      n = (cookie >>> 16) + 1;
+      runBits = new byte[(n + 7) / 8];
+      bb.get(runBits);
+      hasOffsets = n >= NO_OFFSET_THRESHOLD;
+    } else if (cookie == COOKIE_NO_RUN) {
+      n = bb.getInt();
+      hasOffsets = true;
+    } else {
+      throw new IllegalArgumentException("bad roaring cookie " + cookie);
+    }
+    int[] keys = new int[n];
+    int[] cards = new int[n];
+    for (int i = 0; i < n; i++) {
+      keys[i] = Short.toUnsignedInt(bb.getShort());
+      cards[i] = Short.toUnsignedInt(bb.getShort()) + 1;
+    }
+    if (hasOffsets) {
+      bb.position(bb.position() + 4 * n); // containers read sequentially
+    }
+    int total = 0;
+    List<int[]> lows = new ArrayList<>();
+    for (int i = 0; i < n; i++) {
+      boolean isRun = runBits.length > 0 && (runBits[i / 8] & (1 << (i % 8))) != 0;
+      int[] lo;
+      if (isRun) {
+        int nRuns = Short.toUnsignedInt(bb.getShort());
+        int count = 0;
+        int[][] runs = new int[nRuns][2];
+        for (int r = 0; r < nRuns; r++) {
+          runs[r][0] = Short.toUnsignedInt(bb.getShort());
+          runs[r][1] = Short.toUnsignedInt(bb.getShort());
+          count += runs[r][1] + 1;
+        }
+        lo = new int[count];
+        int at = 0;
+        for (int[] run : runs) {
+          for (int v = run[0]; v <= run[0] + run[1]; v++) {
+            lo[at++] = v;
+          }
+        }
+      } else if (cards[i] <= ARRAY_MAX) {
+        lo = new int[cards[i]];
+        for (int v = 0; v < cards[i]; v++) {
+          lo[v] = Short.toUnsignedInt(bb.getShort());
+        }
+      } else {
+        lo = new int[cards[i]];
+        int at = 0;
+        for (int w = 0; w < 1024; w++) {
+          long word = bb.getLong();
+          int base = w << 6;
+          while (word != 0) {
+            lo[at++] = base + Long.numberOfTrailingZeros(word);
+            word &= word - 1;
+          }
+        }
+        if (at != cards[i]) {
+          throw new IllegalArgumentException(
+              "bitmap container cardinality mismatch: " + at + " != " + cards[i]);
+        }
+      }
+      lows.add(lo);
+      total += lo.length;
+    }
+    long[] out = new long[total];
+    int at = 0;
+    for (int i = 0; i < n; i++) {
+      long hi = ((long) keys[i]) << 16;
+      for (int v : lows.get(i)) {
+        out[at++] = hi | v;
+      }
+    }
+    return out;
+  }
+}

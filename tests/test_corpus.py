@@ -719,3 +719,41 @@ def test_contrastive_negatives_contract(spark, sf_dir):
     assert {(r["doc_id"], r["rank"], r["neg_id"]) for r in out} == {
         (r["doc_id"], r["rank"], r["neg_id"]) for r in again
     }
+
+
+def test_band_index_precomputed_bands_identical(spark, tmp_path):
+    """r12: the probe's ``precomputed_bands`` fast path (batch
+    signatures materialized concurrently with the index build) must
+    return EXACTLY the default path's pairs, and must re-derive the
+    pruning prefix from the STORED pfx_chars (a caller cannot
+    desynchronize the layout)."""
+    from arcane_framework_scala_spark.functions.dedup import (
+        build_band_index,
+        minhash_bands,
+        minhash_candidate_pairs_indexed,
+    )
+    from arcane_framework_scala_spark.plans.materialize import materialize
+
+    base = "some repeated content about dedup indexes "
+    docs = spark.createDataFrame(
+        [(i, base * 2 + f"tail {i % 9}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id % 6 != 0")
+    new = docs.filter("doc_id % 6 = 0")
+    idx = str(tmp_path / "band_idx")
+    build_band_index(old, idx)
+    nb = materialize(minhash_bands(new), eager=True)
+    got = minhash_candidate_pairs_indexed(
+        spark, idx, new, precomputed_bands=nb
+    )
+    ref = minhash_candidate_pairs_indexed(spark, idx, new)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # the pruned scan still carries partition filters on (band, pfx)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in line and "pfx" in line
+        for line in plan.splitlines()
+    )
