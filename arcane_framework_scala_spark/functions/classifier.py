@@ -76,6 +76,13 @@ def quality_classifier_fit(
         F.col(id_col),
         F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
+    if not own_feats:
+        # caller-materialized feats leave fx unmaterialized, so the
+        # 2·iters+1 consumers would each re-scan df and re-evaluate
+        # target_pred; one narrow (id, y) checkpoint makes the per-
+        # iteration cost independent of target_pred complexity
+        # (ADVICE r11; guide §5)
+        labels = materialize(labels, eager=False)
     n_docs = df.count()  # 1 scalar, fixed for the whole fit
     fx = feats.join(labels, id_col)
     if own_feats:

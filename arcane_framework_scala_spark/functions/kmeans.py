@@ -62,7 +62,14 @@ def kmeans_fit(
 ) -> DataFrame:
     """Fit ``k`` spherical-k-means centroids; returns
     ``(centroid_id, <vec_col> array<double>)``, deterministic in every
-    environment (see module docstring)."""
+    environment (see module docstring).
+
+    EAGER execution (r11, ADVICE r11): each Lloyd round collects the
+    k·dim int64 means (metadata-scale, MLlib's own shape) and rebuilds
+    the codebook as a local relation, so calling this function RUNS the
+    fit — ``iters + 1`` jobs — rather than returning a lazy plan.
+    Plan-only callers (EXPLAIN, plan audits, dry runs) pay the fit at
+    call time; the returned codebook itself is a free local plan."""
     # Lloyd re-reads the corpus every iteration; materialize the slim
     # (id, vec, norm) projection ONCE instead of re-scanning parquet and
     # re-computing norms per round — on a cluster this is the standard

@@ -409,7 +409,13 @@ def dsir_weights(
 
     Scale: two broadcast joins of ``dim``-row distributions against the
     sparse (id, bucket, cnt) features; one map-side-combined groupBy per
-    distribution and one per doc. No shuffle carries text."""
+    distribution and one per doc. No shuffle carries text.
+
+    ``id_col`` values must be UNIQUE in ``df`` (the same assumption
+    ``quality_classifier_fit`` documents): the target distribution is
+    derived by LEFT-joining a target-id flag onto the feature rows, so
+    an id duplicated among target docs would duplicate feature rows and
+    inflate n_feats and the final weights (ADVICE r11)."""
     from arcane_framework_scala_spark.plans.materialize import materialize
 
     # ONE evaluation of the featurizer for ALL consumers (r11, guide

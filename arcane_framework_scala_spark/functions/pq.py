@@ -652,7 +652,16 @@ def _coarse_probes(
 
     Factored out (ADVICE r5) so :func:`ivfpq_index_rerank` plans ONE
     probe assignment instead of recomputing the query×cells join and a
-    second collect after :func:`ivfpq_index_topk` already ran it."""
+    second collect after :func:`ivfpq_index_topk` already ran it.
+
+    The returned ``probes`` frame is a LOCAL RELATION rebuilt from the
+    collected rows (r12): the old form collected the DISTINCT cells for
+    pruning and then re-evaluated the whole probe subtree (query scan ×
+    broadcast cells join × window) a second time inside every search
+    job that broadcast it. One collect of the |queries| × n_probe
+    assignment rows feeds both consumers — same values, one evaluation
+    (guide §5; the same metadata-scale collect-and-localize shape as
+    kmeans_fit's r11 codebook rebuild)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -683,8 +692,12 @@ def _coarse_probes(
         .filter(F.col("__crk") <= n_probe)
         .select("query_id", "cell")
     )
-    probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    return q, probes, probed
+    rows = probes.collect()  # |queries| × n_probe — metadata-scale
+    probes_local = queries.sparkSession.createDataFrame(
+        rows, probes.schema
+    )
+    probed = sorted({r["cell"] for r in rows})
+    return q, probes_local, probed
 
 
 def ivfpq_index_topk(
@@ -716,12 +729,20 @@ def ivfpq_index_topk(
     # metadata-scale). Read it driver-side via pyarrow instead of a
     # Spark aggregate job: one fewer job per search, the same
     # planning-cost class as the jar-free readers' footer reads (r11).
+    # The fast path is taken ONLY for an explicitly-local absolute path
+    # (ADVICE r11): a relative path or a non-local default filesystem
+    # would let a coincidentally-present local dir yield wrong (m, d)
+    # silently — those resolve through the Spark aggregate below.
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
-    _files = sorted(
-        _glob.glob(os.path.join(index_path, "codebooks", "*.parquet"))
+    _local = index_path.removeprefix("file://")
+    _files = (
+        sorted(_glob.glob(os.path.join(_local, "codebooks", "*.parquet")))
+        if os.path.isabs(_local)
+        and (index_path.startswith("file://") or "://" not in index_path)
+        else []
     )
     if _files:
         m = 0

@@ -480,10 +480,15 @@ def ivf_index_topk(
         .filter(F.col("__crk") <= n_probe)
         .drop("__csim", "__crk")
     )
-    # planning-time partition pruning: probed cells only
-    probed_cids = [
-        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
-    ]
+    # ONE evaluation of the probe subtree (r12): collect the |queries| ×
+    # n_probe assignment rows (vectors included — metadata-scale) and
+    # rebuild them as a local relation; the old form collected the
+    # DISTINCT probed cells and then re-ran the query×codebook join +
+    # window a second time inside the search job's broadcast (guide §5;
+    # doubles round-trip bit-exactly through collect/createDataFrame)
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(probe_rows, probes.schema)
+    probed_cids = sorted({r["centroid_id"] for r in probe_rows})
     cand = (
         lists.filter(F.col("centroid_id").isin(probed_cids))
         .join(F.broadcast(probes), "centroid_id")

@@ -67,7 +67,11 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
     n_tokens = token_count(c)
     lower = F.lower(c)
     words = F.split(F.trim(lower), r"\s+")
-    n_stop = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in _STOPWORDS])))
+    # one parsed literal array: per-element F.lit costs a py4j round trip
+    # per word per quality_metrics CALL (~1 ms each, r11-measured), and
+    # featurizers build this expression repeatedly (guide §5 driver time)
+    stop_lits = ",".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.size(F.array_intersect(words, F.expr(f"array({stop_lits})")))
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"]", ""))
     n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")

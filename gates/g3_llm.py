@@ -597,10 +597,16 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
         pre, post = pool.map(
             lambda v: target.read_version(v).localCheckpoint(), (3, 4)
         )
-    if pre.exceptAll(post).unionAll(post.exceptAll(pre)).count():
-        raise AssertionError("compaction changed table values")
-
-    stats = analyze_snapshot(target.snapshots)  # X4
+    # the compaction-diff count (over the two checkpoints above) and X4
+    # ANALYZE are independent read-only jobs — overlap them (§2.6; r12)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_diff = pool.submit(
+            pre.exceptAll(post).unionAll(post.exceptAll(pre)).count
+        )
+        f_stats = pool.submit(analyze_snapshot, target.snapshots)  # X4
+        if f_diff.result():
+            raise AssertionError("compaction changed table values")
+        stats = f_stats.result()
     if stats.records != n_rows:
         raise AssertionError(f"ANALYZE records {stats.records} != {n_rows}")
 
@@ -626,11 +632,22 @@ def q_m8_lakehouse_vertical(spark, sf_dir):
             (target.read, lambda: target.read_version(4),
              lambda: spark.table(table)),
         )
-    if final.exceptAll(replayed).unionAll(replayed.exceptAll(final)).count():
-        raise AssertionError("replaying wave 3 was not idempotent")
-    # twin: the catalog execution table mirrors the durable snapshot
-    if cat.exceptAll(final).unionAll(final.exceptAll(cat)).count():
-        raise AssertionError("catalog table diverged from durable snapshot")
+    # both closing checks run over the three checkpoints — independent
+    # count jobs, overlapped (§2.6; r12)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_rep = pool.submit(
+            final.exceptAll(replayed).unionAll(replayed.exceptAll(final)).count
+        )
+        f_twin = pool.submit(
+            cat.exceptAll(final).unionAll(final.exceptAll(cat)).count
+        )
+        if f_rep.result():
+            raise AssertionError("replaying wave 3 was not idempotent")
+        # twin: the catalog execution table mirrors the durable snapshot
+        if f_twin.result():
+            raise AssertionError(
+                "catalog table diverged from durable snapshot"
+            )
     return final
 
 

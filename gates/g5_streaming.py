@@ -799,12 +799,26 @@ def q_t_iceberg_cdc_poll(spark, sf_dir):
         ),
         settings=StreamSettings(poll_interval_seconds=0.01),
     )
-    if runner.run_once() != 1:
-        raise AssertionError("poll 1 should backfill one batch")
-    if im.commit_position_deletes(
-        spark, out_tbl, "event_type = 'click'"
-    ) != 2:
-        raise AssertionError("delete should be sequence 2")
+    # poll 1's backfill MERGE (writes the target) and the source table's
+    # position-delete commit are independent jobs — run them concurrently
+    # so the delete's scan back-fills the merge's task tail (guide §2.6;
+    # r12). Deterministic final state by snapshot isolation: poll 1 pins
+    # whichever head it polls (seq 1, or seq 2 if the delete commits
+    # first) and poll 2 ships exactly the remaining (wm, head] commits in
+    # ONE batch either way — same batch counts, same replicated rows,
+    # same oracle answer. The APPEND stays after poll 1 returns: were
+    # BOTH commits to land before poll 1 polled, poll 2 would be idle.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_poll1 = pool.submit(runner.run_once)
+        f_del = pool.submit(
+            im.commit_position_deletes, spark, out_tbl, "event_type = 'click'"
+        )
+        if f_poll1.result() != 1:
+            raise AssertionError("poll 1 should backfill one batch")
+        if f_del.result() != 2:
+            raise AssertionError("delete should be sequence 2")
     if im.append_rows(spark, out_tbl, ev.filter(F.col("event_id") > t1)) != 3:
         raise AssertionError("append should be sequence 3")
     if runner.run_once() != 1:
