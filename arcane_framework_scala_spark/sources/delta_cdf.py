@@ -412,14 +412,16 @@ def update_where(
 
 
 _DV_DIFF_UDF = "arcane_dv_diff"
+_DV_BUILD_UDF = "arcane_dv_build"
 
 
 def _dv_diff_udf_ready(spark) -> bool:
-    """Register the JVM DV-diff UDF (javaext ``DvDiffUdf``) once per
-    session; False when the jar is absent or registration fails (the
-    caller keeps the Python decode as the jar-less fallback)."""
+    """Register the JVM DV codec UDFs (javaext ``DvDiffUdf`` /
+    ``DvBuildUdf``) once per session; False when the jar is absent or
+    registration fails (callers keep the Python codec as the jar-less
+    fallback)."""
     try:
-        if spark.catalog.functionExists(_DV_DIFF_UDF):
+        if spark.catalog.functionExists(_DV_BUILD_UDF):
             return True
         jar = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
@@ -431,7 +433,8 @@ def _dv_diff_udf_ready(spark) -> bool:
         if not os.path.exists(jar):
             return False
         from pyspark.sql.types import (
-            ArrayType, LongType, StringType, StructField, StructType,
+            ArrayType, BinaryType, LongType, StringType, StructField,
+            StructType,
         )
 
         spark.sql(f"ADD JAR {jar}")
@@ -442,6 +445,14 @@ def _dv_diff_udf_ready(spark) -> bool:
                 StructField("pos", LongType()),
                 StructField("kind", StringType()),
             ])),
+        )
+        spark.udf.registerJavaFunction(
+            _DV_BUILD_UDF,
+            "arcanespark.dv.DvBuildUdf",
+            StructType([
+                StructField("data", BinaryType()),
+                StructField("cardinality", LongType()),
+            ]),
         )
         return True
     except Exception:

@@ -323,33 +323,7 @@ def delete_where(spark, table_path: str, predicate: str) -> int | None:
         for rel, a in live.items()
         if a.get("deletionVector")
     }
-    bc = spark.sparkContext.broadcast((table_path, old_descs))
-
-    def _build(pdf):
-        import pandas as pd
-
-        rel = pdf["__dl_rel"].iloc[0]
-        pos = pdf["__dl_pos"].to_numpy(dtype=np.int64)
-        tpath, descs = bc.value
-        old = descs.get(rel)
-        if old is not None:
-            # superset rule: union with the file's current DV (read
-            # executor-side — same shared-storage reach as the scan)
-            pos = np.union1d(pos, read_dv(tpath, old))
-        data = serialize_positions(pos)
-        return pd.DataFrame(
-            {
-                "rel": [rel],
-                "data": [data],
-                "cardinality": [int(len(np.unique(pos)))],
-            }
-        )
-
-    built = (
-        hits.groupBy("__dl_rel")
-        .applyInPandas(_build, "rel string, data binary, cardinality long")
-        .collect()
-    )
+    built = _build_dv_rows(spark, table_path, hits, old_descs)
     if not built:
         return None
     versions = dr.commit_versions(table_path)
@@ -385,6 +359,85 @@ def delete_where(spark, table_path: str, predicate: str) -> int | None:
 
     dr.commit_actions(table_path, next_v, actions)
     return next_v
+
+
+def _build_dv_rows(spark, table_path: str, hits, old_descs: dict) -> list:
+    """One ``(rel, data, cardinality)`` row per touched file — the
+    distributed bitmap build of :func:`delete_where`. JVM path (r12,
+    guide §4): positions group by file and the javaext ``DvBuildUdf``
+    unions the file's current DV (superset rule) and serializes the
+    roaring bitmap — byte-identical to the Python writer, pinned in
+    tests/test_dv_diff_jvm.py — so no Python node remains in the DV
+    WRITE path either. Jar-less installs (or >4096 pre-existing DVs,
+    past the literal-map cap) fall back to the r10 grouped-pandas
+    build. Either way the driver collects O(files × compressed-bitmap
+    bytes), never O(deleted rows)."""
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.sources import delta_cdf as dcdf
+    from arcane_framework_scala_spark.sources.paths import (
+        PATH_MAP_LITERAL_MAX,
+        _sql_map_literal,
+    )
+
+    if len(old_descs) <= PATH_MAP_LITERAL_MAX and dcdf._dv_diff_udf_ready(
+        spark
+    ):
+        spec_rows = sorted(
+            (rel, dcdf._dv_spec(table_path, d))
+            for rel, d in old_descs.items()
+        )
+        old_spec = (
+            F.try_element_at(
+                F.expr(_sql_map_literal(spec_rows)), F.col("__dl_rel")
+            )
+            if spec_rows
+            else F.lit(None).cast("string")
+        )
+        return (
+            hits.groupBy("__dl_rel")
+            .agg(F.array_sort(F.collect_list("__dl_pos")).alias("__pos"))
+            .select(
+                F.col("__dl_rel").alias("rel"),
+                F.call_udf(
+                    dcdf._DV_BUILD_UDF, old_spec, F.col("__pos")
+                ).alias("__b"),
+            )
+            .select(
+                "rel",
+                F.col("__b.data").alias("data"),
+                F.col("__b.cardinality").alias("cardinality"),
+            )
+            .collect()
+        )
+
+    bc = spark.sparkContext.broadcast((table_path, old_descs))
+
+    def _build(pdf):
+        import pandas as pd
+
+        rel = pdf["__dl_rel"].iloc[0]
+        pos = pdf["__dl_pos"].to_numpy(dtype=np.int64)
+        tpath, descs = bc.value
+        old = descs.get(rel)
+        if old is not None:
+            # superset rule: union with the file's current DV (read
+            # executor-side — same shared-storage reach as the scan)
+            pos = np.union1d(pos, read_dv(tpath, old))
+        data = serialize_positions(pos)
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "data": [data],
+                "cardinality": [int(len(np.unique(pos)))],
+            }
+        )
+
+    return (
+        hits.groupBy("__dl_rel")
+        .applyInPandas(_build, "rel string, data binary, cardinality long")
+        .collect()
+    )
 
 
 def resolve_dv_path(table_path: str, descriptor: dict) -> str:

@@ -70,7 +70,7 @@ public final class DvDiffUdf implements UDF2<String, String, List<Row>> {
     }
   }
 
-  private static long[] readSpec(String spec) throws IOException {
+  static long[] readSpec(String spec) throws IOException {
     if (spec == null || spec.isEmpty()) {
       return new long[0];
     }

@@ -125,3 +125,107 @@ def test_size_mismatch_raises(spark, tmp_path):
     bad = {**d, "sizeInBytes": d["sizeInBytes"] + 1}
     with pytest.raises(Exception, match="size mismatch|readFully|EOF"):
         dcdf._dv_positions_df(spark, tbl, [("f", None, bad)]).collect()
+
+
+def _jvm_build(spark, old_spec, positions) -> tuple[bytes, int]:
+    import pyspark.sql.functions as F
+
+    assert dcdf._dv_diff_udf_ready(spark)
+    src = spark.createDataFrame(
+        [(old_spec, [int(p) for p in positions])],
+        "old string, pos array<bigint>",
+    )
+    r = src.select(
+        F.call_udf("arcane_dv_build", F.col("old"), F.col("pos")).alias("b")
+    ).collect()[0]["b"]
+    return bytes(r["data"]), r["cardinality"]
+
+
+def test_build_bytes_identical_to_python(spark):
+    """DvBuildUdf must serialize BYTE-IDENTICALLY to the Python writer
+    (DV file names are content-derived md5 UUIDs) across every layout
+    case: empty-ish, array containers, a >4096 bitmap container, gapped
+    high-32 keys (empty bitmaps serialized in between), duplicates."""
+    cases = [
+        np.array([0], dtype=np.int64),
+        np.array([3, 5, 5, 9], dtype=np.int64),  # dup tolerated
+        np.arange(0, 70000, dtype=np.int64),  # bitmap container
+        np.array([1, (3 << 32) + 7], dtype=np.int64),  # gapped keys
+        np.concatenate(
+            [np.arange(65530, 65600, dtype=np.int64),  # container split
+             np.array([(1 << 33) + 2], dtype=np.int64)]
+        ),
+    ]
+    for pos in cases:
+        expect = dv.serialize_positions(pos)
+        got, card = _jvm_build(spark, None, pos)
+        assert got == expect, f"byte mismatch for {pos[:5]}..."
+        assert card == len(np.unique(pos))
+
+
+def test_build_unions_old_vector(spark, tmp_path):
+    tbl = str(tmp_path)
+    old = np.array([2, 7, 100000], dtype=np.int64)
+    d_old = dv.write_dv_file(tbl, old)
+    spec = dcdf._dv_spec(tbl, d_old)
+    new = np.array([7, 9], dtype=np.int64)
+    expect = dv.serialize_positions(np.union1d(old, new))
+    got, card = _jvm_build(spark, spec, new)
+    assert got == expect
+    assert card == 4
+
+
+def test_delete_where_jvm_matches_python(spark, tmp_path):
+    """End-to-end: delete_where with the JVM build commits the same
+    descriptor (same content-derived UUID, size, cardinality) as the
+    pandas fallback on an identical table."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from arcane_framework_scala_spark.sources import delta_reader as dr
+    from arcane_framework_scala_spark.sinks.merge_sink import (
+        SnapshotParquetTarget,
+    )
+
+    descs = {}
+    for variant in ("jvm", "py"):
+        root = str(tmp_path / variant)
+        st = SnapshotParquetTarget(spark, root + "/pub")
+        st.overwrite(
+            spark.range(0, 500).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            )
+        )
+        tbl = root + "/delta"
+        dr.export_delta(st, tbl)
+        if variant == "py":
+            orig = dcdf._dv_diff_udf_ready
+            dcdf._dv_diff_udf_ready = lambda s: False
+            try:
+                v = dv.delete_where(spark, tbl, "v = 3")
+            finally:
+                dcdf._dv_diff_udf_ready = orig
+        else:
+            v = dv.delete_where(spark, tbl, "v = 3")
+        assert v == 1
+        acts = [
+            json.loads(line)
+            for line in open(
+                os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+            )
+        ]
+        # data-file NAMES are per-table random UUIDs; the DV descriptor
+        # (content-md5 address, size, cardinality) is the determinism
+        # contract — compare the sorted descriptor multiset
+        descs[variant] = sorted(
+            (
+                a["add"]["deletionVector"]["pathOrInlineDv"],
+                a["add"]["deletionVector"]["sizeInBytes"],
+                a["add"]["deletionVector"]["cardinality"],
+            )
+            for a in acts
+            if "add" in a
+        )
+    assert descs["jvm"] == descs["py"]
