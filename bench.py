@@ -302,6 +302,11 @@ def main() -> None:
     calib_cpu = calibration_cpu()
     print(f"# calibration_cpu: {calib_cpu}s", file=sys.stderr)
 
+    try:
+        session_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", cpus))
+    except ValueError:  # e.g. SPARK_GRAFT_CPUS="*" — report the host count
+        session_cpus = cpus
+
     timings, stats1 = measure(HEADLINE)
     timings2, stats2 = measure(HEADLINE2)
     timings3, stats3 = measure(HEADLINE3)
@@ -351,7 +356,7 @@ def main() -> None:
         # scaling run stamped os.cpu_count() here and the parsed JSON
         # claimed 32 cores for an 8-core session (VERDICT r11 item 6);
         # host_cpus keeps the box size for load-guard context
-        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", cpus)),
+        "cpus": session_cpus,
         "host_cpus": cpus,
         "sf": sf,
     }
@@ -377,7 +382,7 @@ def main() -> None:
         "calibration_cpu_sec": calib_cpu,
         "runs_per_query": runs,
         "load_before_1m": load_before,
-        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", cpus)),
+        "cpus": session_cpus,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
